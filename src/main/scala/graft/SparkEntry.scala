@@ -41,6 +41,25 @@ object SparkEntry {
             .as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Flagship: the reference's whole parcela_CIOT query, R1-R15
+    // (SURVEY §7.2) on the FIXTURES.md §4 TPC-H mapping.
+    "q02_parcela_ciot_pipeline" -> ((s, dir) =>
+      graft.pipelines.ParcelaCiot.build(s, dir)),
+
+    // S4 idempotent upsert through the gate: key pairs a second run
+    // would insert = incoming ANTI existing-keys (left_anti join).
+    // Keys only — (l_orderkey, l_linenumber) is non-unique in this
+    // synthetic data, so any payload pick would be nondeterministic.
+    "q03_idempotent_upsert_delta" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val keys = Seq("l_orderkey", "l_linenumber")
+      val existing = li
+        .filter(col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+      graft.operators.IdempotentInsert
+        .newRows(li.select(keys.map(col): _*), existing, keys)
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
     })
   )
 
@@ -53,6 +72,18 @@ object SparkEntry {
         |  COUNT(*) AS count_order
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_parcela_ciot_pipeline" -> graft.pipelines.ParcelaCiot.oracle,
+
+    "q03_idempotent_upsert_delta" ->
+      """SELECT DISTINCT l_orderkey, l_linenumber
+        |FROM lineitem l
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM lineitem e
+        |  WHERE e.l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        |    AND e.l_orderkey = l.l_orderkey
+        |    AND e.l_linenumber = l.l_linenumber)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
   )
 }

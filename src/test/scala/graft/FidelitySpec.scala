@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TsqlFunctions._
+import graft.operators.{Dedup, IdempotentInsert}
+
+/** Pins the reference-fidelity semantics the DuckDB oracle can't see
+  * (SURVEY §5.2 items 1 & 3). */
+class FidelitySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  // R13: T-SQL `+` concat is NULL-propagating — either part NULL ⇒
+  // whole string NULL (SELECT.py:85-88; SURVEY §7.5 names this the
+  // easiest thing to get wrong via concat_ws).
+  test("dtHrString NULL-propagates like T-SQL +") {
+    import spark.implicits._
+    val df = Seq(
+      (Option(ts("2025-03-01 10:20:30")), Option(ts("2025-03-01 10:20:30"))),
+      (None, Option(ts("2025-03-01 10:20:30"))),
+      (Option(ts("2025-03-01 10:20:30")), None),
+      (None, None)
+    ).toDF("d", "t")
+    val got = df.select(dtHrString(col("d"), col("t"))).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("01/03/2025 10:20:30", null, null, null))
+  }
+
+  test("tsqlConvert styles 103/108/120 format like T-SQL CONVERT") {
+    import spark.implicits._
+    val df = Seq(ts("2025-12-31 23:59:58")).toDF("x")
+    val got = df.select(
+      tsqlConvert(col("x"), 103), tsqlConvert(col("x"), 108),
+      tsqlConvert(col("x"), 120)).collect()(0)
+    assert(got.getString(0) == "31/12/2025")
+    assert(got.getString(1) == "23:59:58")
+    assert(got.getString(2) == "2025-12-31 23:59:58")
+    intercept[IllegalArgumentException](tsqlConvert(col("x"), 101))
+  }
+
+  // R5: latest-per-key is deterministic when the order key is unique,
+  // and keeps exactly one row per key (SELECT.py:49,69).
+  test("latestPerKey keeps the max-ordered row per key, exactly one") {
+    import spark.implicits._
+    val df = Seq(
+      ("ciot1", 1, "a"), ("ciot1", 3, "c"), ("ciot1", 2, "b"),
+      ("ciot2", 10, "x"),
+      ("ciot3", 7, "m"), ("ciot3", 8, "n")
+    ).toDF("nr_ciot", "id_manifesto", "payload")
+    val got = Dedup
+      .latestPerKey(df, Seq(col("nr_ciot")), Seq(col("id_manifesto").desc))
+      .orderBy("nr_ciot").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSeq
+    assert(got == Seq(("ciot1", 3, "c"), ("ciot2", 10, "x"), ("ciot3", 8, "n")))
+  }
+
+  test("topKPerGroup returns k rows per group in order") {
+    import spark.implicits._
+    val df = Seq(("g", 1), ("g", 5), ("g", 3), ("h", 2)).toDF("k", "v")
+    val got = Dedup.topKPerGroup(df, Seq(col("k")), Seq(col("v").desc), 2)
+      .orderBy("k", "v").collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(got == Seq(("g", 3), ("g", 5), ("h", 2)))
+  }
+
+  // R10/R11: CASE + ISNULL on decimals (SELECT.py:79-82).
+  test("tsqlIsnull defaults NULL decimals to 0 inside arithmetic") {
+    import spark.implicits._
+    val df = Seq(
+      ("Saldo do Frete", BigDecimal("100.00"), Option(BigDecimal("30.00"))),
+      ("Saldo do Frete", BigDecimal("100.00"), None),
+      ("Outro", BigDecimal("100.00"), Option(BigDecimal("30.00")))
+    ).toDF("ds_parcela", "vl_parcela", "vl_combustivel")
+    val out = df.select(
+      when(col("ds_parcela") === "Saldo do Frete",
+        col("vl_parcela") - tsqlIsnull(col("vl_combustivel"), lit(0)))
+        .otherwise(col("vl_parcela")).cast("decimal(18,2)").as("v"))
+      .collect().map(_.getDecimal(0).toPlainString).toSeq
+    assert(out == Seq("70.00", "100.00", "100.00"))
+  }
+
+  // S4 idempotence laws (SURVEY §5.2 item 3):
+  // write(write(t,df),df) == write(t,df); re-run inserts 0; existing
+  // rows never updated (first-writer-wins, SELECT.py:146-148,217).
+  test("IdempotentInsert.intoParquet: re-run inserts 0, never updates") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_upsert").toString + "/t"
+    val keys = Seq("id_manifesto", "cd_parcela")
+    val v1 = Seq((1, "a", "old"), (2, "b", "x")).toDF("id_manifesto", "cd_parcela", "v")
+
+    assert(IdempotentInsert.intoParquet(spark, v1, dir, keys) == 2L)
+    // identical re-run: 0 inserted
+    assert(IdempotentInsert.intoParquet(spark, v1, dir, keys) == 0L)
+    // changed value on existing key + one new key: only the new key lands
+    val v2 = Seq((1, "a", "NEW"), (3, "c", "y")).toDF("id_manifesto", "cd_parcela", "v")
+    assert(IdempotentInsert.intoParquet(spark, v2, dir, keys) == 1L)
+    val state = spark.read.parquet(dir).orderBy("id_manifesto")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    assert(state == Seq((1, "a", "old"), (2, "b", "x"), (3, "c", "y")))
+  }
+
+  test("IdempotentInsert dedups within one incoming batch") {
+    import spark.implicits._
+    val incoming = Seq((1, "a", "p"), (1, "a", "q"), (2, "b", "r"))
+      .toDF("id_manifesto", "cd_parcela", "v")
+    val empty = incoming.limit(0)
+    val got = IdempotentInsert.newRows(incoming, empty,
+      Seq("id_manifesto", "cd_parcela"))
+    assert(got.count() == 2)
+  }
+}
