@@ -28,6 +28,7 @@ object EngineSession {
   ): SparkSession = {
     val spark = SparkSession
       .builder()
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .master(s"local[$cores]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores)

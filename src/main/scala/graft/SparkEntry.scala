@@ -29,7 +29,10 @@ object SparkEntry {
   private def dsum(c: org.apache.spark.sql.Column, scale: Int = 6) =
     sum(c.cast(s"decimal(30,$scale)")).cast("double")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = baseQueries ++
+    graft.queries.Relational.queries
+
+  private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // R-series gap table: aggregation (hash agg, partial+final) — SURVEY §2.4
     "q01_agg_pricing_summary" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -63,7 +66,10 @@ object SparkEntry {
     })
   )
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = baseOracleSql ++
+    graft.queries.Relational.oracleSql
+
+  private def baseOracleSql: Map[String, String] = Map(
     "q01_agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,

@@ -15,6 +15,7 @@ import graft.operators.{Dedup, IdempotentInsert}
 class FidelitySpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
