@@ -30,7 +30,10 @@ object SparkEntry {
     sum(c.cast(s"decimal(30,$scale)")).cast("double")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = baseQueries ++
-    graft.queries.Relational.queries
+    graft.queries.Relational.queries ++
+    graft.queries.Text.queries ++
+    graft.queries.DedupQueries.queries ++
+    graft.queries.SimilarityQueries.queries
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // R-series gap table: aggregation (hash agg, partial+final) — SURVEY §2.4
@@ -67,7 +70,10 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = baseOracleSql ++
-    graft.queries.Relational.oracleSql
+    graft.queries.Relational.oracleSql ++
+    graft.queries.Text.oracleSql ++
+    graft.queries.DedupQueries.oracleSql ++
+    graft.queries.SimilarityQueries.oracleSql
 
   private def baseOracleSql: Map[String, String] = Map(
     "q01_agg_pricing_summary" ->

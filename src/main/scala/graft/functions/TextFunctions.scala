@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis scalar functions for training-data pipelines
+  * (north-star scope; no reference counterpart — SURVEY §2.4 last row).
+  *
+  * Everything here is built from codegen'd higher-order functions
+  * (`transform`/`filter`/`aggregate`) — no UDFs — so the hot path stays
+  * inside whole-stage codegen at 100 TB.
+  *
+  * Cross-engine determinism: hashes are polynomial-rolling over ASCII
+  * codes in exact BIGINT arithmetic mod 1e9+7, an algorithm any SQL
+  * engine (the DuckDB oracle included) reproduces bit-for-bit. For a
+  * production corpus you would swap in `xxhash64` (native, faster) —
+  * the operators take the hash as a pluggable Column.
+  */
+object TextFunctions {
+
+  val HashMod = 1000000007L
+  val HashBase = 131L
+
+  /** Whitespace tokenizer: non-empty tokens of a space-separated text. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  /** Portable polynomial rolling hash of a string:
+    * fold(chars) h -> (h * 131 + ascii(c)) mod 1e9+7. */
+  def polyHash(s: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), length(s)),
+        i => ascii(s.substr(i, lit(1)))),
+      lit(0L),
+      (h, c) => (h * lit(HashBase) + c) % lit(HashMod))
+
+  /** Document fingerprint = rolling hash of the whole text (exact-dedup
+    * key; two byte-identical documents collide with certainty, unrelated
+    * ones with probability ~1e-9). */
+  def fingerprint(text: Column): Column = polyHash(text)
+
+  /** Number of tokens matching a fixed word list (with multiplicity). */
+  def wordListHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** Language marker lists over the corpus vocabulary — a disjoint
+    * stopword partition per language, the classic n-gram/stopword
+    * language-ID heuristic scaled down to the synthetic corpus. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast", "key", "order", "big"),
+    "de" -> Seq("sort", "table", "scan", "merge", "window"),
+    "es" -> Seq("part", "small", "hash", "column", "line"),
+    "fr" -> Seq("join", "batch", "stream", "spark", "agg"),
+    "zh" -> Seq("group", "query", "row", "data", "value", "vector"))
+}

@@ -39,7 +39,10 @@ object Relational {
         row_number().over(seq).as("rn"),
         rank().over(byPrice).as("price_rank"),
         lag(col("o_totalprice"), 1).over(seq).as("prev_price"),
-        lead(col("o_orderdate"), 1).over(seq).as("next_order_ts"),
+        // epoch micros, not raw timestamps: exact BIGINT on both engines
+        // (timestamp parquet logical types differ duck↔spark in pandas)
+        unix_micros(lead(col("o_orderdate"), 1).over(seq).cast("timestamp"))
+          .as("next_order_us"),
         sum(col("o_totalprice").cast("decimal(18,2)"))
           .over(seq.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .cast("double").as("run_spend"))
@@ -125,6 +128,7 @@ object Relational {
         signups, key = Seq("user_id"), on = "ts",
         payload = Seq("signup_id", "signup_value"),
         rightTiebreak = Some(col("signup_id")))
+        .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
         .orderBy(col("event_id"))
     }),
 
@@ -160,19 +164,19 @@ object Relational {
       t(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("sum_value"))
-        .select(col("window.start").as("window_start"), col("event_type"),
-          col("n"), col("sum_value"))
-        .orderBy(col("window_start"), col("event_type")))
+        .select(unix_micros(col("window.start")).as("window_start_us"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("window_start_us"), col("event_type")))
   )
 
   val oracleSql: Map[String, String] = Map(
     "q04_window_rank_lag_frames" ->
       """SELECT o_custkey, o_orderkey,
-        |  ROW_NUMBER() OVER seq AS rn,
-        |  RANK() OVER (PARTITION BY o_custkey
-        |    ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC) AS price_rank,
+        |  CAST(ROW_NUMBER() OVER seq AS INT) AS rn,
+        |  CAST(RANK() OVER (PARTITION BY o_custkey
+        |    ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC) AS INT) AS price_rank,
         |  LAG(o_totalprice, 1) OVER seq AS prev_price,
-        |  LEAD(o_orderdate, 1) OVER seq AS next_order_ts,
+        |  epoch_us(LEAD(o_orderdate, 1) OVER seq) AS next_order_us,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
         |    (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
@@ -239,7 +243,7 @@ object Relational {
         |  FROM events WHERE event_type = 'signup'
         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts
         |    ORDER BY event_id DESC) = 1)
-        |SELECT e.event_id, e.user_id, e.ts, e.event_type,
+        |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, e.event_type,
         |  s.signup_id AS asof_signup_id, s.signup_value AS asof_signup_value
         |FROM events e ASOF LEFT JOIN signups s
         |  ON e.user_id = s.user_id AND e.ts >= s.ts
@@ -247,7 +251,7 @@ object Relational {
 
     "q11_json_extract_agg" ->
       """SELECT event_type, COUNT(*) AS n,
-        |  SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+        |  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
         |  MAX(CAST(props->>'k' AS BIGINT)) AS max_k,
         |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
@@ -260,10 +264,10 @@ object Relational {
         |GROUP BY token ORDER BY token""".stripMargin,
 
     "q13_tumbling_window_agg" ->
-      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+      """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
         |  event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2
-        |ORDER BY window_start, event_type""".stripMargin
+        |ORDER BY window_start_us, event_type""".stripMargin
   )
 }

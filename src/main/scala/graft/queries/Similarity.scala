@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+import graft.sources.Catalog
+
+/** Similarity-search surface over the `embeddings` table (north-star
+  * scope): exact k-NN baseline, hyperplane-LSH ANN, cosine near-dup
+  * pairs. All scores are exact fixed-point integers (Similarity.scala)
+  * so the DuckDB oracle replays the identical algorithm bit-for-bit —
+  * including the LSH bucketing, which is pure integer math.
+  */
+object SimilarityQueries {
+
+  private val K = 5
+  private val LshK = 3
+  private val Bits = 8
+  private val Tables = 16
+  private val TauFp = 45000000000000L // cosine 0.45 at 1e7² fixed point
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Catalog.table(s, dir, "embeddings")
+
+  private def queriesSide(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).filter(col("vec_id") % 50 === 0)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact-recall baseline: brute-force top-5 by integer dot product,
+    // query side broadcast.
+    "q20_knn_brute_force" -> ((s, dir) =>
+      Similarity.bruteForceTopK(queriesSide(s, dir), emb(s, dir),
+        "vec_id", "embedding", K)
+        .orderBy(col("query_id"), col("rn"))),
+
+    // Hyperplane-LSH ANN (8 bits × 16 tables, exact rerank to top-3).
+    "q21_ann_lsh" -> ((s, dir) =>
+      Similarity.lshTopK(queriesSide(s, dir), emb(s, dir),
+        "vec_id", "embedding", LshK, Bits, Tables)
+        .orderBy(col("query_id"), col("rn"))),
+
+    // Embedding-cosine near-dup pairs at cosine ≥ 0.45.
+    "q22_embedding_neardup" -> ((s, dir) =>
+      Similarity.nearDupPairs(emb(s, dir), "vec_id", "embedding", TauFp)
+        .orderBy(col("id_a"), col("id_b")))
+  )
+
+  /** DuckDB fragment: fixed-point vectors of the embeddings table. */
+  private val sqlFixed =
+    """e AS (SELECT vec_id,
+      |  list_transform(embedding,
+      |    x_ -> CAST(floor(CAST(x_ AS DOUBLE) * 10000000.0) AS BIGINT)) AS v
+      |  FROM embeddings)""".stripMargin
+
+  private def sqlDot(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(range(1, 65), i_ -> $a[i_] * $b[i_])) AS BIGINT)"
+
+  val oracleSql: Map[String, String] = Map(
+    "q20_knn_brute_force" ->
+      s"""WITH $sqlFixed,
+         |q AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+         |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${sqlDot("q.v", "c.v")} AS dot_fp
+         |  FROM q JOIN e c ON q.vec_id <> c.vec_id)
+         |SELECT query_id, neighbor_id, dot_fp,
+         |  CAST(ROW_NUMBER() OVER w AS INT) AS rn
+         |FROM s
+         |WINDOW w AS (PARTITION BY query_id ORDER BY dot_fp DESC, neighbor_id ASC)
+         |QUALIFY ROW_NUMBER() OVER w <= $K
+         |ORDER BY query_id, rn""".stripMargin,
+
+    "q21_ann_lsh" ->
+      s"""WITH $sqlFixed,
+         |planes AS (
+         |  SELECT t, b, t * $Bits + b AS j
+         |  FROM (SELECT unnest(range($Tables)) AS t)
+         |  CROSS JOIN (SELECT unnest(range($Bits)) AS b)),
+         |proj AS (
+         |  SELECT e.vec_id, p.t, p.b,
+         |    CAST(list_sum(list_transform(range(1, 65), i_ ->
+         |      e.v[i_] * ((((CAST(1103515245 AS BIGINT) * (p.j * 64 + i_) + 12345)
+         |                   % 2147483648) >> 10) % 2 * 2 - 1))) AS BIGINT) AS proj
+         |  FROM e CROSS JOIN planes p),
+         |buck AS (
+         |  SELECT vec_id, t,
+         |    CAST(SUM(CASE WHEN proj >= 0 THEN (CAST(1 AS BIGINT) << b)
+         |             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+         |  FROM proj GROUP BY vec_id, t),
+         |cand AS (
+         |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+         |  FROM buck qb JOIN buck cb ON qb.t = cb.t AND qb.bucket = cb.bucket
+         |  WHERE qb.vec_id % 50 = 0 AND qb.vec_id <> cb.vec_id),
+         |scored AS (
+         |  SELECT cand.query_id, cand.neighbor_id,
+         |    ${sqlDot("q.v", "c.v")} AS dot_fp
+         |  FROM cand
+         |  JOIN e q ON cand.query_id = q.vec_id
+         |  JOIN e c ON cand.neighbor_id = c.vec_id)
+         |SELECT query_id, neighbor_id, dot_fp,
+         |  CAST(ROW_NUMBER() OVER w AS INT) AS rn
+         |FROM scored
+         |WINDOW w AS (PARTITION BY query_id ORDER BY dot_fp DESC, neighbor_id ASC)
+         |QUALIFY ROW_NUMBER() OVER w <= $LshK
+         |ORDER BY query_id, rn""".stripMargin,
+
+    "q22_embedding_neardup" ->
+      s"""WITH $sqlFixed
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${sqlDot("a.v", "b.v")} AS dot_fp
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE ${sqlDot("a.v", "b.v")} >= $TauFp
+         |ORDER BY id_a, id_b""".stripMargin
+  )
+}

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{AsofJoin, FuzzyDedup, Similarity}
+
+/** Unit specs for the corpus operators (as-of join, fuzzy dedup,
+  * similarity search) — semantics the DuckDB oracle checks end-to-end
+  * but not edge-by-edge. */
+class CorpusOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("AsofJoin.backward matches latest right at-or-before, keeps unmatched") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "e1"), (1L, 20L, "e2"), (2L, 5L, "e3"))
+      .toDF("k", "t", "ev")
+    val right = Seq((1L, 10L, "r_at_10"), (1L, 15L, "r_at_15"),
+      (3L, 1L, "other_key")).toDF("k", "t", "payload")
+    val got = AsofJoin.backward(left, right, Seq("k"), "t", Seq("payload"),
+        rightTiebreak = Some(col("t")))
+      .orderBy("k", "t")
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("t"),
+        r.getAs[String]("asof_payload"))).toSeq
+    // equal timestamp matches (<= convention); later right wins; no
+    // right row for key 2 → NULL
+    assert(got == Seq((1L, 10L, "r_at_10"), (1L, 20L, "r_at_15"),
+      (2L, 5L, null)))
+  }
+
+  test("shingles: distinct k-grams; short docs yield none") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text")
+    val got = FuzzyDedup.shingles(df, "doc_id", col("text"), k = 3)
+      .orderBy("doc_id", "shingle")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a_b_c"), (1L, "b_c_d")))
+  }
+
+  test("jaccardPairs: identical docs J=1, disjoint docs absent") {
+    import spark.implicits._
+    val df = Seq((1L, "x y z w"), (2L, "x y z w"), (3L, "p q r s"))
+      .toDF("doc_id", "text")
+    val sh = FuzzyDedup.shingles(df, "doc_id", col("text"))
+    val pairs = FuzzyDedup.jaccardPairs(sh, "doc_id")
+      .collect().map(r => ((r.getAs[Long]("doc_id_a"),
+        r.getAs[Long]("doc_id_b")), r.getAs[Double]("jaccard"))).toMap
+    assert(pairs == Map((1L, 2L) -> 1.0))
+  }
+
+  test("minhashDedupPairs recovers near-dups, exact-verified, no FPs") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val near = base.replace("lazy", "sleepy")
+    val far = "completely different words with no overlap at all here now"
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val got = FuzzyDedup
+      .minhashDedupPairs(df, "doc_id", col("text"), tau = 0.3)
+      .select("doc_id_a", "doc_id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 2L)))
+  }
+
+  test("simhash: identical texts collide, disjoint texts differ") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "zeta eta theta iota")).toDF("doc_id", "text")
+    val m = FuzzyDedup.simhash(df, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("simhash")).toMap
+    assert(m(1L) == m(2L))
+    assert(m(1L) != m(3L))
+  }
+
+  test("fixedPoint + dotInt: exact integer dot product") {
+    import spark.implicits._
+    val df = Seq((Array(0.5f, -0.25f), Array(1.0f, 1.0f))).toDF("a", "b")
+    val got = df.select(Similarity.dotInt(
+      Similarity.fixedPoint(col("a")), Similarity.fixedPoint(col("b"))))
+      .collect()(0).getLong(0)
+    // floor(0.5e7)*floor(1e7) + floor(-0.25e7)*floor(1e7)
+    assert(got == 5000000L * 10000000L + -2500000L * 10000000L)
+  }
+
+  test("bruteForceTopK ranks by dot desc with id tiebreak, excludes self") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(
+      vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding", 3)
+      .orderBy("rn").collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Int]("rn"))).toSeq
+    // 1 and 3 tie on dot → id ascending breaks the tie; 2 is last
+    assert(got == Seq((1L, 1), (3L, 2), (2L, 3)))
+  }
+
+  test("lshBuckets: identical vectors share every bucket") {
+    import spark.implicits._
+    val vecs = Seq((0L, Array.fill(64)(0.1f)), (1L, Array.fill(64)(0.1f)))
+      .toDF("vec_id", "embedding")
+    val b = Similarity.lshBuckets(vecs, "vec_id", "embedding",
+        bits = 8, tables = 4)
+      .groupBy("t", "bucket").agg(countDistinct("vec_id").as("n"))
+      .collect().map(_.getAs[Long]("n")).toSeq
+    assert(b.size == 4 && b.forall(_ == 2L))
+  }
+}

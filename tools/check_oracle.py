@@ -48,6 +48,9 @@ for name, sql in sorted(oracle.items()):
     eq = True
     for c in a.columns:
         av, bv = a[c], b[c]
+        if str(av.dtype) != str(bv.dtype):
+            print(f"  WARN {name}.{c}: dtype duck={av.dtype} spark={bv.dtype}"
+                  " (driver hash may diverge)")
         try:
             if not av.equals(bv):
                 # retry after normalizing dtypes (e.g. int32 vs int64)
