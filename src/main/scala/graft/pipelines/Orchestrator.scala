@@ -1,0 +1,124 @@
+package graft.pipelines
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.{AtomicLong, AtomicReference}
+
+import scala.collection.mutable
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageSubmitted, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Pipeline orchestration (SURVEY §2.3, O1-O7) — the Spark-side
+  * replacement for the reference's Qt subprocess queue
+  * (`Executavel do ETL.py:321-383,402-458`).
+  *
+  * Differences by design (SURVEY §3 EP1-EP3 mapping):
+  *  - jobs run in-process against one SparkSession, isolated by Spark
+  *    job groups (not child processes) — cancellation via
+  *    `cancelJobGroup` replaces QProcess.terminate (O4);
+  *  - progress is REAL task progress from a SparkListener (O7), not the
+  *    reference's simulated 150 ms timer bar (`ETL.py:385-390`);
+  *  - every job is independently runnable (EP3: headless CLI parity).
+  */
+object Orchestrator {
+
+  /** O1: a named, labeled pipeline — mirrors the reference's config
+    * entries (`ETL.py:46-67`: script → {label, tooltip}). */
+  final case class PipelineJob(
+      name: String,
+      label: String,
+      tooltip: String = "",
+      run: SparkSession => Unit)
+
+  sealed trait JobStatus
+  case object Pending extends JobStatus
+  case object Running extends JobStatus // ⌛ (ETL.py:288-292)
+  case object Succeeded extends JobStatus // ✅
+  final case class Failed(error: Throwable) extends JobStatus // ❌
+
+  final case class JobResult(job: PipelineJob, status: JobStatus,
+      wallMillis: Long)
+
+  /** O7: real progress — completed/total tasks per job group, mapped
+    * task → stage → group via the stage-submitted properties. */
+  final class ProgressListener extends SparkListener {
+    private val stageGroup = new ConcurrentHashMap[Int, String]()
+    private val total = new ConcurrentHashMap[String, AtomicLong]()
+    private val done = new ConcurrentHashMap[String, AtomicLong]()
+
+    private def counter(m: ConcurrentHashMap[String, AtomicLong], g: String) =
+      m.computeIfAbsent(g, _ => new AtomicLong())
+
+    override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit =
+      Option(s.properties)
+        .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+        .foreach { g =>
+          stageGroup.put(s.stageInfo.stageId, g)
+          counter(total, g).addAndGet(s.stageInfo.numTasks.toLong)
+        }
+
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val g = stageGroup.get(t.stageId)
+      if (g != null) counter(done, g).incrementAndGet()
+    }
+
+    /** (completedTasks, totalTasks) for a job group. */
+    def progress(group: String): (Long, Long) =
+      (counter(done, group).get(), counter(total, group).get())
+  }
+
+  /** Runs jobs with per-job status, timing, job-group isolation and
+    * fail-fast queueing. Thread-safe status map so a monitoring thread
+    * (the reference's UI role) can poll. */
+  final class PipelineRunner(spark: SparkSession,
+      listener: Option[ProgressListener] = None) {
+
+    private val statuses =
+      new ConcurrentHashMap[String, AtomicReference[JobStatus]]()
+    listener.foreach(spark.sparkContext.addSparkListener)
+
+    def status(name: String): JobStatus =
+      Option(statuses.get(name)).map(_.get()).getOrElse(Pending)
+
+    /** O2/EP1: run one job inside its own job group. */
+    def runOne(job: PipelineJob): JobResult = {
+      val ref = statuses.computeIfAbsent(job.name,
+        _ => new AtomicReference[JobStatus](Pending))
+      ref.set(Running)
+      val t0 = System.nanoTime()
+      spark.sparkContext.setJobGroup(groupId(job),
+        s"${job.label}", interruptOnCancel = true)
+      try {
+        job.run(spark)
+        ref.set(Succeeded)
+        JobResult(job, Succeeded, (System.nanoTime() - t0) / 1000000)
+      } catch {
+        case e: Throwable =>
+          ref.set(Failed(e))
+          JobResult(job, Failed(e), (System.nanoTime() - t0) / 1000000)
+      } finally spark.sparkContext.clearJobGroup()
+    }
+
+    /** O3/EP2: sequential queue, fail-fast — the next job starts only
+      * if the previous succeeded (`ETL.py:426-427`); on failure the
+      * remaining queue is abandoned (`ETL.py:419`), and remaining jobs
+      * keep status Pending. */
+    def runAll(jobs: Seq[PipelineJob]): Seq[JobResult] = {
+      val out = mutable.Buffer[JobResult]()
+      val it = jobs.iterator
+      var ok = true
+      while (ok && it.hasNext) {
+        val r = runOne(it.next())
+        out += r
+        ok = r.status == Succeeded
+      }
+      out.toSeq
+    }
+
+    /** O4: cooperative cancellation of a running job's Spark stages. */
+    def cancel(job: PipelineJob): Unit =
+      spark.sparkContext.cancelJobGroup(groupId(job))
+
+    def groupId(job: PipelineJob): String = s"graft-job-${job.name}"
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipelines.Jobs
+import graft.pipelines.Orchestrator._
+
+/** Orchestrator semantics (SURVEY O1-O7): fail-fast queue, status
+  * transitions, real progress, cancellation, config registry. */
+class OrchestratorSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def job(name: String, body: SparkSession => Unit): PipelineJob =
+    PipelineJob(name, name, "", body)
+
+  test("runAll is sequential fail-fast; queue abandoned after failure") {
+    val ran = scala.collection.mutable.Buffer[String]()
+    val runner = new PipelineRunner(spark)
+    val results = runner.runAll(Seq(
+      job("j1", _ => ran += "j1"),
+      job("j2", _ => { ran += "j2"; sys.error("boom") }),
+      job("j3", _ => ran += "j3")))
+    assert(ran.toSeq == Seq("j1", "j2"))
+    assert(results.map(_.status match {
+      case Succeeded => "ok"
+      case Failed(_) => "fail"
+      case s => s.toString
+    }) == Seq("ok", "fail"))
+    assert(runner.status("j1") == Succeeded)
+    assert(runner.status("j2").isInstanceOf[Failed])
+    assert(runner.status("j3") == Pending) // never started
+  }
+
+  test("ProgressListener reports real task counts for a job group") {
+    val listener = new ProgressListener
+    val runner = new PipelineRunner(spark, Some(listener))
+    val j = job("progress_job",
+      s => { s.range(0, 1000, 1, 8).selectExpr("sum(id)").collect(); () })
+    val r = runner.runOne(j)
+    assert(r.status == Succeeded)
+    val (done, total) = listener.progress(runner.groupId(j))
+    assert(total >= 8) // at least the 8 scan tasks
+    assert(done == total) // finished job → all tasks accounted
+  }
+
+  test("cancel aborts a running job group") {
+    val runner = new PipelineRunner(spark)
+    val slow = job("slow_job", s => {
+      s.range(0, 400, 1, 4).rdd
+        .foreach(_ => Thread.sleep(100))
+    })
+    val fut = scala.concurrent.Future(runner.runOne(slow))(
+      scala.concurrent.ExecutionContext.global)
+    // wait for the job to actually start, then cancel its group
+    Thread.sleep(1500)
+    runner.cancel(slow)
+    val r = scala.concurrent.Await.result(fut,
+      scala.concurrent.duration.Duration(60, "s"))
+    assert(r.status.isInstanceOf[Failed])
+  }
+
+  test("standard registry runs the five reference jobs end-to-end") {
+    val out = Files.createTempDirectory("graft_jobs").toString
+    val runner = new PipelineRunner(spark)
+    val jobs = Jobs.standardJobs("/root/testdata/sf0.001", out)
+    assert(jobs.map(_.name) == Seq(
+      "alimentacao_view_manifestos", "alimentacao_view_movimento",
+      "alimentacao_view_manifestomovimento", "alimentacao_view_adicionais",
+      "alimentacao_parcela_ciot"))
+    val results = runner.runAll(jobs)
+    assert(results.size == 5 && results.forall(_.status == Succeeded))
+    assert(spark.read.parquet(s"$out/view_manifestos").count() > 0)
+    assert(spark.read.parquet(s"$out/parcela_ciot").count() > 0)
+    // idempotence through the orchestrator: re-run adds nothing
+    val n1 = spark.read.parquet(s"$out/parcela_ciot").count()
+    runner.runOne(jobs.last)
+    assert(spark.read.parquet(s"$out/parcela_ciot").count() == n1)
+  }
+
+  test("fromConfig resolves known jobs, overrides labels, rejects junk") {
+    val cfg =
+      """{"alimentacao_view_manifestos": {"label": "Custom", "tooltip": "tip"},
+        |"alimentacao_parcela_ciot": {}}""".stripMargin
+    val jobs = Jobs.fromConfig(cfg, "/root/testdata/sf0.001", "/tmp/x")
+    assert(jobs.map(_.name) == Seq(
+      "alimentacao_view_manifestos", "alimentacao_parcela_ciot"))
+    assert(jobs.head.label == "Custom" && jobs.head.tooltip == "tip")
+    intercept[IllegalArgumentException](
+      Jobs.fromConfig("""{"nope": {}}""", "/tmp", "/tmp"))
+    intercept[IllegalArgumentException](
+      Jobs.fromConfig("not json at all {", "/tmp", "/tmp"))
+  }
+}

@@ -1,0 +1,125 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Streaming
+import graft.streaming.Streaming.Event
+
+/** Streaming semantics: batch/stream parity of the windowed
+  * aggregations, watermark late-data handling, and custom stateful
+  * sessionization. */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  def fixture: Seq[Event] = Seq(
+    Event(1, ts("2024-01-01 00:05:00"), 1, "click", 10.0),
+    Event(2, ts("2024-01-01 00:20:00"), 1, "click", 5.0),
+    Event(3, ts("2024-01-01 01:10:00"), 2, "view", 2.5),
+    Event(4, ts("2024-01-01 01:40:00"), 1, "click", 1.0),
+    Event(5, ts("2024-01-01 02:30:00"), 2, "view", 4.0))
+
+  test("tumblingAgg: stream over MemoryStream == same transform on batch") {
+    import spark.implicits._
+    val mem = MemoryStream[Event](1, spark, None)
+    mem.addData(fixture: _*)
+    val q = Streaming.tumblingAgg(mem.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("tumb")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("tumb")
+      .orderBy("window_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val batch = Streaming.tumblingAgg(fixture.toDF(), "1 hour")
+      .orderBy("window_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(streamed == batch)
+    assert(batch.map(t => (t._1.toString, t._2, t._3)) == Seq(
+      ("2024-01-01 00:00:00.0", "click", 2L),
+      ("2024-01-01 01:00:00.0", "click", 1L),
+      ("2024-01-01 01:00:00.0", "view", 1L),
+      ("2024-01-01 02:00:00.0", "view", 1L)))
+  }
+
+  test("watermark drops late data in append mode") {
+    import spark.implicits._
+    val mem = MemoryStream[Event](2, spark, None)
+    val q = Streaming.tumblingAgg(mem.toDF(), "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("late")
+      .outputMode("append").start()
+    try {
+      mem.addData(Event(1, ts("2024-01-01 00:10:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // advance watermark far past the first window
+      mem.addData(Event(2, ts("2024-01-01 03:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // this event is older than watermark (03:00 - 30min) → dropped
+      mem.addData(Event(3, ts("2024-01-01 00:20:00"), 1, "click", 99.0))
+      q.processAllAvailable()
+      // close remaining windows
+      mem.addData(Event(4, ts("2024-01-01 06:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("late").orderBy("window_start")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(2),
+        r.getDouble(3))).toSeq
+    // first window emitted with ONLY the on-time event (99.0 dropped)
+    assert(rows.contains(("2024-01-01 00:00:00.0", 1L, 1.0)))
+    assert(!rows.exists(_._3 == 100.0))
+  }
+
+  test("session_window merges events within gap per user") {
+    import spark.implicits._
+    val got = Streaming.sessionAgg(fixture.toDF(), "30 minutes")
+      .orderBy("user_id", "session_start")
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Timestamp]("session_start").toString,
+        r.getAs[Long]("n_events"))).toSeq
+    // user 1: events at 00:05+00:20 merge (15min gap); 01:40 separate.
+    // user 2: 01:10 and 02:30 separate.
+    assert(got == Seq(
+      (1L, "2024-01-01 00:05:00.0", 2L),
+      (1L, "2024-01-01 01:40:00.0", 1L),
+      (2L, "2024-01-01 01:10:00.0", 1L),
+      (2L, "2024-01-01 02:30:00.0", 1L)))
+  }
+
+  test("flatMapGroupsWithState sessionize emits closed sessions") {
+    import spark.implicits._
+    val mem = MemoryStream[Event](3, spark, None)
+    val q = Streaming.sessionize(mem.toDS(), gapMs = 30 * 60 * 1000)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      mem.addData(fixture: _*)
+      q.processAllAvailable()
+      // push watermark forward so open sessions time out
+      mem.addData(Event(99, ts("2024-01-01 12:00:00"), 3, "click", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sess")
+      .orderBy("user_id", "session_start")
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Timestamp]("session_start").toString,
+        r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toSeq
+    assert(got == Seq(
+      (1L, "2024-01-01 00:05:00.0", 2L, 15.0),
+      (1L, "2024-01-01 01:40:00.0", 1L, 1.0),
+      (2L, "2024-01-01 01:10:00.0", 1L, 2.5),
+      (2L, "2024-01-01 02:30:00.0", 1L, 4.0)))
+  }
+}
