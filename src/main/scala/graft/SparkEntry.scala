@@ -33,7 +33,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++
     graft.queries.Text.queries ++
     graft.queries.DedupQueries.queries ++
-    graft.queries.SimilarityQueries.queries
+    graft.queries.SimilarityQueries.queries ++
+    graft.queries.MultimodalQueries.queries
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // R-series gap table: aggregation (hash agg, partial+final) — SURVEY §2.4
@@ -73,7 +74,8 @@ object SparkEntry {
     graft.queries.Relational.oracleSql ++
     graft.queries.Text.oracleSql ++
     graft.queries.DedupQueries.oracleSql ++
-    graft.queries.SimilarityQueries.oracleSql
+    graft.queries.SimilarityQueries.oracleSql ++
+    graft.queries.MultimodalQueries.oracleSql
 
   private def baseOracleSql: Map[String, String] = Map(
     "q01_agg_pricing_summary" ->

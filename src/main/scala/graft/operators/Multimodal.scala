@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (north-star scope): image/audio/video as
+  * opaque `binary` payload columns + typed metadata, with decode /
+  * feature-extract / resize / frame-sample as per-partition batched
+  * operators over `Dataset[MediaAsset]`.
+  *
+  * The actual codec is STUBBED — this container has no image/audio
+  * libraries — with `FakeCodec`, a deterministic pure-arithmetic
+  * "decoder" over the payload bytes, so the Spark-side contract
+  * (schema, encoders, partitioning, batch shape, null payloads) is
+  * real and testable end-to-end. Swap `FakeCodec` for a JNI/javacpp
+  * codec in production; the operator signatures don't change.
+  *
+  * Scale notes: binary-heavy tables want
+  * `spark.sql.files.maxPartitionBytes` sized so one partition of blobs
+  * fits in executor memory; decode is CPU-bound map-side work with no
+  * shuffle — `mapPartitions` preserves partitioning, and downstream
+  * feature joins shuffle only the (small) extracted features, never
+  * the payload bytes.
+  */
+object Multimodal {
+
+  final case class MediaAsset(asset_id: Long, kind: String,
+      payload: Array[Byte])
+  final case class DecodedMeta(asset_id: Long, kind: String, n_bytes: Long,
+      width: Int, height: Int, channels: Int, feat: Array[Long])
+  final case class Frame(asset_id: Long, frame_no: Int, offset: Long,
+      length: Long)
+
+  /** The deterministic stand-in codec: every output is exact integer
+    * arithmetic on the payload bytes (so tests — and the DuckDB oracle
+    * on text-derived payloads — can replay it bit-for-bit). */
+  object FakeCodec {
+    val FeatDims = 8
+
+    def decode(payload: Array[Byte]): (Int, Int, Int, Array[Long]) = {
+      val n = payload.length
+      val width = (n * 7) % 640 + 16
+      val height = (if (n > 0) (payload(0) & 0xff) * 2 % 480 else 0) + 16
+      val feat = new Array[Long](FeatDims)
+      var i = 0
+      while (i < n) {
+        feat(i % FeatDims) += (payload(i) & 0xff).toLong
+        i += 1
+      }
+      (width, height, 3, feat)
+    }
+  }
+
+  /** Decode payloads to typed metadata + a feature vector, processing
+    * each partition in `batchSize` slices (the batch shape a real
+    * vectorized codec — or Arrow page — would use). No shuffle. */
+  def decodeMeta(assets: Dataset[MediaAsset], batchSize: Int = 256)
+      : Dataset[DecodedMeta] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { a =>
+          val payload = if (a.payload == null) Array.empty[Byte] else a.payload
+          val (w, h, c, feat) = FakeCodec.decode(payload)
+          DecodedMeta(a.asset_id, a.kind, payload.length.toLong, w, h, c, feat)
+        }
+      }
+    }
+  }
+
+  /** "Resize": recompute metadata for a target box preserving aspect
+    * ratio (integer math; payload untouched — a real codec would
+    * re-encode). */
+  def resizeMeta(meta: Dataset[DecodedMeta], maxW: Int, maxH: Int)
+      : Dataset[DecodedMeta] = {
+    import meta.sparkSession.implicits._
+    meta.map { m =>
+      if (m.width <= maxW && m.height <= maxH) m
+      else {
+        // scale = min(maxW/w, maxH/h) in exact rational arithmetic
+        val byW = m.height.toLong * maxW <= m.width.toLong * maxH
+        val (nw, nh) =
+          if (byW) (maxW, math.max(1, (m.height.toLong * maxW / m.width).toInt))
+          else (math.max(1, (m.width.toLong * maxH / m.height).toInt), maxH)
+        m.copy(width = nw, height = nh)
+      }
+    }
+  }
+
+  /** "Frame-sample" a video payload: one frame descriptor per
+    * `frameBytes` block, up to `maxFrames`, evenly strided. */
+  def sampleFrames(assets: Dataset[MediaAsset], frameBytes: Int = 1024,
+      maxFrames: Int = 8): Dataset[Frame] = {
+    import assets.sparkSession.implicits._
+    assets.flatMap { a =>
+      val n = if (a.payload == null) 0L else a.payload.length.toLong
+      val total = ((n + frameBytes - 1) / frameBytes).toInt
+      val take = math.min(total, maxFrames)
+      val stride = if (take == 0) 1 else math.max(1, total / take)
+      (0 until take).iterator.map { f =>
+        val block = f.toLong * stride
+        Frame(a.asset_id, f, block * frameBytes,
+          math.min(frameBytes.toLong, n - block * frameBytes))
+      }
+    }
+  }
+
+  /** Documents → fake media assets (payload = UTF-8 text bytes), the
+    * test/oracle bridge: ASCII corpus text makes every byte value
+    * reproducible in SQL via ascii(). */
+  def assetsFromDocuments(spark: SparkSession, sfDir: String)
+      : Dataset[MediaAsset] = {
+    import spark.implicits._
+    graft.sources.Catalog.table(spark, sfDir, "documents")
+      .select(col("doc_id").as("asset_id"),
+        when(col("doc_id") % 2 === 0, "image").otherwise("audio").as("kind"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaAsset]
+  }
+}
