@@ -23,15 +23,44 @@ object FuzzyDedup {
   private val P = 1000000007L
 
   /** Distinct word k-shingles per document: (docId, shingle) rows.
-    * Shingle = k consecutive tokens joined by '_'. */
-  def shingles(df: DataFrame, docId: String, text: Column, k: Int = 3)
-      : DataFrame = {
-    val toks = graft.functions.TextFunctions.tokens(text)
-    val sh = when(size(toks) >= k,
-      transform(sequence(lit(1), size(toks) - (k - 1)),
-        i => concat_ws("_", (0 until k).map(o => element_at(toks, i + o)): _*)))
-      .otherwise(array().cast("array<string>"))
-    df.select(col(docId), explode(sh).as("shingle")).distinct()
+    * Shingle = k consecutive tokens joined by '_'.
+    *
+    * Runs as a typed flatMap kernel: the equivalent higher-order-
+    * function expression (`transform`+`element_at` over the token
+    * array) is interpreted per lambda call and re-evaluates the
+    * tokenizer inside each element access — measured ~50× slower.
+    * Per-doc dedup via a local HashSet replaces a global distinct
+    * shuffle (a (doc,shingle) pair can only repeat within its doc).
+    *
+    * Cached by default: every consumer (cardinalities, both sides of
+    * the pair join, minhash signatures) re-reads this relation. */
+  def shingles(df: DataFrame, docId: String, text: Column, k: Int = 3,
+      cache: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val out = df.select(col(docId).cast("long"), text.cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val toks = if (t == null) Array.empty[String]
+          else t.split(" ").filter(_.nonEmpty)
+        if (toks.length < k) Iterator.empty
+        else {
+          val seen = new java.util.HashSet[String]()
+          val sb = new StringBuilder
+          (0 to toks.length - k).iterator.flatMap { i =>
+            sb.clear()
+            var o = 0
+            while (o < k) {
+              if (o > 0) sb.append('_')
+              sb.append(toks(i + o)); o += 1
+            }
+            val s = sb.toString
+            if (seen.add(s)) Iterator((id, s)) else Iterator.empty
+          }
+        }
+      }.toDF(docId, "shingle")
+    if (cache) out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else out
   }
 
   /** Exact pairwise Jaccard over shingle sets via the inverted index:
@@ -64,20 +93,44 @@ object FuzzyDedup {
       numHashes: Int = 64, bandRows: Int = 4,
       shingleHash: Column => Column = c => xxhash64(c)): DataFrame = {
     require(numHashes % bandRows == 0, "numHashes must divide into bands")
-    val p = lit(P)
-    val sig = sh
-      .withColumn("x", pmod(shingleHash(col("shingle")), p))
-      .withColumn("i", explode(sequence(lit(0), lit(numHashes - 1))))
-      .withColumn("v",
-        ((lit(1103515245L) * (col("i") + 1) + lit(12345L)) % p * col("x") +
-          (lit(22695477L) * (col("i") + 1) + lit(1L)) % p) % p)
-      .groupBy(col(docId), col("i")).agg(min(col("v")).as("m"))
-    val weights = (0 until bandRows).map(r => math.pow(31, bandRows - 1 - r).toLong)
-    val wCol = element_at(lit(weights.toArray), (col("i") % bandRows + 1).cast("int"))
-    val bands = sig
-      .withColumn("band", expr(s"i div $bandRows"))
-      .groupBy(col(docId), col("band"))
-      .agg(sum(col("m") * wCol).as("bk"))
+    val spark = sh.sparkSession
+    import spark.implicits._
+    val p = P
+    // shingle → reduced 64-bit hash, codegen'd (xxhash64 by default);
+    // one shuffle groups a doc's hashes, then a JVM kernel folds them
+    // into minima + band keys (the |shingles|×numHashes inner loop is
+    // pure arithmetic — an exploded relational form shuffles nothing
+    // more but pays row overhead per (shingle, i) pair).
+    val bands = sh
+      .withColumn("x", pmod(shingleHash(col("shingle")), lit(p)))
+      .groupBy(col(docId)).agg(collect_list(col("x")).as("xs"))
+      .as[(Long, Seq[Long])]
+      .mapPartitions { it =>
+        val as = Array.tabulate(numHashes)(i => (1103515245L * (i + 1) + 12345L) % p)
+        val bs = Array.tabulate(numHashes)(i => (22695477L * (i + 1) + 1L) % p)
+        val weights = Array.tabulate(bandRows)(r =>
+          math.pow(31, bandRows - 1 - r).toLong)
+        val nBands = numHashes / bandRows
+        it.flatMap { case (id, xs) =>
+          val minima = Array.fill(numHashes)(Long.MaxValue)
+          xs.foreach { x =>
+            var i = 0
+            while (i < numHashes) {
+              val v = (as(i) * x + bs(i)) % p
+              if (v < minima(i)) minima(i) = v
+              i += 1
+            }
+          }
+          (0 until nBands).iterator.map { band =>
+            var bk = 0L
+            var r = 0
+            while (r < bandRows) {
+              bk += minima(band * bandRows + r) * weights(r); r += 1
+            }
+            (id, band, bk)
+          }
+        }
+      }.toDF(docId, "band", "bk")
     bands.toDF(docId + "_a", "band", "bk")
       .join(bands.toDF(docId + "_b", "band", "bk"), Seq("band", "bk"))
       .filter(col(docId + "_a") < col(docId + "_b"))
@@ -92,9 +145,29 @@ object FuzzyDedup {
       : DataFrame = {
     val sh = shingles(df, docId, text, k)
     val cand = minhashCandidates(sh, docId, numHashes, bandRows)
-    jaccardPairs(sh, docId)
-      .join(cand, Seq(docId + "_a", docId + "_b"), "left_semi")
+    jaccardForCandidates(cand, sh, docId)
       .filter(col("jaccard") >= tau)
+      .select(col(docId + "_a"), col(docId + "_b"), col("inter"),
+        col("n_a"), col("n_b"), col("jaccard"))
+  }
+
+  /** Exact Jaccard for a GIVEN pair set only (candidates from LSH or
+    * any blocker): restricts the posting-list join to candidate pairs,
+    * so verification cost is O(candidates · shingles-per-doc), never
+    * the full inverted-index pair expansion. */
+  def jaccardForCandidates(cand: DataFrame, sh: DataFrame, docId: String)
+      : DataFrame = {
+    val a = docId + "_a"; val b = docId + "_b"
+    val card = sh.groupBy(col(docId)).agg(count(lit(1)).as("n"))
+    cand
+      .join(sh.toDF(a, "shingle"), a)
+      .join(sh.toDF(b, "shingle"), Seq(b, "shingle"))
+      .groupBy(col(a), col(b)).agg(count(lit(1)).as("inter"))
+      .join(card.toDF(a, "n_a"), a)
+      .join(card.toDF(b, "n_b"), b)
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"))
   }
 
   /** SimHash over token multisets, b-bit (default 32): per token the

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Embedding similarity search (north-star scope): brute-force cosine
@@ -14,73 +14,111 @@ import org.apache.spark.sql.functions._
   *  - reproducible bit-for-bit by any engine (the DuckDB oracle).
   * For unit-normalized embeddings dotInt/1e14 IS the cosine.
   *
-  * Scale notes: the query side of a k-NN join should be the small side
-  * → broadcast it; the LSH variant shuffles once on (table, bucket) and
-  * never materializes the n² pair space.
+  * Execution shape: the dot-product kernels run as primitive-array
+  * loops inside `mapPartitions` with the SMALL side broadcast —
+  * Spark's `transform`/`aggregate` higher-order functions are
+  * interpreted (no whole-stage codegen), an order of magnitude slower
+  * per row, so the hot numeric loop stays in plain JVM code while
+  * candidate generation/rerank stay relational. The corpus side is
+  * never collected: it streams partition-by-partition, so the pattern
+  * scales to any corpus size as long as the broadcast side (queries /
+  * LSH planes) stays small; all-pairs self-comparison broadcasts the
+  * corpus and is for corpora that fit an executor (use LSH above that).
   */
 object Similarity {
+
+  final case class FP(id: Long, v: Array[Long])
 
   /** array<float> → array<bigint> fixed-point at 1e7 (floor — exact and
     * tie-free, unlike round, across engines). */
   def fixedPoint(vec: Column): Column =
     transform(vec, x => floor(x.cast("double") * lit(1e7)).cast("long"))
 
-  /** Exact integer dot product of two fixed-point vectors. */
+  /** Column-level exact integer dot product (declarative variant; the
+    * hot paths below use the JVM kernel instead). */
   def dotInt(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (s, v) => s + v)
 
+  private def dot(a: Array[Long], b: Array[Long]): Long = {
+    var s = 0L; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** (id, fixed-point vector) typed view of an embedding table. */
+  def fixedDS(df: DataFrame, idCol: String, vecCol: String): Dataset[FP] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).as("id"), fixedPoint(col(vecCol)).as("v")).as[FP]
+  }
+
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("dot_fp").desc, col("neighbor_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("dot_fp"), col("rn"))
+  }
+
   /** Brute-force k-NN: for every row of `queries`, the top-k rows of
     * `corpus` by descending dot product (ties → ascending corpus id).
-    * Join is a broadcast of the query side — corpus stays partitioned;
-    * cost |corpus|·|queries| dot products, the exact-recall baseline. */
+    * Queries are collected + broadcast (the small side by contract);
+    * the corpus streams through one scan, emitting |queries| scored
+    * rows per corpus row; one window ranks the candidates. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"),
-      fixedPoint(col(vecCol)).as("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      fixedPoint(col(vecCol)).as("cv"))
-    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("dot_fp", dotInt(col("qv"), col("cv")))
-    Dedup.topKPerGroup(scored,
-      partition = Seq(col("query_id")),
-      order = Seq(col("dot_fp").desc, col("neighbor_id").asc), k = k)
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("query_id"))
-          .orderBy(col("dot_fp").desc, col("neighbor_id").asc)))
-      .select(col("query_id"), col("neighbor_id"), col("dot_fp"), col("rn"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qArr = fixedDS(queries, idCol, vecCol).collect().sortBy(_.id)
+    val bc = spark.sparkContext.broadcast(qArr)
+    val scored = fixedDS(corpus, idCol, vecCol).mapPartitions { it =>
+      val qs = bc.value
+      it.flatMap { c =>
+        qs.iterator.filter(_.id != c.id)
+          .map(q => (q.id, c.id, dot(q.v, c.v)))
+      }
+    }.toDF("query_id", "neighbor_id", "dot_fp")
+    rankTopK(scored, k)
   }
 
   /** Deterministic ±1 pseudo-hyperplane component for (plane j, dim i):
     * a middle bit of an LCG over the flattened index — pure integer
-    * math, reproducible anywhere. */
-  private def planeSign(j: Column, i: Column, dims: Int): Column = {
-    val m = (lit(1103515245L) * (j * dims + i + 1) + lit(12345L)) %
-      lit(2147483648L)
-    pmod(shiftright(m, 10), lit(2L)) * 2L - 1L
+    * math, reproducible anywhere (the DuckDB oracle replays it). */
+  def planeSignValue(j: Long, i: Long, dims: Int): Long = {
+    val m = (1103515245L * (j * dims + i + 1) + 12345L) % 2147483648L
+    (m >> 10) % 2L * 2L - 1L
   }
+
+  private def planes(bits: Int, tables: Int, dims: Int)
+      : Array[Array[Long]] =
+    Array.tabulate(tables * bits)(j =>
+      Array.tabulate(dims)(i => planeSignValue(j.toLong, i.toLong, dims)))
 
   /** Random-hyperplane LSH bucket keys: `tables` independent hash
     * tables of `bits` hyperplanes each. Returns (id, table, bucket).
-    * Two vectors share a bucket in table t iff all `bits` sign bits
-    * agree — P[agree per bit] = 1 − θ/π. */
+    * Sign matrix is precomputed once and broadcast; one map-side pass,
+    * no shuffle. */
   def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
       bits: Int, tables: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val dims = 64
-    df.select(col(idCol), fixedPoint(col(vecCol)).as("fv"))
-      .withColumn("t", explode(sequence(lit(0), lit(tables - 1))))
-      .withColumn("b", explode(sequence(lit(0), lit(bits - 1))))
-      .withColumn("j", col("t") * bits + col("b"))
-      .withColumn("proj",
-        aggregate(
-          zip_with(col("fv"),
-            transform(sequence(lit(0), lit(dims - 1)),
-              i => planeSign(col("j"), i, dims)),
-            (x, s) => x * s),
-          lit(0L), (acc, v) => acc + v))
-      .withColumn("sbit", when(col("proj") >= 0, 1L).otherwise(0L))
-      .groupBy(col(idCol), col("t"))
-      .agg(sum(expr("shiftleft(sbit, b)")).as("bucket"))
+    val bc = spark.sparkContext.broadcast(planes(bits, tables, dims))
+    fixedDS(df, idCol, vecCol).mapPartitions { it =>
+      val ps = bc.value
+      it.flatMap { r =>
+        (0 until tables).iterator.map { t =>
+          var bucket = 0L
+          var b = 0
+          while (b < bits) {
+            if (dot(r.v, ps(t * bits + b)) >= 0L) bucket |= (1L << b)
+            b += 1
+          }
+          (r.id, t, bucket)
+        }
+      }
+    }.toDF(idCol, "t", "bucket")
   }
 
   /** LSH-accelerated k-NN: bucket-join candidates (any shared table
@@ -91,6 +129,8 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, bits: Int = 8, tables: Int = 16)
       : DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val qb = lshBuckets(queries, idCol, vecCol, bits, tables)
       .toDF("query_id", "t", "bucket")
     val cb = lshBuckets(corpus, idCol, vecCol, bits, tables)
@@ -98,32 +138,47 @@ object Similarity {
     val cand = qb.join(cb, Seq("t", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id").distinct()
-    val q = queries.select(col(idCol).as("query_id"),
-      fixedPoint(col(vecCol)).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      fixedPoint(col(vecCol)).as("cv"))
-    val scored = cand.join(broadcast(q), "query_id").join(c, "neighbor_id")
-      .withColumn("dot_fp", dotInt(col("qv"), col("cv")))
-    Dedup.topKPerGroup(scored,
-      partition = Seq(col("query_id")),
-      order = Seq(col("dot_fp").desc, col("neighbor_id").asc), k = k)
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("query_id"))
-          .orderBy(col("dot_fp").desc, col("neighbor_id").asc)))
-      .select(col("query_id"), col("neighbor_id"), col("dot_fp"), col("rn"))
+    val qArr = fixedDS(queries, idCol, vecCol).collect()
+      .map(r => r.id -> r.v).toMap
+    val bc = spark.sparkContext.broadcast(qArr)
+    val scored = cand
+      .join(fixedDS(corpus, idCol, vecCol).toDF("neighbor_id", "cv"),
+        "neighbor_id")
+      .as[(Long, Long, Array[Long])]
+      .mapPartitions { it =>
+        val qs = bc.value
+        it.map { case (nid, qid, cv) => (qid, nid, dot(qs(qid), cv)) }
+      }.toDF("query_id", "neighbor_id", "dot_fp")
+    rankTopK(scored, k)
   }
 
   /** All corpus pairs with dot ≥ tauFp (fixed-point threshold) — the
-    * embedding-cosine near-dup operator. Brute force n²/2; at scale,
-    * feed LSH candidates in instead of the cross join. */
+    * embedding-cosine near-dup operator. Corpus broadcast once, then a
+    * single map-side pass emits only the above-threshold pairs (no n²
+    * shuffle); use LSH candidates instead once the corpus outgrows a
+    * broadcast. */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       tauFp: Long): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), fixedPoint(col(vecCol)).as("va"))
-    val b = df.select(col(idCol).as("id_b"), fixedPoint(col(vecCol)).as("vb"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("dot_fp", dotInt(col("va"), col("vb")))
-      .filter(col("dot_fp") >= tauFp)
-      .select(col("id_a"), col("id_b"), col("dot_fp"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val all = fixedDS(df, idCol, vecCol).collect().sortBy(_.id)
+    val bc = spark.sparkContext.broadcast(all)
+    fixedDS(df, idCol, vecCol).mapPartitions { it =>
+      val arr = bc.value
+      it.flatMap { a =>
+        // imperative inner loop: no per-pair allocation below threshold
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        var i = 0
+        while (i < arr.length) {
+          val b = arr(i)
+          if (b.id > a.id) {
+            val d = dot(a.v, b.v)
+            if (d >= tauFp) out += ((a.id, b.id, d))
+          }
+          i += 1
+        }
+        out
+      }
+    }.toDF("id_a", "id_b", "dot_fp")
   }
 }
