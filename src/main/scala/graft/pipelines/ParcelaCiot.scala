@@ -134,6 +134,68 @@ object ParcelaCiot {
         col("cd_status"), col("ds_parcela"))
   }
 
+  /** Spark SQL parity form (SURVEY §7.3 step 6): the same query as
+    * [[build]] in the WITH-form the reference embeds (`SELECT.py:34-99`),
+    * runnable via `spark.sql` after `Catalog.registerAll` — the engine's
+    * "accept the SQL string" entry point. Equality with [[build]] is
+    * pinned by SqlParitySpec. */
+  val sparkSql: String =
+    s"""WITH manifesto_info AS (
+       |  SELECT o.o_orderkey, c.c_name, c.c_mktsegment,
+       |         n.n_name AS cust_nation, r.r_name AS cust_region,
+       |         o.o_totalprice
+       |  FROM orders o
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |  JOIN region r ON n.n_regionkey = r.r_regionkey
+       |  JOIN lineitem lb ON o.o_orderkey = lb.l_orderkey
+       |  JOIN supplier sb ON lb.l_suppkey = sb.s_suppkey
+       |  WHERE o.o_orderdate >= TIMESTAMP '$manifestFence 00:00:00'
+       |    AND c.c_mktsegment IS NOT NULL AND c.c_mktsegment <> ''
+       |), latest_manifesto AS (
+       |  SELECT * FROM (
+       |    SELECT mi.*, ROW_NUMBER() OVER (PARTITION BY c_name
+       |      ORDER BY o_orderkey DESC) AS rn
+       |    FROM manifesto_info mi) x
+       |  WHERE rn = 1
+       |)
+       |SELECT
+       |  m.o_orderkey AS id_manifesto,
+       |  m.c_name AS nr_ciot,
+       |  CONCAT(CAST(l.l_orderkey AS STRING), '-',
+       |         CAST(l.l_linenumber AS STRING)) AS cd_parcela,
+       |  l.l_returnflag AS ds_parcela,
+       |  date_format(l.l_shipdate, 'dd/MM/yyyy') AS dt_parcela_str,
+       |  CAST(CAST(m.o_totalprice AS DECIMAL(18,2)) +
+       |       CAST(l.l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS total_frete,
+       |  CAST(CASE WHEN l.l_returnflag = 'R'
+       |    THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) -
+       |         COALESCE(CASE WHEN l.l_tax >= 0.03
+       |                       THEN CAST(l.l_extendedprice * l.l_tax AS DECIMAL(18,4)) END,
+       |                  CAST(0 AS DECIMAL(18,4)))
+       |    ELSE CAST(l.l_extendedprice AS DECIMAL(18,2)) END AS DOUBLE) AS vl_parcela,
+       |  CAST(CASE WHEN l.l_tax >= 0.03
+       |            THEN CAST(l.l_extendedprice * l.l_tax AS DECIMAL(18,4)) END
+       |       AS DOUBLE) AS vl_combustivel,
+       |  l.l_linestatus AS cd_status,
+       |  CASE WHEN l.l_linenumber % 3 <> 0
+       |    THEN CONCAT(date_format(l.l_shipdate, 'dd/MM/yyyy'), ' ',
+       |                date_format(l.l_shipdate, 'HH:mm:ss'))
+       |  END AS dt_hr_envio_str,
+       |  m.cust_nation,
+       |  m.cust_region,
+       |  s.s_name AS ds_banco
+       |FROM lineitem l
+       |LEFT JOIN orders o2 ON l.l_orderkey = o2.o_orderkey
+       |LEFT JOIN customer c2 ON o2.o_custkey = c2.c_custkey
+       |LEFT JOIN latest_manifesto m ON c2.c_name = m.c_name
+       |LEFT JOIN part p ON l.l_partkey = p.p_partkey
+       |LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |WHERE o2.o_orderdate >= TIMESTAMP '$contractFence 00:00:00'
+       |  AND m.o_orderkey IS NOT NULL
+       |ORDER BY id_manifesto, cd_parcela, dt_parcela_str, vl_parcela,
+       |  total_frete, cd_status, ds_parcela""".stripMargin
+
   /** DuckDB oracle for [[build]] — same logical query in ANSI SQL. */
   val oracle: String =
     s"""WITH manifesto_info AS (
