@@ -157,6 +157,21 @@ object Relational {
         .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
         .orderBy(col("token"))),
 
+    // §2.4 range join (bucketed — hash join with ≤2× replication, no
+    // cross product): events followed by ≥1 same-user event within 5
+    // minutes, with the follower count.
+    "q24_range_join_followers" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select("event_id", "user_id", "ts")
+      val counts = graft.operators.RangeJoin
+        .within(ev, ev, Seq("user_id"), "ts", 5L * 60 * 1000000)
+        .filter(col("r_event_id") =!= col("event_id"))
+        .groupBy(col("event_id")).agg(count(lit(1)).as("cnt"))
+      ev.join(counts, Seq("event_id"), "left")
+        .select(col("event_id"),
+          coalesce(col("cnt"), lit(0L)).as("n_within"))
+        .orderBy(col("event_id"))
+    }),
+
     // Streaming-shaped batch: tumbling 1-hour windows over events —
     // the exact aggregation Streaming.scala runs incrementally; here
     // executed batch-side so the oracle can check it.
@@ -262,6 +277,16 @@ object Relational {
         |      FROM documents)
         |WHERE token <> ''
         |GROUP BY token ORDER BY token""".stripMargin,
+
+    "q24_range_join_followers" ->
+      """SELECT e.event_id, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS n_within
+        |FROM events e LEFT JOIN (
+        |  SELECT a.event_id, COUNT(*) AS cnt
+        |  FROM events a JOIN events b ON a.user_id = b.user_id
+        |    AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+        |    AND b.event_id <> a.event_id
+        |  GROUP BY a.event_id) c ON e.event_id = c.event_id
+        |ORDER BY e.event_id""".stripMargin,
 
     "q13_tumbling_window_agg" ->
       """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,

@@ -102,6 +102,40 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 1), (3L, 2), (2L, 3)))
   }
 
+  test("RangeJoin.within matches pairs across bucket boundaries, inclusive") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq((1L, 1L, ts("2024-01-01 00:00:00")),
+      (2L, 1L, ts("2024-01-01 00:59:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, 1L, ts("2024-01-01 00:00:00")),  // equal → in
+      (11L, 1L, ts("2024-01-01 00:05:00")),  // exactly +5min → in
+      (12L, 1L, ts("2024-01-01 00:05:00.000001")), // just past → out
+      (13L, 1L, ts("2024-01-01 01:02:00")),  // crosses hour bucket → in for 2
+      (14L, 2L, ts("2024-01-01 00:01:00"))   // other key → out
+    ).toDF("event_id", "user_id", "ts")
+    val got = graft.operators.RangeJoin
+      .within(left, right, Seq("user_id"), "ts", 5L * 60 * 1000000)
+      .select("event_id", "r_event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (1L, 11L), (2L, 13L)))
+  }
+
+  test("Aggregators: ArrayMin merges minhash-style signatures; DecimalSum exact") {
+    import spark.implicits._
+    val arr = Seq((1L, Array(5L, 1L, 9L)), (1L, Array(3L, 7L, 9L)),
+      (2L, Array(2L, 2L, 2L))).toDF("k", "sig").as[(Long, Array[Long])]
+    val amin = new graft.functions.Aggregators.ArrayMin(3).toColumn
+    val got = arr.groupByKey(_._1).mapValues(_._2).agg(amin)
+      .collect().toMap
+    assert(got(1L).toSeq == Seq(3L, 1L, 9L))
+    assert(got(2L).toSeq == Seq(2L, 2L, 2L))
+    val ds = Seq(0.1, 0.2, 0.3).toDS()
+    val s = ds.select(graft.functions.Aggregators.DecimalSum.toColumn)
+      .collect()(0)
+    assert(math.abs(s - 0.6) < 1e-9)
+  }
+
   test("lshBuckets: identical vectors share every bucket") {
     import spark.implicits._
     val vecs = Seq((0L, Array.fill(64)(0.1f)), (1L, Array.fill(64)(0.1f)))

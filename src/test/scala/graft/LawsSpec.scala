@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test => ScalaCheckTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, FuzzyDedup, IdempotentInsert, RangeJoin}
+
+/** Property-based laws (SURVEY §5.2 item 3) over randomly generated
+  * small frames: upsert idempotence, latest-per-key extremality,
+  * top-k bounds, Jaccard bounds, salted-join equivalence. Run inline
+  * under ScalaTest so the shared SparkSession is reused. */
+class LawsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def check(name: String, prop: Prop): Unit = {
+    val params = ScalaCheckTest.Parameters.default
+      .withMinSuccessfulTests(12).withWorkers(1)
+    val res = ScalaCheckTest.check(params, prop)
+    assert(res.passed, s"$name: ${res.status}")
+  }
+
+  private val rowsGen: Gen[List[(Int, Int, String)]] =
+    Gen.listOfN(40, for {
+      k <- Gen.choose(0, 6)
+      v <- Gen.choose(0, 1000)
+      p <- Gen.alphaStr.map(_.take(4))
+    } yield (k, v, p))
+
+  test("upsert law: second application of newRows inserts nothing") {
+    import spark.implicits._
+    check("upsert", Prop.forAll(rowsGen, rowsGen) { (inc, exist) =>
+      val incoming = inc.toDF("id_a", "id_b", "v")
+      val existing = exist.toDF("id_a", "id_b", "v")
+      val keys = Seq("id_a", "id_b")
+      val first = IdempotentInsert.newRows(incoming, existing, keys)
+      val after = existing.select(keys.map(col): _*)
+        .union(first.select(keys.map(col): _*))
+      IdempotentInsert.newRows(incoming, after, keys).count() == 0L
+    })
+  }
+
+  test("latestPerKey: exactly one row per key, the max-ordered one") {
+    import spark.implicits._
+    check("latestPerKey", Prop.forAll(rowsGen) { rows =>
+      rows.isEmpty || {
+        val df = rows.toDF("k", "v", "p")
+        // make the order key unique per key to match R5's determinism
+        val uniq = df.dropDuplicates("k", "v")
+        val got = Dedup.latestPerKey(uniq, Seq(col("k")), Seq(col("v").desc))
+          .collect().map(r => (r.getInt(0), r.getInt(1))).toMap
+        val expect = rows.map(r => (r._1, r._2)).distinct
+          .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+        got == expect
+      }
+    })
+  }
+
+  test("topKPerGroup: at most k rows per key and they are the top set") {
+    import spark.implicits._
+    check("topK", Prop.forAll(rowsGen, Gen.choose(1, 5)) { (rows, k) =>
+      rows.isEmpty || {
+        val df = rows.toDF("k", "v", "p").dropDuplicates("k", "v")
+        val got = Dedup.topKPerGroup(df, Seq(col("k")),
+          Seq(col("v").desc), k)
+          .collect().map(r => (r.getInt(0), r.getInt(1)))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val expect = rows.map(r => (r._1, r._2)).distinct
+          .groupBy(_._1).map { case (key, vs) =>
+            key -> vs.map(_._2).sorted(Ordering[Int].reverse).take(k).toSet
+          }
+        got == expect
+      }
+    })
+  }
+
+  test("jaccard pairs: bounds and intersection caps hold") {
+    import spark.implicits._
+    val docGen = Gen.listOfN(10, for {
+      id <- Gen.choose(0L, 9L)
+      words <- Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d", "e", "f"))
+    } yield (id, words.mkString(" ")))
+    check("jaccard", Prop.forAll(docGen) { docs =>
+      val df = docs.distinctBy(_._1).toDF("doc_id", "text")
+      val sh = FuzzyDedup.shingles(df, "doc_id", col("text"), cache = false)
+      val pairs = FuzzyDedup.jaccardPairs(sh, "doc_id").collect()
+      pairs.forall { r =>
+        val inter = r.getAs[Long]("inter")
+        val na = r.getAs[Long]("n_a"); val nb = r.getAs[Long]("n_b")
+        val j = r.getAs[Double]("jaccard")
+        inter >= 1 && inter <= math.min(na, nb) && j > 0.0 && j <= 1.0 &&
+          r.getAs[Long]("doc_id_a") < r.getAs[Long]("doc_id_b")
+      }
+    })
+  }
+
+  test("saltedJoin returns exactly the plain join result") {
+    import spark.implicits._
+    check("salt", Prop.forAll(rowsGen, rowsGen, Gen.choose(1, 8)) {
+      (l, r, salt) =>
+        val left = l.toDF("k", "lv", "lp")
+        val right = r.map(t => (t._1, t._2)).distinct.toDF("k", "rv")
+        val plain = left.join(right, Seq("k")).collect()
+          .map(_.toString).sorted.toSeq
+        val salted = RangeJoin.saltedJoin(left, right, Seq("k"), salt)
+          .collect().map(_.toString).sorted.toSeq
+        salted == plain
+    })
+  }
+}
