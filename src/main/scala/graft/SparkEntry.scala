@@ -34,7 +34,8 @@ object SparkEntry {
     graft.queries.Text.queries ++
     graft.queries.DedupQueries.queries ++
     graft.queries.SimilarityQueries.queries ++
-    graft.queries.MultimodalQueries.queries
+    graft.queries.MultimodalQueries.queries ++
+    graft.queries.ViewQueries.queries
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // R-series gap table: aggregation (hash agg, partial+final) — SURVEY §2.4
@@ -75,7 +76,8 @@ object SparkEntry {
     graft.queries.Text.oracleSql ++
     graft.queries.DedupQueries.oracleSql ++
     graft.queries.SimilarityQueries.oracleSql ++
-    graft.queries.MultimodalQueries.oracleSql
+    graft.queries.MultimodalQueries.oracleSql ++
+    graft.queries.ViewQueries.oracleSql
 
   private def baseOracleSql: Map[String, String] = Map(
     "q01_agg_pricing_summary" ->

@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipelines.Jobs
+
+/** The four view-materialization pipelines implied by the reference's
+  * job registry (`ETL.py:46-67`; SURVEY §0 "implied capability"),
+  * exposed as oracle-checked queries — the same builders the
+  * orchestrator jobs materialize to parquet. Plus the approximate-
+  * distinct surface (no oracle: HLL sketches are engine-specific, the
+  * driver records a rows-only check). */
+object ViewQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_view_manifestos" -> ((s, dir) =>
+      Jobs.manifestosView(s, dir)
+        .withColumn("o_orderdate_us",
+          unix_micros(col("o_orderdate").cast("timestamp")))
+        .drop("o_orderdate")
+        .orderBy(col("o_orderkey"))),
+
+    "q26_view_movimento" -> ((s, dir) =>
+      Jobs.movimentoView(s, dir)
+        .withColumn("l_shipdate_us",
+          unix_micros(col("l_shipdate").cast("timestamp")))
+        .drop("l_shipdate")
+        // non-unique (orderkey, linenumber): extend the sort until only
+        // fully-identical rows can tie (interchangeable under hashing)
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("s_name"),
+          col("p_name"), col("l_quantity"), col("l_extendedprice"),
+          col("l_shipdate_us"))),
+
+    "q27_view_manifestomovimento" -> ((s, dir) =>
+      Jobs.manifestoMovimentoView(s, dir)
+        .orderBy(col("o_orderkey"), col("l_linenumber"), col("l_suppkey"))),
+
+    "q28_view_adicionais" -> ((s, dir) =>
+      Jobs.adicionaisView(s, dir).orderBy(col("o_orderkey"))),
+
+    // Approximate distinct counting (HLL++): implementation-specific
+    // sketch → deliberately NO oracle entry (rows-only driver check).
+    // rsd 0.05 default; the exact twin is checked in q12/q07.
+    "q29_approx_distinct" -> ((s, dir) =>
+      graft.sources.Catalog.table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        .orderBy(col("l_returnflag")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q25_view_manifestos" ->
+      """SELECT o_orderkey, o_custkey, c_name, n_name AS nation,
+        |  r_name AS region, o_totalprice, epoch_us(o_orderdate) AS o_orderdate_us
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q26_view_movimento" ->
+      """SELECT l_orderkey, l_linenumber, p_name, s_name, l_quantity,
+        |  l_extendedprice, epoch_us(l_shipdate) AS l_shipdate_us
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY l_orderkey, l_linenumber, s_name, p_name, l_quantity,
+        |  l_extendedprice, l_shipdate_us""".stripMargin,
+
+    "q27_view_manifestomovimento" ->
+      """SELECT o_orderkey, l_linenumber, o_custkey, l_suppkey
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |ORDER BY o_orderkey, l_linenumber, l_suppkey""".stripMargin,
+
+    "q28_view_adicionais" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin
+  )
+}
