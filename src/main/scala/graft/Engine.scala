@@ -28,6 +28,7 @@ object EngineSession {
   ): SparkSession = {
     val spark = SparkSession
       .builder()
+      .withExtensions(new graft.expressions.GraftExtensions)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .master(s"local[$cores]")
       .appName(appName)
