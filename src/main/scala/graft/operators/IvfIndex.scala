@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity.{FP, fixedDS}
+
+/** IVF (inverted-file) approximate nearest neighbour — the
+  * cluster-pruned alternative to hyperplane LSH (`Similarity.lshTopK`).
+  *
+  * Structure: a small set of centroids partitions the corpus into
+  * cells ("inverted lists"); a query probes only its `nProbe` nearest
+  * cells and reranks exactly inside them. Recall is governed by
+  * nProbe/nCells; cost drops from |corpus| to ~|corpus|·nProbe/nCells
+  * dot products per query.
+  *
+  * Determinism: centroids are seeded from the first `nCells` corpus
+  * rows by id and refined with a fixed number of Lloyd iterations in
+  * fixed-point integer arithmetic (sum div count — exact), so the
+  * index is reproducible run-to-run. Centroid sets are tiny and ride
+  * broadcasts; the corpus is assigned in one map-side pass and the
+  * search shuffles only (cell, query) candidates — at 100 TB the
+  * inverted lists are the partition layout (write the corpus bucketed
+  * by cell id) and probing reads only the probed buckets.
+  */
+object IvfIndex {
+
+  private def dot(a: Array[Long], b: Array[Long]): Long = {
+    var s = 0L; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Squared L2 distance in fixed point (fits long for |x|≤1e7·1, but
+    * summed in BigInt-free safe range: diffs ≤2e7, squares ≤4e14,
+    * ×64 dims ≤ 2.6e16 ≪ 2^63). */
+  private def dist2(a: Array[Long], b: Array[Long]): Long = {
+    var s = 0L; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Deterministic centroids: seed = lowest-id rows, then `iters`
+    * Lloyd steps computed driver-side over a sampled (or full, when
+    * small) collected corpus. Returns nCells fixed-point centroids. */
+  def centroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, iters: Int = 2, sampleLimit: Int = 10000)
+      : Array[Array[Long]] = {
+    val sample = fixedDS(corpus, idCol, vecCol)
+      .orderBy(col("id")).limit(sampleLimit).collect()
+    require(sample.length >= nCells, s"need ≥ $nCells vectors")
+    var cents = sample.take(nCells).map(_.v)
+    var it = 0
+    while (it < iters) {
+      val dims = cents(0).length
+      val sums = Array.fill(nCells)(new Array[Long](dims))
+      val counts = new Array[Long](nCells)
+      sample.foreach { r =>
+        val c = nearestCell(r.v, cents)
+        counts(c) += 1
+        var i = 0
+        while (i < dims) { sums(c)(i) += r.v(i); i += 1 }
+      }
+      cents = Array.tabulate(nCells) { c =>
+        if (counts(c) == 0) cents(c)
+        else Array.tabulate(dims)(i => sums(c)(i) / counts(c)) // exact div
+      }
+      it += 1
+    }
+    cents
+  }
+
+  private def nearestCell(v: Array[Long], cents: Array[Array[Long]]): Int = {
+    var best = 0; var bestD = Long.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val d = dist2(v, cents(c))
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private def nearestCells(v: Array[Long], cents: Array[Array[Long]],
+      n: Int): Array[Int] =
+    cents.indices.sortBy(c => (dist2(v, cents(c)), c)).take(n).toArray
+
+  /** Assign every corpus row to its cell: (id, cell) — one map-side
+    * pass with the centroid set broadcast. */
+  def assign(corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Long]]): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cents)
+    fixedDS(corpus, idCol, vecCol)
+      .map(r => (r.id, nearestCell(r.v, bc.value)))
+      .toDF(idCol, "cell")
+  }
+
+  /** IVF top-k search: probe `nProbe` cells per query, exact rerank by
+    * descending dot product (ties → ascending id). Output matches the
+    * (query_id, neighbor_id, dot_fp, rn) shape of the other k-NN ops. */
+  def topK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4)
+      : DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = centroids(corpus, idCol, vecCol, nCells)
+    val bcC = spark.sparkContext.broadcast(cents)
+    val assigned = fixedDS(corpus, idCol, vecCol)
+      .map(r => (r.id, nearestCell(r.v, bcC.value), r.v))
+      .toDF("neighbor_id", "cell", "cv")
+    val qArr = fixedDS(queries, idCol, vecCol).collect()
+    val bcQ = spark.sparkContext.broadcast(
+      qArr.map(q => (q.id, q.v, nearestCells(q.v, cents, nProbe))))
+    val scored = assigned.as[(Long, Int, Array[Long])]
+      .mapPartitions { it =>
+        val qs = bcQ.value
+        it.flatMap { case (nid, cell, cv) =>
+          qs.iterator.collect {
+            case (qid, qv, probes)
+                if probes.contains(cell) && qid != nid =>
+              (qid, nid, dot(qv, cv))
+          }
+        }
+      }.toDF("query_id", "neighbor_id", "dot_fp")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("dot_fp").desc, col("neighbor_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("dot_fp"), col("rn"))
+  }
+}

@@ -43,7 +43,16 @@ object SimilarityQueries {
     // Embedding-cosine near-dup pairs at cosine ≥ 0.45.
     "q22_embedding_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(emb(s, dir), "vec_id", "embedding", TauFp)
-        .orderBy(col("id_a"), col("id_b")))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // IVF cluster-pruned ANN (16 cells, probe 4, exact rerank). The
+    // Lloyd refinement makes cell boundaries engine-internal → no SQL
+    // oracle (rows-only check); exactness under full probing is pinned
+    // by CorpusOpsSpec against the brute-force baseline.
+    "q30_ann_ivf" -> ((s, dir) =>
+      graft.operators.IvfIndex.topK(queriesSide(s, dir), emb(s, dir),
+        "vec_id", "embedding", k = LshK, nCells = 16, nProbe = 4)
+        .orderBy(col("query_id"), col("rn")))
   )
 
   /** DuckDB fragment: fixed-point vectors of the embeddings table. */

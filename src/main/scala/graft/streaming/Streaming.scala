@@ -51,6 +51,20 @@ object Streaming {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
 
+  /** Streaming idempotent sink: every micro-batch lands through the
+    * engine's first-writer-wins upsert (SURVEY S4) via foreachBatch —
+    * replays, overlapping batches and at-least-once delivery all
+    * collapse to exactly-once keyed state in the target, the streaming
+    * twin of the reference's `ON CONFLICT DO NOTHING` loader. */
+  def idempotentParquetSink(df: DataFrame, path: String, keys: Seq[String])
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        graft.operators.IdempotentInsert
+          .intoParquet(batch.sparkSession, batch, path, keys)
+        ()
+    }
+
   // ---- custom state: flatMapGroupsWithState sessionization ----------
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

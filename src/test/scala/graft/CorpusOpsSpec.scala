@@ -136,6 +136,35 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(math.abs(s - 0.6) < 1e-9)
   }
 
+  test("IvfIndex.topK with full probing equals brute force; partial probes subset") {
+    import spark.implicits._
+    // 3 obvious clusters around axis directions
+    def vec(base: Array[Float], jitter: Float): Array[Float] =
+      base.zipWithIndex.map { case (v, i) => v + (if (i % 2 == 0) jitter else -jitter) }
+    val axes = Seq(
+      Array.tabulate(64)(i => if (i < 21) 1.0f else 0.0f),
+      Array.tabulate(64)(i => if (i >= 21 && i < 42) 1.0f else 0.0f),
+      Array.tabulate(64)(i => if (i >= 42) 1.0f else 0.0f))
+    val rows = (0 until 30).map { n =>
+      (n.toLong, vec(axes(n % 3), (n / 3).toFloat * 0.01f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 3)
+    val full = graft.operators.IvfIndex.topK(queries, df, "vec_id",
+      "embedding", k = 4, nCells = 5, nProbe = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val brute = graft.operators.Similarity.bruteForceTopK(queries, df,
+      "vec_id", "embedding", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(full == brute) // probing every cell ⇒ exact
+    val partial = graft.operators.IvfIndex.topK(queries, df, "vec_id",
+      "embedding", k = 4, nCells = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteIds = brute.map(t => (t._1, t._2))
+    // same-cluster neighbors dominate → partial probing keeps high recall
+    assert(partial.intersect(bruteIds).size >= bruteIds.size / 2)
+  }
+
   test("lshBuckets: identical vectors share every bucket") {
     import spark.implicits._
     val vecs = Seq((0L, Array.fill(64)(0.1f)), (1L, Array.fill(64)(0.1f)))

@@ -98,6 +98,30 @@ class StreamingSpec extends AnyFunSuite {
       (2L, "2024-01-01 02:30:00.0", 1L)))
   }
 
+  test("idempotentParquetSink: overlapping micro-batches land exactly once") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_sink")
+      .toString + "/t"
+    val mem = MemoryStream[Event](4, spark, None)
+    val q = Streaming.idempotentParquetSink(
+      mem.toDF(), dir, keys = Seq("event_id"))
+      .outputMode("update").start()
+    try {
+      mem.addData(Event(1, ts("2024-01-01 00:00:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 00:01:00"), 1, "click", 2.0))
+      q.processAllAvailable()
+      // replay event 2 with a DIFFERENT value + a new event 3: the
+      // first-writer-wins contract must keep the original value 2.0
+      mem.addData(Event(2, ts("2024-01-01 00:01:00"), 1, "click", 99.0),
+        Event(3, ts("2024-01-01 00:02:00"), 1, "view", 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.read.parquet(dir)
+      .orderBy("event_id")
+      .collect().map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("value")))
+    assert(rows.toSeq == Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+  }
+
   test("flatMapGroupsWithState sessionize emits closed sessions") {
     import spark.implicits._
     val mem = MemoryStream[Event](3, spark, None)
