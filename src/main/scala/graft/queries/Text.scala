@@ -46,6 +46,11 @@ object Text {
       docs(s, dir).select(
         col("doc_id"),
         nt.as("n_tokens"),
+        // BPE-ish regex tokenization (subword-run counting) alongside
+        // the whitespace count — same simple character-class regex
+        // semantics in Java and RE2, so the oracle replays it.
+        regexp_count(col("text"), lit("[a-z]{3,}")).cast("bigint")
+          .as("n_regex_tokens"),
         nu.as("n_uniq"),
         (sumLen.cast("double") / ntD).as("avg_token_len"),
         (stop.cast("double") / ntD).as("stop_ratio"),
@@ -91,6 +96,7 @@ object Text {
       s"""WITH d AS (SELECT doc_id, text, $sqlToks AS toks FROM documents)
          |SELECT doc_id,
          |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[a-z]{3,}')) AS BIGINT) AS n_regex_tokens,
          |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
          |  CAST(CAST(list_sum(list_transform(toks, t_ -> length(t_))) AS BIGINT) AS DOUBLE)
          |    / CAST(len(toks) AS DOUBLE) AS avg_token_len,
