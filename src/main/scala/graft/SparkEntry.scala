@@ -35,7 +35,8 @@ object SparkEntry {
     graft.queries.DedupQueries.queries ++
     graft.queries.SimilarityQueries.queries ++
     graft.queries.MultimodalQueries.queries ++
-    graft.queries.ViewQueries.queries
+    graft.queries.ViewQueries.queries ++
+    graft.queries.Relational2.queries
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // R-series gap table: aggregation (hash agg, partial+final) — SURVEY §2.4
@@ -77,7 +78,8 @@ object SparkEntry {
     graft.queries.DedupQueries.oracleSql ++
     graft.queries.SimilarityQueries.oracleSql ++
     graft.queries.MultimodalQueries.oracleSql ++
-    graft.queries.ViewQueries.oracleSql
+    graft.queries.ViewQueries.oracleSql ++
+    graft.queries.Relational2.oracleSql
 
   private def baseOracleSql: Map[String, String] = Map(
     "q01_agg_pricing_summary" ->
