@@ -16,9 +16,16 @@ object TsqlFunctions {
     * uses (`SELECT.py:76,85-88`): 103 = dd/MM/yyyy, 108 = HH:mm:ss,
     * plus 120 (ODBC canonical) for completeness. */
   def tsqlConvert(c: Column, style: Int): Column = style match {
+    case 101 => date_format(c, "MM/dd/yyyy")
+    case 102 => date_format(c, "yyyy.MM.dd")
     case 103 => date_format(c, "dd/MM/yyyy")
+    case 104 => date_format(c, "dd.MM.yyyy")
+    case 105 => date_format(c, "dd-MM-yyyy")
     case 108 => date_format(c, "HH:mm:ss")
+    case 110 => date_format(c, "MM-dd-yyyy")
+    case 112 => date_format(c, "yyyyMMdd")
     case 120 => date_format(c, "yyyy-MM-dd HH:mm:ss")
+    case 121 => date_format(c, "yyyy-MM-dd HH:mm:ss.SSS")
     case other =>
       throw new IllegalArgumentException(s"unsupported CONVERT style $other")
   }

@@ -42,8 +42,13 @@ object IdempotentInsert {
       try { spark.read.parquet(path).limit(1).count() >= 0 }
       catch { case _: Throwable => false }
     val toInsert =
-      if (exists) newRows(incoming, spark.read.parquet(path), keys)
-      else incoming.dropDuplicates(keys)
+      if (exists) {
+        // schema drift into an append target silently corrupts the
+        // table — gate on the existing schema first (SURVEY O10)
+        graft.sources.SchemaAssert.require(incoming,
+          spark.read.parquet(path).schema)
+        newRows(incoming, spark.read.parquet(path), keys)
+      } else incoming.dropDuplicates(keys)
     // Materialize before append: the append invalidates the source
     // listing we are anti-joining against.
     val staged = toInsert.persist()

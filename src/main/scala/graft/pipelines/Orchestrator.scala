@@ -115,6 +115,40 @@ object Orchestrator {
       out.toSeq
     }
 
+    /** DAG generalization of the linear queue (SURVEY §3 EP2 note):
+      * run in dependency order; a failure marks every transitive
+      * dependent as never-run (status stays Pending) while independent
+      * branches continue — strictly more useful than the reference's
+      * whole-queue abort, and identical to it on a linear chain.
+      * `deps`: job name → names it depends on. Cycles are a hard error. */
+    def runDag(jobs: Seq[PipelineJob], deps: Map[String, Seq[String]])
+        : Seq[JobResult] = {
+      val byName = jobs.map(j => j.name -> j).toMap
+      deps.foreach { case (j, ds) =>
+        require(byName.contains(j), s"unknown job in deps: $j")
+        ds.foreach(d => require(byName.contains(d), s"unknown dep: $d"))
+      }
+      // Kahn topological order, stable by input position
+      val order = scala.collection.mutable.ArrayBuffer[PipelineJob]()
+      val pending = scala.collection.mutable.LinkedHashSet(jobs.map(_.name): _*)
+      while (pending.nonEmpty) {
+        val ready = pending.filter(n =>
+          deps.getOrElse(n, Nil).forall(d => !pending.contains(d)))
+        require(ready.nonEmpty, s"dependency cycle among: $pending")
+        ready.foreach { n => order += byName(n); pending -= n }
+      }
+      val failed = scala.collection.mutable.Set[String]()
+      order.toSeq.flatMap { job =>
+        val blockedBy = deps.getOrElse(job.name, Nil).filter(failed)
+        if (blockedBy.nonEmpty) { failed += job.name; None }
+        else {
+          val r = runOne(job)
+          if (r.status != Succeeded) failed += job.name
+          Some(r)
+        }
+      }
+    }
+
     /** O4: cooperative cancellation of a running job's Spark stages. */
     def cancel(job: PipelineJob): Unit =
       spark.sparkContext.cancelJobGroup(groupId(job))

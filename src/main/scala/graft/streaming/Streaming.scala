@@ -51,6 +51,35 @@ object Streaming {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
 
+  /** Watermarked stream-stream inner join: left events matched to
+    * right events of the same user within `[left.ts, left.ts + window]`
+    * — both sides watermarked so join state is bounded (Spark drops a
+    * buffered row once it can no longer match). */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+      windowExpr: String, watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("event_id").as("l_event_id"), col("user_id"),
+        col("ts").as("l_ts"), col("value").as("l_value"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("event_id").as("r_event_id"),
+        col("user_id").as("r_user_id"), col("ts").as("r_ts"),
+        col("value").as("r_value"))
+    l.join(r,
+      col("user_id") === col("r_user_id") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $windowExpr"))
+      .drop("r_user_id")
+  }
+
+  /** Streaming deduplication on a key set with watermark-bounded state:
+    * the first arrival wins; duplicates within the watermark horizon
+    * are dropped (`dropDuplicates` keeps per-key state until the event
+    * time passes the watermark — bounded, unlike unwatermarked dedup). */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates(keys :+ "ts")
+
   /** Streaming idempotent sink: every micro-batch lands through the
     * engine's first-writer-wins upsert (SURVEY S4) via foreachBatch —
     * replays, overlapping batches and at-least-once delivery all

@@ -12,6 +12,7 @@ import graft.operators.{AsofJoin, FuzzyDedup, Similarity}
 class CorpusOpsSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")

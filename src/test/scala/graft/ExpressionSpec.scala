@@ -13,6 +13,7 @@ class ExpressionSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .withExtensions(new graft.expressions.GraftExtensions)
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

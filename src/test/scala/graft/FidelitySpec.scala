@@ -39,16 +39,19 @@ class FidelitySpec extends AnyFunSuite {
     assert(got.toSeq == Seq("01/03/2025 10:20:30", null, null, null))
   }
 
-  test("tsqlConvert styles 103/108/120 format like T-SQL CONVERT") {
+  test("tsqlConvert styles format like T-SQL CONVERT") {
     import spark.implicits._
     val df = Seq(ts("2025-12-31 23:59:58")).toDF("x")
-    val got = df.select(
-      tsqlConvert(col("x"), 103), tsqlConvert(col("x"), 108),
-      tsqlConvert(col("x"), 120)).collect()(0)
-    assert(got.getString(0) == "31/12/2025")
-    assert(got.getString(1) == "23:59:58")
-    assert(got.getString(2) == "2025-12-31 23:59:58")
-    intercept[IllegalArgumentException](tsqlConvert(col("x"), 101))
+    val styles = Seq(101 -> "12/31/2025", 102 -> "2025.12.31",
+      103 -> "31/12/2025", 104 -> "31.12.2025", 105 -> "31-12-2025",
+      108 -> "23:59:58", 110 -> "12-31-2025", 112 -> "20251231",
+      120 -> "2025-12-31 23:59:58", 121 -> "2025-12-31 23:59:58.000")
+    val got = df.select(styles.map { case (s, _) =>
+      tsqlConvert(col("x"), s) }: _*).collect()(0)
+    styles.zipWithIndex.foreach { case ((_, expect), i) =>
+      assert(got.getString(i) == expect)
+    }
+    intercept[IllegalArgumentException](tsqlConvert(col("x"), 199))
   }
 
   // R5: latest-per-key is deterministic when the order key is unique,

@@ -14,6 +14,7 @@ import graft.operators.{Dedup, FuzzyDedup, IdempotentInsert, RangeJoin}
 class LawsSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")

@@ -87,6 +87,25 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/parcela_ciot").count() == n1)
   }
 
+  test("runDag skips transitive dependents of a failure, runs independents") {
+    val ran = scala.collection.mutable.Buffer[String]()
+    val runner = new PipelineRunner(spark)
+    //   a → b → d ;  c independent ;  b fails
+    val jobs = Seq(
+      job("a", _ => ran += "a"),
+      job("b", _ => { ran += "b"; sys.error("boom") }),
+      job("c", _ => ran += "c"),
+      job("d", _ => ran += "d"))
+    val results = runner.runDag(jobs,
+      Map("b" -> Seq("a"), "d" -> Seq("b")))
+    assert(ran.toSet == Set("a", "b", "c")) // d skipped, c still ran
+    assert(results.map(_.job.name).toSet == Set("a", "b", "c"))
+    assert(runner.status("d") == Pending)
+    intercept[IllegalArgumentException] { // cycle detection
+      runner.runDag(jobs.take(2), Map("a" -> Seq("b"), "b" -> Seq("a")))
+    }
+  }
+
   test("fromConfig resolves known jobs, overrides labels, rejects junk") {
     val cfg =
       """{"alimentacao_view_manifestos": {"label": "Custom", "tooltip": "tip"},

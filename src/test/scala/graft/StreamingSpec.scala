@@ -16,6 +16,7 @@ import graft.streaming.Streaming.Event
 class StreamingSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
@@ -96,6 +97,82 @@ class StreamingSpec extends AnyFunSuite {
       (1L, "2024-01-01 01:40:00.0", 1L),
       (2L, "2024-01-01 01:10:00.0", 1L),
       (2L, "2024-01-01 02:30:00.0", 1L)))
+  }
+
+  test("stream-stream join matches within window, bounded by watermarks") {
+    import spark.implicits._
+    val clicks = MemoryStream[Event](10, spark, None)
+    val buys = MemoryStream[Event](11, spark, None)
+    val q = Streaming.streamStreamJoin(
+      clicks.toDF().filter($"event_type" === "click"),
+      buys.toDF().filter($"event_type" === "purchase"), "30 MINUTES")
+      .writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        Event(1, ts("2024-01-01 00:00:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 02:00:00"), 2, "click", 1.0))
+      buys.addData(
+        Event(10, ts("2024-01-01 00:10:00"), 1, "purchase", 5.0), // in window
+        Event(11, ts("2024-01-01 00:50:00"), 1, "purchase", 7.0), // too late
+        Event(12, ts("2024-01-01 02:20:00"), 2, "purchase", 9.0)) // in window
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ssj")
+      .select("l_event_id", "r_event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (2L, 12L)))
+  }
+
+  test("dedupStream drops in-horizon duplicates, first arrival wins") {
+    import spark.implicits._
+    val mem = MemoryStream[Event](12, spark, None)
+    val q = Streaming.dedupStream(mem.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Event(1, ts("2024-01-01 00:00:00"), 1, "click", 1.0),
+        Event(1, ts("2024-01-01 00:00:00"), 1, "click", 99.0), // dup in batch
+        Event(2, ts("2024-01-01 00:05:00"), 1, "view", 2.0))
+      q.processAllAvailable()
+      mem.addData( // replay event 1 in a later batch → still dropped
+        Event(1, ts("2024-01-01 00:00:00"), 1, "click", 77.0),
+        Event(3, ts("2024-01-01 00:10:00"), 2, "click", 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("dedup").orderBy("event_id")
+      .collect().map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("value")))
+    assert(got.toSeq == Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+  }
+
+  test("file-source stream over the real events table == batch result") {
+    val sfDir = "/root/testdata/sf0.001"
+    val batchDf = graft.sources.Catalog.table(spark, sfDir, "events")
+    // raw file schema (ts is a nanos LONG pre-normalization) — the
+    // Catalog-normalized schema would mismatch the parquet footer; and
+    // the file source wants a DIRECTORY, so stage the file into one
+    val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val dir = java.nio.file.Files.createTempDirectory("graft_fs").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = Streaming.tumblingAgg(
+      stream.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000"))), "1 hour")
+      .writeStream.format("memory").queryName("filestream")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("filestream")
+      .orderBy("window_start", "event_type").collect().map(_.toString).toSeq
+    val batch = Streaming.tumblingAgg(batchDf, "1 hour")
+      .orderBy("window_start", "event_type").collect().map(_.toString).toSeq
+    assert(streamed == batch && batch.nonEmpty)
   }
 
   test("idempotentParquetSink: overlapping micro-batches land exactly once") {
