@@ -36,7 +36,8 @@ object SparkEntry {
     graft.queries.SimilarityQueries.queries ++
     graft.queries.MultimodalQueries.queries ++
     graft.queries.ViewQueries.queries ++
-    graft.queries.Relational2.queries
+    graft.queries.Relational2.queries ++
+    graft.queries.TextPipeline.queries
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // R-series gap table: aggregation (hash agg, partial+final) — SURVEY §2.4
@@ -79,7 +80,8 @@ object SparkEntry {
     graft.queries.SimilarityQueries.oracleSql ++
     graft.queries.MultimodalQueries.oracleSql ++
     graft.queries.ViewQueries.oracleSql ++
-    graft.queries.Relational2.oracleSql
+    graft.queries.Relational2.oracleSql ++
+    graft.queries.TextPipeline.oracleSql
 
   private def baseOracleSql: Map[String, String] = Map(
     "q01_agg_pricing_summary" ->

@@ -87,6 +87,21 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/parcela_ciot").count() == n1)
   }
 
+  test("TimingListener records per-action wall time (O9)") {
+    import spark.implicits._
+    val l = graft.pipelines.TimingListener.attach(spark)
+    try {
+      Seq(1, 2, 3).toDF("x").selectExpr("sum(x)").collect()
+      // listener events are async; poll briefly
+      val deadline = System.currentTimeMillis() + 10000
+      while (l.snapshot.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      val ts = l.snapshot
+      assert(ts.nonEmpty)
+      assert(ts.exists(t => !t.failed && t.durationMs >= 0))
+    } finally spark.listenerManager.unregister(l)
+  }
+
   test("runDag skips transitive dependents of a failure, runs independents") {
     val ran = scala.collection.mutable.Buffer[String]()
     val runner = new PipelineRunner(spark)
