@@ -66,6 +66,39 @@ object Relational2 {
         length(col("text")).cast("bigint").as("text_len"))
         .orderBy(col("doc_id"))),
 
+    // Unpivot/melt: wide moment columns back to (metric, value) rows.
+    "q40_unpivot" -> ((s, dir) => {
+      val wide = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(30,6)")).cast("double")
+            .as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(30,6)")).cast("double")
+            .as("sum_price"),
+          sum(col("l_discount").cast("decimal(30,6)")).cast("double")
+            .as("sum_disc"))
+      wide.unpivot(
+        ids = Array(col("l_returnflag")),
+        values = Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+        variableColumnName = "metric", valueColumnName = "value")
+        .orderBy(col("l_returnflag"), col("metric"))
+    }),
+
+    // Array function pack: sort/distinct/slice/contains over the token
+    // arrays (the corpus-side array surface in one scan).
+    "q41_array_ops" -> ((s, dir) => {
+      val toks = graft.functions.TextFunctions.tokens(col("text"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        array_join(slice(array_sort(array_distinct(toks)), 1, 5), ",")
+          .as("first5_sorted_uniq"),
+        size(array_distinct(toks)).cast("bigint").as("n_uniq"),
+        array_contains(toks, "spark").as("has_spark"),
+        element_at(toks, 1).as("first_token"),
+        element_at(toks, -1).as("last_token"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Multiset set ops: EXCEPT ALL / INTERSECT ALL preserve
     // multiplicities (the DISTINCT forms are q07).
     "q35_set_ops_all" -> ((s, dir) => {
@@ -119,6 +152,34 @@ object Relational2 {
         |  regexp_replace(source, 'src', 's#') AS renamed,
         |  CAST(length(text) AS BIGINT) AS text_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q40_unpivot" ->
+      """WITH w AS (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, metric, value FROM (
+        |  SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+        |  UNION ALL
+        |  SELECT l_returnflag, 'sum_price', sum_price FROM w
+        |  UNION ALL
+        |  SELECT l_returnflag, 'sum_disc', sum_disc FROM w)
+        |ORDER BY l_returnflag, metric""".stripMargin,
+
+    "q41_array_ops" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t_ -> t_ <> '') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  array_to_string(list_slice(list_sort(list_distinct(toks)), 1, 5), ',')
+        |    AS first5_sorted_uniq,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+        |  list_contains(toks, 'spark') AS has_spark,
+        |  toks[1] AS first_token,
+        |  toks[-1] AS last_token
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "q35_set_ops_all" ->
       """WITH a AS (SELECT o_custkey FROM orders
