@@ -74,21 +74,30 @@ object TextPipeline {
     }),
 
     // Discrete (lower) median by windowed position — exact and
-    // engine-agnostic, unlike interpolated quantiles.
+    // engine-agnostic, unlike interpolated quantiles. Group sizes come
+    // from a broadcast-joined aggregate, not a frameless count window
+    // (which would buffer every partition twice).
     "q39_median_disc" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("l_returnflag"))
         .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
-      val wAll = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("l_returnflag"))
-      t(s, dir, "lineitem")
-        .select(col("l_returnflag"), col("l_quantity"),
-          row_number().over(w).as("rn"),
-          count(lit(1)).over(wAll).as("cnt"))
+      val li = t(s, dir, "lineitem")
+      val counts = li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"))
+      li.select(col("l_returnflag"), col("l_quantity"),
+          col("l_orderkey"), col("l_linenumber"))
+        .withColumn("rn", row_number().over(w))
+        .join(broadcast(counts), Seq("l_returnflag"))
         .filter(col("rn") === expr("(cnt + 1) div 2")) // integer div, not /
         .select(col("l_returnflag"), col("l_quantity").as("median_qty"))
         .orderBy(col("l_returnflag"))
-    })
+    }),
+
+    // Flagship composition: the full training-data prep chain
+    // (language filter → quality gate → exact dedup → LSH near-dup
+    // removal → chunking), oracle-checked end to end.
+    "q42_training_data_prep" -> ((s, dir) =>
+      graft.pipelines.TrainingPrep.prep(s, dir))
   )
 
   private val stopSql = stop.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -138,6 +147,8 @@ object TextPipeline {
         |  (sqp - sq * sp / n) /
         |    sqrt((sqq - sq * sq / n) * (spp - sp * sp / n)) AS corr_qty_price
         |FROM a ORDER BY l_returnflag""".stripMargin,
+
+    "q42_training_data_prep" -> graft.pipelines.TrainingPrep.oracle,
 
     "q39_median_disc" ->
       """SELECT l_returnflag, l_quantity AS median_qty FROM (
