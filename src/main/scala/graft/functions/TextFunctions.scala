@@ -39,6 +39,29 @@ object TextFunctions {
     * ones with probability ~1e-9). */
   def fingerprint(text: Column): Column = polyHash(text)
 
+  /** JVM twin of [[polyHash]] — same fold, same constants, identical
+    * output. Use via [[fingerprints]] on hot paths: the HOF form is
+    * interpreted per character (~2 s per 5 000 × 550-char corpus pass). */
+  def polyHashJvm(s: String): Long = {
+    var h = 0L
+    var i = 0
+    val n = if (s == null) 0 else s.length
+    while (i < n) { h = (h * HashBase + s.charAt(i).toLong) % HashMod; i += 1 }
+    h
+  }
+
+  /** (docId, fingerprint) via the kernel — map-side, no shuffle. */
+  def fingerprints(df: org.apache.spark.sql.DataFrame, docId: String,
+      text: Column): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(org.apache.spark.sql.functions.col(docId).cast("long"),
+        text.cast("string"))
+      .as[(Long, String)]
+      .map { case (id, t) => (id, polyHashJvm(t)) }
+      .toDF(docId, "fingerprint")
+  }
+
   /** Number of tokens matching a fixed word list (with multiplicity). */
   def wordListHits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(words)))

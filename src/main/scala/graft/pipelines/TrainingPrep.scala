@@ -51,14 +51,20 @@ object TrainingPrep {
         (lit(1.0) - sc("en").cast("double") / ntD) * 0.4 +
         (least(nt, lit(100L)).cast("double") / lit(100.0)) * 0.3
 
+    val fps = TextFunctions.fingerprints(docs, "doc_id", col("text"))
+      .withColumnRenamed("fingerprint", "fp")
     val kept = docs.select(col("doc_id"), col("text"), col("lang"),
-        pred.as("pred"), quality.as("q"),
-        TextFunctions.fingerprint(col("text")).as("fp"))
+        pred.as("pred"), quality.as("q"))
       .filter(col("pred") === "en" && col("q") >= QualityTau)
+      .join(fps, Seq("doc_id"))
 
-    // exact dedup: representative = lowest doc_id per fingerprint
+    // exact dedup: representative = lowest doc_id per fingerprint.
+    // Persisted: every downstream stage (shingles, LSH, verification,
+    // survivors, chunker, metadata join) re-reads this relation, and
+    // its lineage carries the interpreted lang-ID scoring HOFs.
     val reps = kept.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
     val exactKept = kept.join(reps, Seq("fp", "doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // near-dup removal via the LSH path; drop the higher id of a pair
     val removed = FuzzyDedup

@@ -29,9 +29,7 @@ object DedupQueries {
     // Exact dedup: content-fingerprint groups (hash-groupBy; at scale
     // this is the first, cheapest dedup pass — one shuffle on a long).
     "q17_exact_dedup_groups" -> ((s, dir) =>
-      docs(s, dir)
-        .select(col("doc_id"),
-          TextFunctions.fingerprint(col("text")).as("fingerprint"))
+      TextFunctions.fingerprints(docs(s, dir), "doc_id", col("text"))
         .groupBy(col("fingerprint"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("rep_doc"))
         .orderBy(col("fingerprint"))),

@@ -137,6 +137,20 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(math.abs(s - 0.6) < 1e-9)
   }
 
+  test("TextChunker: stride/size boundaries, short docs, overlap") {
+    import spark.implicits._
+    val df = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")),
+      (2L, "a b"), (3L, "")).toDF("doc_id", "text")
+    val got = graft.operators.TextChunker
+      .chunk(df, "doc_id", col("text"), size = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3))).sortBy(t => (t._1, t._2)).toSeq
+    assert(got == Seq(
+      (1L, 0, "w1 w2 w3 w4", 4L), (1L, 1, "w4 w5 w6 w7", 4L),
+      (1L, 2, "w7 w8 w9 w10", 4L), (1L, 3, "w10", 1L),
+      (2L, 0, "a b", 2L))) // doc 3 (empty) yields no chunks
+  }
+
   test("IvfIndex.topK with full probing equals brute force; partial probes subset") {
     import spark.implicits._
     // 3 obvious clusters around axis directions
