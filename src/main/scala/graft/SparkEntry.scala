@@ -29,15 +29,29 @@ object SparkEntry {
   private def dsum(c: org.apache.spark.sql.Column, scale: Int = 6) =
     sum(c.cast(s"decimal(30,$scale)")).cast("double")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = baseQueries ++
-    graft.queries.Relational.queries ++
-    graft.queries.Text.queries ++
-    graft.queries.DedupQueries.queries ++
-    graft.queries.SimilarityQueries.queries ++
-    graft.queries.MultimodalQueries.queries ++
-    graft.queries.ViewQueries.queries ++
-    graft.queries.Relational2.queries ++
-    graft.queries.TextPipeline.queries
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val modules = Seq(
+      baseQueries,
+      graft.queries.Relational.queries,
+      graft.queries.Text.queries,
+      graft.queries.DedupQueries.queries,
+      graft.queries.SimilarityQueries.queries,
+      graft.queries.MultimodalQueries.queries,
+      graft.queries.ViewQueries.queries,
+      graft.queries.Relational2.queries,
+      graft.queries.TextPipeline.queries)
+    val merged = modules.reduce(_ ++ _)
+    // a duplicate name across modules would silently shadow a query —
+    // fail loudly instead
+    require(merged.size == modules.map(_.size).sum,
+      s"duplicate query names across modules: " +
+        modules.flatMap(_.keys).groupBy(identity).collect {
+          case (k, vs) if vs.size > 1 => k
+        }.mkString(", "))
+    require(oracleSql.keySet.subsetOf(merged.keySet),
+      s"oracle entries without a query: ${oracleSql.keySet -- merged.keySet}")
+    merged
+  }
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // R-series gap table: aggregation (hash agg, partial+final) — SURVEY §2.4
@@ -73,7 +87,7 @@ object SparkEntry {
     })
   )
 
-  def oracleSql: Map[String, String] = baseOracleSql ++
+  lazy val oracleSql: Map[String, String] = baseOracleSql ++
     graft.queries.Relational.oracleSql ++
     graft.queries.Text.oracleSql ++
     graft.queries.DedupQueries.oracleSql ++
