@@ -89,6 +89,23 @@ object Jobs {
       .select(col("o_orderkey"), col("o_orderstatus"),
         col("o_orderpriority"))
 
+  /** O1 first-run behavior (`ETL.py:27-32,42-81`): load the registry
+    * from a JSON config file; if the file does not exist, write the
+    * example config for the standard jobs and load that. An
+    * unparseable existing file is a hard error, never silently
+    * replaced. */
+  def loadOrInit(path: java.nio.file.Path, sfDir: String, outDir: String)
+      : Seq[PipelineJob] = {
+    if (!java.nio.file.Files.exists(path)) {
+      val example = standardJobs(sfDir, outDir).map { j =>
+        s"""  "${j.name}": {"label": "${j.label}", "tooltip": "${j.tooltip}"}"""
+      }.mkString("{\n", ",\n", "\n}\n")
+      java.nio.file.Files.createDirectories(path.toAbsolutePath.getParent)
+      java.nio.file.Files.writeString(path, example)
+    }
+    fromConfig(java.nio.file.Files.readString(path), sfDir, outDir)
+  }
+
   /** O1: registry from a JSON config `{name: {label, tooltip}}` —
     * mirrors the reference's config file shape (`ETL.py:42-81`): names
     * must resolve against the known job implementations; a bad file or

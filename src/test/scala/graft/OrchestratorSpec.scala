@@ -121,6 +121,42 @@ class OrchestratorSpec extends AnyFunSuite {
     }
   }
 
+  test("loadOrInit writes the example config on first run, then loads it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cfg")
+    val path = dir.resolve("pipelines.json")
+    val jobs = Jobs.loadOrInit(path, "/root/testdata/sf0.001", "/tmp/x")
+    assert(java.nio.file.Files.exists(path))
+    assert(jobs.size == 5 && jobs.map(_.name).contains("alimentacao_parcela_ciot"))
+    // second load reads the SAME file (no rewrite) and yields the same registry
+    val again = Jobs.loadOrInit(path, "/root/testdata/sf0.001", "/tmp/x")
+    assert(again.map(j => (j.name, j.label)) == jobs.map(j => (j.name, j.label)))
+    // corrupt file → hard error, never silently replaced
+    java.nio.file.Files.writeString(path, "{broken")
+    intercept[IllegalArgumentException](
+      Jobs.loadOrInit(path, "/root/testdata/sf0.001", "/tmp/x"))
+  }
+
+  test("Jdbc.ddlFor generates idempotent PostgreSQL DDL with PK") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id_manifesto", IntegerType, nullable = false),
+      StructField("cd_parcela", StringType),
+      StructField("vl_parcela", DecimalType(18, 2)),
+      StructField("dt_parcela", TimestampType)))
+    val ddl = graft.sources.Jdbc.ddlFor("gestao_fretes", "parcela_ciot",
+      schema, primaryKey = Seq("id_manifesto", "cd_parcela"))
+    assert(ddl.head == "CREATE SCHEMA IF NOT EXISTS gestao_fretes")
+    val ct = ddl(1)
+    assert(ct.startsWith("CREATE TABLE IF NOT EXISTS gestao_fretes.parcela_ciot"))
+    assert(ct.contains("id_manifesto INTEGER NOT NULL"))
+    assert(ct.contains("vl_parcela NUMERIC(18,2)"))
+    assert(ct.contains("PRIMARY KEY (id_manifesto, cd_parcela)"))
+    intercept[IllegalArgumentException] {
+      graft.sources.Jdbc.ddlFor("s", "t", StructType(Seq(
+        StructField("m", MapType(StringType, StringType)))))
+    }
+  }
+
   test("fromConfig resolves known jobs, overrides labels, rejects junk") {
     val cfg =
       """{"alimentacao_view_manifestos": {"label": "Custom", "tooltip": "tip"},
