@@ -39,4 +39,18 @@ object Formats {
   def writePartitioned(df: DataFrame, path: String,
       partitionBy: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionBy: _*).parquet(path)
+
+  /** Bucketed + sorted catalog table: pre-shuffles by the bucket key
+    * at write time, so joins/aggregations between tables bucketed the
+    * same way need NO exchange at read time — at 100 TB this turns the
+    * recurring fact-fact join's dominant shuffle into a one-time write
+    * cost. Requires `saveAsTable` (bucket metadata lives in the
+    * catalog, not the files). */
+  def writeBucketed(df: DataFrame, table: String, bucketBy: Seq[String],
+      numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketBy.head, bucketBy.tail: _*)
+      .sortBy(bucketBy.head, bucketBy.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
 }

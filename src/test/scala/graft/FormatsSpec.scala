@@ -36,6 +36,42 @@ class FormatsSpec extends AnyFunSuite {
     assert(canon(fromJson) == canon(nation))
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    import org.apache.spark.sql.functions._
+    val li = Catalog.table(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val ord = Catalog.table(spark, sfDir, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    // stale warehouse dirs survive the in-memory catalog across JVMs
+    Seq("b_lineitem", "b_orders").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = java.nio.file.Paths.get("spark-warehouse", t)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    Formats.writeBucketed(li, "b_lineitem", Seq("l_orderkey"), 8)
+    Formats.writeBucketed(ord, "b_orders", Seq("l_orderkey"), 8)
+    // force the sort-merge path (tiny test tables would broadcast and
+    // the planner then ignores bucketing entirely)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_lineitem").join(spark.table("b_orders"),
+        Seq("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // co-bucketed ⇒ sort-merge join with NO shuffle exchange
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+      assert(plan.contains("Bucketed: true"), plan)
+      val expected = li.join(ord, Seq("l_orderkey")).count()
+      assert(joined.count() == expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("partitioned write prunes partitions at the scan") {
     val li = Catalog.table(spark, sfDir, "lineitem")
     val base = Files.createTempDirectory("graft_part").toString + "/li"
