@@ -38,9 +38,15 @@ object IdempotentInsert {
     * run returns 0 — the S4 idempotence law). */
   def intoParquet(spark: SparkSession, incoming: DataFrame, path: String,
       keys: Seq[String]): Long = {
+    // only PATH_NOT_FOUND means "first run" — any other failure (IO,
+    // permissions, corruption) must abort, or a re-run would treat the
+    // target as empty and double-insert
     val exists =
       try { spark.read.parquet(path).limit(1).count() >= 0 }
-      catch { case _: Throwable => false }
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getErrorClass == "PATH_NOT_FOUND" => false
+      }
     val toInsert =
       if (exists) {
         // schema drift into an append target silently corrupts the
