@@ -40,17 +40,19 @@ object TextFunctions {
   def fingerprint(text: Column): Column = polyHash(text)
 
   /** JVM twin of [[polyHash]] — same fold, same constants, identical
-    * output. Use via [[fingerprints]] on hot paths: the HOF form is
-    * interpreted per character (~2 s per 5 000 × 550-char corpus pass). */
+    * output (ASCII corpus; ascii() and charAt agree below 128). Use
+    * via [[fingerprints]] on hot paths: the HOF form is interpreted
+    * per character (~2 s per 5 000 × 550-char corpus pass). */
   def polyHashJvm(s: String): Long = {
     var h = 0L
     var i = 0
-    val n = if (s == null) 0 else s.length
+    val n = s.length
     while (i < n) { h = (h * HashBase + s.charAt(i).toLong) % HashMod; i += 1 }
     h
   }
 
-  /** (docId, fingerprint) via the kernel — map-side, no shuffle. */
+  /** (docId, fingerprint) via the kernel — map-side, no shuffle.
+    * NULL text → NULL fingerprint, matching the SQL [[polyHash]]. */
   def fingerprints(df: org.apache.spark.sql.DataFrame, docId: String,
       text: Column): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
@@ -58,7 +60,10 @@ object TextFunctions {
     df.select(org.apache.spark.sql.functions.col(docId).cast("long"),
         text.cast("string"))
       .as[(Long, String)]
-      .map { case (id, t) => (id, polyHashJvm(t)) }
+      .map { case (id, t) =>
+        (id, if (t == null) null
+          else java.lang.Long.valueOf(polyHashJvm(t)): java.lang.Long)
+      }
       .toDF(docId, "fingerprint")
   }
 

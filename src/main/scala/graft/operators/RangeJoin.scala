@@ -50,6 +50,15 @@ object RangeJoin {
   def saltedJoin(left: DataFrame, right: DataFrame, key: Seq[String],
       salt: Int, joinType: String = "inner"): DataFrame = {
     require(salt > 0, "salt must be positive")
+    // right/full outer would emit every unmatched RIGHT row once per
+    // replica — the replication trick only preserves semantics when
+    // unmatched right rows are dropped (inner/semi/anti) or the left
+    // side drives the output (left outer)
+    val ok = Set("inner", "cross", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti")
+    require(ok.contains(joinType.toLowerCase.replace(" ", "_")),
+      s"saltedJoin does not preserve '$joinType' semantics " +
+        "(right side is replicated); use inner/left/semi/anti")
     val lSalted = left.withColumn("__salt",
       pmod(xxhash64(left.columns.map(col).toSeq: _*), lit(salt)).cast("int"))
     val rSalted = right.withColumn("__salt",

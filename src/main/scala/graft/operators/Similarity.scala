@@ -100,14 +100,17 @@ object Similarity {
     * Sign matrix is precomputed once and broadcast; one map-side pass,
     * no shuffle. */
   def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
-      bits: Int, tables: Int): DataFrame = {
+      bits: Int, tables: Int, dims: Int = 64): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val dims = 64
     val bc = spark.sparkContext.broadcast(planes(bits, tables, dims))
     fixedDS(df, idCol, vecCol).mapPartitions { it =>
       val ps = bc.value
       it.flatMap { r =>
+        // a vector wider than the plane matrix would silently bucket
+        // by its first `dims` components — fail loudly instead
+        require(r.v.length == dims,
+          s"lshBuckets: vector of ${r.v.length} dims, planes built for $dims")
         (0 until tables).iterator.map { t =>
           var bucket = 0L
           var b = 0
@@ -127,13 +130,13 @@ object Similarity {
     * bits/tables. Recall < 1 by construction — the exact top-k among
     * retrieved candidates is returned. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int, bits: Int = 8, tables: Int = 16)
-      : DataFrame = {
+      vecCol: String, k: Int, bits: Int = 8, tables: Int = 16,
+      dims: Int = 64): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val qb = lshBuckets(queries, idCol, vecCol, bits, tables)
+    val qb = lshBuckets(queries, idCol, vecCol, bits, tables, dims)
       .toDF("query_id", "t", "bucket")
-    val cb = lshBuckets(corpus, idCol, vecCol, bits, tables)
+    val cb = lshBuckets(corpus, idCol, vecCol, bits, tables, dims)
       .toDF("neighbor_id", "t", "bucket")
     val cand = qb.join(cb, Seq("t", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -41,20 +41,26 @@ object IdempotentInsert {
     // only PATH_NOT_FOUND means "first run" — any other failure (IO,
     // permissions, corruption) must abort, or a re-run would treat the
     // target as empty and double-insert
-    val exists =
-      try { spark.read.parquet(path).limit(1).count() >= 0 }
+    // one read relation serves existence probe, schema gate and
+    // anti-join; "first run" = path missing OR an existing-but-empty
+    // directory (UNABLE_TO_INFER_SCHEMA). Any OTHER read failure (IO,
+    // permissions, corruption) must abort — treating it as empty would
+    // double-insert on re-run.
+    val existing =
+      try Some(spark.read.parquet(path))
       catch {
         case e: org.apache.spark.sql.AnalysisException
-            if e.getErrorClass == "PATH_NOT_FOUND" => false
+            if e.getErrorClass == "PATH_NOT_FOUND" ||
+              e.getErrorClass == "UNABLE_TO_INFER_SCHEMA" => None
       }
-    val toInsert =
-      if (exists) {
+    val toInsert = existing match {
+      case Some(ex) =>
         // schema drift into an append target silently corrupts the
         // table — gate on the existing schema first (SURVEY O10)
-        graft.sources.SchemaAssert.require(incoming,
-          spark.read.parquet(path).schema)
-        newRows(incoming, spark.read.parquet(path), keys)
-      } else incoming.dropDuplicates(keys)
+        graft.sources.SchemaAssert.require(incoming, ex.schema)
+        newRows(incoming, ex, keys)
+      case None => incoming.dropDuplicates(keys)
+    }
     // Materialize before append: the append invalidates the source
     // listing we are anti-joining against.
     val staged = toInsert.persist()
@@ -93,25 +99,25 @@ object IdempotentInsert {
           java.sql.DriverManager.getConnection(url, u, p)
         case _ => java.sql.DriverManager.getConnection(url)
       }
-      conn.setAutoCommit(false)
-      val stmt = conn.prepareStatement(insertSql)
-      try {
-        var inBatch = 0
-        rows.foreach { row =>
-          var i = 0
-          while (i < cols.length) {
-            stmt.setObject(i + 1, row.get(i)); i += 1
+      try { // S7: conn guaranteed closed even if statement prep throws
+        conn.setAutoCommit(false)
+        val stmt = conn.prepareStatement(insertSql)
+        try {
+          var inBatch = 0
+          rows.foreach { row =>
+            var i = 0
+            while (i < cols.length) {
+              stmt.setObject(i + 1, row.get(i)); i += 1
+            }
+            stmt.addBatch()
+            inBatch += 1
+            if (inBatch >= batchSize) {
+              stmt.executeBatch(); conn.commit(); inBatch = 0
+            }
           }
-          stmt.addBatch()
-          inBatch += 1
-          if (inBatch >= batchSize) {
-            stmt.executeBatch(); conn.commit(); inBatch = 0
-          }
-        }
-        if (inBatch > 0) { stmt.executeBatch(); conn.commit() }
-      } finally {
-        try stmt.close() finally conn.close() // S7: guaranteed cleanup
-      }
+          if (inBatch > 0) { stmt.executeBatch(); conn.commit() }
+        } finally stmt.close()
+      } finally conn.close()
     }
   }
 }

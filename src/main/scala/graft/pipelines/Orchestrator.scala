@@ -58,8 +58,12 @@ object Orchestrator {
         }
 
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      // failed/killed task ends are not progress (their stage attempt
+      // re-adds its tasks to `total` on resubmission); speculative
+      // duplicates are rare enough to accept
       val g = stageGroup.get(t.stageId)
-      if (g != null) counter(done, g).incrementAndGet()
+      if (g != null && t.reason == org.apache.spark.Success)
+        counter(done, g).incrementAndGet()
     }
 
     /** (completedTasks, totalTasks) for a job group. */

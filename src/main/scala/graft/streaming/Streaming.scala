@@ -71,14 +71,15 @@ object Streaming {
       .drop("r_user_id")
   }
 
-  /** Streaming deduplication on a key set with watermark-bounded state:
-    * the first arrival wins; duplicates within the watermark horizon
-    * are dropped (`dropDuplicates` keeps per-key state until the event
-    * time passes the watermark — bounded, unlike unwatermarked dedup). */
+  /** Streaming deduplication on a key set with watermark-bounded
+    * state: the first arrival wins; later same-key arrivals within the
+    * watermark horizon are dropped EVEN IF their event time differs
+    * (a redelivered event re-stamped 1 ms later is still the same
+    * event — keying on (keys, ts) would let it through). */
   def dedupStream(events: DataFrame, keys: Seq[String],
       watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark)
-      .dropDuplicates(keys :+ "ts")
+      .dropDuplicatesWithinWatermark(keys)
 
   /** Streaming idempotent sink: every micro-batch lands through the
     * engine's first-writer-wins upsert (SURVEY S4) via foreachBatch —
