@@ -16,6 +16,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // dedup/prep queries persist intermediate relations (shingle
+      // sets, filtered corpora) with query-scoped lifetimes — release
+      // them so a 40-query run doesn't accumulate dead cache
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
