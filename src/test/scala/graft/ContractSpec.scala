@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver contract itself: entry smoke, registry/oracle coverage
+  * invariants. */
+class ContractSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("entry returns rows on sf0.001 (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query has an oracle unless explicitly rows-only") {
+    // rows-only by design: engine-specific sketches / index internals
+    val rowsOnly = Set("q29_approx_distinct", "q30_ann_ivf")
+    val missing = SparkEntry.queries.keySet --
+      SparkEntry.oracleSql.keySet -- rowsOnly
+    assert(missing.isEmpty,
+      s"queries without oracle (add SQL or whitelist): $missing")
+    // and no orphan oracle entries (also enforced at registry build)
+    assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
+  }
+
+  test("query names are unique and well-formed") {
+    val names = SparkEntry.queries.keySet
+    assert(names.size >= 42)
+    assert(names.forall(_.matches("q\\d{2}_[a-z0-9_]+")))
+  }
+}
