@@ -170,6 +170,40 @@ object FuzzyDedup {
           (col("n_a") + col("n_b") - col("inter")).cast("double"))
   }
 
+  /** SimHash near-dup pairs by Hamming distance, banded: split the
+    * b-bit hash into `b / bandBits` chunks and equi-join on any shared
+    * chunk — by pigeonhole, two hashes within Hamming distance
+    * `< nBands` MUST agree on at least one untouched chunk, so recall
+    * is EXACT (unlike probabilistic MinHash banding), while the join
+    * never materializes the n² pair space. Candidates are verified
+    * with the true bit_count(xor). */
+  def simhashPairs(df: DataFrame, docId: String, text: Column,
+      bits: Int = 32, maxHamming: Int = 2, bandBits: Int = 8)
+      : DataFrame = {
+    val nBands = bits / bandBits
+    require(maxHamming < nBands,
+      s"recall guarantee needs maxHamming < $nBands bands")
+    val sh = simhash(df, docId, text, bits)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mask = (1 << bandBits) - 1
+    val banded = sh
+      .withColumn("band", explode(sequence(lit(0), lit(nBands - 1))))
+      .withColumn("bk",
+        expr(s"shiftright(simhash, band * $bandBits) & $mask"))
+      .select(col(docId), col("band"), col("bk"))
+    val cand = banded.toDF(docId + "_a", "band", "bk")
+      .join(banded.toDF(docId + "_b", "band", "bk"), Seq("band", "bk"))
+      .filter(col(docId + "_a") < col(docId + "_b"))
+      .select(docId + "_a", docId + "_b").distinct()
+    cand
+      .join(sh.toDF(docId + "_a", "sh_a"), docId + "_a")
+      .join(sh.toDF(docId + "_b", "sh_b"), docId + "_b")
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col(docId + "_a"), col(docId + "_b"), col("hamming"))
+  }
+
   /** SimHash over token multisets, b-bit (default 32): per token the
     * portable polynomial hash h, per bit j the derived bit of
     * (a_j·h + b_j) mod p, summed ±1 over tokens; sign → bit j.

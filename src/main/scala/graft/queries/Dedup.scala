@@ -48,6 +48,13 @@ object DedupQueries {
     "q19_minhash_lsh_dedup" -> ((s, dir) =>
       FuzzyDedup.minhashDedupPairs(docs(s, dir), "doc_id", col("text"),
         tau = Tau, k = 3, numHashes = 64, bandRows = 4)
+        .orderBy(col("doc_id_a"), col("doc_id_b"))),
+
+    // SimHash Hamming pairs, pigeonhole-banded (exact recall) — the
+    // bit-level near-dup complement to shingle Jaccard.
+    "q43_simhash_hamming_pairs" -> ((s, dir) =>
+      FuzzyDedup.simhashPairs(docs(s, dir), "doc_id", col("text"),
+        bits = 32, maxHamming = 2, bandBits = 8)
         .orderBy(col("doc_id_a"), col("doc_id_b")))
   )
 
@@ -88,6 +95,35 @@ object DedupQueries {
          |  FROM documents)
          |GROUP BY fp ORDER BY fingerprint""".stripMargin,
     "q18_ngram_jaccard_pairs" -> jaccardOracle,
-    "q19_minhash_lsh_dedup" -> jaccardOracle
+    "q19_minhash_lsh_dedup" -> jaccardOracle,
+
+    // brute-force ground truth; the banded Spark plan matches exactly
+    // because Hamming ≤ 2 < 4 bands guarantees a shared band chunk
+    "q43_simhash_hamming_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        |    t_ -> t_ <> '')) AS token FROM documents),
+        |h AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, length(token)+1),
+        |      i_ -> CAST(ascii(token[i_]) AS BIGINT))),
+        |    (h_, c_) -> (h_ * 131 + c_) % 1000000007) AS h FROM tok),
+        |bits AS (
+        |  SELECT doc_id, j,
+        |    SUM((((CAST(1103515245 AS BIGINT) * (j + 1) + 12345) % 1000000007
+        |          * h
+        |          + (CAST(22695477 AS BIGINT) * (j + 1) + 1) % 1000000007)
+        |         % 1000000007) % 2 * 2 - 1) AS s
+        |  FROM h CROSS JOIN (SELECT unnest(range(32)) AS j)
+        |  GROUP BY doc_id, j),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j)
+        |             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+        |ORDER BY doc_id_a, doc_id_b""".stripMargin
   )
 }
