@@ -83,27 +83,54 @@ object Similarity {
   }
 
   /** Deterministic ±1 pseudo-hyperplane component for (plane j, dim i):
-    * a middle bit of an LCG over the flattened index — pure integer
-    * math, reproducible anywhere (the DuckDB oracle replays it). */
+    * a middle bit of an affine map over the flattened index — pure
+    * integer math simple enough for the DuckDB oracle to replay
+    * bit-for-bit (q21 does exactly that).
+    *
+    * QUALITY CAVEAT (measured): because the map is affine in the index
+    * (an arithmetic progression, not an iterated generator), sign rows
+    * of nearby planes are correlated — a concrete sf0.1 pair at cosine
+    * 0.512 agreed on only 31% of these planes vs the theoretical
+    * 1 − θ/π = 67% — so recall curves computed from the random-
+    * hyperplane formula do NOT hold for this family. It is kept solely
+    * for oracle-replayable bucketing; quality-bearing paths use
+    * [[planeSignSplitmix]], which matches theory (66.4% on the same
+    * pair). */
   def planeSignValue(j: Long, i: Long, dims: Int): Long = {
     val m = (1103515245L * (j * dims + i + 1) + 12345L) % 2147483648L
     (m >> 10) % 2L * 2L - 1L
   }
 
-  private def planes(bits: Int, tables: Int, dims: Int)
-      : Array[Array[Long]] =
+  /** splitmix64 finalizer — full-avalanche 64-bit mixing, so plane sign
+    * rows are statistically independent and the standard hyperplane-LSH
+    * recall formula applies. Deterministic, seedless, dependency-free. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** ±1 hyperplane component from splitmix64 — the production plane
+    * family (see the caveat on [[planeSignValue]]). */
+  def planeSignSplitmix(j: Long, i: Long, dims: Int): Long =
+    (mix64(j * dims + i) & 1L) * 2L - 1L
+
+  private def planes(bits: Int, tables: Int, dims: Int,
+      signFn: (Long, Long, Int) => Long): Array[Array[Long]] =
     Array.tabulate(tables * bits)(j =>
-      Array.tabulate(dims)(i => planeSignValue(j.toLong, i.toLong, dims)))
+      Array.tabulate(dims)(i => signFn(j.toLong, i.toLong, dims)))
 
   /** Random-hyperplane LSH bucket keys: `tables` independent hash
     * tables of `bits` hyperplanes each. Returns (id, table, bucket).
     * Sign matrix is precomputed once and broadcast; one map-side pass,
     * no shuffle. */
   def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
-      bits: Int, tables: Int, dims: Int = 64): DataFrame = {
+      bits: Int, tables: Int, dims: Int = 64,
+      signFn: (Long, Long, Int) => Long = planeSignValue): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(planes(bits, tables, dims))
+    val bc = spark.sparkContext.broadcast(planes(bits, tables, dims, signFn))
     fixedDS(df, idCol, vecCol).mapPartitions { it =>
       val ps = bc.value
       it.flatMap { r =>
@@ -156,32 +183,108 @@ object Similarity {
   }
 
   /** All corpus pairs with dot ≥ tauFp (fixed-point threshold) — the
-    * embedding-cosine near-dup operator. Corpus broadcast once, then a
-    * single map-side pass emits only the above-threshold pairs (no n²
-    * shuffle); use LSH candidates instead once the corpus outgrows a
-    * broadcast. */
+    * EXHAUSTIVE embedding-cosine near-dup operator, as a distributed
+    * block self-join: rows are replicated to the block-pair tasks they
+    * participate in ((B+1)/2 copies on average), shuffled once on the
+    * (blockA, blockB) key, and each of the B·(B+1)/2 tasks computes
+    * its cross/within pairs in a JVM kernel. Nothing is ever collected
+    * to the driver and per-task memory is 2·n/B vectors — pick
+    * `blocks` so that fits an executor and the operator survives any
+    * corpus size.
+    *
+    * Note on candidate pruning: this corpus's pair-similarity
+    * distribution is a smooth tail with NO margin at the threshold
+    * (measured at sf0.1: min-above 4.501e13 vs max-below 4.497e13
+    * dot_fp, i.e. cosine 0.4501 vs 0.4497), so no LSH parameterization
+    * can both guarantee this exhaustive output and prune (at cosine
+    * 0.45 the per-bit collision rate is 1 − acos(0.45)/π ≈ 0.65, and
+    * any (bits, tables) with near-1 recall admits ≳ all pairs as
+    * candidates). Exhaustive-at-low-threshold is inherently O(n²)
+    * work; what must NOT be O(n) is driver memory — and here it is
+    * O(1). For the high-similarity regime (cosine ≥ ~0.8, the actual
+    * near-dup use case) use [[nearDupPairsLsh]], which is
+    * sub-quadratic. */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      tauFp: Long): DataFrame = {
+      tauFp: Long, blocks: Int = 8): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val all = fixedDS(df, idCol, vecCol).collect().sortBy(_.id)
-    val bc = spark.sparkContext.broadcast(all)
-    fixedDS(df, idCol, vecCol).mapPartitions { it =>
-      val arr = bc.value
-      it.flatMap { a =>
-        // imperative inner loop: no per-pair allocation below threshold
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
-        var i = 0
-        while (i < arr.length) {
-          val b = arr(i)
-          if (b.id > a.id) {
-            val d = dot(a.v, b.v)
-            if (d >= tauFp) out += ((a.id, b.id, d))
-          }
-          i += 1
-        }
-        out
+    val B = blocks
+    fixedDS(df, idCol, vecCol)
+      .flatMap { r =>
+        val b = java.lang.Math.floorMod(r.id, B.toLong).toInt
+        // as the lower block of pairs (b, j≥b) — includes (b, b) once —
+        // and as the upper block of pairs (i<b, b)
+        (b until B).iterator.map(j => (b, j, r.id, r.v)) ++
+          (0 until b).iterator.map(i => (i, b, r.id, r.v))
       }
-    }.toDF("id_a", "id_b", "dot_fp")
+      .groupByKey { case (bi, bj, _, _) => (bi, bj) }
+      .flatMapGroups { (key: (Int, Int), it: Iterator[(Int, Int, Long, Array[Long])]) =>
+        val (bi, bj) = key
+        val rows = it.map { case (_, _, id, v) => (id, v) }.toArray
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        if (bi == bj) {
+          var i = 0
+          while (i < rows.length) {
+            var j = i + 1
+            while (j < rows.length) {
+              val d = dot(rows(i)._2, rows(j)._2)
+              if (d >= tauFp) {
+                val (lo, hi) = if (rows(i)._1 < rows(j)._1) (rows(i)._1, rows(j)._1)
+                  else (rows(j)._1, rows(i)._1)
+                out += ((lo, hi, d))
+              }
+              j += 1
+            }
+            i += 1
+          }
+        } else {
+          val left = rows.filter(r => java.lang.Math.floorMod(r._1, B.toLong) == bi)
+          val right = rows.filter(r => java.lang.Math.floorMod(r._1, B.toLong) == bj)
+          left.foreach { a =>
+            right.foreach { b =>
+              val d = dot(a._2, b._2)
+              if (d >= tauFp) {
+                val (lo, hi) = if (a._1 < b._1) (a._1, b._1) else (b._1, a._1)
+                out += ((lo, hi, d))
+              }
+            }
+          }
+        }
+        out.iterator
+      }.toDF("id_a", "id_b", "dot_fp")
+  }
+
+  /** Sub-quadratic near-dup pairs for the HIGH-similarity regime: LSH
+    * bucket candidates (any shared (table, bucket)), then an exact
+    * fixed-point dot verify of candidates only — so the output never
+    * contains a false positive, and recall is governed by the LSH
+    * parameters: a pair at cosine s collides per table with probability
+    * (1 − acos(s)/π)^bits, and is missed by all tables with probability
+    * (1 − (1 − acos(s)/π)^bits)^tables — e.g. ≈ 4·10⁻³ at s = 0.9 with
+    * 8 bits × 16 tables, and vanishing as s → 1 (the duplicates an LLM
+    * training pipeline prunes). No corpus collect anywhere: buckets are
+    * map-side, candidates shuffle on (table, bucket), and the verify is
+    * two equi-joins back to the vectors. */
+  def nearDupPairsLsh(df: DataFrame, idCol: String, vecCol: String,
+      tauFp: Long, bits: Int = 8, tables: Int = 16, dims: Int = 64)
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bk = lshBuckets(df, idCol, vecCol, bits, tables, dims,
+      signFn = planeSignSplitmix _)
+    val cand = bk.toDF("id_a", "t", "bucket")
+      .join(bk.toDF("id_b", "t", "bucket"), Seq("t", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val v = fixedDS(df, idCol, vecCol)
+    val scored = cand
+      .join(v.toDF("id_a", "va"), "id_a")
+      .join(v.toDF("id_b", "vb"), "id_b")
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .mapPartitions(_.map { case (idB, idA, va, vb) =>
+        (idA, idB, dot(va, vb))
+      })
+      .toDF("id_a", "id_b", "dot_fp")
+    scored.filter(col("dot_fp") >= tauFp)
   }
 }

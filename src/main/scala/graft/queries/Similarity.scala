@@ -19,6 +19,7 @@ object SimilarityQueries {
   private val Bits = 8
   private val Tables = 16
   private val TauFp = 45000000000000L // cosine 0.45 at 1e7² fixed point
+  private val TauLshFp = 50000000000000L // cosine 0.50 for the LSH path
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Catalog.table(s, dir, "embeddings")
@@ -40,9 +41,25 @@ object SimilarityQueries {
         "vec_id", "embedding", LshK, Bits, Tables)
         .orderBy(col("query_id"), col("rn"))),
 
-    // Embedding-cosine near-dup pairs at cosine ≥ 0.45.
+    // Embedding-cosine near-dup pairs at cosine ≥ 0.45 — exhaustive,
+    // via the distributed block self-join (no driver collect; see
+    // Similarity.nearDupPairs scaladoc for why candidate pruning is
+    // unsound at this margin-less threshold).
     "q22_embedding_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(emb(s, dir), "vec_id", "embedding", TauFp)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // LSH-candidates + exact-verify near-dup at cosine ≥ 0.5 — the
+    // sub-quadratic operator wiring verified end-to-end against the
+    // exhaustive oracle. On THIS corpus (smooth similarity tail, no
+    // high-cosine cluster) the parameters are recall-heavy (2 bits ×
+    // 32 tables ⇒ per-pair miss ≈ (1−0.667²)³² ≈ 7·10⁻⁹ at cosine
+    // 0.5), so the prune is weak here by design; the pruning regime
+    // (cosine ≥ 0.8, 8 bits) is pinned by CorpusOpsSpec on planted
+    // duplicates.
+    "q44_embedding_neardup_lsh" -> ((s, dir) =>
+      Similarity.nearDupPairsLsh(emb(s, dir), "vec_id", "embedding",
+        TauLshFp, bits = 2, tables = 32)
         .orderBy(col("id_a"), col("id_b"))),
 
     // IVF cluster-pruned ANN (16 cells, probe 4, exact rerank). The
@@ -119,6 +136,18 @@ object SimilarityQueries {
          |  ${sqlDot("a.v", "b.v")} AS dot_fp
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
          |WHERE ${sqlDot("a.v", "b.v")} >= $TauFp
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // exhaustive ground truth: LSH candidates ⊇ true pairs at these
+    // recall-heavy parameters (verified empirically — deterministic
+    // planes, deterministic corpus), and the exact verify removes all
+    // false positives, so the sub-quadratic plan reproduces this SQL
+    "q44_embedding_neardup_lsh" ->
+      s"""WITH $sqlFixed
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${sqlDot("a.v", "b.v")} AS dot_fp
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE ${sqlDot("a.v", "b.v")} >= $TauLshFp
          |ORDER BY id_a, id_b""".stripMargin
   )
 }
