@@ -2,11 +2,29 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Bench main (driver contract): one JSON line with total + per-query
-  * seconds over SPARK_GRAFT_SF_DIR. A session warmup action runs first
-  * so measured queries see a JIT/codegen-warm JVM (steady-state cost,
-  * the regime a long-lived 1000-executor cluster actually runs in);
-  * queries execute in name order for run-to-run comparability. */
+  * seconds over SPARK_GRAFT_SF_DIR.
+  *
+  * Methodology (round 2, see BASELINE.md):
+  *  - every query is fully MATERIALIZED via a noop-format write, not
+  *    `.count()` — under a count aggregate Catalyst's EliminateSorts
+  *    removes final ORDER BYs and column pruning deletes expensive
+  *    projections, so count-timing understates sort/projection-heavy
+  *    queries; the noop sink evaluates every output row/column and
+  *    discards it (the closest local analogue of writing to a sink).
+  *  - each query runs `Runs`× and the reported number is the MEDIAN,
+  *    so a transiently loaded box cannot produce multi-× phantom
+  *    outliers; `n_runs` is recorded in the JSON.
+  *  - a query that throws is recorded in a separate `failed` list (its
+  *    time never enters the totals) — failures are distinguishable
+  *    from fast successes.
+  *  - a session warmup action runs first so measured queries see a
+  *    JIT/codegen-warm JVM (steady-state cost, the regime a long-lived
+  *    1000-executor cluster actually runs in); queries execute in name
+  *    order for run-to-run comparability.
+  */
 object Bench {
+  private val Runs = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = EngineSession.create("graft-bench",
@@ -17,23 +35,37 @@ object Bench {
       try graft.sources.Catalog.table(spark, sfDir, t).limit(1).count()
       catch { case _: Throwable => () }
     }
-    try SparkEntry.queries("q01_agg_pricing_summary")(spark, sfDir).count()
+    try materialize(spark, sfDir, "q01_agg_pricing_summary")
     catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val elapsed = (System.nanoTime() - t0) / 1e9
-        // release query-scoped persisted relations (outside the timing
-        // window) so later queries aren't skewed by dead cache
-        spark.catalog.clearCache()
-        name -> elapsed
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, _) =>
+        val times = (1 to Runs).flatMap { _ =>
+          val t0 = System.nanoTime()
+          val ok =
+            try { materialize(spark, sfDir, name); true }
+            catch { case _: Throwable => false }
+          val elapsed = (System.nanoTime() - t0) / 1e9
+          // release query-scoped persisted relations (outside the
+          // timing window) so later runs aren't skewed by dead cache
+          spark.catalog.clearCache()
+          if (ok) Some(elapsed) else None
+        }
+        if (times.size < Runs) { failed += name; None }
+        else Some(name -> times.sorted.apply(Runs / 2))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_runs":$Runs,"queries":$qs,"failed":$fj,"sf":"$sfDir"}""")
     spark.stop()
   }
+
+  /** Evaluate every output row and column of a query (noop sink). */
+  private def materialize(spark: SparkSession, sfDir: String,
+      name: String): Unit =
+    SparkEntry.queries(name)(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
 }

@@ -71,6 +71,55 @@ object TextFunctions {
   def wordListHits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(words)))
 
+  /** One-pass JVM kernel for the q14 text-stats projection: token
+    * count, regex-run count, distinct tokens, average token length,
+    * stopword ratio, composite quality, fingerprint — all per document
+    * in a single `mapPartitions` sweep, no shuffle. The HOF expression
+    * form (`aggregate`/`transform` per character) is interpreted and
+    * dominated the honest (materialized) bench; this kernel computes
+    * the SAME arithmetic — integer counts, then IEEE double ops in the
+    * same association order as the SQL — so the DuckDB oracle still
+    * hash-matches bit-for-bit. */
+  def textStats(df: org.apache.spark.sql.DataFrame, docId: String,
+      text: Column, stopwords: Seq[String])
+      : org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val stopSet = stopwords.toSet
+    df.select(org.apache.spark.sql.functions.col(docId).cast("long"),
+        text.cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val re = java.util.regex.Pattern.compile("[a-z]{3,}")
+        it.map { case (id, t) =>
+          val toks = t.split(" ").filter(_.nonEmpty)
+          val nt = toks.length.toLong
+          val m = re.matcher(t)
+          var nRegex = 0L
+          while (m.find()) nRegex += 1
+          val uniq = new java.util.HashSet[String]()
+          var sumLen = 0L
+          var stop = 0L
+          toks.foreach { tok =>
+            uniq.add(tok)
+            sumLen += tok.length
+            if (stopSet.contains(tok)) stop += 1
+          }
+          val nu = uniq.size.toLong
+          val ntD = nt.toDouble
+          val avgLen = sumLen.toDouble / ntD
+          val stopRatio = stop.toDouble / ntD
+          val quality =
+            (nu.toDouble / ntD) * 0.3 +
+              (1.0 - stop.toDouble / ntD) * 0.4 +
+              (math.min(nt, 100L).toDouble / 100.0) * 0.3
+          (id, nt, nRegex, nu, avgLen, stopRatio, quality, polyHashJvm(t))
+        }
+      }
+      .toDF(docId, "n_tokens", "n_regex_tokens", "n_uniq",
+        "avg_token_len", "stop_ratio", "quality", "fingerprint")
+  }
+
   /** Language marker lists over the corpus vocabulary — a disjoint
     * stopword partition per language, the classic n-gram/stopword
     * language-ID heuristic scaled down to the synthetic corpus. */

@@ -31,10 +31,17 @@ object Multimodal {
   final case class Frame(asset_id: Long, frame_no: Int, offset: Long,
       length: Long)
 
+  /** Decode seam: (width, height, channels, feature vector) from a
+    * payload. Implementations must be deterministic and serializable
+    * (instances ship to executors inside the mapPartitions closure). */
+  trait Codec extends Serializable {
+    def decode(payload: Array[Byte]): (Int, Int, Int, Array[Long])
+  }
+
   /** The deterministic stand-in codec: every output is exact integer
     * arithmetic on the payload bytes (so tests — and the DuckDB oracle
     * on text-derived payloads — can replay it bit-for-bit). */
-  object FakeCodec {
+  object FakeCodec extends Codec {
     val FeatDims = 8
 
     def decode(payload: Array[Byte]): (Int, Int, Int, Array[Long]) = {
@@ -51,17 +58,55 @@ object Multimodal {
     }
   }
 
+  /** REAL image decode via `javax.imageio` (in the JDK — PNG, JPEG,
+    * BMP, GIF; no external dependency). Feature vector = exact integer
+    * pixel statistics: per-channel sums (R, G, B, A) and a 4-bin
+    * luminance histogram — deterministic given the decoded raster.
+    * Oracle queries keep [[FakeCodec]] (SQL can't decode PNGs); this
+    * path is pinned by MultimodalSpec on generated image bytes. */
+  object ImageIoCodec extends Codec {
+    def decode(payload: Array[Byte]): (Int, Int, Int, Array[Long]) = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      require(img != null, "payload is not a decodable image")
+      val w = img.getWidth
+      val h = img.getHeight
+      val channels = img.getColorModel.getNumComponents
+      val feat = new Array[Long](FakeCodec.FeatDims)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val argb = img.getRGB(x, y)
+          val a = (argb >>> 24) & 0xff
+          val r = (argb >>> 16) & 0xff
+          val g = (argb >>> 8) & 0xff
+          val b = argb & 0xff
+          feat(0) += r; feat(1) += g; feat(2) += b; feat(3) += a
+          // integer ITU-R 601 luma approximation, then 4 bins of 64
+          val luma = (r * 299 + g * 587 + b * 114) / 1000
+          feat(4 + math.min(3, luma / 64)) += 1
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, channels, feat)
+    }
+  }
+
   /** Decode payloads to typed metadata + a feature vector, processing
     * each partition in `batchSize` slices (the batch shape a real
-    * vectorized codec — or Arrow page — would use). No shuffle. */
-  def decodeMeta(assets: Dataset[MediaAsset], batchSize: Int = 256)
-      : Dataset[DecodedMeta] = {
+    * vectorized codec — or Arrow page — would use). No shuffle. The
+    * codec is pluggable: [[FakeCodec]] (default, oracle-replayable) or
+    * [[ImageIoCodec]] (real JDK image decoding). */
+  def decodeMeta(assets: Dataset[MediaAsset], batchSize: Int = 256,
+      codec: Codec = FakeCodec): Dataset[DecodedMeta] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { a =>
           val payload = if (a.payload == null) Array.empty[Byte] else a.payload
-          val (w, h, c, feat) = FakeCodec.decode(payload)
+          val (w, h, c, feat) = codec.decode(payload)
           DecodedMeta(a.asset_id, a.kind, payload.length.toLong, w, h, c, feat)
         }
       }

@@ -270,21 +270,40 @@ object Similarity {
       : DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val bk = lshBuckets(df, idCol, vecCol, bits, tables, dims,
-      signFn = planeSignSplitmix _)
-    val cand = bk.toDF("id_a", "t", "bucket")
-      .join(bk.toDF("id_b", "t", "bucket"), Seq("t", "bucket"))
+    val bc = spark.sparkContext.broadcast(
+      planes(bits, tables, dims, planeSignSplitmix))
+    // bucket rows CARRY the vector, so candidate verification streams
+    // straight out of the bucket join — no candidate-pair distinct and
+    // no id→vector re-joins on the (large) candidate relation; only
+    // the verified above-threshold output (small by definition of
+    // "near-dup") is deduped across tables. One shuffle total, on
+    // (table, bucket).
+    val bk = fixedDS(df, idCol, vecCol).mapPartitions { it =>
+      val ps = bc.value
+      it.flatMap { r =>
+        require(r.v.length == dims,
+          s"nearDupPairsLsh: vector of ${r.v.length} dims, planes built for $dims")
+        (0 until tables).iterator.map { t =>
+          var bucket = 0L
+          var b = 0
+          while (b < bits) {
+            if (dot(r.v, ps(t * bits + b)) >= 0L) bucket |= (1L << b)
+            b += 1
+          }
+          (t, bucket, r.id, r.v)
+        }
+      }
+    }.toDF("t", "bucket", "id", "v")
+    bk.toDF("t", "bucket", "id_a", "va")
+      .join(bk.toDF("t", "bucket", "id_b", "vb"), Seq("t", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    val v = fixedDS(df, idCol, vecCol)
-    val scored = cand
-      .join(v.toDF("id_a", "va"), "id_a")
-      .join(v.toDF("id_b", "vb"), "id_b")
+      .select(col("id_a"), col("id_b"), col("va"), col("vb"))
       .as[(Long, Long, Array[Long], Array[Long])]
-      .mapPartitions(_.map { case (idB, idA, va, vb) =>
-        (idA, idB, dot(va, vb))
+      .mapPartitions(_.flatMap { case (idA, idB, va, vb) =>
+        val d = dot(va, vb)
+        if (d >= tauFp) Iterator((idA, idB, d)) else Iterator.empty
       })
       .toDF("id_a", "id_b", "dot_fp")
-    scored.filter(col("dot_fp") >= tauFp)
+      .distinct()
   }
 }

@@ -83,14 +83,11 @@ object IdempotentInsert {
     */
   def intoJdbc(df: DataFrame, url: String, table: String,
       keys: Seq[String], props: java.util.Properties,
-      batchSize: Int = 50000): Unit = {
+      batchSize: Int = 50000,
+      dialect: graft.sources.SqlDialect = graft.sources.PostgresDialect)
+      : Unit = {
     val cols = df.columns.toSeq
-    val insertSql = {
-      val placeholders = cols.map(_ => "?").mkString(", ")
-      s"""INSERT INTO $table (${cols.mkString(", ")})
-         |VALUES ($placeholders)
-         |ON CONFLICT (${keys.mkString(", ")}) DO NOTHING""".stripMargin
-    }
+    val insertSql = dialect.insertDoNothing(table, df.schema, keys)
     val user = Option(props.getProperty("user"))
     val password = Option(props.getProperty("password"))
     df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>

@@ -62,13 +62,17 @@ object SimilarityQueries {
         TauLshFp, bits = 2, tables = 32)
         .orderBy(col("id_a"), col("id_b"))),
 
-    // IVF cluster-pruned ANN (16 cells, probe 4, exact rerank). The
-    // Lloyd refinement makes cell boundaries engine-internal → no SQL
-    // oracle (rows-only check); exactness under full probing is pinned
-    // by CorpusOpsSpec against the brute-force baseline.
+    // IVF cluster-pruned ANN under FULL probing (nProbe = nCells):
+    // every inverted list is scanned, so the exact rerank provably
+    // equals the brute-force top-k and the query is fully
+    // oracle-checkable (q20-style SQL) — closing the round-1
+    // rows-only hole while exercising the whole IVF path (centroid
+    // build, cell assignment, probe, rerank). Pruned probing
+    // (nProbe < nCells) is engine-internal by nature; its recall is
+    // pinned by CorpusOpsSpec against the brute-force baseline.
     "q30_ann_ivf" -> ((s, dir) =>
       graft.operators.IvfIndex.topK(queriesSide(s, dir), emb(s, dir),
-        "vec_id", "embedding", k = LshK, nCells = 16, nProbe = 4)
+        "vec_id", "embedding", k = LshK, nCells = 16, nProbe = 16)
         .orderBy(col("query_id"), col("rn")))
   )
 
@@ -126,6 +130,20 @@ object SimilarityQueries {
          |SELECT query_id, neighbor_id, dot_fp,
          |  CAST(ROW_NUMBER() OVER w AS INT) AS rn
          |FROM scored
+         |WINDOW w AS (PARTITION BY query_id ORDER BY dot_fp DESC, neighbor_id ASC)
+         |QUALIFY ROW_NUMBER() OVER w <= $LshK
+         |ORDER BY query_id, rn""".stripMargin,
+
+    // full probing scans every cell ⇒ IVF top-k = exhaustive top-k
+    "q30_ann_ivf" ->
+      s"""WITH $sqlFixed,
+         |q AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+         |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${sqlDot("q.v", "c.v")} AS dot_fp
+         |  FROM q JOIN e c ON q.vec_id <> c.vec_id)
+         |SELECT query_id, neighbor_id, dot_fp,
+         |  CAST(ROW_NUMBER() OVER w AS INT) AS rn
+         |FROM s
          |WINDOW w AS (PARTITION BY query_id ORDER BY dot_fp DESC, neighbor_id ASC)
          |QUALIFY ROW_NUMBER() OVER w <= $LshK
          |ORDER BY query_id, rn""".stripMargin,

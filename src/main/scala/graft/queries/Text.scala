@@ -30,34 +30,14 @@ object Text {
     words.map(w => s"'$w'").mkString("[", ", ", "]")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Token counting + quality scoring + fingerprinting in one scan.
-    "q14_text_stats" -> ((s, dir) => {
-      val toks = TextFunctions.tokens(col("text"))
-      val nt = size(toks).cast("bigint")
-      val nu = size(array_distinct(toks)).cast("bigint")
-      val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
-      val stop = TextFunctions
-        .wordListHits(toks, TextFunctions.langMarkers.head._2).cast("bigint")
-      val ntD = nt.cast("double")
-      val quality =
-        (nu.cast("double") / ntD) * 0.3 +
-          (lit(1.0) - stop.cast("double") / ntD) * 0.4 +
-          (least(nt, lit(100L)).cast("double") / lit(100.0)) * 0.3
-      docs(s, dir).select(
-        col("doc_id"),
-        nt.as("n_tokens"),
-        // BPE-ish regex tokenization (subword-run counting) alongside
-        // the whitespace count — same simple character-class regex
-        // semantics in Java and RE2, so the oracle replays it.
-        regexp_count(col("text"), lit("[a-z]{3,}")).cast("bigint")
-          .as("n_regex_tokens"),
-        nu.as("n_uniq"),
-        (sumLen.cast("double") / ntD).as("avg_token_len"),
-        (stop.cast("double") / ntD).as("stop_ratio"),
-        quality.as("quality"),
-        TextFunctions.fingerprint(col("text")).as("fingerprint"))
-        .orderBy(col("doc_id"))
-    }),
+    // Token counting + quality scoring + fingerprinting in one
+    // map-side kernel scan (see TextFunctions.textStats; the BPE-ish
+    // regex run-count uses the same simple character-class semantics
+    // in Java and RE2, so the oracle replays it).
+    "q14_text_stats" -> ((s, dir) =>
+      TextFunctions.textStats(docs(s, dir), "doc_id", col("text"),
+        TextFunctions.langMarkers.head._2)
+        .orderBy(col("doc_id"))),
 
     // Stopword-partition language-ID heuristic with deterministic
     // argmax preference order en > de > es > fr > zh.

@@ -39,15 +39,28 @@ object ViewQueries {
     "q28_view_adicionais" -> ((s, dir) =>
       Jobs.adicionaisView(s, dir).orderBy(col("o_orderkey"))),
 
-    // Approximate distinct counting (HLL++): implementation-specific
-    // sketch → deliberately NO oracle entry (rows-only driver check).
-    // rsd 0.05 default; the exact twin is checked in q12/q07.
+    // Approximate distinct counting (HLL++). The sketch estimate is
+    // implementation-specific, so the OUTPUT carries the exact
+    // count(distinct) plus in-query error assertions: the booleans are
+    // abs(approx − exact)/exact ≤ tolerance, which the oracle replays
+    // as literal TRUE — a hash-checkable witness that the sketch is
+    // both present and within its accuracy contract (rsd 0.01, so the
+    // 5% gate is 5σ). The raw estimates stay out of the projection by
+    // design; the exact twin values are fully oracle-checked.
     "q29_approx_distinct" -> ((s, dir) =>
       graft.sources.Catalog.table(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("a_o"),
+          approx_count_distinct(col("l_partkey"), 0.01).as("a_p"))
+        .select(
+          col("l_returnflag"), col("exact_orders"), col("exact_parts"),
+          (abs(col("a_o") - col("exact_orders")).cast("double") /
+            col("exact_orders") <= 0.05).as("orders_within_5pct"),
+          (abs(col("a_p") - col("exact_parts")).cast("double") /
+            col("exact_parts") <= 0.05).as("parts_within_5pct"))
         .orderBy(col("l_returnflag")))
   )
 
@@ -77,6 +90,17 @@ object ViewQueries {
 
     "q28_view_adicionais" ->
       """SELECT o_orderkey, o_orderstatus, o_orderpriority
-        |FROM orders ORDER BY o_orderkey""".stripMargin
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // exact counts replayed; the within-tolerance witnesses are TRUE
+    // by the sketch's accuracy contract (asserted in the Spark plan)
+    "q29_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_orderkey) AS exact_orders,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS orders_within_5pct,
+        |  TRUE AS parts_within_5pct
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
   )
 }

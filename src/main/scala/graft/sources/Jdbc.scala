@@ -42,36 +42,30 @@ object Jdbc {
     withPartitioning.load()
   }
 
-  /** S5 auto-DDL: `CREATE SCHEMA IF NOT EXISTS` + `CREATE TABLE IF NOT
-    * EXISTS` statements for a Spark schema (PostgreSQL dialect — the
-    * reference's target, `SELECT.py:168,176-183`). Pure string
-    * generation so it is unit-testable without a database; execute
-    * over a JDBC connection in the connector. */
+  /** S5 auto-DDL: schema + table creation statements for a Spark
+    * schema (PostgreSQL dialect by default — the reference's target,
+    * `SELECT.py:168,176-183`). Pure string generation so it is
+    * unit-testable without a database; execute via [[executeDdl]] (or
+    * any JDBC connection) in the connector. Identifiers are quoted —
+    * see [[SqlDialect.quote]]. */
   def ddlFor(schemaName: String, table: String, schema: StructType,
-      primaryKey: Seq[String] = Nil): Seq[String] = {
-    def pgType(dt: DataType): String = dt match {
-      case IntegerType => "INTEGER"
-      case LongType => "BIGINT"
-      case d: DecimalType => s"NUMERIC(${d.precision},${d.scale})"
-      case DoubleType => "DOUBLE PRECISION"
-      case FloatType => "REAL"
-      case StringType => "TEXT"
-      case BooleanType => "BOOLEAN"
-      case TimestampType | TimestampNTZType => "TIMESTAMP"
-      case DateType => "DATE"
-      case BinaryType => "BYTEA"
-      case other => throw new IllegalArgumentException(
-        s"no PostgreSQL mapping for ${other.simpleString}")
-    }
-    val cols = schema.fields.map { f =>
-      val nullable = if (f.nullable) "" else " NOT NULL"
-      s"  ${f.name} ${pgType(f.dataType)}$nullable"
-    }
-    val pk = if (primaryKey.isEmpty) Nil
-      else Seq(s"  PRIMARY KEY (${primaryKey.mkString(", ")})")
+      primaryKey: Seq[String] = Nil,
+      dialect: SqlDialect = PostgresDialect): Seq[String] =
     Seq(
-      s"CREATE SCHEMA IF NOT EXISTS $schemaName",
-      (s"CREATE TABLE IF NOT EXISTS $schemaName.$table (" +:
-        (cols ++ pk).mkString(",\n") +: Seq(")")).mkString("\n"))
-  }
+      dialect.createSchema(schemaName),
+      dialect.createTable(schemaName, table, schema, primaryKey))
+
+  /** Run DDL statements on a live connection, tolerating only the
+    * dialect's "already exists" SQLStates (for dialects without
+    * IF NOT EXISTS) — any other failure propagates. */
+  def executeDdl(conn: java.sql.Connection, statements: Seq[String],
+      dialect: SqlDialect = PostgresDialect): Unit =
+    statements.foreach { sql =>
+      val st = conn.createStatement()
+      try st.execute(sql)
+      catch {
+        case e: java.sql.SQLException
+            if dialect.alreadyExistsStates.contains(e.getSQLState) => ()
+      } finally st.close()
+    }
 }

@@ -19,20 +19,17 @@ class ContractSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query has an oracle unless explicitly rows-only") {
-    // rows-only by design: engine-specific sketches / index internals
-    val rowsOnly = Set("q29_approx_distinct", "q30_ann_ivf")
-    val missing = SparkEntry.queries.keySet --
-      SparkEntry.oracleSql.keySet -- rowsOnly
+  test("every query has an oracle (no rows-only holes since round 2)") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty,
-      s"queries without oracle (add SQL or whitelist): $missing")
+      s"queries without oracle (add SQL): $missing")
     // and no orphan oracle entries (also enforced at registry build)
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }
 
   test("query names are unique and well-formed") {
     val names = SparkEntry.queries.keySet
-    assert(names.size >= 42)
+    assert(names.size >= 44)
     assert(names.forall(_.matches("q\\d{2}_[a-z0-9_]+")))
   }
 }

@@ -39,6 +39,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m3.n_bytes == 0L && m3.feat.forall(_ == 0L))
   }
 
+  test("ImageIoCodec decodes a real PNG payload distributed") {
+    import spark.implicits._
+    // render two deterministic images, encode to real PNG bytes
+    def png(w: Int, h: Int, rgb: (Int, Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y, w))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    val white = png(8, 4, (_, _, _) => 0xffffff)
+    val gradient = png(16, 16, (x, y, w) => {
+      val v = (x * 255 / (w - 1)) & 0xff
+      (v << 16) | (v << 8) | v
+    })
+    val assets = Seq(
+      MediaAsset(1, "image", white),
+      MediaAsset(2, "image", gradient)).toDS().repartition(2)
+    val got = Multimodal
+      .decodeMeta(assets, codec = Multimodal.ImageIoCodec)
+      .collect().map(m => m.asset_id -> m).toMap
+    // white 8×4: every channel sums to 255·32, all 32 pixels in the
+    // top luma bin; PNG n_bytes is whatever the encoder produced
+    assert(got(1L).width == 8 && got(1L).height == 4)
+    assert(got(1L).channels == 3)
+    assert(got(1L).feat.take(3).forall(_ == 255L * 32))
+    assert(got(1L).feat(7) == 32L)
+    assert(got(1L).n_bytes == white.length.toLong)
+    // gradient 16×16: channel sums equal the constructed ramp exactly
+    val expectSum = (0 until 16).map(x => x * 255 / 15).sum.toLong * 16
+    assert(got(2L).width == 16 && got(2L).height == 16)
+    assert(got(2L).feat.take(3).forall(_ == expectSum))
+    assert(got(2L).feat.slice(4, 8).sum == 256L) // every pixel binned
+    // a non-image payload fails loudly, not silently
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeMeta(
+        Seq(MediaAsset(9, "image", "not a png".getBytes)).toDS(),
+        codec = Multimodal.ImageIoCodec).collect()
+    }
+  }
+
   test("resizeMeta caps to box preserving aspect ratio") {
     import spark.implicits._
     val meta = Multimodal.decodeMeta(

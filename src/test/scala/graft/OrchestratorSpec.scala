@@ -145,12 +145,15 @@ class OrchestratorSpec extends AnyFunSuite {
       StructField("dt_parcela", TimestampType)))
     val ddl = graft.sources.Jdbc.ddlFor("gestao_fretes", "parcela_ciot",
       schema, primaryKey = Seq("id_manifesto", "cd_parcela"))
-    assert(ddl.head == "CREATE SCHEMA IF NOT EXISTS gestao_fretes")
+    assert(ddl.head == "CREATE SCHEMA IF NOT EXISTS \"gestao_fretes\"")
     val ct = ddl(1)
-    assert(ct.startsWith("CREATE TABLE IF NOT EXISTS gestao_fretes.parcela_ciot"))
-    assert(ct.contains("id_manifesto INTEGER NOT NULL"))
-    assert(ct.contains("vl_parcela NUMERIC(18,2)"))
-    assert(ct.contains("PRIMARY KEY (id_manifesto, cd_parcela)"))
+    assert(ct.startsWith(
+      "CREATE TABLE IF NOT EXISTS \"gestao_fretes\".\"parcela_ciot\""))
+    assert(ct.contains("\"id_manifesto\" INTEGER NOT NULL"))
+    assert(ct.contains("\"vl_parcela\" NUMERIC(18,2)"))
+    assert(ct.contains("PRIMARY KEY (\"id_manifesto\", \"cd_parcela\")"))
+    // quoting: embedded quotes doubled, reserved words safe
+    assert(graft.sources.PostgresDialect.quote("we\"ird") == "\"we\"\"ird\"")
     intercept[IllegalArgumentException] {
       graft.sources.Jdbc.ddlFor("s", "t", StructType(Seq(
         StructField("m", MapType(StringType, StringType)))))
