@@ -28,7 +28,9 @@ import org.apache.spark.sql.functions._
   * right row by `ignoreNulls`).
   *
   * Determinism: if several right rows share (key, on), which one wins
-  * is tie-broken by `rightTiebreak` (descending = "latest wins").
+  * is tie-broken by `rightTiebreak` (descending = "latest wins");
+  * without one, the greatest packed payload struct wins — a stable,
+  * partitioning-independent pick (never an arbitrary row).
   */
 object AsofJoin {
 
@@ -43,10 +45,16 @@ object AsofJoin {
     val side = "__graft_side"
     val pack = "__graft_payload"
 
+    // total order within (key, on): explicit tiebreak first, then the
+    // payload struct itself so equal-payload rows (interchangeable)
+    // are the only remaining ties
+    val stable =
+      if (payload.isEmpty) lit(1).asc
+      else struct(payload.map(col): _*).desc
     val r = Dedup.latestPerKey(
       right.select((key :+ on).map(col) ++ payload.map(col): _*),
       partition = (key :+ on).map(col),
-      order = rightTiebreak.map(_.desc).toSeq :+ lit(1).asc)
+      order = rightTiebreak.map(_.desc).toSeq :+ stable)
       .withColumn(side, lit(0))
       .withColumn(pack, struct(payload.map(col): _*))
       .drop(payload: _*)

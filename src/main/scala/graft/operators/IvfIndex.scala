@@ -99,6 +99,74 @@ object IvfIndex {
       .toDF(idCol, "cell")
   }
 
+  /** Persist the corpus as an ON-DISK IVF index: fixed-point vectors
+    * written as Hive-style parquet partitioned by cell id, plus the
+    * centroid set at `<path>.centroids`. A probe scan filters on the
+    * cell column, so planning-time partition pruning reads ONLY the
+    * probed cells' directories — zero I/O for every other inverted
+    * list. This is the at-scale layout the in-memory [[topK]]
+    * describes: the inverted lists ARE the partition layout. */
+  def writeIndexed(corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, nCells: Int = 16, iters: Int = 2,
+      sampleLimit: Int = 10000): Array[Array[Long]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = centroids(corpus, idCol, vecCol, nCells, iters, sampleLimit)
+    val bc = spark.sparkContext.broadcast(cents)
+    val assigned = fixedDS(corpus, idCol, vecCol)
+      .map(r => (r.id, r.v, nearestCell(r.v, bc.value)))
+      .toDF(idCol, "v", "cell")
+    graft.sources.Formats.writePartitioned(assigned, path, Seq("cell"))
+    cents.zipWithIndex.map { case (v, c) => (c, v) }.toSeq
+      .toDF("cell", "v").coalesce(1)
+      .write.mode("overwrite").parquet(path + ".centroids")
+    cents
+  }
+
+  /** Scan of the probed cells ONLY: the `cell IN (...)` predicate is a
+    * partition filter, pruned at planning time (assert-able via the
+    * scan's PartitionFilters metadata — see CorpusOpsSpec). */
+  def probedScan(spark: org.apache.spark.sql.SparkSession, path: String,
+      cells: Seq[Int]): DataFrame =
+    spark.read.parquet(path).filter(col("cell").isin(cells: _*))
+
+  /** Top-k search over an on-disk index written by [[writeIndexed]]:
+    * queries (small side by contract) are collected, their probe cells
+    * computed against the stored centroids, and the corpus scan is
+    * pruned to the union of probed cells before the per-query
+    * cell-membership check and exact rerank. */
+  def topKIndexed(spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame, idCol: String, vecCol: String, path: String,
+      k: Int, nProbe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val cents = spark.read.parquet(path + ".centroids")
+      .orderBy(col("cell"))
+      .as[(Int, Array[Long])].collect()
+      .map(_._2)
+    val qArr = fixedDS(queries, idCol, vecCol).collect()
+    val probed = qArr.map(q => (q.id, q.v, nearestCells(q.v, cents, nProbe)))
+    val allCells = probed.flatMap(_._3).distinct.toSeq
+    val bcQ = spark.sparkContext.broadcast(probed)
+    val scored = probedScan(spark, path, allCells)
+      .select(col(idCol).cast("long"), col("v"), col("cell").cast("int"))
+      .as[(Long, Array[Long], Int)]
+      .mapPartitions { it =>
+        val qs = bcQ.value
+        it.flatMap { case (nid, cv, cell) =>
+          qs.iterator.collect {
+            case (qid, qv, probes) if probes.contains(cell) && qid != nid =>
+              (qid, nid, dot(qv, cv))
+          }
+        }
+      }.toDF("query_id", "neighbor_id", "dot_fp")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("dot_fp").desc, col("neighbor_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("dot_fp"), col("rn"))
+  }
+
   /** IVF top-k search: probe `nProbe` cells per query, exact rerank by
     * descending dot product (ties → ascending id). Output matches the
     * (query_id, neighbor_id, dot_fp, rn) shape of the other k-NN ops. */

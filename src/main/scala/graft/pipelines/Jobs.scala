@@ -39,10 +39,21 @@ object Jobs {
     PipelineJob("alimentacao_parcela_ciot",
       "Parcela CIOT", "Importação idempotente de parcelas CIOT",
       s => {
-        IdempotentInsert.intoParquet(s,
-          ParcelaCiot.build(s, sfDir), outDir + "/parcela_ciot",
-          keys = Seq("id_manifesto", "cd_parcela", "dt_parcela_str",
-            "vl_parcela"))
+        // the sink PK is (id_manifesto, cd_parcela) — the reference's
+        // ON CONFLICT target (SELECT.py:119,217). Rows sharing the PK
+        // but differing in payload are collapsed to ONE deterministic
+        // representative (greatest payload struct) BEFORE the insert,
+        // then the upsert is keyed on the PK, matching the reference's
+        // keep-first uniqueness semantics without its batch-order
+        // nondeterminism.
+        val rows = ParcelaCiot.build(s, sfDir)
+        val pk = Seq("id_manifesto", "cd_parcela")
+        val payloadCols = rows.columns.filterNot(pk.contains).toSeq
+        val oneRep = graft.operators.Dedup.latestPerKey(rows,
+          partition = pk.map(col),
+          order = Seq(struct(payloadCols.map(col): _*).desc))
+        IdempotentInsert.intoParquet(s, oneRep,
+          outDir + "/parcela_ciot", keys = pk)
         ()
       }))
 

@@ -69,17 +69,29 @@ object Orchestrator {
     /** (completedTasks, totalTasks) for a job group. */
     def progress(group: String): (Long, Long) =
       (counter(done, group).get(), counter(total, group).get())
+
+    /** Drop a group's counters and stage mappings — called by the
+      * runner at the start of a re-run (fresh progress per run) and
+      * available to a UI when it stops displaying a group, so a
+      * long-lived session's maps stay bounded by distinct jobs. */
+    def evict(group: String): Unit = {
+      total.remove(group)
+      done.remove(group)
+      stageGroup.entrySet.removeIf(e => e.getValue == group)
+    }
   }
 
   /** Runs jobs with per-job status, timing, job-group isolation and
     * fail-fast queueing. Thread-safe status map so a monitoring thread
     * (the reference's UI role) can poll. */
   final class PipelineRunner(spark: SparkSession,
-      listener: Option[ProgressListener] = None) {
+      listener: Option[ProgressListener] = None,
+      logForwarder: Option[LogForwarder] = None) {
 
     private val statuses =
       new ConcurrentHashMap[String, AtomicReference[JobStatus]]()
     listener.foreach(spark.sparkContext.addSparkListener)
+    logForwarder.foreach(spark.sparkContext.addSparkListener)
 
     def status(name: String): JobStatus =
       Option(statuses.get(name)).map(_.get()).getOrElse(Pending)
@@ -89,17 +101,30 @@ object Orchestrator {
       val ref = statuses.computeIfAbsent(job.name,
         _ => new AtomicReference[JobStatus](Pending))
       ref.set(Running)
+      val g = groupId(job)
+      // fresh per-run scheduler state (a re-run must not accumulate
+      // counters, and long-lived sessions must not grow unboundedly)
+      listener.foreach(_.evict(g))
+      logForwarder.foreach(_.evict(g))
+      logForwarder.foreach(_.emit(LogForwarder.Info, g, "runner",
+        s"job '${job.name}' (${job.label}) started"))
       val t0 = System.nanoTime()
-      spark.sparkContext.setJobGroup(groupId(job),
+      spark.sparkContext.setJobGroup(g,
         s"${job.label}", interruptOnCancel = true)
       try {
         job.run(spark)
         ref.set(Succeeded)
-        JobResult(job, Succeeded, (System.nanoTime() - t0) / 1000000)
+        val ms = (System.nanoTime() - t0) / 1000000
+        logForwarder.foreach(_.emit(LogForwarder.Info, g, "runner",
+          s"job '${job.name}' succeeded in ${ms} ms"))
+        JobResult(job, Succeeded, ms)
       } catch {
         case e: Throwable =>
           ref.set(Failed(e))
-          JobResult(job, Failed(e), (System.nanoTime() - t0) / 1000000)
+          val ms = (System.nanoTime() - t0) / 1000000
+          logForwarder.foreach(_.emit(LogForwarder.Error, g, "runner",
+            s"job '${job.name}' FAILED after ${ms} ms: ${e.getMessage}"))
+          JobResult(job, Failed(e), ms)
       } finally spark.sparkContext.clearJobGroup()
     }
 

@@ -19,7 +19,23 @@ object SimilarityQueries {
   private val Bits = 8
   private val Tables = 16
   private val TauFp = 45000000000000L // cosine 0.45 at 1e7² fixed point
-  private val TauLshFp = 50000000000000L // cosine 0.50 for the LSH path
+  private val TauLshFp = 95000000000000L // cosine 0.95 for the LSH path
+
+  /** Corpus ∪ planted near-duplicates: one copy (id + 1 000 000) per
+    * vec_id % 4 == 0 row with coordinate (vec_id % 64) scaled by
+    * 15/16, all in double precision (exact — replayed identically by
+    * the oracle SQL). */
+  private def augmented(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val planted = emb(s, dir)
+      .filter(col("vec_id") % 4 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === pmod(col("vec_id"), lit(64)), x.cast("double") * 0.9375)
+            .otherwise(x.cast("double"))).as("embedding"))
+    base.unionByName(planted)
+  }
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Catalog.table(s, dir, "embeddings")
@@ -49,17 +65,22 @@ object SimilarityQueries {
       Similarity.nearDupPairs(emb(s, dir), "vec_id", "embedding", TauFp)
         .orderBy(col("id_a"), col("id_b"))),
 
-    // LSH-candidates + exact-verify near-dup at cosine ≥ 0.5 — the
-    // sub-quadratic operator wiring verified end-to-end against the
-    // exhaustive oracle. On THIS corpus (smooth similarity tail, no
-    // high-cosine cluster) the parameters are recall-heavy (2 bits ×
-    // 32 tables ⇒ per-pair miss ≈ (1−0.667²)³² ≈ 7·10⁻⁹ at cosine
-    // 0.5), so the prune is weak here by design; the pruning regime
-    // (cosine ≥ 0.8, 8 bits) is pinned by CorpusOpsSpec on planted
-    // duplicates.
+    // LSH-candidates + exact-verify near-dup in the regime the
+    // operator exists for: HIGH-cosine duplicates. The base corpus has
+    // no near-dup pairs (smooth tail, max pair cosine ≈ 0.62), so the
+    // query plants them deterministically: every vec_id % 4 == 0 row
+    // gets a copy (id + 1e6) with ONE coordinate scaled by 15/16 —
+    // both engines compute the perturbation in exact double arithmetic
+    // (float → double is exact; ×0.9375 adds 4 mantissa bits). The
+    // corpus is unit-norm with max |coordinate| 0.58 (measured), so
+    // every planted pair has dot ≥ 1 − 0.0625·0.58² ≈ 0.979·10¹⁴
+    // while every other pair stays ≤ ~0.7·10¹⁴: tau 0.95 separates
+    // with wide margins. At 8 bits × 16 tables the per-pair miss at
+    // cosine 0.985 is (1 − 0.945⁸)¹⁶ ≈ 10⁻⁷ and buckets are selective
+    // (~n/256 rows each): the prune is real AND recall is exhaustive.
     "q44_embedding_neardup_lsh" -> ((s, dir) =>
-      Similarity.nearDupPairsLsh(emb(s, dir), "vec_id", "embedding",
-        TauLshFp, bits = 2, tables = 32)
+      Similarity.nearDupPairsLsh(augmented(s, dir), "vec_id", "embedding",
+        TauLshFp, bits = 8, tables = 16)
         .orderBy(col("id_a"), col("id_b"))),
 
     // IVF cluster-pruned ANN under FULL probing (nProbe = nCells):
@@ -156,12 +177,26 @@ object SimilarityQueries {
          |WHERE ${sqlDot("a.v", "b.v")} >= $TauFp
          |ORDER BY id_a, id_b""".stripMargin,
 
-    // exhaustive ground truth: LSH candidates ⊇ true pairs at these
-    // recall-heavy parameters (verified empirically — deterministic
-    // planes, deterministic corpus), and the exact verify removes all
-    // false positives, so the sub-quadratic plan reproduces this SQL
+    // exhaustive ground truth over the SAME augmented corpus the
+    // Spark query builds (identical double-exact perturbation); the
+    // planted/background similarity margins make LSH candidates ⊇
+    // true pairs (see the query comment), and the exact verify removes
+    // all false positives, so the sub-quadratic plan reproduces this
     "q44_embedding_neardup_lsh" ->
-      s"""WITH $sqlFixed
+      s"""WITH aug AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x_ -> CAST(x_ AS DOUBLE)) AS emb
+         |  FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000,
+         |    list_transform(range(1, 65), i_ ->
+         |      CASE WHEN i_ - 1 = vec_id % 64
+         |        THEN CAST(embedding[i_] AS DOUBLE) * 0.9375
+         |        ELSE CAST(embedding[i_] AS DOUBLE) END)
+         |  FROM embeddings WHERE vec_id % 4 = 0),
+         |e AS (SELECT vec_id,
+         |  list_transform(emb, x_ -> CAST(floor(x_ * 10000000.0) AS BIGINT)) AS v
+         |  FROM aug)
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |  ${sqlDot("a.v", "b.v")} AS dot_fp
          |FROM e a JOIN e b ON a.vec_id < b.vec_id

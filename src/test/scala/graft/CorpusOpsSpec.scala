@@ -242,6 +242,39 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("IVF on-disk index: probed read prunes partitions, full probe exact") {
+    import spark.implicits._
+    val rows = (0 until 30).map { n =>
+      (n.toLong, Array.tabulate(64)(i =>
+        (if ((i + n) % 3 == n % 3) 1.0f else 0.0f) + n * 0.001f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf").toString + "/idx"
+    graft.operators.IvfIndex.writeIndexed(df, "vec_id", "embedding",
+      path, nCells = 5)
+    // the probed scan's plan must PRUNE unprobed cells at planning time
+    val scan = graft.operators.IvfIndex.probedScan(spark, path, Seq(0, 2))
+    val leaves = scan.queryExecution.executedPlan.collectLeaves()
+    val fileScan = leaves.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(fileScan.isDefined, "no file scan in probed plan")
+    val pf = fileScan.get.metadata("PartitionFilters")
+    assert(pf.contains("cell"), s"cell not a partition filter: $pf")
+    // only the two probed cell directories are actually read
+    assert(scan.select("cell").distinct().collect()
+      .map(_.getInt(0)).toSet == Set(0, 2))
+    // full probing over the on-disk index = brute force exactly
+    val queries = df.filter(col("vec_id") < 3)
+    val got = graft.operators.IvfIndex.topKIndexed(spark, queries,
+      "vec_id", "embedding", path, k = 4, nProbe = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val brute = Similarity.bruteForceTopK(queries, df,
+      "vec_id", "embedding", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got == brute)
+  }
+
   test("lshBuckets: identical vectors share every bucket") {
     import spark.implicits._
     val vecs = Seq((0L, Array.fill(64)(0.1f)), (1L, Array.fill(64)(0.1f)))

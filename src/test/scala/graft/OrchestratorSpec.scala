@@ -53,6 +53,64 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(done == total) // finished job → all tasks accounted
   }
 
+  test("LogForwarder: failed job emits structured error events (O5)") {
+    import graft.pipelines.LogForwarder
+    val events =
+      new java.util.concurrent.ConcurrentLinkedQueue[LogForwarder.LogEvent]()
+    val fwd = new LogForwarder(events.add(_))
+    val runner = new PipelineRunner(spark, logForwarder = Some(fwd))
+    val bad = job("bad_job", s => {
+      // real distributed failure: tasks throw on executors
+      s.range(0, 8, 1, 4).rdd.foreach(_ => sys.error("task boom")); ()
+    })
+    val r = runner.runOne(bad)
+    assert(r.status.isInstanceOf[Failed])
+    val g = runner.groupId(bad)
+    // runner lifecycle events are synchronous
+    def evs = events.toArray(Array.empty[LogForwarder.LogEvent]).toSeq
+    assert(evs.exists(e => e.level == LogForwarder.Info &&
+      e.source == "runner" && e.group.contains(g) &&
+      e.message.contains("started")))
+    assert(evs.exists(e => e.level == LogForwarder.Error &&
+      e.source == "runner" && e.group.contains(g) &&
+      e.message.contains("FAILED")))
+    // scheduler/executor events ride the async listener bus — poll
+    val deadline = System.currentTimeMillis() + 10000
+    def schedErr = evs.exists(e => e.level == LogForwarder.Error &&
+      e.source == "scheduler" && e.group.contains(g))
+    def taskWarn = evs.exists(e => e.level == LogForwarder.Warn &&
+      e.source == "executor" && e.group.contains(g) &&
+      e.message.contains("failed"))
+    while ((!schedErr || !taskWarn) && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    assert(schedErr, s"no scheduler-level ERROR event; got: $evs")
+    assert(taskWarn, s"no executor-level WARN task event; got: $evs")
+    // a succeeding job forwards INFO success both from runner and bus
+    events.clear()
+    val good = job("good_job",
+      s => { s.range(0, 10).selectExpr("sum(id)").collect(); () })
+    assert(runner.runOne(good).status == Succeeded)
+    assert(evs.exists(e => e.level == LogForwarder.Info &&
+      e.source == "runner" && e.message.contains("succeeded")))
+  }
+
+  test("ProgressListener evicts per-group state and resets on re-run") {
+    val listener = new ProgressListener
+    val runner = new PipelineRunner(spark, Some(listener))
+    val j = job("evict_job",
+      s => { s.range(0, 100, 1, 4).selectExpr("sum(id)").collect(); () })
+    assert(runner.runOne(j).status == Succeeded)
+    val g = runner.groupId(j)
+    val (d1, t1) = listener.progress(g)
+    assert(t1 >= 4 && d1 == t1)
+    // re-run: counters reset per run, not accumulated across runs
+    assert(runner.runOne(j).status == Succeeded)
+    val (d2, t2) = listener.progress(g)
+    assert(t2 == t1 && d2 == d1, s"re-run accumulated: $t2 vs $t1")
+    listener.evict(g)
+    assert(listener.progress(g) == ((0L, 0L)))
+  }
+
   test("cancel aborts a running job group") {
     val runner = new PipelineRunner(spark)
     val slow = job("slow_job", s => {
@@ -61,8 +119,15 @@ class OrchestratorSpec extends AnyFunSuite {
     })
     val fut = scala.concurrent.Future(runner.runOne(slow))(
       scala.concurrent.ExecutionContext.global)
-    // wait for the job to actually start, then cancel its group
-    Thread.sleep(1500)
+    // wait until the group's Spark job is actually ACTIVE (a fixed
+    // sleep races session/JIT warmup and cancels into a void), then
+    // cancel it
+    val tracker = spark.sparkContext.statusTracker
+    val deadline = System.currentTimeMillis() + 30000
+    while (tracker.getJobIdsForGroup(runner.groupId(slow)).isEmpty &&
+        System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    Thread.sleep(200) // let at least one task launch
     runner.cancel(slow)
     val r = scala.concurrent.Await.result(fut,
       scala.concurrent.duration.Duration(60, "s"))
