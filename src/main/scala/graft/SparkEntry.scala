@@ -39,7 +39,8 @@ object SparkEntry {
       graft.queries.MultimodalQueries.queries,
       graft.queries.ViewQueries.queries,
       graft.queries.Relational2.queries,
-      graft.queries.TextPipeline.queries)
+      graft.queries.TextPipeline.queries,
+      graft.queries.Pipeline2.queries)
     val merged = modules.reduce(_ ++ _)
     // a duplicate name across modules would silently shadow a query —
     // fail loudly instead
@@ -95,7 +96,8 @@ object SparkEntry {
     graft.queries.MultimodalQueries.oracleSql ++
     graft.queries.ViewQueries.oracleSql ++
     graft.queries.Relational2.oracleSql ++
-    graft.queries.TextPipeline.oracleSql
+    graft.queries.TextPipeline.oracleSql ++
+    graft.queries.Pipeline2.oracleSql
 
   private def baseOracleSql: Map[String, String] = Map(
     "q01_agg_pricing_summary" ->

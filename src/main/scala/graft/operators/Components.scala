@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a pair graph — the "assign every document
+  * to its duplicate cluster" step that turns near-dup PAIRS (MinHash /
+  * SimHash / embedding output) into a canonical-representative mapping
+  * a dedup pipeline can act on (keep component == node, drop the
+  * rest). No reference counterpart (north-star scope).
+  *
+  * Algorithm: iterative min-label propagation (hash-to-min). Each
+  * round is one equi-join + one min-aggregation — both plain shuffles
+  * on the node id — and the loop stops when no label improves, checked
+  * with a count on the improving set only. Rounds needed = graph
+  * diameter; duplicate clusters are near-cliques of tiny diameter, so
+  * 2-3 rounds in practice. For adversarial long-chain graphs at 100 TB
+  * the escalation path is the large-star/small-star contraction of
+  * Kiveris et al. ("Connected Components in MapReduce and Beyond",
+  * SoCC'14), which converges in O(log²) rounds — same join/agg
+  * primitives, different edge rewriting; not needed for dedup-shaped
+  * graphs. Labels persist per round and the previous round is
+  * unpersisted, so lineage depth equals round count (bounded by
+  * `maxIter`).
+  */
+object Components {
+
+  /** (node, component) for every node, where component = the minimum
+    * node id reachable through `pairs` (nodes absent from any pair map
+    * to themselves). Deterministic for any partitioning. */
+  def connectedComponents(nodes: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 50)
+      : DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("src"),
+        col(bCol).cast("long").as("dst"))
+      .union(pairs.select(col(bCol).cast("long").as("src"),
+        col(aCol).cast("long").as("dst")))
+      .distinct()
+      .persist()
+    var labels = nodes
+      .select(col(idCol).cast("long").as("node"),
+        col(idCol).cast("long").as("label"))
+      .persist()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // best neighbor label per node, one shuffle each side
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(min(col("label")).as("nmin"))
+      val improving = labels.join(neighborMin, "node")
+        .filter(col("nmin") < col("label"))
+      if (improving.isEmpty) converged = true
+      else {
+        val next = labels.join(neighborMin, Seq("node"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("nmin"), col("label")))
+              .as("label"))
+          .persist()
+        next.count() // materialize before dropping the parent
+        labels.unpersist()
+        labels = next
+      }
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("node"), col("label").as("component"))
+  }
+}

@@ -55,7 +55,23 @@ object DedupQueries {
     "q43_simhash_hamming_pairs" -> ((s, dir) =>
       FuzzyDedup.simhashPairs(docs(s, dir), "doc_id", col("text"),
         bits = 32, maxHamming = 2, bandBits = 8)
-        .orderBy(col("doc_id_a"), col("doc_id_b")))
+        .orderBy(col("doc_id_a"), col("doc_id_b"))),
+
+    // Duplicate-cluster assignment: connected components over the
+    // verified near-dup pair graph (min-label propagation, one
+    // join+agg shuffle per round, rounds = cluster diameter). Every
+    // document maps to the minimum doc_id it is transitively near-dup
+    // with — the canonical representative a dedup pipeline keeps.
+    "q45_neardup_components" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = FuzzyDedup.minhashDedupPairs(d, "doc_id", col("text"),
+        tau = Tau, k = 3, numHashes = 64, bandRows = 4)
+      graft.operators.Components.connectedComponents(
+        d.select(col("doc_id")), "doc_id",
+        pairs, "doc_id_a", "doc_id_b")
+        .select(col("node").as("doc_id"), col("component"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   /** Ground truth: exact 3-gram Jaccard pairs at tau (shared by q18 and
@@ -124,6 +140,21 @@ object DedupQueries {
         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
-        |ORDER BY doc_id_a, doc_id_b""".stripMargin
+        |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+
+    // ground truth: exact-Jaccard pairs (same as q18/q19), then
+    // transitive min-label closure via a recursive CTE — every doc's
+    // component is the minimum doc_id reachable through the pair graph
+    "q45_neardup_components" ->
+      s"""WITH RECURSIVE pairs AS ($jaccardOracle),
+         |edges AS (
+         |  SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+         |  UNION SELECT doc_id_b, doc_id_a FROM pairs),
+         |cc(node, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.b, cc.label FROM cc JOIN edges e ON cc.node = e.a)
+         |SELECT node AS doc_id, MIN(label) AS component
+         |FROM cc GROUP BY node ORDER BY doc_id""".stripMargin
   )
 }

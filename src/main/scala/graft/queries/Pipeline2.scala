@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.Sessionize
+import graft.sources.Catalog
+
+/** Round-2 pipeline operators: gap sessionization over the event
+  * stream and TF-IDF-style term scoring over the corpus — both classic
+  * large-scale pipeline steps with exact cross-engine arithmetic
+  * (integer micros, integer division, decimal-routed double sums).
+  */
+object Pipeline2 {
+
+  private val GapMicros = 1800000000L // 30 min
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Catalog.table(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Gap-based sessionization: one shuffle on user_id, shared
+    // window sort (ts, event_id), running-sum session index, exact
+    // per-session aggregates.
+    "q46_sessionize" -> ((s, dir) =>
+      Sessionize.sessions(t(s, dir, "events"), "user_id", "ts",
+        GapMicros, tiebreak = col("event_id"), valueCol = col("value"))
+        .withColumn("session_idx", col("session_idx").cast("long"))
+        .orderBy(col("user_id"), col("session_idx"))),
+
+    // TF-IDF-style top terms per document. The score is engine-defined
+    // EXACT integer arithmetic — score = tf · ((10⁶·N) div df) — so
+    // both engines rank identically with no transcendental (ln) calls
+    // whose last-ulp behavior differs across libm implementations;
+    // the ordering is the classic rare-term-heavy ranking.
+    "q47_tfidf_topterms" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tok = docs.select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("term"))
+      val tf = tok.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val total = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfreq, "term")
+        .crossJoin(total)
+        .withColumn("score_fp",
+          col("tf") * expr("(1000000 * n_docs) div df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("score_fp").desc, col("term").asc)
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          col("score_fp"), col("rn"))
+        .orderBy(col("doc_id"), col("rn"))
+    })
+  )
+
+  private val sqlToks = "list_filter(string_split(text, ' '), t_ -> t_ <> '')"
+
+  val oracleSql: Map[String, String] = Map(
+    "q46_sessionize" ->
+      s"""WITH s AS (
+         |  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+         |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
+         |         OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > $GapMicros
+         |      THEN 1 ELSE 0 END AS is_start
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |x AS (
+         |  SELECT user_id, event_id, us, value,
+         |    CAST(SUM(is_start) OVER (PARTITION BY user_id
+         |      ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |      AS session_idx
+         |  FROM s)
+         |SELECT user_id, session_idx,
+         |  MIN(us) AS session_start_us, MAX(us) AS session_end_us,
+         |  COUNT(*) AS n_events,
+         |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+         |FROM x GROUP BY user_id, session_idx
+         |ORDER BY user_id, session_idx""".stripMargin,
+
+    "q47_tfidf_topterms" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($sqlToks) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |total AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         |    tf.tf * ((1000000 * total.n_docs) // dfreq.df) AS score_fp
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN total)
+         |SELECT doc_id, term, tf, df, score_fp,
+         |  CAST(ROW_NUMBER() OVER w AS INT) AS rn
+         |FROM scored
+         |WINDOW w AS (PARTITION BY doc_id ORDER BY score_fp DESC, term ASC)
+         |QUALIFY ROW_NUMBER() OVER w <= 3
+         |ORDER BY doc_id, rn""".stripMargin
+  )
+}

@@ -275,6 +275,40 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got == brute)
   }
 
+  test("connectedComponents: chains, cliques, singletons, id-order independence") {
+    import spark.implicits._
+    // components: {1,2,3,4} (a chain — needs >1 propagation round),
+    // {10,11,12} (a triangle), {20} and {21} (singletons)
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L, 21L).toDF("id")
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (11L, 12L),
+      (12L, 10L)).toDF("a", "b")
+    val got = graft.operators.Components
+      .connectedComponents(nodes, "id", pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 21L))
+  }
+
+  test("Sessionize: gap boundary inclusive, per-key isolation, tiebreaks") {
+    import spark.implicits._
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val gap = 60L * 1000000 // 1 min
+    val events = Seq(
+      (1L, 1L, 0L, 1.0), (2L, 1L, gap, 2.0), // gap exactly == threshold → same session
+      (3L, 1L, 2 * gap + 1000, 3.0), // gap+1ms past previous → new session
+      (4L, 2L, 5L, 4.0) // other key → own session
+    ).map { case (e, u, us, v) => (e, u, ts(us), v) }
+      .toDF("event_id", "user_id", "ts", "value")
+    val got = graft.operators.Sessionize
+      .sessions(events, "user_id", "ts", gap, col("event_id"), col("value"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))).toMap
+    assert(got == Map(
+      (1L, 1L) -> ((2L, 3.0)), // events 1+2 in one session
+      (1L, 2L) -> ((1L, 3.0)), // event 3 opens session 2
+      (2L, 1L) -> ((1L, 4.0))))
+  }
+
   test("lshBuckets: identical vectors share every bucket") {
     import spark.implicits._
     val vecs = Seq((0L, Array.fill(64)(0.1f)), (1L, Array.fill(64)(0.1f)))
