@@ -90,8 +90,14 @@ object ParcelaCiot {
     val vlCombustivel =
       when(col("l_tax") >= 0.03,
         (col("l_extendedprice") * col("l_tax")).cast(dec4))
-    // Synthetic nullable envio timestamp for the NULL-propagating R13.
+    // Synthetic nullable envio date + TIME columns for the
+    // NULL-propagating R13: the reference fuses two DISTINCT columns
+    // (dt_Envio + hr_Envio, SELECT.py:85-88), either independently
+    // NULL. Date rides l_shipdate (null on linenumber%3==0), time
+    // rides the contract order's o_orderdate (null on %5==0) — so all
+    // four null combinations occur in the data.
     val dtEnvio = when(col("l_linenumber") % 3 =!= 0, col("l_shipdate"))
+    val hrEnvio = when(col("l_linenumber") % 5 =!= 0, col("o_orderdate"))
 
     val m = latestManifesto.select(
       col("o_orderkey").as("m_orderkey"), col("c_name").as("m_c_name"),
@@ -122,7 +128,7 @@ object ParcelaCiot {
           .cast("double").as("vl_parcela"),
         vlCombustivel.cast("double").as("vl_combustivel"),
         col("l_linestatus").as("cd_status"),
-        dtHrString(dtEnvio, dtEnvio).as("dt_hr_envio_str"),              // R13
+        dtHrString(dtEnvio, hrEnvio).as("dt_hr_envio_str"),              // R13
         col("cust_nation"),
         col("cust_region"),
         col("s_name").as("ds_banco"))
@@ -178,9 +184,9 @@ object ParcelaCiot {
        |            THEN CAST(l.l_extendedprice * l.l_tax AS DECIMAL(18,4)) END
        |       AS DOUBLE) AS vl_combustivel,
        |  l.l_linestatus AS cd_status,
-       |  CASE WHEN l.l_linenumber % 3 <> 0
+       |  CASE WHEN l.l_linenumber % 3 <> 0 AND l.l_linenumber % 5 <> 0
        |    THEN CONCAT(date_format(l.l_shipdate, 'dd/MM/yyyy'), ' ',
-       |                date_format(l.l_shipdate, 'HH:mm:ss'))
+       |                date_format(o2.o_orderdate, 'HH:mm:ss'))
        |  END AS dt_hr_envio_str,
        |  m.cust_nation,
        |  m.cust_region,
@@ -231,8 +237,8 @@ object ParcelaCiot {
        |    ELSE CAST(l.l_extendedprice AS DECIMAL(18,2)) END AS DOUBLE) AS vl_parcela,
        |  CAST(CASE WHEN l.l_tax >= 0.03 THEN CAST(l.l_extendedprice * l.l_tax AS DECIMAL(18,4)) END AS DOUBLE) AS vl_combustivel,
        |  l.l_linestatus AS cd_status,
-       |  CASE WHEN l.l_linenumber % 3 <> 0
-       |    THEN strftime(l.l_shipdate, '%d/%m/%Y') || ' ' || strftime(l.l_shipdate, '%H:%M:%S')
+       |  CASE WHEN l.l_linenumber % 3 <> 0 AND l.l_linenumber % 5 <> 0
+       |    THEN strftime(l.l_shipdate, '%d/%m/%Y') || ' ' || strftime(o2.o_orderdate, '%H:%M:%S')
        |  END AS dt_hr_envio_str,
        |  m.cust_nation,
        |  m.cust_region,

@@ -29,6 +29,27 @@ object Pipeline2 {
         .withColumn("session_idx", col("session_idx").cast("long"))
         .orderBy(col("user_id"), col("session_idx"))),
 
+    // Deterministic train/val/test split: bucket = content hash mod
+    // 100 → train <80, val <90, test otherwise. Hash-based splitting
+    // is how a large pipeline assigns examples stably across re-runs
+    // and machines (no RNG, no global coordination: pure map-side);
+    // the portable polynomial hash makes the assignment replayable by
+    // the oracle. Output: per (split, lang) example counts + exact
+    // mean quality-proxy (token count routed through decimal).
+    "q48_hash_split" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val bucket = pmod(TextFunctions.fingerprint(col("text")), lit(100))
+      val split = when(bucket < 80, "train")
+        .when(bucket < 90, "val").otherwise("test")
+      d.select(col("doc_id"), col("lang"), col("text"), split.as("split"))
+        .groupBy(col("split"), col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(TextFunctions.tokens(col("text"))).cast("long"))
+            .as("sum_tokens"))
+        .orderBy(col("split"), col("lang"))
+    }),
+
     // TF-IDF-style top terms per document. The score is engine-defined
     // EXACT integer arithmetic — score = tf · ((10⁶·N) div df) — so
     // both engines rank identically with no transcendental (ln) calls
@@ -80,6 +101,20 @@ object Pipeline2 {
          |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
          |FROM x GROUP BY user_id, session_idx
          |ORDER BY user_id, session_idx""".stripMargin,
+
+    "q48_hash_split" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, $sqlToks AS toks,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, length(text)+1),
+         |        i_ -> CAST(ascii(text[i_]) AS BIGINT))),
+         |      (h_, c_) -> (h_ * 131 + c_) % 1000000007) % 100 AS bucket
+         |  FROM documents)
+         |SELECT CASE WHEN bucket < 80 THEN 'train'
+         |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+         |  lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(len(toks)) AS BIGINT) AS sum_tokens
+         |FROM d GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
 
     "q47_tfidf_topterms" ->
       s"""WITH tok AS (
