@@ -37,16 +37,24 @@ object Pipeline2 {
     // the oracle. Output: per (split, lang) example counts + exact
     // mean quality-proxy (token count routed through decimal).
     "q48_hash_split" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val bucket = pmod(TextFunctions.fingerprint(col("text")), lit(100))
-      val split = when(bucket < 80, "train")
-        .when(bucket < 90, "val").otherwise("test")
-      d.select(col("doc_id"), col("lang"), col("text"), split.as("split"))
-        .groupBy(col("split"), col("lang"))
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum(size(TextFunctions.tokens(col("text"))).cast("long"))
-            .as("sum_tokens"))
+      val spark = s
+      import spark.implicits._
+      // hash + tokenize in one JVM kernel pass (the HOF polyHash form
+      // is interpreted per character — the q14 lesson); shuffle only
+      // the (split, lang) aggregation
+      val perDoc = t(s, dir, "documents")
+        .select(col("lang"), col("text").cast("string"))
+        .as[(String, String)]
+        .mapPartitions(_.map { case (lang, text) =>
+          val bucket = TextFunctions.polyHashJvm(text) % 100
+          val split =
+            if (bucket < 80) "train" else if (bucket < 90) "val" else "test"
+          val nTokens = text.split(" ").count(_.nonEmpty).toLong
+          (split, lang, nTokens)
+        }).toDF("split", "lang", "n_tokens")
+      perDoc.groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"))
         .orderBy(col("split"), col("lang"))
     }),
 

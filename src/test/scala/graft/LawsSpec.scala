@@ -102,6 +102,76 @@ class LawsSpec extends AnyFunSuite {
     })
   }
 
+  test("connectedComponents law: equals local union-find on random graphs") {
+    import spark.implicits._
+    val graphGen: Gen[(List[Long], List[(Long, Long)])] = for {
+      n <- Gen.choose(1, 14)
+      nodes = (0L until n.toLong).toList
+      m <- Gen.choose(0, 12)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n - 1L); b <- Gen.choose(0L, n - 1L)
+      } yield (a, b))
+    } yield (nodes, edges.filter(e => e._1 != e._2))
+    check("components", Prop.forAll(graphGen) { case (ns, es) =>
+      // local union-find ground truth
+      val parent = scala.collection.mutable.Map(ns.map(n => n -> n): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = ns.map(n => n -> find(n)).toMap
+      val got =
+        if (es.isEmpty) // no pairs → everyone their own component
+          graft.operators.Components.connectedComponents(
+            ns.toDF("id"), "id",
+            Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b")
+        else graft.operators.Components.connectedComponents(
+          ns.toDF("id"), "id", es.toDF("a", "b"), "a", "b")
+      got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == expect
+    })
+  }
+
+  test("sessionize law: equals local gap scan on random event streams") {
+    import spark.implicits._
+    val evGen: Gen[List[(Long, Long, Long)]] = for {
+      n <- Gen.choose(1, 30)
+      evs <- Gen.listOfN(n, for {
+        u <- Gen.choose(1L, 3L)
+        ms <- Gen.choose(0L, 5000L) // millisecond-aligned (Timestamp ctor)
+      } yield (u, ms * 1000))
+    } yield evs.zipWithIndex.map { case ((u, us), i) => (i.toLong, u, us) }
+    val gap = 700L * 1000 // 700 ms in micros
+    check("sessionize", Prop.forAll(evGen) { evs =>
+      val df = evs.map { case (e, u, us) =>
+        (e, u, new java.sql.Timestamp(us / 1000), 1.0) }
+        .toDF("event_id", "user_id", "ts", "value")
+      val got = graft.operators.Sessionize
+        .sessions(df, "user_id", "ts", gap, col("event_id"), col("value"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getAs[Long]("session_start_us"), r.getAs[Long]("session_end_us"),
+            r.getAs[Long]("n_events"))).toMap
+      // local reference: sort by (ts, event_id), split on gap > threshold
+      val expect = evs.groupBy(_._2).flatMap { case (u, es) =>
+        val sorted = es.sortBy(e => (e._3, e._1))
+        val sessions = sorted.foldLeft(List.empty[List[(Long, Long, Long)]]) {
+          case (acc, e) => acc match {
+            case cur :: rest if e._3 - cur.head._3 <= gap =>
+              (e :: cur) :: rest // cur.head is the session's LAST event
+            case _ => List(e) :: acc
+          }
+        }.reverse
+        sessions.zipWithIndex.map { case (ses, i) =>
+          (u, (i + 1).toLong) ->
+            (ses.map(_._3).min, ses.map(_._3).max, ses.size.toLong)
+        }
+      }
+      got == expect
+    })
+  }
+
   test("saltedJoin returns exactly the plain join result") {
     import spark.implicits._
     check("salt", Prop.forAll(rowsGen, rowsGen, Gen.choose(1, 8)) {
