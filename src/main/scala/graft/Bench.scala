@@ -38,8 +38,13 @@ object Bench {
     try materialize(spark, sfDir, "q01_agg_pricing_summary")
     catch { case _: Throwable => () }
 
+    // optional arg: regex over query names (local micro-benching);
+    // the driver passes no args → full suite
+    val nameFilter = args.lift(0).map(_.r)
     val failed = scala.collection.mutable.ListBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => nameFilter.forall(_.findFirstIn(n).isDefined) }
+      .flatMap {
       case (name, _) =>
         val times = (1 to Runs).flatMap { _ =>
           val t0 = System.nanoTime()

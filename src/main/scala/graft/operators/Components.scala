@@ -27,7 +27,14 @@ object Components {
 
   /** (node, component) for every node, where component = the minimum
     * node id reachable through `pairs` (nodes absent from any pair map
-    * to themselves). Deterministic for any partitioning. */
+    * to themselves). Deterministic for any partitioning.
+    *
+    * Scale shape: the iteration runs ONLY over nodes that occur in
+    * some pair — in a dedup pipeline that is the duplicate subgraph, a
+    * small fraction of the corpus — and the (typically huge) singleton
+    * remainder is attached with one final left join. Iterating the
+    * full corpus through every round would make each round a
+    * corpus-sized shuffle for no information. */
   def connectedComponents(nodes: DataFrame, idCol: String,
       pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 50)
       : DataFrame = {
@@ -37,10 +44,15 @@ object Components {
         col(aCol).cast("long").as("dst")))
       .distinct()
       .persist()
-    var labels = nodes
-      .select(col(idCol).cast("long").as("node"),
-        col(idCol).cast("long").as("label"))
+    // only pair-involved nodes can ever receive a foreign label
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
       .persist()
+    // materialize the (possibly expensive) pair graph FULLY before the
+    // loop: the loop's isEmpty convergence probe evaluates only a few
+    // partitions, and a partially-populated cache makes every later
+    // action re-run the upstream pair pipeline for the rest
+    labels.count()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -65,6 +77,10 @@ object Components {
       iter += 1
     }
     edges.unpersist()
-    labels.select(col("node"), col("label").as("component"))
+    // singletons (no pair) are their own component, attached once
+    nodes.select(col(idCol).cast("long").as("node"))
+      .join(labels, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("label"), col("node")).as("component"))
   }
 }
