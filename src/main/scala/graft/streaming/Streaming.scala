@@ -71,6 +71,29 @@ object Streaming {
       .drop("r_user_id")
   }
 
+  /** Left-outer variant of [[streamStreamJoin]]: a left event with no
+    * right match inside its window is still emitted — with NULL right
+    * columns — once the right watermark passes the window end, so no
+    * left row waits forever and state stays bounded. The outer result
+    * is what an enrichment pipeline needs when the enriching stream
+    * may simply not have a row. */
+  def streamStreamJoinLeftOuter(left: DataFrame, right: DataFrame,
+      windowExpr: String, watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("event_id").as("l_event_id"), col("user_id"),
+        col("ts").as("l_ts"), col("value").as("l_value"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("event_id").as("r_event_id"),
+        col("user_id").as("r_user_id"), col("ts").as("r_ts"),
+        col("value").as("r_value"))
+    l.join(r,
+      col("user_id") === col("r_user_id") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $windowExpr"),
+      "left_outer")
+      .drop("r_user_id")
+  }
+
   /** Streaming deduplication on a key set with watermark-bounded
     * state: the first arrival wins; later same-key arrivals within the
     * watermark horizon are dropped EVEN IF their event time differs

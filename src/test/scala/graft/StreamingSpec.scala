@@ -124,6 +124,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((1L, 10L), (2L, 12L)))
   }
 
+  test("left-outer stream-stream join emits unmatched left with nulls") {
+    import spark.implicits._
+    val clicks = MemoryStream[Event](20, spark, None)
+    val buys = MemoryStream[Event](21, spark, None)
+    val q = Streaming.streamStreamJoinLeftOuter(
+      clicks.toDF().filter($"event_type" === "click"),
+      buys.toDF().filter($"event_type" === "purchase"),
+      "30 MINUTES", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("ssjlo")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        Event(1, ts("2024-01-01 00:00:00"), 1, "click", 1.0), // will match
+        Event(2, ts("2024-01-01 00:00:00"), 2, "click", 1.0)) // never matches
+      buys.addData(
+        Event(10, ts("2024-01-01 00:10:00"), 1, "purchase", 5.0))
+      q.processAllAvailable()
+      // advance both watermarks well past click 2's window end so the
+      // unmatched left row is released with NULL right columns
+      clicks.addData(Event(3, ts("2024-01-01 03:00:00"), 9, "click", 1.0))
+      buys.addData(Event(11, ts("2024-01-01 03:00:00"), 9, "purchase", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ssjlo")
+      .select("l_event_id", "r_event_id")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    assert(got.contains((1L, 10L))) // matched pair intact
+    assert(got.contains((2L, -1L))) // unmatched left released with NULLs
+  }
+
+  test("slidingAgg: overlapping windows count events multiply, == batch twin") {
+    import spark.implicits._
+    val mem = MemoryStream[Event](22, spark, None)
+    val q = Streaming.slidingAgg(mem.toDF(), "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("slide")
+      .outputMode("complete").start()
+    try {
+      mem.addData(
+        Event(1, ts("2024-01-01 00:10:00"), 1, "click", 2.0),
+        Event(2, ts("2024-01-01 00:40:00"), 1, "click", 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("slide")
+      .select(col("window_start").cast("string"), col("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // event 00:10 ∈ [23:30,00:30) and [00:00,01:00); event 00:40 ∈
+    // [00:00,01:00) and [00:30,01:30) — the shared window holds both
+    assert(got("2023-12-31 23:30:00") == 1L)
+    assert(got("2024-01-01 00:00:00") == 2L)
+    assert(got("2024-01-01 00:30:00") == 1L)
+  }
+
   test("dedupStream drops in-horizon duplicates, first arrival wins") {
     import spark.implicits._
     val mem = MemoryStream[Event](12, spark, None)
