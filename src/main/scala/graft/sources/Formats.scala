@@ -53,4 +53,48 @@ object Formats {
       .sortBy(bucketBy.head, bucketBy.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Morton (Z-order) key of two non-negative integer columns: bit i
+    * of `a` lands at position 2i, bit i of `b` at 2i+1. Rows close in
+    * BOTH dimensions are close in z — pure shifts/ands, fully
+    * codegen'd. Inputs must fit `bits` bits (≤ 31). */
+  def zOrderKey(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column, bits: Int)
+      : org.apache.spark.sql.Column = {
+    require(bits >= 1 && bits <= 31, s"bits out of range: $bits")
+    import org.apache.spark.sql.functions._
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a.cast("long"), i)
+          .bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(b.cast("long"), i)
+          .bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+  }
+
+  /** Z-ORDERED parquet layout: range-partition + sort by the Morton
+    * key of two filter columns, so every file/row-group covers a
+    * compact 2-D block and carries TIGHT min/max statistics on BOTH
+    * columns — a conjunctive box filter then skips most row groups at
+    * scan time (parquet pushdown), where a single-column sort order
+    * leaves the second column's stats useless. At 100 TB this is the
+    * layout lever for multi-dimension point/box lookups (the
+    * Delta/Iceberg OPTIMIZE ZORDER equivalent, expressed with stock
+    * Spark writes). `maxRecordsPerFile` bounds the pruning granule.
+    * FormatsSpec MEASURES the effect (rows read, z vs linear). */
+  def writeZOrdered(df: DataFrame, path: String, colA: String,
+      colB: String, bits: Int, partitions: Int = 8,
+      maxRecordsPerFile: Int = 0): Unit = {
+    val z = zOrderKey(
+      org.apache.spark.sql.functions.col(colA),
+      org.apache.spark.sql.functions.col(colB), bits)
+    val writer = df.withColumn("__z", z)
+      .repartitionByRange(partitions, org.apache.spark.sql.functions.col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite")
+    (if (maxRecordsPerFile > 0)
+      writer.option("maxRecordsPerFile", maxRecordsPerFile.toString)
+    else writer).parquet(path)
+  }
 }

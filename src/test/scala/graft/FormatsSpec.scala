@@ -90,4 +90,37 @@ class FormatsSpec extends AnyFunSuite {
     val expected = li.filter(col("l_returnflag") === "R").count()
     assert(pruned.count() == expected)
   }
+
+  test("z-ordered layout: box filter reads far fewer rows than linear sort") {
+    import spark.implicits._
+    // 256×256 integer grid; box filter x<16 ∧ y<16 selects 256 rows
+    val grid = (for (x <- 0 until 256; y <- 0 until 256) yield (x, y))
+      .toDF("x", "y")
+    val base = java.nio.file.Files.createTempDirectory("graft_z").toString
+    // z-ordered: every 512-row file covers a compact 2-D block
+    graft.sources.Formats.writeZOrdered(grid, s"$base/z", "x", "y",
+      bits = 8, partitions = 4, maxRecordsPerFile = 512)
+    // linear: globally sorted by x only — y min/max is useless per file
+    grid.repartitionByRange(4, col("x")).sortWithinPartitions("x")
+      .write.option("maxRecordsPerFile", "512").parquet(s"$base/lin")
+
+    def rowsRead(path: String): Long = {
+      val df = spark.read.parquet(path)
+        .filter(col("x") < 16 && col("y") < 16)
+      assert(df.count() == 256) // same answer either way
+      val scan = df.queryExecution.executedPlan.collectLeaves()
+        .collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+        .get
+      scan.metrics("numOutputRows").value
+    }
+    val zRows = rowsRead(s"$base/z")
+    val linRows = rowsRead(s"$base/lin")
+    // z: the box is one compact z-range (z < 1024) → ≤ 2 files survive
+    // parquet min/max pruning; linear: all files with x<16 must be
+    // read in full because their y spans the whole domain
+    assert(zRows <= 1024, s"z-ordered read $zRows rows")
+    assert(linRows >= 4 * zRows,
+      s"linear layout read $linRows, z-ordered $zRows — no contrast")
+  }
 }
