@@ -58,6 +58,26 @@ object Pipeline2 {
         .orderBy(col("split"), col("lang"))
     }),
 
+    // Deterministic stratified sampling: fixed-size per-stratum
+    // (language) samples chosen by ascending salted content-key hash —
+    // the no-RNG way a pipeline pins eval sets that stay STABLE across
+    // re-runs, machines and partitionings (rows don't move between
+    // samples when unrelated data changes, unlike rand()-based
+    // sampling). One window shuffle on the stratum; WindowGroupLimit
+    // pushes the top-k below the exchange.
+    "q49_stratified_sample" -> ((s, dir) => {
+      val key = TextFunctions.polyHash(
+        concat(col("doc_id").cast("string"), lit("#s42")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(col("sample_key").asc, col("doc_id").asc)
+      t(s, dir, "documents")
+        .select(col("lang"), col("doc_id"), key.as("sample_key"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .orderBy(col("lang"), col("rn"))
+    }),
+
     // TF-IDF-style top terms per document. The score is engine-defined
     // EXACT integer arithmetic — score = tf · ((10⁶·N) div df) — so
     // both engines rank identically with no transcendental (ln) calls
@@ -123,6 +143,22 @@ object Pipeline2 {
          |  lang, COUNT(*) AS n_docs,
          |  CAST(SUM(len(toks)) AS BIGINT) AS sum_tokens
          |FROM d GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+
+    "q49_stratified_sample" ->
+      """SELECT lang, doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, length(CAST(doc_id AS VARCHAR) || '#s42')+1),
+        |      i_ -> CAST(ascii((CAST(doc_id AS VARCHAR) || '#s42')[i_]) AS BIGINT))),
+        |    (h_, c_) -> (h_ * 131 + c_) % 1000000007) AS sample_key,
+        |  CAST(ROW_NUMBER() OVER w AS INT) AS rn
+        |FROM documents
+        |WINDOW w AS (PARTITION BY lang ORDER BY
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, length(CAST(doc_id AS VARCHAR) || '#s42')+1),
+        |      i_ -> CAST(ascii((CAST(doc_id AS VARCHAR) || '#s42')[i_]) AS BIGINT))),
+        |    (h_, c_) -> (h_ * 131 + c_) % 1000000007) ASC, doc_id ASC)
+        |QUALIFY ROW_NUMBER() OVER w <= 20
+        |ORDER BY lang, rn""".stripMargin,
 
     "q47_tfidf_topterms" ->
       s"""WITH tok AS (
