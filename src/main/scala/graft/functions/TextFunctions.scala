@@ -92,6 +92,15 @@ object TextFunctions {
       .mapPartitions { it =>
         val re = java.util.regex.Pattern.compile("[a-z]{3,}")
         it.map { case (id, t) =>
+          if (t == null) {
+            // NULL text → all-NULL stats row, matching the column-
+            // expression form this kernel replaced (split/size/
+            // regexp_count all null-propagate)
+            (id, None: Option[Long], None: Option[Long],
+              None: Option[Long], None: Option[Double],
+              None: Option[Double], None: Option[Double],
+              None: Option[Long])
+          } else {
           val toks = t.split(" ").filter(_.nonEmpty)
           val nt = toks.length.toLong
           val m = re.matcher(t)
@@ -113,7 +122,9 @@ object TextFunctions {
             (nu.toDouble / ntD) * 0.3 +
               (1.0 - stop.toDouble / ntD) * 0.4 +
               (math.min(nt, 100L).toDouble / 100.0) * 0.3
-          (id, nt, nRegex, nu, avgLen, stopRatio, quality, polyHashJvm(t))
+          (id, Some(nt), Some(nRegex), Some(nu), Some(avgLen),
+            Some(stopRatio), Some(quality), Some(polyHashJvm(t)))
+          }
         }
       }
       .toDF(docId, "n_tokens", "n_regex_tokens", "n_uniq",

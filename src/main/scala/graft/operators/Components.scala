@@ -56,11 +56,14 @@ object Components {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // best neighbor label per node, one shuffle each side
+      // best neighbor label per node — persisted so the convergence
+      // probe and the label update share ONE evaluation of the
+      // join + min-aggregation per round
       val neighborMin = edges
         .join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(min(col("label")).as("nmin"))
+        .persist()
       val improving = labels.join(neighborMin, "node")
         .filter(col("nmin") < col("label"))
       if (improving.isEmpty) converged = true
@@ -74,9 +77,16 @@ object Components {
         labels.unpersist()
         labels = next
       }
+      neighborMin.unpersist()
       iter += 1
     }
     edges.unpersist()
+    // an unconverged result is WRONG (one cluster split across labels)
+    // — fail loudly rather than hand a dedup pipeline silent dupes
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds " +
+        "(graph diameter exceeds maxIter — raise it, or use " +
+        "star-contraction for adversarial long-chain graphs)")
     // singletons (no pair) are their own component, attached once
     nodes.select(col(idCol).cast("long").as("node"))
       .join(labels, Seq("node"), "left")

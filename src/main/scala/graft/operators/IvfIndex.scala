@@ -159,12 +159,7 @@ object IvfIndex {
           }
         }
       }.toDF("query_id", "neighbor_id", "dot_fp")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("dot_fp").desc, col("neighbor_id").asc)
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("dot_fp"), col("rn"))
+    Similarity.rankTopK(scored, k)
   }
 
   /** IVF top-k search: probe `nProbe` cells per query, exact rerank by
@@ -194,11 +189,6 @@ object IvfIndex {
           }
         }
       }.toDF("query_id", "neighbor_id", "dot_fp")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("dot_fp").desc, col("neighbor_id").asc)
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("dot_fp"), col("rn"))
+    Similarity.rankTopK(scored, k)
   }
 }

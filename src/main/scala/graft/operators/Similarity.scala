@@ -52,7 +52,10 @@ object Similarity {
     df.select(col(idCol).as("id"), fixedPoint(col(vecCol)).as("v")).as[FP]
   }
 
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+  /** Shared top-k ranking contract of every k-NN operator (brute
+    * force, LSH, IVF): descending dot, ascending neighbor id tiebreak,
+    * (query_id, neighbor_id, dot_fp, rn) output. */
+  private[operators] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("dot_fp").desc, col("neighbor_id").asc)
@@ -184,8 +187,9 @@ object Similarity {
 
   /** All corpus pairs with dot ≥ tauFp (fixed-point threshold) — the
     * EXHAUSTIVE embedding-cosine near-dup operator, as a distributed
-    * block self-join: rows are replicated to the block-pair tasks they
-    * participate in ((B+1)/2 copies on average), shuffled once on the
+    * block self-join: every row is replicated to the B block-pair
+    * tasks it participates in (shuffle volume n·B — size `blocks`
+    * with that in mind), shuffled once on the
     * (blockA, blockB) key, and each of the B·(B+1)/2 tasks computes
     * its cross/within pairs in a JVM kernel. Nothing is ever collected
     * to the driver and per-task memory is 2·n/B vectors — pick
@@ -294,6 +298,9 @@ object Similarity {
         }
       }
     }.toDF("t", "bucket", "id", "v")
+      // both sides of the self-join read this relation — persist, or
+      // the corpus scan + bits×tables bucketing kernel runs twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bk.toDF("t", "bucket", "id_a", "va")
       .join(bk.toDF("t", "bucket", "id_b", "vb"), Seq("t", "bucket"))
       .filter(col("id_a") < col("id_b"))

@@ -125,7 +125,14 @@ object Orchestrator {
           logForwarder.foreach(_.emit(LogForwarder.Error, g, "runner",
             s"job '${job.name}' FAILED after ${ms} ms: ${e.getMessage}"))
           JobResult(job, Failed(e), ms)
-      } finally spark.sparkContext.clearJobGroup()
+      } finally {
+        spark.sparkContext.clearJobGroup()
+        // deliver this run's queued scheduler events before returning,
+        // so a re-run's evict cannot race stragglers (which would
+        // repopulate the evicted counters with stale progress)
+        if (listener.nonEmpty || logForwarder.nonEmpty)
+          org.apache.spark.GraftListenerBus.drain(spark.sparkContext, 10000)
+      }
     }
 
     /** O3/EP2: sequential queue, fail-fast — the next job starts only

@@ -46,11 +46,16 @@ object Pipeline2 {
         .select(col("lang"), col("text").cast("string"))
         .as[(String, String)]
         .mapPartitions(_.map { case (lang, text) =>
-          val bucket = TextFunctions.polyHashJvm(text) % 100
-          val split =
-            if (bucket < 80) "train" else if (bucket < 90) "val" else "test"
-          val nTokens = text.split(" ").count(_.nonEmpty).toLong
-          (split, lang, nTokens)
+          // NULL text: the oracle's CASE maps the NULL bucket to the
+          // ELSE branch ('test') and SUM skips the NULL token count —
+          // mirror both (the kernel must not NPE on nullable text)
+          if (text == null) ("test", lang, None: Option[Long])
+          else {
+            val bucket = TextFunctions.polyHashJvm(text) % 100
+            val split =
+              if (bucket < 80) "train" else if (bucket < 90) "val" else "test"
+            (split, lang, Some(text.split(" ").count(_.nonEmpty).toLong))
+          }
         }).toDF("split", "lang", "n_tokens")
       perDoc.groupBy(col("split"), col("lang"))
         .agg(count(lit(1)).as("n_docs"),
