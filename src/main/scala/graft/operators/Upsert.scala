@@ -70,6 +70,62 @@ object IdempotentInsert {
     n
   }
 
+  /** MERGE mode — the explicit improvement SURVEY §7.5 anticipates
+    * over the reference's first-writer-wins contract: keyed rows that
+    * already exist are REPLACED by the incoming payload, unseen keys
+    * are inserted, existing keys absent from `incoming` are kept.
+    * (The reference's `ON CONFLICT DO NOTHING` never refreshes changed
+    * upstream values, `SELECT.py:146-148` — intended there, but a
+    * view-materialization pipeline usually wants refresh semantics.)
+    * `incoming` is deduplicated per key first (greatest payload struct
+    * wins — deterministic), mirroring the PK's one-row-per-key
+    * guarantee. Returns (inserted, replaced) counts. */
+  def mergeIntoParquet(spark: SparkSession, incoming: DataFrame,
+      path: String, keys: Seq[String]): (Long, Long) = {
+    val payloadCols = incoming.columns.filterNot(keys.contains).toSeq
+    val incOne = if (payloadCols.isEmpty) incoming.dropDuplicates(keys)
+      else graft.operators.Dedup.latestPerKey(incoming,
+        partition = keys.map(col),
+        order = Seq(struct(payloadCols.map(col): _*).desc))
+    val existing =
+      try Some(spark.read.parquet(path))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getErrorClass == "PATH_NOT_FOUND" ||
+              e.getErrorClass == "UNABLE_TO_INFER_SCHEMA" => None
+      }
+    existing match {
+      case None =>
+        val staged = incOne.persist()
+        val n = staged.count()
+        staged.write.mode(SaveMode.Overwrite).parquet(path)
+        staged.unpersist()
+        (n, 0L)
+      case Some(ex) =>
+        graft.sources.SchemaAssert.require(incOne, ex.schema)
+        val kept = ex.join(incOne.select(keys.map(col): _*), keys,
+          "left_anti")
+        // materialize the merged relation BEFORE overwriting the
+        // source it reads from (same hazard as intoParquet's append)
+        val merged = kept.unionByName(incOne).persist()
+        val total = merged.count()
+        val replaced = ex.count() - kept.count()
+        val inserted = total - ex.count()
+        merged.write.mode(SaveMode.Overwrite).parquet(path + ".tmp")
+        merged.unpersist()
+        // atomic-ish swap: rewrite target from the staged copy (a real
+        // lakehouse would commit via table format metadata instead)
+        val staged = spark.read.parquet(path + ".tmp").persist()
+        staged.count()
+        staged.write.mode(SaveMode.Overwrite).parquet(path)
+        staged.unpersist()
+        org.apache.hadoop.fs.FileSystem
+          .get(spark.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(path + ".tmp"), true)
+        (inserted, replaced)
+    }
+  }
+
   /** Variant (b): executor-side batched `INSERT … ON CONFLICT DO
     * NOTHING` over JDBC (PostgreSQL dialect), one connection per
     * partition, `batchSize`-row batches with per-batch commit —

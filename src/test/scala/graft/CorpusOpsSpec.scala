@@ -205,6 +205,14 @@ class CorpusOpsSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got == expect, s"blocks=$blocks")
     }
+    // negative ids: floorMod block assignment must stay in range and
+    // find the same pairs (id % B would be negative and lose rows)
+    val negVecs = vecs.withColumn("vec_id", col("vec_id") - 10)
+    val negExpect = expect.map { case (a, b) => (a - 10, b - 10) }
+    val negGot = Similarity.nearDupPairs(negVecs, "vec_id", "embedding",
+        tau, blocks = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(negGot == negExpect)
   }
 
   test("nearDupPairsLsh: planted high-cosine dups found, no false positives") {

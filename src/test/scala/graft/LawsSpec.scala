@@ -48,6 +48,35 @@ class LawsSpec extends AnyFunSuite {
     })
   }
 
+  test("mergeIntoParquet: refresh semantics - insert new, replace changed, keep rest") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_merge").toString + "/t"
+    // first load: bootstrap
+    val v1 = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "k", "v")
+    assert(IdempotentInsert.mergeIntoParquet(spark, v1, path, Seq("id"))
+      == ((2L, 0L)))
+    // second load: id 2 changed, id 3 new, id 1 absent (kept)
+    val v2 = Seq((2L, "b", 99.0), (3L, "c", 30.0)).toDF("id", "k", "v")
+    assert(IdempotentInsert.mergeIntoParquet(spark, v2, path, Seq("id"))
+      == ((1L, 1L)))
+    val got = spark.read.parquet(path).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got == Map(1L -> 10.0, 2L -> 99.0, 3L -> 30.0))
+    // idempotence: replaying the same load changes nothing but counts
+    // as replacement (refresh ALWAYS lands the latest payload)
+    assert(IdempotentInsert.mergeIntoParquet(spark, v2, path, Seq("id"))
+      == ((0L, 2L)))
+    assert(spark.read.parquet(path).count() == 3)
+    // intra-batch duplicate keys collapse deterministically (greatest
+    // payload struct wins) before the merge
+    val dup = Seq((9L, "x", 1.0), (9L, "z", 2.0)).toDF("id", "k", "v")
+    IdempotentInsert.mergeIntoParquet(spark, dup, path, Seq("id"))
+    val nine = spark.read.parquet(path).filter(col("id") === 9)
+      .collect().map(r => (r.getString(1), r.getDouble(2))).toSeq
+    assert(nine == Seq(("z", 2.0)))
+  }
+
   test("latestPerKey: exactly one row per key, the max-ordered one") {
     import spark.implicits._
     check("latestPerKey", Prop.forAll(rowsGen) { rows =>
