@@ -115,6 +115,14 @@ object TextFunctions {
             if (stopSet.contains(tok)) stop += 1
           }
           val nu = uniq.size.toLong
+          if (nt == 0L) {
+            // zero-token text (empty/whitespace-only): SQL divide-by-
+            // zero yields NULL under non-ANSI Spark and the DuckDB
+            // oracle's NULLIF guard — emit None, not JVM NaN
+            (id, Some(nt), Some(nRegex), Some(nu), None: Option[Double],
+              None: Option[Double], None: Option[Double],
+              Some(polyHashJvm(t)))
+          } else {
           val ntD = nt.toDouble
           val avgLen = sumLen.toDouble / ntD
           val stopRatio = stop.toDouble / ntD
@@ -124,6 +132,7 @@ object TextFunctions {
               (math.min(nt, 100L).toDouble / 100.0) * 0.3
           (id, Some(nt), Some(nRegex), Some(nu), Some(avgLen),
             Some(stopRatio), Some(quality), Some(polyHashJvm(t)))
+          }
           }
         }
       }

@@ -87,9 +87,15 @@ object Components {
       s"connectedComponents did not converge in $maxIter rounds " +
         "(graph diameter exceeds maxIter — raise it, or use " +
         "star-contraction for adversarial long-chain graphs)")
+    // snapshot the (duplicate-subgraph-sized) label relation and
+    // release the loop's persist, so the session cache holds nothing
+    // after the call; checkpoint blocks are freed when the result is
+    // garbage-collected
+    val finalLabels = labels.localCheckpoint(true)
+    labels.unpersist()
     // singletons (no pair) are their own component, attached once
     nodes.select(col(idCol).cast("long").as("node"))
-      .join(labels, Seq("node"), "left")
+      .join(finalLabels, Seq("node"), "left")
       .select(col("node"),
         coalesce(col("label"), col("node")).as("component"))
   }

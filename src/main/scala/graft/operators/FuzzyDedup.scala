@@ -139,16 +139,24 @@ object FuzzyDedup {
   }
 
   /** Full MinHash-LSH near-dup pipeline: candidates, then exact-Jaccard
-    * verification (so the output contains no false positives). */
+    * verification (so the output contains no false positives).
+    *
+    * EAGER: the (small, by definition of "near-dup") verified pair set
+    * is materialized via localCheckpoint and the corpus-sized shingle
+    * cache is released before returning, so repeated calls in a
+    * long-lived session don't accumulate cached relations. */
   def minhashDedupPairs(df: DataFrame, docId: String, text: Column,
       tau: Double, k: Int = 3, numHashes: Int = 64, bandRows: Int = 4)
       : DataFrame = {
     val sh = shingles(df, docId, text, k)
     val cand = minhashCandidates(sh, docId, numHashes, bandRows)
-    jaccardForCandidates(cand, sh, docId)
+    val out = jaccardForCandidates(cand, sh, docId)
       .filter(col("jaccard") >= tau)
       .select(col(docId + "_a"), col(docId + "_b"), col("inter"),
         col("n_a"), col("n_b"), col("jaccard"))
+      .localCheckpoint(true)
+    sh.unpersist()
+    out
   }
 
   /** Exact Jaccard for a GIVEN pair set only (candidates from LSH or
@@ -195,13 +203,18 @@ object FuzzyDedup {
       .join(banded.toDF(docId + "_b", "band", "bk"), Seq("band", "bk"))
       .filter(col(docId + "_a") < col(docId + "_b"))
       .select(docId + "_a", docId + "_b").distinct()
-    cand
+    // eagerly materialize the (small) verified pair set and release the
+    // signature cache — no corpus-sized relation outlives the call
+    val out = cand
       .join(sh.toDF(docId + "_a", "sh_a"), docId + "_a")
       .join(sh.toDF(docId + "_b", "sh_b"), docId + "_b")
       .withColumn("hamming",
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select(col(docId + "_a"), col(docId + "_b"), col("hamming"))
+      .localCheckpoint(true)
+    sh.unpersist()
+    out
   }
 
   /** SimHash over token multisets, b-bit (default 32): per token the

@@ -301,7 +301,10 @@ object Similarity {
       // both sides of the self-join read this relation — persist, or
       // the corpus scan + bits×tables bucketing kernel runs twice
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    bk.toDF("t", "bucket", "id_a", "va")
+    // eagerly materialize the (small) verified pair set and release the
+    // corpus-sized bucketed cache — repeated calls in a long-lived
+    // session must not accumulate cached relations
+    val out = bk.toDF("t", "bucket", "id_a", "va")
       .join(bk.toDF("t", "bucket", "id_b", "vb"), Seq("t", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("va"), col("vb"))
@@ -312,5 +315,8 @@ object Similarity {
       })
       .toDF("id_a", "id_b", "dot_fp")
       .distinct()
+      .localCheckpoint(true)
+    bk.unpersist()
+    out
   }
 }

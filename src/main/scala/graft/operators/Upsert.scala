@@ -105,23 +105,33 @@ object IdempotentInsert {
         graft.sources.SchemaAssert.require(incOne, ex.schema)
         val kept = ex.join(incOne.select(keys.map(col): _*), keys,
           "left_anti")
-        // materialize the merged relation BEFORE overwriting the
-        // source it reads from (same hazard as intoParquet's append)
+        // materialize the merged relation BEFORE touching the source
+        // it reads from (same hazard as intoParquet's append)
         val merged = kept.unionByName(incOne).persist()
         val total = merged.count()
-        val replaced = ex.count() - kept.count()
-        val inserted = total - ex.count()
-        merged.write.mode(SaveMode.Overwrite).parquet(path + ".tmp")
-        merged.unpersist()
-        // atomic-ish swap: rewrite target from the staged copy (a real
-        // lakehouse would commit via table format metadata instead)
-        val staged = spark.read.parquet(path + ".tmp").persist()
-        staged.count()
-        staged.write.mode(SaveMode.Overwrite).parquet(path)
-        staged.unpersist()
-        org.apache.hadoop.fs.FileSystem
+        val exCount = ex.count()
+        val replaced = exCount - kept.count()
+        val inserted = total - exCount
+        val fs = org.apache.hadoop.fs.FileSystem
           .get(spark.sparkContext.hadoopConfiguration)
-          .delete(new org.apache.hadoop.fs.Path(path + ".tmp"), true)
+        val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+        val dst = new org.apache.hadoop.fs.Path(path)
+        try merged.write.mode(SaveMode.Overwrite).parquet(path + ".tmp")
+        catch {
+          // a failed staging write must not leave a partial .tmp lying
+          // around to confuse a later recovery
+          case e: Throwable => fs.delete(tmp, true); throw e
+        } finally merged.unpersist()
+        // swap via one metadata rename instead of a second full data
+        // rewrite: the only non-atomic window is between delete(target)
+        // and rename(tmp), during which the fully-written .tmp copy IS
+        // the recovery point (recover by renaming path+".tmp" to path).
+        // A real lakehouse would commit via table-format metadata.
+        fs.delete(dst, true)
+        if (!fs.rename(tmp, dst))
+          throw new java.io.IOException(
+            s"mergeIntoParquet: rename $tmp -> $dst failed after target " +
+              "delete; recover by renaming the .tmp directory to the target")
         (inserted, replaced)
     }
   }

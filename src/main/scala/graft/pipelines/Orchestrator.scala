@@ -90,11 +90,21 @@ object Orchestrator {
 
     private val statuses =
       new ConcurrentHashMap[String, AtomicReference[JobStatus]]()
+    private val ranOnce = ConcurrentHashMap.newKeySet[String]()
     listener.foreach(spark.sparkContext.addSparkListener)
     logForwarder.foreach(spark.sparkContext.addSparkListener)
 
     def status(name: String): JobStatus =
       Option(statuses.get(name)).map(_.get()).getOrElse(Pending)
+
+    /** Deliver all queued scheduler events to the listeners (bounded
+      * wait). Call before reading [[ProgressListener.progress]] when
+      * exact post-run counts matter — scheduler events ride an async
+      * bus and may lag a completed job by milliseconds. */
+    def drainEvents(timeoutMillis: Long = 10000): Unit =
+      if (listener.nonEmpty || logForwarder.nonEmpty)
+        org.apache.spark.GraftListenerBus.drain(spark.sparkContext,
+          timeoutMillis)
 
     /** O2/EP1: run one job inside its own job group. */
     def runOne(job: PipelineJob): JobResult = {
@@ -103,7 +113,12 @@ object Orchestrator {
       ref.set(Running)
       val g = groupId(job)
       // fresh per-run scheduler state (a re-run must not accumulate
-      // counters, and long-lived sessions must not grow unboundedly)
+      // counters, and long-lived sessions must not grow unboundedly).
+      // The bus is drained LAZILY: only a re-run of the same group can
+      // race a previous run's stragglers into freshly-evicted counters,
+      // so first runs — and sessions with heavy unrelated listener
+      // traffic — never pay a bus-drain per job.
+      if (!ranOnce.add(g)) drainEvents()
       listener.foreach(_.evict(g))
       logForwarder.foreach(_.evict(g))
       logForwarder.foreach(_.emit(LogForwarder.Info, g, "runner",
@@ -127,11 +142,6 @@ object Orchestrator {
           JobResult(job, Failed(e), ms)
       } finally {
         spark.sparkContext.clearJobGroup()
-        // deliver this run's queued scheduler events before returning,
-        // so a re-run's evict cannot race stragglers (which would
-        // repopulate the evicted counters with stale progress)
-        if (listener.nonEmpty || logForwarder.nonEmpty)
-          org.apache.spark.GraftListenerBus.drain(spark.sparkContext, 10000)
       }
     }
 

@@ -72,12 +72,17 @@ object TrainingPrep {
       .select(col("doc_id_b").as("doc_id")).distinct()
     val survivors = exactKept.join(removed, Seq("doc_id"), "left_anti")
 
-    TextChunker.chunk(survivors, "doc_id", col("text"), size = 32,
-        stride = 24)
+    val out = TextChunker.chunk(survivors, "doc_id", col("text"),
+        size = 32, stride = 24)
       .join(survivors.select(col("doc_id"), col("lang")), Seq("doc_id"))
       .select(col("doc_id"), col("chunk_id"), col("chunk_text"),
         col("n_tokens"), col("lang"))
       .orderBy(col("doc_id"), col("chunk_id"))
+      // eager: materialize the chunk output and release the persisted
+      // deduped relation — no cached corpus survives the call
+      .localCheckpoint(true)
+    exactKept.unpersist()
+    out
   }
 
   private def listSql(ws: Seq[String]) =

@@ -57,19 +57,34 @@ object Formats {
   /** Morton (Z-order) key of two non-negative integer columns: bit i
     * of `a` lands at position 2i, bit i of `b` at 2i+1. Rows close in
     * BOTH dimensions are close in z — pure shifts/ands, fully
-    * codegen'd. Inputs must fit `bits` bits (≤ 31). */
+    * codegen'd. Inputs must fit `bits` bits (≤ 31); out-of-range rows
+    * (negative, or ≥ 2^bits) FAIL LOUDLY via `raise_error` rather than
+    * silently interleaving two's-complement bits — that would destroy
+    * z-locality (and the pruning win) with no visible symptom. Callers
+    * with signed/wide columns should pre-shift (`col - min`) or bucket
+    * (`pmod`) into range first. The guard is two codegen'd comparisons
+    * per row on a one-time layout write — negligible. */
   def zOrderKey(a: org.apache.spark.sql.Column,
       b: org.apache.spark.sql.Column, bits: Int)
       : org.apache.spark.sql.Column = {
     require(bits >= 1 && bits <= 31, s"bits out of range: $bits")
     import org.apache.spark.sql.functions._
-    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+    val max = 1L << bits
+    val av = a.cast("long")
+    val bv = b.cast("long")
+    val zkey = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
       acc
-        .bitwiseOR(shiftleft(shiftright(a.cast("long"), i)
+        .bitwiseOR(shiftleft(shiftright(av, i)
           .bitwiseAND(lit(1L)), 2 * i))
-        .bitwiseOR(shiftleft(shiftright(b.cast("long"), i)
+        .bitwiseOR(shiftleft(shiftright(bv, i)
           .bitwiseAND(lit(1L)), 2 * i + 1))
     }
+    // one guard per row wrapping the whole key, not per bit
+    when(av < 0L || av >= max || bv < 0L || bv >= max,
+      raise_error(concat(
+        lit(s"zOrderKey: input out of [0, $max) for bits=$bits: ("),
+        av.cast("string"), lit(", "), bv.cast("string"), lit(")"))))
+      .otherwise(zkey)
   }
 
   /** Z-ORDERED parquet layout: range-partition + sort by the Morton

@@ -39,6 +39,31 @@ class FidelitySpec extends AnyFunSuite {
     assert(got.toSeq == Seq("01/03/2025 10:20:30", null, null, null))
   }
 
+  // Zero-token text (empty/whitespace-only): ratio columns must be
+  // NULL like SQL divide-by-zero (Spark non-ANSI, DuckDB), never JVM
+  // NaN — NaN would hash-mismatch the oracle the day the corpus gains
+  // such a document.
+  test("textStats: zero-token text yields NULL ratios, not NaN") {
+    import spark.implicits._
+    val df = Seq((1L, "   "), (2L, ""), (3L, "one two"),
+      (4L, null: String)).toDF("doc_id", "text")
+    val rows = graft.functions.TextFunctions
+      .textStats(df, "doc_id", col("text"), Seq("one"))
+      .orderBy("doc_id").collect()
+    // whitespace-only and empty: counts are 0, ratios NULL
+    for (r <- rows.take(2)) {
+      assert(r.getLong(1) == 0L, s"n_tokens: $r")
+      assert(r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6),
+        s"ratios must be NULL: $r")
+      assert(!r.isNullAt(7), s"fingerprint of a real string is set: $r")
+    }
+    // normal doc: ratios present and finite
+    val ok = rows(2)
+    assert(!ok.isNullAt(4) && !ok.getDouble(4).isNaN)
+    // NULL text: everything NULL
+    assert((1 to 7).forall(rows(3).isNullAt))
+  }
+
   test("tsqlConvert styles format like T-SQL CONVERT") {
     import spark.implicits._
     val df = Seq(ts("2025-12-31 23:59:58")).toDF("x")

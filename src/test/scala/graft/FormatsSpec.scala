@@ -123,4 +123,23 @@ class FormatsSpec extends AnyFunSuite {
     assert(linRows >= 4 * zRows,
       s"linear layout read $linRows, z-ordered $zRows — no contrast")
   }
+
+  test("zOrderKey rejects out-of-range inputs loudly (no silent z-locality loss)") {
+    import spark.implicits._
+    val bad = Seq((-1, 3), (2, 5)).toDF("x", "y")
+    val e = intercept[Exception] {
+      bad.select(graft.sources.Formats.zOrderKey(col("x"), col("y"), 4))
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("zOrderKey")), e.toString)
+    // in-range rows still produce the interleaved key
+    val ok = Seq((3, 5)).toDF("x", "y")
+      .select(graft.sources.Formats.zOrderKey(col("x"), col("y"), 4)
+        .as("z")).head.getLong(0)
+    // x=0b0011 at even bits, y=0b0101 at odd bits → 0b100111 = 39
+    assert(ok == 39L, s"z key was $ok")
+  }
 }

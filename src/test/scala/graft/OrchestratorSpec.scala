@@ -48,6 +48,7 @@ class OrchestratorSpec extends AnyFunSuite {
       s => { s.range(0, 1000, 1, 8).selectExpr("sum(id)").collect(); () })
     val r = runner.runOne(j)
     assert(r.status == Succeeded)
+    runner.drainEvents() // scheduler events ride the async bus
     val (done, total) = listener.progress(runner.groupId(j))
     assert(total >= 8) // at least the 8 scan tasks
     assert(done == total) // finished job → all tasks accounted
@@ -101,10 +102,13 @@ class OrchestratorSpec extends AnyFunSuite {
       s => { s.range(0, 100, 1, 4).selectExpr("sum(id)").collect(); () })
     assert(runner.runOne(j).status == Succeeded)
     val g = runner.groupId(j)
+    runner.drainEvents()
     val (d1, t1) = listener.progress(g)
     assert(t1 >= 4 && d1 == t1)
     // re-run: counters reset per run, not accumulated across runs
+    // (the runner drains the bus lazily before the re-run's evict)
     assert(runner.runOne(j).status == Succeeded)
+    runner.drainEvents()
     val (d2, t2) = listener.progress(g)
     assert(t2 == t1 && d2 == d1, s"re-run accumulated: $t2 vs $t1")
     listener.evict(g)
