@@ -40,7 +40,8 @@ object SparkEntry {
       graft.queries.ViewQueries.queries,
       graft.queries.Relational2.queries,
       graft.queries.TextPipeline.queries,
-      graft.queries.Pipeline2.queries)
+      graft.queries.Pipeline2.queries,
+      graft.queries.Pipeline3.queries)
     val merged = modules.reduce(_ ++ _)
     // a duplicate name across modules would silently shadow a query —
     // fail loudly instead
@@ -97,7 +98,8 @@ object SparkEntry {
     graft.queries.ViewQueries.oracleSql ++
     graft.queries.Relational2.oracleSql ++
     graft.queries.TextPipeline.oracleSql ++
-    graft.queries.Pipeline2.oracleSql
+    graft.queries.Pipeline2.oracleSql ++
+    graft.queries.Pipeline3.oracleSql
 
   private def baseOracleSql: Map[String, String] = Map(
     "q01_agg_pricing_summary" ->
