@@ -64,6 +64,25 @@ object Pipeline3 {
         k = WinnowK, w = WinnowW, minShared = MinShared, dfCap = DfCap)
         .orderBy(col("doc_id_a"), col("doc_id_b"))),
 
+    // Distribution-rank window family (ntile / percent_rank /
+    // cume_dist) — completes the §2.4 window coverage beyond q04/q31.
+    // percent_rank/cume_dist are exact ratios of integers (≤ 2^53) so
+    // the IEEE division is bit-equal across engines; ntile is ordered
+    // by a unique key so the assignment is deterministic.
+    "q55_window_rank_family" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice"), col("l_orderkey"),
+          col("l_linenumber"))
+      Catalog.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_extendedprice"))
+        .withColumn("bucket8", ntile(8).over(w))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // Exact discrete quantiles (positional pick — engine-agnostic,
     // no interpolation) + approx_percentile sketch witness booleans
     // (q29 pattern: TRUE by the sketch's accuracy contract, asserted
@@ -206,6 +225,16 @@ object Pipeline3 {
          |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING COUNT(*) >= $MinShared
          |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+
+    "q55_window_rank_family" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+        |  CAST(NTILE(8) OVER w AS INT) AS bucket8,
+        |  PERCENT_RANK() OVER w AS pct_rank,
+        |  CUME_DIST() OVER w AS cume
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_returnflag
+        |  ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     // positional quantile picks replayed exactly; witness booleans
     // TRUE by the sketch accuracy contract (asserted in the Spark plan)

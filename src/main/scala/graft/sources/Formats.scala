@@ -54,6 +54,37 @@ object Formats {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Compact a parquet directory's small files into
+    * ceil(rows / targetRowsPerFile) files — the standard lakehouse
+    * maintenance pass (Delta/Iceberg OPTIMIZE equivalent): streaming
+    * sinks and fine-grained upserts accrete thousands of tiny files,
+    * and at 100 TB the per-file open/footer cost dominates scans long
+    * before the data does. Stages into `path + ".compact.tmp"` (the
+    * source is never read-after-overwrite) then swaps via one
+    * filesystem rename; the tmp copy is the recovery point during the
+    * only non-atomic window. Returns the new file count. */
+  def compact(spark: SparkSession, path: String,
+      targetRowsPerFile: Long): Int = {
+    require(targetRowsPerFile > 0, "targetRowsPerFile must be > 0")
+    val df = spark.read.parquet(path)
+    val n = df.count()
+    val files = math.max(1L,
+      (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact.tmp")
+    val dst = new org.apache.hadoop.fs.Path(path)
+    try df.repartition(files).write.mode("overwrite")
+      .parquet(tmp.toString)
+    catch { case e: Throwable => fs.delete(tmp, true); throw e }
+    fs.delete(dst, true)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(
+        s"compact: rename $tmp -> $dst failed after target delete; " +
+          "recover by renaming the .compact.tmp directory to the target")
+    files
+  }
+
   /** Morton (Z-order) key of two non-negative integer columns: bit i
     * of `a` lands at position 2i, bit i of `b` at 2i+1. Rows close in
     * BOTH dimensions are close in z — pure shifts/ands, fully

@@ -124,6 +124,25 @@ class FormatsSpec extends AnyFunSuite {
       s"linear layout read $linRows, z-ordered $zRows — no contrast")
   }
 
+  test("compact: many small files become few, data identical") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_cmp").toString
+    val p = s"$base/t"
+    // 64 tiny files of 10 rows each
+    spark.range(0, 640).select(col("id"), (col("id") % 7).as("v"))
+      .repartition(64).write.parquet(p)
+    def parquetFiles =
+      new java.io.File(p).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles == 64)
+    val before = spark.read.parquet(p).collect().toSet
+    val n = graft.sources.Formats.compact(spark, p, targetRowsPerFile = 200)
+    assert(n == 4) // ceil(640 / 200)
+    // fresh read (no stale file-listing cache)
+    spark.catalog.clearCache()
+    assert(parquetFiles == 4)
+    assert(spark.read.parquet(p).collect().toSet == before)
+  }
+
   test("zOrderKey rejects out-of-range inputs loudly (no silent z-locality loss)") {
     import spark.implicits._
     val bad = Seq((-1, 3), (2, 5)).toDF("x", "y")
