@@ -118,6 +118,23 @@ object Streaming {
         ()
     }
 
+  /** Streaming CDC apply: every micro-batch MERGES into the target by
+    * key (replace existing keys, insert new, keep the rest) via the
+    * engine's rename-swap parquet merge — the streaming twin of a
+    * changefeed applier materializing the LATEST row per key. Within a
+    * micro-batch the greatest payload struct wins (deterministic, see
+    * `mergeIntoParquet`); across batches the last batch wins. Use
+    * [[idempotentParquetSink]] instead when the target must be
+    * append-only first-writer-wins. */
+  def mergeParquetSink(df: DataFrame, path: String, keys: Seq[String])
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        graft.operators.IdempotentInsert
+          .mergeIntoParquet(batch.sparkSession, batch, path, keys)
+        ()
+    }
+
   // ---- custom state: flatMapGroupsWithState sessionization ----------
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

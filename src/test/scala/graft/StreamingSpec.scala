@@ -253,6 +253,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)))
   }
 
+  test("mergeParquetSink: later micro-batches refresh existing keys (CDC apply)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_merge_sink")
+      .toString + "/t"
+    val mem = MemoryStream[Event](5, spark, None)
+    val q = Streaming.mergeParquetSink(
+      mem.toDF(), dir, keys = Seq("event_id"))
+      .outputMode("update").start()
+    try {
+      mem.addData(Event(1, ts("2024-01-01 00:00:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 00:01:00"), 1, "click", 2.0))
+      q.processAllAvailable()
+      // changefeed update for key 2 + insert of key 3: merge semantics
+      // must REPLACE 2's payload (unlike the idempotent sink) and
+      // keep untouched key 1
+      mem.addData(Event(2, ts("2024-01-01 00:01:00"), 1, "click", 99.0),
+        Event(3, ts("2024-01-01 00:02:00"), 1, "view", 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.read.parquet(dir)
+      .orderBy("event_id")
+      .collect().map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("value")))
+    assert(rows.toSeq == Seq((1L, 1.0), (2L, 99.0), (3L, 3.0)))
+  }
+
   test("flatMapGroupsWithState sessionize emits closed sessions") {
     import spark.implicits._
     val mem = MemoryStream[Event](3, spark, None)
