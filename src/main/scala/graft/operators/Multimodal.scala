@@ -94,6 +94,48 @@ object Multimodal {
     }
   }
 
+  /** REAL audio decode via `javax.sound.sampled` (in the JDK — WAV /
+    * AIFF / AU containers; no external dependency, no audio hardware
+    * needed). PCM16 only (the overwhelmingly common raw format).
+    * Metadata mapping for the audio modality: width = sample frames,
+    * height = sample rate (Hz), channels = channels. Feature vector =
+    * exact integer sample statistics: per-channel sample sums (first
+    * 4 channels) and a 4-bin amplitude-magnitude histogram — fully
+    * deterministic given the PCM payload. Oracle queries keep
+    * [[FakeCodec]] (SQL can't parse RIFF); this path is pinned by
+    * MultimodalSpec on generated WAV bytes. */
+  object WavCodec extends Codec {
+    def decode(payload: Array[Byte]): (Int, Int, Int, Array[Long]) = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        require(fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16,
+          s"WavCodec supports PCM16 only, got $fmt")
+        val channels = fmt.getChannels
+        val big = fmt.isBigEndian
+        val bytes = in.readAllBytes()
+        val feat = new Array[Long](FakeCodec.FeatDims)
+        var i = 0
+        var idx = 0
+        while (i + 1 < bytes.length) {
+          val s =
+            if (big) ((bytes(i) << 8) | (bytes(i + 1) & 0xff)).toShort
+            else ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort
+          feat(idx % channels % 4) += s.toLong
+          val mag = math.abs(s.toInt)
+          feat(4 + math.min(3, mag / 8192)) += 1
+          i += 2
+          idx += 1
+        }
+        val frames = idx / channels
+        (frames, fmt.getSampleRate.toInt, channels, feat)
+      } finally in.close()
+    }
+  }
+
   /** Decode payloads to typed metadata + a feature vector, processing
     * each partition in `batchSize` slices (the batch shape a real
     * vectorized codec — or Arrow page — would use). No shuffle. The

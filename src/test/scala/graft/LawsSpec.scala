@@ -131,6 +131,88 @@ class LawsSpec extends AnyFunSuite {
     })
   }
 
+  test("winnow law: fps ⊆ k-gram hashes, count ≤ windows, shared-run guarantee") {
+    import spark.implicits._
+    val vocab = Seq("a", "b", "c", "d", "e", "f", "g", "h")
+    val docGen = Gen.listOfN(6, for {
+      id <- Gen.choose(0L, 5L)
+      words <- Gen.listOfN(16, Gen.oneOf(vocab))
+    } yield (id, words.mkString(" ")))
+    val (k, w) = (3, 4)
+    check("winnow", Prop.forAll(docGen) { docs =>
+      val d = docs.distinctBy(_._1)
+      val df = d.toDF("doc_id", "text")
+      val fps = graft.operators.Winnow
+        .fingerprints(df, "doc_id", col("text"), k, w)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      d.forall { case (id, text) =>
+        val toks = text.split(" ").filter(_.nonEmpty)
+        val m = toks.length - k + 1
+        val hs = (0 until m).map(i =>
+          graft.functions.TextFunctions
+            .polyHashJvm(toks.slice(i, i + k).mkString("_"))).toSet
+        val got = fps.getOrElse(id, Set.empty)
+        // selected fingerprints are a subset of the k-gram hashes and
+        // respect the window count bound
+        got.subsetOf(hs) && got.nonEmpty == (m > 0) &&
+          got.size <= math.max(1, m - w + 1)
+      }
+    })
+  }
+
+  test("sequence packing law: offsets are exact prefix sums per shard") {
+    import spark.implicits._
+    val docGen = Gen.listOfN(20, for {
+      id <- Gen.choose(0L, 40L)
+      n <- Gen.choose(0, 9)
+    } yield (id, Seq.fill(n)("t").mkString(" ")))
+    check("packing", Prop.forAll(docGen) { docs =>
+      val d = docs.distinctBy(_._1)
+      val df = d.toDF("doc_id", "text")
+      val got = graft.operators.SequencePacker
+        .packPlan(df, "doc_id", col("text"), seqLen = 8, nShards = 3)
+        .collect().map(r => (r.getLong(0), r.getAs[Long]("shard"),
+          r.getAs[Long]("n_tokens"), r.getAs[Long]("start_off"),
+          r.getAs[Long]("seq_first"), r.getAs[Long]("seq_last")))
+      // local replay: per shard, docs in id order, running offset
+      val byShard = got.groupBy(_._2)
+      byShard.values.forall { rows =>
+        val sorted = rows.sortBy(_._1)
+        var off = 0L
+        sorted.forall { case (_, _, nt, start, sf, sl) =>
+          val ok = start == off && sf == start / 8 &&
+            sl == (start + nt - 1) / 8 && nt > 0
+          off += nt
+          ok
+        }
+      } && got.forall(_._3 > 0) // zero-token docs excluded
+    })
+  }
+
+  test("epoch mixing law: copy counts equal the local weight formula") {
+    import spark.implicits._
+    val docGen = Gen.listOfN(25, for {
+      id <- Gen.choose(0L, 60L)
+      lang <- Gen.oneOf("x", "y", "z")
+    } yield (id, lang))
+    val weights = Map("x" -> 170, "y" -> 60, "z" -> 0)
+    check("mixing", Prop.forAll(docGen) { docs =>
+      val d = docs.distinctBy(_._1)
+      val df = d.toDF("doc_id", "lang")
+      val got = graft.operators.Mixing
+        .epochMix(df, "doc_id", "lang", weights)
+        .groupBy("doc_id").count().collect()
+        .map(r => r.getLong(0) -> r.getAs[Long]("count")).toMap
+      d.forall { case (id, lang) =>
+        val wp = weights(lang)
+        val u = (id * 1103515245L + 12345L) % 1000000007L % 100L
+        val expect = wp / 100 + (if (u < wp % 100) 1 else 0)
+        got.getOrElse(id, 0L) == expect.toLong
+      }
+    })
+  }
+
   test("connectedComponents law: equals local union-find on random graphs") {
     import spark.implicits._
     val graphGen: Gen[(List[Long], List[(Long, Long)])] = for {

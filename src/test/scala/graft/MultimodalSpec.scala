@@ -81,6 +81,53 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("WavCodec decodes real PCM16 WAV payloads distributed") {
+    import spark.implicits._
+    // synthesize a stereo PCM16 WAV: ch0 = ramp 3f-50, ch1 = f
+    val frames = 100
+    val channels = 2
+    def sample(f: Int, ch: Int): Int = if (ch == 0) 3 * f - 50 else f
+    val pcm = new Array[Byte](frames * channels * 2) // little-endian
+    for (f <- 0 until frames; ch <- 0 until channels) {
+      val s = sample(f, ch)
+      val off = (f * channels + ch) * 2
+      pcm(off) = (s & 0xff).toByte
+      pcm(off + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, channels,
+      true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+
+    val assets = Seq(
+      MediaAsset(1, "audio", wav),
+      MediaAsset(2, "audio", wav)).toDS().repartition(2)
+    val got = Multimodal
+      .decodeMeta(assets, codec = Multimodal.WavCodec)
+      .collect().map(m => m.asset_id -> m).toMap
+    val m = got(1L)
+    // audio mapping: width = frames, height = sample rate, channels
+    assert(m.width == frames && m.height == 8000 && m.channels == 2)
+    // per-channel sums are exact integer arithmetic
+    val sum0 = (0 until frames).map(f => sample(f, 0)).sum.toLong
+    val sum1 = (0 until frames).map(f => sample(f, 1)).sum.toLong
+    assert(m.feat(0) == sum0 && m.feat(1) == sum1)
+    // every sample lands in the lowest amplitude bin (|s| < 8192)
+    assert(m.feat(4) == (frames * channels).toLong)
+    assert(m.feat(5) == 0L && m.feat(6) == 0L && m.feat(7) == 0L)
+    assert(got(2L).feat.toSeq == m.feat.toSeq)
+    // a non-audio payload fails loudly, not silently
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeMeta(
+        Seq(MediaAsset(9, "audio", "not a wav".getBytes)).toDS(),
+        codec = Multimodal.WavCodec).collect()
+    }
+  }
+
   test("resizeMeta caps to box preserving aspect ratio") {
     import spark.implicits._
     val meta = Multimodal.decodeMeta(
