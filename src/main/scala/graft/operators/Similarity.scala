@@ -64,18 +64,32 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("dot_fp"), col("rn"))
   }
 
-  /** Brute-force k-NN: for every row of `queries`, the top-k rows of
-    * `corpus` by descending dot product (ties → ascending corpus id).
-    * Queries are collected + broadcast (the small side by contract);
-    * the corpus streams through one scan, emitting |queries| scored
-    * rows per corpus row; one window ranks the candidates. */
-  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
+  /** int8 quantization: floor(x·127) clamped to [-127, 127] — the
+    * classic 4×-smaller embedding representation (1 byte/dim). At
+    * 100 TB this is the storage/shuffle-bandwidth lever: a scan or
+    * candidate sweep moves a quarter of the bytes, and the integer
+    * dot stays exact and engine-replayable (floor + clamp are the
+    * same IEEE/integer ops everywhere). Values land as BIGINT columns
+    * for arithmetic; a production layout would pack them to
+    * `binary`/`tinyint` on disk. */
+  def quantizeInt8(vec: Column): Column =
+    transform(vec, x => greatest(lit(-127L),
+      least(lit(127L), floor(x.cast("double") * lit(127.0)).cast("long"))))
+
+  private def encDS(df: DataFrame, idCol: String, vecCol: String,
+      enc: Column => Column): Dataset[FP] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).as("id"), enc(col(vecCol)).as("v")).as[FP]
+  }
+
+  private def topKWith(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, enc: Column => Column)
+      : DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val qArr = fixedDS(queries, idCol, vecCol).collect().sortBy(_.id)
+    val qArr = encDS(queries, idCol, vecCol, enc).collect().sortBy(_.id)
     val bc = spark.sparkContext.broadcast(qArr)
-    val scored = fixedDS(corpus, idCol, vecCol).mapPartitions { it =>
+    val scored = encDS(corpus, idCol, vecCol, enc).mapPartitions { it =>
       val qs = bc.value
       it.flatMap { c =>
         qs.iterator.filter(_.id != c.id)
@@ -84,6 +98,23 @@ object Similarity {
     }.toDF("query_id", "neighbor_id", "dot_fp")
     rankTopK(scored, k)
   }
+
+  /** Brute-force k-NN: for every row of `queries`, the top-k rows of
+    * `corpus` by descending dot product (ties → ascending corpus id).
+    * Queries are collected + broadcast (the small side by contract);
+    * the corpus streams through one scan, emitting |queries| scored
+    * rows per corpus row; one window ranks the candidates. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame =
+    topKWith(queries, corpus, idCol, vecCol, k, fixedPoint)
+
+  /** Brute-force k-NN in the int8-quantized domain (same ranking
+    * contract; scores are exact quantized-integer dots, |dims·127²| ≪
+    * 2^63). Recall vs the full-precision ranking is pinned by
+    * CorpusOpsSpec on the driver corpus. */
+  def bruteForceTopKQuantized(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame =
+    topKWith(queries, corpus, idCol, vecCol, k, quantizeInt8)
 
   /** Deterministic ±1 pseudo-hyperplane component for (plane j, dim i):
     * a middle bit of an affine map over the flattened index — pure

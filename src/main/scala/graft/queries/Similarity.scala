@@ -83,6 +83,15 @@ object SimilarityQueries {
         TauLshFp, bits = 8, tables = 16)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Brute-force k-NN in the int8-QUANTIZED domain — the 4×-smaller
+    // representation a 100 TB sweep actually moves; quantization is
+    // exact floor/clamp arithmetic so the oracle replays scores
+    // bit-for-bit. Recall vs full precision pinned in CorpusOpsSpec.
+    "q56_quantized_knn" -> ((s, dir) =>
+      Similarity.bruteForceTopKQuantized(queriesSide(s, dir), emb(s, dir),
+        "vec_id", "embedding", K)
+        .orderBy(col("query_id"), col("rn"))),
+
     // IVF cluster-pruned ANN under FULL probing (nProbe = nCells):
     // every inverted list is scanned, so the exact rerank provably
     // equals the brute-force top-k and the query is fully
@@ -153,6 +162,23 @@ object SimilarityQueries {
          |FROM scored
          |WINDOW w AS (PARTITION BY query_id ORDER BY dot_fp DESC, neighbor_id ASC)
          |QUALIFY ROW_NUMBER() OVER w <= $LshK
+         |ORDER BY query_id, rn""".stripMargin,
+
+    "q56_quantized_knn" ->
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, x_ -> GREATEST(CAST(-127 AS BIGINT),
+         |    LEAST(CAST(127 AS BIGINT),
+         |      CAST(floor(CAST(x_ AS DOUBLE) * 127.0) AS BIGINT)))) AS v
+         |  FROM embeddings),
+         |q AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+         |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${sqlDot("q.v", "c.v")} AS dot_fp
+         |  FROM q JOIN e c ON q.vec_id <> c.vec_id)
+         |SELECT query_id, neighbor_id, dot_fp,
+         |  CAST(ROW_NUMBER() OVER w AS INT) AS rn
+         |FROM s
+         |WINDOW w AS (PARTITION BY query_id ORDER BY dot_fp DESC, neighbor_id ASC)
+         |QUALIFY ROW_NUMBER() OVER w <= $K
          |ORDER BY query_id, rn""".stripMargin,
 
     // full probing scans every cell ⇒ IVF top-k = exhaustive top-k

@@ -103,6 +103,32 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 1), (3L, 2), (2L, 3)))
   }
 
+  test("quantized k-NN: exact clamp arithmetic, high recall vs full precision") {
+    import spark.implicits._
+    // clamp law on a hand vector
+    val hand = Seq((0L, Array(0.999f, -0.999f, 0.5f, -0.5f)))
+      .toDF("vec_id", "embedding")
+    val q = hand.select(Similarity.quantizeInt8(col("embedding")).as("v"))
+      .head.getSeq[Long](0).toSeq
+    assert(q == Seq(126L, -127L, 63L, -64L)) // floor, not round
+    // recall@5 vs full precision on the driver corpus
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.sources.Catalog.table(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    def tops(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = tops(Similarity.bruteForceTopK(
+      queries, emb, "vec_id", "embedding", 5))
+    val quant = tops(Similarity.bruteForceTopKQuantized(
+      queries, emb, "vec_id", "embedding", 5))
+    assert(exact.keySet == quant.keySet && exact.nonEmpty)
+    val recalls = exact.keys.toSeq.map(k =>
+      (exact(k) & quant(k)).size.toDouble / exact(k).size)
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, s"quantized recall@5 collapsed: $mean ($recalls)")
+  }
+
   test("RangeJoin.within matches pairs across bucket boundaries, inclusive") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
