@@ -18,9 +18,12 @@ import org.apache.spark.sql.SparkSessionExtensions
   * per-element virtual dispatch), so declarative plans using
   * `dot_fp(a, b)` keep kernel-class performance without leaving SQL.
   *
-  * Null semantics: NULL if either array is NULL (standard binary
-  * null-propagation); null elements are read as 0 (fixed-point vectors
-  * are produced dense by `Similarity.fixedPoint`).
+  * Null semantics — EXACTLY those of the HOF form
+  * `aggregate(zip_with(a, b, (x,y) => x*y), 0L, (s,v) => s+v)`, so the
+  * [[RewriteDotProduct]] optimizer rule may substitute this expression
+  * soundly: NULL if either array is NULL, if the lengths differ
+  * (zip_with pads with NULL → the sum nulls out), or if any paired
+  * element is NULL.
   */
 case class DotProductFP(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -34,16 +37,19 @@ case class DotProductFP(left: Expression, right: Expression)
           s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
     }
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
   override def prettyName: String = "dot_fp"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0L
     var i = 0
     while (i < n) {
-      if (!x.isNullAt(i) && !y.isNullAt(i)) s += x.getLong(i) * y.getLong(i)
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getLong(i) * y.getLong(i)
       i += 1
     }
     s
@@ -56,14 +62,22 @@ case class DotProductFP(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $s = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |      break;
+         |    }
          |    $s += $a.getLong($i) * $b.getLong($i);
          |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $s;
+         |  }
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 
@@ -78,6 +92,7 @@ case class DotProductFP(left: Expression, right: Expression)
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFp)
+    ext.injectOptimizerRule(_ => RewriteDotProduct)
   }
 }
 
@@ -91,8 +106,14 @@ object GraftExtensions {
     })
 
   /** Register on an already-built session (extensions only apply at
-    * build time; tests and notebooks share getOrCreate'd sessions). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    * build time; tests and notebooks share getOrCreate'd sessions).
+    * The optimizer rule rides `experimental.extraOptimizations`, the
+    * supported live-session hook for extra optimizer rules. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry
       .registerFunction(dotFp._1, dotFp._2, dotFp._3)
+    if (!spark.experimental.extraOptimizations.contains(RewriteDotProduct))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteDotProduct
+  }
 }

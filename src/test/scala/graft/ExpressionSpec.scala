@@ -51,6 +51,43 @@ class ExpressionSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(11L, null))
   }
 
+  test("RewriteDotProduct: HOF dotInt optimizes to dot_fp, same results") {
+    // parquet-backed so ConvertToLocalRelation can't fold the plan
+    // away before the rewrite is observable
+    val df = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), Similarity.fixedPoint(col("embedding")).as("fv"))
+    val hofQuery = df.select(col("vec_id"),
+      Similarity.dotInt(col("fv"), col("fv")).as("d"))
+    // the optimizer must have substituted the codegen'd expression
+    val opt = hofQuery.queryExecution.optimizedPlan.toString
+    assert(opt.contains("dot_fp"), opt)
+    assert(!opt.contains("aggregate("), opt)
+    // and values equal the explicit native call, row by row
+    val viaRule = hofQuery.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native = df.selectExpr("vec_id", "dot_fp(fv, fv) AS d").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaRule == native && viaRule.nonEmpty)
+  }
+
+  test("rewrite soundness: edge semantics match the HOF exactly") {
+    import spark.implicits._
+    // length mismatch and a NULL element must stay NULL under the
+    // rewrite (the semantics DotProductFP was aligned to)
+    val df = Seq(
+      (Some(Seq(Some(1L), Some(2L))), Some(Seq(Some(3L)))),         // lengths differ
+      (Some(Seq(Some(1L), None)), Some(Seq(Some(3L), Some(4L)))),   // null element
+      (Some(Seq(Some(2L), Some(3L))), Some(Seq(Some(4L), Some(5L)))) // clean
+    ).toDF("a", "b")
+    val got = df.select(Similarity.dotInt(col("a"), col("b")).as("d"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getLong(0))
+    assert(got.toSeq == Seq(null, null, 23L))
+    val nat = df.selectExpr("dot_fp(a, b) AS d")
+      .collect().map(r => if (r.isNullAt(0)) null else r.getLong(0))
+    assert(nat.toSeq == got.toSeq)
+  }
+
   test("dot_fp participates in whole-stage codegen on a parquet scan") {
     // a real scan (local Seqs constant-fold into LocalTableScan)
     val emb = spark.read
