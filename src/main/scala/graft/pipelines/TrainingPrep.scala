@@ -46,10 +46,14 @@ object TrainingPrep {
         .otherwise("zh")
     val nt = size(toks).cast("bigint")
     val ntD = nt.cast("double")
-    val quality =
+    // Guarded for zero-token docs: the session runs ANSI (Spark 4
+    // default), where a bare divide-by-zero ERRORS the whole query;
+    // the oracle's divide yields NULL there, and NULL >= tau excludes
+    // the doc — when(nt > 0, …) reproduces exactly that.
+    val quality = when(nt > 0,
       (size(array_distinct(toks)).cast("double") / ntD) * 0.3 +
         (lit(1.0) - sc("en").cast("double") / ntD) * 0.4 +
-        (least(nt, lit(100L)).cast("double") / lit(100.0)) * 0.3
+        (least(nt, lit(100L)).cast("double") / lit(100.0)) * 0.3)
 
     val fps = TextFunctions.fingerprints(docs, "doc_id", col("text"))
       .withColumnRenamed("fingerprint", "fp")
