@@ -118,6 +118,25 @@ object Streaming {
         ()
     }
 
+  /** Streaming corpus-dedup gate: drop stream documents whose content
+    * fingerprint already exists in a STATIC historical corpus — the
+    * "is this crawl page already in the training set?" filter an
+    * ingest pipeline runs before anything else. A stream-static LEFT
+    * ANTI join: the static side is a (fingerprint) relation (broadcast
+    * when small, shuffled otherwise), the stream side fingerprints
+    * map-side. Compose with [[dedupStream]] for within-stream
+    * duplicates and the batch near-dup operators downstream.
+    * `docs` must carry a `text` column; emits the input columns plus
+    * the computed `fingerprint`. */
+  def dedupAgainstCorpus(docs: DataFrame, corpusFingerprints: DataFrame)
+      : DataFrame = {
+    val fp = graft.functions.TextFunctions.fingerprint(
+      org.apache.spark.sql.functions.col("text"))
+    docs.withColumn("fingerprint", fp)
+      .join(corpusFingerprints.select("fingerprint"), Seq("fingerprint"),
+        "left_anti")
+  }
+
   /** Streaming CDC apply: every micro-batch MERGES into the target by
     * key (replace existing keys, insert new, keep the rest) via the
     * engine's rename-swap parquet merge — the streaming twin of a

@@ -253,6 +253,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)))
   }
 
+  test("dedupAgainstCorpus: stream docs already in the static corpus are dropped") {
+    import spark.implicits._
+    case class Doc(doc_id: Long, text: String)
+    val known = Seq("alpha beta gamma", "delta epsilon")
+    val corpusFp = known.toDF("text")
+      .select(graft.functions.TextFunctions.fingerprint(col("text"))
+        .as("fingerprint"))
+    val mem = MemoryStream[(Long, String)](6, spark, None)
+    val q = Streaming.dedupAgainstCorpus(
+      mem.toDF().toDF("doc_id", "text"), corpusFp)
+      .writeStream.format("memory").queryName("fresh")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, "alpha beta gamma"), // already in corpus → dropped
+        (2L, "brand new document"), // fresh → kept
+        (3L, "delta epsilon")) // already in corpus → dropped
+      q.processAllAvailable()
+      mem.addData((4L, "another new one"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("fresh").orderBy("doc_id")
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(got == Seq(2L, 4L))
+  }
+
   test("mergeParquetSink: later micro-batches refresh existing keys (CDC apply)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_merge_sink")
