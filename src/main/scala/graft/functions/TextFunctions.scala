@@ -140,6 +140,58 @@ object TextFunctions {
         "avg_token_len", "stop_ratio", "quality", "fingerprint")
   }
 
+  /** One-pass repetition statistics per document — the within-doc
+    * repetition quality signals of the public Gopher/MassiveText
+    * filtering recipe (Rae et al. 2021, §A1.1: duplicated n-gram
+    * fraction, repeated-token runs). Map-side kernel, no shuffle:
+    * (n_trigrams, distinct_trigrams, dup_frac, max_token_run).
+    * dup_frac is NULL when the doc has no trigram (divide-by-zero
+    * NULLs like the oracle; the session is ANSI so a bare SQL divide
+    * would error instead). NULL text → all-NULL row. */
+  def repetitionStats(df: org.apache.spark.sql.DataFrame, docId: String,
+      text: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(org.apache.spark.sql.functions.col(docId).cast("long"),
+        text.cast("string"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        if (t == null) {
+          (id, None: Option[Long], None: Option[Long],
+            None: Option[Double], None: Option[Long])
+        } else {
+          val toks = t.split(" ").filter(_.nonEmpty)
+          val m = math.max(0, toks.length - 2)
+          val seen = new java.util.HashSet[String]()
+          val sb = new StringBuilder
+          var i = 0
+          while (i < m) {
+            sb.clear()
+            sb.append(toks(i)).append('_').append(toks(i + 1))
+              .append('_').append(toks(i + 2))
+            seen.add(sb.toString)
+            i += 1
+          }
+          val distinct = seen.size.toLong
+          val dupFrac =
+            if (m == 0) None
+            else Some((m - distinct).toDouble / m.toDouble)
+          var best = if (toks.isEmpty) 0L else 1L
+          var run = 1L
+          var j = 1
+          while (j < toks.length) {
+            if (toks(j) == toks(j - 1)) { run += 1; if (run > best) best = run }
+            else run = 1
+            j += 1
+          }
+          (id, Some(m.toLong), Some(distinct), dupFrac, Some(best))
+        }
+      })
+      .toDF(docId, "n_trigrams", "distinct_trigrams", "dup_frac",
+        "max_token_run")
+  }
+
   /** Language marker lists over the corpus vocabulary — a disjoint
     * stopword partition per language, the classic n-gram/stopword
     * language-ID heuristic scaled down to the synthetic corpus. */

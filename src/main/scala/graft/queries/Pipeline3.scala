@@ -83,6 +83,14 @@ object Pipeline3 {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // Within-doc repetition quality signals (the public Gopher/
+    // MassiveText recipe): duplicated-trigram fraction + longest
+    // repeated-token run, one map-side kernel pass.
+    "q57_repetition_stats" -> ((s, dir) =>
+      graft.functions.TextFunctions.repetitionStats(
+        docs(s, dir), "doc_id", col("text"))
+        .orderBy(col("doc_id"))),
+
     // Exact discrete quantiles (positional pick — engine-agnostic,
     // no interpolation) + approx_percentile sketch witness booleans
     // (q29 pattern: TRUE by the sketch's accuracy contract, asserted
@@ -225,6 +233,38 @@ object Pipeline3 {
          |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING COUNT(*) >= $MinShared
          |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+
+    "q57_repetition_stats" ->
+      s"""WITH d AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+         |tri AS (
+         |  SELECT doc_id, tk,
+         |    CASE WHEN len(tk) >= 3 THEN
+         |      list_transform(range(1, len(tk) - 1),
+         |        i_ -> tk[i_] || '_' || tk[i_+1] || '_' || tk[i_+2])
+         |    ELSE CAST([] AS VARCHAR[]) END AS tg
+         |  FROM d),
+         |tok AS (
+         |  SELECT doc_id, unnest(tk) AS token,
+         |    unnest(range(1, len(tk) + 1)) AS pos
+         |  FROM d),
+         |isl AS (
+         |  SELECT doc_id, token,
+         |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id, token
+         |      ORDER BY pos) AS g
+         |  FROM tok),
+         |runs AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS r
+         |  FROM isl GROUP BY doc_id, token, g),
+         |mx AS (SELECT doc_id, MAX(r) AS mr FROM runs GROUP BY doc_id)
+         |SELECT tri.doc_id,
+         |  CAST(len(tg) AS BIGINT) AS n_trigrams,
+         |  CAST(len(list_distinct(tg)) AS BIGINT) AS distinct_trigrams,
+         |  CASE WHEN len(tg) > 0 THEN
+         |    CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE)
+         |      / CAST(len(tg) AS DOUBLE) END AS dup_frac,
+         |  CAST(COALESCE(mx.mr, 0) AS BIGINT) AS max_token_run
+         |FROM tri LEFT JOIN mx ON tri.doc_id = mx.doc_id
+         |ORDER BY tri.doc_id""".stripMargin,
 
     "q55_window_rank_family" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
