@@ -28,6 +28,9 @@ object EngineMain {
           case js => js
         }
       val results = runner.runAll(selected)
+      // progress events ride the async listener bus; deliver them all
+      // before reading the counters (the runner only drains lazily)
+      runner.drainEvents()
       results.foreach { r =>
         val (done, total) = listener.progress(runner.groupId(r.job))
         val mark = r.status match {

@@ -31,9 +31,12 @@ object Mixing {
       case (acc, (stratum, pct)) => acc.when(col(stratumCol) === stratum, pct)
     }.otherwise(lit(defaultPct))
     // u ∈ [0, 100): portable LCG-style hash of the key, replayable in
-    // any SQL engine (exact BIGINT arithmetic, no overflow: key ≤ 2^40)
-    val u = (col(keyCol).cast("long") * lit(1103515245L) + lit(12345L)) %
-      lit(1000000007L) % lit(100L)
+    // any SQL engine. The key is reduced mod p FIRST (pmod — defined
+    // for negative keys too), so the product stays < p·1103515245 ≈
+    // 1.1e18 < 2^63 for EVERY long key — no ANSI overflow, ever.
+    val p = 1000000007L
+    val u = (pmod(col(keyCol).cast("long"), lit(p)) * lit(1103515245L) +
+      lit(12345L)) % lit(p) % lit(100L)
     df.withColumn("w_pct", wExpr)
       .withColumn("n_copies",
         expr("w_pct div 100") + (u < col("w_pct") % 100).cast("long"))

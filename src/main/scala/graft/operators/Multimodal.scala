@@ -124,7 +124,10 @@ object Multimodal {
           val s =
             if (big) ((bytes(i) << 8) | (bytes(i + 1) & 0xff)).toShort
             else ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort
-          feat(idx % channels % 4) += s.toLong
+          // per-channel sums for the FIRST 4 channels only; channels
+          // beyond that are dropped (never folded into channel 0/1)
+          val ch = idx % channels
+          if (ch < 4) feat(ch) += s.toLong
           val mag = math.abs(s.toInt)
           feat(4 + math.min(3, mag / 8192)) += 1
           i += 2

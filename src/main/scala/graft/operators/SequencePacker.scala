@@ -30,8 +30,11 @@ object SequencePacker {
   def packPlan(df: DataFrame, docId: String, text: Column,
       seqLen: Int, nShards: Int): DataFrame = {
     require(seqLen > 0 && nShards > 0, "seqLen and nShards must be > 0")
-    val shard = (col(docId).cast("long") * lit(2654435761L) +
-      lit(12345L)) % lit(1000000007L) % lit(nShards.toLong)
+    // key reduced mod p first (pmod: negative-safe) so the product is
+    // < p·2654435761 ≈ 2.7e18 < 2^63 for every long id — no overflow
+    val p = 1000000007L
+    val shard = (pmod(col(docId).cast("long"), lit(p)) *
+      lit(2654435761L) + lit(12345L)) % lit(p) % lit(nShards.toLong)
     val nt = size(filter(split(text, " "), t => t =!= "")).cast("long")
     val w = Window.partitionBy(col("shard"))
       .orderBy(col(docId))

@@ -81,17 +81,25 @@ object Winnow {
   def sharedPairs(df: DataFrame, docId: String, text: Column,
       k: Int = 4, w: Int = 4, minShared: Int = 2, dfCap: Int = 1000)
       : DataFrame = {
+    // the winnowing kernel feeds the df-cap aggregate AND both sides
+    // of the self-join — persist it once, release after eagerly
+    // materializing the (small) verified pair output (the same cache
+    // discipline as the sibling dedup/ANN operators)
     val fps = fingerprints(df, docId, text, k, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val kept = fps.groupBy(col("fp"))
       .agg(count(lit(1)).as("dfc"))
       .filter(col("dfc") <= dfCap)
       .select(col("fp"))
     val f = fps.join(kept, Seq("fp")).select(col("fp"), col(docId))
-    f.toDF("fp", docId + "_a")
+    val out = f.toDF("fp", docId + "_a")
       .join(f.toDF("fp", docId + "_b"), Seq("fp"))
       .filter(col(docId + "_a") < col(docId + "_b"))
       .groupBy(col(docId + "_a"), col(docId + "_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+      .localCheckpoint(true)
+    fps.unpersist()
+    out
   }
 }

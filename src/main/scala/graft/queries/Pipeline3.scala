@@ -178,7 +178,7 @@ object Pipeline3 {
         .mkString(" ")
       s"""WITH d AS (
          |  SELECT doc_id, lang,
-         |    (CAST(doc_id AS BIGINT) * 1103515245 + 12345)
+         |    (CAST(doc_id AS BIGINT) % 1000000007 * 1103515245 + 12345)
          |      % 1000000007 % 100 AS u,
          |    CASE lang $caseW ELSE 100 END AS w
          |  FROM documents),
@@ -194,8 +194,8 @@ object Pipeline3 {
     "q52_sequence_pack" ->
       s"""WITH d AS (
          |  SELECT doc_id,
-         |    CAST((CAST(doc_id AS BIGINT) * 2654435761 + 12345)
-         |      % 1000000007 % $NShards AS BIGINT) AS shard,
+         |    CAST((CAST(doc_id AS BIGINT) % 1000000007 * 2654435761
+         |      + 12345) % 1000000007 % $NShards AS BIGINT) AS shard,
          |    CAST(len($sqlToks) AS BIGINT) AS n_tokens
          |  FROM documents),
          |p AS (
@@ -257,12 +257,16 @@ object Pipeline3 {
          |  FROM isl GROUP BY doc_id, token, g),
          |mx AS (SELECT doc_id, MAX(r) AS mr FROM runs GROUP BY doc_id)
          |SELECT tri.doc_id,
-         |  CAST(len(tg) AS BIGINT) AS n_trigrams,
-         |  CAST(len(list_distinct(tg)) AS BIGINT) AS distinct_trigrams,
+         |  CASE WHEN tk IS NULL THEN NULL
+         |    ELSE CAST(len(tg) AS BIGINT) END AS n_trigrams,
+         |  CASE WHEN tk IS NULL THEN NULL
+         |    ELSE CAST(len(list_distinct(tg)) AS BIGINT) END
+         |    AS distinct_trigrams,
          |  CASE WHEN len(tg) > 0 THEN
          |    CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE)
          |      / CAST(len(tg) AS DOUBLE) END AS dup_frac,
-         |  CAST(COALESCE(mx.mr, 0) AS BIGINT) AS max_token_run
+         |  CASE WHEN tk IS NULL THEN NULL
+         |    ELSE CAST(COALESCE(mx.mr, 0) AS BIGINT) END AS max_token_run
          |FROM tri LEFT JOIN mx ON tri.doc_id = mx.doc_id
          |ORDER BY tri.doc_id""".stripMargin,
 

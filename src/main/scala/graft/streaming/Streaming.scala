@@ -130,11 +130,26 @@ object Streaming {
     * the computed `fingerprint`. */
   def dedupAgainstCorpus(docs: DataFrame, corpusFingerprints: DataFrame)
       : DataFrame = {
-    val fp = graft.functions.TextFunctions.fingerprint(
-      org.apache.spark.sql.functions.col("text"))
-    docs.withColumn("fingerprint", fp)
-      .join(corpusFingerprints.select("fingerprint"), Seq("fingerprint"),
-        "left_anti")
+    // fingerprint via the JVM kernel (polyHashJvm), not the HOF
+    // expression — the HOF form is interpreted per character and this
+    // gate runs on every micro-batch; a NULL text gets a NULL
+    // fingerprint, which never matches the anti-join key and passes
+    // through (same as the expression form)
+    val outSchema = docs.schema.add("fingerprint",
+      org.apache.spark.sql.types.LongType)
+    val idx = docs.schema.fieldIndex("text")
+    val withFp = docs.mapPartitions { it =>
+      it.map { r =>
+        val t = if (r.isNullAt(idx)) null else r.getString(idx)
+        val fp: java.lang.Long =
+          if (t == null) null
+          else java.lang.Long.valueOf(
+            graft.functions.TextFunctions.polyHashJvm(t))
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (fp: Any))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    withFp.join(corpusFingerprints.select("fingerprint"),
+      Seq("fingerprint"), "left_anti")
   }
 
   /** Streaming CDC apply: every micro-batch MERGES into the target by

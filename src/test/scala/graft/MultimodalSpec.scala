@@ -120,6 +120,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m.feat(4) == (frames * channels).toLong)
     assert(m.feat(5) == 0L && m.feat(6) == 0L && m.feat(7) == 0L)
     assert(got(2L).feat.toSeq == m.feat.toSeq)
+    // 6-channel (5.1) audio: channels 4/5 are DROPPED from the sums,
+    // never folded back into channel 0/1
+    val ch6 = 6
+    val pcm6 = new Array[Byte](frames * ch6 * 2)
+    for (f <- 0 until frames; ch <- 0 until ch6) {
+      val s = ch + 1 // constant per channel → sum = frames·(ch+1)
+      val off = (f * ch6 + ch) * 2
+      pcm6(off) = (s & 0xff).toByte
+      pcm6(off + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt6 = new javax.sound.sampled.AudioFormat(8000f, 16, ch6,
+      true, false)
+    val bos6 = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm6), fmt6, frames.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos6)
+    val (fr6, _, nch6, feat6) = Multimodal.WavCodec.decode(bos6.toByteArray)
+    assert(fr6 == frames && nch6 == 6)
+    assert(feat6.take(4).toSeq ==
+      (1 to 4).map(c => frames.toLong * c)) // first 4 channels only
     // a non-audio payload fails loudly, not silently
     intercept[org.apache.spark.SparkException] {
       Multimodal.decodeMeta(
