@@ -171,6 +171,50 @@ class OrchestratorSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(l)
   }
 
+  test("runDag drives build-then-refresh view materialization (reference ETL shape)") {
+    import org.apache.spark.sql.functions._
+    // the reference's whole purpose, end to end through the
+    // orchestrator: materialize a join view, then apply a changefeed
+    // incrementally — refresh DEPENDS on build via the DAG
+    val dir = "/root/testdata/sf0.001"
+    val path = java.nio.file.Files.createTempDirectory("graft_dagiv")
+      .toString + "/v"
+    def facts(s: org.apache.spark.sql.SparkSession) =
+      graft.sources.Catalog.table(s, dir, "lineitem")
+        .dropDuplicates("l_orderkey", "l_linenumber")
+    def view(s: org.apache.spark.sql.SparkSession,
+        f: org.apache.spark.sql.DataFrame) =
+      f.join(graft.sources.Catalog.table(s, dir, "part"),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("p_name"),
+          col("l_quantity"))
+    var refreshed = -1L
+    val buildJob = job("view_build", s => {
+      graft.operators.IncrementalView.build(s, view(s, facts(s)), path); ()
+    })
+    val refreshJob = job("view_refresh", s => {
+      val delta = facts(s).orderBy("l_orderkey", "l_linenumber").limit(10)
+        .withColumn("l_quantity", col("l_quantity") + 5.0)
+      refreshed = graft.operators.IncrementalView
+        .refresh(s, view(s, delta), path, Seq("l_orderkey", "l_linenumber"))._2
+      ()
+    })
+    val runner = new PipelineRunner(spark)
+    val results = runner.runDag(Seq(refreshJob, buildJob),
+      Map("view_refresh" -> Seq("view_build")))
+    // dependency order respected despite submission order
+    assert(results.map(_.job.name) == Seq("view_build", "view_refresh"))
+    assert(results.forall(_.status == Succeeded))
+    assert(refreshed == 10L)
+    // the refreshed rows carry the delta's state
+    val bumped = spark.read.parquet(path)
+      .orderBy("l_orderkey", "l_linenumber").limit(10)
+      .select("l_quantity").collect().map(_.getDouble(0))
+    val orig = facts(spark).orderBy("l_orderkey", "l_linenumber").limit(10)
+      .select("l_quantity").collect().map(_.getDouble(0))
+    assert(bumped.toSeq == orig.map(_ + 5.0).toSeq)
+  }
+
   test("runDag skips transitive dependents of a failure, runs independents") {
     val ran = scala.collection.mutable.Buffer[String]()
     val runner = new PipelineRunner(spark)
