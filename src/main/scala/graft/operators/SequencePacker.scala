@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.collection.mutable.ArrayBuffer
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -46,5 +48,72 @@ object SequencePacker {
       .withColumn("seq_first", expr(s"start_off div $seqLen"))
       .withColumn("seq_last",
         expr(s"(start_off + n_tokens - 1) div $seqLen"))
+  }
+
+  /** MATERIALIZED packed sequences — the training pipeline's actual
+    * end artifact: per shard, documents are laid head-to-tail in
+    * doc-id order and cut into `seqLen`-token rows (last sequence per
+    * shard may be partial). Output: (shard, seq_id, n_tokens,
+    * seq_text).
+    *
+    * Scale shape: repartition on shard + sortWithinPartitions, then a
+    * STREAMING per-partition fold — the token buffer never holds more
+    * than seqLen + one document's tokens, so a shard of any size
+    * packs in O(seqLen) memory (no per-shard collect_list row). A
+    * partition may hold several shards (hash co-location); the fold
+    * flushes on shard change, so results are independent of the
+    * partitioning. */
+  def packSequences(df: DataFrame, docId: String, text: Column,
+      seqLen: Int, nShards: Int): DataFrame = {
+    require(seqLen > 0 && nShards > 0, "seqLen and nShards must be > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p = 1000000007L
+    val shard = (pmod(col(docId).cast("long"), lit(p)) *
+      lit(2654435761L) + lit(12345L)) % lit(p) % lit(nShards.toLong)
+    df.select(shard.as("shard"), col(docId).cast("long").as("id"),
+        text.cast("string").as("t"))
+      .filter(col("t").isNotNull)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("id"))
+      .as[(Long, Long, String)]
+      .mapPartitions { it =>
+        new Iterator[(Long, Long, Long, String)] {
+          private val out = ArrayBuffer.empty[(Long, Long, Long, String)]
+          private val buf = ArrayBuffer.empty[String]
+          private var curShard = Long.MinValue
+          private var seqIdx = 0L
+          private def emit(): Unit = {
+            val n = math.min(seqLen, buf.length)
+            out += ((curShard, seqIdx, n.toLong,
+              buf.take(n).mkString(" ")))
+            buf.remove(0, n)
+            seqIdx += 1
+          }
+          private def flushShard(): Unit = {
+            while (buf.nonEmpty) emit()
+          }
+          private def fill(): Unit = {
+            while (out.isEmpty && it.hasNext) {
+              val (s, _, t) = it.next()
+              if (s != curShard) {
+                if (curShard != Long.MinValue) flushShard()
+                curShard = s
+                seqIdx = 0L
+              }
+              buf ++= t.split(" ").filter(_.nonEmpty)
+              while (buf.length >= seqLen) emit()
+            }
+            if (out.isEmpty && !it.hasNext &&
+                curShard != Long.MinValue && buf.nonEmpty)
+              flushShard()
+          }
+          override def hasNext: Boolean = { fill(); out.nonEmpty }
+          override def next(): (Long, Long, Long, String) = {
+            fill(); out.remove(0)
+          }
+        }
+      }
+      .toDF("shard", "seq_id", "n_tokens", "seq_text")
   }
 }

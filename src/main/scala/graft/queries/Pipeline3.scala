@@ -83,6 +83,14 @@ object Pipeline3 {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // MATERIALIZED packed training sequences — the pipeline's end
+    // artifact: per-shard concat-and-chunk into 64-token rows via a
+    // streaming per-partition fold (O(seqLen) memory per shard).
+    "q58_pack_sequences" -> ((s, dir) =>
+      SequencePacker.packSequences(docs(s, dir), "doc_id", col("text"),
+        seqLen = SeqLen, nShards = NShards)
+        .orderBy(col("shard"), col("seq_id"))),
+
     // Within-doc repetition quality signals (the public Gopher/
     // MassiveText recipe): duplicated-trigram fraction + longest
     // repeated-token run, one map-side kernel pass.
@@ -233,6 +241,27 @@ object Pipeline3 {
          |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING COUNT(*) >= $MinShared
          |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+
+    "q58_pack_sequences" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text,
+         |    CAST((CAST(doc_id AS BIGINT) % 1000000007 * 2654435761
+         |      + 12345) % 1000000007 % $NShards AS BIGINT) AS shard
+         |  FROM documents WHERE text IS NOT NULL),
+         |sh AS (
+         |  SELECT shard,
+         |    list_filter(string_split(
+         |      string_agg(text, ' ' ORDER BY doc_id), ' '),
+         |      t_ -> t_ <> '') AS tk
+         |  FROM d GROUP BY shard),
+         |chunks AS (
+         |  SELECT shard, tk, unnest(range(0, len(tk), $SeqLen)) AS s
+         |  FROM sh WHERE len(tk) > 0)
+         |SELECT shard, CAST(s // $SeqLen AS BIGINT) AS seq_id,
+         |  CAST(least(s + $SeqLen, len(tk)) - s AS BIGINT) AS n_tokens,
+         |  array_to_string(list_slice(tk, s + 1,
+         |    least(s + $SeqLen, len(tk))), ' ') AS seq_text
+         |FROM chunks ORDER BY shard, seq_id""".stripMargin,
 
     "q57_repetition_stats" ->
       s"""WITH d AS (SELECT doc_id, $sqlToks AS tk FROM documents),

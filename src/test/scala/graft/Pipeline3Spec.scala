@@ -83,6 +83,41 @@ class Pipeline3Spec extends AnyFunSuite {
       (4L, 5L, 70L, 1L, 1L)))
   }
 
+  test("packSequences: streaming fold equals local per-shard concat-and-chunk") {
+    import spark.implicits._
+    // deterministic single-shard layout, L=4
+    val df1 = Seq((1L, "a b c"), (2L, "d e"), (3L, "f"))
+      .toDF("doc_id", "text")
+    val got1 = SequencePacker
+      .packSequences(df1, "doc_id", col("text"), seqLen = 4, nShards = 1)
+      .orderBy("seq_id").collect()
+      .map(r => (r.getAs[Long]("seq_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[String]("seq_text"))).toSeq
+    assert(got1 == Seq((0L, 4L, "a b c d"), (1L, 2L, "e f")))
+
+    // multi-shard law vs a local replay of the same hash + packing
+    val docs = (0L until 60L).map(i =>
+      (i, (0 until (i % 7).toInt + 1).map(j => s"t${i}_$j").mkString(" ")))
+    val df = docs.toDF("doc_id", "text")
+    val n = 3
+    val got = SequencePacker
+      .packSequences(df, "doc_id", col("text"), seqLen = 5, nShards = n)
+      .collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("seq_id")) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[String]("seq_text"))).toMap
+    def shardOf(id: Long) =
+      (id % 1000000007L * 2654435761L + 12345L) % 1000000007L % n
+    val expect = docs.groupBy { case (id, _) => shardOf(id) }
+      .flatMap { case (s, ds) =>
+        val stream = ds.sortBy(_._1)
+          .flatMap(_._2.split(" ").filter(_.nonEmpty))
+        stream.grouped(5).zipWithIndex.map { case (chunk, i) =>
+          (s, i.toLong) -> (chunk.length.toLong, chunk.mkString(" "))
+        }
+      }
+    assert(got == expect, s"got ${got.size} vs expect ${expect.size}")
+  }
+
   test("winnow: shared run of w+k-1 tokens guarantees a shared fingerprint") {
     import spark.implicits._
     // k=4, w=4: any shared run of 7 tokens must yield a shared fp
