@@ -41,7 +41,8 @@ object SparkEntry {
       graft.queries.Relational2.queries,
       graft.queries.TextPipeline.queries,
       graft.queries.Pipeline2.queries,
-      graft.queries.Pipeline3.queries)
+      graft.queries.Pipeline3.queries,
+      graft.queries.Pipeline4.queries)
     val merged = modules.reduce(_ ++ _)
     // a duplicate name across modules would silently shadow a query —
     // fail loudly instead
@@ -99,7 +100,8 @@ object SparkEntry {
     graft.queries.Relational2.oracleSql ++
     graft.queries.TextPipeline.oracleSql ++
     graft.queries.Pipeline2.oracleSql ++
-    graft.queries.Pipeline3.oracleSql
+    graft.queries.Pipeline3.oracleSql ++
+    graft.queries.Pipeline4.oracleSql
 
   private def baseOracleSql: Map[String, String] = Map(
     "q01_agg_pricing_summary" ->
