@@ -192,6 +192,65 @@ object TextFunctions {
         "max_token_run")
   }
 
+  /** BPE-style PRE-tokenization counts — the segmentation every
+    * byte-pair tokenizer (GPT-2 pre-tokenizer regex family) applies
+    * before merges: maximal runs of letters, digits, and
+    * other-non-space characters each become one pre-token. Token
+    * budgeting at corpus scale runs on these counts (merges only ever
+    * split WITHIN a pre-token, so the pre-token count lower-bounds and
+    * tracks the real BPE token count).
+    *
+    * One map-side kernel pass (single character sweep per document, no
+    * regex engine, no shuffle). NULL text → all-NULL row;
+    * chars_per_pretok is NULL for zero pre-tokens (oracle NULL-divide
+    * parity — the session is ANSI). Oracle replays the same classes
+    * via three class-regex extract counts: the classes partition
+    * non-space characters, so `n_pretok = n_alpha + n_num + n_other`
+    * in both engines. */
+  def preTokenStats(df: org.apache.spark.sql.DataFrame, docId: String,
+      text: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(org.apache.spark.sql.functions.col(docId).cast("long"),
+        text.cast("string"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        if (t == null) {
+          (id, None: Option[Long], None: Option[Long],
+            None: Option[Long], None: Option[Long],
+            None: Option[Double])
+        } else {
+          // character classes: 0 = space, 1 = alpha, 2 = digit, 3 = other
+          def cls(c: Char): Int =
+            if (c == ' ') 0
+            else if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) 1
+            else if (c >= '0' && c <= '9') 2
+            else 3
+          var nAlpha = 0L; var nNum = 0L; var nOther = 0L
+          var prev = 0
+          var i = 0
+          while (i < t.length) {
+            val k = cls(t.charAt(i))
+            if (k != 0 && k != prev) {
+              if (k == 1) nAlpha += 1
+              else if (k == 2) nNum += 1
+              else nOther += 1
+            }
+            prev = k
+            i += 1
+          }
+          val total = nAlpha + nNum + nOther
+          val cpp =
+            if (total == 0L) None
+            else Some(t.length.toDouble / total.toDouble)
+          (id, Some(total), Some(nAlpha), Some(nNum), Some(nOther), cpp)
+        }
+      })
+      .toDF(docId, "n_pretok", "n_alpha", "n_num", "n_other",
+        "chars_per_pretok")
+  }
+
   /** Language marker lists over the corpus vocabulary — a disjoint
     * stopword partition per language, the classic n-gram/stopword
     * language-ID heuristic scaled down to the synthetic corpus. */

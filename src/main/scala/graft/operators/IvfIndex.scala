@@ -72,6 +72,77 @@ object IvfIndex {
     cents
   }
 
+  /** Lloyd refinement over the FULL corpus, distributed — the at-scale
+    * replacement for the sampled driver-side [[centroids]]: assignment
+    * is one map-side pass with the centroid set broadcast, and the
+    * per-cell sums are PARTIAL-AGGREGATED per partition (each task
+    * emits at most nCells (cell, count, sums) rows — the map-side
+    * combine), so the driver only ever folds numPartitions·nCells tiny
+    * rows into the K×D centroid table. No corpus collect at any size.
+    *
+    * Exactness law (CorpusOpsSpec): because the fold is integer
+    * arithmetic (order-independent sums, truncating division — both
+    * exact), `fitDistributed(corpus)` equals `centroids(corpus)` with
+    * a full-corpus sample, bit for bit.
+    */
+  def fitDistributed(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, iters: Int = 2): Array[Array[Long]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val fixed = fixedDS(corpus, idCol, vecCol)
+    var cents = fixed.orderBy(col("id")).limit(nCells).collect()
+      .sortBy(_.id).map(_.v)
+    require(cents.length >= nCells, s"need ≥ $nCells vectors")
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val partials = fixed.mapPartitions { rows =>
+        val cs = bc.value
+        val dims = cs(0).length
+        val sums = Array.fill(cs.length)(new Array[Long](dims))
+        val counts = new Array[Long](cs.length)
+        rows.foreach { r =>
+          val c = nearestCell(r.v, cs)
+          counts(c) += 1
+          var i = 0
+          while (i < dims) { sums(c)(i) += r.v(i); i += 1 }
+        }
+        Iterator.range(0, cs.length).filter(counts(_) > 0)
+          .map(c => (c, counts(c), sums(c)))
+      }.collect()
+      val dims = cents(0).length
+      val sums = Array.fill(nCells)(new Array[Long](dims))
+      val counts = new Array[Long](nCells)
+      partials.foreach { case (c, n, s) =>
+        counts(c) += n
+        var i = 0
+        while (i < dims) { sums(c)(i) += s(i); i += 1 }
+      }
+      cents = Array.tabulate(nCells) { c =>
+        if (counts(c) == 0) cents(c)
+        else Array.tabulate(dims)(i => sums(c)(i) / counts(c))
+      }
+      bc.destroy()
+      it += 1
+    }
+    cents
+  }
+
+  /** Full-corpus cell assignment with the exact fixed-point distance:
+    * (id, cell, d2) — one map-side pass, centroids broadcast. */
+  def fitAssign(corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Long]]): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cents)
+    fixedDS(corpus, idCol, vecCol)
+      .map { r =>
+        val c = nearestCell(r.v, bc.value)
+        (r.id, c, dist2(r.v, bc.value(c)))
+      }
+      .toDF(idCol, "cell", "d2")
+  }
+
   private def nearestCell(v: Array[Long], cents: Array[Array[Long]]): Int = {
     var best = 0; var bestD = Long.MaxValue
     var c = 0

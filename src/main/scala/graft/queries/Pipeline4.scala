@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{HeavyHitters, Repair, Scd2}
+import graft.operators.{HeavyHitters, IvfIndex, Repair, Scd2}
 import graft.sources.Catalog
 
 /** Round-3 additions past the training-pipeline set: warehouse
@@ -18,6 +18,10 @@ object Pipeline4 {
   private val HhNumer = 1L
   private val HhDenom = 30L
   private val HhCapacity = 64
+
+  // distributed Lloyd: 8 cells, 2 refinement iterations
+  private val KmCells = 8
+  private val KmIters = 2
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // SCD Type 2 build from the event log: each user's event_type
@@ -46,6 +50,26 @@ object Pipeline4 {
         .orderBy(col("tok"))
     }),
 
+    // Distributed Lloyd k-means over the FULL embedding corpus (the
+    // at-scale IVF centroid fit): per-partition partial sums, driver
+    // folds only K×D; assignment + exact fixed-point distance out.
+    "q62_kmeans_fit" -> ((s, dir) => {
+      val emb = Catalog.table(s, dir, "embeddings")
+      val cents = IvfIndex.fitDistributed(emb, "vec_id", "embedding",
+        nCells = KmCells, iters = KmIters)
+      IvfIndex.fitAssign(emb, "vec_id", "embedding", cents)
+        .withColumn("cell", col("cell").cast("int"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // BPE-style pre-tokenization counts (letter/digit/other runs) —
+    // the segmentation a byte-pair tokenizer applies before merges;
+    // token budgeting at corpus scale runs on these counts.
+    "q63_pretoken_stats" -> ((s, dir) =>
+      graft.functions.TextFunctions.preTokenStats(
+        Catalog.table(s, dir, "documents"), "doc_id", col("text"))
+        .orderBy(col("doc_id"))),
+
     // Keyed gap repair: value is only observed on purchase events;
     // forward/backward fill per user ordered by (ts, event_id).
     "q61_gap_fill" -> ((s, dir) => {
@@ -60,7 +84,85 @@ object Pipeline4 {
     })
   )
 
+  /** Squared fixed-point L2 distance between corpus row `e` and
+    * centroid row `c`, as a DuckDB expression (64 dims). */
+  private val sqlD2: String =
+    "list_sum(list_transform(range(1, 65), " +
+      "i_ -> (e.q[i_] - c.q[i_]) * (e.q[i_] - c.q[i_])))"
+
+  /** One Lloyd assignment CTE: nearest cell per vector under
+    * centroids `cents`, ties to the lowest cell id (the kernel's
+    * first-minimum rule). */
+  private def sqlAssign(name: String, cents: String): String =
+    s"""$name AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id
+       |        ORDER BY d2, cell) AS rn
+       |    FROM (SELECT e.vec_id, c.cell, $sqlD2 AS d2
+       |          FROM e, $cents c))
+       |  WHERE rn = 1)""".stripMargin
+
+  /** One Lloyd update CTE pair: per-cell per-dim exact integer sums,
+    * truncating division (matches the kernel's Long division), empty
+    * cells keep the previous centroid. */
+  private def sqlUpdate(assign: String, prev: String, out: String): String =
+    s"""${out}u AS (
+       |  SELECT a.cell, d.i_, CAST(SUM(e.q[d.i_]) AS BIGINT) AS s,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM $assign a, e, dims d WHERE a.vec_id = e.vec_id
+       |  GROUP BY a.cell, d.i_),
+       |${out}l AS (
+       |  SELECT cell, list(s // n ORDER BY i_) AS q
+       |  FROM ${out}u GROUP BY cell),
+       |$out AS (
+       |  SELECT $prev.cell, COALESCE(${out}l.q, $prev.q) AS q
+       |  FROM $prev LEFT JOIN ${out}l USING (cell))""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q62_kmeans_fit" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x_ -> CAST(floor(CAST(x_ AS DOUBLE) * 10000000) AS BIGINT))
+         |    AS q
+         |  FROM embeddings),
+         |dims AS (SELECT unnest(range(1, 65)) AS i_),
+         |c0 AS (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+         |    AS cell, q
+         |  FROM (SELECT * FROM e ORDER BY vec_id LIMIT $KmCells)),
+         |${sqlAssign("a0", "c0")},
+         |${sqlUpdate("a0", "c0", "c1")},
+         |${sqlAssign("a1", "c1")},
+         |${sqlUpdate("a1", "c1", "c2")},
+         |fin AS (
+         |  SELECT vec_id, cell, d2 FROM (
+         |    SELECT vec_id, cell, d2,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id
+         |        ORDER BY d2, cell) AS rn
+         |    FROM (SELECT e.vec_id, c.cell, $sqlD2 AS d2
+         |          FROM e, c2 c))
+         |  WHERE rn = 1)
+         |SELECT vec_id, cell, CAST(d2 AS BIGINT) AS d2
+         |FROM fin ORDER BY vec_id""".stripMargin,
+
+    "q63_pretoken_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS BIGINT)
+        |      AS n_alpha,
+        |    CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
+        |      AS n_num,
+        |    CAST(len(regexp_extract_all(text, '[^ a-zA-Z0-9]+'))
+        |      AS BIGINT) AS n_other
+        |  FROM documents)
+        |SELECT doc_id, n_alpha + n_num + n_other AS n_pretok,
+        |  n_alpha, n_num, n_other,
+        |  CASE WHEN n_alpha + n_num + n_other > 0 THEN
+        |    CAST(length(text) AS DOUBLE)
+        |      / CAST(n_alpha + n_num + n_other AS DOUBLE)
+        |  END AS chars_per_pretok
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q59_scd2_dimension" ->
       """WITH o AS (
         |  SELECT user_id, ts, event_id, event_type,

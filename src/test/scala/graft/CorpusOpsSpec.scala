@@ -206,6 +206,30 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(partial.intersect(bruteIds).size >= bruteIds.size / 2)
   }
 
+  test("IvfIndex.fitDistributed equals driver-side centroids bit for bit") {
+    import spark.implicits._
+    // deterministic spread-out vectors across several partitions
+    val rows = (0 until 120).map { n =>
+      (n.toLong, Array.tabulate(64)(i =>
+        math.sin(n * 0.37 + i * 0.11).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding").repartition(7)
+    val dist = graft.operators.IvfIndex.fitDistributed(
+      df, "vec_id", "embedding", nCells = 6, iters = 3)
+    val local = graft.operators.IvfIndex.centroids(
+      df, "vec_id", "embedding", nCells = 6, iters = 3,
+      sampleLimit = 10000) // covers the full 120-row corpus
+    assert(dist.length == local.length)
+    dist.zip(local).foreach { case (a, b) =>
+      assert(a.sameElements(b))
+    }
+    // assignment distances are the exact fixed-point d2 to the cell
+    val asg = graft.operators.IvfIndex.fitAssign(
+      df, "vec_id", "embedding", dist)
+    assert(asg.count() == 120)
+    assert(asg.filter(col("d2") < 0).count() == 0)
+  }
+
   test("nearDupPairs block self-join: exact pairs, any block count") {
     import spark.implicits._
     // unit-ish vectors: 0≈1 (near-dup), 2 orthogonal, 3≈0 as well

@@ -101,6 +101,26 @@ class Pipeline4Spec extends AnyFunSuite {
     }
   }
 
+  test("preTokenStats: run segmentation by character class") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "ab12-cd  e,f"),      // runs: ab|12|-|cd|e|,|f → 4a 1n 2o
+      (2L, "   "),               // spaces only → zero pre-tokens
+      (3L, null.asInstanceOf[String]),
+      (4L, "x9!")                // x|9|! → 1a 1n 1o
+    ).toDF("doc_id", "text")
+    val got = graft.functions.TextFunctions
+      .preTokenStats(df, "doc_id", col("text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)),
+        Option(r.get(3)), Option(r.get(4)), Option(r.get(5)))).toSeq
+    assert(got == Seq(
+      (1L, Some(7L), Some(4L), Some(1L), Some(2L), Some(12.0 / 7.0)),
+      (2L, Some(0L), Some(0L), Some(0L), Some(0L), None),
+      (3L, None, None, None, None, None),
+      (4L, Some(3L), Some(1L), Some(1L), Some(1L), Some(1.0))))
+  }
+
   test("gap fill: ffill carries last non-null forward, bfill backward") {
     import spark.implicits._
     val df = Seq(
