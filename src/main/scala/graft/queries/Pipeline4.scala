@@ -70,6 +70,19 @@ object Pipeline4 {
         Catalog.table(s, dir, "documents"), "doc_id", col("text"))
         .orderBy(col("doc_id"))),
 
+    // Bloom-gated decontamination: identical output to q50 (Bloom has
+    // no false negatives; false positives die in the exact verify
+    // join) but the exact join sees only might-contain candidates —
+    // the at-scale shape when the benchmark shingle set is wide.
+    "q64_decontaminate_bloom" -> ((s, dir) => {
+      val d = Catalog.table(s, dir, "documents")
+      graft.operators.Decontaminate.overlapBloom(
+        d.filter(col("doc_id") % 10 =!= 0),
+        d.filter(col("doc_id") % 10 === 0),
+        "doc_id", col("text"), k = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // Keyed gap repair: value is only observed on purchase events;
     // forward/backward fill per user ordered by (ts, event_id).
     "q61_gap_fill" -> ((s, dir) => {
@@ -120,6 +133,11 @@ object Pipeline4 {
        |  FROM $prev LEFT JOIN ${out}l USING (cell))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // identical semantics (and SQL) to q50 — the Bloom gate is an
+    // exact-output optimization, which is precisely the claim under test
+    "q64_decontaminate_bloom" ->
+      Pipeline3.oracleSql("q50_decontaminate"),
+
     "q62_kmeans_fit" ->
       s"""WITH e AS (
          |  SELECT vec_id, list_transform(embedding,

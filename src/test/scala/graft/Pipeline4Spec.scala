@@ -121,6 +121,26 @@ class Pipeline4Spec extends AnyFunSuite {
       (4L, Some(3L), Some(1L), Some(1L), Some(1L), Some(1.0))))
   }
 
+  test("bloom-gated decontamination equals the exact overlap") {
+    import spark.implicits._
+    val run = "a b c d e f g h"
+    val train = Seq(
+      (1L, s"x y $run z"),
+      (2L, "a b c d e f g x"), // 7-token overlap only — clean
+      (3L, s"$run $run tail"),
+      (5L, "unrelated words only in this training document here")
+    ).toDF("doc_id", "text")
+    val bench = Seq((10L, s"header $run trailer")).toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val exact = graft.operators.Decontaminate
+      .overlap(train, bench, "doc_id", col("text"), k = 8)
+    val bloomed = graft.operators.Decontaminate
+      .overlapBloom(train, bench, "doc_id", col("text"), k = 8)
+    assert(canon(bloomed) == canon(exact))
+    assert(canon(bloomed).nonEmpty)
+  }
+
   test("gap fill: ffill carries last non-null forward, bfill backward") {
     import spark.implicits._
     val df = Seq(
