@@ -42,7 +42,8 @@ object SparkEntry {
       graft.queries.TextPipeline.queries,
       graft.queries.Pipeline2.queries,
       graft.queries.Pipeline3.queries,
-      graft.queries.Pipeline4.queries)
+      graft.queries.Pipeline4.queries,
+      graft.queries.Analytics.queries)
     val merged = modules.reduce(_ ++ _)
     // a duplicate name across modules would silently shadow a query —
     // fail loudly instead
@@ -101,7 +102,8 @@ object SparkEntry {
     graft.queries.TextPipeline.oracleSql ++
     graft.queries.Pipeline2.oracleSql ++
     graft.queries.Pipeline3.oracleSql ++
-    graft.queries.Pipeline4.oracleSql
+    graft.queries.Pipeline4.oracleSql ++
+    graft.queries.Analytics.oracleSql
 
   private def baseOracleSql: Map[String, String] = Map(
     "q01_agg_pricing_summary" ->
