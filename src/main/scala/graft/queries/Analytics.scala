@@ -24,10 +24,11 @@ object Analytics {
       .cast("decimal(30,6)")).cast("double").as("revenue")
 
   /** The star-schema date columns are TIMESTAMP_NTZ; compare against
-    * an NTZ literal so the predicate stays on the raw column and
-    * reaches the parquet scan (a cast-to-TIMESTAMP wrapper would block
-    * pushdown). Session TZ is UTC, so NTZ and the oracle's TIMESTAMP
-    * literals agree. */
+    * an NTZ literal directly. (A TIMESTAMP literal also works — under
+    * the UTC session Catalyst inverts the implicit column cast and
+    * still pushes the fence to the scan, verified via explain — but
+    * the NTZ form needs no such rewrite.) The oracle's TIMESTAMP
+    * literals agree because the session TZ is UTC. */
   private def ts(s: String): Column = lit(s).cast("timestamp_ntz")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

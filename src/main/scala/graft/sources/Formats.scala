@@ -128,6 +128,56 @@ object Formats {
     * Delta/Iceberg OPTIMIZE ZORDER equivalent, expressed with stock
     * Spark writes). `maxRecordsPerFile` bounds the pruning granule.
     * FormatsSpec MEASURES the effect (rows read, z vs linear). */
+  /** FILE-LEVEL min/max data-skipping index — the Delta/Iceberg
+    * stats-log idea expressed with stock Spark: write the data
+    * range-clustered on the skip column (so per-file ranges are
+    * tight), then record one (file, min, max) row per file per stats
+    * column in a tiny side parquet. [[readSkipping]] consults the
+    * index FIRST and hands Spark only the files whose [min,max]
+    * intersects the predicate — pruning at the FILE LIST level,
+    * before any footer is opened. This composes with (and sits above)
+    * parquet row-group pushdown: at 100 TB the driver-side listing of
+    * a million files is itself the bottleneck, and a stats index
+    * turns "open every footer" into one small index scan.
+    * FormatsSpec MEASURES the file-count reduction and pins result
+    * equality against the full scan. */
+  def writeWithStats(df: DataFrame, path: String, statsCols: Seq[String],
+      partitions: Int = 8): Unit = {
+    require(statsCols.nonEmpty)
+    import org.apache.spark.sql.functions._
+    df.repartitionByRange(partitions, col(statsCols.head))
+      .sortWithinPartitions(statsCols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+    val spark = df.sparkSession
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path + ".stats")
+  }
+
+  /** Range scan over a [[writeWithStats]] layout: prune the file list
+    * via the stats index, then apply the exact predicate to the
+    * surviving files. Files whose stats column is entirely NULL are
+    * skipped too — NULL never satisfies a range predicate, so the
+    * result still equals the full-scan filter exactly. */
+  def readSkipping(spark: SparkSession, path: String, statsCol: String,
+      lo: Any, hi: Any): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val stats = spark.read.parquet(path + ".stats")
+    val keep = stats
+      .filter(col(s"${statsCol}_max") >= lit(lo) &&
+        col(s"${statsCol}_min") <= lit(hi))
+      .select("file").collect().map(_.getString(0))
+    val pred = col(statsCol) >= lit(lo) && col(statsCol) <= lit(hi)
+    if (keep.isEmpty)
+      spark.read.parquet(path).filter(lit(false))
+    else
+      spark.read.parquet(keep: _*).filter(pred)
+  }
+
   def writeZOrdered(df: DataFrame, path: String, colA: String,
       colB: String, bits: Int, partitions: Int = 8,
       maxRecordsPerFile: Int = 0): Unit = {

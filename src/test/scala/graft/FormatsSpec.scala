@@ -124,6 +124,35 @@ class FormatsSpec extends AnyFunSuite {
       s"linear layout read $linRows, z-ordered $zRows — no contrast")
   }
 
+  test("file-stats skipping index: prunes the file list, result equals full scan") {
+    import spark.implicits._
+    val li = Catalog.table(spark, sfDir, "lineitem")
+    val base = Files.createTempDirectory("graft_stats").toString
+    Formats.writeWithStats(li, s"$base/li", Seq("l_orderkey"),
+      partitions = 8)
+    val nFiles = new java.io.File(s"$base/li").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nFiles >= 8)
+    // narrow key range → the index must hand Spark a strict subset
+    val lo = 100L; val hi = 200L
+    val skipped = Formats.readSkipping(spark, s"$base/li",
+      "l_orderkey", lo, hi)
+    val filesTouched = skipped.select(input_file_name()).distinct().count()
+    assert(filesTouched < nFiles,
+      s"index touched $filesTouched of $nFiles files — no skipping")
+    // exactness: identical multiset vs the unindexed full-scan filter
+    val full = li.filter(col("l_orderkey").between(lo, hi))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).groupBy(identity).view
+        .mapValues(_.size).toMap
+    assert(canon(skipped) == canon(full))
+    // empty intersection → zero-row result, same schema
+    val none = Formats.readSkipping(spark, s"$base/li",
+      "l_orderkey", -50L, -10L)
+    assert(none.count() == 0)
+    assert(none.schema == spark.read.parquet(s"$base/li").schema)
+  }
+
   test("compact: many small files become few, data identical") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_cmp").toString
