@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{HeavyHitters, IvfIndex, Repair, Scd2}
+import graft.operators.{DistributedRank, HeavyHitters, IvfIndex, Repair, Scd2}
 import graft.sources.Catalog
 
 /** Round-3 additions past the training-pipeline set: warehouse
@@ -69,6 +69,20 @@ object Pipeline4 {
       graft.functions.TextFunctions.preTokenStats(
         Catalog.table(s, dir, "documents"), "doc_id", col("text"))
         .orderBy(col("doc_id"))),
+
+    // Global total-order ranking WITHOUT the single-reducer window:
+    // range-repartition + per-partition offset fold (TeraSort shape).
+    // Output holds only the sort key + rank, so equal-key ties are
+    // rank-interchangeable and the result is deterministic.
+    "q68_global_rank" -> ((s, dir) => {
+      val li = Catalog.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"))
+      DistributedRank.globalRowNumber(li,
+          Seq(col("l_extendedprice"), col("l_orderkey"),
+            col("l_linenumber")), "rn")
+        .orderBy(col("rn"))
+    }),
 
     // Bloom-gated decontamination: identical output to q50 (Bloom has
     // no false negatives; false positives die in the exact verify
@@ -137,6 +151,12 @@ object Pipeline4 {
     // exact-output optimization, which is precisely the claim under test
     "q64_decontaminate_bloom" ->
       Pipeline3.oracleSql("q50_decontaminate"),
+
+    "q68_global_rank" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |  ROW_NUMBER() OVER (ORDER BY l_extendedprice, l_orderkey,
+        |    l_linenumber) AS rn
+        |FROM lineitem ORDER BY rn""".stripMargin,
 
     "q62_kmeans_fit" ->
       s"""WITH e AS (

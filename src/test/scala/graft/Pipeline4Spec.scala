@@ -121,6 +121,25 @@ class Pipeline4Spec extends AnyFunSuite {
       (4L, Some(3L), Some(1L), Some(1L), Some(1L), Some(1.0))))
   }
 
+  test("globalRowNumber equals the single-reducer window row_number") {
+    import spark.implicits._
+    val df = (0 until 5000).map { i =>
+      (i.toLong, (i * 2654435761L) % 997L) // duplicate sort keys exist
+    }.toDF("id", "key").repartition(8)
+    val got = graft.operators.DistributedRank
+      .globalRowNumber(df, Seq(col("key"), col("id")), "rn",
+        partitions = 6)
+      .select("id", "key", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("key"), col("id"))
+    val expect = df
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect)
+  }
+
   test("bloom-gated decontamination equals the exact overlap") {
     import spark.implicits._
     val run = "a b c d e f g h"
