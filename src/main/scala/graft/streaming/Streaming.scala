@@ -169,6 +169,56 @@ object Streaming {
         ()
     }
 
+  /** Streaming SCD Type 2 maintenance: each micro-batch of attribute
+    * observations folds into the versioned dimension via
+    * `Scd2.applyBatch` (first batch builds via `fromHistory`), and the
+    * refreshed dimension swaps in with the engine's rename-swap
+    * parquet commit (same recovery contract as `mergeIntoParquet`:
+    * the fully-written .tmp is the recovery point). Streaming
+    * micro-batches arrive in event-time order per key under a
+    * watermark, which is exactly `applyBatch`'s append-only contract —
+    * so N micro-batches produce the same dimension as one
+    * `fromHistory` over the union (StreamingSpec pins this law on
+    * MemoryStream batches). Only batch-touched keys are re-folded;
+    * at 100 TB the dimension rewrite swaps per key-partition instead
+    * of whole-table (the table-format commit a real lakehouse does). */
+  def scd2ParquetSink(obs: DataFrame, path: String, key: String,
+      ordNames: Seq[String], attrs: Seq[String])
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    obs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      val ord = ordNames.map(org.apache.spark.sql.functions.col)
+      val existing =
+        try Some(spark.read.parquet(path))
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getErrorClass == "PATH_NOT_FOUND" ||
+                e.getErrorClass == "UNABLE_TO_INFER_SCHEMA" => None
+        }
+      val updated = existing match {
+        case None => graft.operators.Scd2
+          .fromHistory(batch, key, ord, attrs)
+        case Some(dim) => graft.operators.Scd2
+          .applyBatch(dim, batch, key, ord, ordNames, attrs)
+      }
+      val staged = updated.persist()
+      staged.count() // materialize BEFORE touching the source it reads
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(spark.sparkContext.hadoopConfiguration)
+      val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+      val dst = new org.apache.hadoop.fs.Path(path)
+      try staged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(path + ".tmp")
+      catch { case e: Throwable => fs.delete(tmp, true); throw e }
+      finally staged.unpersist()
+      fs.delete(dst, true)
+      if (!fs.rename(tmp, dst))
+        throw new java.io.IOException(
+          s"scd2ParquetSink: rename $tmp -> $dst failed after target " +
+            "delete; recover by renaming the .tmp directory to the target")
+      ()
+    }
+
   // ---- custom state: flatMapGroupsWithState sessionization ----------
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -279,6 +279,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Seq(2L, 4L))
   }
 
+  test("scd2ParquetSink: micro-batched dimension equals one-shot build") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_scd2_sink")
+      .toString + "/dim"
+    val b1 = Seq(
+      Event(1, ts("2024-01-01 00:00:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 00:10:00"), 1, "click", 1.0), // no change
+      Event(3, ts("2024-01-01 00:05:00"), 2, "view", 1.0))
+    val b2 = Seq(
+      Event(4, ts("2024-01-01 01:00:00"), 1, "view", 1.0),  // change
+      Event(5, ts("2024-01-01 01:30:00"), 2, "view", 1.0),  // no change
+      Event(6, ts("2024-01-01 01:45:00"), 3, "error", 1.0)) // new key
+    val mem = MemoryStream[Event](30, spark, None)
+    val q = Streaming.scd2ParquetSink(mem.toDF(), dir, "user_id",
+      ordNames = Seq("ts", "event_id"), attrs = Seq("event_type"))
+      .outputMode("append").start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "version", "event_type", "valid_from",
+          "valid_to", "is_current")
+        .collect().map(_.toSeq).toSet
+    val streamed = canon(spark.read.parquet(dir))
+    val oneShot = canon(graft.operators.Scd2.fromHistory(
+      (b1 ++ b2).toDF(), "user_id",
+      Seq(col("ts"), col("event_id")), Seq("event_type")))
+    assert(streamed == oneShot)
+    // user 1 has two versions; the open one is 'view'
+    assert(streamed.count(_.head == 1L) == 2)
+  }
+
   test("mergeParquetSink: later micro-batches refresh existing keys (CDC apply)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_merge_sink")
