@@ -70,6 +70,22 @@ object Pipeline4 {
         Catalog.table(s, dir, "documents"), "doc_id", col("text"))
         .orderBy(col("doc_id"))),
 
+    // PageRank (2 supersteps, fixed-point integer recurrence) over the
+    // bidirectional customer↔supplier trade graph — the iterative
+    // Pregel-shape workload expressed relationally: one join + one
+    // aggregation shuffle per superstep, edges persisted once.
+    "q69_pagerank" -> ((s, dir) => {
+      val oli = Catalog.table(s, dir, "orders")
+        .join(Catalog.table(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      val edges = oli.unionByName(
+        oli.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.PageRank.run(edges, "src", "dst", iters = 2)
+        .orderBy(col("node"))
+    }),
+
     // Global total-order ranking WITHOUT the single-reducer window:
     // range-repartition + per-partition offset fold (TeraSort shape).
     // Output holds only the sort key + rank, so equal-key ties are
@@ -157,6 +173,34 @@ object Pipeline4 {
         |  ROW_NUMBER() OVER (ORDER BY l_extendedprice, l_orderkey,
         |    l_linenumber) AS rn
         |FROM lineitem ORDER BY rn""".stripMargin,
+
+    "q69_pagerank" -> {
+      // one unrolled superstep: inflow from rPrev, then the exact
+      // integer recurrence (truncating divisions match Spark's `div`)
+      def step(rPrev: String, i: String, rOut: String): String =
+        s"""$i AS (
+           |  SELECT e.dst, SUM($rPrev.pr // od.outdeg) AS inflow
+           |  FROM e
+           |  JOIN $rPrev ON e.src = $rPrev.node
+           |  JOIN od ON e.src = od.src
+           |  GROUP BY e.dst),
+           |$rOut AS (
+           |  SELECT n.node, CAST(150000 +
+           |    (85 * COALESCE($i.inflow, 0)) // 100 AS BIGINT) AS pr
+           |  FROM n LEFT JOIN $i ON n.node = $i.dst)""".stripMargin
+      s"""WITH eraw AS (
+         |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+         |    's' || CAST(l_suppkey AS VARCHAR) AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e AS (SELECT src, dst FROM eraw
+         |      UNION SELECT dst AS src, src AS dst FROM eraw),
+         |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM n),
+         |${step("r0", "i1", "r1")},
+         |${step("r1", "i2", "r2")}
+         |SELECT node, pr AS pr_fp FROM r2 ORDER BY node""".stripMargin
+    },
 
     "q62_kmeans_fit" ->
       s"""WITH e AS (

@@ -121,6 +121,32 @@ class Pipeline4Spec extends AnyFunSuite {
       (4L, Some(3L), Some(1L), Some(1L), Some(1L), Some(1.0))))
   }
 
+  test("pagerank: relational supersteps equal a local replay of the recurrence") {
+    import spark.implicits._
+    val edges = Seq(
+      ("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"), ("b", "c"),
+      ("d", "a") // d has no in-edges → stays at base after step 1
+    ).toDF("s", "d")
+    val iters = 3
+    val got = graft.operators.PageRank.run(edges, "s", "d", iters)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // local replay: identical integer recurrence
+    val e = Set(("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"),
+      ("b", "c"), ("d", "a"))
+    val nodes = e.flatMap(t => Seq(t._1, t._2))
+    val outdeg = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var pr = nodes.map(_ -> graft.operators.PageRank.Scale).toMap
+    (1 to iters).foreach { _ =>
+      val inflow = e.toSeq
+        .map { case (u, v) => v -> pr(u) / outdeg(u) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      pr = nodes.map(n =>
+        n -> (150000L + 85L * inflow.getOrElse(n, 0L) / 100L)).toMap
+    }
+    assert(got == pr)
+    assert(got("d") == 150000L) // no in-edges → base rank
+  }
+
   test("globalRowNumber equals the single-reducer window row_number") {
     import spark.implicits._
     val df = (0 until 5000).map { i =>
