@@ -75,14 +75,28 @@ object Pipeline4 {
     // Pregel-shape workload expressed relationally: one join + one
     // aggregation shuffle per superstep, edges persisted once.
     "q69_pagerank" -> ((s, dir) => {
-      val oli = Catalog.table(s, dir, "orders")
+      // distinct the LONG key pairs first (narrow shuffle over the
+      // fact join), then emit both edge directions in ONE explode
+      // pass — a union of two projections would re-compute the fact
+      // join per branch and shuffle concatenated strings instead
+      val pairs = Catalog.table(s, dir, "orders")
         .join(Catalog.table(s, dir, "lineitem"),
           col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("src"),
-          concat(lit("s"), col("l_suppkey")).as("dst"))
-      val edges = oli.unionByName(
-        oli.select(col("dst").as("src"), col("src").as("dst")))
-      graft.operators.PageRank.run(edges, "src", "dst", iters = 2)
+        .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+        .distinct()
+      // LONG node ids (2k / 2k+1 interleave), not strings: every
+      // superstep shuffles the edge relation, and narrow integral
+      // keys halve the shuffle bytes and hash cost
+      val c = col("ck") * 2L
+      val sup = col("sk") * 2L + 1L
+      val edges = pairs.select(explode(array(
+          struct(c.as("src"), sup.as("dst")),
+          struct(sup.as("src"), c.as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      // edges are distinct by construction (distinct pairs × two
+      // disjoint directions) → skip the operator's dedup shuffle
+      graft.operators.PageRank.run(edges, "src", "dst", iters = 2,
+          dedup = false)
         .orderBy(col("node"))
     }),
 
@@ -189,8 +203,8 @@ object Pipeline4 {
            |    (85 * COALESCE($i.inflow, 0)) // 100 AS BIGINT) AS pr
            |  FROM n LEFT JOIN $i ON n.node = $i.dst)""".stripMargin
       s"""WITH eraw AS (
-         |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
-         |    's' || CAST(l_suppkey AS VARCHAR) AS dst
+         |  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
+         |    CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
          |e AS (SELECT src, dst FROM eraw
          |      UNION SELECT dst AS src, src AS dst FROM eraw),
