@@ -27,4 +27,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // All test suites share one JVM-wide SparkSession (speed), so
+  // bound the per-action state Spark retains or ~110 tests' worth of
+  // status history + dead broadcast/RDD blocks accumulate until the
+  // old gen fills and the fork GC-spirals (observed once under load).
+  // periodicGC makes the ContextCleaner's weak-ref cleanup actually
+  // fire between suites instead of waiting for the default 30 min.
+  "-Dspark.ui.retainedJobs=100",
+  "-Dspark.ui.retainedStages=100",
+  "-Dspark.ui.retainedTasks=1000",
+  "-Dspark.sql.ui.retainedExecutions=50",
+  "-Dspark.cleaner.periodicGC.interval=1min",
 )
