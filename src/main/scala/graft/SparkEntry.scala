@@ -43,7 +43,8 @@ object SparkEntry {
       graft.queries.Pipeline2.queries,
       graft.queries.Pipeline3.queries,
       graft.queries.Pipeline4.queries,
-      graft.queries.Analytics.queries)
+      graft.queries.Analytics.queries,
+      graft.queries.CurationQueries.queries)
     val merged = modules.reduce(_ ++ _)
     // a duplicate name across modules would silently shadow a query —
     // fail loudly instead
@@ -103,7 +104,8 @@ object SparkEntry {
     graft.queries.Pipeline2.oracleSql ++
     graft.queries.Pipeline3.oracleSql ++
     graft.queries.Pipeline4.oracleSql ++
-    graft.queries.Analytics.oracleSql
+    graft.queries.Analytics.oracleSql ++
+    graft.queries.CurationQueries.oracleSql
 
   private def baseOracleSql: Map[String, String] = Map(
     "q01_agg_pricing_summary" ->

@@ -76,7 +76,7 @@ object DedupQueries {
 
   /** Ground truth: exact 3-gram Jaccard pairs at tau (shared by q18 and
     * q19 — see the recall note in the object Scaladoc). */
-  private val jaccardOracle: String =
+  private[queries] val jaccardOracle: String =
     s"""WITH toks AS (
        |  SELECT doc_id, list_filter(string_split(text, ' '), t_ -> t_ <> '') AS tk
        |  FROM documents),
