@@ -44,7 +44,8 @@ object SparkEntry {
       graft.queries.Pipeline3.queries,
       graft.queries.Pipeline4.queries,
       graft.queries.Analytics.queries,
-      graft.queries.CurationQueries.queries)
+      graft.queries.CurationQueries.queries,
+      graft.queries.Pipeline5.queries)
     val merged = modules.reduce(_ ++ _)
     // a duplicate name across modules would silently shadow a query —
     // fail loudly instead
@@ -105,7 +106,8 @@ object SparkEntry {
     graft.queries.Pipeline3.oracleSql ++
     graft.queries.Pipeline4.oracleSql ++
     graft.queries.Analytics.oracleSql ++
-    graft.queries.CurationQueries.oracleSql
+    graft.queries.CurationQueries.oracleSql ++
+    graft.queries.Pipeline5.oracleSql
 
   private def baseOracleSql: Map[String, String] = Map(
     "q01_agg_pricing_summary" ->
