@@ -13,6 +13,7 @@ object Pipeline5 {
 
   private val Alpha = 0.5 // EWMA smoothing; 1-α == α is exact in binary
   private val VocabV = 16
+  private val MinShared = 190 // co-trade edge threshold (shared customers)
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Catalog.table(s, dir, name)
@@ -63,6 +64,77 @@ object Pipeline5 {
         }
         .toDF("doc_id", "n_tokens", "n_oov", "oov_frac")
         .orderBy(col("doc_id"))
+    }),
+
+    // Label-centroid cosine matrix over the embeddings: per-label
+    // elementwise centroid SUMS in exact fixed-point (q20's 1e7
+    // discipline — scale cancels in cosine, so sums stand in for
+    // means), then the 10×10 upper-triangle pairwise cosine. Scale
+    // shape: one shuffle on (label, dim) builds centroids; everything
+    // after runs on labels×dims rows — constant-sized however large
+    // the corpus grows.
+    "q76_label_centroid_cos" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val fp = e.select(col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("label"), col("pos"),
+          floor(col("x").cast("double") * 1e7).cast("long").as("v"))
+      val cents = fp.groupBy(col("label"), col("pos"))
+        .agg(sum(col("v")).as("sv"))
+      val n = e.groupBy(col("label")).agg(count(lit(1)).as("n"))
+      // decimal(12,0) elements → exact products/sums at any magnitude
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(12,0)")
+      val n2 = cents.groupBy(col("label"))
+        .agg(sum(dec(col("sv")) * dec(col("sv"))).cast("double").as("n2"))
+      val a = cents.select(col("label").as("label_a"), col("pos"),
+        col("sv").as("va"))
+      val b = cents.select(col("label").as("label_b"), col("pos"),
+        col("sv").as("vb"))
+      val dots = a.join(b, "pos")
+        .filter(col("label_a") < col("label_b"))
+        .groupBy(col("label_a"), col("label_b"))
+        .agg(sum(dec(col("va")) * dec(col("vb"))).cast("double").as("dot"))
+      dots
+        .join(n.select(col("label").as("label_a"), col("n").as("n_a")), "label_a")
+        .join(n.select(col("label").as("label_b"), col("n").as("n_b")), "label_b")
+        .join(n2.select(col("label").as("label_a"), col("n2").as("n2_a")), "label_a")
+        .join(n2.select(col("label").as("label_b"), col("n2").as("n2_b")), "label_b")
+        .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+          (col("dot") / (sqrt(col("n2_a")) * sqrt(col("n2_b"))))
+            .as("centroid_cos"))
+        .orderBy(col("label_a"), col("label_b"))
+    }),
+
+    // Triangle participation counts on the thresholded supplier
+    // co-trade graph (edge a<b iff ≥ MinShared distinct customers buy
+    // from both): the classic oriented-edge 3-way join — orientation
+    // (a<b<c) counts each triangle once and caps the join fan-out.
+    // Scale shape: the customer→supplier projection is the guarded
+    // step (per-customer supplier-list self-join); the df-threshold
+    // keeps the edge relation sparse, and the triple join runs on
+    // edges only — suppliers grow far slower than facts.
+    "q77_triangle_count" -> ((s, dir) => {
+      val pairs = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+        .distinct()
+      val a = pairs.toDF("ck", "sa")
+      val b = pairs.toDF("ck", "sb")
+      val edges = a.join(b, "ck").filter(col("sa") < col("sb"))
+        .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("w"))
+        .filter(col("w") >= MinShared)
+        .select(col("sa"), col("sb"))
+        .persist()
+      val tri = edges.toDF("a", "b")
+        .join(edges.toDF("b", "c"), "b")
+        .join(edges.toDF("a", "c"), Seq("a", "c"))
+      val out = tri
+        .select(explode(array(col("a"), col("b"), col("c"))).as("s_key"))
+        .groupBy(col("s_key")).agg(count(lit(1)).as("n_triangles"))
+        .orderBy(col("s_key"))
+      val pinned = out.localCheckpoint(true)
+      edges.unpersist()
+      pinned.orderBy(col("s_key"))
     })
   )
 
@@ -105,6 +177,52 @@ object Pipeline5 {
          |  COALESCE(per.n_oov, CAST(0 AS BIGINT)) AS n_oov,
          |  CAST(per.n_oov AS DOUBLE) / CAST(per.n_tokens AS DOUBLE) AS oov_frac
          |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
-         |ORDER BY d.doc_id""".stripMargin
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // Same 1e7 fixed-point lattice as q20's embeddings oracle; decimal
+    // products keep every sum exact, cosine is the one double step and
+    // its expression shape is identical on both engines.
+    "q76_label_centroid_cos" ->
+      """WITH f AS (
+        |  SELECT label, i,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000000.0) AS BIGINT) AS v
+        |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i)),
+        |c AS (SELECT label, i, CAST(SUM(v) AS BIGINT) AS sv
+        |      FROM f GROUP BY label, i),
+        |n AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+        |      FROM embeddings GROUP BY label),
+        |n2 AS (SELECT label,
+        |    CAST(SUM(CAST(sv AS DECIMAL(12,0)) * CAST(sv AS DECIMAL(12,0))) AS DOUBLE) AS n2
+        |  FROM c GROUP BY label),
+        |d AS (
+        |  SELECT a.label AS label_a, b.label AS label_b,
+        |    CAST(SUM(CAST(a.sv AS DECIMAL(12,0)) * CAST(b.sv AS DECIMAL(12,0))) AS DOUBLE) AS dot
+        |  FROM c a JOIN c b ON a.i = b.i AND a.label < b.label
+        |  GROUP BY 1, 2)
+        |SELECT d.label_a, d.label_b, na.n AS n_a, nb.n AS n_b,
+        |  d.dot / (sqrt(n2a.n2) * sqrt(n2b.n2)) AS centroid_cos
+        |FROM d
+        |JOIN n na ON d.label_a = na.label
+        |JOIN n nb ON d.label_b = nb.label
+        |JOIN n2 n2a ON d.label_a = n2a.label
+        |JOIN n2 n2b ON d.label_b = n2b.label
+        |ORDER BY label_a, label_b""".stripMargin,
+
+    "q77_triangle_count" ->
+      s"""WITH p AS (
+         |  SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         |e AS (
+         |  SELECT a.sk AS sa, b.sk AS sb
+         |  FROM p a JOIN p b ON a.ck = b.ck AND a.sk < b.sk
+         |  GROUP BY 1, 2 HAVING count(*) >= $MinShared),
+         |tri AS (
+         |  SELECT e1.sa AS a, e1.sb AS b, e2.sb AS c
+         |  FROM e e1 JOIN e e2 ON e1.sb = e2.sa
+         |  JOIN e e3 ON e3.sa = e1.sa AND e3.sb = e2.sb),
+         |x AS (
+         |  SELECT unnest([a, b, c]) AS s_key FROM tri)
+         |SELECT s_key, count(*) AS n_triangles
+         |FROM x GROUP BY s_key ORDER BY s_key""".stripMargin
   )
 }

@@ -53,6 +53,22 @@ class EwmaSpec extends AnyFunSuite {
     e.unpersist()
   }
 
+  test("q76 centroid cosine: full upper triangle, cosine bounded") {
+    val out = SparkEntry.queries("q76_label_centroid_cos")(spark, sf).cache()
+    assert(out.count() === 45) // C(10,2)
+    assert(out.filter(abs(col("centroid_cos")) > 1.0 + 1e-12).count() === 0)
+    assert(out.filter(col("n_a") <= 0 || col("n_b") <= 0).count() === 0)
+    out.unpersist()
+  }
+
+  test("q77 triangles: participation counts sum to 3x triangle total") {
+    val out = SparkEntry.queries("q77_triangle_count")(spark, sf).cache()
+    val total = out.agg(sum("n_triangles")).first().getLong(0)
+    assert(total > 0 && total % 3 === 0,
+      "each triangle contributes exactly 3 participation rows")
+    out.unpersist()
+  }
+
   test("q75 vocab oov: all docs present, oov bounded by token count") {
     val out = SparkEntry.queries("q75_vocab_oov")(spark, sf).cache()
     assert(out.count() === 500)
