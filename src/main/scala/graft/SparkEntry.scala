@@ -45,7 +45,8 @@ object SparkEntry {
       graft.queries.Pipeline4.queries,
       graft.queries.Analytics.queries,
       graft.queries.CurationQueries.queries,
-      graft.queries.Pipeline5.queries)
+      graft.queries.Pipeline5.queries,
+      graft.queries.EventAnalytics.queries)
     val merged = modules.reduce(_ ++ _)
     // a duplicate name across modules would silently shadow a query —
     // fail loudly instead
@@ -107,7 +108,8 @@ object SparkEntry {
     graft.queries.Pipeline4.oracleSql ++
     graft.queries.Analytics.oracleSql ++
     graft.queries.CurationQueries.oracleSql ++
-    graft.queries.Pipeline5.oracleSql
+    graft.queries.Pipeline5.oracleSql ++
+    graft.queries.EventAnalytics.oracleSql
 
   private def baseOracleSql: Map[String, String] = Map(
     "q01_agg_pricing_summary" ->

@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Catalog
+
+/** Event-log analytics block (q78–q80): robust per-key outlier
+  * flagging (median/MAD), ordered funnel progression, and retention
+  * cohorts — the product-analytics shapes a warehouse engine must
+  * cover beyond plain windows.
+  *
+  * Parity discipline: discrete (lower) medians only (q39's rule —
+  * interpolated quantiles never hash-match across engines), timestamps
+  * as epoch microseconds, day buckets via exact integer division.
+  */
+object EventAnalytics {
+
+  private val MadK = 2.0 // outlier threshold: dev > 2·MAD
+  private val DayUs = 86400000000L
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Catalog.table(s, dir, "events")
+
+  /** Discrete lower median of `valueCol` per key: rn == (cnt+1) div 2
+    * under (value, tiebreak) order — q39's pattern, keyed. */
+  private def keyedMedian(df: DataFrame, key: String, valueCol: String,
+      tiebreak: String, out: String): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(valueCol), col(tiebreak))
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+    df.select(col(key), col(valueCol), col(tiebreak))
+      .withColumn("rn", row_number().over(w))
+      .join(broadcast(counts), Seq(key))
+      .filter(col("rn") === expr("(cnt + 1) div 2"))
+      .select(col(key), col(valueCol).as(out))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Robust outliers: |v − median| > 2·MAD, both medians discrete.
+    // Scale shape: two window shuffles on user_id + broadcast count
+    // joins — no global sort, no collect; the median relations are
+    // one row per key and broadcast back.
+    "q78_mad_outliers" -> ((s, dir) => {
+      val e = ev(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"))
+      val med = keyedMedian(e, "user_id", "value", "event_id", "med")
+      val withDev = e.join(broadcast(med), "user_id")
+        .withColumn("dev", abs(col("value") - col("med")))
+      val mad = keyedMedian(
+        withDev.select(col("user_id"), col("dev"), col("event_id")),
+        "user_id", "dev", "event_id", "mad")
+      withDev.join(broadcast(mad), "user_id")
+        .filter(col("dev") > lit(MadK) * col("mad"))
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("med"), col("mad"), col("dev"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Ordered funnel signup → view → purchase: each stage's timestamp
+    // is the EARLIEST strictly after the previous stage. Three
+    // filtered min-aggregations + broadcast joins on the (small)
+    // per-user stage relations; the event log is scanned, never
+    // re-shuffled whole.
+    "q79_funnel" -> ((s, dir) => {
+      val e = ev(s, dir).select(col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("us"))
+      val su = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t_signup_us"))
+      val vw = e.filter(col("event_type") === "view")
+        .join(broadcast(su), "user_id")
+        .filter(col("us") > col("t_signup_us"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t_view_us"))
+      val pu = e.filter(col("event_type") === "purchase")
+        .join(broadcast(vw), "user_id")
+        .filter(col("us") > col("t_view_us"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t_purchase_us"))
+      su.join(vw, Seq("user_id"), "left")
+        .join(pu, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_signup_us"), col("t_view_us"),
+          col("t_purchase_us"),
+          (lit(1) +
+            when(col("t_view_us").isNotNull, 1).otherwise(0) +
+            when(col("t_purchase_us").isNotNull, 1).otherwise(0))
+            .cast("int").as("stage"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Retention cohorts: cohort = first-activity day, cell = distinct
+    // users from that cohort active at each day offset. Day buckets
+    // by exact integer division of epoch-micros (no timezone/calendar
+    // dependence to diverge across engines).
+    "q80_retention_cohorts" -> ((s, dir) => {
+      // `div`, not `/`: Spark's `/` on longs is DOUBLE division (q39's
+      // lesson), and epoch-micros near 2^53 would round
+      val e = ev(s, dir).select(col("user_id"),
+        expr(s"unix_micros(ts) div $DayUs").as("day"))
+      val cohort = e.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"))
+      e.join(broadcast(cohort), "user_id")
+        .select(col("user_id"), col("cohort_day"),
+          (col("day") - col("cohort_day")).as("day_offset"))
+        .distinct()
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q78_mad_outliers" ->
+      s"""WITH m AS (
+         |  SELECT user_id, value AS med FROM (
+         |    SELECT user_id, value,
+         |      ROW_NUMBER() OVER (PARTITION BY user_id
+         |        ORDER BY value, event_id) AS rn,
+         |      COUNT(*) OVER (PARTITION BY user_id) AS cnt
+         |    FROM events) WHERE rn = (cnt + 1) // 2),
+         |d AS (
+         |  SELECT e.event_id, e.user_id, e.value, m.med,
+         |    abs(e.value - m.med) AS dev
+         |  FROM events e JOIN m USING (user_id)),
+         |md AS (
+         |  SELECT user_id, dev AS mad FROM (
+         |    SELECT user_id, dev, event_id,
+         |      ROW_NUMBER() OVER (PARTITION BY user_id
+         |        ORDER BY dev, event_id) AS rn,
+         |      COUNT(*) OVER (PARTITION BY user_id) AS cnt
+         |    FROM d) WHERE rn = (cnt + 1) // 2)
+         |SELECT d.event_id, d.user_id, d.value, d.med, md.mad, d.dev
+         |FROM d JOIN md USING (user_id)
+         |WHERE d.dev > $MadK * md.mad
+         |ORDER BY d.event_id""".stripMargin,
+
+    "q79_funnel" ->
+      """WITH su AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS t_signup_us
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |vw AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t_view_us
+        |  FROM events e JOIN su ON e.user_id = su.user_id
+        |  WHERE e.event_type = 'view' AND epoch_us(e.ts) > su.t_signup_us
+        |  GROUP BY e.user_id),
+        |pu AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase_us
+        |  FROM events e JOIN vw ON e.user_id = vw.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > vw.t_view_us
+        |  GROUP BY e.user_id)
+        |SELECT su.user_id, su.t_signup_us, vw.t_view_us, pu.t_purchase_us,
+        |  CAST(1 + CASE WHEN vw.t_view_us IS NOT NULL THEN 1 ELSE 0 END
+        |         + CASE WHEN pu.t_purchase_us IS NOT NULL THEN 1 ELSE 0 END
+        |    AS INT) AS stage
+        |FROM su
+        |LEFT JOIN vw ON su.user_id = vw.user_id
+        |LEFT JOIN pu ON su.user_id = pu.user_id
+        |ORDER BY su.user_id""".stripMargin,
+
+    "q80_retention_cohorts" ->
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(ts) // $DayUs AS day FROM events),
+         |c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),
+         |x AS (
+         |  SELECT DISTINCT e.user_id, c.cohort_day,
+         |    e.day - c.cohort_day AS day_offset
+         |  FROM e JOIN c ON e.user_id = c.user_id)
+         |SELECT cohort_day, day_offset, count(*) AS n_users
+         |FROM x GROUP BY cohort_day, day_offset
+         |ORDER BY cohort_day, day_offset""".stripMargin
+  )
+}

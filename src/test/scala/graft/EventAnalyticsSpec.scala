@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Laws for the event-analytics block (q78–q80). */
+class EventAnalyticsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("q78: flagged rows satisfy the MAD inequality and dev identity") {
+    val out = SparkEntry.queries("q78_mad_outliers")(spark, sf).cache()
+    assert(out.count() > 0)
+    assert(out.filter(col("dev") <= lit(2.0) * col("mad")).count() === 0)
+    assert(out.filter(col("dev") =!= abs(col("value") - col("med")))
+      .count() === 0)
+    out.unpersist()
+  }
+
+  test("q79: stages consistent with timestamps, strictly ordered") {
+    val out = SparkEntry.queries("q79_funnel")(spark, sf).cache()
+    assert(out.count() > 0)
+    assert(out.filter(!col("stage").isin(1, 2, 3)).count() === 0)
+    // stage k ⟺ exactly the first k timestamps non-null, increasing
+    assert(out.filter(col("stage") >= 2 &&
+      (col("t_view_us").isNull ||
+        col("t_view_us") <= col("t_signup_us"))).count() === 0)
+    assert(out.filter(col("stage") === 3 &&
+      (col("t_purchase_us").isNull ||
+        col("t_purchase_us") <= col("t_view_us"))).count() === 0)
+    assert(out.filter(col("stage") === 1 && col("t_view_us").isNotNull)
+      .count() === 0)
+    out.unpersist()
+  }
+
+  test("q80: offset-0 diagonal partitions every user exactly once") {
+    val out = SparkEntry.queries("q80_retention_cohorts")(spark, sf).cache()
+    val users = graft.sources.Catalog.table(spark, sf, "events")
+      .select(countDistinct(col("user_id"))).first().getLong(0)
+    val diag = out.filter(col("day_offset") === 0)
+      .agg(sum("n_users")).first().getLong(0)
+    assert(diag === users, "every user appears in its cohort at offset 0")
+    assert(out.filter(col("day_offset") < 0).count() === 0)
+    out.unpersist()
+  }
+}
