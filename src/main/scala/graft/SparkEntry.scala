@@ -46,7 +46,8 @@ object SparkEntry {
       graft.queries.Analytics.queries,
       graft.queries.CurationQueries.queries,
       graft.queries.Pipeline5.queries,
-      graft.queries.EventAnalytics.queries)
+      graft.queries.EventAnalytics.queries,
+      graft.queries.Pipeline6.queries)
     val merged = modules.reduce(_ ++ _)
     // a duplicate name across modules would silently shadow a query —
     // fail loudly instead
@@ -109,7 +110,8 @@ object SparkEntry {
     graft.queries.Analytics.oracleSql ++
     graft.queries.CurationQueries.oracleSql ++
     graft.queries.Pipeline5.oracleSql ++
-    graft.queries.EventAnalytics.oracleSql
+    graft.queries.EventAnalytics.oracleSql ++
+    graft.queries.Pipeline6.oracleSql
 
   private def baseOracleSql: Map[String, String] = Map(
     "q01_agg_pricing_summary" ->

@@ -1,0 +1,239 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.sources.Catalog
+
+/** Round-3 block (q81–q84): BM25 retrieval scoring, blocked fuzzy
+  * record linkage, Pareto skyline, and time-grid linear interpolation —
+  * four warehouse/curation shapes the earlier blocks don't cover.
+  *
+  * Parity discipline (q47's rule): no transcendental calls in anything
+  * hash-compared — BM25's idf/saturation is re-derived as engine-defined
+  * fixed-point integer arithmetic (`div` ≡ DuckDB `//` on positive
+  * longs); interpolation stays in IEEE double with the identical
+  * expression tree on both engines (`+ * /` are correctly rounded, so
+  * bit-equality holds); edit distance is exact integers.
+  */
+object Pipeline6 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Catalog.table(s, dir, name)
+
+  /** Fixed-point scale for BM25 (10^5). Long-bound note: terms of the
+    * score product are ≤ S²·n_docs·dl — safe through ~10^7 docs; a
+    * 100 TB corpus would move `S` down or the product to DECIMAL(38). */
+  private val S = 100000L
+  private val B = 75000L // 0.75 · S
+  private val K1 = 120000L // 1.2 · S
+  private val QueryTerms = Seq("window", "hash", "stream")
+
+  private val DayUs = 86400000000L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // BM25 top-k retrieval for a fixed query-term set. Scale shape:
+    // the tokenizer explode is map-side; tf filters to the query terms
+    // BEFORE the (doc,term) aggregation so the shuffled relation is
+    // |matching docs|·|query terms|, not the full posting list; dl is
+    // one parallel count per doc; corpus stats and per-term df are
+    // single-row/3-row broadcasts; top-k is TakeOrdered (no global
+    // sort materialization).
+    "q81_bm25_topk" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tok = docs.select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("term"))
+      val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("total_tokens"))
+      val tf = tok.filter(col("term").isin(QueryTerms: _*))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val scored = tf
+        .join(broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf_fp",
+          expr(s"($S * (n_docs - df + 1)) div (df + 1)"))
+        .withColumn("dlr_fp",
+          expr(s"($S * dl * n_docs) div total_tokens"))
+        .withColumn("norm_fp",
+          expr(s"${S - B} + (($B * dlr_fp) div $S)"))
+        .withColumn("k_fp", expr(s"($K1 * norm_fp) div $S"))
+        .withColumn("score_term_fp",
+          expr(s"(idf_fp * tf * ${K1 + S}) div (tf * $S + k_fp)"))
+      scored.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_terms"),
+          sum(col("score_term_fp")).as("score_fp"))
+        .orderBy(col("score_fp").desc, col("doc_id"))
+        .limit(20)
+        .orderBy(col("score_fp").desc, col("doc_id"))
+    }),
+
+    // Blocked fuzzy record linkage: candidate pairs share a blocking
+    // key (nation — the classic attribute block), verified by exact
+    // Levenshtein ≤ 2. Scale shape: the pair space is n²/|blocks|, not
+    // n² — block-key choice bounds the quadratic term, and a skewed
+    // block would take the salted-join path (RangeJoin.saltedJoin).
+    // Positional-segment pigeonhole banding (the sound sub-quadratic
+    // candidate scheme for edit distance) is the q43 simhash family;
+    // this query pins the verify-side semantics.
+    "q82_fuzzy_linkage" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      val a = c.toDF("k1", "n1", "nat")
+      val b = c.toDF("k2", "n2", "nat")
+      a.join(b, Seq("nat"))
+        .filter(col("k1") < col("k2"))
+        .withColumn("dist", levenshtein(col("n1"), col("n2")))
+        .filter(col("dist") <= 2)
+        .select(col("nat"), col("k1"), col("k2"), col("dist"))
+        .orderBy(col("k1"), col("k2"))
+    }),
+
+    // Pareto skyline of part on (p_size asc, p_retailprice asc):
+    // sort-free frontier via per-x minimums — see operators/Skyline
+    // for the scale argument (one parallel groupBy + tiny broadcast
+    // vs the oracle's O(n²) NOT EXISTS).
+    "q83_skyline" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+      graft.operators.Skyline.frontier2d(p, "p_size", "p_retailprice")
+        .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // Daily time-grid linear interpolation per user: exact decimal
+    // day sums, then each absent grid day gets
+    //   pv + (nv - pv) * (day - pd) / (nd - pd)
+    // between its bracketing present days. Scale shape: the grid
+    // explode is linear in output; both IGNORE NULLS gap windows share
+    // one (user_id, day) shuffle; no collect, no global sort until
+    // the final presentation ORDER BY.
+    "q84_interpolate_daily" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .select(col("user_id"),
+          expr(s"unix_micros(ts) div $DayUs").as("day"), col("value"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(sum(col("value").cast("decimal(30,6)")).cast("double")
+          .as("v"))
+      val grid = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+      val wUpTo = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wFrom = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(0, Window.unboundedFollowing)
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(wUpTo))
+        .withColumn("pd", last(when(col("v").isNotNull, col("day")),
+          ignoreNulls = true).over(wUpTo))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wFrom))
+        .withColumn("nd", first(when(col("v").isNotNull, col("day")),
+          ignoreNulls = true).over(wFrom))
+        .withColumn("value_interp", when(col("v").isNotNull, col("v"))
+          .otherwise(col("pv") +
+            (col("nv") - col("pv")) * (col("day") - col("pd")) /
+              (col("nd") - col("pd"))))
+        .withColumn("is_interp", col("v").isNull)
+        .select(col("user_id"), col("day"), col("value_interp"),
+          col("is_interp"))
+        .orderBy(col("user_id"), col("day"))
+    })
+  )
+
+  private val sqlToks =
+    "list_filter(string_split(text, ' '), t_ -> t_ <> '')"
+
+  val oracleSql: Map[String, String] = Map(
+    "q81_bm25_topk" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($sqlToks) AS term FROM documents),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+         |stats AS (SELECT COUNT(*) AS n_docs,
+         |  CAST(SUM(dl) AS BIGINT) AS total_tokens FROM dl),
+         |tf AS (
+         |  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+         |  WHERE term IN ('window', 'hash', 'stream') GROUP BY 1, 2),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.tf,
+         |    ($S * (stats.n_docs - dfreq.df + 1)) // (dfreq.df + 1)
+         |      AS idf_fp,
+         |    ${S - B} + (($B * (($S * dl.dl * stats.n_docs)
+         |      // stats.total_tokens)) // $S) AS norm_fp
+         |  FROM tf
+         |  JOIN dfreq USING (term)
+         |  JOIN dl USING (doc_id)
+         |  CROSS JOIN stats),
+         |terms AS (
+         |  SELECT doc_id,
+         |    (idf_fp * tf * ${K1 + S})
+         |      // (tf * $S + (($K1 * norm_fp) // $S)) AS score_term_fp
+         |  FROM scored)
+         |SELECT doc_id, COUNT(*) AS n_terms,
+         |  CAST(SUM(score_term_fp) AS BIGINT) AS score_fp
+         |FROM terms GROUP BY doc_id
+         |ORDER BY score_fp DESC, doc_id
+         |LIMIT 20""".stripMargin,
+
+    "q82_fuzzy_linkage" ->
+      """SELECT a.c_nationkey AS nat, a.c_custkey AS k1,
+        |  b.c_custkey AS k2,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+        |FROM customer a
+        |JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2
+        |ORDER BY k1, k2""".stripMargin,
+
+    "q83_skyline" ->
+      """SELECT p_partkey, p_size, p_retailprice FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_size <= p.p_size
+        |    AND q.p_retailprice <= p.p_retailprice
+        |    AND (q.p_size < p.p_size
+        |      OR q.p_retailprice < p.p_retailprice))
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q84_interpolate_daily" ->
+      s"""WITH daily AS (
+         |  SELECT user_id, epoch_us(ts) // $DayUs AS day,
+         |    CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v
+         |  FROM events GROUP BY 1, 2),
+         |span AS (
+         |  SELECT user_id, min(day) AS d0, max(day) AS d1
+         |  FROM daily GROUP BY 1),
+         |grid AS (
+         |  SELECT user_id, unnest(range(d0, d1 + 1)) AS day FROM span),
+         |j AS (
+         |  SELECT g.user_id, g.day, daily.v
+         |  FROM grid g
+         |  LEFT JOIN daily
+         |    ON g.user_id = daily.user_id AND g.day = daily.day),
+         |x AS (
+         |  SELECT user_id, day, v,
+         |    last_value(v IGNORE NULLS) OVER wu AS pv,
+         |    last_value(CASE WHEN v IS NOT NULL THEN day END
+         |      IGNORE NULLS) OVER wu AS pd,
+         |    first_value(v IGNORE NULLS) OVER wf AS nv,
+         |    first_value(CASE WHEN v IS NOT NULL THEN day END
+         |      IGNORE NULLS) OVER wf AS nd
+         |  FROM j
+         |  WINDOW wu AS (PARTITION BY user_id ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |  wf AS (PARTITION BY user_id ORDER BY day
+         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT user_id, day,
+         |  CASE WHEN v IS NOT NULL THEN v
+         |       ELSE pv + (nv - pv) * (day - pd) / (nd - pd) END
+         |    AS value_interp,
+         |  v IS NULL AS is_interp
+         |FROM x ORDER BY user_id, day""".stripMargin
+  )
+}
