@@ -7,9 +7,11 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.sources.Catalog
 
-/** Round-3 block (q81–q84): BM25 retrieval scoring, blocked fuzzy
-  * record linkage, Pareto skyline, and time-grid linear interpolation —
-  * four warehouse/curation shapes the earlier blocks don't cover.
+/** Round-3 block (q81–q87): BM25 retrieval scoring, blocked fuzzy
+  * record linkage, Pareto skyline, time-grid linear interpolation,
+  * prefix-filtered set-similarity join, equi-width histograms, and
+  * column profiling — warehouse/curation shapes the earlier blocks
+  * don't cover.
   *
   * Parity discipline (q47's rule): no transcendental calls in anything
   * hash-compared — BM25's idf/saturation is re-derived as engine-defined
@@ -143,6 +145,82 @@ object Pipeline6 {
         .select(col("user_id"), col("day"), col("value_interp"),
           col("is_interp"))
         .orderBy(col("user_id"), col("day"))
+    }),
+
+    // Exact set-similarity join (PPJoin-family prefix filter + exact
+    // verify) over supplier part-sets: all supplier pairs with
+    // Jaccard ≥ 1/8. The oracle runs the naive inverted-index join
+    // over ALL tokens; the operator joins on rarest-first prefixes
+    // only — identical output, sub-quadratic candidates (see
+    // operators/SetSimJoin for the theorem and scale shape).
+    "q85_setsim_suppliers" -> ((s, dir) => {
+      val sets = t(s, dir, "lineitem")
+        .select(col("l_suppkey").as("supp"), col("l_partkey").as("part"))
+      graft.operators.SetSimJoin.jaccardJoin(sets, "supp", "part", 1, 8)
+        .orderBy(col("k1"), col("k2"))
+    }),
+
+    // Per-type equi-width histogram (10 bins over the observed
+    // [min, max]): one broadcast of per-type extents + one aggregation
+    // — two parallel shuffles on event_type, no sort of the raw data.
+    // Bin arithmetic is the identical IEEE double expression in both
+    // engines; bin ids are exact longs.
+    "q86_value_histogram" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_type"), col("value"))
+      val mm = e.groupBy(col("event_type"))
+        .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+      e.join(broadcast(mm), "event_type")
+        .withColumn("bin",
+          when(col("vmax") === col("vmin"), lit(0L))
+            .otherwise(least(lit(9L), floor(
+              (col("value") - col("vmin")) * lit(10) /
+                (col("vmax") - col("vmin"))))))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(30,6)")).cast("double")
+            .as("sum_value"))
+        .orderBy(col("event_type"), col("bin"))
+    }),
+
+    // Column profiling (data-quality surface): one single-pass
+    // aggregation over orders computes row/null/distinct counts and
+    // min/max per profiled column, then stack() unpivots to one row
+    // per column. Numeric columns min/max numerically then format;
+    // string columns compare lexicographically (binary collation in
+    // both engines).
+    "q87_column_profile" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val a = o.agg(
+        count(lit(1)).as("n_rows"),
+        count(col("o_orderstatus")).as("nn1"),
+        countDistinct(col("o_orderstatus")).as("nd1"),
+        min(col("o_orderstatus").cast("string")).as("mn1"),
+        max(col("o_orderstatus").cast("string")).as("mx1"),
+        count(col("o_orderpriority")).as("nn2"),
+        countDistinct(col("o_orderpriority")).as("nd2"),
+        min(col("o_orderpriority").cast("string")).as("mn2"),
+        max(col("o_orderpriority").cast("string")).as("mx2"),
+        count(col("o_custkey")).as("nn3"),
+        countDistinct(col("o_custkey")).as("nd3"),
+        min(col("o_custkey")).cast("string").as("mn3"),
+        max(col("o_custkey")).cast("string").as("mx3"),
+        count(col("o_totalprice")).as("nn4"),
+        countDistinct(col("o_totalprice")).as("nd4"),
+        min(col("o_totalprice")).cast("decimal(18,2)").cast("string")
+          .as("mn4"),
+        max(col("o_totalprice")).cast("decimal(18,2)").cast("string")
+          .as("mx4"))
+      a.select(col("n_rows"), expr(
+        """stack(4,
+          |  'o_orderstatus',   nn1, nd1, mn1, mx1,
+          |  'o_orderpriority', nn2, nd2, mn2, mx2,
+          |  'o_custkey',       nn3, nd3, mn3, mx3,
+          |  'o_totalprice',    nn4, nd4, mn4, mx4)
+          |  AS (col_name, n_notnull, n_distinct, min_str, max_str)"""
+          .stripMargin))
+        .select(col("col_name"), col("n_rows"), col("n_notnull"),
+          col("n_distinct"), col("min_str"), col("max_str"))
+        .orderBy(col("col_name"))
     })
   )
 
@@ -234,6 +312,71 @@ object Pipeline6 {
          |       ELSE pv + (nv - pv) * (day - pd) / (nd - pd) END
          |    AS value_interp,
          |  v IS NULL AS is_interp
-         |FROM x ORDER BY user_id, day""".stripMargin
+         |FROM x ORDER BY user_id, day""".stripMargin,
+
+    "q85_setsim_suppliers" ->
+      """WITH s AS (
+        |  SELECT DISTINCT l_suppkey AS k, l_partkey AS tok
+        |  FROM lineitem),
+        |sz AS (SELECT k, COUNT(*) AS n FROM s GROUP BY 1),
+        |i AS (
+        |  SELECT a.k AS k1, b.k AS k2, COUNT(*) AS inter
+        |  FROM s a JOIN s b ON a.tok = b.tok AND a.k < b.k
+        |  GROUP BY 1, 2)
+        |SELECT i.k1, i.k2, i.inter, x.n AS n1, y.n AS n2,
+        |  CAST(i.inter AS DOUBLE) / (x.n + y.n - i.inter) AS jaccard
+        |FROM i
+        |JOIN sz x ON i.k1 = x.k
+        |JOIN sz y ON i.k2 = y.k
+        |WHERE 8 * i.inter >= 1 * (x.n + y.n - i.inter)
+        |ORDER BY k1, k2""".stripMargin,
+
+    "q86_value_histogram" ->
+      """WITH mm AS (
+        |  SELECT event_type, min(value) AS vmin, max(value) AS vmax
+        |  FROM events GROUP BY 1),
+        |b AS (
+        |  SELECT e.event_type, e.value,
+        |    CASE WHEN mm.vmax = mm.vmin THEN 0
+        |         ELSE least(9, CAST(floor(
+        |           (e.value - mm.vmin) * 10 / (mm.vmax - mm.vmin))
+        |           AS BIGINT)) END AS bin
+        |  FROM events e JOIN mm USING (event_type))
+        |SELECT event_type, bin, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        |FROM b GROUP BY event_type, bin
+        |ORDER BY event_type, bin""".stripMargin,
+
+    "q87_column_profile" ->
+      """WITH a AS (
+        |  SELECT COUNT(*) AS n_rows,
+        |    COUNT(o_orderstatus) AS nn1,
+        |    COUNT(DISTINCT o_orderstatus) AS nd1,
+        |    min(CAST(o_orderstatus AS VARCHAR)) AS mn1,
+        |    max(CAST(o_orderstatus AS VARCHAR)) AS mx1,
+        |    COUNT(o_orderpriority) AS nn2,
+        |    COUNT(DISTINCT o_orderpriority) AS nd2,
+        |    min(CAST(o_orderpriority AS VARCHAR)) AS mn2,
+        |    max(CAST(o_orderpriority AS VARCHAR)) AS mx2,
+        |    COUNT(o_custkey) AS nn3,
+        |    COUNT(DISTINCT o_custkey) AS nd3,
+        |    CAST(min(o_custkey) AS VARCHAR) AS mn3,
+        |    CAST(max(o_custkey) AS VARCHAR) AS mx3,
+        |    COUNT(o_totalprice) AS nn4,
+        |    COUNT(DISTINCT o_totalprice) AS nd4,
+        |    CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+        |      AS mn4,
+        |    CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+        |      AS mx4
+        |  FROM orders)
+        |SELECT u.col_name, a.n_rows, u.n_notnull, u.n_distinct,
+        |  u.min_str, u.max_str
+        |FROM a, LATERAL (
+        |  SELECT 'o_orderstatus' AS col_name, nn1 AS n_notnull,
+        |    nd1 AS n_distinct, mn1 AS min_str, mx1 AS max_str
+        |  UNION ALL SELECT 'o_orderpriority', nn2, nd2, mn2, mx2
+        |  UNION ALL SELECT 'o_custkey', nn3, nd3, mn3, mx3
+        |  UNION ALL SELECT 'o_totalprice', nn4, nd4, mn4, mx4) u
+        |ORDER BY u.col_name""".stripMargin
   )
 }

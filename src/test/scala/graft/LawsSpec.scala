@@ -296,4 +296,52 @@ class LawsSpec extends AnyFunSuite {
         salted == plain
     })
   }
+
+  test("skyline law: frontier2d equals brute-force dominance filter") {
+    import spark.implicits._
+    val ptsGen: Gen[List[(Int, Int, Int)]] =
+      Gen.listOfN(35, for {
+        id <- Gen.choose(0, 1000000)
+        x <- Gen.choose(0, 8) // small domains force ties on both axes
+        y <- Gen.choose(0, 8)
+      } yield (id, x, y))
+    check("skyline", Prop.forAll(ptsGen) { pts =>
+      val df = pts.toDF("id", "x", "y")
+      val got = graft.operators.Skyline.frontier2d(df, "x", "y")
+        .select("id", "x", "y").as[(Int, Int, Int)]
+        .collect().sorted.toSeq
+      val want = pts.filter { case (_, x, y) =>
+        !pts.exists { case (_, qx, qy) =>
+          qx <= x && qy <= y && (qx < x || qy < y)
+        }
+      }.sorted
+      got == want
+    })
+  }
+
+  test("setsim law: prefix-filtered jaccardJoin equals brute force") {
+    import spark.implicits._
+    val setsGen: Gen[List[(Int, Int)]] =
+      Gen.listOfN(60, for {
+        k <- Gen.choose(0, 9) // ~10 sets
+        tok <- Gen.choose(0, 24) // sparse AND dense overlaps arise
+      } yield (k, tok))
+    check("setsim", Prop.forAll(setsGen, Gen.choose(1, 4)) { (rows, tn) =>
+      val td = 5
+      val df = rows.toDF("k", "tok")
+      val got = graft.operators.SetSimJoin
+        .jaccardJoin(df, "k", "tok", tn, td)
+        .select("k1", "k2", "inter").as[(Int, Int, Long)]
+        .collect().sorted.toSeq
+      val sets = rows.groupBy(_._1).map { case (k, v) =>
+        k -> v.map(_._2).toSet
+      }
+      val want = (for {
+        (k1, a) <- sets; (k2, b) <- sets if k1 < k2
+        inter = (a & b).size
+        if td * inter >= tn * (a.size + b.size - inter)
+      } yield (k1, k2, inter.toLong)).toSeq.sorted
+      got == want
+    })
+  }
 }
