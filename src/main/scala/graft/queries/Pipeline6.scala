@@ -7,11 +7,11 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.sources.Catalog
 
-/** Round-3 block (q81–q87): BM25 retrieval scoring, blocked fuzzy
+/** Round-3 block (q81–q88): BM25 retrieval scoring, blocked fuzzy
   * record linkage, Pareto skyline, time-grid linear interpolation,
-  * prefix-filtered set-similarity join, equi-width histograms, and
-  * column profiling — warehouse/curation shapes the earlier blocks
-  * don't cover.
+  * prefix-filtered set-similarity join, equi-width histograms, column
+  * profiling, and full-outer reconciliation — warehouse/curation
+  * shapes the earlier blocks don't cover.
   *
   * Parity discipline (q47's rule): no transcendental calls in anything
   * hash-compared — BM25's idf/saturation is re-derived as engine-defined
@@ -221,6 +221,30 @@ object Pipeline6 {
         .select(col("col_name"), col("n_rows"), col("n_notnull"),
           col("n_distinct"), col("min_str"), col("max_str"))
         .orderBy(col("col_name"))
+    }),
+
+    // Ledger reconciliation via FULL OUTER equi-join (the one join
+    // type no earlier query exercises): BUILDING-segment customers vs
+    // per-customer order aggregates — emits matched rows, ledger-only
+    // customers (no orders), and orders-only customers (other
+    // segments). Scale shape: pre-aggregated right side, one
+    // sort-merge full-outer on custkey, exact decimal totals.
+    "q88_full_outer_reconcile" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_acctbal"))
+      val o = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(30,6)")).cast("double")
+            .as("order_total"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_custkey").isNotNull.as("in_ledger"),
+          col("o_custkey").isNotNull.as("has_orders"),
+          col("c_acctbal"), col("n_orders"), col("order_total"))
+        .orderBy(col("custkey"))
     })
   )
 
@@ -377,6 +401,22 @@ object Pipeline6 {
         |  UNION ALL SELECT 'o_orderpriority', nn2, nd2, mn2, mx2
         |  UNION ALL SELECT 'o_custkey', nn3, nd3, mn3, mx3
         |  UNION ALL SELECT 'o_totalprice', nn4, nd4, mn4, mx4) u
-        |ORDER BY u.col_name""".stripMargin
+        |ORDER BY u.col_name""".stripMargin,
+
+    "q88_full_outer_reconcile" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_acctbal FROM customer
+        |  WHERE c_mktsegment = 'BUILDING'),
+        |o AS (
+        |  SELECT o_custkey, COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |      AS order_total
+        |  FROM orders GROUP BY 1)
+        |SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+        |  c.c_custkey IS NOT NULL AS in_ledger,
+        |  o.o_custkey IS NOT NULL AS has_orders,
+        |  c.c_acctbal, o.n_orders, o.order_total
+        |FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+        |ORDER BY custkey""".stripMargin
   )
 }
