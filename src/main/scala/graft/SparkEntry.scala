@@ -47,7 +47,8 @@ object SparkEntry {
       graft.queries.CurationQueries.queries,
       graft.queries.Pipeline5.queries,
       graft.queries.EventAnalytics.queries,
-      graft.queries.Pipeline6.queries)
+      graft.queries.Pipeline6.queries,
+      graft.queries.Pipeline7.queries)
     val merged = modules.reduce(_ ++ _)
     // a duplicate name across modules would silently shadow a query —
     // fail loudly instead
@@ -111,7 +112,8 @@ object SparkEntry {
     graft.queries.CurationQueries.oracleSql ++
     graft.queries.Pipeline5.oracleSql ++
     graft.queries.EventAnalytics.oracleSql ++
-    graft.queries.Pipeline6.oracleSql
+    graft.queries.Pipeline6.oracleSql ++
+    graft.queries.Pipeline7.oracleSql
 
   private def baseOracleSql: Map[String, String] = Map(
     "q01_agg_pricing_summary" ->
