@@ -48,7 +48,8 @@ object SparkEntry {
       graft.queries.Pipeline5.queries,
       graft.queries.EventAnalytics.queries,
       graft.queries.Pipeline6.queries,
-      graft.queries.Pipeline7.queries)
+      graft.queries.Pipeline7.queries,
+      graft.queries.Pipeline8.queries)
     val merged = modules.reduce(_ ++ _)
     // a duplicate name across modules would silently shadow a query —
     // fail loudly instead
@@ -113,7 +114,8 @@ object SparkEntry {
     graft.queries.Pipeline5.oracleSql ++
     graft.queries.EventAnalytics.oracleSql ++
     graft.queries.Pipeline6.oracleSql ++
-    graft.queries.Pipeline7.oracleSql
+    graft.queries.Pipeline7.oracleSql ++
+    graft.queries.Pipeline8.oracleSql
 
   private def baseOracleSql: Map[String, String] = Map(
     "q01_agg_pricing_summary" ->

@@ -85,14 +85,17 @@ object Pipeline6 {
     // this query pins the verify-side semantics.
     "q82_fuzzy_linkage" -> ((s, dir) => {
       val c = t(s, dir, "customer")
-        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
-      val a = c.toDF("k1", "n1", "nat")
-      val b = c.toDF("k2", "n2", "nat")
-      a.join(b, Seq("nat"))
-        .filter(col("k1") < col("k2"))
-        .withColumn("dist", levenshtein(col("n1"), col("n2")))
-        .filter(col("dist") <= 2)
-        .select(col("nat"), col("k1"), col("k2"), col("dist"))
+        .select(col("c_custkey"), col("c_name"),
+          col("c_nationkey").as("nat"))
+      // blocked in-memory comparator kernel (operators/EditJoin):
+      // prefix/suffix-stripped banded levenshtein inside each nation
+      // block — the relational block-join + levenshtein(a,b,2) twin
+      // shuffles every candidate pair (measured 7× slower; law-pinned
+      // equal in Pipeline8Spec)
+      graft.operators.EditJoin.blockedSelfJoin(
+          c, "nat", "c_custkey", col("c_name"), maxDist = 2)
+        // kernel widens the block key to long; restore the source type
+        .withColumn("nat", col("nat").cast("int"))
         .orderBy(col("k1"), col("k2"))
     }),
 

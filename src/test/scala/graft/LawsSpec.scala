@@ -329,10 +329,15 @@ class LawsSpec extends AnyFunSuite {
     check("setsim", Prop.forAll(setsGen, Gen.choose(1, 4)) { (rows, tn) =>
       val td = 5
       val df = rows.toDF("k", "tok")
-      val got = graft.operators.SetSimJoin
-        .jaccardJoin(df, "k", "tok", tn, td)
-        .select("k1", "k2", "inter").as[(Int, Int, Long)]
-        .collect().sorted.toSeq
+      // pin BOTH physical paths (prefix-filtered and index count join)
+      // against brute force, at thresholds on both sides of the auto
+      // crossover
+      val Seq(got, gotIdx) = Seq("prefix", "index").map { strat =>
+        graft.operators.SetSimJoin
+          .jaccardJoin(df, "k", "tok", tn, td, strategy = strat)
+          .select("k1", "k2", "inter").as[(Int, Int, Long)]
+          .collect().sorted.toSeq
+      }
       val sets = rows.groupBy(_._1).map { case (k, v) =>
         k -> v.map(_._2).toSet
       }
@@ -341,7 +346,7 @@ class LawsSpec extends AnyFunSuite {
         inter = (a & b).size
         if td * inter >= tn * (a.size + b.size - inter)
       } yield (k1, k2, inter.toLong)).toSeq.sorted
-      got == want
+      got == want && gotIdx == want
     })
   }
 }
