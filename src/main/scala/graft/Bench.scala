@@ -42,7 +42,9 @@ object Bench {
     // the driver passes no args → full suite
     val nameFilter = args.lift(0).map(_.r)
     val failed = scala.collection.mutable.ListBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // numeric order (q09 before q100) for run-to-run comparability
+    val results = SparkEntry.queries.toSeq
+      .sortBy { case (n, _) => (n.drop(1).takeWhile(_.isDigit).toInt, n) }
       .filter { case (n, _) => nameFilter.forall(_.findFirstIn(n).isDefined) }
       .flatMap {
       case (name, _) =>
@@ -64,7 +66,16 @@ object Bench {
       .mkString("{", ",", "}")
     val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_runs":$Runs,"queries":$qs,"failed":$fj,"sf":"$sfDir"}""")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","n_runs":$Runs,"queries":$qs,"failed":$fj,"sf":"$sfDir"}"""
+    println(full)
+    // The per-query line grows with the suite and a tail-capture of the
+    // process output can truncate its FRONT (losing the total). Emit a
+    // compact fixed-size summary LAST so the totals always survive, and
+    // persist the full JSON to a file as the durable artifact.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (full + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(s"""{"metric":"bench_summary","value":$total,"unit":"sec","n":${results.size},"n_failed":${failed.size},"n_runs":$Runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 

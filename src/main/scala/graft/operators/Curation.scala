@@ -35,6 +35,18 @@ object Curation {
   def boilerplateStats(docs: DataFrame, docId: String, text: Column,
       k: Int = 3, minDf: Int = 5): DataFrame = {
     val sh = FuzzyDedup.shingles(docs, docId, text, k) // distinct per doc; persisted
+    val pinned = boilerplateFromShingles(docs, docId, sh, minDf)
+      .localCheckpoint(true)
+    sh.unpersist()
+    pinned
+  }
+
+  /** [[boilerplateStats]] over a PRE-BUILT distinct (docId, shingle)
+    * relation — lazy, no cache management; the caller owns `sh`. Lets
+    * the composed curate pipeline share one shingle relation between
+    * the dedup and boilerplate stages instead of recomputing it. */
+  def boilerplateFromShingles(docs: DataFrame, docId: String,
+      sh: DataFrame, minDf: Int = 5): DataFrame = {
     val dict = sh.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
@@ -43,7 +55,7 @@ object Curation {
       .groupBy(col(docId))
       .agg(count(lit(1)).as("n_shingles"),
         count(col("is_common")).as("n_common"))
-    val out = docs.select(col(docId))
+    docs.select(col(docId))
       .join(perDoc, Seq(docId), "left")
       .select(col(docId),
         coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
@@ -51,9 +63,6 @@ object Curation {
         // < k tokens → no shingles → fraction undefined, not 0/0
         (col("n_common").cast("double") / col("n_shingles").cast("double"))
           .as("boilerplate_frac"))
-    val pinned = out.localCheckpoint(true)
-    sh.unpersist()
-    pinned
   }
 
   /** Canonical-document selection: connected components over the
@@ -73,6 +82,14 @@ object Curation {
       quality: DataFrame, tau: Double = 0.5): DataFrame = {
     val pairs = FuzzyDedup.minhashDedupPairs(docs, docId, text,
       tau = tau, k = 3, numHashes = 64, bandRows = 4)
+    canonicalFromPairs(docs, docId, pairs, quality)
+  }
+
+  /** [[canonicalDocs]] from a PRE-BUILT verified near-dup pair relation
+    * (docId_a, docId_b) — components + per-component best-quality
+    * window only; no shingling. */
+  def canonicalFromPairs(docs: DataFrame, docId: String,
+      pairs: DataFrame, quality: DataFrame): DataFrame = {
     val comp = Components.connectedComponents(
       docs.select(col(docId)), docId, pairs, docId + "_a", docId + "_b")
     val w = Window.partitionBy(col("component"))
@@ -121,10 +138,17 @@ object Curation {
     val stats = TextFunctions.textStats(docs, docId, text, stopwords)
       .select(col(docId), col("n_tokens"), col("quality"))
       .persist()
-    val canon = canonicalDocs(docs, docId, text, stats, tau)
+    // ONE shingle relation feeds both the near-dup pair stage and the
+    // boilerplate dictionary — previously each stage rebuilt it
+    // (tokenize + shingle the whole corpus twice; the q73 flagship
+    // cost ~2× the sum of its parts). `k` now governs both stages.
+    val sh = FuzzyDedup.shingles(docs, docId, text, k)
+    val pairs = FuzzyDedup.minhashDedupPairsFromShingles(sh, docId,
+      tau, numHashes = 64, bandRows = 4).localCheckpoint(true)
+    val canon = canonicalFromPairs(docs, docId, pairs, stats)
       .filter(col("is_kept"))
       .select(col(docId))
-    val bp = boilerplateStats(docs, docId, text, k, minDf)
+    val bp = boilerplateFromShingles(docs, docId, sh, minDf)
       .filter(coalesce(col("boilerplate_frac"), lit(0.0)) <= maxBoilerplate)
       .select(col(docId))
     val members = docs.select(col(docId), col(groupCol))
@@ -136,6 +160,7 @@ object Curation {
       .select(col(groupCol), col(docId), col("n_tokens"), col("quality"),
         col("cum_tokens"))
     val pinned = out.localCheckpoint(true)
+    sh.unpersist()
     stats.unpersist()
     pinned
   }

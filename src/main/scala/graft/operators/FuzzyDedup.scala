@@ -149,14 +149,23 @@ object FuzzyDedup {
       tau: Double, k: Int = 3, numHashes: Int = 64, bandRows: Int = 4)
       : DataFrame = {
     val sh = shingles(df, docId, text, k)
+    val out = minhashDedupPairsFromShingles(sh, docId, tau, numHashes,
+      bandRows).localCheckpoint(true)
+    sh.unpersist()
+    out
+  }
+
+  /** [[minhashDedupPairs]] over a PRE-BUILT (docId, shingle) relation —
+    * lazy, no cache management; the caller owns `sh`'s lifecycle. Lets
+    * a composed pipeline (q73 curate) build shingles once and share
+    * them between the dedup and boilerplate stages. */
+  def minhashDedupPairsFromShingles(sh: DataFrame, docId: String,
+      tau: Double, numHashes: Int = 64, bandRows: Int = 4): DataFrame = {
     val cand = minhashCandidates(sh, docId, numHashes, bandRows)
-    val out = jaccardForCandidates(cand, sh, docId)
+    jaccardForCandidates(cand, sh, docId)
       .filter(col("jaccard") >= tau)
       .select(col(docId + "_a"), col(docId + "_b"), col("inter"),
         col("n_a"), col("n_b"), col("jaccard"))
-      .localCheckpoint(true)
-    sh.unpersist()
-    out
   }
 
   /** Exact Jaccard for a GIVEN pair set only (candidates from LSH or

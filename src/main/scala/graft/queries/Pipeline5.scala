@@ -110,20 +110,20 @@ object Pipeline5 {
     // from both): the classic oriented-edge 3-way join — orientation
     // (a<b<c) counts each triangle once and caps the join fan-out.
     // Scale shape: the customer→supplier projection is the guarded
-    // step (per-customer supplier-list self-join); the df-threshold
-    // keeps the edge relation sparse, and the triple join runs on
-    // edges only — suppliers grow far slower than facts.
+    // step — built on the skew-hardened [[graft.operators.CoOccur]]
+    // (exact degree prefilter + salted blocked self-join, so a hub
+    // customer's degree² fan-out spreads over `buckets` tasks instead
+    // of one straggler); the w-threshold keeps the edge relation
+    // sparse, and the triple join runs on edges only — suppliers grow
+    // far slower than facts.
     "q77_triangle_count" -> ((s, dir) => {
       val pairs = t(s, dir, "orders")
         .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
         .distinct()
-      val a = pairs.toDF("ck", "sa")
-      val b = pairs.toDF("ck", "sb")
-      val edges = a.join(b, "ck").filter(col("sa") < col("sb"))
-        .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("w"))
-        .filter(col("w") >= MinShared)
-        .select(col("sa"), col("sb"))
+      val edges = graft.operators.CoOccur
+        .edges(pairs, "ck", "sk", MinShared)
+        .select(col("sk_a").as("sa"), col("sk_b").as("sb"))
         .persist()
       val tri = edges.toDF("a", "b")
         .join(edges.toDF("b", "c"), "b")

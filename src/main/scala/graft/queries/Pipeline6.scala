@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -185,44 +185,37 @@ object Pipeline6 {
         .orderBy(col("event_type"), col("bin"))
     }),
 
-    // Column profiling (data-quality surface): one single-pass
-    // aggregation over orders computes row/null/distinct counts and
-    // min/max per profiled column, then stack() unpivots to one row
-    // per column. Numeric columns min/max numerically then format;
-    // string columns compare lexicographically (binary collation in
-    // both engines).
+    // Column profiling (data-quality surface): row/null/distinct
+    // counts and min/max per profiled column. One per-column TWO-LEVEL
+    // aggregate (partial hash-agg on the value, then a scalar fold),
+    // unioned — NOT 4 countDistinct in one aggregate, which compiles
+    // to an Expand ×4 (every input row quadrupled before the distinct,
+    // a 4× scan-width amplification). Here each branch scans parquet
+    // pruned to its single column, map-side combines, and only the
+    // distinct values shuffle. Numeric columns min/max numerically
+    // then format; string columns compare lexicographically (binary
+    // collation in both engines).
     "q87_column_profile" -> ((s, dir) => {
       val o = t(s, dir, "orders")
-      val a = o.agg(
-        count(lit(1)).as("n_rows"),
-        count(col("o_orderstatus")).as("nn1"),
-        countDistinct(col("o_orderstatus")).as("nd1"),
-        min(col("o_orderstatus").cast("string")).as("mn1"),
-        max(col("o_orderstatus").cast("string")).as("mx1"),
-        count(col("o_orderpriority")).as("nn2"),
-        countDistinct(col("o_orderpriority")).as("nd2"),
-        min(col("o_orderpriority").cast("string")).as("mn2"),
-        max(col("o_orderpriority").cast("string")).as("mx2"),
-        count(col("o_custkey")).as("nn3"),
-        countDistinct(col("o_custkey")).as("nd3"),
-        min(col("o_custkey")).cast("string").as("mn3"),
-        max(col("o_custkey")).cast("string").as("mx3"),
-        count(col("o_totalprice")).as("nn4"),
-        countDistinct(col("o_totalprice")).as("nd4"),
-        min(col("o_totalprice")).cast("decimal(18,2)").cast("string")
-          .as("mn4"),
-        max(col("o_totalprice")).cast("decimal(18,2)").cast("string")
-          .as("mx4"))
-      a.select(col("n_rows"), expr(
-        """stack(4,
-          |  'o_orderstatus',   nn1, nd1, mn1, mx1,
-          |  'o_orderpriority', nn2, nd2, mn2, mx2,
-          |  'o_custkey',       nn3, nd3, mn3, mx3,
-          |  'o_totalprice',    nn4, nd4, mn4, mx4)
-          |  AS (col_name, n_notnull, n_distinct, min_str, max_str)"""
-          .stripMargin))
-        .select(col("col_name"), col("n_rows"), col("n_notnull"),
-          col("n_distinct"), col("min_str"), col("max_str"))
+      def profile(name: String, v: Column, fmt: Column => Column) =
+        o.select(v.as("v"))
+          .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+          .agg(
+            sum(col("cnt")).as("n_rows"),
+            coalesce(sum(when(col("v").isNotNull, col("cnt"))), lit(0L))
+              .as("n_notnull"),
+            count(col("v")).as("n_distinct"),
+            fmt(min(col("v"))).as("min_str"),
+            fmt(max(col("v"))).as("max_str"))
+          .select(lit(name).as("col_name"), col("n_rows"),
+            col("n_notnull"), col("n_distinct"), col("min_str"),
+            col("max_str"))
+      profile("o_orderstatus", col("o_orderstatus"), _.cast("string"))
+        .unionAll(profile("o_orderpriority", col("o_orderpriority"),
+          _.cast("string")))
+        .unionAll(profile("o_custkey", col("o_custkey"), _.cast("string")))
+        .unionAll(profile("o_totalprice", col("o_totalprice"),
+          _.cast("decimal(18,2)").cast("string")))
         .orderBy(col("col_name"))
     }),
 
