@@ -92,6 +92,21 @@ object FuzzyDedup {
   def minhashCandidates(sh: DataFrame, docId: String,
       numHashes: Int = 64, bandRows: Int = 4,
       shingleHash: Column => Column = c => xxhash64(c)): DataFrame = {
+    val bands = minhashBands(sh, docId, numHashes, bandRows, shingleHash)
+    bands.toDF(docId + "_a", "band", "bk")
+      .join(bands.toDF(docId + "_b", "band", "bk"), Seq("band", "bk"))
+      .filter(col(docId + "_a") < col(docId + "_b"))
+      .select(col(docId + "_a"), col(docId + "_b"))
+      .distinct()
+  }
+
+  /** The (docId, band, bandKey) relation behind [[minhashCandidates]],
+    * exposed so non-self-join blockers can reuse it — e.g. incremental
+    * dedup equi-joins the NEW batch's bands against the EXISTING
+    * corpus's bands only, never re-pairing old×old. */
+  def minhashBands(sh: DataFrame, docId: String,
+      numHashes: Int = 64, bandRows: Int = 4,
+      shingleHash: Column => Column = c => xxhash64(c)): DataFrame = {
     require(numHashes % bandRows == 0, "numHashes must divide into bands")
     val spark = sh.sparkSession
     import spark.implicits._
@@ -131,11 +146,7 @@ object FuzzyDedup {
           }
         }
       }.toDF(docId, "band", "bk")
-    bands.toDF(docId + "_a", "band", "bk")
-      .join(bands.toDF(docId + "_b", "band", "bk"), Seq("band", "bk"))
-      .filter(col(docId + "_a") < col(docId + "_b"))
-      .select(col(docId + "_a"), col(docId + "_b"))
-      .distinct()
+    bands
   }
 
   /** Full MinHash-LSH near-dup pipeline: candidates, then exact-Jaccard

@@ -18,8 +18,10 @@ import graft.sources.Catalog
   *  - every entity key (custkey/suppkey/partkey/orderkey/doc_id/
   *    event_id/user_id/vec_id) gets +copy·10⁹, applied consistently
   *    on both sides of every foreign key, so joins stay copy-local;
-  *  - document text gets a copy-unique lead token, so near-dup
-  *    clusters stay copy-local (10× corpus ⇒ 10× pairs, not 100×).
+  *  - document text gets a copy-unique tag on EVERY token, so copies
+  *    share zero shingles and near-dup clusters stay copy-local
+  *    (10× corpus ⇒ 10× pairs; a lead-token-only tag would leave
+  *    copies at Jaccard ≈ 1 and explode pairs ≈ N²×).
   *
   * Usage: runMain graft.tools.ScaleGen <srcDir> <outDir> <copies>
   * The scaling run is then just Bench with SPARK_GRAFT_SF_DIR=<outDir>
@@ -50,8 +52,9 @@ object ScaleGen {
             val shifted = keys.foldLeft(base) { (df, k) =>
               df.withColumn(k, col(k) + lit(i * Off)) }
             if (t == "documents" && i > 0)
-              shifted.withColumn("text",
-                concat(lit(s"copytok$i "), col("text")))
+              shifted.withColumn("text", array_join(
+                transform(split(col("text"), " "),
+                  tok => concat(lit(s"c${i}_"), tok)), " "))
             else shifted
           }.reduce(_ unionAll _)
       }
