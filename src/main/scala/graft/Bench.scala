@@ -74,7 +74,7 @@ object Bench {
     // persist the full JSON to a file as the durable artifact.
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (full + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(_) => () }
     println(s"""{"metric":"bench_summary","value":$total,"unit":"sec","n":${results.size},"n_failed":${failed.size},"n_runs":$Runs,"sf":"$sfDir"}""")
     spark.stop()
   }

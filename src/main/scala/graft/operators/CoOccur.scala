@@ -43,14 +43,28 @@ object CoOccur {
     * by (key, bucket) so per-task fan-out is bounded by
     * max-degree²/buckets. */
   def saltedPairs(pairs: DataFrame, key: String, item: String,
-      minShared: Long, buckets: Int): DataFrame = {
-    val ia = item + "_a"; val ib = item + "_b"
+      minShared: Long, buckets: Int): DataFrame =
+    saltedFrom(prefilter(pairs, key, item, minShared), key, item, buckets)
+
+  /** Degree prefilter (exact): drop items under fewer than `minShared`
+    * distinct keys — they can never reach an edge of weight ≥
+    * minShared. */
+  private def prefilter(pairs: DataFrame, key: String, item: String,
+      minShared: Long): DataFrame = {
     val heavy = pairs.groupBy(col(item))
       .agg(count(lit(1)).as("deg"))
       .filter(col("deg") >= minShared)
       .select(col(item))
-    val p = pairs.select(col(key), col(item))
+    pairs.select(col(key), col(item))
       .join(heavy, Seq(item), "left_semi")
+  }
+
+  /** Salted pair enumeration over an already-prefiltered relation `p`;
+    * `p` is read twice (a-side and b-side) — callers that compute it
+    * from an expensive upstream should persist it ([[edges]] does). */
+  private def saltedFrom(p: DataFrame, key: String, item: String,
+      buckets: Int): DataFrame = {
+    val ia = item + "_a"; val ib = item + "_b"
     val b = p.select(col(key), col(item).as(ib))
       .withColumn("g", pmod(xxhash64(col(ib)), lit(buckets.toLong)))
     val a = p.select(col(key), col(item).as(ia))
@@ -65,9 +79,21 @@ object CoOccur {
     * item_a < item_b and w ≥ minShared. `pairs` must be DISTINCT on
     * (key, item) for w to count distinct keys. */
   def edges(pairs: DataFrame, key: String, item: String,
-      minShared: Long, buckets: Int = 8): DataFrame =
-    saltedPairs(pairs, key, item, minShared, buckets)
-      .groupBy(col(item + "_a"), col(item + "_b"))
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= minShared)
+      minShared: Long, buckets: Int = 8): DataFrame = {
+    // The prefiltered relation feeds BOTH join sides; without a persist
+    // the upstream of `pairs` (q77: an orders⋈lineitem join + distinct)
+    // recomputes once per side plus once for the degree aggregate. Pin
+    // it, materialize the (small, thresholded) edge aggregate eagerly
+    // while the pin is live, then release — callers inherit a compact
+    // lineage-truncated edge relation, never corpus-sized cache.
+    val p = prefilter(pairs, key, item, minShared)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      saltedFrom(p, key, item, buckets)
+        .groupBy(col(item + "_a"), col(item + "_b"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= minShared)
+        .localCheckpoint(true)
+    } finally p.unpersist()
+  }
 }

@@ -26,9 +26,10 @@ object Curation {
     *
     * Scale shape: one shuffle keyed on shingle builds document
     * frequencies; the df-thresholded dictionary is orders of magnitude
-    * smaller than the corpus (151 of 16k shingles at sf0.01) and is
-    * broadcast, so per-document counting is map-side + one shuffle on
-    * doc id. The shingle relation feeds two consumers, so it is
+    * smaller than the corpus (151 of 16k shingles at sf0.01) and AQE
+    * broadcasts it at runtime when it is actually small — no forced
+    * hint, so a web-scale multi-GB dictionary degrades to a shuffle
+    * join instead of an executor OOM. The shingle relation feeds two consumers, so it is
     * persisted, and released once the thin per-doc output is pinned
     * (localCheckpoint) — callers never inherit corpus-sized cache.
     */
@@ -51,7 +52,15 @@ object Curation {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
       .select(col("shingle"), lit(1).as("is_common"))
-    val perDoc = sh.join(broadcast(dict), Seq("shingle"), "left")
+    // NO forced broadcast hint on the dictionary: at sf0.01 it is tiny
+    // (151 of 16k shingles) and AQE's runtime join-strategy switch
+    // broadcasts it for free, but at web scale the boilerplate
+    // dictionary grows with corpus breadth — a forced hint would
+    // override autoBroadcastJoinThreshold and OOM every executor.
+    // AQE sees the dict's true post-aggregation size and picks
+    // broadcast vs shuffle correctly at any scale (fallback path
+    // pinned by CurationSpec's broadcast-disabled law).
+    val perDoc = sh.join(dict, Seq("shingle"), "left")
       .groupBy(col(docId))
       .agg(count(lit(1)).as("n_shingles"),
         count(col("is_common")).as("n_common"))

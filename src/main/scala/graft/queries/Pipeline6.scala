@@ -201,7 +201,9 @@ object Pipeline6 {
         o.select(v.as("v"))
           .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
           .agg(
-            sum(col("cnt")).as("n_rows"),
+            // coalesce: zero groups (empty input) must profile as 0
+            // rows, matching the count(*) contract, not NULL
+            coalesce(sum(col("cnt")), lit(0L)).as("n_rows"),
             coalesce(sum(when(col("v").isNotNull, col("cnt"))), lit(0L))
               .as("n_notnull"),
             count(col("v")).as("n_distinct"),

@@ -48,6 +48,14 @@ object ScaleGen {
       val scaled: DataFrame = keyCols.get(t) match {
         case None => base // shared dimension
         case Some(keys) =>
+          // Guard the remap invariant: a source key ≥ Off would make
+          // copy i's shifted keys collide with copy i+1's, silently
+          // breaking the linear-growth guarantee this tool exists to
+          // provide (TPC-H orderkey passes 1e9 well before SF100).
+          val mx = base.agg(
+            max(greatest(keys.map(col): _*)).cast("long")).first().getLong(0)
+          require(mx < Off,
+            s"$t: max key $mx >= offset $Off — raise Off before scaling")
           (0 until copies).map { i =>
             val shifted = keys.foldLeft(base) { (df, k) =>
               df.withColumn(k, col(k) + lit(i * Off)) }

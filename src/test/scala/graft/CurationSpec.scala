@@ -98,18 +98,40 @@ class CurationSpec extends AnyFunSuite {
     out.unpersist()
   }
 
-  test("q70 plan: boilerplate dictionary joins as a broadcast, no shuffle on it") {
-    // the dictionary side must broadcast — at 100 TB the df-thresholded
-    // dictionary is the small side by construction
+  test("q70 plan: dict join broadcasts via AQE when small; forced-shuffle " +
+      "fallback (the web-scale multi-GB-dict regime) stays exact") {
+    // No forced broadcast() hint on the dictionary (a hint would
+    // override autoBroadcastJoinThreshold and OOM executors once the
+    // dictionary outgrows memory). Law 1: with AQE free to choose, the
+    // tiny sf0.01 dictionary still lands as a broadcast join. Law 2:
+    // with broadcasting disabled entirely — how a multi-GB dictionary
+    // plans — the operator degrades to a shuffle join with identical
+    // results.
     val sh = graft.operators.FuzzyDedup
       .shingles(docs, "doc_id", col("text"), 3)
-    val dict = sh.groupBy(col("shingle"))
-      .agg(count(lit(1)).as("df")).filter(col("df") >= 5)
-      .select(col("shingle"), lit(1).as("is_common"))
-    val joined = sh.join(broadcast(dict), Seq("shingle"), "left")
-    val p = joined.queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastHashJoin"),
-      "dictionary join must be a broadcast hash join")
+    val default = Curation.boilerplateFromShingles(docs, "doc_id", sh, 5)
+    val defaultRows = default.collect().toSet // execute → AQE final plan
+    assert(default.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+      "AQE must broadcast the small dictionary at runtime")
+    val conf = spark.conf
+    val k1 = "spark.sql.autoBroadcastJoinThreshold"
+    val k2 = "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    val prev1 = conf.get(k1)
+    val prev2 = conf.getOption(k2)
+    try {
+      conf.set(k1, "-1"); conf.set(k2, "-1")
+      val fallback = Curation.boilerplateFromShingles(docs, "doc_id", sh, 5)
+      val fallbackRows = fallback.collect().toSet
+      assert(!fallback.queryExecution.executedPlan.toString
+          .contains("BroadcastHashJoin"),
+        "with broadcast disabled the plan must not contain a broadcast join")
+      assert(fallbackRows === defaultRows,
+        "shuffle-join fallback must produce identical results")
+    } finally {
+      conf.set(k1, prev1)
+      prev2 match { case Some(v) => conf.set(k2, v); case None => conf.unset(k2) }
+    }
     sh.unpersist()
   }
 }
