@@ -49,7 +49,8 @@ object SparkEntry {
       graft.queries.EventAnalytics.queries,
       graft.queries.Pipeline6.queries,
       graft.queries.Pipeline7.queries,
-      graft.queries.Pipeline8.queries)
+      graft.queries.Pipeline8.queries,
+      graft.queries.StreamingReplay.queries)
     val merged = modules.reduce(_ ++ _)
     // a duplicate name across modules would silently shadow a query —
     // fail loudly instead
@@ -115,7 +116,8 @@ object SparkEntry {
     graft.queries.EventAnalytics.oracleSql ++
     graft.queries.Pipeline6.oracleSql ++
     graft.queries.Pipeline7.oracleSql ++
-    graft.queries.Pipeline8.oracleSql
+    graft.queries.Pipeline8.oracleSql ++
+    graft.queries.StreamingReplay.oracleSql
 
   private def baseOracleSql: Map[String, String] = Map(
     "q01_agg_pricing_summary" ->

@@ -27,9 +27,19 @@ object Bfs {
     * (hop 0) are not emitted. Columns `src`/`dst` name the edge
     * endpoints; edges are used as given (pass both directions for an
     * undirected graph). */
+  /** @param checkpointInterval every this-many hops the state and
+    *        frontier relations are eagerly local-checkpointed; values
+    *        are unchanged. This bound is LOAD-BEARING: each hop
+    *        references the previous state twice (the anti-join and the
+    *        union), so the logical plan grows as 2^(hops since last
+    *        truncation) — at interval 4 that is ≤ 16 subtree copies,
+    *        while an untruncated 10-hop run is a million-node Catalyst
+    *        tree that stalls the driver in analysis and GC
+    *        (LineageCadenceSpec documents the law). Keep it small. */
   def reach(edges: DataFrame, seeds: DataFrame, seedCol: String,
-      hops: Int): DataFrame = {
+      hops: Int, checkpointInterval: Int = 4): DataFrame = {
     require(hops >= 1, s"hops must be >= 1, got $hops")
+    require(checkpointInterval >= 1)
     val e = edges.select(col("src"), col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // state: minimal hop per (seed, node) discovered so far;
@@ -47,6 +57,10 @@ object Bfs {
           Seq("seed", "node"), "left_anti")
         .withColumn("hop", lit(h))
       state = state.union(frontier)
+      if (h % checkpointInterval == 0 && h < hops) {
+        frontier = frontier.localCheckpoint(true)
+        state = state.localCheckpoint(true)
+      }
     }
     // pin the small result, release the superstep lineage + edge cache
     val out = state.filter(col("hop") > 0).localCheckpoint(true)

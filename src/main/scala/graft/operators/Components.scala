@@ -35,9 +35,21 @@ object Components {
     * remainder is attached with one final left join. Iterating the
     * full corpus through every round would make each round a
     * corpus-sized shuffle for no information. */
+  /** @param checkpointInterval every this-many rounds the label
+    *        relation is local-checkpointed, truncating lineage. Each
+    *        round's plan references the previous labels twice (the
+    *        neighbor-min join and the update join), so plan size grows
+    *        as 2^(rounds since last truncation) — the per-round
+    *        persist hides this from EXECUTION but not from the
+    *        analyzer, and before this cadence existed a diameter-40
+    *        graph would have built a 2^40-subtree logical plan and
+    *        stalled the driver. At interval 6 the tree stays ≤ 64
+    *        copies of a checkpoint leaf. Dedup graphs converge in 2-3
+    *        rounds and never hit it. */
   def connectedComponents(nodes: DataFrame, idCol: String,
-      pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 50)
-      : DataFrame = {
+      pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 50,
+      checkpointInterval: Int = 6): DataFrame = {
+    require(checkpointInterval >= 1)
     val edges = pairs.select(col(aCol).cast("long").as("src"),
         col(bCol).cast("long").as("dst"))
       .union(pairs.select(col(bCol).cast("long").as("src"),
@@ -55,6 +67,11 @@ object Components {
     labels.count()
     var iter = 0
     var converged = false
+    // true while `labels` is persist()-pinned (safe to unpersist);
+    // false after a cadence truncation — a local checkpoint's blocks
+    // are its ONLY copy (lineage is gone), so it is never unpersisted
+    // and is reclaimed by the context cleaner once unreferenced
+    var labelsPinned = true
     while (!converged && iter < maxIter) {
       // best neighbor label per node — persisted so the convergence
       // probe and the label update share ONE evaluation of the
@@ -74,8 +91,13 @@ object Components {
               .as("label"))
           .persist()
         next.count() // materialize before dropping the parent
-        labels.unpersist()
-        labels = next
+        if (labelsPinned) labels.unpersist()
+        if ((iter + 1) % checkpointInterval == 0) {
+          // truncate lineage from the already-materialized `next`
+          val snap = next.localCheckpoint(true)
+          next.unpersist()
+          labels = snap; labelsPinned = false
+        } else { labels = next; labelsPinned = true }
       }
       neighborMin.unpersist()
       iter += 1
@@ -91,8 +113,12 @@ object Components {
     // release the loop's persist, so the session cache holds nothing
     // after the call; checkpoint blocks are freed when the result is
     // garbage-collected
-    val finalLabels = labels.localCheckpoint(true)
-    labels.unpersist()
+    val finalLabels =
+      if (labelsPinned) {
+        val snap = labels.localCheckpoint(true)
+        labels.unpersist()
+        snap
+      } else labels // already checkpointed by the cadence
     // singletons (no pair) are their own component, attached once
     nodes.select(col(idCol).cast("long").as("node"))
       .join(finalLabels, Seq("node"), "left")

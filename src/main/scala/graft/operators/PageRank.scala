@@ -43,9 +43,18 @@ object PageRank {
     *              distinct (skips one full-width shuffle over the
     *              edges — at scale the edge dedup is a one-time
     *              layout cost, not a per-run cost) */
+  /** @param checkpointInterval every this-many supersteps the rank
+    *        relation is eagerly local-checkpointed, truncating lineage:
+    *        without it the logical plan deepens by a join+agg per
+    *        superstep, so analyzer/optimizer time and driver plan
+    *        memory grow with iteration count — a silent cost once
+    *        production runs leave the testdata's 2-superstep regime.
+    *        Ranks are one row per node, so each truncation is cheap. */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int, dedup: Boolean = true): DataFrame = {
+      iters: Int, dedup: Boolean = true,
+      checkpointInterval: Int = 8): DataFrame = {
     require(iters >= 0)
+    require(checkpointInterval >= 1)
     // node ids keep their input type — at scale use integral ids
     // (narrow shuffle keys), not strings
     val projected = edges.select(col(srcCol).as("src"),
@@ -74,6 +83,11 @@ object PageRank {
           (lit(15L * Scale / 100L) +
             expr("85 * coalesce(inflow, 0L) div 100")).as("pr_fp"))
       it += 1
+      // cadence: pin + truncate mid-loop (the final superstep is
+      // pinned below anyway); values are unchanged — checkpointing is
+      // a materialization boundary, not a semantic one (LawsSpec)
+      if (it % checkpointInterval == 0 && it < iters)
+        ranks = ranks.localCheckpoint(true)
     }
     // materialize the small result, release the iteration lineage +
     // cached edge relations (cache-discipline: no leaks across calls)

@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.sources.Catalog
+
+/** Oracle-checked STREAMING execution (SURVEY §2.4 streaming row).
+  *
+  * The other streaming surfaces are law-tested in StreamingSpec; q107
+  * closes the remaining verdict gap by putting a genuine Structured
+  * Streaming run — file source, multiple micro-batches, session-window
+  * state merged ACROSS batches — under the DuckDB hash compare. The
+  * events table is staged as several files, replayed with
+  * `maxFilesPerTrigger=1` under `Trigger.AvailableNow`, aggregated by
+  * [[graft.streaming.Streaming.sessionAgg]] in complete mode into a
+  * memory sink, and the terminal sink contents are returned. The
+  * oracle replays the same session semantics one-shot with
+  * gaps-and-islands SQL — so the check proves the incremental,
+  * micro-batched execution converges to the batch answer exactly
+  * (stream/batch parity, hash-equal).
+  *
+  * Scale notes: complete-mode-to-memory is the REPLAY HARNESS, sized
+  * for the verification corpus; a production deployment runs the same
+  * `sessionAgg` in append mode behind the watermark with a durable
+  * sink ([[graft.streaming.Streaming.idempotentParquetSink]]). What
+  * q107 verifies — cross-batch session merge correctness — is
+  * identical in both modes.
+  */
+object StreamingReplay {
+
+  private val Gap = "30 minutes"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q107_streaming_session_replay" -> ((s, dir) => {
+      val events = Catalog.table(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      // stage as 4 files so the replay is genuinely multi-micro-batch
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft_q107_replay_").toString
+      events.repartition(4).write.mode(SaveMode.Overwrite).parquet(stage)
+      val stream = s.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+      // the staged batches replay in RANDOM time order (hash
+      // repartition), so every micro-batch back-fills earlier gaps —
+      // the strongest cross-batch merge exercise. That demands an
+      // effectively unbounded watermark: a production-sized one would
+      // (correctly, per watermark semantics) drop rows arriving more
+      // than its horizon behind the stream's max event time, and this
+      // replay is maximally out-of-order by construction.
+      val agg = graft.streaming.Streaming.sessionAgg(stream, Gap,
+        watermark = "3650 days")
+      val sink = "q107_sessions"
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // the memory sink owns the rows now — the staged files can go
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+      s.table(sink)
+        .select(unix_micros(col("session_start")).as("session_start_us"),
+          unix_micros(col("session_end")).as("session_end_us"),
+          col("user_id"), col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start_us"))
+    })
+  )
+
+  // session_window semantics: an event extends the session while
+  // ts - prev_ts < gap; session_end = last event ts + gap. The oracle
+  // is the standard gaps-and-islands rewrite of exactly that rule.
+  val oracleSql: Map[String, String] = Map(
+    "q107_streaming_session_replay" ->
+      """WITH lagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), grp AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS g
+        |  FROM lagged
+        |)
+        |SELECT epoch_us(MIN(ts)) AS session_start_us,
+        |  epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+        |  user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+        |FROM grp
+        |GROUP BY user_id, g
+        |ORDER BY user_id, session_start_us""".stripMargin
+  )
+}

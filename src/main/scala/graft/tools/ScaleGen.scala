@@ -52,8 +52,9 @@ object ScaleGen {
           // copy i's shifted keys collide with copy i+1's, silently
           // breaking the linear-growth guarantee this tool exists to
           // provide (TPC-H orderkey passes 1e9 well before SF100).
-          val mx = base.agg(
-            max(greatest(keys.map(col): _*)).cast("long")).first().getLong(0)
+          val maxKey = // greatest() needs ≥ 2 args
+            if (keys.size == 1) col(keys.head) else greatest(keys.map(col): _*)
+          val mx = base.agg(max(maxKey).cast("long")).first().getLong(0)
           require(mx < Off,
             s"$t: max key $mx >= offset $Off — raise Off before scaling")
           (0 until copies).map { i =>
