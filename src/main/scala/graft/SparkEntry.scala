@@ -50,6 +50,7 @@ object SparkEntry {
       graft.queries.Pipeline6.queries,
       graft.queries.Pipeline7.queries,
       graft.queries.Pipeline8.queries,
+      graft.queries.Pipeline9.queries,
       graft.queries.StreamingReplay.queries)
     val merged = modules.reduce(_ ++ _)
     // a duplicate name across modules would silently shadow a query —
@@ -117,6 +118,7 @@ object SparkEntry {
     graft.queries.Pipeline6.oracleSql ++
     graft.queries.Pipeline7.oracleSql ++
     graft.queries.Pipeline8.oracleSql ++
+    graft.queries.Pipeline9.oracleSql ++
     graft.queries.StreamingReplay.oracleSql
 
   private def baseOracleSql: Map[String, String] = Map(
