@@ -64,26 +64,38 @@ object Pipeline9 {
   private val TopPDen = 10L
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Per-doc character histogram → Simpson diversity. The char
-    // relation is linear in corpus bytes and both aggregations are
-    // plain hash-aggs with map-side combine; nothing is collected.
+    // Per-doc character histogram → Simpson diversity. The histogram
+    // is doc-local, so it never needs a shuffle: one mapPartitions
+    // kernel folds each document's code points into a local map and
+    // emits a single stats row per doc (same hot-kernel shape as
+    // minhash/simhash — an exploded char relation measured ~6× slower
+    // at sf0.1). Docs with empty text emit no row, matching the
+    // unnest-of-empty-list oracle.
     "q108_char_diversity" -> ((s, dir) => {
-      val chars = docs(s, dir)
-        .select(col("doc_id"), col("text"))
-        .withColumn("cs",
-          when(length(col("text")) > 0,
-            transform(sequence(lit(1), length(col("text"))),
-              i => col("text").substr(i, lit(1))))
-            .otherwise(array().cast("array<string>")))
-        .select(col("doc_id"), explode(col("cs")).as("ch"))
-      chars.groupBy(col("doc_id"), col("ch"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"))
-        .agg(
-          sum(col("c")).as("n_ch"),
-          count(lit(1)).as("distinct_ch"),
-          max(col("c")).as("maxc"),
-          sum(col("c") * col("c")).as("sumsq"))
+      import s.implicits._
+      val stats = docs(s, dir)
+        .select(col("doc_id").cast("long"), col("text").cast("string"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, txt) =>
+            val t = if (txt == null) "" else txt
+            val m = new java.util.HashMap[Integer, Long]()
+            var i = 0
+            while (i < t.length) {
+              val cp = t.codePointAt(i)
+              m.merge(cp, 1L, (a, b) => a + b)
+              i += Character.charCount(cp)
+            }
+            var n = 0L; var maxc = 0L; var ss = 0L
+            val vs = m.values().iterator()
+            while (vs.hasNext) {
+              val c = vs.next(); n += c; ss += c * c
+              if (c > maxc) maxc = c
+            }
+            (id, n, m.size.toLong, maxc, ss)
+          }
+        }.toDF("doc_id", "n_ch", "distinct_ch", "maxc", "sumsq")
+      stats.filter(col("n_ch") > 0)
         .select(col("doc_id"), col("n_ch"), col("distinct_ch"),
           expr(s"(maxc * $Scale) div n_ch").as("top_fp"),
           expr(s"((n_ch * n_ch - sumsq) * $Scale) div (n_ch * n_ch)")
