@@ -65,6 +65,46 @@ object StreamingReplay {
           unix_micros(col("session_end")).as("session_end_us"),
           col("user_id"), col("n_events"), col("sum_value"))
         .orderBy(col("user_id"), col("session_start_us"))
+    }),
+
+    // Stream-stream INNER JOIN replay: views and purchases arrive as
+    // two independent file streams (same staged files, separate
+    // readStream progress), maximally out-of-order, and every
+    // view→purchase attribution within the 1-hour window must still
+    // be emitted exactly once by termination. The oracle is the
+    // one-shot batch interval join — so the check proves the
+    // incremental join's cross-batch buffering loses and duplicates
+    // nothing. Unbounded watermark for the same reason as q107: the
+    // replay is maximally out-of-order by construction; a production
+    // deployment uses the bounded default and gets state eviction.
+    "q113_streaming_join_replay" -> ((s, dir) => {
+      val events = Catalog.table(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft_q113_replay_").toString
+      events.repartition(4).write.mode(SaveMode.Overwrite).parquet(stage)
+      def side(tpe: String) = s.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+        .filter(col("event_type") === tpe)
+      val joined = graft.streaming.Streaming.streamStreamJoin(
+        side("view"), side("purchase"),
+        windowExpr = "1 HOUR", watermark = "3650 days")
+      val sink = "q113_attribution"
+      val q = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+      s.table(sink)
+        .select(col("user_id"),
+          col("l_event_id").as("view_id"),
+          unix_micros(col("l_ts")).as("view_ts_us"),
+          col("r_event_id").as("buy_id"),
+          unix_micros(col("r_ts")).as("buy_ts_us"),
+          col("r_value").as("buy_value"))
+        .orderBy(col("view_id"), col("buy_id"))
     })
   )
 
@@ -91,6 +131,17 @@ object StreamingReplay {
         |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
         |FROM grp
         |GROUP BY user_id, g
-        |ORDER BY user_id, session_start_us""".stripMargin
+        |ORDER BY user_id, session_start_us""".stripMargin,
+
+    "q113_streaming_join_replay" ->
+      """SELECT v.user_id, v.event_id AS view_id,
+        |  epoch_us(v.ts) AS view_ts_us,
+        |  p.event_id AS buy_id, epoch_us(p.ts) AS buy_ts_us,
+        |  p.value AS buy_value
+        |FROM events v JOIN events p
+        |  ON p.user_id = v.user_id
+        |  AND v.event_type = 'view' AND p.event_type = 'purchase'
+        |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+        |ORDER BY view_id, buy_id""".stripMargin
   )
 }
