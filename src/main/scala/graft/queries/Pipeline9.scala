@@ -63,6 +63,9 @@ object Pipeline9 {
   private val TopPNum = 8L
   private val TopPDen = 10L
 
+  // q114 — repeated-span gram width
+  private val SpanK = 8
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Per-doc character histogram → Simpson diversity. The histogram
     // is doc-local, so it never needs a shuffle: one mapPartitions
@@ -200,6 +203,47 @@ object Pipeline9 {
         .filter(col("md5_8") < thr)
         .select(col("doc_id"), col("source"), col("md5_8"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Repeated-SPAN detection (the span-structure signal behind
+    // substring-level training-data dedup): per doc, the longest
+    // contiguous run of 8-gram positions whose gram also occurs in
+    // some OTHER doc. Position-aware grams are linear in corpus
+    // tokens; doc-frequency comes from the distinct (doc,gram)
+    // projection of the same relation (one persist, two consumers);
+    // the run length is a per-doc gaps-and-islands window — bounded
+    // state per doc, no cross-doc pairs ever materialize.
+    "q114_repeated_span" -> ((s, dir) => {
+      val grams = docs(s, dir)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= SpanK)
+        .withColumn("g", explode(expr(
+          s"transform(sequence(1, size(toks) - ${SpanK - 1})," +
+            s" i -> struct(i AS pos, array_join(slice(toks, i, $SpanK), '_') AS gram))")))
+        .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val df_ = grams.select(col("doc_id"), col("gram")).distinct()
+        .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      val shared = grams.join(df_, Seq("gram"))
+        .withColumn("is_shared", col("df") >= 2)
+      val wPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val runs = shared.filter(col("is_shared"))
+        .withColumn("grp", col("pos") - row_number().over(wPos))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(count(lit(1)).as("run_len"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("run_len")).as("max_run"),
+          sum(col("run_len")).as("n_shared_pos"))
+      val out = grams.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_positions"))
+        .join(runs, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_positions"),
+          coalesce(col("n_shared_pos"), lit(0L)).as("n_shared_pos"),
+          coalesce(col("max_run"), lit(0L)).as("max_run"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+      grams.unpersist()
+      out
     }),
 
     // Nucleus (top-p) selection: one shuffle on source; the running
@@ -341,6 +385,40 @@ object Pipeline9 {
          |   $cases END)
          |ORDER BY doc_id""".stripMargin
     },
+
+    "q114_repeated_span" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, $sqlToks AS toks FROM documents),
+         |grams AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    range(1, len(toks) - ${SpanK - 2}),
+         |    i_ -> {'pos': i_,
+         |      'gram': array_to_string(toks[i_:i_+${SpanK - 1}], '_')})) AS g
+         |  FROM tk WHERE len(toks) >= $SpanK),
+         |gp AS (SELECT doc_id, g.pos AS pos, g.gram AS gram FROM grams),
+         |df AS (
+         |  SELECT gram, COUNT(*) AS df FROM (
+         |    SELECT DISTINCT doc_id, gram FROM gp) GROUP BY gram),
+         |shared AS (
+         |  SELECT gp.doc_id, gp.pos FROM gp
+         |  JOIN df ON df.gram = gp.gram WHERE df.df >= 2),
+         |runs AS (
+         |  SELECT doc_id, pos - ROW_NUMBER() OVER (
+         |      PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM shared),
+         |rl AS (
+         |  SELECT doc_id, COUNT(*) AS run_len
+         |  FROM runs GROUP BY doc_id, grp),
+         |agg AS (
+         |  SELECT doc_id, CAST(MAX(run_len) AS BIGINT) AS max_run,
+         |    CAST(SUM(run_len) AS BIGINT) AS n_shared_pos
+         |  FROM rl GROUP BY doc_id),
+         |np AS (SELECT doc_id, COUNT(*) AS n_positions FROM gp GROUP BY doc_id)
+         |SELECT np.doc_id, np.n_positions,
+         |  COALESCE(agg.n_shared_pos, CAST(0 AS BIGINT)) AS n_shared_pos,
+         |  COALESCE(agg.max_run, CAST(0 AS BIGINT)) AS max_run
+         |FROM np LEFT JOIN agg ON agg.doc_id = np.doc_id
+         |ORDER BY np.doc_id""".stripMargin,
 
     "q112_nucleus_topp" ->
       s"""WITH scored AS (

@@ -75,6 +75,17 @@ class Pipeline9Spec extends AnyFunSuite {
     }
   }
 
+  test("q114: run structure is consistent — max_run <= n_shared_pos <= n_positions") {
+    val r = run("q114_repeated_span").cache()
+    assert(r.count() > 0)
+    assert(r.filter(col("max_run") > col("n_shared_pos") ||
+      col("n_shared_pos") > col("n_positions")).count() === 0)
+    // a doc with zero shared positions has zero max_run and vice versa
+    assert(r.filter((col("n_shared_pos") === 0) =!= (col("max_run") === 0))
+      .count() === 0)
+    r.unpersist()
+  }
+
   test("q112: kept token mass never exceeds the 80% nucleus budget") {
     val r = run("q112_nucleus_topp").cache()
     assert(r.count() > 0)
