@@ -52,6 +52,7 @@ object SparkEntry {
       graft.queries.Pipeline8.queries,
       graft.queries.Pipeline9.queries,
       graft.queries.Formats.queries,
+      graft.queries.Layouts.queries,
       graft.queries.StreamingReplay.queries)
     val merged = modules.reduce(_ ++ _)
     // a duplicate name across modules would silently shadow a query —
@@ -121,6 +122,7 @@ object SparkEntry {
     graft.queries.Pipeline8.oracleSql ++
     graft.queries.Pipeline9.oracleSql ++
     graft.queries.Formats.oracleSql ++
+    graft.queries.Layouts.oracleSql ++
     graft.queries.StreamingReplay.oracleSql
 
   private def baseOracleSql: Map[String, String] = Map(
