@@ -53,6 +53,7 @@ object SparkEntry {
       graft.queries.Pipeline9.queries,
       graft.queries.Formats.queries,
       graft.queries.Layouts.queries,
+      graft.queries.Pipeline10.queries,
       graft.queries.StreamingReplay.queries)
     val merged = modules.reduce(_ ++ _)
     // a duplicate name across modules would silently shadow a query —
@@ -123,6 +124,7 @@ object SparkEntry {
     graft.queries.Pipeline9.oracleSql ++
     graft.queries.Formats.oracleSql ++
     graft.queries.Layouts.oracleSql ++
+    graft.queries.Pipeline10.oracleSql ++
     graft.queries.StreamingReplay.oracleSql
 
   private def baseOracleSql: Map[String, String] = Map(

@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.Similarity
+import graft.sources.Catalog
+
+/** Round-5 retrieval + integrity block (q120–q122).
+  *
+  *  - q120 inverted index: the posting-list build — token → (df, tf,
+  *    sorted distinct doc list). The postings column carries the FULL
+  *    sorted posting list as a joined string, so the oracle hash pins
+  *    membership AND order, not just counts. At 100 TB the shape is
+  *    the same two hash-aggs; real deployments cap df (stop-word
+  *    postings are dropped, exactly what the df column enables) and
+  *    delta-encode the lists — both downstream of this relation.
+  *  - q121 block checksums: the anti-entropy primitive for
+  *    cross-system reconciliation (the 100 TB version of "did the
+  *    copy arrive intact?"). Key-range blocks, each with an
+  *    order-independent content hash (sum of per-row polynomial
+  *    hashes) + exact decimal sums — two replicas compare ~60 block
+  *    rows instead of re-reading 600 M rows, and a mismatched block
+  *    localizes the diff to one key range. Pure map-side hash-agg.
+  *  - q122 hybrid retrieval (RRF): lexical candidate set (distinct
+  *    token overlap with the probe document's token set — exactly a
+  *    probe-token posting-list intersection over q120's index) fused
+  *    with dense retrieval (fixed-point inner-product top-k vs the
+  *    probe embedding) by reciprocal-rank fusion in exact integer
+  *    arithmetic (1e6 div (60+rank)). Both source rankings are
+  *    bounded top-100 lists — at scale the dense side comes from the
+  *    IVF index (q30) and the lexical side from pruned posting reads,
+  *    so fusion cost is independent of corpus size. Ranking ties
+  *    break on doc_id; every score is an integer → bit-stable.
+  */
+object Pipeline10 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Catalog.table(s, dir, name)
+
+  private val RrfK = 60
+  private val TopL = 100 // per-ranker candidate list length
+  private val TopK = 50  // fused result size
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_inverted_index" -> ((s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+      tok.groupBy(col("token"))
+        .agg(
+          countDistinct(col("doc_id")).as("df"),
+          count(lit(1)).as("tf"),
+          array_join(
+            transform(array_sort(collect_set(col("doc_id"))),
+              _.cast("string")),
+            ",").as("postings"))
+        .orderBy(col("token"))
+    }),
+
+    "q121_block_checksum" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(expr("l_orderkey div 1000").as("blk"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(TextFunctions.polyHash(concat_ws("|",
+            col("l_orderkey"), col("l_linenumber"),
+            col("l_returnflag"), col("l_linestatus")))).as("row_hash_sum"),
+          sum(col("l_quantity").cast("decimal(30,6)")).cast("double")
+            .as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(30,6)")).cast("double")
+            .as("sum_price"),
+          sum(pmod(unix_micros(col("l_shipdate").cast("timestamp")),
+            lit(1000000007L))).as("ship_hash_sum"))
+        .orderBy(col("blk"))
+    }),
+
+    "q122_rrf_hybrid" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val embs = t(s, dir, "embeddings")
+
+      // lexical side: distinct-token overlap with the probe document.
+      // The probe token set is tiny by construction → broadcast; the
+      // candidate relation is a posting-list intersection in disguise.
+      val probeToks = docs.filter(col("doc_id") === 0)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "").distinct()
+      val candToks = docs.filter(col("doc_id") =!= 0)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "").distinct()
+      val overlap = candToks.join(broadcast(probeToks), "token")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("ov"))
+      // distributed top-L via TakeOrderedAndProject, THEN a window
+      // row_number over the ≤L survivors (never a global single-
+      // partition sort over the corpus)
+      val lexTop = overlap
+        .orderBy(col("ov").desc, col("doc_id")).limit(TopL)
+        .withColumn("lex_rank", row_number()
+          .over(Window.orderBy(col("ov").desc, col("doc_id"))))
+        .select(col("doc_id"), col("lex_rank"))
+
+      // dense side: fixed-point inner-product top-L vs the probe
+      // embedding (rn from the shared k-NN operator, self excluded)
+      val probeVec = embs.filter(col("vec_id") === 0)
+      val denseTop = Similarity
+        .bruteForceTopK(probeVec, embs, "vec_id", "embedding", TopL)
+        .select(col("neighbor_id").as("doc_id"), col("rn").as("dense_rank"))
+
+      val fused = lexTop.join(denseTop, Seq("doc_id"), "full_outer")
+        .withColumn("rrf_fp",
+          coalesce(expr(s"$FpScale div ($RrfK + lex_rank)"), lit(0L)) +
+            coalesce(expr(s"$FpScale div ($RrfK + dense_rank)"), lit(0L)))
+      fused
+        .orderBy(col("rrf_fp").desc, col("doc_id")).limit(TopK)
+        .withColumn("fused_rank", row_number()
+          .over(Window.orderBy(col("rrf_fp").desc, col("doc_id"))))
+        .select(col("doc_id"), col("lex_rank"), col("dense_rank"),
+          col("rrf_fp"), col("fused_rank"))
+        .orderBy(col("fused_rank"))
+    })
+  )
+
+  private val FpScale = 1000000L
+
+  val oracleSql: Map[String, String] = Map(
+    "q120_inverted_index" ->
+      """WITH tok AS (
+        |  SELECT doc_id, token FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents)
+        |  WHERE token <> ''),
+        |dist AS (SELECT DISTINCT token, doc_id FROM tok),
+        |p AS (SELECT token, COUNT(*) AS df,
+        |    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        |  FROM dist GROUP BY token),
+        |c AS (SELECT token, COUNT(*) AS tf FROM tok GROUP BY token)
+        |SELECT p.token, p.df, c.tf, p.postings
+        |FROM p JOIN c USING (token)
+        |ORDER BY p.token""".stripMargin,
+
+    "q121_block_checksum" -> {
+      val ph =
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          "list_transform(range(1, length(rk)+1), i_ -> CAST(ascii(rk[i_]) AS BIGINT))), " +
+          "(h_, c_) -> (h_ * 131 + c_) % 1000000007)"
+      s"""SELECT blk, COUNT(*) AS n_rows,
+         |  CAST(SUM($ph) AS BIGINT) AS row_hash_sum,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+         |  CAST(SUM(epoch_us(l_shipdate) % 1000000007) AS BIGINT) AS ship_hash_sum
+         |FROM (SELECT l_orderkey // 1000 AS blk, l_quantity, l_extendedprice,
+         |        l_shipdate,
+         |        concat_ws('|', l_orderkey, l_linenumber, l_returnflag,
+         |          l_linestatus) AS rk
+         |      FROM lineitem)
+         |GROUP BY blk ORDER BY blk""".stripMargin
+    },
+
+    "q122_rrf_hybrid" ->
+      """WITH efix AS (SELECT vec_id,
+        |    list_transform(embedding,
+        |      x_ -> CAST(floor(CAST(x_ AS DOUBLE) * 10000000.0) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |pv AS (SELECT v FROM efix WHERE vec_id = 0),
+        |ds AS (SELECT c.vec_id AS doc_id,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i_ -> pv.v[i_] * c.v[i_])) AS BIGINT) AS dot_fp
+        |  FROM efix c CROSS JOIN pv WHERE c.vec_id <> 0),
+        |dr AS (SELECT doc_id,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY dot_fp DESC, doc_id) AS INT)
+        |      AS dense_rank
+        |  FROM ds
+        |  QUALIFY ROW_NUMBER() OVER (ORDER BY dot_fp DESC, doc_id) <= 100),
+        |pt AS (SELECT DISTINCT token FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS token
+        |    FROM documents WHERE doc_id = 0)
+        |  WHERE token <> ''),
+        |ct AS (SELECT DISTINCT doc_id, token FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents WHERE doc_id <> 0)
+        |  WHERE token <> ''),
+        |lx AS (SELECT ct.doc_id, COUNT(*) AS ov
+        |  FROM ct JOIN pt USING (token) GROUP BY ct.doc_id),
+        |lr AS (SELECT doc_id,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY ov DESC, doc_id) AS INT)
+        |      AS lex_rank
+        |  FROM lx
+        |  QUALIFY ROW_NUMBER() OVER (ORDER BY ov DESC, doc_id) <= 100),
+        |f AS (SELECT COALESCE(lr.doc_id, dr.doc_id) AS doc_id,
+        |    lex_rank, dense_rank,
+        |    CAST(COALESCE(1000000 // (60 + lex_rank), 0)
+        |       + COALESCE(1000000 // (60 + dense_rank), 0) AS BIGINT) AS rrf_fp
+        |  FROM lr FULL OUTER JOIN dr ON lr.doc_id = dr.doc_id)
+        |SELECT doc_id, lex_rank, dense_rank, rrf_fp,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY rrf_fp DESC, doc_id) AS INT)
+        |    AS fused_rank
+        |FROM f
+        |QUALIFY ROW_NUMBER() OVER (ORDER BY rrf_fp DESC, doc_id) <= 50
+        |ORDER BY fused_rank""".stripMargin
+  )
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Laws for the retrieval + integrity block (q120–q122) on sf0.001;
+  * the value-level gate is the DuckDB oracle at sf0.01. */
+class Pipeline10Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+  private def run(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("q120: df equals posting-list length; tf >= df; postings sorted") {
+    val r = run("q120_inverted_index").cache()
+    assert(r.count() > 0)
+    assert(r.filter(size(split(col("postings"), ",")) =!= col("df"))
+      .count() === 0)
+    assert(r.filter(col("tf") < col("df")).count() === 0)
+    // joined string is ascending numerically
+    val bad = r.select(col("token"),
+      transform(split(col("postings"), ","), _.cast("long")).as("ids"))
+      .filter(exists(
+        zip_with(col("ids"), slice(col("ids"), 2, 1000000),
+          (a, b) => b <= a),
+        identity))
+    assert(bad.count() === 0)
+  }
+
+  test("q121: block checksums cover every row and rerun bit-identically") {
+    val r1 = run("q121_block_checksum").cache()
+    val total = r1.agg(sum(col("n_rows"))).first().getLong(0)
+    val liCount = sources.Catalog.table(spark, dir, "lineitem").count()
+    assert(total === liCount)
+    // deterministic: a second run produces the identical relation
+    val r2 = run("q121_block_checksum")
+    assert(r1.exceptAll(r2).count() === 0)
+    assert(r2.exceptAll(r1).count() === 0)
+    r1.unpersist()
+  }
+
+  test("q121: a single-row corruption flips exactly its block's hash") {
+    val li = sources.Catalog.table(spark, dir, "lineitem")
+    val row = li.orderBy(col("l_orderkey"), col("l_linenumber")).first()
+    val (k, ln) = (row.getLong(row.fieldIndex("l_orderkey")),
+      row.getInt(row.fieldIndex("l_linenumber")))
+    val corrupted = li.withColumn("l_returnflag",
+      when(col("l_orderkey") === k && col("l_linenumber") === ln, lit("Z"))
+        .otherwise(col("l_returnflag")))
+    val a = SparkEntry.queries("q121_block_checksum")(spark, dir)
+    // rebuild the same aggregation over the corrupted relation
+    val b = {
+      import graft.functions.TextFunctions
+      corrupted.groupBy(expr("l_orderkey div 1000").as("blk"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(TextFunctions.polyHash(concat_ws("|",
+            col("l_orderkey"), col("l_linenumber"),
+            col("l_returnflag"), col("l_linestatus")))).as("row_hash_sum"))
+        .select(col("blk"), col("n_rows"), col("row_hash_sum"))
+    }
+    val diff = a.select(col("blk"), col("n_rows"), col("row_hash_sum"))
+      .exceptAll(b)
+    assert(diff.count() === 1, "exactly one block must differ")
+    assert(diff.first().getLong(0) === k / 1000L,
+      "the differing block is the corrupted row's key range")
+  }
+
+  test("q122: fused ranks are a dense 1..K prefix and RRF arithmetic is exact") {
+    val r = run("q122_rrf_hybrid").cache()
+    val n = r.count()
+    assert(n > 0 && n <= 50)
+    assert(r.agg(min(col("fused_rank"))).first().getInt(0) === 1)
+    assert(r.agg(max(col("fused_rank"))).first().getInt(0).toLong === n)
+    // rrf_fp recomputes from the rank columns (integer div, k=60)
+    val bad = r.withColumn("expect",
+      coalesce(expr("1000000 div (60 + lex_rank)"), lit(0L)) +
+        coalesce(expr("1000000 div (60 + dense_rank)"), lit(0L)))
+      .filter(col("expect") =!= col("rrf_fp"))
+    assert(bad.count() === 0)
+    // at least one doc is present in BOTH source rankings on this corpus
+    assert(r.filter(col("lex_rank").isNotNull && col("dense_rank").isNotNull)
+      .count() > 0)
+    r.unpersist()
+  }
+}
