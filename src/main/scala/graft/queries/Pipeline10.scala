@@ -61,19 +61,33 @@ object Pipeline10 {
     }),
 
     "q121_block_checksum" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .groupBy(expr("l_orderkey div 1000").as("blk"))
+      import s.implicits._
+      // the row key is built by codegen'd concat_ws; the polynomial
+      // hash runs in the JVM kernel (the HOF form is interpreted per
+      // character and was 7× slower at sf0.1 — same arithmetic, same
+      // oracle hash, see TextFunctions.polyHashJvm)
+      val pre = t(s, dir, "lineitem")
+        .select(
+          expr("l_orderkey div 1000").as("blk"),
+          concat_ws("|", col("l_orderkey"), col("l_linenumber"),
+            col("l_returnflag"), col("l_linestatus")).as("rk"),
+          col("l_quantity"), col("l_extendedprice"),
+          pmod(unix_micros(col("l_shipdate").cast("timestamp")),
+            lit(1000000007L)).as("shipmod"))
+        .as[(Long, String, Double, Double, Long)]
+        .map { case (blk, rk, q, p, sm) =>
+          (blk, TextFunctions.polyHashJvm(rk), q, p, sm)
+        }
+        .toDF("blk", "rh", "l_quantity", "l_extendedprice", "shipmod")
+      pre.groupBy(col("blk"))
         .agg(
           count(lit(1)).as("n_rows"),
-          sum(TextFunctions.polyHash(concat_ws("|",
-            col("l_orderkey"), col("l_linenumber"),
-            col("l_returnflag"), col("l_linestatus")))).as("row_hash_sum"),
+          sum(col("rh")).as("row_hash_sum"),
           sum(col("l_quantity").cast("decimal(30,6)")).cast("double")
             .as("sum_qty"),
           sum(col("l_extendedprice").cast("decimal(30,6)")).cast("double")
             .as("sum_price"),
-          sum(pmod(unix_micros(col("l_shipdate").cast("timestamp")),
-            lit(1000000007L))).as("ship_hash_sum"))
+          sum(col("shipmod")).as("ship_hash_sum"))
         .orderBy(col("blk"))
     }),
 
