@@ -133,10 +133,53 @@ object Pipeline10 {
         .select(col("doc_id"), col("lex_rank"), col("dense_rank"),
           col("rrf_fp"), col("fused_rank"))
         .orderBy(col("fused_rank"))
+    }),
+
+    // Z-order (Morton) clustering — the multi-dimensional data-skipping
+    // layout: interleaving the bits of (l_partkey, l_suppkey) gives a
+    // 1-D sort key whose contiguous ranges bound BOTH dimensions, so
+    // per-file min/max stats prune scans for 2-D predicates (a sort on
+    // either single key leaves the other dimension unconstrained —
+    // LayoutSpec demonstrates the pruning win on a narrow-y box query).
+    // The query reports per-z-bucket stats: the bucket column is what a
+    // writer would range-partition files by; min/max of each dimension
+    // per bucket IS the skipping metadata. Exact integer arithmetic
+    // end-to-end — the oracle replays the interleave bit-for-bit.
+    "q123_zorder_stats" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"))
+        .withColumn("z", zOrder(col("l_partkey"), col("l_suppkey")))
+        .groupBy(expr(s"z div $ZBucketShift").as("z_bucket"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          min(col("l_partkey")).as("min_part"),
+          max(col("l_partkey")).as("max_part"),
+          min(col("l_suppkey")).as("min_supp"),
+          max(col("l_suppkey")).as("max_supp"),
+          sum(pmod(col("z"), lit(1000000007L))).as("z_hash_sum"))
+        .orderBy(col("z_bucket"))
     })
   )
 
   private val FpScale = 1000000L
+
+  private val ZBits = 16
+  private val ZBucketShift = 65536L // 2^16 z-range per bucket (256×256 Morton tile)
+
+  /** Bit-interleaved Morton (Z-order) key of two non-negative ints —
+    * pure integer arithmetic (shift/mask/multiply) so the DuckDB
+    * oracle replays it bit-for-bit. Shared with LayoutSpec. */
+  private[graft] def zOrder(x: org.apache.spark.sql.Column,
+      y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until ZBits).map { i =>
+      shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+
+  private def zOrderSql(x: String, y: String): String =
+    (0 until ZBits).map { i =>
+      s"((($x >> $i) & 1) * ${1L << (2 * i)} + (($y >> $i) & 1) * ${1L << (2 * i + 1)})"
+    }.mkString("(", " + ", ")")
 
   val oracleSql: Map[String, String] = Map(
     "q120_inverted_index" ->
@@ -212,6 +255,16 @@ object Pipeline10 {
         |    AS fused_rank
         |FROM f
         |QUALIFY ROW_NUMBER() OVER (ORDER BY rrf_fp DESC, doc_id) <= 50
-        |ORDER BY fused_rank""".stripMargin
+        |ORDER BY fused_rank""".stripMargin,
+
+    "q123_zorder_stats" ->
+      s"""SELECT z // $ZBucketShift AS z_bucket, COUNT(*) AS n_rows,
+         |  MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
+         |  MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp,
+         |  CAST(SUM(z % 1000000007) AS BIGINT) AS z_hash_sum
+         |FROM (SELECT l_partkey, l_suppkey,
+         |        ${zOrderSql("l_partkey", "l_suppkey")} AS z
+         |      FROM lineitem)
+         |GROUP BY z_bucket ORDER BY z_bucket""".stripMargin
   )
 }

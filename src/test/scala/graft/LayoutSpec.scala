@@ -80,6 +80,49 @@ class LayoutSpec extends AnyFunSuite {
     } finally rm(stage)
   }
 
+  test("q123: z-order interleave is a bijection and beats 1-D sort for 2-D skipping") {
+    // sf0.01: the suppkey domain at sf0.001 (~10 values) is too narrow
+    // for 2-D locality to be visible; geometry needs both dims populated
+    val li = sources.Catalog.table(spark, "/root/testdata/sf0.01", "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"))
+    val z = li.withColumn("z",
+      queries.Pipeline10.zOrder(col("l_partkey"), col("l_suppkey")))
+    // bijection on the 16-bit domain: de-interleaving z recovers both keys
+    def deinterleave(zc: org.apache.spark.sql.Column, offset: Int) =
+      (0 until 16).map { i =>
+        shiftright(zc, 2 * i + offset).bitwiseAND(lit(1L)) * lit(1L << i)
+      }.reduce(_ + _)
+    assert(z.filter(deinterleave(col("z"), 0) =!= col("l_partkey") ||
+      deinterleave(col("z"), 1) =!= col("l_suppkey")).count() === 0)
+
+    // skipping witness: a predicate narrow in suppkey but unbounded in
+    // partkey. Bucket min/max stats under a z-order layout prune most
+    // buckets; under a partkey-sorted layout every bucket survives
+    // (suppkey is unconstrained within each partkey range).
+    val nb = 256
+    val suppLo = 5L
+    val suppHi = 8L
+    val wz = org.apache.spark.sql.expressions.Window.orderBy(col("z"))
+    val zStats = z.withColumn("b", ntile(nb).over(wz)) // 64 z-sorted files
+      .groupBy(col("b"))
+      .agg(min(col("l_suppkey")).as("lo"), max(col("l_suppkey")).as("hi"))
+    val total = zStats.count()
+    val zSurvive = zStats
+      .filter(col("hi") >= suppLo && col("lo") <= suppHi).count()
+
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("l_partkey"))
+    val pkStats = li.withColumn("b", ntile(nb).over(w)) // contiguous sorted files
+      .groupBy(col("b"))
+      .agg(min(col("l_suppkey")).as("lo"), max(col("l_suppkey")).as("hi"))
+    val pkSurvive = pkStats
+      .filter(col("hi") >= suppLo && col("lo") <= suppHi).count()
+
+    assert(zSurvive * 2 <= total,
+      s"z-order should prune >half the buckets, survived $zSurvive/$total")
+    assert(zSurvive < pkSurvive,
+      s"z-order ($zSurvive) must beat partkey-sort ($pkSurvive) on a narrow-supp box")
+  }
+
   test("q119: bucketed-by-key tables sort-merge join with zero exchanges") {
     val stage = tempDir("bkt")
     val oTab = "graft_spec_bkt_orders"
