@@ -92,6 +92,7 @@ case class DotProductFP(left: Expression, right: Expression)
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFp)
+    ext.injectFunction(GraftExtensions.polyHashFp)
     ext.injectOptimizerRule(_ => RewriteDotProduct)
   }
 }
@@ -105,6 +106,14 @@ object GraftExtensions {
       DotProductFP(children.head, children(1)): Expression
     })
 
+  private val polyHashFp = (
+    new FunctionIdentifier("polyhash_fp"),
+    new ExpressionInfo(classOf[PolyHashFP].getName, "polyhash_fp"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "polyhash_fp takes exactly 1 argument")
+      PolyHashFP(children.head): Expression
+    })
+
   /** Register on an already-built session (extensions only apply at
     * build time; tests and notebooks share getOrCreate'd sessions).
     * The optimizer rule rides `experimental.extraOptimizations`, the
@@ -112,6 +121,8 @@ object GraftExtensions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry
       .registerFunction(dotFp._1, dotFp._2, dotFp._3)
+    spark.sessionState.functionRegistry
+      .registerFunction(polyHashFp._1, polyHashFp._2, polyHashFp._3)
     if (!spark.experimental.extraOptimizations.contains(RewriteDotProduct))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteDotProduct

@@ -28,6 +28,14 @@ object TextFunctions {
   /** Portable polynomial rolling hash of a string:
     * fold(chars) h -> (h * 131 + ascii(c)) mod 1e9+7. */
   def polyHash(s: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.PolyHashFP(
+        org.apache.spark.sql.GraftColumnBridge.expression(s)))
+
+  /** The interpreted HOF twin of [[polyHash]] — kept as the executable
+    * specification the native expression is law-pinned against
+    * (ExpressionSpec); ~6× slower per row, don't use on hot paths. */
+  def polyHashHof(s: Column): Column =
     aggregate(
       transform(sequence(lit(1), length(s)),
         i => ascii(s.substr(i, lit(1)))),

@@ -88,6 +88,30 @@ class ExpressionSpec extends AnyFunSuite {
     assert(nat.toSeq == got.toSeq)
   }
 
+  test("polyhash_fp: native == HOF == JVM kernel on the corpus; null/empty edges") {
+    import graft.functions.TextFunctions
+    val docs = sources.Catalog.table(spark, "/root/testdata/sf0.001", "documents")
+    val tri = docs.select(
+      TextFunctions.polyHash(col("text")).as("native"),
+      TextFunctions.polyHashHof(col("text")).as("hof"))
+    assert(tri.filter(col("native") =!= col("hof")).count() === 0)
+    // JVM kernel parity on a driver sample
+    val rows = docs.select(col("text")).limit(50).collect().map(_.getString(0))
+    val viaExpr = docs.limit(50).select(TextFunctions.polyHash(col("text")))
+      .collect().map(_.getLong(0))
+    assert(rows.map(TextFunctions.polyHashJvm).toSeq === viaExpr.toSeq)
+    // edges: NULL -> NULL, empty -> 0; SQL-callable via the registry
+    import spark.implicits._
+    val edge = Seq((1, null: String), (2, "")).toDF("id", "s")
+      .select(col("id"), TextFunctions.polyHash(col("s")).as("h"))
+      .orderBy(col("id")).collect()
+    assert(edge(0).isNullAt(1))
+    assert(edge(1).getLong(1) === 0L)
+    edge.length // keep
+    val sqlRes = spark.sql("SELECT polyhash_fp('ab')").first().getLong(0)
+    assert(sqlRes === (97L * 131 + 98) % 1000000007L)
+  }
+
   test("dot_fp participates in whole-stage codegen on a parquet scan") {
     // a real scan (local Seqs constant-fold into LocalTableScan)
     val emb = spark.read
