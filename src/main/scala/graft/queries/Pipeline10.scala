@@ -135,6 +135,32 @@ object Pipeline10 {
         .orderBy(col("fused_rank"))
     }),
 
+    // Mergeable sketch columns — the 100 TB pre-aggregation pattern:
+    // each fine-grained group keeps a ~KB HLL sketch of its key set;
+    // any coarser rollup UNIONS the stored sketches without touching
+    // the raw rows again (a daily-partition → monthly-report rollup
+    // re-reads KBs, not TBs). The query materializes per-(flag,status)
+    // sketches, merges them up to flag level, and the q29-style
+    // witness pins the merged estimate within 5% of the exact distinct
+    // count — TRUE is the deterministic oracle-checkable contract
+    // (HLL binaries themselves are implementation-defined, so the
+    // estimate rides a witness, not a hash).
+    "q125_hll_sketch_merge" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val perGroup = li
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(hll_sketch_agg(col("l_orderkey")).as("sk"))
+      val merged = perGroup.groupBy(col("l_returnflag"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+      exact.join(merged, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("exact_orders"),
+          (abs(col("est") - col("exact_orders")).cast("double") /
+            col("exact_orders") <= 0.05).as("merged_within_5pct"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Z-order (Morton) clustering — the multi-dimensional data-skipping
     // layout: interleaving the bits of (l_partkey, l_suppkey) gives a
     // 1-D sort key whose contiguous ranges bound BOTH dimensions, so
@@ -256,6 +282,13 @@ object Pipeline10 {
         |FROM f
         |QUALIFY ROW_NUMBER() OVER (ORDER BY rrf_fp DESC, doc_id) <= 50
         |ORDER BY fused_rank""".stripMargin,
+
+    "q125_hll_sketch_merge" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_orderkey) AS exact_orders,
+        |  TRUE AS merged_within_5pct
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q123_zorder_stats" ->
       s"""SELECT z // $ZBucketShift AS z_bucket, COUNT(*) AS n_rows,

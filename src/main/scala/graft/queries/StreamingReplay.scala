@@ -105,6 +105,51 @@ object StreamingReplay {
           unix_micros(col("r_ts")).as("buy_ts_us"),
           col("r_value").as("buy_value"))
         .orderBy(col("view_id"), col("buy_id"))
+    }),
+
+    // Streaming DEDUP replay: at-least-once delivery simulated by
+    // re-delivering every third event (identical payload), the feed
+    // hash-scattered across 4 staged files so a duplicate usually
+    // arrives in a DIFFERENT micro-batch than its original — the
+    // cross-batch dropDuplicates state is what's under test. The
+    // append-mode sink must equal the original (duplicate-free)
+    // events exactly, so the oracle is a plain batch aggregate over
+    // the source table: state-backed streaming dedup converges to
+    // batch DISTINCT, hash-equal. Unbounded watermark for the same
+    // reason as q107/q113 (maximally out-of-order replay by
+    // construction); production uses a delivery-lag-sized horizon and
+    // gets bounded state eviction for free.
+    "q124_streaming_dedup_replay" -> ((s, dir) => {
+      val events = Catalog.table(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val feed = events.unionAll(
+        events.filter(pmod(col("event_id"), lit(3L)) === 0))
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft_q124_replay_").toString
+      feed.repartition(4).write.mode(SaveMode.Overwrite).parquet(stage)
+      val stream = s.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+      val deduped = graft.streaming.Streaming
+        .dedupStream(stream, Seq("event_id"), watermark = "3650 days")
+      val sink = "q124_dedup"
+      val q = deduped.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+      s.table(sink)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("event_id")).as("n_unique"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("value").cast("decimal(30,6)")).cast("double")
+            .as("sum_value"),
+          sum(pmod(unix_micros(col("ts")), lit(1000000007L)))
+            .as("ts_hash_sum"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -142,6 +187,16 @@ object StreamingReplay {
         |  ON p.user_id = v.user_id
         |  AND v.event_type = 'view' AND p.event_type = 'purchase'
         |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
-        |ORDER BY view_id, buy_id""".stripMargin
+        |ORDER BY view_id, buy_id""".stripMargin,
+
+    // the deduped stream must equal the original events exactly
+    "q124_streaming_dedup_replay" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT event_id) AS n_unique,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value,
+        |  CAST(SUM(epoch_us(ts) % 1000000007) AS BIGINT) AS ts_hash_sum
+        |FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

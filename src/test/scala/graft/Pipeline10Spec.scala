@@ -74,6 +74,32 @@ class Pipeline10Spec extends AnyFunSuite {
       "the differing block is the corrupted row's key range")
   }
 
+  test("q125: union of partial HLL sketches tracks a direct sketch and the truth") {
+    // datasketches unions are not bit-identical to a one-pass sketch
+    // (the union operator carries its own target mode), but the rollup
+    // must stay estimate-equivalent: within 1% of the direct sketch
+    // and within 5% of the exact distinct count.
+    val li = sources.Catalog.table(spark, dir, "lineitem")
+    val viaUnion = li
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(hll_sketch_agg(col("l_orderkey")).as("sk"))
+      .groupBy(col("l_returnflag"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val direct = li.groupBy(col("l_returnflag"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("l_orderkey")))
+        .as("est_direct"))
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("truth"))
+    val joined = viaUnion.join(direct, "l_returnflag").join(exact, "l_returnflag")
+    assert(joined.count() > 0)
+    assert(joined.filter(
+      abs(col("est") - col("est_direct")).cast("double") /
+        col("est_direct") > 0.01).count() === 0)
+    assert(joined.filter(
+      abs(col("est") - col("truth")).cast("double") /
+        col("truth") > 0.05).count() === 0)
+  }
+
   test("q122: fused ranks are a dense 1..K prefix and RRF arithmetic is exact") {
     val r = run("q122_rrf_hybrid").cache()
     val n = r.count()
