@@ -94,6 +94,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.dotFp)
     ext.injectFunction(GraftExtensions.polyHashFp)
     ext.injectOptimizerRule(_ => RewriteDotProduct)
+    ext.injectOptimizerRule(_ => RewritePolyHash)
   }
 }
 
@@ -126,5 +127,8 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(RewriteDotProduct))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteDotProduct
+    if (!spark.experimental.extraOptimizations.contains(RewritePolyHash))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewritePolyHash
   }
 }

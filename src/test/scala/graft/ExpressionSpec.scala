@@ -112,6 +112,23 @@ class ExpressionSpec extends AnyFunSuite {
     assert(sqlRes === (97L * 131 + 98) % 1000000007L)
   }
 
+  test("RewritePolyHash: the HOF hash pattern optimizes to polyhash_fp, same results") {
+    import graft.functions.TextFunctions
+    val docs = sources.Catalog.table(spark, "/root/testdata/sf0.001", "documents")
+    val hof = docs.select(col("doc_id"),
+      TextFunctions.polyHashHof(col("text")).as("h"))
+    val optimized = hof.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("polyhash_fp"),
+      s"HOF pattern must rewrite to polyhash_fp; plan:\n$optimized")
+    assert(!optimized.contains("aggregate(transform"),
+      "the interpreted HOF chain must be gone after the rewrite")
+    // and the rewritten plan computes the same values as the native form
+    val native = docs.select(col("doc_id"),
+      TextFunctions.polyHash(col("text")).as("h"))
+    assert(hof.exceptAll(native).count() === 0)
+    assert(native.exceptAll(hof).count() === 0)
+  }
+
   test("dot_fp participates in whole-stage codegen on a parquet scan") {
     // a real scan (local Seqs constant-fold into LocalTableScan)
     val emb = spark.read
