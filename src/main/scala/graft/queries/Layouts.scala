@@ -134,6 +134,64 @@ object Layouts {
       s.sql(s"DROP TABLE IF EXISTS $lTab")
       rmStage(s, stage)
       out
+    }),
+
+    // Small-file compaction — the recurring lakehouse maintenance op:
+    // a streaming ingest leaves N tiny files per partition (here 48
+    // staged shards); compaction rewrites them as few target-size
+    // files WITHOUT changing a byte of content. The checksum aggregate
+    // is computed from the compacted copy and must hash-match the
+    // parquet-direct oracle; LayoutSpec pins the file-count reduction.
+    "q126_file_compaction" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val stage = stageDir("q126_compact")
+      d.repartition(48).write.mode(SaveMode.Overwrite)
+        .parquet(s"$stage/small")
+      s.read.parquet(s"$stage/small")
+        .repartition(4) // the compaction itself
+        .write.mode(SaveMode.Overwrite).parquet(s"$stage/compact")
+      val back = s.read.parquet(s"$stage/compact")
+      val out = back.groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(TextFunctions.polyHash(col("text"))).as("text_hash_sum"))
+        .orderBy(col("source"))
+        .localCheckpoint(true)
+      rmStage(s, stage)
+      out
+    }),
+
+    // Schema evolution — batch 1 lands with the v1 schema, batch 2
+    // adds a quality_score column; `mergeSchema` unifies the read and
+    // null-fills the pre-evolution rows. The aggregate proves the
+    // evolved read loses no rows, attributes the new column only to
+    // post-evolution batches, and keeps the old columns byte-exact.
+    // (Integer score — n_chars mod 100 — so the oracle replay is
+    // arithmetic-exact.)
+    "q127_schema_evolution" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      // parity split (scale-independent: both batches non-empty at
+      // every sf): even doc_ids land in the v1 batch, odd in v2
+      val stage = stageDir("q127_evolve")
+      d.filter(col("doc_id") % 2 === 0)
+        .write.mode(SaveMode.Overwrite).parquet(s"$stage/batch=1")
+      d.filter(col("doc_id") % 2 === 1)
+        .withColumn("quality_score", (col("n_chars") % 100).cast("int"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$stage/batch=2")
+      val back = s.read.option("mergeSchema", "true").parquet(stage)
+      val out = back.groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count(col("quality_score")).as("n_scored"),
+          sum(coalesce(col("quality_score").cast("long"), lit(0L)))
+            .as("score_sum"),
+          sum(TextFunctions.polyHash(col("text"))).as("text_hash_sum"))
+        .orderBy(col("source"))
+        .localCheckpoint(true)
+      rmStage(s, stage)
+      out
     })
   )
 
@@ -161,6 +219,31 @@ object Layouts {
         |FROM orders
         |WHERE year(o_orderdate) >= 1996
         |GROUP BY 1 ORDER BY o_year""".stripMargin,
+
+    "q126_file_compaction" -> {
+      val ph =
+        s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          s"list_transform(range(1, length(text)+1), i_ -> CAST(ascii(text[i_]) AS BIGINT))), " +
+          s"(h_, c_) -> (h_ * 131 + c_) % 1000000007)"
+      s"""SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(SUM($ph) AS BIGINT) AS text_hash_sum
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    "q127_schema_evolution" -> {
+      val ph =
+        s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          s"list_transform(range(1, length(text)+1), i_ -> CAST(ascii(text[i_]) AS BIGINT))), " +
+          s"(h_, c_) -> (h_ * 131 + c_) % 1000000007)"
+      s"""SELECT source, COUNT(*) AS n_docs,
+         |  COUNT(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS n_scored,
+         |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars % 100 ELSE 0 END)
+         |    AS BIGINT) AS score_sum,
+         |  CAST(SUM($ph) AS BIGINT) AS text_hash_sum
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin
+    },
 
     "q119_bucketed_join" ->
       """SELECT o.o_custkey % 100 AS cust_bucket,

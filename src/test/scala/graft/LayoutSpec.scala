@@ -123,6 +123,46 @@ class LayoutSpec extends AnyFunSuite {
       s"z-order ($zSurvive) must beat partkey-sort ($pkSurvive) on a narrow-supp box")
   }
 
+  test("q126: compaction reduces file count and preserves content exactly") {
+    val d = sources.Catalog.table(spark, dir, "documents")
+    val stage = tempDir("compact")
+    try {
+      d.repartition(48).write.mode(SaveMode.Overwrite).parquet(s"$stage/small")
+      spark.read.parquet(s"$stage/small").repartition(4)
+        .write.mode(SaveMode.Overwrite).parquet(s"$stage/compact")
+      def parts(p: String) = new java.io.File(p).listFiles()
+        .count(f => f.getName.startsWith("part-"))
+      assert(parts(s"$stage/small") === 48)
+      assert(parts(s"$stage/compact") === 4)
+      val back = spark.read.parquet(s"$stage/compact")
+      assert(back.exceptAll(d).count() === 0)
+      assert(d.exceptAll(back).count() === 0)
+    } finally rm(stage)
+  }
+
+  test("q127: mergeSchema unifies evolved batches; v1 rows null-fill the new column") {
+    val d = sources.Catalog.table(spark, dir, "documents")
+    val stage = tempDir("evolve")
+    try {
+      d.filter(col("doc_id") % 2 === 0)
+        .write.mode(SaveMode.Overwrite).parquet(s"$stage/batch=1")
+      d.filter(col("doc_id") % 2 === 1)
+        .withColumn("quality_score", (col("n_chars") % 100).cast("int"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$stage/batch=2")
+      val back = spark.read.option("mergeSchema", "true").parquet(stage)
+      assert(back.columns.contains("quality_score"))
+      assert(back.count() === d.count())
+      // the new column exists ONLY on post-evolution rows
+      assert(back.filter(col("doc_id") % 2 === 0 &&
+        col("quality_score").isNotNull).count() === 0)
+      assert(back.filter(col("doc_id") % 2 === 1 &&
+        col("quality_score").isNull).count() === 0)
+      // a v1-only read doesn't carry the column at all
+      val v1 = spark.read.parquet(s"$stage/batch=1")
+      assert(!v1.columns.contains("quality_score"))
+    } finally rm(stage)
+  }
+
   test("q119: bucketed-by-key tables sort-merge join with zero exchanges") {
     val stage = tempDir("bkt")
     val oTab = "graft_spec_bkt_orders"
