@@ -135,6 +135,34 @@ object Pipeline10 {
         .orderBy(col("fused_rank"))
     }),
 
+    // Deterministic pseudonymization — privacy-preserving analytics at
+    // scale: every customer key is replaced by a keyed-hash surrogate
+    // (md5 with a pipeline pepper) BEFORE analytics, and the same
+    // mapping applied to the fact side keeps every join working — the
+    // aggregate over surrogates is exactly the aggregate over real
+    // keys, relabeled. Pure map-side transform (no lookup table to
+    // shuffle or leak); the oracle replays the same md5 on the raw
+    // tables, so a hash match proves referential integrity survived
+    // the masking. Surrogate collisions are structurally possible but
+    // need ~2^32 keys at 16 hex chars; Pipeline10Spec pins injectivity
+    // on the corpus.
+    "q128_pseudonymize" -> ((s, dir) => {
+      def surrogate(key: org.apache.spark.sql.Column) =
+        substring(md5(concat(lit("graft-pepper|"), key.cast("string"))), 1, 16)
+      val cust = t(s, dir, "customer")
+        .select(surrogate(col("c_custkey")).as("cust_sid"),
+          col("c_mktsegment"))
+      val ords = t(s, dir, "orders")
+        .select(surrogate(col("o_custkey")).as("cust_sid"),
+          col("o_totalprice"))
+      ords.join(cust, "cust_sid")
+        .groupBy(col("c_mktsegment"), col("cust_sid"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(30,6)")).cast("double")
+            .as("sum_price"))
+        .orderBy(col("c_mktsegment"), col("cust_sid"))
+    }),
+
     // Mergeable sketch columns — the 100 TB pre-aggregation pattern:
     // each fine-grained group keeps a ~KB HLL sketch of its key set;
     // any coarser rollup UNIONS the stored sketches without touching
@@ -282,6 +310,17 @@ object Pipeline10 {
         |FROM f
         |QUALIFY ROW_NUMBER() OVER (ORDER BY rrf_fp DESC, doc_id) <= 50
         |ORDER BY fused_rank""".stripMargin,
+
+    "q128_pseudonymize" ->
+      """WITH c AS (SELECT substr(md5('graft-pepper|' || CAST(c_custkey AS VARCHAR)), 1, 16)
+        |    AS cust_sid, c_mktsegment FROM customer),
+        |o AS (SELECT substr(md5('graft-pepper|' || CAST(o_custkey AS VARCHAR)), 1, 16)
+        |    AS cust_sid, o_totalprice FROM orders)
+        |SELECT c.c_mktsegment, o.cust_sid, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+        |FROM o JOIN c ON o.cust_sid = c.cust_sid
+        |GROUP BY c.c_mktsegment, o.cust_sid
+        |ORDER BY c.c_mktsegment, o.cust_sid""".stripMargin,
 
     "q125_hll_sketch_merge" ->
       """SELECT l_returnflag,

@@ -100,6 +100,27 @@ class Pipeline10Spec extends AnyFunSuite {
         col("truth") > 0.05).count() === 0)
   }
 
+  test("q128: surrogates are injective on the corpus and relabel the true aggregate") {
+    val cust = sources.Catalog.table(spark, dir, "customer")
+    def surrogate(key: org.apache.spark.sql.Column) =
+      substring(md5(concat(lit("graft-pepper|"), key.cast("string"))), 1, 16)
+    // injectivity: as many distinct surrogates as distinct keys
+    val keys = cust.agg(countDistinct(col("c_custkey"))).first().getLong(0)
+    val sids = cust.select(surrogate(col("c_custkey")).as("sid"))
+      .agg(countDistinct(col("sid"))).first().getLong(0)
+    assert(keys === sids)
+    // the masked aggregate is the true per-customer aggregate, relabeled
+    val masked = run("q128_pseudonymize")
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(col("n_orders")).as("n"), count(lit(1)).as("n_cust"))
+    val truth = sources.Catalog.table(spark, dir, "orders")
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("c_custkey")).as("n_cust"))
+    assert(masked.exceptAll(truth).count() === 0)
+    assert(truth.exceptAll(masked).count() === 0)
+  }
+
   test("q122: fused ranks are a dense 1..K prefix and RRF arithmetic is exact") {
     val r = run("q122_rrf_hybrid").cache()
     val n = r.count()
