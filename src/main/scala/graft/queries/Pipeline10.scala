@@ -135,6 +135,32 @@ object Pipeline10 {
         .orderBy(col("fused_rank"))
     }),
 
+    // Systematic weighted sampling — the deterministic way to sample
+    // documents ∝ weight (here: length) for a training mix. Lay the
+    // corpus on a weight line in doc_id order; a document is selected
+    // iff its [cum−w, cum) interval contains a multiple of W/K — every
+    // selection probability is exactly w·K/W, the draw is exact
+    // INTEGER arithmetic end-to-end (no RNG, no floats → rerun- and
+    // engine-reproducible, same promise as q111's md5 thresholds but
+    // weight-proportional). The global running sum rides the
+    // distributed PrefixSum operator (range-partitioned two-phase
+    // fold), NOT an empty-partition window — the single-reducer trap
+    // at 100 TB; W joins back as a broadcast scalar seed.
+    "q129_weighted_sample" -> ((s, dir) => {
+      val K = 100L
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars").as("w"))
+      val cum = graft.operators.PrefixSum
+        .runningSum(d, Seq(col("doc_id")), "w", "cum")
+      val tot = d.agg(sum(col("w")).as("wtot"))
+      cum.crossJoin(broadcast(tot))
+        .withColumn("lo", col("cum") - col("w"))
+        .filter(expr(s"(cum * $K) div wtot") > expr(s"(lo * $K) div wtot"))
+        .select(col("doc_id"), col("w"), col("cum"),
+          expr(s"(lo * $K) div wtot").as("slot"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic pseudonymization — privacy-preserving analytics at
     // scale: every customer key is replaced by a keyed-hash surrogate
     // (md5 with a pipeline pepper) BEFORE analytics, and the same
@@ -310,6 +336,19 @@ object Pipeline10 {
         |FROM f
         |QUALIFY ROW_NUMBER() OVER (ORDER BY rrf_fp DESC, doc_id) <= 50
         |ORDER BY fused_rank""".stripMargin,
+
+    "q129_weighted_sample" ->
+      """WITH d AS (SELECT doc_id, n_chars AS w FROM documents),
+        |c AS (SELECT doc_id, w,
+        |    SUM(w) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(w) OVER () AS wtot
+        |  FROM d)
+        |SELECT doc_id, w, CAST(cum AS BIGINT) AS cum,
+        |  CAST(((cum - w) * 100) // wtot AS BIGINT) AS slot
+        |FROM c
+        |WHERE (cum * 100) // wtot > ((cum - w) * 100) // wtot
+        |ORDER BY doc_id""".stripMargin,
 
     "q128_pseudonymize" ->
       """WITH c AS (SELECT substr(md5('graft-pepper|' || CAST(c_custkey AS VARCHAR)), 1, 16)

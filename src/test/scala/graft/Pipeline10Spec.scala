@@ -121,6 +121,29 @@ class Pipeline10Spec extends AnyFunSuite {
     assert(truth.exceptAll(masked).count() === 0)
   }
 
+  test("q129: weighted sample is ≤K, deterministic, and never skips a heavy item") {
+    val r1 = run("q129_weighted_sample").cache()
+    val n = r1.count()
+    assert(n > 0 && n <= 100)
+    // deterministic: bit-identical on rerun
+    val r2 = run("q129_weighted_sample")
+    assert(r1.exceptAll(r2).count() === 0)
+    assert(r2.exceptAll(r1).count() === 0)
+    r1.unpersist()
+    // inclusion law on a synthetic line: any item with w > W/K spans
+    // at least one full slot, so it MUST be selected
+    import spark.implicits._
+    val syn = (1L to 200L).map(i => (i, if (i == 137L) 5000L else 7L))
+      .toDF("doc_id", "w")
+    val cum = operators.PrefixSum.runningSum(syn, Seq(col("doc_id")), "w", "cum")
+    val tot = syn.agg(sum(col("w")).as("wtot"))
+    val picked = cum.crossJoin(broadcast(tot))
+      .withColumn("lo", col("cum") - col("w"))
+      .filter(expr("(cum * 100) div wtot") > expr("(lo * 100) div wtot"))
+    assert(picked.filter(col("doc_id") === 137L).count() === 1,
+      "an item heavier than W/K must always be in the sample")
+  }
+
   test("q122: fused ranks are a dense 1..K prefix and RRF arithmetic is exact") {
     val r = run("q122_rrf_hybrid").cache()
     val n = r.count()
