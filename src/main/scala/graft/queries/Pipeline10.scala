@@ -135,6 +135,36 @@ object Pipeline10 {
         .orderBy(col("fused_rank"))
     }),
 
+    // Time-weighted integration — the telemetry/billing aggregate:
+    // each reading holds its value until the next one, so the mean is
+    // ∫value·dt / span, not avg(value). The integral is EXACT INTEGER
+    // arithmetic: value in centi-units (decimal(12,2) cast, then ×100
+    // — both engines round the cast identically) × whole milliseconds
+    // — no float products anywhere, so the oracle hash pins both the
+    // window semantics and the arithmetic bit-for-bit. (A decimal or
+    // double integral column is NOT comparable across engines: the
+    // driver hashes decimals as floats, and wide decimal→double casts
+    // drift by 1 ULP.) Per-user windows shuffle once on user_id; span
+    // and integral ship separately — the final division is the
+    // caller's rounding choice, not baked into the relation.
+    "q130_time_weighted" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      ev.withColumn("next_us", lead(col("ts_us"), 1).over(w))
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          (max(col("ts_us")) - min(col("ts_us"))).as("span_us"),
+          sum((col("value").cast("decimal(12,2)") * 100).cast("long") *
+            expr("(next_us - ts_us) div 1000"))
+            .as("integral_c_ms"))
+        .orderBy(col("user_id"))
+    }),
+
     // Systematic weighted sampling — the deterministic way to sample
     // documents ∝ weight (here: length) for a training mix. Lay the
     // corpus on a weight line in doc_id order; a document is selected
@@ -336,6 +366,19 @@ object Pipeline10 {
         |FROM f
         |QUALIFY ROW_NUMBER() OVER (ORDER BY rrf_fp DESC, doc_id) <= 50
         |ORDER BY fused_rank""".stripMargin,
+
+    "q130_time_weighted" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
+        |  FROM events),
+        |x AS (SELECT user_id, ts_us, value,
+        |    lead(ts_us) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS next_us
+        |  FROM e)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS span_us,
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) *
+        |    ((next_us - ts_us) // 1000)) AS BIGINT) AS integral_c_ms
+        |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q129_weighted_sample" ->
       """WITH d AS (SELECT doc_id, n_chars AS w FROM documents),

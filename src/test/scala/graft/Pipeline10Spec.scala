@@ -144,6 +144,30 @@ class Pipeline10Spec extends AnyFunSuite {
       "an item heavier than W/K must always be in the sample")
   }
 
+  test("q130: integral matches a driver-side fold; coverage and span laws") {
+    val r = run("q130_time_weighted").cache()
+    val ev = sources.Catalog.table(spark, dir, "events")
+    assert(r.agg(sum(col("n_events"))).first().getLong(0) === ev.count())
+    assert(r.filter(col("span_us") < 0).count() === 0)
+    // recompute one user's integral with plain JVM arithmetic
+    val uid = r.first().getLong(0)
+    val rows = ev.filter(col("user_id") === uid)
+      .select(unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("value"), col("event_id"))
+      .orderBy(col("us"), col("event_id")).collect()
+    val expected = rows.sliding(2).collect {
+      case Array(a, b) =>
+        val cents = new java.math.BigDecimal(a.getDouble(1))
+          .setScale(2, java.math.RoundingMode.HALF_UP)
+          .movePointRight(2).longValueExact()
+        cents * ((b.getLong(0) - a.getLong(0)) / 1000L)
+    }.sum
+    val got = r.filter(col("user_id") === uid)
+      .first().getAs[Long]("integral_c_ms")
+    assert(got === expected)
+    r.unpersist()
+  }
+
   test("q122: fused ranks are a dense 1..K prefix and RRF arithmetic is exact") {
     val r = run("q122_rrf_hybrid").cache()
     val n = r.count()
