@@ -165,6 +165,34 @@ object Pipeline10 {
         .orderBy(col("user_id"))
     }),
 
+    // Interval proration — the usage-allocation op: each per-user
+    // activity interval [ts, next) is SPLIT across the UTC day
+    // boundaries it crosses and its microseconds attributed to each
+    // day (billing, capacity, SLA accounting). The day fan-out is an
+    // explode of a bounded integer sequence (one row per day the
+    // interval touches — linear in total days spanned, never a
+    // calendar cross join); the clamp is exact integer least/greatest.
+    // Distinct from q61/q84 (grid filling / interpolation): this
+    // allocates a measured quantity exactly, Σ day parts == interval.
+    "q131_interval_proration" -> ((s, dir) => {
+      val Day = 86400000000L
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val iv = ev.withColumn("next_us", lead(col("ts_us"), 1).over(w))
+        .filter(col("next_us").isNotNull && col("next_us") > col("ts_us"))
+      iv.withColumn("day_idx", explode(sequence(
+          expr(s"ts_us div $Day"), expr(s"(next_us - 1) div $Day"))))
+        .withColumn("seg_us",
+          least(col("next_us"), (col("day_idx") + 1) * Day) -
+            greatest(col("ts_us"), col("day_idx") * Day))
+        .groupBy(col("user_id"), col("day_idx"))
+        .agg(count(lit(1)).as("n_segs"), sum(col("seg_us")).as("total_us"))
+        .orderBy(col("user_id"), col("day_idx"))
+    }),
+
     // Systematic weighted sampling — the deterministic way to sample
     // documents ∝ weight (here: length) for a training mix. Lay the
     // corpus on a weight line in doc_id order; a document is selected
@@ -366,6 +394,25 @@ object Pipeline10 {
         |FROM f
         |QUALIFY ROW_NUMBER() OVER (ORDER BY rrf_fp DESC, doc_id) <= 50
         |ORDER BY fused_rank""".stripMargin,
+
+    "q131_interval_proration" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |x AS (SELECT user_id, ts_us,
+        |    lead(ts_us) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS next_us
+        |  FROM e),
+        |iv AS (SELECT user_id, ts_us, next_us FROM x
+        |  WHERE next_us IS NOT NULL AND next_us > ts_us),
+        |d AS (SELECT user_id, ts_us, next_us,
+        |    unnest(range(ts_us // 86400000000,
+        |      (next_us - 1) // 86400000000 + 1)) AS day_idx
+        |  FROM iv)
+        |SELECT user_id, CAST(day_idx AS BIGINT) AS day_idx,
+        |  COUNT(*) AS n_segs,
+        |  CAST(SUM(LEAST(next_us, (day_idx + 1) * 86400000000)
+        |    - GREATEST(ts_us, day_idx * 86400000000)) AS BIGINT) AS total_us
+        |FROM d GROUP BY user_id, day_idx
+        |ORDER BY user_id, day_idx""".stripMargin,
 
     "q130_time_weighted" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value

@@ -168,6 +168,28 @@ class Pipeline10Spec extends AnyFunSuite {
     r.unpersist()
   }
 
+  test("q131: proration conserves every interval exactly and never over-allocates a day") {
+    val r = run("q131_interval_proration").cache()
+    // conservation: Σ allocated µs per user == Σ raw interval lengths
+    val ev = sources.Catalog.table(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val spans = ev.withColumn("next_us", lead(col("ts_us"), 1).over(w))
+      .filter(col("next_us").isNotNull && col("next_us") > col("ts_us"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("next_us") - col("ts_us")).as("raw_us"))
+    val alloc = r.groupBy(col("user_id"))
+      .agg(sum(col("total_us")).as("alloc_us"))
+    assert(alloc.join(spans, "user_id")
+      .filter(col("alloc_us") =!= col("raw_us")).count() === 0)
+    // no (user, day) cell exceeds a day
+    assert(r.filter(col("total_us") > 86400000000L || col("total_us") <= 0)
+      .count() === 0)
+    r.unpersist()
+  }
+
   test("q122: fused ranks are a dense 1..K prefix and RRF arithmetic is exact") {
     val r = run("q122_rrf_hybrid").cache()
     val n = r.count()
