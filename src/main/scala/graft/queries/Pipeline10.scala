@@ -8,7 +8,13 @@ import graft.functions.TextFunctions
 import graft.operators.Similarity
 import graft.sources.Catalog
 
-/** Round-5 retrieval + integrity block (q120–q122).
+/** Round-5 retrieval + integrity + temporal block (q120–q131): the
+  * inverted index and its RRF hybrid-retrieval consumer, block
+  * checksums, z-order clustering, mergeable HLL rollups,
+  * pseudonymization, weighted sampling, and the exact-integer
+  * temporal aggregates (time-weighted integral, interval proration).
+  * Everything here is either pure integer/decimal arithmetic or
+  * carries a witness column — bit-stable across engines by design.
   *
   *  - q120 inverted index: the posting-list build — token → (df, tf,
   *    sorted distinct doc list). The postings column carries the FULL
@@ -162,6 +168,53 @@ object Pipeline10 {
           sum((col("value").cast("decimal(12,2)") * 100).cast("long") *
             expr("(next_us - ts_us) div 1000"))
             .as("integral_c_ms"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Equi-depth histogram boundaries — the CBO/statistics primitive:
+    // the exact value at each decile CUT of a fact column (what
+    // ANALYZE stores, what range-partitioners and skew detectors
+    // consume). Global rank rides DistributedRank (two-phase
+    // range-partitioned rank, never an empty-partition window); a row
+    // is a boundary iff its rank crosses a multiple of N/10 — the
+    // same exact-integer slot-crossing trick as q129, so the 10-row
+    // answer is bit-stable and the oracle replays it with a plain
+    // window rank. Ties totally ordered by (price, orderkey, line).
+    "q133_equidepth_bounds" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_extendedprice"), col("l_orderkey"),
+          col("l_linenumber"))
+      val ranked = graft.operators.DistributedRank.globalRowNumber(
+        li, Seq(col("l_extendedprice"), col("l_orderkey"),
+          col("l_linenumber")), "rnk")
+      val tot = li.agg(count(lit(1)).as("n"))
+      ranked.crossJoin(broadcast(tot))
+        .filter(expr("(rnk * 10) div n") > expr("((rnk - 1) * 10) div n"))
+        .select(expr("((rnk - 1) * 10) div n").as("decile"),
+          col("rnk"), col("l_extendedprice"), col("l_orderkey"),
+          col("l_linenumber"))
+        .orderBy(col("decile"))
+    }),
+
+    // Arg-extrema aggregates — SQL's max_by/min_by surface: the
+    // attribute OF the latest/earliest row per group without a window
+    // + filter round trip (one hash-agg, no row_number shuffle-sort).
+    // Determinism: ties on ts are broken by event_id through a
+    // zero-padded composite sort key (lexicographic == numeric for
+    // fixed width), so both engines pick the identical row.
+    "q132_arg_extrema" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("ts_us"))
+        .withColumn("k",
+          format_string("%020d|%010d", col("ts_us"), col("event_id")))
+      ev.groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          max_by(col("event_type"), col("k")).as("last_type"),
+          max_by(col("value"), col("k")).as("last_value"),
+          min_by(col("event_type"), col("k")).as("first_type"),
+          min_by(col("ts_us"), col("k")).as("first_ts_us"))
         .orderBy(col("user_id"))
     }),
 
@@ -394,6 +447,31 @@ object Pipeline10 {
         |FROM f
         |QUALIFY ROW_NUMBER() OVER (ORDER BY rrf_fp DESC, doc_id) <= 50
         |ORDER BY fused_rank""".stripMargin,
+
+    "q133_equidepth_bounds" ->
+      """WITH r AS (SELECT l_extendedprice, l_orderkey, l_linenumber,
+        |    ROW_NUMBER() OVER (ORDER BY l_extendedprice, l_orderkey,
+        |      l_linenumber) AS rnk,
+        |    COUNT(*) OVER () AS n
+        |  FROM lineitem)
+        |SELECT CAST(((rnk - 1) * 10) // n AS BIGINT) AS decile,
+        |  CAST(rnk AS BIGINT) AS rnk, l_extendedprice, l_orderkey,
+        |  l_linenumber
+        |FROM r
+        |WHERE (rnk * 10) // n > ((rnk - 1) * 10) // n
+        |ORDER BY decile""".stripMargin,
+
+    "q132_arg_extrema" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+        |    epoch_us(ts) AS ts_us,
+        |    printf('%020d|%010d', epoch_us(ts), event_id) AS k
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  max_by(event_type, k) AS last_type,
+        |  max_by(value, k) AS last_value,
+        |  min_by(event_type, k) AS first_type,
+        |  CAST(min_by(ts_us, k) AS BIGINT) AS first_ts_us
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q131_interval_proration" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),

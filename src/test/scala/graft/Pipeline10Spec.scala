@@ -190,6 +190,41 @@ class Pipeline10Spec extends AnyFunSuite {
     r.unpersist()
   }
 
+  test("q132: arg-extrema rows agree with the window-dedup formulation") {
+    val r = run("q132_arg_extrema").cache()
+    val ev = sources.Catalog.table(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    val latest = ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("last_type"))
+    assert(r.select(col("user_id"), col("last_type"))
+      .exceptAll(latest).count() === 0)
+    r.unpersist()
+  }
+
+  test("q133: decile boundaries are exactly the ranked rows at each N/10 crossing") {
+    val r = run("q133_equidepth_bounds").cache()
+    assert(r.count() === 10)
+    assert(r.select(col("decile")).collect().map(_.getLong(0)).toSeq
+      === (0L to 9L))
+    // boundary values are non-decreasing and rank-consistent
+    val vals = r.orderBy(col("decile")).collect()
+    assert(vals.sliding(2).forall { case Array(a, b) =>
+      a.getAs[Double]("l_extendedprice") <= b.getAs[Double]("l_extendedprice")
+    })
+    // the decile-d row is the UPPER cut: rank = ceil((d+1)·N/10)
+    // (so decile 9 is the maximum, rank N — p10..p100 cut points)
+    val n = sources.Catalog.table(spark, dir, "lineitem").count()
+    assert(vals.forall(v =>
+      v.getAs[Long]("rnk") === ((v.getAs[Long]("decile") + 1) * n + 9) / 10))
+    assert(vals.last.getAs[Long]("rnk") === n)
+    r.unpersist()
+  }
+
   test("q122: fused ranks are a dense 1..K prefix and RRF arithmetic is exact") {
     val r = run("q122_rrf_hybrid").cache()
     val n = r.count()
