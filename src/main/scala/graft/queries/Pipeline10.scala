@@ -171,6 +171,53 @@ object Pipeline10 {
         .orderBy(col("user_id"))
     }),
 
+    // Weighted median — the order statistic under a weight column
+    // (the "typical price per unit SOLD", not per line): the first
+    // row whose cumulative weight crosses W/2 in a total value order.
+    // Per-group window cumsum (partitioned — no global reducer), the
+    // crossing test is the q129 integer trick at K=2. Weights go
+    // through an explicit floor() (DuckDB CAST rounds, Spark CAST
+    // truncates — floor is the one form both engines agree on).
+    "q134_weighted_median" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          col("l_orderkey"), col("l_linenumber"),
+          floor(col("l_quantity")).cast("long").as("w"))
+      val wnd = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice"), col("l_orderkey"),
+          col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy(col("l_returnflag"))
+      li.withColumn("cum", sum(col("w")).over(wnd))
+        .withColumn("wtot", sum(col("w")).over(tot))
+        .filter(col("cum") * 2 >= col("wtot") &&
+          (col("cum") - col("w")) * 2 < col("wtot"))
+        .select(col("l_returnflag"),
+          col("l_extendedprice").as("w_median_price"),
+          col("cum"), col("wtot"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Deterministic mode — most frequent value per group with a total
+    // tie-break (highest count, then smallest value): two hash-aggs +
+    // a per-group top-1 (WindowGroupLimit pushes the rank down). The
+    // built-in `mode()` is tie-nondeterministic across engines; this
+    // formulation is bit-stable by construction.
+    "q135_group_mode" -> ((s, dir) => {
+      val counts = t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          floor(col("l_quantity")).cast("long").as("qty"))
+        .groupBy(col("l_returnflag"), col("qty"))
+        .agg(count(lit(1)).as("cnt"))
+      val wnd = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("cnt").desc, col("qty"))
+      counts.withColumn("rn", row_number().over(wnd))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("qty").as("mode_qty"),
+          col("cnt"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Equi-depth histogram boundaries — the CBO/statistics primitive:
     // the exact value at each decile CUT of a fact column (what
     // ANALYZE stores, what range-partitioners and skew detectors
@@ -447,6 +494,34 @@ object Pipeline10 {
         |FROM f
         |QUALIFY ROW_NUMBER() OVER (ORDER BY rrf_fp DESC, doc_id) <= 50
         |ORDER BY fused_rank""".stripMargin,
+
+    "q134_weighted_median" ->
+      """WITH x AS (SELECT l_returnflag, l_extendedprice, l_orderkey,
+        |    l_linenumber, CAST(floor(l_quantity) AS BIGINT) AS w
+        |  FROM lineitem),
+        |c AS (SELECT l_returnflag, l_extendedprice, w,
+        |    SUM(w) OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(w) OVER (PARTITION BY l_returnflag) AS wtot
+        |  FROM x)
+        |SELECT l_returnflag, l_extendedprice AS w_median_price,
+        |  CAST(cum AS BIGINT) AS cum, CAST(wtot AS BIGINT) AS wtot
+        |FROM c
+        |WHERE cum * 2 >= wtot AND (cum - w) * 2 < wtot
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q135_group_mode" ->
+      """WITH c AS (SELECT l_returnflag,
+        |    CAST(floor(l_quantity) AS BIGINT) AS qty, COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT l_returnflag, qty, cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |      ORDER BY cnt DESC, qty) AS rn
+        |  FROM c)
+        |SELECT l_returnflag, qty AS mode_qty, cnt
+        |FROM r WHERE rn = 1
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q133_equidepth_bounds" ->
       """WITH r AS (SELECT l_extendedprice, l_orderkey, l_linenumber,

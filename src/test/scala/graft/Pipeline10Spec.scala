@@ -225,6 +225,46 @@ class Pipeline10Spec extends AnyFunSuite {
     r.unpersist()
   }
 
+  test("q134: weighted median is the W/2 crossing — half the weight on each side") {
+    val r = run("q134_weighted_median").cache()
+    assert(r.count() > 0)
+    // one row per group, and the crossing inequalities hold by construction
+    val li = sources.Catalog.table(spark, dir, "lineitem")
+      .select(col("l_returnflag"), floor(col("l_quantity")).cast("long").as("w"))
+    val groups = li.select(col("l_returnflag")).distinct().count()
+    assert(r.count() === groups)
+    // weight below the median value (strictly) is < W/2
+    val below = li.join(r.select(col("l_returnflag"), col("w_median_price")),
+      "l_returnflag")
+    val liP = sources.Catalog.table(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        floor(col("l_quantity")).cast("long").as("w"))
+      .join(r.select(col("l_returnflag"), col("w_median_price"), col("wtot")),
+        "l_returnflag")
+    val bad = liP.groupBy(col("l_returnflag"), col("wtot"))
+      .agg(sum(when(col("l_extendedprice") < col("w_median_price"), col("w"))
+        .otherwise(lit(0L))).as("below_w"))
+      .filter(col("below_w") * 2 >= col("wtot"))
+    assert(bad.count() === 0)
+    r.unpersist()
+  }
+
+  test("q135: mode has the maximal count in its group, ties to the smallest value") {
+    val r = run("q135_group_mode").cache()
+    val counts = sources.Catalog.table(spark, dir, "lineitem")
+      .select(col("l_returnflag"), floor(col("l_quantity")).cast("long").as("qty"))
+      .groupBy(col("l_returnflag"), col("qty")).agg(count(lit(1)).as("c"))
+    val maxc = counts.groupBy(col("l_returnflag")).agg(max(col("c")).as("mx"))
+    val joined = r.join(maxc, "l_returnflag")
+    assert(joined.filter(col("cnt") =!= col("mx")).count() === 0)
+    // no strictly-smaller qty shares the max count
+    val tied = counts.join(maxc, "l_returnflag").filter(col("c") === col("mx"))
+      .groupBy(col("l_returnflag")).agg(min(col("qty")).as("min_tied"))
+    assert(r.join(tied, "l_returnflag")
+      .filter(col("mode_qty") =!= col("min_tied")).count() === 0)
+    r.unpersist()
+  }
+
   test("q122: fused ranks are a dense 1..K prefix and RRF arithmetic is exact") {
     val r = run("q122_rrf_hybrid").cache()
     val n = r.count()
