@@ -171,6 +171,43 @@ object Pipeline10 {
         .orderBy(col("user_id"))
     }),
 
+    // Incremental view maintenance — the pre-aggregated-view refresh
+    // path: the standing view holds per-key partial aggregates of the
+    // base data; a delta batch is aggregated ALONE and merged into the
+    // view state by key (full-outer + coalesced partial merge), never
+    // re-reading the base. The oracle recomputes the view from the
+    // whole table one-shot — the hash match IS the IVM correctness
+    // proof (merge(agg(base), agg(delta)) == agg(base ∪ delta)),
+    // exact because count/sum are commutative monoids and the sums
+    // ride DECIMAL. At 100 TB this is the difference between a
+    // delta-sized refresh and a full-table rescan.
+    "q136_incremental_view" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val cut = lit("1996-01-01").cast("timestamp")
+      def partialAgg(df: DataFrame): DataFrame =
+        df.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(30,6)")).as("qty"),
+            sum(col("l_extendedprice").cast("decimal(30,6)")).as("price"))
+      val base = partialAgg(
+        li.filter(col("l_shipdate").cast("timestamp") < cut))
+      val delta = partialAgg(
+        li.filter(col("l_shipdate").cast("timestamp") >= cut))
+      def z(c: String, side: DataFrame) = coalesce(side(c), lit(0))
+      base.as("b").join(delta.as("d"),
+          Seq("l_returnflag", "l_linestatus"), "full_outer")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          (coalesce(col("b.n"), lit(0L)) + coalesce(col("d.n"), lit(0L)))
+            .as("n_rows"),
+          (coalesce(col("b.qty"), lit(0).cast("decimal(30,6)")) +
+            coalesce(col("d.qty"), lit(0).cast("decimal(30,6)")))
+            .cast("double").as("sum_qty"),
+          (coalesce(col("b.price"), lit(0).cast("decimal(30,6)")) +
+            coalesce(col("d.price"), lit(0).cast("decimal(30,6)")))
+            .cast("double").as("sum_price"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
     // Weighted median — the order statistic under a weight column
     // (the "typical price per unit SOLD", not per line): the first
     // row whose cumulative weight crosses W/2 in a total value order.
@@ -494,6 +531,17 @@ object Pipeline10 {
         |FROM f
         |QUALIFY ROW_NUMBER() OVER (ORDER BY rrf_fp DESC, doc_id) <= 50
         |ORDER BY fused_rank""".stripMargin,
+
+    // the oracle is the ONE-SHOT recompute — matching it proves the
+    // partial-merge path
+    "q136_incremental_view" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q134_weighted_median" ->
       """WITH x AS (SELECT l_returnflag, l_extendedprice, l_orderkey,

@@ -265,6 +265,34 @@ class Pipeline10Spec extends AnyFunSuite {
     r.unpersist()
   }
 
+  test("q136: partial-merge equals one-shot for any split, including empty delta") {
+    val li = sources.Catalog.table(spark, dir, "lineitem")
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(30,6)")).as("qty"))
+    def merge(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame) =
+      a.as("b").join(b.as("d"), Seq("l_returnflag", "l_linestatus"),
+          "full_outer")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          (coalesce(col("b.n"), lit(0L)) + coalesce(col("d.n"), lit(0L)))
+            .as("n"),
+          (coalesce(col("b.qty"), lit(0).cast("decimal(30,6)")) +
+            coalesce(col("d.qty"), lit(0).cast("decimal(30,6)"))).as("qty"))
+    val oneShot = agg(li)
+    // arbitrary 3-way split, merged pairwise
+    val s1 = li.filter(col("l_orderkey") % 3 === 0)
+    val s2 = li.filter(col("l_orderkey") % 3 === 1)
+    val s3 = li.filter(col("l_orderkey") % 3 === 2)
+    val merged = merge(merge(agg(s1), agg(s2)), agg(s3))
+    assert(merged.exceptAll(oneShot).count() === 0)
+    assert(oneShot.exceptAll(merged).count() === 0)
+    // empty delta is the identity
+    val withEmpty = merge(agg(li), agg(li.filter(lit(false))))
+    assert(withEmpty.exceptAll(oneShot).count() === 0)
+  }
+
   test("q122: fused ranks are a dense 1..K prefix and RRF arithmetic is exact") {
     val r = run("q122_rrf_hybrid").cache()
     val n = r.count()
