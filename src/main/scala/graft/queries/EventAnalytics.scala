@@ -24,7 +24,14 @@ object EventAnalytics {
     Catalog.table(s, dir, "events")
 
   /** Discrete lower median of `valueCol` per key: rn == (cnt+1) div 2
-    * under (value, tiebreak) order — q39's pattern, keyed. */
+    * under (value, tiebreak) order — q39's pattern, keyed.
+    *
+    * NO forced broadcast hint on the per-key count relation: it has
+    * one row per key, so it grows linearly with |keys| — at web scale
+    * a forced hint would override autoBroadcastJoinThreshold and OOM
+    * the build side. AQE sees its true post-aggregation size and
+    * broadcasts it only while it actually fits (fallback pinned by
+    * EventAnalyticsSpec's broadcast-disabled law). */
   private def keyedMedian(df: DataFrame, key: String, valueCol: String,
       tiebreak: String, out: String): DataFrame = {
     val w = Window.partitionBy(col(key))
@@ -32,26 +39,30 @@ object EventAnalytics {
     val counts = df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
     df.select(col(key), col(valueCol), col(tiebreak))
       .withColumn("rn", row_number().over(w))
-      .join(broadcast(counts), Seq(key))
+      .join(counts, Seq(key))
       .filter(col("rn") === expr("(cnt + 1) div 2"))
       .select(col(key), col(valueCol).as(out))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Robust outliers: |v − median| > 2·MAD, both medians discrete.
-    // Scale shape: two window shuffles on user_id + broadcast count
-    // joins — no global sort, no collect; the median relations are
-    // one row per key and broadcast back.
+    // Scale shape: two window shuffles on user_id + per-user median
+    // joins — no global sort, no collect. The median relations have
+    // one row per user, i.e. they grow with |users|: no forced
+    // broadcast hint (round-5 curation-dict lesson — a hint OOMs the
+    // build side at 100×); all joins share the user_id key so they
+    // co-locate with the window shuffles, and AQE still broadcasts
+    // whichever side is genuinely small at runtime.
     "q78_mad_outliers" -> ((s, dir) => {
       val e = ev(s, dir)
         .select(col("event_id"), col("user_id"), col("value"))
       val med = keyedMedian(e, "user_id", "value", "event_id", "med")
-      val withDev = e.join(broadcast(med), "user_id")
+      val withDev = e.join(med, "user_id")
         .withColumn("dev", abs(col("value") - col("med")))
       val mad = keyedMedian(
         withDev.select(col("user_id"), col("dev"), col("event_id")),
         "user_id", "dev", "event_id", "mad")
-      withDev.join(broadcast(mad), "user_id")
+      withDev.join(mad, "user_id")
         .filter(col("dev") > lit(MadK) * col("mad"))
         .select(col("event_id"), col("user_id"), col("value"),
           col("med"), col("mad"), col("dev"))
@@ -60,20 +71,23 @@ object EventAnalytics {
 
     // Ordered funnel signup → view → purchase: each stage's timestamp
     // is the EARLIEST strictly after the previous stage. Three
-    // filtered min-aggregations + broadcast joins on the (small)
-    // per-user stage relations; the event log is scanned, never
-    // re-shuffled whole.
+    // filtered min-aggregations + equi-joins on the per-user stage
+    // relations; the event log is scanned, never re-shuffled whole.
+    // The stage relations have one row per user — unbounded — so no
+    // forced broadcast hint: every join keys on user_id, co-locating
+    // with the stage aggregations' own shuffles, and AQE broadcasts
+    // at runtime only when a side truly fits.
     "q79_funnel" -> ((s, dir) => {
       val e = ev(s, dir).select(col("user_id"),
         col("event_type"), unix_micros(col("ts")).as("us"))
       val su = e.filter(col("event_type") === "signup")
         .groupBy(col("user_id")).agg(min(col("us")).as("t_signup_us"))
       val vw = e.filter(col("event_type") === "view")
-        .join(broadcast(su), "user_id")
+        .join(su, "user_id")
         .filter(col("us") > col("t_signup_us"))
         .groupBy(col("user_id")).agg(min(col("us")).as("t_view_us"))
       val pu = e.filter(col("event_type") === "purchase")
-        .join(broadcast(vw), "user_id")
+        .join(vw, "user_id")
         .filter(col("us") > col("t_view_us"))
         .groupBy(col("user_id")).agg(min(col("us")).as("t_purchase_us"))
       su.join(vw, Seq("user_id"), "left")
@@ -96,9 +110,11 @@ object EventAnalytics {
       // lesson), and epoch-micros near 2^53 would round
       val e = ev(s, dir).select(col("user_id"),
         expr(s"unix_micros(ts) div $DayUs").as("day"))
+      // cohort is one row per user — unbounded, so no forced broadcast
+      // (AQE decides); the join keys on user_id like the agg before it.
       val cohort = e.groupBy(col("user_id"))
         .agg(min(col("day")).as("cohort_day"))
-      e.join(broadcast(cohort), "user_id")
+      e.join(cohort, "user_id")
         .select(col("user_id"), col("cohort_day"),
           (col("day") - col("cohort_day")).as("day_offset"))
         .distinct()

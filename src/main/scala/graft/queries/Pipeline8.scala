@@ -213,10 +213,15 @@ object Pipeline8 {
       val pairs = FuzzyDedup.jaccardPairs(
           FuzzyDedup.shingles(d, "doc_id", col("text"), k = 3), "doc_id")
         .filter(col("jaccard") >= Tau)
+      // src has one row per DOCUMENT — at 100 TB that is billions of
+      // rows, so it must never carry a forced broadcast hint (round-5
+      // curation-dict lesson). The genuinely small side is `pairs`
+      // (near-dup pairs only); leave both sides unhinted and AQE
+      // broadcasts the pairs side into the map at runtime.
       val src = d.select(col("doc_id"), col("source"))
       pairs
-        .join(broadcast(src.toDF("doc_id_a", "src_a")), "doc_id_a")
-        .join(broadcast(src.toDF("doc_id_b", "src_b")), "doc_id_b")
+        .join(src.toDF("doc_id_a", "src_a"), "doc_id_a")
+        .join(src.toDF("doc_id_b", "src_b"), "doc_id_b")
         .select(least(col("src_a"), col("src_b")).as("source_a"),
           greatest(col("src_a"), col("src_b")).as("source_b"))
         .groupBy(col("source_a"), col("source_b"))

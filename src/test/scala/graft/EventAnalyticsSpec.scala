@@ -42,6 +42,43 @@ class EventAnalyticsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("q78/q79/q80 plan: no forced broadcast of user-cardinality " +
+      "relations; broadcast-disabled fallback stays exact") {
+    // The per-user median/stage/cohort relations grow with |users| —
+    // a forced broadcast() hint would override
+    // autoBroadcastJoinThreshold and OOM the build side at 100×
+    // (round-5 curation-dict lesson, applied here in round 6).
+    // Law: with broadcasting disabled entirely — how the multi-GB
+    // per-user relations plan at web scale — each query degrades to
+    // shuffle joins with identical results.
+    val names = Seq("q78_mad_outliers", "q79_funnel",
+      "q80_retention_cohorts")
+    val defaults = names.map { n =>
+      n -> SparkEntry.queries(n)(spark, sf).collect().toSeq
+    }.toMap
+    val conf = spark.conf
+    val k1 = "spark.sql.autoBroadcastJoinThreshold"
+    val k2 = "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    val prev1 = conf.get(k1)
+    val prev2 = conf.getOption(k2)
+    try {
+      conf.set(k1, "-1"); conf.set(k2, "-1")
+      names.foreach { n =>
+        val fallback = SparkEntry.queries(n)(spark, sf)
+        val rows = fallback.collect().toSeq
+        assert(!fallback.queryExecution.executedPlan.toString
+            .contains("BroadcastHashJoin"),
+          s"$n must carry no broadcast join once broadcasting is off " +
+            "(i.e. no forced hint survives)")
+        assert(rows === defaults(n),
+          s"$n shuffle-join fallback must produce identical results")
+      }
+    } finally {
+      conf.set(k1, prev1)
+      prev2 match { case Some(v) => conf.set(k2, v); case None => conf.unset(k2) }
+    }
+  }
+
   test("q80: offset-0 diagonal partitions every user exactly once") {
     val out = SparkEntry.queries("q80_retention_cohorts")(spark, sf).cache()
     val users = graft.sources.Catalog.table(spark, sf, "events")

@@ -117,6 +117,36 @@ class Pipeline8Spec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("q105 plan: no forced broadcast of the doc→source map; " +
+      "broadcast-disabled fallback stays exact") {
+    // src has one row per document — billions at 100 TB — so it must
+    // never carry a forced broadcast() hint; the small side is the
+    // near-dup pair relation and AQE broadcasts it when it fits.
+    // Law: with broadcasting disabled (the plan a corpus-wide map
+    // forces at scale) q105 degrades to shuffle joins, same results.
+    val sf = "/root/testdata/sf0.001"
+    val name = "q105_cross_source_dups"
+    val default = SparkEntry.queries(name)(spark, sf).collect().toSeq
+    val conf = spark.conf
+    val k1 = "spark.sql.autoBroadcastJoinThreshold"
+    val k2 = "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    val prev1 = conf.get(k1)
+    val prev2 = conf.getOption(k2)
+    try {
+      conf.set(k1, "-1"); conf.set(k2, "-1")
+      val fallback = SparkEntry.queries(name)(spark, sf)
+      val rows = fallback.collect().toSeq
+      assert(!fallback.queryExecution.executedPlan.toString
+          .contains("BroadcastHashJoin"),
+        "q105 must carry no broadcast join once broadcasting is off")
+      assert(rows === default,
+        "q105 shuffle-join fallback must produce identical results")
+    } finally {
+      conf.set(k1, prev1)
+      prev2 match { case Some(v) => conf.set(k2, v); case None => conf.unset(k2) }
+    }
+  }
+
   test("semantic dedup: every pair is within one cluster and above tau") {
     val out = graft.queries.Pipeline8
       .queries("q99_semantic_dedup")(spark, "/root/testdata/sf0.001")
