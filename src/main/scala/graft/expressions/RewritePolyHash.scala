@@ -23,10 +23,12 @@ import graft.functions.TextFunctions.{HashBase, HashMod}
   * `length`; empty → 0). The match is deliberately narrow — the exact
   * sequence/substr/ascii chain over the SAME string expression on both
   * sides, the engine's (base, mod) constants, identity finish. Value
-  * equality holds on ASCII strings (byte == `ascii()` codepoint below
-  * 128) — the corpus contract `polyHashJvm` documents and
-  * ExpressionSpec pins; non-ASCII bytes would diverge, the same way
-  * the JVM kernel twins already do by documented contract.
+  * equality holds on ALL inputs: [[PolyHashKernel]] folds Unicode code
+  * points, exactly what `ascii(substr(s, i, 1))` yields per character
+  * (Spark's `Ascii` is `codePointAt(0)`), so the rewrite is
+  * universally value-preserving — pinned by ExpressionSpec's
+  * non-ASCII law (round-6 fix; previously the native loop hashed
+  * UTF-8 bytes under a doc-only ASCII contract).
   */
 object RewritePolyHash extends Rule[LogicalPlan] {
 

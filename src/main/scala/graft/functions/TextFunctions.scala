@@ -47,17 +47,14 @@ object TextFunctions {
     * ones with probability ~1e-9). */
   def fingerprint(text: Column): Column = polyHash(text)
 
-  /** JVM twin of [[polyHash]] — same fold, same constants, identical
-    * output (ASCII corpus; ascii() and charAt agree below 128). Use
-    * via [[fingerprints]] on hot paths: the HOF form is interpreted
-    * per character (~2 s per 5 000 × 550-char corpus pass). */
-  def polyHashJvm(s: String): Long = {
-    var h = 0L
-    var i = 0
-    val n = s.length
-    while (i < n) { h = (h * HashBase + s.charAt(i).toLong) % HashMod; i += 1 }
-    h
-  }
+  /** JVM twin of [[polyHash]] — same code-point fold, same constants,
+    * identical output on ALL inputs (delegates to the shared
+    * [[graft.expressions.PolyHashKernel]]; surrogate pairs fold as one
+    * code point, matching `ascii()`/the oracle). Use via
+    * [[fingerprints]] on hot paths: the HOF form is interpreted per
+    * character (~2 s per 5 000 × 550-char corpus pass). */
+  def polyHashJvm(s: String): Long =
+    graft.expressions.PolyHashKernel.hashString(s)
 
   /** (docId, fingerprint) via the kernel — map-side, no shuffle.
     * NULL text → NULL fingerprint, matching the SQL [[polyHash]]. */

@@ -112,6 +112,30 @@ class ExpressionSpec extends AnyFunSuite {
     assert(sqlRes === (97L * 131 + 98) % 1000000007L)
   }
 
+  test("polyhash_fp folds Unicode code points: non-ASCII parity, " +
+      "so RewritePolyHash is value-preserving on ALL inputs") {
+    import graft.functions.TextFunctions
+    import spark.implicits._
+    // accents (2-byte UTF-8), CJK (3-byte), emoji (4-byte, surrogate
+    // pair in UTF-16) — every decode width, plus a pure-ASCII control
+    val samples = Seq("héllo wörld", "日本語のテキスト", "emoji 🚀 pair",
+      "mixed Ω≈ç√ señor", "plain ascii control")
+    // independent reference: the declarative spec's arithmetic
+    // (ascii == code point) folded via the JDK's own codePoints()
+    def ref(s: String): Long =
+      s.codePoints().toArray.foldLeft(0L)((h, cp) => (h * 131 + cp) % 1000000007L)
+    val got = samples.zipWithIndex.map { case (s, i) => (i, s) }
+      .toDF("id", "s")
+      .select(col("id"), TextFunctions.polyHash(col("s")).as("native"),
+        TextFunctions.polyHashHof(col("s")).as("hof"))
+      .orderBy(col("id")).collect()
+    samples.zipWithIndex.foreach { case (s, i) =>
+      assert(got(i).getLong(1) === ref(s), s"native on '$s'")
+      assert(got(i).getLong(2) === ref(s), s"HOF path on '$s'")
+      assert(TextFunctions.polyHashJvm(s) === ref(s), s"JVM kernel on '$s'")
+    }
+  }
+
   test("RewritePolyHash: the HOF hash pattern optimizes to polyhash_fp, same results") {
     import graft.functions.TextFunctions
     val docs = sources.Catalog.table(spark, "/root/testdata/sf0.001", "documents")
