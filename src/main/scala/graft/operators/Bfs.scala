@@ -26,8 +26,9 @@ object Bfs {
     * 1..hops steps, hop = shortest distance; seeds themselves
     * (hop 0) are not emitted. Columns `src`/`dst` name the edge
     * endpoints; edges are used as given (pass both directions for an
-    * undirected graph). */
-  /** @param checkpointInterval every this-many hops the state and
+    * undirected graph).
+    *
+    * @param checkpointInterval every this-many hops the state and
     *        frontier relations are eagerly local-checkpointed; values
     *        are unchanged. This bound is LOAD-BEARING: each hop
     *        references the previous state twice (the anti-join and the

@@ -285,13 +285,18 @@ object Pipeline10 {
     // + filter round trip (one hash-agg, no row_number shuffle-sort).
     // Determinism: ties on ts are broken by event_id through a
     // zero-padded composite sort key (lexicographic == numeric for
-    // fixed width), so both engines pick the identical row.
+    // fixed width). That equivalence holds ONLY for non-negative
+    // inputs that fit the widths ("%020d" renders -1 as "-0000…1",
+    // which sorts BELOW every positive — wrong order — and an
+    // event_id >= 1e10 overflows its 10 digits): both engines would
+    // replay the same wrong order, so the contract is enforced
+    // in-plan — any pre-1970 ts or oversized id raises instead of
+    // silently mis-sorting (Pipeline10Spec pins the failure).
     "q132_arg_extrema" -> ((s, dir) => {
       val ev = t(s, dir, "events")
         .select(col("user_id"), col("event_id"), col("event_type"),
           col("value"), unix_micros(col("ts")).as("ts_us"))
-        .withColumn("k",
-          format_string("%020d|%010d", col("ts_us"), col("event_id")))
+        .withColumn("k", tieBreakKey(col("ts_us"), col("event_id")))
       ev.groupBy(col("user_id"))
         .agg(
           count(lit(1)).as("n_events"),
@@ -438,12 +443,39 @@ object Pipeline10 {
 
   private val FpScale = 1000000L
 
-  private val ZBits = 16
+  /** q132's composite tie-break key. Zero-padded decimal is
+    * order-preserving only on [0, 10^width): negative values render
+    * with a leading '-' (lexicographically smallest, i.e. more-negative
+    * sorts HIGHER among negatives — broken), and overflow widths break
+    * alignment. Out-of-domain rows raise instead of silently
+    * mis-ordering; the oracle never needs the guard because the same
+    * contract is asserted here before the engines can diverge. */
+  private[graft] def tieBreakKey(tsUs: org.apache.spark.sql.Column,
+      eventId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val bad = tsUs < 0 || eventId < 0 || eventId >= lit(10000000000L)
+    when(bad, raise_error(concat(
+      lit("q132 tie-break contract: need 0 <= ts_us and 0 <= event_id < 1e10, got ts_us="),
+      tsUs.cast("string"), lit(" event_id="), eventId.cast("string"))))
+      .otherwise(format_string("%020d|%010d", tsUs, eventId))
+  }
+
+  /** Bits interleaved per dimension. 31 covers the entire non-negative
+    * signed-32 key domain (TPC-H keys, and ScaleGen's +1e9 remapped keys,
+    * are all < 2^31), and the highest output bit is 2*30+1 = 61, so the
+    * interleaved key always stays a positive Long. Round 5 shipped 16
+    * here, which silently aliased any key >= 65,536 — distinct
+    * (partkey, suppkey) pairs collapsed to one z-value past sf1 / any
+    * remapped dataset. The oracle replays the same arithmetic so only a
+    * bijection law (LayoutSpec) can catch that class of bug. */
+  private[graft] val ZBits = 31
   private val ZBucketShift = 65536L // 2^16 z-range per bucket (256×256 Morton tile)
 
   /** Bit-interleaved Morton (Z-order) key of two non-negative ints —
     * pure integer arithmetic (shift/mask/multiply) so the DuckDB
-    * oracle replays it bit-for-bit. Shared with LayoutSpec. */
+    * oracle replays it bit-for-bit. Shared with LayoutSpec.
+    * Domain: both keys non-negative and < 2^31 (negative keys would
+    * interleave their sign-extension garbage; LayoutSpec pins the
+    * bijection across the widened domain). */
   private[graft] def zOrder(x: org.apache.spark.sql.Column,
       y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     (0 until ZBits).map { i =>

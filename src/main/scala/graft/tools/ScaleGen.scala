@@ -54,7 +54,12 @@ object ScaleGen {
           // provide (TPC-H orderkey passes 1e9 well before SF100).
           val maxKey = // greatest() needs ≥ 2 args
             if (keys.size == 1) col(keys.head) else greatest(keys.map(col): _*)
-          val mx = base.agg(max(maxKey).cast("long")).first().getLong(0)
+          val mxRow = base.agg(max(maxKey).cast("long")).first()
+          // max() over an empty (or all-NULL-keyed) table is NULL —
+          // fail with the table name, not a bare NPE from getLong
+          require(!mxRow.isNullAt(0),
+            s"$t: table is empty or key columns ${keys.mkString(",")} are all NULL — nothing to scale")
+          val mx = mxRow.getLong(0)
           require(mx < Off,
             s"$t: max key $mx >= offset $Off — raise Off before scaling")
           (0 until copies).map { i =>

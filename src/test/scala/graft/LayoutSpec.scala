@@ -80,6 +80,39 @@ class LayoutSpec extends AnyFunSuite {
     } finally rm(stage)
   }
 
+  /** Inverse of Pipeline10.zOrder — extracts the even (offset 0) or odd
+    * (offset 1) bit lanes back out of the interleaved key. */
+  private def deinterleave(zc: org.apache.spark.sql.Column, offset: Int) =
+    (0 until queries.Pipeline10.ZBits).map { i =>
+      shiftright(zc, 2 * i + offset).bitwiseAND(lit(1L)) * lit(1L << i)
+    }.reduce(_ + _)
+
+  test("q123: z-order stays a bijection past 65,536 (ScaleGen's remapped key domain)") {
+    // Round-5 regression class: ZBits=16 silently aliased keys >= 2^16 —
+    // sf1 partkeys and ScaleGen's +1e9 offsets both collapse, and the
+    // oracle replays the same truncation so only this law can see it.
+    // Cover the corners of the widened domain: 0, the old 16-bit cliff,
+    // a +1e9 remapped pair, and Int.MaxValue at both lanes.
+    import spark.implicits._
+    val keys = Seq(
+      (0L, 0L), (65535L, 65535L), (65536L, 65535L), (65535L, 65536L),
+      (65536L, 65536L), (1000000001L, 1000002000L),
+      (Int.MaxValue.toLong, 0L), (0L, Int.MaxValue.toLong),
+      (Int.MaxValue.toLong, Int.MaxValue.toLong))
+    val df = keys.toDF("x", "y")
+      .withColumn("z", queries.Pipeline10.zOrder(col("x"), col("y")))
+    // every z distinct (no aliasing), always non-negative, and invertible
+    assert(df.select(col("z")).distinct().count() === keys.length)
+    assert(df.filter(col("z") < 0).count() === 0)
+    assert(df.filter(deinterleave(col("z"), 0) =!= col("x") ||
+      deinterleave(col("z"), 1) =!= col("y")).count() === 0)
+    // adjacency sanity on the cliff: (65536, 0) and (65535, 0) differ
+    val cliff = Seq((65535L, 0L), (65536L, 0L)).toDF("x", "y")
+      .withColumn("z", queries.Pipeline10.zOrder(col("x"), col("y")))
+      .select(col("z")).as[Long].collect().toSet
+    assert(cliff.size === 2, "old 16-bit interleave aliased exactly this pair")
+  }
+
   test("q123: z-order interleave is a bijection and beats 1-D sort for 2-D skipping") {
     // sf0.01: the suppkey domain at sf0.001 (~10 values) is too narrow
     // for 2-D locality to be visible; geometry needs both dims populated
@@ -87,11 +120,7 @@ class LayoutSpec extends AnyFunSuite {
       .select(col("l_partkey"), col("l_suppkey"))
     val z = li.withColumn("z",
       queries.Pipeline10.zOrder(col("l_partkey"), col("l_suppkey")))
-    // bijection on the 16-bit domain: de-interleaving z recovers both keys
-    def deinterleave(zc: org.apache.spark.sql.Column, offset: Int) =
-      (0 until 16).map { i =>
-        shiftright(zc, 2 * i + offset).bitwiseAND(lit(1L)) * lit(1L << i)
-      }.reduce(_ + _)
+    // bijection: de-interleaving z recovers both keys
     assert(z.filter(deinterleave(col("z"), 0) =!= col("l_partkey") ||
       deinterleave(col("z"), 1) =!= col("l_suppkey")).count() === 0)
 

@@ -206,6 +206,26 @@ class Pipeline10Spec extends AnyFunSuite {
     r.unpersist()
   }
 
+  test("q132: tie-break contract raises on pre-1970 ts and oversized event_id") {
+    // "%020d" renders negatives as "-00…1" which sorts wrong; rather
+    // than silently mis-ordering (the oracle would replay the same
+    // wrong order and mask it), the key expression raises in-plan.
+    import spark.implicits._
+    def keyOf(ts: Long, id: Long): Unit =
+      Seq((ts, id)).toDF("ts_us", "event_id")
+        .select(queries.Pipeline10.tieBreakKey(col("ts_us"), col("event_id")))
+        .collect()
+    keyOf(0L, 0L) // boundary of the valid domain — fine
+    keyOf(253402300799999999L, 9999999999L) // year-9999 ts, max 10-digit id
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString("\n")
+    val e1 = intercept[Exception] { keyOf(-1L, 42L) } // pre-1970
+    assert(messages(e1).contains("q132 tie-break contract"))
+    val e2 = intercept[Exception] { keyOf(1L, 10000000000L) } // 11-digit id
+    assert(messages(e2).contains("q132 tie-break contract"))
+  }
+
   test("q133: decile boundaries are exactly the ranked rows at each N/10 crossing") {
     val r = run("q133_equidepth_bounds").cache()
     assert(r.count() === 10)
