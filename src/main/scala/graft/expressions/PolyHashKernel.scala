@@ -27,27 +27,54 @@ import graft.functions.TextFunctions.{HashBase, HashMod}
   */
 object PolyHashKernel {
 
-  /** In-place UTF-8 decode + fold; no allocation. Assumes valid UTF-8
-    * (UTF8String's own invariant); a truncated trailing sequence is
-    * folded from the bytes present rather than thrown on. */
+  /** In-place UTF-8 decode + fold; no allocation. Total on ALL byte
+    * sequences, valid or not, and equal to the HOF spec on all of
+    * them: chars are segmented exactly as `UTF8String
+    * .numBytesForFirstByte` does (stray continuation bytes and
+    * 0xF8–0xFF lead bytes are 1-byte chars — that is how `substr`
+    * slices), and any malformed char (bad continuation, truncation,
+    * overlong form, CESU surrogate, > U+10FFFF) folds U+FFFD — the
+    * replacement char `ascii(substr(s, i, 1))` yields for it, because
+    * UTF8String→String runs the JDK's REPLACE decoder. On valid
+    * UTF-8 the fold is the plain code-point sequence, byte-identical
+    * to the pre-round-7 loop (no corpus fingerprint changes); the
+    * DuckDB oracle only ever holds valid UTF-8, so oracle parity is
+    * unchanged. ExpressionSpec pins the malformed-input parity. */
   def hash(s: UTF8String): Long = {
     val n = s.numBytes()
     var h = 0L
     var i = 0
     while (i < n) {
       val b = s.getByte(i) & 0xFF
-      var cp = b
-      var len = 1
-      if (b >= 0x80) {
-        if ((b & 0xE0) == 0xC0) { cp = b & 0x1F; len = 2 }
-        else if ((b & 0xF0) == 0xE0) { cp = b & 0x0F; len = 3 }
-        else { cp = b & 0x07; len = 4 }
-        var k = 1
-        while (k < len && i + k < n) {
-          cp = (cp << 6) | (s.getByte(i + k) & 0x3F)
-          k += 1
-        }
-      }
+      // segmentation table of UTF8String.numBytesForFirstByte: leads
+      // that can never start a valid char (continuations, overlong
+      // C0/C1, F5+) count as 1-byte chars, NOT their nominal widths
+      val len =
+        if (b < 0xC2) 1 // ASCII, stray continuation, overlong C0/C1
+        else if (b < 0xE0) 2
+        else if (b < 0xF0) 3
+        else if (b <= 0xF4) 4
+        else 1 // F5-FF can encode nothing <= U+10FFFF
+      def cont(k: Int): Boolean =
+        i + k < n && (s.getByte(i + k) & 0xC0) == 0x80
+      def cb(k: Int): Int = s.getByte(i + k) & 0x3F
+      val cp: Int =
+        if (b < 0x80) b
+        else if (len == 2 && b >= 0xC2 && cont(1)) // 0xC0/0xC1 overlong
+          ((b & 0x1F) << 6) | cb(1)
+        else if (len == 3 && cont(1) && cont(2) && {
+          val b1 = s.getByte(i + 1) & 0xFF
+          (b != 0xE0 || b1 >= 0xA0) && // overlong
+            (b != 0xED || b1 <= 0x9F) // CESU-8 surrogate half
+        })
+          ((b & 0x0F) << 12) | (cb(1) << 6) | cb(2)
+        else if (len == 4 && b <= 0xF4 && cont(1) && cont(2) && cont(3) && {
+          val b1 = s.getByte(i + 1) & 0xFF
+          (b != 0xF0 || b1 >= 0x90) && // overlong
+            (b != 0xF4 || b1 <= 0x8F) // > U+10FFFF
+        })
+          ((b & 0x07) << 18) | (cb(1) << 12) | (cb(2) << 6) | cb(3)
+        else 0xFFFD
       h = (h * HashBase + cp) % HashMod
       i += len
     }

@@ -66,11 +66,17 @@ class EventAnalyticsSpec extends AnyFunSuite {
       names.foreach { n =>
         val fallback = SparkEntry.queries(n)(spark, sf)
         val rows = fallback.collect().toSeq
+        // "no Broadcast exchange at all" — tighter than just
+        // BroadcastHashJoin; a nested-loop variant would also violate
+        // the no-forced-broadcast law
         assert(!fallback.queryExecution.executedPlan.toString
-            .contains("BroadcastHashJoin"),
-          s"$n must carry no broadcast join once broadcasting is off " +
-            "(i.e. no forced hint survives)")
-        assert(rows === defaults(n),
+            .contains("BroadcastExchange"),
+          s"$n must carry no broadcast exchange once broadcasting is " +
+            "off (i.e. no forced hint survives)")
+        // multiset compare: row ORDER is not part of the contract
+        // across different physical plans (broadcast vs shuffle join
+        // partitionings tie-break differently)
+        assert(rows.sortBy(_.toString) === defaults(n).sortBy(_.toString),
           s"$n shuffle-join fallback must produce identical results")
       }
     } finally {

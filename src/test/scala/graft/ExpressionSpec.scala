@@ -136,6 +136,39 @@ class ExpressionSpec extends AnyFunSuite {
     }
   }
 
+  test("polyhash_fp: native == HOF on malformed UTF-8 (replacement-char fold)") {
+    // cast(binary as string) wraps raw bytes as UTF8String without
+    // validation — the one route by which invalid byte sequences reach
+    // string expressions. The native kernel must fold exactly what
+    // ascii(substr(s,i,1)) yields per segmented char (U+FFFD on any
+    // malformation), or RewritePolyHash is value-changing on such rows.
+    import graft.functions.TextFunctions
+    import spark.implicits._
+    val cases: Seq[(Int, Array[Byte])] = Seq(
+      1 -> Array(0x80), // stray continuation byte as lead
+      2 -> Array(0x41, 0x80, 0x42), // ...embedded mid-string
+      3 -> Array(0xC3, 0x28), // 2-byte lead, bad continuation
+      4 -> Array(0xC0, 0x80), // overlong NUL (CESU)
+      5 -> Array(0xE2, 0x82), // truncated 3-byte char at end
+      6 -> Array(0xE0, 0x80, 0x80), // overlong 3-byte
+      7 -> Array(0xED, 0xA0, 0x80), // UTF-16 surrogate half
+      8 -> Array(0xF0, 0x28, 0x8C, 0x28), // 4-byte lead, bad continuations
+      9 -> Array(0xF5, 0x80, 0x80, 0x80), // > U+10FFFF lead
+      10 -> Array(0xFF, 0x41), // invalid lead byte, then ASCII
+      11 -> Array(0xC3, 0xA9, 0x80, 0xE6, 0x97, 0xA5) // valid é, stray cont, valid 日
+    ).map { case (id, a) => (id, a.map(_.toByte)) }
+    val got = cases.toDF("id", "b")
+      .select(col("id"), col("b").cast("string").as("s"))
+      .select(col("id"),
+        TextFunctions.polyHash(col("s")).as("native"),
+        TextFunctions.polyHashHof(col("s")).as("hof"))
+      .orderBy(col("id")).collect()
+    got.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2),
+        s"native != HOF on malformed case id=${r.getInt(0)}")
+    }
+  }
+
   test("RewritePolyHash: the HOF hash pattern optimizes to polyhash_fp, same results") {
     import graft.functions.TextFunctions
     val docs = sources.Catalog.table(spark, "/root/testdata/sf0.001", "documents")

@@ -136,10 +136,14 @@ class Pipeline8Spec extends AnyFunSuite {
       conf.set(k1, "-1"); conf.set(k2, "-1")
       val fallback = SparkEntry.queries(name)(spark, sf)
       val rows = fallback.collect().toSeq
+      // no Broadcast exchange AT ALL (BroadcastHashJoin alone would
+      // let a nested-loop broadcast variant slip through)
       assert(!fallback.queryExecution.executedPlan.toString
-          .contains("BroadcastHashJoin"),
-        "q105 must carry no broadcast join once broadcasting is off")
-      assert(rows === default,
+          .contains("BroadcastExchange"),
+        "q105 must carry no broadcast exchange once broadcasting is off")
+      // multiset compare — row order across different physical plans
+      // is not part of the contract
+      assert(rows.sortBy(_.toString) === default.sortBy(_.toString),
         "q105 shuffle-join fallback must produce identical results")
     } finally {
       conf.set(k1, prev1)
