@@ -16,7 +16,10 @@ sf_dir, out_dir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
 for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
     name = os.path.basename(p)[:-len(".parquet")]
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    # driver testdata is one file per table; ScaleGen output is a
+    # Spark-written DIRECTORY of part files under the same name
+    pat = os.path.join(p, "*.parquet") if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{pat}')")
 
 oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
 
