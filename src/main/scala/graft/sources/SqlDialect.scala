@@ -138,3 +138,77 @@ object DerbyDialect extends SqlDialect {
        |WHERE NOT EXISTS (SELECT 1 FROM $t tgt WHERE $keyMatch)""".stripMargin
   }
 }
+
+/** Microsoft SQL Server (T-SQL) — the system the reference READS from
+  * (`SELECT.py:161-164`; its sink is PostgreSQL). Spark's built-in
+  * JDBC dialect covers the read side; this completes write-side
+  * symmetry so the connector can also target the source system.
+  * T-SQL notes: identifiers are bracket-quoted (`]` doubled); there is
+  * no `IF NOT EXISTS` DDL form, so existence guards are native
+  * `IF SCHEMA_ID/OBJECT_ID` wrappers (atomic enough for DDL — a lost
+  * race surfaces as "already exists", which the caller treats as
+  * success, same as the Derby SQLState path); the idempotent insert is
+  * `MERGE … WITH (HOLDLOCK) … WHEN NOT MATCHED THEN INSERT` —
+  * HOLDLOCK (= SERIALIZABLE range lock on the key probe) is what makes
+  * concurrent first-writer-wins racers serialize instead of both
+  * passing the NOT MATCHED check and one dying on the PK.
+  */
+object SqlServerDialect extends SqlDialect {
+
+  /** T-SQL bracket quoting with embedded-bracket doubling. */
+  override def quote(ident: String): String =
+    "[" + ident.replace("]", "]]") + "]"
+
+  /** Single-quoted N'literal' for OBJECT_ID/SCHEMA_ID probes. */
+  private def nlit(s: String): String =
+    "N'" + s.replace("'", "''") + "'"
+
+  override def typeName(dt: DataType): String = dt match {
+    case IntegerType => "INT"
+    case LongType => "BIGINT"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    case DoubleType => "FLOAT"
+    case FloatType => "REAL"
+    case StringType => "NVARCHAR(MAX)"
+    case BooleanType => "BIT"
+    case TimestampType | TimestampNTZType => "DATETIME2"
+    case DateType => "DATE"
+    case BinaryType => "VARBINARY(MAX)"
+    case other => throw new IllegalArgumentException(
+      s"no SQL Server mapping for ${other.simpleString}")
+  }
+
+  override def createSchema(schemaName: String): String =
+    s"IF SCHEMA_ID(${nlit(schemaName)}) IS NULL " +
+      s"EXEC(${nlit(s"CREATE SCHEMA ${quote(schemaName)}")})"
+
+  override protected def createTablePrefix: String = "CREATE TABLE"
+
+  override def createTable(schemaName: String, table: String,
+      schema: StructType, primaryKey: Seq[String]): String = {
+    val qualified = s"${quote(schemaName)}.${quote(table)}"
+    s"IF OBJECT_ID(${nlit(qualified)}, N'U') IS NULL\n" +
+      super.createTable(schemaName, table, schema, primaryKey)
+  }
+
+  // 2714 = "There is already an object named ..." surfaces as
+  // SQLState S0001 via the MS JDBC driver; the guards above make this
+  // reachable only through a DDL race, where it still means "exists".
+  override def alreadyExistsStates: Set[String] = Set("S0001")
+
+  override def insertDoNothing(table: String, schema: StructType,
+      keys: Seq[String]): String = {
+    val t = quoteQualified(table)
+    val srcCols = schema.fields.map(f =>
+      s"CAST(? AS ${typeName(f.dataType)}) AS ${quote(f.name)}")
+      .mkString(", ")
+    val outCols = schema.fieldNames.map(quote).mkString(", ")
+    val srcVals = schema.fieldNames.map(c => s"src.${quote(c)}").mkString(", ")
+    val keyMatch = keys.map(k => s"tgt.${quote(k)} = src.${quote(k)}")
+      .mkString(" AND ")
+    s"""MERGE INTO $t WITH (HOLDLOCK) AS tgt
+       |USING (SELECT $srcCols) AS src
+       |ON $keyMatch
+       |WHEN NOT MATCHED THEN INSERT ($outCols) VALUES ($srcVals);""".stripMargin
+  }
+}

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.{DerbyDialect, PostgresDialect}
+import graft.sources.{DerbyDialect, PostgresDialect, SqlServerDialect}
 
 /** Golden-SQL specs for the JDBC dialect seam (SURVEY S3–S5).
   *
@@ -114,5 +114,78 @@ class SqlDialectGoldenSpec extends AnyFunSuite {
     assert(PostgresDialect.quote("a\"b; DROP TABLE x; --") ===
       "\"a\"\"b; DROP TABLE x; --\"")
     assert(PostgresDialect.quoteQualified("s.t") === "\"s\".\"t\"")
+  }
+
+  // ---- T-SQL (SQL Server) — the reference's SOURCE system ----------
+
+  test("T-SQL: idempotent insert is MERGE WITH (HOLDLOCK), bracket-quoted, typed params") {
+    val got = SqlServerDialect.insertDoNothing(
+      "etl.parcela_ciot", schema, Seq("id"))
+    val want =
+      """MERGE INTO [etl].[parcela_ciot] WITH (HOLDLOCK) AS tgt
+        |USING (SELECT CAST(? AS BIGINT) AS [id], CAST(? AS DECIMAL(18,2)) AS [Valor Frete], CAST(? AS NVARCHAR(MAX)) AS [select], CAST(? AS INT) AS [odd"name], CAST(? AS DATETIME2) AS [created_at]) AS src
+        |ON tgt.[id] = src.[id]
+        |WHEN NOT MATCHED THEN INSERT ([id], [Valor Frete], [select], [odd"name], [created_at]) VALUES (src.[id], src.[Valor Frete], src.[select], src.[odd"name], src.[created_at]);""".stripMargin
+    assert(got === want)
+  }
+
+  test("T-SQL: composite-key MERGE matches on every key") {
+    val two = StructType(Seq(
+      StructField("a", IntegerType, nullable = false),
+      StructField("b", IntegerType, nullable = false),
+      StructField("v", DoubleType, nullable = true)))
+    val got = SqlServerDialect.insertDoNothing("t", two, Seq("a", "b"))
+    val want =
+      """MERGE INTO [t] WITH (HOLDLOCK) AS tgt
+        |USING (SELECT CAST(? AS INT) AS [a], CAST(? AS INT) AS [b], CAST(? AS FLOAT) AS [v]) AS src
+        |ON tgt.[a] = src.[a] AND tgt.[b] = src.[b]
+        |WHEN NOT MATCHED THEN INSERT ([a], [b], [v]) VALUES (src.[a], src.[b], src.[v]);""".stripMargin
+    assert(got === want)
+  }
+
+  test("T-SQL: auto-DDL guards with OBJECT_ID (no IF NOT EXISTS in T-SQL), bracket idents") {
+    val got = SqlServerDialect.createTable("etl", "parcela_ciot", schema,
+      primaryKey = Seq("id"))
+    val want =
+      """IF OBJECT_ID(N'[etl].[parcela_ciot]', N'U') IS NULL
+        |CREATE TABLE [etl].[parcela_ciot] (
+        |  [id] BIGINT NOT NULL,
+        |  [Valor Frete] DECIMAL(18,2),
+        |  [select] NVARCHAR(MAX),
+        |  [odd"name] INT,
+        |  [created_at] DATETIME2,
+        |  PRIMARY KEY ([id])
+        |)""".stripMargin
+    assert(got === want)
+  }
+
+  test("T-SQL: schema creation guards with SCHEMA_ID and EXECs the quoted DDL") {
+    assert(SqlServerDialect.createSchema("etl") ===
+      "IF SCHEMA_ID(N'etl') IS NULL EXEC(N'CREATE SCHEMA [etl]')")
+  }
+
+  test("T-SQL: type map covers every Spark sink type; unmappable throws") {
+    val want: Seq[(DataType, String)] = Seq(
+      IntegerType -> "INT", LongType -> "BIGINT",
+      DecimalType(12, 3) -> "DECIMAL(12,3)", DoubleType -> "FLOAT",
+      FloatType -> "REAL", StringType -> "NVARCHAR(MAX)",
+      BooleanType -> "BIT", TimestampType -> "DATETIME2",
+      TimestampNTZType -> "DATETIME2", DateType -> "DATE",
+      BinaryType -> "VARBINARY(MAX)")
+    want.foreach { case (dt, s) =>
+      assert(SqlServerDialect.typeName(dt) === s, dt.simpleString)
+    }
+    intercept[IllegalArgumentException] {
+      SqlServerDialect.typeName(ArrayType(IntegerType))
+    }
+  }
+
+  test("T-SQL: bracket quoting doubles embedded closing brackets; quote chars survive") {
+    assert(SqlServerDialect.quote("a]b; DROP TABLE x; --") ===
+      "[a]]b; DROP TABLE x; --]")
+    assert(SqlServerDialect.quoteQualified("s.t") === "[s].[t]")
+    // a schema name with a quote char must escape inside the EXEC literal
+    assert(SqlServerDialect.createSchema("o'brien") ===
+      "IF SCHEMA_ID(N'o''brien') IS NULL EXEC(N'CREATE SCHEMA [o''brien]')")
   }
 }
