@@ -54,6 +54,7 @@ object SparkEntry {
       graft.queries.Formats.queries,
       graft.queries.Layouts.queries,
       graft.queries.Pipeline10.queries,
+      graft.queries.Pipeline11.queries,
       graft.queries.StreamingReplay.queries)
     val merged = modules.reduce(_ ++ _)
     // a duplicate name across modules would silently shadow a query —
@@ -125,6 +126,7 @@ object SparkEntry {
     graft.queries.Formats.oracleSql ++
     graft.queries.Layouts.oracleSql ++
     graft.queries.Pipeline10.oracleSql ++
+    graft.queries.Pipeline11.oracleSql ++
     graft.queries.StreamingReplay.oracleSql
 
   private def baseOracleSql: Map[String, String] = Map(

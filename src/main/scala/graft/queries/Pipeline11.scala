@@ -1,0 +1,170 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.sources.Catalog
+
+/** Round-7 block: the two runtime-pruning/retrieval capabilities the
+  * suite still lacked.
+  *
+  *  - q137 dynamic partition pruning (DPP): q118 proved STATIC
+  *    partition pruning (predicate directly on the partition column);
+  *    q137 proves the runtime variant that carries the real 100 TB
+  *    weight — the selective predicate sits on a DIMENSION attribute,
+  *    so no static filter on the fact's partition column exists at
+  *    plan time. Catalyst injects a dynamic-pruning subquery: the dim
+  *    side's broadcast result prunes fact partitions at execution
+  *    (LayoutSpec pins `dynamicpruning` in the scan's partition
+  *    filters and that selected < total partitions). Without DPP a
+  *    star-schema fact scan reads every partition whenever the filter
+  *    is on the dimension — at 100 TB that is the whole table.
+  *
+  *  - q138 BM25 scoring (Robertson/Spärck Jones k1=1.2, b=0.75), the
+  *    classic lexical ranker, over the q120-style posting relation.
+  *    All arithmetic is EXACT-INTEGER: the usual ln() idf is replaced
+  *    by its odds-ratio argument (N - df + ½)/(df + ½) — monotone in
+  *    the log form, so rankings are BM25 rankings — and the
+  *    tf-saturation fraction is cleared of denominators
+  *    (k1 = 6/5, b = 3/4, dl/avgdl = dl·N/L) giving
+  *    score_fp = (S·22·L·tf·(2N−2df+1)) div ((10·L·tf+3L+9·dl·N)·(2df+1)),
+  *    a pure BIGINT/HUGEINT expression both engines replay bit-for-bit
+  *    (a float ln() would be 1-ULP hash-unstable across libm
+  *    implementations). Query terms are data-derived deterministically
+  *    (df ranks 11–15), so the query stays meaningful at any SF.
+  *    Products are routed through DECIMAL(38,0)/HUGEINT — the int64
+  *    intermediate overflows at ~1e19 (per-term numerator is
+  *    S·22·L·tf·idf_num ≈ 1e19 at sf0.01 already).
+  */
+object Pipeline11 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Catalog.table(s, dir, name)
+
+  private def stageDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_${tag}_").toString
+
+  private def rmStage(s: SparkSession, stage: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+  }
+
+  /** BM25 fixed-point scale (6 decimal digits of score resolution). */
+  private val BmScale = 1000000L
+
+  /** The staged fact ⋈ filtered dim join of q137, shared with
+    * LayoutSpec (which pins the dynamic-pruning plan shape on it). */
+  private[graft] def dppJoin(s: SparkSession, dir: String,
+      stage: String): DataFrame = {
+    val fact = s.read.parquet(stage)
+    // the filter is on o_orderdate (a dim ATTRIBUTE) — nothing
+    // statically constrains the fact's ship_year partition column;
+    // only the runtime subquery can prune
+    val dim = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-06-01").cast("timestamp"))
+      .select(year(col("o_orderdate")).as("yr")).distinct()
+    fact.join(dim, col("ship_year") === col("yr"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q137_dynamic_partition_prune" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("ship_year", year(col("l_shipdate")))
+      val stage = stageDir("q137_dpp")
+      li.write.mode(SaveMode.Overwrite)
+        .partitionBy("ship_year").parquet(stage)
+      val out = dppJoin(s, dir, stage)
+        .groupBy(col("ship_year").cast("long").as("ship_year"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          sum(col("l_extendedprice").cast("decimal(30,6)")).cast("double")
+            .as("sum_price"))
+        .orderBy(col("ship_year"))
+        .localCheckpoint(true)
+      rmStage(s, stage)
+      out
+    }),
+
+    "q138_bm25_topk" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("token"))
+      // posting relation: one row per (doc, term) with term frequency
+      val tf = toks.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      // corpus totals ride a broadcast scalar (q133's pattern) — no
+      // driver-side collect
+      val totals = dl.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("corpus_len"))
+      val df_ = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      // deterministic data-derived query: df ranks 11-15 (past the
+      // most stopword-like head, still high-coverage)
+      val qterms = df_.orderBy(col("df").desc, col("token"))
+        .offset(10).limit(5)
+      val d38 = "decimal(38,0)"
+      val scored = tf
+        .join(broadcast(qterms), Seq("token"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(totals))
+        .withColumn("score_fp",
+          expr(s"""CAST(CAST($BmScale AS $d38) * 22 * corpus_len * tf
+                  |  * (2 * n_docs - 2 * df + 1) AS $d38) div
+                  |CAST((10 * corpus_len * tf + 3 * corpus_len
+                  |  + 9 * dl * n_docs) * (2 * df + 1) AS $d38)"""
+            .stripMargin.replace("\n", " ")))
+      scored.groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_terms_hit"),
+          sum(col("score_fp")).as("bm25_fp"))
+        .orderBy(col("bm25_fp").desc, col("doc_id"))
+        .limit(20)
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // the oracle reads the ORIGINAL lineitem (it never sees the staged
+    // partitioned copy) — a hash match proves the partitioned round
+    // trip + DPP join is content-faithful
+    "q137_dynamic_partition_prune" ->
+      """SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+        |  COUNT(*) AS n_lines,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |JOIN (SELECT DISTINCT year(o_orderdate) AS yr FROM orders
+        |      WHERE o_orderdate >= TIMESTAMP '1996-06-01') d
+        |  ON year(l_shipdate) = d.yr
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q138_bm25_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id, token FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents)
+        |  WHERE token <> ''),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf
+        |  FROM tok GROUP BY doc_id, token),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+        |totals AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS corpus_len FROM dl),
+        |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        |qterms AS (SELECT token, df FROM df
+        |  ORDER BY df DESC, token LIMIT 5 OFFSET 10),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    (CAST(1000000 AS HUGEINT) * 22 * corpus_len * tf
+        |       * (2 * n_docs - 2 * df + 1))
+        |    // ((10 * corpus_len * tf + 3 * corpus_len
+        |        + 9 * dl * n_docs) * (2 * df + 1)) AS score_fp
+        |  FROM tf JOIN qterms USING (token)
+        |  JOIN dl ON tf.doc_id = dl.doc_id
+        |  CROSS JOIN totals)
+        |SELECT doc_id, COUNT(*) AS n_terms_hit,
+        |  CAST(SUM(score_fp) AS BIGINT) AS bm25_fp
+        |FROM scored GROUP BY doc_id
+        |ORDER BY bm25_fp DESC, doc_id LIMIT 20""".stripMargin
+  )
+}

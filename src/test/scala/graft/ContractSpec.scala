@@ -29,7 +29,7 @@ class ContractSpec extends AnyFunSuite {
 
   test("query names are unique and well-formed") {
     val names = SparkEntry.queries.keySet
-    assert(names.size >= 136)
+    assert(names.size >= 138)
     assert(names.forall(_.matches("q\\d{2,3}_[a-z0-9_]+")))
   }
 }

@@ -12,7 +12,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * oracle can't see — that the partition predicate actually prunes
   * directories, and that the bucketed join actually skips the shuffle.
   */
-class LayoutSpec extends AnyFunSuite {
+class LayoutSpec extends AnyFunSuite
+    with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
 
   lazy val spark: SparkSession = SparkSession.builder()
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -150,6 +151,39 @@ class LayoutSpec extends AnyFunSuite {
       s"z-order should prune >half the buckets, survived $zSurvive/$total")
     assert(zSurvive < pkSurvive,
       s"z-order ($zSurvive) must beat partkey-sort ($pkSurvive) on a narrow-supp box")
+  }
+
+  test("q137: dynamic partition pruning — dim-attribute filter prunes " +
+      "fact partitions at runtime") {
+    // q118 pins STATIC pruning (predicate on the partition column
+    // itself); here the selective predicate is on o_orderdate, a dim
+    // attribute — only Catalyst's injected dynamic-pruning subquery
+    // can keep the fact scan from reading every ship_year partition.
+    val stage = tempDir("dpp")
+    try {
+      sources.Catalog.table(spark, dir, "lineitem")
+        .withColumn("ship_year", year(col("l_shipdate")))
+        .write.mode(SaveMode.Overwrite).partitionBy("ship_year").parquet(stage)
+      val joined = queries.Pipeline11.dppJoin(spark, dir, stage)
+      assert(joined.collect().nonEmpty)
+      // AdaptiveSparkPlanHelper.collect descends into AQE query
+      // stages (leaf nodes to a plain TreeNode collect)
+      val scan = collect(joined.queryExecution.executedPlan) {
+          case f: FileSourceScanExec => f
+        }
+        .find(_.relation.location.rootPaths.exists(_.toString.contains(stage)))
+        .getOrElse(fail("no partitioned fact scan in executed plan"))
+      assert(scan.partitionFilters.exists(
+          _.toString.toLowerCase.contains("dynamicpruning")),
+        s"fact scan must carry a dynamic-pruning partition filter, " +
+          s"got: ${scan.partitionFilters}")
+      // the pruning is real: partitions read < partitions on disk
+      val total = spark.read.parquet(stage)
+        .select(col("ship_year")).distinct().count()
+      val read = scan.metrics.get("numPartitions").map(_.value).getOrElse(-1L)
+      assert(read > 0 && read < total,
+        s"DPP must prune at runtime: read $read of $total partitions")
+    } finally rm(stage)
   }
 
   test("q126: compaction reduces file count and preserves content exactly") {
