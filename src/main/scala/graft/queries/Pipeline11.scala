@@ -21,8 +21,15 @@ import graft.sources.Catalog
   *    star-schema fact scan reads every partition whenever the filter
   *    is on the dimension — at 100 TB that is the whole table.
   *
-  *  - q138 BM25 scoring (Robertson/Spärck Jones k1=1.2, b=0.75), the
-  *    classic lexical ranker, over the q120-style posting relation.
+  *  - q138 BM25 scoring (Robertson/Spärck Jones k1=1.2, b=0.75) — the
+  *    scale-hardened successor of q81, which q81's own Scaladoc calls
+  *    for: q81 documents a long-overflow bound at ~10^7 docs ("a
+  *    100 TB corpus would move ... the product to DECIMAL(38)") and
+  *    stacks rounded fixed-point divisions; q138 IS that DECIMAL(38)
+  *    move, with a single exact rational division (no accumulated
+  *    rounding) and query terms derived from the data (df ranks
+  *    11–15) instead of q81's fixed literals, so the query stays
+  *    non-degenerate at any SF and under ScaleGen's token retagging.
   *    All arithmetic is EXACT-INTEGER: the usual ln() idf is replaced
   *    by its odds-ratio argument (N - df + ½)/(df + ½) — monotone in
   *    the log form, so rankings are BM25 rankings — and the

@@ -242,26 +242,36 @@ object Pipeline3 {
          |GROUP BY 1, 2 HAVING COUNT(*) >= $MinShared
          |ORDER BY doc_id_a, doc_id_b""".stripMargin,
 
+    // Positioned-token formulation: the earlier draft string_agg'd a
+    // whole shard into ONE list and carried it per chunk row — a
+    // quadratic DuckDB materialization that OOM'd the x10 scaled
+    // sweep. Tokens get a global per-shard position instead (parallel
+    // unnests zip in DuckDB), then pack by p div SeqLen; doc-level
+    // arrays stay doc-sized and the token relation is linear.
     "q58_pack_sequences" ->
       s"""WITH d AS (
          |  SELECT doc_id, text,
          |    CAST((CAST(doc_id AS BIGINT) % 1000000007 * 2654435761
          |      + 12345) % 1000000007 % $NShards AS BIGINT) AS shard
          |  FROM documents WHERE text IS NOT NULL),
-         |sh AS (
-         |  SELECT shard,
-         |    list_filter(string_split(
-         |      string_agg(text, ' ' ORDER BY doc_id), ' '),
-         |      t_ -> t_ <> '') AS tk
-         |  FROM d GROUP BY shard),
-         |chunks AS (
-         |  SELECT shard, tk, unnest(range(0, len(tk), $SeqLen)) AS s
-         |  FROM sh WHERE len(tk) > 0)
-         |SELECT shard, CAST(s // $SeqLen AS BIGINT) AS seq_id,
-         |  CAST(least(s + $SeqLen, len(tk)) - s AS BIGINT) AS n_tokens,
-         |  array_to_string(list_slice(tk, s + 1,
-         |    least(s + $SeqLen, len(tk))), ' ') AS seq_text
-         |FROM chunks ORDER BY shard, seq_id""".stripMargin,
+         |dt AS (
+         |  SELECT shard, doc_id,
+         |    list_filter(string_split(text, ' '), t_ -> t_ <> '') AS tk
+         |  FROM d),
+         |tok AS (
+         |  SELECT shard, doc_id, unnest(tk) AS token,
+         |    unnest(range(1, len(tk) + 1)) AS j
+         |  FROM dt WHERE len(tk) > 0),
+         |pos AS (
+         |  SELECT shard, token,
+         |    row_number() OVER (PARTITION BY shard ORDER BY doc_id, j) - 1
+         |      AS p
+         |  FROM tok)
+         |SELECT shard, CAST(p // $SeqLen AS BIGINT) AS seq_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  string_agg(token, ' ' ORDER BY p) AS seq_text
+         |FROM pos GROUP BY shard, p // $SeqLen
+         |ORDER BY shard, seq_id""".stripMargin,
 
     "q57_repetition_stats" ->
       s"""WITH d AS (SELECT doc_id, $sqlToks AS tk FROM documents),

@@ -22,6 +22,12 @@ for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{pat}')")
 
 oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+# optional 3rd arg: regex over query names (local spot-checks / chunked
+# runs — one python process per chunk keeps pandas peak memory bounded)
+if len(sys.argv) > 3:
+    import re
+    pat = re.compile(sys.argv[3])
+    oracle = {k: v for k, v in oracle.items() if pat.search(k)}
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
