@@ -4,10 +4,12 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
+import graft.operators.{Components, FuzzyDedup}
 import graft.sources.Catalog
 
-/** Round-7 block: the two runtime-pruning/retrieval capabilities the
-  * suite still lacked.
+/** Round-7 block: runtime-pruning/retrieval capabilities the suite
+  * still lacked, plus the two curation-governance steps between
+  * q50-style decontamination and q48-style splitting.
   *
   *  - q137 dynamic partition pruning (DPP): q118 proved STATIC
   *    partition pruning (predicate directly on the partition column);
@@ -43,6 +45,24 @@ import graft.sources.Catalog
   *    Products are routed through DECIMAL(38,0)/HUGEINT — the int64
   *    intermediate overflows at ~1e19 (per-term numerator is
   *    S·22·L·tf·idf_num ≈ 1e19 at sf0.01 already).
+  *
+  *  - q139 fractional decontamination: q50/q64 count absolute n-gram
+  *    hits and drop clean docs; the decision rule real pretraining
+  *    pipelines apply (GPT-3 appendix C / Llama style) is the
+  *    FRACTION of a document's n-grams that appear in the eval set,
+  *    thresholded — and clean docs must appear (fraction 0) because
+  *    the output IS the per-doc audit table. Fraction is exact
+  *    integer fixed-point (1e6·hits div n_shingles) — no float
+  *    division to drift between engines.
+  *
+  *  - q140 leakage-safe split: a doc-level hash split (q48) leaks
+  *    when near-duplicate documents straddle train/test — the eval
+  *    set then contains paraphrases of training rows. The split key
+  *    must be the near-dup COMPONENT, not the doc: LSH-verified pairs
+  *    (q19) → connected components (q45) → one deterministic LCG hash
+  *    of the component id assigns the whole cluster to one split.
+  *    Singletons (the clean majority) hash on their own id, so the
+  *    80/10/10 proportions still hold corpus-wide.
   */
 object Pipeline11 {
 
@@ -129,8 +149,65 @@ object Pipeline11 {
           sum(col("score_fp")).as("bm25_fp"))
         .orderBy(col("bm25_fp").desc, col("doc_id"))
         .limit(20)
+    }),
+
+    // Per-doc contamination audit: fraction of the doc's distinct
+    // 8-grams present anywhere in the held-out set (doc_id % 10 == 0,
+    // as q50), thresholded at 0.25. Scale shape: the bench side
+    // collapses to DISTINCT shingles before the join (eval sets are
+    // tiny — AQE broadcasts it), the train side is the one corpus
+    // pass, and the only shuffle is the per-doc groupBy. The left
+    // join cannot fan out (the bench set is distinct on the join
+    // key), so count(*) stays the doc's shingle cardinality. At
+    // 100 TB swap the join key for xxhash64(shingle) — same note as
+    // [[graft.operators.Decontaminate]].
+    "q139_fractional_decontam" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val sh = FuzzyDedup.shingles(d, "doc_id", col("text"),
+        k = Pipeline3.DecontamK, cache = false)
+      val benchSet = sh.filter(col("doc_id") % 10 === 0)
+        .select(col("shingle")).distinct()
+        .withColumn("hit", lit(1))
+      sh.filter(col("doc_id") % 10 =!= 0)
+        .join(benchSet, Seq("shingle"), "left")
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_shingles"),
+          count(col("hit")).as("n_hits"))
+        .withColumn("contam_fp",
+          expr(s"$BmScale * n_hits div n_shingles"))
+        .withColumn("contaminated", col("contam_fp") >= ContamFp)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Leakage-safe train/val/test split: the split key is the
+    // near-dup component, not the doc. Pairs are the q19 LSH-verified
+    // relation (banded candidates, exact-Jaccard verify at tau=0.5),
+    // components the q45 min-label propagation (iterates the
+    // duplicate subgraph only), and the assignment one LCG hash of
+    // the component id — all three stages already scale-shaped; this
+    // query is their composition, which is exactly how a production
+    // curation DAG wires it.
+    "q140_leakage_safe_split" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val pairs = FuzzyDedup.minhashDedupPairs(d, "doc_id", col("text"),
+        tau = 0.5, k = 3, numHashes = 64, bandRows = 4)
+      Components.connectedComponents(
+          d.select(col("doc_id")), "doc_id",
+          pairs, "doc_id_a", "doc_id_b")
+        .select(col("node").as("doc_id"), col("component"))
+        .withColumn("u", expr(
+          "(component % 1000000007 * 1103515245 + 12345) % 1000000007 % 100"))
+        .withColumn("split",
+          when(col("u") < 80, "train")
+            .when(col("u") < 90, "val").otherwise("test"))
+        .select(col("doc_id"), col("component"), col("split"))
+        .orderBy(col("doc_id"))
     })
   )
+
+  /** q139's contamination threshold: 0.25 in [[BmScale]] fixed-point. */
+  private val ContamFp = 250000L
 
   val oracleSql: Map[String, String] = Map(
     // the oracle reads the ORIGINAL lineitem (it never sees the staged
@@ -172,6 +249,53 @@ object Pipeline11 {
         |SELECT doc_id, COUNT(*) AS n_terms_hit,
         |  CAST(SUM(score_fp) AS BIGINT) AS bm25_fp
         |FROM scored GROUP BY doc_id
-        |ORDER BY bm25_fp DESC, doc_id LIMIT 20""".stripMargin
+        |ORDER BY bm25_fp DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q139_fractional_decontam" -> {
+      val k = Pipeline3.DecontamK
+      s"""WITH d AS (SELECT doc_id, ${Pipeline3.sqlToks} AS tk FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, unnest(
+         |    CASE WHEN len(tk) >= $k THEN
+         |      list_transform(range(1, len(tk) - ${k - 2}),
+         |        i_ -> ${Pipeline3.sqlKgram(k)})
+         |    ELSE CAST([] AS VARCHAR[]) END) AS shingle
+         |  FROM d),
+         |bench AS (SELECT DISTINCT shingle, 1 AS hit FROM sh
+         |          WHERE doc_id % 10 = 0),
+         |train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 <> 0)
+         |SELECT t.doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |  CAST(COUNT(b.hit) AS BIGINT) AS n_hits,
+         |  CAST($BmScale * COUNT(b.hit) // COUNT(*) AS BIGINT) AS contam_fp,
+         |  ($BmScale * COUNT(b.hit) // COUNT(*)) >= $ContamFp AS contaminated
+         |FROM train t LEFT JOIN bench b ON t.shingle = b.shingle
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+    },
+
+    // ground truth re-derives the component exactly as q45's oracle
+    // (exact-Jaccard pairs + recursive min-label closure), then applies
+    // the identical integer LCG — both engines replay the arithmetic
+    // bit-for-bit
+    "q140_leakage_safe_split" ->
+      s"""WITH RECURSIVE pairs AS (${DedupQueries.jaccardOracle}),
+         |edges AS (
+         |  SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+         |  UNION SELECT doc_id_b, doc_id_a FROM pairs),
+         |cc(node, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.b, cc.label FROM cc JOIN edges e ON cc.node = e.a),
+         |comp AS (SELECT node AS doc_id, MIN(label) AS component
+         |         FROM cc GROUP BY node),
+         |u AS (SELECT doc_id, component,
+         |  (component % 1000000007 * 1103515245 + 12345)
+         |    % 1000000007 % 100 AS u
+         |  FROM comp)
+         |SELECT doc_id, component,
+         |  CASE WHEN u < 80 THEN 'train'
+         |       WHEN u < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM u ORDER BY doc_id""".stripMargin
   )
 }

@@ -15,7 +15,7 @@ import graft.sources.Catalog
   */
 object Pipeline3 {
 
-  private val DecontamK = 8 // n-gram length for contamination check
+  private[queries] val DecontamK = 8 // n-gram length for contamination check
   private val MixWeights = Map( // percent-of-epoch per language
     "en" -> 230, "de" -> 150, "es" -> 100, "fr" -> 50, "zh" -> 25)
   private val SeqLen = 64
@@ -146,11 +146,11 @@ object Pipeline3 {
     })
   )
 
-  private val sqlToks =
+  private[queries] val sqlToks =
     "list_filter(string_split(text, ' '), t_ -> t_ <> '')"
 
   /** DuckDB k-gram join of `tk[i_] .. tk[i_+k-1]` with '_'. */
-  private def sqlKgram(k: Int): String =
+  private[queries] def sqlKgram(k: Int): String =
     (0 until k).map(o => if (o == 0) "tk[i_]" else s"tk[i_+$o]")
       .mkString(" || '_' || ")
 

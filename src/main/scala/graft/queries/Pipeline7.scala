@@ -467,19 +467,25 @@ object Pipeline7 {
 
     // Unrolled 2-superstep BFS with the min-hop exclusion made
     // explicit (hop-2 nodes must not be hop-1 nodes or the seed).
+    // The multiply-referenced CTEs carry MATERIALIZED hints: DuckDB
+    // otherwise inlines them per reference, and the pairs self-join
+    // behind e0 is re-evaluated for every one of its ~6 transitive
+    // uses CONCURRENTLY — at x10 those parallel evaluations spilled
+    // >75 GB and filled the disk. Compute-once is the same contract
+    // Spark gets from the BFS operator's localCheckpoint cadence.
     "q97_khop_reach" ->
-      s"""WITH pairs AS (
+      s"""WITH pairs AS MATERIALIZED (
          |  SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-         |e0 AS (
+         |e0 AS MATERIALIZED (
          |  SELECT a.sk AS sa, b.sk AS sb
          |  FROM pairs a JOIN pairs b ON a.ck = b.ck AND a.sk < b.sk
          |  GROUP BY 1, 2 HAVING COUNT(*) >= $MinShared),
-         |e AS (SELECT sa AS src, sb AS dst FROM e0
+         |e AS MATERIALIZED (SELECT sa AS src, sb AS dst FROM e0
          |      UNION ALL SELECT sb, sa FROM e0),
          |seeds AS (SELECT s_suppkey AS seed FROM supplier
          |          WHERE s_nationkey = 0),
-         |h1 AS (SELECT DISTINCT seed, dst AS node
+         |h1 AS MATERIALIZED (SELECT DISTINCT seed, dst AS node
          |       FROM seeds JOIN e ON seed = src),
          |h2 AS (SELECT DISTINCT h1.seed, e.dst AS node
          |       FROM h1 JOIN e ON h1.node = e.src

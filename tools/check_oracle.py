@@ -14,6 +14,12 @@ import pandas as pd
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 
 con = duckdb.connect()
+# bound the session: DuckDB's default memory_limit (~80% of RAM) lets a
+# heavy oracle balloon in RAM and then spill its whole working set —
+# on the x10 sweep the q97 self-join spilled >75 GB and filled the
+# disk. A tight limit makes DuckDB pick spill-friendly plans instead.
+con.execute("SET memory_limit='24GB'")
+con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
 for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
     name = os.path.basename(p)[:-len(".parquet")]
     # driver testdata is one file per table; ScaleGen output is a
