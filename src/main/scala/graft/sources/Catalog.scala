@@ -20,25 +20,34 @@ object Catalog {
 
   /** Load one table from a scale-factor directory.
     *
-    * The driver's `events` table carries TIMESTAMP(NANOS) — a parquet
-    * type Spark does not accept natively (nanos don't fit TimestampType).
-    * Sessions set `spark.sql.legacy.parquet.nanosAsLong=true`, so nano
-    * columns surface as LongType; normalize them back to TimestampType
-    * here via integer division (nanos since epoch exceed 2^53, so any
-    * double-routed conversion would silently corrupt — `div` is exact). */
+    * The driver's `events.ts` has changed parquet encoding across
+    * testdata generations, so normalize BOTH shapes to TimestampType
+    * (the type the event-time operators — sessionize, range join,
+    * EWMA, streaming replay — are written against):
+    *  - TIMESTAMP(NANOS): Spark can't hold nanos in TimestampType;
+    *    sessions set `spark.sql.legacy.parquet.nanosAsLong=true`, so
+    *    the column surfaces as LongType — convert via integer `div`
+    *    (nanos since epoch exceed 2^53; a double route would corrupt).
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): surfaces as
+    *    TIMESTAMP_NTZ — cast to TimestampType, value-preserving under
+    *    the fixed UTC session timezone. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    nanoLongColumns.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
-      if (d.schema.fields.exists(f =>
-          f.name == c && f.dataType == org.apache.spark.sql.types.LongType))
-        d.withColumn(c, org.apache.spark.sql.functions
-          .timestamp_micros(org.apache.spark.sql.functions.expr(s"$c div 1000")))
-      else d
+    eventTimeColumns.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
+      d.schema.fields.find(_.name == c).map(_.dataType) match {
+        case Some(org.apache.spark.sql.types.LongType) =>
+          d.withColumn(c, org.apache.spark.sql.functions
+            .timestamp_micros(org.apache.spark.sql.functions.expr(s"$c div 1000")))
+        case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+          d.withColumn(c, org.apache.spark.sql.functions.col(c).cast(
+            org.apache.spark.sql.types.TimestampType))
+        case _ => d
+      }
     }
   }
 
-  /** Columns stored as TIMESTAMP(NANOS) in the driver parquet. */
-  private val nanoLongColumns: Map[String, Seq[String]] =
+  /** Instant-semantics (event-time) columns normalized to TimestampType. */
+  private val eventTimeColumns: Map[String, Seq[String]] =
     Map("events" -> Seq("ts"))
 
   /** Register every table as a temp view so `spark.sql` parity queries

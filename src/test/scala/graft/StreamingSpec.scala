@@ -203,9 +203,10 @@ class StreamingSpec extends AnyFunSuite {
   test("file-source stream over the real events table == batch result") {
     val sfDir = "/root/testdata/sf0.001"
     val batchDf = graft.sources.Catalog.table(spark, sfDir, "events")
-    // raw file schema (ts is a nanos LONG pre-normalization) — the
-    // Catalog-normalized schema would mismatch the parquet footer; and
-    // the file source wants a DIRECTORY, so stage the file into one
+    // raw file schema (ts may be a nanos LONG or TIMESTAMP_NTZ,
+    // pre-normalization) — the Catalog-normalized schema would
+    // mismatch the parquet footer; and the file source wants a
+    // DIRECTORY, so stage the file into one
     val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val dir = java.nio.file.Files.createTempDirectory("graft_fs").toString
     java.nio.file.Files.copy(
@@ -215,10 +216,16 @@ class StreamingSpec extends AnyFunSuite {
       .schema(rawSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
-    val q = Streaming.tumblingAgg(
-      stream.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000"))), "1 hour")
+    // normalize ts exactly as Catalog.table does, per raw encoding
+    val normalized = rawSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        stream.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => stream.withColumn("ts",
+        org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    }
+    val q = Streaming.tumblingAgg(normalized, "1 hour")
       .writeStream.format("memory").queryName("filestream")
       .outputMode("complete").start()
     try q.processAllAvailable() finally q.stop()
