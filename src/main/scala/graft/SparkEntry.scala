@@ -55,6 +55,7 @@ object SparkEntry {
       graft.queries.Layouts.queries,
       graft.queries.Pipeline10.queries,
       graft.queries.Pipeline11.queries,
+      graft.queries.Pipeline12.queries,
       graft.queries.StreamingReplay.queries)
     val merged = modules.reduce(_ ++ _)
     // a duplicate name across modules would silently shadow a query —
@@ -127,6 +128,7 @@ object SparkEntry {
     graft.queries.Layouts.oracleSql ++
     graft.queries.Pipeline10.oracleSql ++
     graft.queries.Pipeline11.oracleSql ++
+    graft.queries.Pipeline12.oracleSql ++
     graft.queries.StreamingReplay.oracleSql
 
   private def baseOracleSql: Map[String, String] = Map(

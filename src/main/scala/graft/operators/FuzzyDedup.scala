@@ -63,6 +63,36 @@ object FuzzyDedup {
     else out
   }
 
+  /** POSITIONAL word k-shingles: (docId, pos, shingle) with 1-based
+    * token position, one row per occurrence (no per-doc dedup — span
+    * detection needs every site). Same typed-flatMap kernel rationale
+    * as [[shingles]]: the HOF `transform` form re-tokenizes per
+    * element access. Map-side only; emits |tokens|-k+1 rows per doc. */
+  def positionalShingles(df: DataFrame, docId: String, text: Column,
+      k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(docId).cast("long"), text.cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val toks = if (t == null) Array.empty[String]
+          else t.split(" ").filter(_.nonEmpty)
+        if (toks.length < k) Iterator.empty
+        else {
+          val sb = new StringBuilder
+          (0 to toks.length - k).iterator.map { i =>
+            sb.clear()
+            var o = 0
+            while (o < k) {
+              if (o > 0) sb.append('_')
+              sb.append(toks(i + o)); o += 1
+            }
+            (id, (i + 1).toLong, sb.toString)
+          }
+        }
+      }.toDF(docId, "pos", "shingle")
+  }
+
   /** Exact pairwise Jaccard over shingle sets via the inverted index:
     * every document pair sharing ≥1 shingle, with |∩|, set sizes and
     * similarity; filter with `jaccard >= tau` downstream. */

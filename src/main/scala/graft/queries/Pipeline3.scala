@@ -156,7 +156,7 @@ object Pipeline3 {
 
   /** Portable polynomial hash of an arbitrary string expression; inner
     * lambda vars p_/hh_/cc_ so it can nest inside an i_ transform. */
-  private def sqlPolyHashNested(s: String): String =
+  private[queries] def sqlPolyHashNested(s: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(range(1, length($s)+1), " +
       s"p_ -> CAST(ascii(($s)[p_]) AS BIGINT))), " +
