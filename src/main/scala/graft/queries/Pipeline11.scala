@@ -97,7 +97,12 @@ object Pipeline11 {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q137_dynamic_partition_prune" -> ((s, dir) => {
+      // project to the three consumed columns BEFORE the partitioned
+      // staging write — the DPP demonstration needs the partition
+      // layout, not the full 16-column fact width (at 100 TB the
+      // staged star-schema fact is likewise column-pruned at ingest)
       val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_shipdate"))
         .withColumn("ship_year", year(col("l_shipdate")))
       val stage = stageDir("q137_dpp")
       li.write.mode(SaveMode.Overwrite)
