@@ -39,6 +39,9 @@ object EngineSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // getOrCreate may return a pre-existing session built WITHOUT the
+    // extensions (shared-JVM tests) — the live-session hook is idempotent
+    graft.expressions.GraftExtensions.register(spark)
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

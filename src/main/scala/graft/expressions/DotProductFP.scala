@@ -95,6 +95,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.polyHashFp)
     ext.injectOptimizerRule(_ => RewriteDotProduct)
     ext.injectOptimizerRule(_ => RewritePolyHash)
+    // whole-operator tier: native sort-merge as-of join (graft.plans)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }
 
@@ -130,5 +132,8 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(RewritePolyHash))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewritePolyHash
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsofJoinStrategy
   }
 }

@@ -1,0 +1,266 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute,
+  AttributeReference, AttributeSet, GenericInternalRow, JoinedRow,
+  RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
+  Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan,
+  SparkStrategy}
+import org.apache.spark.sql.execution.metric.SQLMetrics
+import org.apache.spark.sql.functions.{col, lit, struct}
+
+/** Native backward as-of join: the whole-operator tier of the custom-
+  * operator ladder (custom `LogicalPlan` + `SparkStrategy` + `SparkPlan`
+  * registered through `SparkSessionExtensions`), complementing the
+  * expression tier ([[graft.expressions.PolyHashFP]]) and the rule tier
+  * ([[graft.expressions.RewritePolyHash]]).
+  *
+  * The composed implementation ([[graft.operators.AsofJoin]], the
+  * reference-scoped operator for SURVEY §2.4 "joins beyond inner/left")
+  * is union → one shuffle → one window pass — already the right scale
+  * shape. What the built-in operators CANNOT express is the as-of merge
+  * without materializing the union relation and running a window
+  * `last(ignoreNulls)` over |L|+|R| rows: the window operator buffers
+  * per-partition frames and carries the running-payload state through
+  * Spark's generic aggregate machinery. This physical operator replaces
+  * steps 1–4 with the textbook merge: declare
+  * `requiredChildDistribution = ClusteredDistribution(keys)` per side
+  * and `requiredChildOrdering = (keys, on)` — EnsureRequirements then
+  * plans the exchanges/sorts (so AQE still coalesces/reuses them; the
+  * operator composes with the optimizer instead of hand-scheduling) —
+  * and the exec is a single O(|L|+|R|) streaming pass per partition
+  * holding ONE (key, payload) pair of state, no union row-widening, no
+  * window buffer.
+  *
+  * Semantics (matches [[graft.operators.AsofJoin.backward]], DuckDB
+  * `ASOF LEFT JOIN` `<=` convention): for each left row, the payload of
+  * the right row with the greatest `on <= left.on` in the same key
+  * group; unmatched left rows keep NULL payload. A NULL `on` (either
+  * side) never matches — pinned by AsofNativeSpec. NULL join keys
+  * group together (Spark sort semantics), diverging from SQL equality
+  * joins — same caveat the sort-merge-join-based composed form has.
+  *
+  * 100 TB read: ONE exchange per side (the composed form needs a
+  * second right-side exchange for its (key, on) tie-break dedup
+  * window — here the tie-break rides the demanded sort instead),
+  * strictly less memory (no window frame buffer, no union of
+  * dissimilar schemas), and the merge state is O(1) per partition.
+  * Result-identical row-for-row with the composed operator
+  * (AsofNativeSpec pins the multiset equality).
+  */
+object AsofJoinNative {
+
+  /** DataFrame-level entry; mirrors [[graft.operators.AsofJoin.backward]].
+    *
+    * Tie handling needs NO pre-dedup pass (the composed form runs a
+    * (key, on)-partitioned ROW_NUMBER window first, costing a second
+    * right-side exchange): the tie-break rides the demanded child SORT
+    * instead. Right ordering is (key, on, tiebreak ASC, payload-struct
+    * ASC) and the merge consumes every right row with `on <= left.on`,
+    * overwriting held state — so the LAST row in sort order wins, which
+    * is exactly the max-tiebreak-then-max-payload winner the composed
+    * operator's `.desc`-first-row convention picks. */
+  def backward(
+      left: DataFrame,
+      right: DataFrame,
+      key: Seq[String],
+      on: String,
+      payload: Seq[String],
+      prefix: String = "asof_",
+      rightTiebreak: Option[Column] = None): DataFrame = {
+    val spark = left.sparkSession
+    val stable: Column =
+      if (payload.isEmpty) lit(1)
+      else struct(payload.map(col): _*)
+    val tieCols = (rightTiebreak.toSeq :+ stable).zipWithIndex
+      .map { case (c, i) => c.as(s"__graft_tie_$i") }
+    // self-join guard: left and right typically derive from the SAME
+    // base relation (events vs its filtered twin) and then share
+    // exprIds. The analyzer's DeduplicateRelations only knows Spark's
+    // own binary nodes, so mint fresh ids on the right via aliases —
+    // otherwise the optimizer resolves right-side references against
+    // the left child and mis-prunes.
+    val r = right.select(
+      (key :+ on).map(c => col(c).as(c)) ++
+        payload.map(c => col(c).as(c)) ++ tieCols: _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = r.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $n not in ${p.output.map(_.name).mkString(",")}"))
+    val pay = payload.map(attr(rPlan, _))
+    // payloadOut carries FIXED exprIds as a constructor field: a lazy
+    // member would mint fresh ids on every optimizer copy and orphan
+    // any references bound above the node
+    val payOut = pay.map(a =>
+      AttributeReference(prefix + a.name, a.dataType, nullable = true)())
+    val node = AsofJoinNode(lPlan, rPlan,
+      key.map(attr(lPlan, _)), key.map(attr(rPlan, _)),
+      attr(lPlan, on), attr(rPlan, on), pay,
+      rPlan.output.filter(_.name.startsWith("__graft_tie_")), payOut)
+    val out = GraftColumnBridge.ofRows(spark, node)
+    out.select(left.columns.map(col) ++
+      payload.map(p => col(prefix + p)): _*)
+  }
+}
+
+/** Logical as-of join node; resolved at construction from analyzed
+  * children, so the analyzer sees a fully-resolved binary node. */
+case class AsofJoinNode(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Attribute],
+    rightKeys: Seq[Attribute],
+    leftOn: Attribute,
+    rightOn: Attribute,
+    payload: Seq[Attribute],
+    rightTie: Seq[Attribute],
+    payloadOut: Seq[Attribute]) extends BinaryNode {
+
+  override def output: Seq[Attribute] = left.output ++ payloadOut
+
+  /** payloadOut originates here, not from the children. */
+  override def producedAttributes: AttributeSet = AttributeSet(payloadOut)
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner strategy mapping the logical node 1:1 onto the exec. */
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case n: AsofJoinNode =>
+      AsofJoinExec(planLater(n.left), planLater(n.right),
+        n.leftKeys, n.rightKeys, n.leftOn, n.rightOn,
+        n.payload, n.rightTie, n.payloadOut) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Sort-merge as-of join exec: children are hash-clustered on the key
+  * and sorted by (key, on) — both demanded declaratively, so
+  * EnsureRequirements/AQE own the exchanges — then each co-partition
+  * pair merges in one streaming pass with O(1) held state. */
+case class AsofJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKeys: Seq[Attribute],
+    rightKeys: Seq[Attribute],
+    leftOn: Attribute,
+    rightOn: Attribute,
+    payload: Seq[Attribute],
+    rightTie: Seq[Attribute],
+    payloadOut: Seq[Attribute]) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ payloadOut
+
+  /** payloadOut originates here (mirrors the logical node) — without
+    * this the plan renders with the `!` missing-input marker. */
+  override def producedAttributes: AttributeSet = AttributeSet(payloadOut)
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  /** Right side additionally sorts by the tie-break columns ASC: the
+    * merge overwrites held state per consumed row, so within equal
+    * (key, on) the last — maximal — tie row wins. */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftOn).map(SortOrder(_, Ascending)),
+    ((rightKeys :+ rightOn) ++ rightTie).map(SortOrder(_, Ascending)))
+
+  /** Left rows pass through in order — downstream sorts on (key, on)
+    * are elided. */
+  override def outputOrdering: Seq[SortOrder] =
+    (leftKeys :+ leftOn).map(SortOrder(_, Ascending))
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext,
+      "number of output rows"))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val lOut = left.output
+    val rOut = right.output
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val lOnExpr = leftOn
+    val rOnExpr = rightOn
+    val payloadExprs = payload
+    val outExprs = output
+    val payOutAttrs = payloadOut
+    val keyTypes = leftKeys.map(_.dataType)
+    val onType = leftOn.dataType
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyGen = UnsafeProjection.create(lKeyExprs, lOut)
+      val rKeyGen = UnsafeProjection.create(rKeyExprs, rOut)
+      val lOnGen = UnsafeProjection.create(Seq(lOnExpr), lOut)
+      val rOnGen = UnsafeProjection.create(Seq(rOnExpr), rOut)
+      val payloadGen = UnsafeProjection.create(payloadExprs, rOut)
+      val outGen = UnsafeProjection.create(outExprs, lOut ++ payOutAttrs)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val onOrd = RowOrdering.createNaturalAscendingOrdering(Seq(onType))
+      val joined = new JoinedRow
+      val nullPayload = new GenericInternalRow(payOutAttrs.length)
+
+      new Iterator[InternalRow] {
+        private var rHead: InternalRow =
+          if (rIter.hasNext) rIter.next() else null
+        // the O(1) merge state: latest right payload consumed, with its key
+        private var heldKey: UnsafeRow = null
+        private var heldPayload: UnsafeRow = null
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val lRow = lIter.next()
+          val lKey = lKeyGen(lRow)
+          val lOn = lOnGen(lRow)
+          if (!lOn.isNullAt(0)) {
+            var advance = rHead != null
+            while (advance) {
+              val rKey = rKeyGen(rHead)
+              val c = keyOrd.compare(rKey, lKey)
+              if (c < 0) {
+                // right stream is behind this left key — drain
+                rHead = if (rIter.hasNext) rIter.next() else null
+                advance = rHead != null
+              } else if (c == 0) {
+                val rOn = rOnGen(rHead)
+                if (rOn.isNullAt(0)) {
+                  // NULL right time sorts first and never matches — skip
+                  rHead = if (rIter.hasNext) rIter.next() else null
+                  advance = rHead != null
+                } else if (onOrd.compare(rOn, lOn) <= 0) {
+                  heldKey = rKey.copy()
+                  heldPayload = payloadGen(rHead).copy()
+                  rHead = if (rIter.hasNext) rIter.next() else null
+                  advance = rHead != null
+                } else advance = false
+              } else advance = false
+            }
+          }
+          val p =
+            if (!lOn.isNullAt(0) && heldPayload != null &&
+              heldKey.equals(lKey)) heldPayload
+            else nullPayload
+          numOutputRows += 1
+          outGen(joined(lRow, p))
+        }
+      }
+    }
+  }
+}

@@ -46,6 +46,13 @@ import graft.operators.FuzzyDedup
   *    unrolls the same 5 stages as CTEs, so both engines replay the
   *    identical deterministic tie-break (gain DESC, doc_id ASC).
   *
+  *  - q144 native as-of join: the [[graft.plans.AsofJoinNative]]
+  *    whole-operator path (custom LogicalPlan + SparkStrategy +
+  *    SparkPlan via SparkSessionExtensions) over the same events
+  *    shape as q10's composed union-window form — one exchange per
+  *    side, O(1) merge state, oracle-checked against DuckDB's native
+  *    ASOF LEFT JOIN.
+  *
   * Reference anchor: the reference's pipeline dedups rows only via
   * its T-SQL DISTINCT/ROW_NUMBER idioms (Select de Importação de
   * Dados.py:34-99); these are the corpus-grade generalizations.
@@ -209,7 +216,29 @@ object Pipeline12 {
       out
     }),
 
-    "q143_greedy_coverage" -> ((s, dir) => greedyCoverage(s, dir, k = 5))
+    "q143_greedy_coverage" -> ((s, dir) => greedyCoverage(s, dir, k = 5)),
+
+    // Native whole-operator as-of join (graft.plans.AsofJoinExec —
+    // custom LogicalPlan + SparkStrategy + SparkPlan through
+    // SparkSessionExtensions): each event matched to the user's latest
+    // purchase at-or-before it. Same semantics as q10's composed
+    // union-window form, but executed as a single streaming merge per
+    // co-partition with O(1) state — no union widening, no window
+    // buffer. AsofNativeSpec pins plan shape + equality vs composed.
+    "q144_asof_native" -> ((s, dir) => {
+      val events = t(s, dir, "events")
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      graft.plans.AsofJoinNative.backward(
+        events.select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type")),
+        purchases, key = Seq("user_id"), on = "ts",
+        payload = Seq("purchase_id", "purchase_value"),
+        rightTiebreak = Some(col("purchase_id")))
+        .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
+        .orderBy(col("event_id"))
+    })
   )
 
   private val phToken = Pipeline3.sqlPolyHashNested("token")
@@ -308,6 +337,20 @@ object Pipeline12 {
          |  CAST(SUM(gain) OVER (ORDER BY pick_rank) AS BIGINT)
          |    AS covered_total
          |FROM all_p ORDER BY pick_rank""".stripMargin
-    }
+    },
+
+    "q144_asof_native" ->
+      """WITH purchases AS (
+        |  SELECT user_id, ts, event_id AS purchase_id,
+        |    value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts
+        |    ORDER BY event_id DESC) = 1)
+        |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, e.event_type,
+        |  p.purchase_id AS asof_purchase_id,
+        |  p.purchase_value AS asof_purchase_value
+        |FROM events e ASOF LEFT JOIN purchases p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.event_id""".stripMargin
   )
 }

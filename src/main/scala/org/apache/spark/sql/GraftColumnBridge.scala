@@ -1,13 +1,19 @@
 package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 /** Package-private bridge to `classic.ExpressionUtils` (Column ⇄
   * catalyst Expression), the supported-but-`private[sql]` seam for
   * wiring native expressions like `graft.expressions.PolyHashFP` into
   * the DataFrame DSL without an SQL-registry round trip. Same
-  * justified-bridge pattern as `org.apache.spark.GraftListenerBus`. */
+  * justified-bridge pattern as `org.apache.spark.GraftListenerBus`.
+  * `ofRows` is the matching seam for LOGICAL-PLAN-level operators
+  * (`graft.plans.AsofJoinNode`): wrap a custom node over analyzed
+  * children back into a DataFrame. */
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

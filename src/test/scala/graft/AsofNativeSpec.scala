@@ -1,0 +1,122 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.AsofJoin
+import graft.plans.{AsofJoinExec, AsofJoinNative}
+
+/** The native whole-operator as-of join (custom LogicalPlan +
+  * SparkStrategy + SparkPlan): result parity with the composed
+  * union-window operator, plan shape (one exchange per side, no more),
+  * and the NULL-time contract. */
+class AsofNativeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .withExtensions(new graft.expressions.GraftExtensions)
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    graft.expressions.GraftExtensions.register(s)
+    s
+  }
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def eventsAsof(native: Boolean) = {
+    val events = sources.Catalog.table(spark, dir, "events")
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("signup_id"), col("value").as("signup_value"))
+    val l = events.select("event_id", "user_id", "ts", "event_type")
+    if (native)
+      AsofJoinNative.backward(l, signups, key = Seq("user_id"), on = "ts",
+        payload = Seq("signup_id", "signup_value"),
+        rightTiebreak = Some(col("signup_id")))
+    else
+      AsofJoin.backward(l, signups, key = Seq("user_id"), on = "ts",
+        payload = Seq("signup_id", "signup_value"),
+        rightTiebreak = Some(col("signup_id")))
+  }
+
+  test("native == composed union-window operator on the events table") {
+    val n = eventsAsof(native = true)
+    val c = eventsAsof(native = false)
+    assert(n.columns.toSeq === c.columns.toSeq)
+    assert(n.count() === c.count())
+    assert(n.exceptAll(c).count() === 0)
+    assert(c.exceptAll(n).count() === 0)
+  }
+
+  // flatten an executed adaptive plan, descending into query stages
+  private def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      p +: nodes(q.plan)
+    case _ => p +: p.children.flatMap(nodes)
+  }
+
+  test("plan: AsofJoinExec present, exactly one shuffle per side") {
+    val df = eventsAsof(native = true)
+    df.collect() // materialize so AQE finalizes the plan
+    val exec = df.queryExecution.executedPlan
+    val plan = exec match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val all = nodes(plan)
+    val asof = all.collect { case e: AsofJoinExec => e }
+    assert(asof.length === 1, s"expected AsofJoinExec in:\n$plan")
+    // exactly one hash exchange per side — the tie-break rides the
+    // demanded child sort, so NO dedup pre-pass exchange may appear
+    val shuffles = all.collect { case e: ShuffleExchangeLike => e }
+    assert(shuffles.length === 2,
+      s"as-of must shuffle each side exactly once:\n$plan")
+  }
+
+  test("NULL-time contract: null left never matches, null right never matched") {
+    import spark.implicits._
+    def t(s: String): Timestamp = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 1L, t("2024-01-01 00:00:05")),
+      (2L, 1L, null.asInstanceOf[Timestamp]),
+      (3L, 2L, t("2024-01-01 00:00:10"))
+    ).toDF("id", "k", "ts")
+    val right = Seq(
+      (1L, t("2024-01-01 00:00:01"), 10.0),
+      (1L, null.asInstanceOf[Timestamp], 99.0),
+      (2L, t("2024-01-01 00:00:10"), 20.0) // equal ts: <= matches
+    ).toDF("k", "ts", "v")
+    val r = AsofJoinNative.backward(left, right, key = Seq("k"), on = "ts",
+      payload = Seq("v")).orderBy("id").collect()
+    assert(r.map(x => Option(x.get(3))).toSeq ===
+      Seq(Some(10.0), None, Some(20.0)))
+  }
+
+  test("unmatched-before-first and latest-wins semantics") {
+    import spark.implicits._
+    def t(s: String): Timestamp = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 1L, t("2024-01-01 00:00:00")), // before any right row
+      (2L, 1L, t("2024-01-01 00:00:07")), // after two right rows: latest wins
+      (3L, 3L, t("2024-01-01 00:00:07")) // key with no right rows at all
+    ).toDF("id", "k", "ts")
+    val right = Seq(
+      (1L, t("2024-01-01 00:00:02"), 1.0),
+      (1L, t("2024-01-01 00:00:06"), 2.0)
+    ).toDF("k", "ts", "v")
+    val r = AsofJoinNative.backward(left, right, key = Seq("k"), on = "ts",
+      payload = Seq("v")).orderBy("id").collect()
+    assert(r.map(x => Option(x.get(3))).toSeq ===
+      Seq(None, Some(2.0), None))
+  }
+}
