@@ -102,6 +102,59 @@ class AsofNativeSpec extends AnyFunSuite {
       Seq(Some(10.0), None, Some(20.0)))
   }
 
+  test("bucketed-by-key sides as-of join with ZERO exchanges") {
+    // the 100 TB feature-store shape: events and the feature table both
+    // bucketed on the key — the native as-of needs no shuffle at all,
+    // only the demanded in-partition sorts
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_asof_bkt_").toString
+    val eTab = "graft_spec_asof_events"
+    val sTab = "graft_spec_asof_signups"
+    try {
+      val events = sources.Catalog.table(spark, dir, "events")
+      events.select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
+        .bucketBy(8, "user_id").sortBy("user_id", "ts")
+        .option("path", s"$stage/events").saveAsTable(eTab)
+      events.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("signup_id"), col("value").as("signup_value"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
+        .bucketBy(8, "user_id").sortBy("user_id", "ts")
+        .option("path", s"$stage/signups").saveAsTable(sTab)
+
+      val j = AsofJoinNative.backward(
+        spark.table(eTab), spark.table(sTab),
+        key = Seq("user_id"), on = "ts",
+        payload = Seq("signup_id", "signup_value"),
+        rightTiebreak = Some(col("signup_id")))
+      j.collect()
+      val exec = j.queryExecution.executedPlan
+      val plan = exec match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val all = nodes(plan)
+      assert(all.collect { case e: AsofJoinExec => e }.length === 1)
+      val shuffles = all.collect { case e: ShuffleExchangeLike => e }
+      assert(shuffles.isEmpty,
+        s"bucketed as-of must not shuffle:\n$plan")
+      // and still the same answer as the shuffling composed form
+      val c = eventsAsof(native = false)
+      assert(j.count() === c.count())
+      assert(j.exceptAll(c).count() === 0)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $eTab")
+      spark.sql(s"DROP TABLE IF EXISTS $sTab")
+      val d = new java.io.File(stage)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(d)
+    }
+  }
+
   test("unmatched-before-first and latest-wins semantics") {
     import spark.implicits._
     def t(s: String): Timestamp = Timestamp.valueOf(s)
