@@ -310,21 +310,25 @@ object Pipeline12 {
     },
 
     "q143_greedy_coverage" -> {
+      // every chained CTE is MATERIALIZED: without it DuckDB re-expands
+      // the reference chain (g5→c4→c3→…, each referencing sh) into an
+      // exponentially deep plan that spilled >75 GB at the x10 sweep
       val stages = (1 to 5).map { r =>
-        s"""g$r AS (SELECT doc_id, COUNT(*) AS gain FROM sh
+        s"""g$r AS MATERIALIZED (SELECT doc_id, COUNT(*) AS gain FROM sh
            |  WHERE token NOT IN (SELECT token FROM c${r - 1})
            |    AND doc_id NOT IN (SELECT doc_id FROM picked${r - 1})
            |  GROUP BY doc_id),
-           |p$r AS (SELECT CAST($r AS BIGINT) AS pick_rank, doc_id, gain
+           |p$r AS MATERIALIZED (SELECT CAST($r AS BIGINT) AS pick_rank,
+           |        doc_id, gain
            |        FROM g$r ORDER BY gain DESC, doc_id LIMIT 1),
-           |picked$r AS (SELECT doc_id FROM picked${r - 1}
+           |picked$r AS MATERIALIZED (SELECT doc_id FROM picked${r - 1}
            |             UNION ALL SELECT doc_id FROM p$r),
-           |c$r AS (SELECT token FROM c${r - 1}
+           |c$r AS MATERIALIZED (SELECT token FROM c${r - 1}
            |        UNION SELECT token FROM sh JOIN p$r USING (doc_id))"""
           .stripMargin
       }.mkString(",\n")
       s"""WITH d AS (SELECT doc_id, ${Pipeline3.sqlToks} AS tk FROM documents),
-         |sh AS (SELECT DISTINCT doc_id,
+         |sh AS MATERIALIZED (SELECT DISTINCT doc_id,
          |  unnest(list_transform(range(1, len(tk)),
          |    i_ -> ${Pipeline3.sqlKgram(2)})) AS token FROM d),
          |c0 AS (SELECT CAST(NULL AS VARCHAR) AS token WHERE false),
