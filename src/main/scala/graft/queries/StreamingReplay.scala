@@ -183,6 +183,58 @@ object StreamingReplay {
           sum(pmod(unix_micros(col("ts")), lit(1000000007L)))
             .as("ts_hash_sum"))
         .orderBy(col("event_type"))
+    }),
+
+    // Streaming NATIVE-AS-OF replay: the custom whole-operator
+    // physical as-of join (graft.plans.AsofJoinExec) running under
+    // incremental execution — events replay as micro-batches and each
+    // batch is as-of joined (foreachBatch) against the static
+    // purchases relation. Per-row matching against a static right
+    // side is batch-split-INVARIANT by construction, so the appended
+    // union over any number of micro-batches must hash-equal the
+    // one-shot batch answer (DuckDB ASOF LEFT JOIN — the q144 oracle
+    // over the same shape). This is the enrichment deployment shape:
+    // a stream joined to a slowly-changing feature/dimension snapshot,
+    // with the custom operator doing the per-batch work.
+    "q145_streaming_asof_replay" -> ((s, dir) => withReplayConf(s) {
+      val events = Catalog.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"))
+      val purchases = Catalog.table(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_id"),
+          col("value").as("purchase_value"))
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft_q145_replay_").toString
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_q145_out_").toString
+      events.repartition(replayFiles).write.mode(SaveMode.Overwrite)
+        .parquet(stage)
+      val stream = s.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.plans.AsofJoinNative.backward(
+            batch, purchases, key = Seq("user_id"), on = "ts",
+            payload = Seq("purchase_id", "purchase_value"),
+            rightTiebreak = Some(col("purchase_id")))
+            .write.mode(SaveMode.Append).parquet(outDir)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+      val out = s.read.parquet(outDir)
+        .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("event_type"), col("asof_purchase_id"),
+          col("asof_purchase_value"))
+        .orderBy(col("event_id"))
+        .localCheckpoint(true)
+      fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
+      out
     })
   )
 
@@ -230,6 +282,22 @@ object StreamingReplay {
         |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value,
         |  CAST(SUM(epoch_us(ts) % 1000000007) AS BIGINT) AS ts_hash_sum
         |FROM events
-        |GROUP BY event_type ORDER BY event_type""".stripMargin
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // identical to the q144 oracle — the streaming replay must
+    // converge to exactly the one-shot batch as-of answer
+    "q145_streaming_asof_replay" ->
+      """WITH purchases AS (
+        |  SELECT user_id, ts, event_id AS purchase_id,
+        |    value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts
+        |    ORDER BY event_id DESC) = 1)
+        |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, e.event_type,
+        |  p.purchase_id AS asof_purchase_id,
+        |  p.purchase_value AS asof_purchase_value
+        |FROM events e ASOF LEFT JOIN purchases p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.event_id""".stripMargin
   )
 }
