@@ -155,6 +155,32 @@ class AsofNativeSpec extends AnyFunSuite {
     }
   }
 
+  test("equal-(key,on) right rows: max tiebreak wins; composite keys work") {
+    import spark.implicits._
+    def t(s: String): Timestamp = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 1L, "a", t("2024-01-01 00:00:05")),
+      (2L, 1L, "b", t("2024-01-01 00:00:05"))
+    ).toDF("id", "k1", "k2", "ts")
+    val right = Seq(
+      (1L, "a", t("2024-01-01 00:00:03"), 7L, 1.0),
+      (1L, "a", t("2024-01-01 00:00:03"), 9L, 2.0), // same (key, ts): id 9 wins
+      (1L, "a", t("2024-01-01 00:00:03"), 8L, 3.0),
+      (1L, "b", t("2024-01-01 00:00:03"), 5L, 4.0)
+    ).toDF("k1", "k2", "ts", "rid", "v")
+    val n = AsofJoinNative.backward(left, right, key = Seq("k1", "k2"),
+      on = "ts", payload = Seq("rid", "v"),
+      rightTiebreak = Some(col("rid"))).orderBy("id").collect()
+    assert(n.map(r => (r.getAs[Long]("asof_rid"), r.getAs[Double]("asof_v")))
+      .toSeq === Seq((9L, 2.0), (5L, 4.0)))
+    // and the composed operator picks the identical winner
+    val c = AsofJoin.backward(left, right, key = Seq("k1", "k2"),
+      on = "ts", payload = Seq("rid", "v"),
+      rightTiebreak = Some(col("rid"))).orderBy("id").collect()
+    assert(c.map(r => (r.getAs[Long]("asof_rid"), r.getAs[Double]("asof_v")))
+      .toSeq === Seq((9L, 2.0), (5L, 4.0)))
+  }
+
   test("unmatched-before-first and latest-wins semantics") {
     import spark.implicits._
     def t(s: String): Timestamp = Timestamp.valueOf(s)
