@@ -74,6 +74,11 @@ object AsofJoinNative {
       prefix: String = "asof_",
       rightTiebreak: Option[Column] = None): DataFrame = {
     val spark = left.sparkSession
+    // the operator is unusable on a session whose planner lacks the
+    // strategy (getOrCreate can hand back a session built without the
+    // extensions) — the live-session hook is idempotent, so register
+    // unconditionally rather than fail at planning time
+    graft.expressions.GraftExtensions.register(spark)
     val stable: Column =
       if (payload.isEmpty) lit(1)
       else struct(payload.map(col): _*)
