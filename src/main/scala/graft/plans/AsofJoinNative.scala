@@ -65,6 +65,12 @@ object AsofJoinNative {
     * overwriting held state — so the LAST row in sort order wins, which
     * is exactly the max-tiebreak-then-max-payload winner the composed
     * operator's `.desc`-first-row convention picks. */
+  /** @param toleranceMicros max allowed `left.on - right.on` (micros;
+    *   `on` must be TIMESTAMP or LONG) — the pandas merge_asof
+    *   `tolerance` semantics: the latest right row still matches only
+    *   if it is within the window, else NULL payload. Nullification of
+    *   the plain as-of result is exactly equivalent (any earlier right
+    *   row is further away), which is how the oracle replays it. */
   def backward(
       left: DataFrame,
       right: DataFrame,
@@ -72,7 +78,8 @@ object AsofJoinNative {
       on: String,
       payload: Seq[String],
       prefix: String = "asof_",
-      rightTiebreak: Option[Column] = None): DataFrame = {
+      rightTiebreak: Option[Column] = None,
+      toleranceMicros: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     // the operator is unusable on a session whose planner lacks the
     // strategy (getOrCreate can hand back a session built without the
@@ -105,10 +112,17 @@ object AsofJoinNative {
     // any references bound above the node
     val payOut = pay.map(a =>
       AttributeReference(prefix + a.name, a.dataType, nullable = true)())
+    toleranceMicros.foreach { _ =>
+      val t = attr(lPlan, on).dataType
+      require(t == org.apache.spark.sql.types.TimestampType ||
+        t == org.apache.spark.sql.types.LongType,
+        s"toleranceMicros needs a TIMESTAMP or LONG `on` column, got $t")
+    }
     val node = AsofJoinNode(lPlan, rPlan,
       key.map(attr(lPlan, _)), key.map(attr(rPlan, _)),
       attr(lPlan, on), attr(rPlan, on), pay,
-      rPlan.output.filter(_.name.startsWith("__graft_tie_")), payOut)
+      rPlan.output.filter(_.name.startsWith("__graft_tie_")), payOut,
+      toleranceMicros)
     val out = GraftColumnBridge.ofRows(spark, node)
     out.select(left.columns.map(col) ++
       payload.map(p => col(prefix + p)): _*)
@@ -126,7 +140,8 @@ case class AsofJoinNode(
     rightOn: Attribute,
     payload: Seq[Attribute],
     rightTie: Seq[Attribute],
-    payloadOut: Seq[Attribute]) extends BinaryNode {
+    payloadOut: Seq[Attribute],
+    toleranceMicros: Option[Long] = None) extends BinaryNode {
 
   override def output: Seq[Attribute] = left.output ++ payloadOut
 
@@ -144,7 +159,7 @@ object AsofJoinStrategy extends SparkStrategy {
     case n: AsofJoinNode =>
       AsofJoinExec(planLater(n.left), planLater(n.right),
         n.leftKeys, n.rightKeys, n.leftOn, n.rightOn,
-        n.payload, n.rightTie, n.payloadOut) :: Nil
+        n.payload, n.rightTie, n.payloadOut, n.toleranceMicros) :: Nil
     case _ => Nil
   }
 }
@@ -162,7 +177,8 @@ case class AsofJoinExec(
     rightOn: Attribute,
     payload: Seq[Attribute],
     rightTie: Seq[Attribute],
-    payloadOut: Seq[Attribute]) extends BinaryExecNode {
+    payloadOut: Seq[Attribute],
+    toleranceMicros: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ payloadOut
 
@@ -208,6 +224,7 @@ case class AsofJoinExec(
     val payOutAttrs = payloadOut
     val keyTypes = leftKeys.map(_.dataType)
     val onType = leftOn.dataType
+    val tol = toleranceMicros
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyGen = UnsafeProjection.create(lKeyExprs, lOut)
@@ -224,9 +241,11 @@ case class AsofJoinExec(
       new Iterator[InternalRow] {
         private var rHead: InternalRow =
           if (rIter.hasNext) rIter.next() else null
-        // the O(1) merge state: latest right payload consumed, with its key
+        // the O(1) merge state: latest right payload consumed, with its
+        // key and (for the tolerance check) its time value
         private var heldKey: UnsafeRow = null
         private var heldPayload: UnsafeRow = null
+        private var heldOn: Long = 0L
 
         override def hasNext: Boolean = lIter.hasNext
 
@@ -252,6 +271,8 @@ case class AsofJoinExec(
                 } else if (onOrd.compare(rOn, lOn) <= 0) {
                   heldKey = rKey.copy()
                   heldPayload = payloadGen(rHead).copy()
+                  // TIMESTAMP and LONG both store a long at ordinal 0
+                  if (tol.isDefined) heldOn = rOn.getLong(0)
                   rHead = if (rIter.hasNext) rIter.next() else null
                   advance = rHead != null
                 } else advance = false
@@ -260,7 +281,8 @@ case class AsofJoinExec(
           }
           val p =
             if (!lOn.isNullAt(0) && heldPayload != null &&
-              heldKey.equals(lKey)) heldPayload
+              heldKey.equals(lKey) &&
+              tol.forall(t => lOn.getLong(0) - heldOn <= t)) heldPayload
             else nullPayload
           numOutputRows += 1
           outGen(joined(lRow, p))

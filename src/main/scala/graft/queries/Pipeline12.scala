@@ -238,6 +238,27 @@ object Pipeline12 {
         rightTiebreak = Some(col("purchase_id")))
         .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
         .orderBy(col("event_id"))
+    }),
+
+    // q144's operator with a 1-hour TOLERANCE (pandas merge_asof
+    // semantics): the latest purchase still matches only if within the
+    // window. Inside the exec this is one extra long comparison at
+    // emit; the oracle replays it as nullification of the plain as-of
+    // result (any earlier right row is further away, so equivalent).
+    "q146_asof_tolerance" -> ((s, dir) => {
+      val events = t(s, dir, "events")
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      graft.plans.AsofJoinNative.backward(
+        events.select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type")),
+        purchases, key = Seq("user_id"), on = "ts",
+        payload = Seq("purchase_id", "purchase_value"),
+        rightTiebreak = Some(col("purchase_id")),
+        toleranceMicros = Some(3600L * 1000000L))
+        .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
+        .orderBy(col("event_id"))
     })
   )
 
@@ -353,6 +374,22 @@ object Pipeline12 {
         |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, e.event_type,
         |  p.purchase_id AS asof_purchase_id,
         |  p.purchase_value AS asof_purchase_value
+        |FROM events e ASOF LEFT JOIN purchases p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q146_asof_tolerance" ->
+      """WITH purchases AS (
+        |  SELECT user_id, ts, event_id AS purchase_id,
+        |    value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts
+        |    ORDER BY event_id DESC) = 1)
+        |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, e.event_type,
+        |  CASE WHEN p.ts >= e.ts - INTERVAL 1 HOUR
+        |    THEN p.purchase_id END AS asof_purchase_id,
+        |  CASE WHEN p.ts >= e.ts - INTERVAL 1 HOUR
+        |    THEN p.purchase_value END AS asof_purchase_value
         |FROM events e ASOF LEFT JOIN purchases p
         |  ON e.user_id = p.user_id AND e.ts >= p.ts
         |ORDER BY e.event_id""".stripMargin

@@ -155,6 +155,29 @@ class AsofNativeSpec extends AnyFunSuite {
     }
   }
 
+  test("downstream window reuses the as-of's partitioning AND ordering") {
+    // outputPartitioning = hash(user_id), outputOrdering = (user_id, ts)
+    // are declared by the exec — a window over the same clustering must
+    // add NO exchange and NO sort beyond the two the as-of demanded
+    val j = eventsAsof(native = true)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"))
+    val out = j.withColumn("rn", row_number().over(w))
+    out.collect()
+    val plan = out.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val all = nodes(plan)
+    assert(all.collect { case e: AsofJoinExec => e }.length === 1)
+    assert(all.collect { case e: ShuffleExchangeLike => e }.length === 2,
+      s"window must reuse the as-of clustering:\n$plan")
+    val sorts = all.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s }
+    assert(sorts.length === 2,
+      s"window must reuse the as-of output ordering (2 child sorts only):\n$plan")
+  }
+
   test("equal-(key,on) right rows: max tiebreak wins; composite keys work") {
     import spark.implicits._
     def t(s: String): Timestamp = Timestamp.valueOf(s)
@@ -179,6 +202,25 @@ class AsofNativeSpec extends AnyFunSuite {
       rightTiebreak = Some(col("rid"))).orderBy("id").collect()
     assert(c.map(r => (r.getAs[Long]("asof_rid"), r.getAs[Double]("asof_v")))
       .toSeq === Seq((9L, 2.0), (5L, 4.0)))
+  }
+
+  test("tolerance boundary: exactly-at-tolerance matches, one micro past is null") {
+    import spark.implicits._
+    def t(s: String): Timestamp = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 1L, t("2024-01-01 00:00:10")), // right at :05 → lag 5s
+      (2L, 2L, t("2024-01-01 00:00:10"))
+    ).toDF("id", "k", "ts")
+    val right = Seq(
+      (1L, t("2024-01-01 00:00:05"), 1.0),
+      (2L, t("2024-01-01 00:00:05"), 2.0)
+    ).toDF("k", "ts", "v")
+    def run(tolUs: Long) = AsofJoinNative.backward(left, right,
+      key = Seq("k"), on = "ts", payload = Seq("v"),
+      toleranceMicros = Some(tolUs)).orderBy("id").collect()
+      .map(x => Option(x.get(3))).toSeq
+    assert(run(5000000L) === Seq(Some(1.0), Some(2.0)))   // == tol
+    assert(run(4999999L) === Seq(None, None))             // one micro short
   }
 
   test("unmatched-before-first and latest-wins semantics") {
