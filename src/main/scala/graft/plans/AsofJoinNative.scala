@@ -79,7 +79,8 @@ object AsofJoinNative {
       payload: Seq[String],
       prefix: String = "asof_",
       rightTiebreak: Option[Column] = None,
-      toleranceMicros: Option[Long] = None): DataFrame = {
+      toleranceMicros: Option[Long] = None,
+      forward: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     // the operator is unusable on a session whose planner lacks the
     // strategy (getOrCreate can hand back a session built without the
@@ -122,7 +123,7 @@ object AsofJoinNative {
       key.map(attr(lPlan, _)), key.map(attr(rPlan, _)),
       attr(lPlan, on), attr(rPlan, on), pay,
       rPlan.output.filter(_.name.startsWith("__graft_tie_")), payOut,
-      toleranceMicros)
+      toleranceMicros, forward)
     val out = GraftColumnBridge.ofRows(spark, node)
     out.select(left.columns.map(col) ++
       payload.map(p => col(prefix + p)): _*)
@@ -141,7 +142,8 @@ case class AsofJoinNode(
     payload: Seq[Attribute],
     rightTie: Seq[Attribute],
     payloadOut: Seq[Attribute],
-    toleranceMicros: Option[Long] = None) extends BinaryNode {
+    toleranceMicros: Option[Long] = None,
+    forward: Boolean = false) extends BinaryNode {
 
   override def output: Seq[Attribute] = left.output ++ payloadOut
 
@@ -159,7 +161,8 @@ object AsofJoinStrategy extends SparkStrategy {
     case n: AsofJoinNode =>
       AsofJoinExec(planLater(n.left), planLater(n.right),
         n.leftKeys, n.rightKeys, n.leftOn, n.rightOn,
-        n.payload, n.rightTie, n.payloadOut, n.toleranceMicros) :: Nil
+        n.payload, n.rightTie, n.payloadOut, n.toleranceMicros,
+        n.forward) :: Nil
     case _ => Nil
   }
 }
@@ -178,7 +181,8 @@ case class AsofJoinExec(
     payload: Seq[Attribute],
     rightTie: Seq[Attribute],
     payloadOut: Seq[Attribute],
-    toleranceMicros: Option[Long] = None) extends BinaryExecNode {
+    toleranceMicros: Option[Long] = None,
+    forward: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ payloadOut
 
@@ -225,6 +229,7 @@ case class AsofJoinExec(
     val keyTypes = leftKeys.map(_.dataType)
     val onType = leftOn.dataType
     val tol = toleranceMicros
+    val forward = this.forward
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyGen = UnsafeProjection.create(lKeyExprs, lOut)
@@ -241,11 +246,19 @@ case class AsofJoinExec(
       new Iterator[InternalRow] {
         private var rHead: InternalRow =
           if (rIter.hasNext) rIter.next() else null
-        // the O(1) merge state: latest right payload consumed, with its
-        // key and (for the tolerance check) its time value
+        // the O(1) merge state: the candidate right payload, with its
+        // key and time. Backward: the LATEST row consumed with
+        // on <= left.on. Forward: the tie-winner of the MINIMAL
+        // on >= left.on group (the group is consumed — safe, because
+        // no unconsumed row can have a time inside (prev left.on,
+        // held.on), that interval was empty by minimality).
         private var heldKey: UnsafeRow = null
         private var heldPayload: UnsafeRow = null
+        private var heldOnRow: UnsafeRow = null
         private var heldOn: Long = 0L
+
+        private def advanceR(): Unit =
+          rHead = if (rIter.hasNext) rIter.next() else null
 
         override def hasNext: Boolean = lIter.hasNext
 
@@ -254,35 +267,81 @@ case class AsofJoinExec(
           val lKey = lKeyGen(lRow)
           val lOn = lOnGen(lRow)
           if (!lOn.isNullAt(0)) {
-            var advance = rHead != null
-            while (advance) {
-              val rKey = rKeyGen(rHead)
-              val c = keyOrd.compare(rKey, lKey)
-              if (c < 0) {
-                // right stream is behind this left key — drain
-                rHead = if (rIter.hasNext) rIter.next() else null
-                advance = rHead != null
-              } else if (c == 0) {
-                val rOn = rOnGen(rHead)
-                if (rOn.isNullAt(0)) {
-                  // NULL right time sorts first and never matches — skip
-                  rHead = if (rIter.hasNext) rIter.next() else null
-                  advance = rHead != null
-                } else if (onOrd.compare(rOn, lOn) <= 0) {
-                  heldKey = rKey.copy()
-                  heldPayload = payloadGen(rHead).copy()
-                  // TIMESTAMP and LONG both store a long at ordinal 0
-                  if (tol.isDefined) heldOn = rOn.getLong(0)
-                  rHead = if (rIter.hasNext) rIter.next() else null
-                  advance = rHead != null
+            if (!forward) {
+              var advance = rHead != null
+              while (advance) {
+                val rKey = rKeyGen(rHead)
+                val c = keyOrd.compare(rKey, lKey)
+                if (c < 0) {
+                  // right stream is behind this left key — drain
+                  advanceR(); advance = rHead != null
+                } else if (c == 0) {
+                  val rOn = rOnGen(rHead)
+                  if (rOn.isNullAt(0)) {
+                    // NULL right time sorts first, never matches — skip
+                    advanceR(); advance = rHead != null
+                  } else if (onOrd.compare(rOn, lOn) <= 0) {
+                    heldKey = rKey.copy()
+                    heldPayload = payloadGen(rHead).copy()
+                    // TIMESTAMP and LONG both store a long at ordinal 0
+                    if (tol.isDefined) heldOn = rOn.getLong(0)
+                    advanceR(); advance = rHead != null
+                  } else advance = false
                 } else advance = false
-              } else advance = false
+              }
+            } else {
+              // forward: held stays valid while key matches and
+              // held.on >= left.on; otherwise re-drain
+              val heldValid = heldPayload != null &&
+                heldKey.equals(lKey) && onOrd.compare(heldOnRow, lOn) >= 0
+              if (!heldValid) {
+                heldPayload = null
+                var advance = rHead != null
+                while (advance) {
+                  val rKey = rKeyGen(rHead)
+                  val c = keyOrd.compare(rKey, lKey)
+                  if (c < 0) { advanceR(); advance = rHead != null }
+                  else if (c == 0) {
+                    val rOn = rOnGen(rHead)
+                    if (rOn.isNullAt(0) || onOrd.compare(rOn, lOn) < 0) {
+                      // behind this left time (or NULL): useless for
+                      // every later left row too — discard
+                      advanceR(); advance = rHead != null
+                    } else {
+                      // minimal on >= left.on: consume the whole
+                      // equal-(key, on) tie group, last (max-tie) wins
+                      heldKey = rKey.copy()
+                      heldOnRow = rOn.copy()
+                      if (tol.isDefined) heldOn = rOn.getLong(0)
+                      heldPayload = payloadGen(rHead).copy()
+                      advanceR()
+                      var inGroup = rHead != null
+                      while (inGroup) {
+                        val gKey = rKeyGen(rHead)
+                        if (keyOrd.compare(gKey, heldKey) == 0) {
+                          val gOn = rOnGen(rHead)
+                          if (!gOn.isNullAt(0) &&
+                            onOrd.compare(gOn, heldOnRow) == 0) {
+                            heldPayload = payloadGen(rHead).copy()
+                            advanceR(); inGroup = rHead != null
+                          } else inGroup = false
+                        } else inGroup = false
+                      }
+                      advance = false
+                    }
+                  } else advance = false
+                }
+              }
             }
           }
           val p =
             if (!lOn.isNullAt(0) && heldPayload != null &&
               heldKey.equals(lKey) &&
-              tol.forall(t => lOn.getLong(0) - heldOn <= t)) heldPayload
+              (if (!forward)
+                tol.forall(t => lOn.getLong(0) - heldOn <= t)
+              else onOrd.compare(heldOnRow, lOn) >= 0 &&
+                tol.forall(t => heldOn - lOn.getLong(0) <= t)))
+              heldPayload
             else nullPayload
           numOutputRows += 1
           outGen(joined(lRow, p))

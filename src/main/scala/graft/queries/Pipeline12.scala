@@ -259,6 +259,27 @@ object Pipeline12 {
         toleranceMicros = Some(3600L * 1000000L))
         .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
         .orderBy(col("event_id"))
+    }),
+
+    // FORWARD direction: each event matched to the user's EARLIEST
+    // purchase at-or-after it (next-conversion attribution). Same
+    // merge pass, but the candidate is the lookahead row — the
+    // equal-time tie group is consumed keeping the max-tiebreak
+    // winner, everything else stays unconsumed for later left rows.
+    "q147_asof_forward" -> ((s, dir) => {
+      val events = t(s, dir, "events")
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      graft.plans.AsofJoinNative.backward(
+        events.select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type")),
+        purchases, key = Seq("user_id"), on = "ts",
+        payload = Seq("purchase_id", "purchase_value"),
+        rightTiebreak = Some(col("purchase_id")),
+        forward = true)
+        .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
+        .orderBy(col("event_id"))
     })
   )
 
@@ -392,6 +413,20 @@ object Pipeline12 {
         |    THEN p.purchase_value END AS asof_purchase_value
         |FROM events e ASOF LEFT JOIN purchases p
         |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q147_asof_forward" ->
+      """WITH purchases AS (
+        |  SELECT user_id, ts, event_id AS purchase_id,
+        |    value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts
+        |    ORDER BY event_id DESC) = 1)
+        |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, e.event_type,
+        |  p.purchase_id AS asof_purchase_id,
+        |  p.purchase_value AS asof_purchase_value
+        |FROM events e ASOF LEFT JOIN purchases p
+        |  ON e.user_id = p.user_id AND e.ts <= p.ts
         |ORDER BY e.event_id""".stripMargin
   )
 }

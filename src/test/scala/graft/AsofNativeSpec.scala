@@ -223,6 +223,32 @@ class AsofNativeSpec extends AnyFunSuite {
     assert(run(4999999L) === Seq(None, None))             // one micro short
   }
 
+  test("forward direction: earliest-at-or-after wins; tolerance bounds ahead") {
+    import spark.implicits._
+    def t(s: String): Timestamp = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 1L, t("2024-01-01 00:00:00")), // rights at :02/:06 → :02 wins
+      (2L, 1L, t("2024-01-01 00:00:02")), // equal ts matches (:02)
+      (3L, 1L, t("2024-01-01 00:00:03")), // next is :06
+      (4L, 1L, t("2024-01-01 00:00:07")), // nothing ahead → null
+      (5L, 2L, t("2024-01-01 00:00:00")) // key with no right rows
+    ).toDF("id", "k", "ts")
+    val right = Seq(
+      (1L, t("2024-01-01 00:00:02"), 1.0),
+      (1L, t("2024-01-01 00:00:02"), 1.5), // tie: max payload wins
+      (1L, t("2024-01-01 00:00:06"), 2.0)
+    ).toDF("k", "ts", "v")
+    def run(tolUs: Option[Long]) = AsofJoinNative.backward(left, right,
+      key = Seq("k"), on = "ts", payload = Seq("v"),
+      toleranceMicros = tolUs, forward = true).orderBy("id").collect()
+      .map(x => Option(x.get(3))).toSeq
+    assert(run(None) ===
+      Seq(Some(1.5), Some(1.5), Some(2.0), None, None))
+    // 2s look-AHEAD: id 1 (:00→:02) in, id 3 (:03→:06) out
+    assert(run(Some(2000000L)) ===
+      Seq(Some(1.5), Some(1.5), None, None, None))
+  }
+
   test("unmatched-before-first and latest-wins semantics") {
     import spark.implicits._
     def t(s: String): Timestamp = Timestamp.valueOf(s)
