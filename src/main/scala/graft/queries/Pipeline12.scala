@@ -46,12 +46,14 @@ import graft.operators.FuzzyDedup
   *    unrolls the same 5 stages as CTEs, so both engines replay the
   *    identical deterministic tie-break (gain DESC, doc_id ASC).
   *
-  *  - q144 native as-of join: the [[graft.plans.AsofJoinNative]]
-  *    whole-operator path (custom LogicalPlan + SparkStrategy +
-  *    SparkPlan via SparkSessionExtensions) over the same events
-  *    shape as q10's composed union-window form — one exchange per
-  *    side, O(1) merge state, oracle-checked against DuckDB's native
-  *    ASOF LEFT JOIN.
+  *  - q144/q146/q147 native as-of join: the
+  *    [[graft.plans.AsofJoinNative]] whole-operator path (custom
+  *    LogicalPlan + SparkStrategy + SparkPlan via
+  *    SparkSessionExtensions) over the same events shape as q10's
+  *    composed union-window form — one exchange per side, O(1) merge
+  *    state, oracle-checked against DuckDB's native ASOF LEFT JOIN.
+  *    q146 adds the merge_asof tolerance (max-lookback) variant; q147
+  *    the forward (earliest-at-or-after) direction.
   *
   * Reference anchor: the reference's pipeline dedups rows only via
   * its T-SQL DISTINCT/ROW_NUMBER idioms (Select de Importação de
