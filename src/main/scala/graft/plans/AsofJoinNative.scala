@@ -80,7 +80,9 @@ object AsofJoinNative {
       prefix: String = "asof_",
       rightTiebreak: Option[Column] = None,
       toleranceMicros: Option[Long] = None,
-      forward: Boolean = false): DataFrame = {
+      direction: String = "backward"): DataFrame = {
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest, got $direction")
     val spark = left.sparkSession
     // the operator is unusable on a session whose planner lacks the
     // strategy (getOrCreate can hand back a session built without the
@@ -113,17 +115,17 @@ object AsofJoinNative {
     // any references bound above the node
     val payOut = pay.map(a =>
       AttributeReference(prefix + a.name, a.dataType, nullable = true)())
-    toleranceMicros.foreach { _ =>
+    if (toleranceMicros.isDefined || direction == "nearest") {
       val t = attr(lPlan, on).dataType
       require(t == org.apache.spark.sql.types.TimestampType ||
         t == org.apache.spark.sql.types.LongType,
-        s"toleranceMicros needs a TIMESTAMP or LONG `on` column, got $t")
+        s"tolerance/nearest need a TIMESTAMP or LONG `on` column, got $t")
     }
     val node = AsofJoinNode(lPlan, rPlan,
       key.map(attr(lPlan, _)), key.map(attr(rPlan, _)),
       attr(lPlan, on), attr(rPlan, on), pay,
       rPlan.output.filter(_.name.startsWith("__graft_tie_")), payOut,
-      toleranceMicros, forward)
+      toleranceMicros, direction)
     val out = GraftColumnBridge.ofRows(spark, node)
     out.select(left.columns.map(col) ++
       payload.map(p => col(prefix + p)): _*)
@@ -143,7 +145,7 @@ case class AsofJoinNode(
     rightTie: Seq[Attribute],
     payloadOut: Seq[Attribute],
     toleranceMicros: Option[Long] = None,
-    forward: Boolean = false) extends BinaryNode {
+    direction: String = "backward") extends BinaryNode {
 
   override def output: Seq[Attribute] = left.output ++ payloadOut
 
@@ -162,7 +164,7 @@ object AsofJoinStrategy extends SparkStrategy {
       AsofJoinExec(planLater(n.left), planLater(n.right),
         n.leftKeys, n.rightKeys, n.leftOn, n.rightOn,
         n.payload, n.rightTie, n.payloadOut, n.toleranceMicros,
-        n.forward) :: Nil
+        n.direction) :: Nil
     case _ => Nil
   }
 }
@@ -182,7 +184,7 @@ case class AsofJoinExec(
     rightTie: Seq[Attribute],
     payloadOut: Seq[Attribute],
     toleranceMicros: Option[Long] = None,
-    forward: Boolean = false) extends BinaryExecNode {
+    direction: String = "backward") extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ payloadOut
 
@@ -229,7 +231,7 @@ case class AsofJoinExec(
     val keyTypes = leftKeys.map(_.dataType)
     val onType = leftOn.dataType
     val tol = toleranceMicros
-    val forward = this.forward
+    val dir = direction
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyGen = UnsafeProjection.create(lKeyExprs, lOut)
@@ -246,19 +248,96 @@ case class AsofJoinExec(
       new Iterator[InternalRow] {
         private var rHead: InternalRow =
           if (rIter.hasNext) rIter.next() else null
-        // the O(1) merge state: the candidate right payload, with its
-        // key and time. Backward: the LATEST row consumed with
-        // on <= left.on. Forward: the tie-winner of the MINIMAL
-        // on >= left.on group (the group is consumed — safe, because
-        // no unconsumed row can have a time inside (prev left.on,
-        // held.on), that interval was empty by minimality).
-        private var heldKey: UnsafeRow = null
-        private var heldPayload: UnsafeRow = null
-        private var heldOnRow: UnsafeRow = null
-        private var heldOn: Long = 0L
+        // The O(1) merge state — two candidate slots:
+        //  - b*: BACKWARD candidate, the latest row consumed with
+        //    on <= left.on (backward + nearest modes);
+        //  - f*: FORWARD candidate, the tie-winner of the MINIMAL
+        //    on >= left.on group (forward + nearest modes). The group
+        //    is consumed — safe, because by minimality no unconsumed
+        //    row has a time inside (left.on, f.on); in nearest mode a
+        //    folded f (f.on <= new left.on) BECOMES the backward
+        //    candidate before further draining, so nothing is lost.
+        private var bKey: UnsafeRow = null
+        private var bPayload: UnsafeRow = null
+        private var bOn: Long = 0L
+        private var fKey: UnsafeRow = null
+        private var fPayload: UnsafeRow = null
+        private var fOnRow: UnsafeRow = null
+        private var fOn: Long = 0L
+        // nearest needs both candidates' long times; tolerance needs
+        // its side's
+        private val needLongOn = tol.isDefined || dir == "nearest"
 
         private def advanceR(): Unit =
           rHead = if (rIter.hasNext) rIter.next() else null
+
+        /** Consume rows with on <= left.on into the backward slot;
+          * stops at the first same-key row past left.on (unconsumed). */
+        private def drainBackward(lKey: UnsafeRow, lOn: UnsafeRow): Unit = {
+          var advance = rHead != null
+          while (advance) {
+            val rKey = rKeyGen(rHead)
+            val c = keyOrd.compare(rKey, lKey)
+            if (c < 0) {
+              // right stream is behind this left key — drain
+              advanceR(); advance = rHead != null
+            } else if (c == 0) {
+              val rOn = rOnGen(rHead)
+              if (rOn.isNullAt(0)) {
+                // NULL right time sorts first, never matches — skip
+                advanceR(); advance = rHead != null
+              } else if (onOrd.compare(rOn, lOn) <= 0) {
+                bKey = rKey.copy()
+                bPayload = payloadGen(rHead).copy()
+                // TIMESTAMP and LONG both store a long at ordinal 0
+                if (needLongOn) bOn = rOn.getLong(0)
+                advanceR(); advance = rHead != null
+              } else advance = false
+            } else advance = false
+          }
+        }
+
+        /** Capture the minimal on >= left.on tie group (same key) into
+          * the forward slot, consuming it; last (max-tie) row wins.
+          * Assumes rows with on < left.on were already drained (either
+          * into the backward slot or discarded). */
+        private def captureForward(lKey: UnsafeRow, lOn: UnsafeRow): Unit = {
+          fPayload = null
+          var advance = rHead != null
+          while (advance) {
+            val rKey = rKeyGen(rHead)
+            val c = keyOrd.compare(rKey, lKey)
+            if (c < 0) { advanceR(); advance = rHead != null }
+            else if (c == 0) {
+              val rOn = rOnGen(rHead)
+              if (rOn.isNullAt(0) || onOrd.compare(rOn, lOn) < 0) {
+                // behind this left time (or NULL): useless for every
+                // later left row too — discard (forward-only mode;
+                // nearest drains these into the backward slot first)
+                advanceR(); advance = rHead != null
+              } else {
+                fKey = rKey.copy()
+                fOnRow = rOn.copy()
+                if (needLongOn) fOn = rOn.getLong(0)
+                fPayload = payloadGen(rHead).copy()
+                advanceR()
+                var inGroup = rHead != null
+                while (inGroup) {
+                  val gKey = rKeyGen(rHead)
+                  if (keyOrd.compare(gKey, fKey) == 0) {
+                    val gOn = rOnGen(rHead)
+                    if (!gOn.isNullAt(0) &&
+                      onOrd.compare(gOn, fOnRow) == 0) {
+                      fPayload = payloadGen(rHead).copy()
+                      advanceR(); inGroup = rHead != null
+                    } else inGroup = false
+                  } else inGroup = false
+                }
+                advance = false
+              }
+            } else advance = false
+          }
+        }
 
         override def hasNext: Boolean = lIter.hasNext
 
@@ -267,82 +346,48 @@ case class AsofJoinExec(
           val lKey = lKeyGen(lRow)
           val lOn = lOnGen(lRow)
           if (!lOn.isNullAt(0)) {
-            if (!forward) {
-              var advance = rHead != null
-              while (advance) {
-                val rKey = rKeyGen(rHead)
-                val c = keyOrd.compare(rKey, lKey)
-                if (c < 0) {
-                  // right stream is behind this left key — drain
-                  advanceR(); advance = rHead != null
-                } else if (c == 0) {
-                  val rOn = rOnGen(rHead)
-                  if (rOn.isNullAt(0)) {
-                    // NULL right time sorts first, never matches — skip
-                    advanceR(); advance = rHead != null
-                  } else if (onOrd.compare(rOn, lOn) <= 0) {
-                    heldKey = rKey.copy()
-                    heldPayload = payloadGen(rHead).copy()
-                    // TIMESTAMP and LONG both store a long at ordinal 0
-                    if (tol.isDefined) heldOn = rOn.getLong(0)
-                    advanceR(); advance = rHead != null
-                  } else advance = false
-                } else advance = false
-              }
-            } else {
-              // forward: held stays valid while key matches and
-              // held.on >= left.on; otherwise re-drain
-              val heldValid = heldPayload != null &&
-                heldKey.equals(lKey) && onOrd.compare(heldOnRow, lOn) >= 0
-              if (!heldValid) {
-                heldPayload = null
-                var advance = rHead != null
-                while (advance) {
-                  val rKey = rKeyGen(rHead)
-                  val c = keyOrd.compare(rKey, lKey)
-                  if (c < 0) { advanceR(); advance = rHead != null }
-                  else if (c == 0) {
-                    val rOn = rOnGen(rHead)
-                    if (rOn.isNullAt(0) || onOrd.compare(rOn, lOn) < 0) {
-                      // behind this left time (or NULL): useless for
-                      // every later left row too — discard
-                      advanceR(); advance = rHead != null
-                    } else {
-                      // minimal on >= left.on: consume the whole
-                      // equal-(key, on) tie group, last (max-tie) wins
-                      heldKey = rKey.copy()
-                      heldOnRow = rOn.copy()
-                      if (tol.isDefined) heldOn = rOn.getLong(0)
-                      heldPayload = payloadGen(rHead).copy()
-                      advanceR()
-                      var inGroup = rHead != null
-                      while (inGroup) {
-                        val gKey = rKeyGen(rHead)
-                        if (keyOrd.compare(gKey, heldKey) == 0) {
-                          val gOn = rOnGen(rHead)
-                          if (!gOn.isNullAt(0) &&
-                            onOrd.compare(gOn, heldOnRow) == 0) {
-                            heldPayload = payloadGen(rHead).copy()
-                            advanceR(); inGroup = rHead != null
-                          } else inGroup = false
-                        } else inGroup = false
-                      }
-                      advance = false
-                    }
-                  } else advance = false
+            dir match {
+              case "backward" => drainBackward(lKey, lOn)
+              case "forward" =>
+                val fValid = fPayload != null && fKey.equals(lKey) &&
+                  onOrd.compare(fOnRow, lOn) >= 0
+                if (!fValid) captureForward(lKey, lOn)
+              case _ => // nearest
+                // a forward candidate that fell at-or-behind this left
+                // row IS the latest on <= left.on so far — fold it
+                if (fPayload != null && fKey.equals(lKey) &&
+                  onOrd.compare(fOnRow, lOn) <= 0) {
+                  bKey = fKey; bPayload = fPayload; bOn = fOn
+                  fPayload = null
                 }
-              }
+                drainBackward(lKey, lOn)
+                val fValid = fPayload != null && fKey.equals(lKey) &&
+                  onOrd.compare(fOnRow, lOn) > 0
+                if (!fValid) captureForward(lKey, lOn)
             }
           }
           val p =
-            if (!lOn.isNullAt(0) && heldPayload != null &&
-              heldKey.equals(lKey) &&
-              (if (!forward)
-                tol.forall(t => lOn.getLong(0) - heldOn <= t)
-              else onOrd.compare(heldOnRow, lOn) >= 0 &&
-                tol.forall(t => heldOn - lOn.getLong(0) <= t)))
-              heldPayload
-            else nullPayload
+            if (lOn.isNullAt(0)) nullPayload
+            else {
+              val bOk = bPayload != null && bKey.equals(lKey) &&
+                tol.forall(t => lOn.getLong(0) - bOn <= t)
+              val fOk = fPayload != null && fKey.equals(lKey) &&
+                onOrd.compare(fOnRow, lOn) >= 0 &&
+                tol.forall(t => fOn - lOn.getLong(0) <= t)
+              dir match {
+                case "backward" => if (bOk) bPayload else nullPayload
+                case "forward" => if (fOk) fPayload else nullPayload
+                case _ =>
+                  if (bOk && fOk) {
+                    // tie → backward, the merge_asof convention
+                    if (lOn.getLong(0) - bOn <= fOn - lOn.getLong(0))
+                      bPayload
+                    else fPayload
+                  } else if (bOk) bPayload
+                  else if (fOk) fPayload
+                  else nullPayload
+              }
+            }
           numOutputRows += 1
           outGen(joined(lRow, p))
         }

@@ -279,7 +279,27 @@ object Pipeline12 {
         purchases, key = Seq("user_id"), on = "ts",
         payload = Seq("purchase_id", "purchase_value"),
         rightTiebreak = Some(col("purchase_id")),
-        forward = true)
+        direction = "forward")
+        .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
+        .orderBy(col("event_id"))
+    }),
+
+    // NEAREST direction (the third merge_asof mode): whichever of the
+    // backward/forward candidates is closer in time, ties → backward.
+    // One merge pass maintains both O(1) candidate slots; the oracle
+    // replays it as two DuckDB ASOF joins + a CASE distance pick.
+    "q148_asof_nearest" -> ((s, dir) => {
+      val events = t(s, dir, "events")
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      graft.plans.AsofJoinNative.backward(
+        events.select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type")),
+        purchases, key = Seq("user_id"), on = "ts",
+        payload = Seq("purchase_id", "purchase_value"),
+        rightTiebreak = Some(col("purchase_id")),
+        direction = "nearest")
         .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
         .orderBy(col("event_id"))
     })
@@ -429,6 +449,33 @@ object Pipeline12 {
         |  p.purchase_value AS asof_purchase_value
         |FROM events e ASOF LEFT JOIN purchases p
         |  ON e.user_id = p.user_id AND e.ts <= p.ts
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q148_asof_nearest" ->
+      """WITH purchases AS (
+        |  SELECT user_id, ts, event_id AS purchase_id,
+        |    value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts
+        |    ORDER BY event_id DESC) = 1),
+        |b AS (SELECT e.event_id, p.purchase_id AS bid,
+        |    p.purchase_value AS bv, p.ts AS bts
+        |  FROM events e ASOF LEFT JOIN purchases p
+        |    ON e.user_id = p.user_id AND e.ts >= p.ts),
+        |f AS (SELECT e.event_id, p.purchase_id AS fid,
+        |    p.purchase_value AS fv, p.ts AS fts
+        |  FROM events e ASOF LEFT JOIN purchases p
+        |    ON e.user_id = p.user_id AND e.ts <= p.ts),
+        |pick AS (SELECT event_id,
+        |    (bid IS NOT NULL AND (fid IS NULL OR
+        |      epoch_us(e2.ts) - epoch_us(bts) <=
+        |      epoch_us(fts) - epoch_us(e2.ts))) AS use_b
+        |  FROM events e2 JOIN b USING (event_id) JOIN f USING (event_id))
+        |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, e.event_type,
+        |  CASE WHEN use_b THEN bid ELSE fid END AS asof_purchase_id,
+        |  CASE WHEN use_b THEN bv ELSE fv END AS asof_purchase_value
+        |FROM events e JOIN b USING (event_id) JOIN f USING (event_id)
+        |  JOIN pick USING (event_id)
         |ORDER BY e.event_id""".stripMargin
   )
 }

@@ -240,13 +240,42 @@ class AsofNativeSpec extends AnyFunSuite {
     ).toDF("k", "ts", "v")
     def run(tolUs: Option[Long]) = AsofJoinNative.backward(left, right,
       key = Seq("k"), on = "ts", payload = Seq("v"),
-      toleranceMicros = tolUs, forward = true).orderBy("id").collect()
+      toleranceMicros = tolUs, direction = "forward").orderBy("id").collect()
       .map(x => Option(x.get(3))).toSeq
     assert(run(None) ===
       Seq(Some(1.5), Some(1.5), Some(2.0), None, None))
     // 2s look-AHEAD: id 1 (:00→:02) in, id 3 (:03→:06) out
     assert(run(Some(2000000L)) ===
       Seq(Some(1.5), Some(1.5), None, None, None))
+  }
+
+  test("nearest direction: closer side wins, exact tie prefers backward") {
+    import spark.implicits._
+    def t(s: String): Timestamp = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 1L, t("2024-01-01 00:00:04")), // :02 behind (2s) vs :10 ahead (6s) → behind
+      (2L, 1L, t("2024-01-01 00:00:09")), // :02 behind (7s) vs :10 ahead (1s) → ahead
+      (3L, 1L, t("2024-01-01 00:00:06")), // 4s both ways → tie → backward
+      (4L, 1L, t("2024-01-01 00:00:00")), // before first → forward only
+      (5L, 1L, t("2024-01-01 00:00:20")), // after last → backward only
+      (6L, 2L, t("2024-01-01 00:00:00")) // no right rows at all
+    ).toDF("id", "k", "ts")
+    val right = Seq(
+      (1L, t("2024-01-01 00:00:02"), 1.0),
+      (1L, t("2024-01-01 00:00:10"), 2.0)
+    ).toDF("k", "ts", "v")
+    val got = AsofJoinNative.backward(left, right, key = Seq("k"),
+      on = "ts", payload = Seq("v"), direction = "nearest")
+      .orderBy("id").collect().map(x => Option(x.get(3))).toSeq
+    assert(got === Seq(Some(1.0), Some(2.0), Some(1.0), Some(1.0),
+      Some(2.0), None))
+    // tolerance bounds BOTH directions: 3s window keeps only rows
+    // within 3s of a purchase
+    val tol = AsofJoinNative.backward(left, right, key = Seq("k"),
+      on = "ts", payload = Seq("v"), direction = "nearest",
+      toleranceMicros = Some(3000000L))
+      .orderBy("id").collect().map(x => Option(x.get(3))).toSeq
+    assert(tol === Seq(Some(1.0), Some(2.0), None, Some(1.0), None, None))
   }
 
   test("unmatched-before-first and latest-wins semantics") {
