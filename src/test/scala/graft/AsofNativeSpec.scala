@@ -278,6 +278,31 @@ class AsofNativeSpec extends AnyFunSuite {
     assert(tol === Seq(Some(1.0), Some(2.0), None, Some(1.0), None, None))
   }
 
+  test("real data: nearest's pick is always one of backward/forward picks") {
+    val events = sources.Catalog.table(spark, dir, "events")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("pid"), col("value").as("pv"))
+    val l = events.select("event_id", "user_id", "ts")
+    def run(d: String) = AsofJoinNative.backward(l, purchases,
+      key = Seq("user_id"), on = "ts", payload = Seq("pid"),
+      rightTiebreak = Some(col("pid")), direction = d)
+      .select(col("event_id"), col("asof_pid").as(s"pid_$d"))
+    val j = run("nearest")
+      .join(run("backward"), "event_id").join(run("forward"), "event_id")
+    assert(j.count() === events.count())
+    // nearest == backward OR nearest == forward on every row (NULL
+    // nearest only where both are NULL)
+    val bad = j.filter(!(
+      col("pid_nearest") <=> col("pid_backward") ||
+        col("pid_nearest") <=> col("pid_forward")))
+    assert(bad.count() === 0)
+    // and nearest is NULL exactly where both directions are NULL
+    assert(j.filter(col("pid_nearest").isNull &&
+      (col("pid_backward").isNotNull || col("pid_forward").isNotNull))
+      .count() === 0)
+  }
+
   test("unmatched-before-first and latest-wins semantics") {
     import spark.implicits._
     def t(s: String): Timestamp = Timestamp.valueOf(s)
