@@ -37,13 +37,18 @@ import org.apache.spark.sql.functions.{col, lit, struct}
   * holding ONE (key, payload) pair of state, no union row-widening, no
   * window buffer.
   *
-  * Semantics (matches [[graft.operators.AsofJoin.backward]], DuckDB
-  * `ASOF LEFT JOIN` `<=` convention): for each left row, the payload of
-  * the right row with the greatest `on <= left.on` in the same key
-  * group; unmatched left rows keep NULL payload. A NULL `on` (either
-  * side) never matches — pinned by AsofNativeSpec. NULL join keys
-  * group together (Spark sort semantics), diverging from SQL equality
-  * joins — same caveat the sort-merge-join-based composed form has.
+  * Semantics (backward mode matches [[graft.operators.AsofJoin.backward]]
+  * and DuckDB's `ASOF LEFT JOIN` `<=` convention): for each left row,
+  * the payload of the right row with the greatest `on <= left.on` in
+  * the same key group; unmatched left rows keep NULL payload. All three
+  * merge_asof directions run on the same single pass — `forward` holds
+  * the minimal at-or-after tie group as the candidate, `nearest` keeps
+  * BOTH O(1) candidate slots and picks the closer (ties → backward) —
+  * and `toleranceMicros` bounds the allowed time distance. A NULL `on`
+  * (either side) never matches — pinned by AsofNativeSpec. NULL join
+  * keys group together (Spark sort semantics), diverging from SQL
+  * equality joins — same caveat the sort-merge-join-based composed
+  * form has.
   *
   * 100 TB read: ONE exchange per side (the composed form needs a
   * second right-side exchange for its (key, on) tie-break dedup
@@ -55,7 +60,8 @@ import org.apache.spark.sql.functions.{col, lit, struct}
   */
 object AsofJoinNative {
 
-  /** DataFrame-level entry; mirrors [[graft.operators.AsofJoin.backward]].
+  /** DataFrame-level entry; with the default direction it mirrors
+    * [[graft.operators.AsofJoin.backward]].
     *
     * Tie handling needs NO pre-dedup pass (the composed form runs a
     * (key, on)-partitioned ROW_NUMBER window first, costing a second
@@ -64,13 +70,20 @@ object AsofJoinNative {
     * ASC) and the merge consumes every right row with `on <= left.on`,
     * overwriting held state — so the LAST row in sort order wins, which
     * is exactly the max-tiebreak-then-max-payload winner the composed
-    * operator's `.desc`-first-row convention picks. */
-  /** @param toleranceMicros max allowed `left.on - right.on` (micros;
-    *   `on` must be TIMESTAMP or LONG) — the pandas merge_asof
-    *   `tolerance` semantics: the latest right row still matches only
-    *   if it is within the window, else NULL payload. Nullification of
-    *   the plain as-of result is exactly equivalent (any earlier right
-    *   row is further away), which is how the oracle replays it. */
+    * operator's `.desc`-first-row convention picks. (In forward/nearest
+    * modes the same convention applies to the consumed equal-(key, on)
+    * tie group.)
+    *
+    * @param toleranceMicros max allowed time distance (micros; `on`
+    *   must be TIMESTAMP or LONG) — pandas merge_asof `tolerance`: the
+    *   candidate matches only if within the window, else NULL payload.
+    *   For backward that is nullification of the plain as-of result
+    *   (any earlier right row is further away — equivalent, which is
+    *   how the oracle replays it); for forward/nearest it bounds the
+    *   look-ahead/both sides.
+    * @param direction "backward" (latest at-or-before, default),
+    *   "forward" (earliest at-or-after), or "nearest" (closer of the
+    *   two, exact ties → backward — the merge_asof convention). */
   def backward(
       left: DataFrame,
       right: DataFrame,
