@@ -57,6 +57,13 @@ import org.apache.spark.sql.functions.{col, lit, struct}
   * dissimilar schemas), and the merge state is O(1) per partition.
   * Result-identical row-for-row with the composed operator
   * (AsofNativeSpec pins the multiset equality).
+  *
+  * Skew caveat: AQE's OptimizeSkewedJoin only recognizes Spark's own
+  * join execs, so a pathological hot key concentrates in one task here
+  * — exactly as it does in the composed form's per-key window — and
+  * must be pre-split upstream (e.g. salt + union the re-as-of of the
+  * hot key's slice). Inherent to per-key as-of semantics, not this
+  * implementation.
   */
 object AsofJoinNative {
 
