@@ -21,9 +21,22 @@ import org.apache.spark.sql.SparkSession
   *    JIT/codegen-warm JVM (steady-state cost, the regime a long-lived
   *    1000-executor cluster actually runs in); queries execute in name
   *    order for run-to-run comparability.
+  *  - (round 9) the host 1-minute load average is sampled before each
+  *    query and emitted as a parallel `"load"` map plus suite-level
+  *    `load_start`/`load_end`. Three of the last four rounds burned a
+  *    verdict cycle asking "transient or regression?" about multi-×
+  *    readings on unchanged code; with per-query load in the JSON a
+  *    19× outlier that coincides with loadavg ≫ cpus is classifiable
+  *    without a quiet-box re-run.
   */
 object Bench {
   private val Runs = 3
+
+  /** Host 1-minute load average (-1.0 if unreadable, e.g. non-Linux). */
+  private def loadAvg1m(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split("\\s+")(0).toDouble
+    catch { case scala.util.control.NonFatal(_) => -1.0 }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -52,12 +65,14 @@ object Bench {
     // the driver passes no args → full suite
     val nameFilter = args.lift(0).map(_.r)
     val failed = scala.collection.mutable.ListBuffer.empty[String]
+    val loadStart = loadAvg1m()
     // numeric order (q09 before q100) for run-to-run comparability
     val results = SparkEntry.queries.toSeq
       .sortBy { case (n, _) => (n.drop(1).takeWhile(_.isDigit).toInt, n) }
       .filter { case (n, _) => nameFilter.forall(_.findFirstIn(n).isDefined) }
       .flatMap {
       case (name, _) =>
+        val loadBefore = loadAvg1m()
         val times = (1 to Runs).flatMap { _ =>
           val t0 = System.nanoTime()
           val ok =
@@ -70,13 +85,15 @@ object Bench {
           if (ok) Some(elapsed) else None
         }
         if (times.size < Runs) { failed += name; None }
-        else Some(name -> times.sorted.apply(Runs / 2))
+        else Some(name -> (times.sorted.apply(Runs / 2), loadBefore))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val loads = results.map { case (k, (_, l)) => "\"" + k + "\":" + l }
       .mkString("{", ",", "}")
     val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","n_runs":$Runs,"queries":$qs,"failed":$fj,"sf":"$sfDir"}"""
+    val total = results.map(_._2._1).sum
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","n_runs":$Runs,"queries":$qs,"load":$loads,"load_start":$loadStart,"load_end":${loadAvg1m()},"failed":$fj,"sf":"$sfDir"}"""
     println(full)
     // The per-query line grows with the suite and a tail-capture of the
     // process output can truncate its FRONT (losing the total). Emit a

@@ -132,7 +132,13 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(RewritePolyHash))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewritePolyHash
-    if (!spark.experimental.extraStrategies.contains(graft.plans.AsofJoinStrategy))
+    // check the PLANNER's assembled strategy list, not just
+    // experimental.extraStrategies: a session built withExtensions
+    // already carries the strategy via customPlannerStrategies, and
+    // appending it again would make the planner generate duplicate
+    // candidate plans for every as-of node (harmless but wasteful)
+    if (!spark.sessionState.planner.strategies
+        .contains(graft.plans.AsofJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.AsofJoinStrategy
   }

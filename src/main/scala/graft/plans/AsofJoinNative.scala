@@ -90,7 +90,12 @@ object AsofJoinNative {
     *   look-ahead/both sides.
     * @param direction "backward" (latest at-or-before, default),
     *   "forward" (earliest at-or-after), or "nearest" (closer of the
-    *   two, exact ties → backward — the merge_asof convention). */
+    *   two, exact ties → backward — the merge_asof convention).
+    * @param allowExactMatches pandas merge_asof's remaining knob:
+    *   `false` makes every comparison strict (`<` / `>`), so a right
+    *   row at EXACTLY the left time never matches — the point-in-time-
+    *   correctness setting for leakage-safe feature joins (the label
+    *   timestamp must be strictly after the feature timestamp). */
   def backward(
       left: DataFrame,
       right: DataFrame,
@@ -100,7 +105,8 @@ object AsofJoinNative {
       prefix: String = "asof_",
       rightTiebreak: Option[Column] = None,
       toleranceMicros: Option[Long] = None,
-      direction: String = "backward"): DataFrame = {
+      direction: String = "backward",
+      allowExactMatches: Boolean = true): DataFrame = {
     require(Set("backward", "forward", "nearest")(direction),
       s"direction must be backward|forward|nearest, got $direction")
     val spark = left.sparkSession
@@ -129,6 +135,20 @@ object AsofJoinNative {
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(
           s"column $n not in ${p.output.map(_.name).mkString(",")}"))
+    val lKeyAttrs = key.map(attr(lPlan, _))
+    val rKeyAttrs = key.map(attr(rPlan, _))
+    val (lOnAttr, rOnAttr) = (attr(lPlan, on), attr(rPlan, on))
+    // fail fast on key/on type mismatch: the merge compares raw
+    // UnsafeRow bytes through orderings built from the LEFT side's
+    // types, so e.g. an INT-vs-LONG key would silently compare wrong
+    // binary layouts and produce wrong matches instead of erroring
+    lKeyAttrs.zip(rKeyAttrs).foreach { case (l, r) =>
+      require(l.dataType == r.dataType,
+        s"as-of key '${l.name}' type mismatch: left ${l.dataType} vs " +
+        s"right ${r.dataType} — cast one side before the join") }
+    require(lOnAttr.dataType == rOnAttr.dataType,
+      s"as-of `on` column '$on' type mismatch: left ${lOnAttr.dataType} " +
+      s"vs right ${rOnAttr.dataType} — cast one side before the join")
     val pay = payload.map(attr(rPlan, _))
     // payloadOut carries FIXED exprIds as a constructor field: a lazy
     // member would mint fresh ids on every optimizer copy and orphan
@@ -136,16 +156,15 @@ object AsofJoinNative {
     val payOut = pay.map(a =>
       AttributeReference(prefix + a.name, a.dataType, nullable = true)())
     if (toleranceMicros.isDefined || direction == "nearest") {
-      val t = attr(lPlan, on).dataType
+      val t = lOnAttr.dataType
       require(t == org.apache.spark.sql.types.TimestampType ||
         t == org.apache.spark.sql.types.LongType,
         s"tolerance/nearest need a TIMESTAMP or LONG `on` column, got $t")
     }
     val node = AsofJoinNode(lPlan, rPlan,
-      key.map(attr(lPlan, _)), key.map(attr(rPlan, _)),
-      attr(lPlan, on), attr(rPlan, on), pay,
+      lKeyAttrs, rKeyAttrs, lOnAttr, rOnAttr, pay,
       rPlan.output.filter(_.name.startsWith("__graft_tie_")), payOut,
-      toleranceMicros, direction)
+      toleranceMicros, direction, allowExactMatches)
     val out = GraftColumnBridge.ofRows(spark, node)
     out.select(left.columns.map(col) ++
       payload.map(p => col(prefix + p)): _*)
@@ -165,7 +184,8 @@ case class AsofJoinNode(
     rightTie: Seq[Attribute],
     payloadOut: Seq[Attribute],
     toleranceMicros: Option[Long] = None,
-    direction: String = "backward") extends BinaryNode {
+    direction: String = "backward",
+    allowExactMatches: Boolean = true) extends BinaryNode {
 
   override def output: Seq[Attribute] = left.output ++ payloadOut
 
@@ -184,7 +204,7 @@ object AsofJoinStrategy extends SparkStrategy {
       AsofJoinExec(planLater(n.left), planLater(n.right),
         n.leftKeys, n.rightKeys, n.leftOn, n.rightOn,
         n.payload, n.rightTie, n.payloadOut, n.toleranceMicros,
-        n.direction) :: Nil
+        n.direction, n.allowExactMatches) :: Nil
     case _ => Nil
   }
 }
@@ -204,7 +224,8 @@ case class AsofJoinExec(
     rightTie: Seq[Attribute],
     payloadOut: Seq[Attribute],
     toleranceMicros: Option[Long] = None,
-    direction: String = "backward") extends BinaryExecNode {
+    direction: String = "backward",
+    allowExactMatches: Boolean = true) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ payloadOut
 
@@ -252,6 +273,7 @@ case class AsofJoinExec(
     val onType = leftOn.dataType
     val tol = toleranceMicros
     val dir = direction
+    val allowExact = allowExactMatches
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyGen = UnsafeProjection.create(lKeyExprs, lOut)
@@ -284,6 +306,20 @@ case class AsofJoinExec(
         private var fPayload: UnsafeRow = null
         private var fOnRow: UnsafeRow = null
         private var fOn: Long = 0L
+        // Strict ("allow_exact_matches=false") NEAREST needs a third
+        // slot: a right row at EXACTLY the current left time is
+        // excluded for THIS left row, but it is the LATEST
+        // strictly-before candidate for every later (strictly greater)
+        // left time — it can be neither consumed into the backward
+        // slot (would poison the current row's candidate) nor
+        // discarded (later rows need it). Backward mode leaves such
+        // rows unconsumed instead (the stream re-offers them); forward
+        // mode discards them (on == L can never satisfy on > L' for
+        // L' >= L); only nearest, which consumes past them to reach
+        // the forward group, must stash.
+        private var eKey: UnsafeRow = null
+        private var ePayload: UnsafeRow = null
+        private var eOn: Long = 0L
         // nearest needs both candidates' long times; tolerance needs
         // its side's
         private val needLongOn = tol.isDefined || dir == "nearest"
@@ -291,8 +327,11 @@ case class AsofJoinExec(
         private def advanceR(): Unit =
           rHead = if (rIter.hasNext) rIter.next() else null
 
-        /** Consume rows with on <= left.on into the backward slot;
-          * stops at the first same-key row past left.on (unconsumed). */
+        /** Consume rows with on <= left.on into the backward slot
+          * (strict mode: on < left.on; an equal-time row stays
+          * unconsumed in backward mode and stashes into the equal slot
+          * in nearest mode); stops at the first same-key row past the
+          * bound (unconsumed). */
         private def drainBackward(lKey: UnsafeRow, lOn: UnsafeRow): Unit = {
           var advance = rHead != null
           while (advance) {
@@ -306,13 +345,23 @@ case class AsofJoinExec(
               if (rOn.isNullAt(0)) {
                 // NULL right time sorts first, never matches — skip
                 advanceR(); advance = rHead != null
-              } else if (onOrd.compare(rOn, lOn) <= 0) {
-                bKey = rKey.copy()
-                bPayload = payloadGen(rHead).copy()
-                // TIMESTAMP and LONG both store a long at ordinal 0
-                if (needLongOn) bOn = rOn.getLong(0)
-                advanceR(); advance = rHead != null
-              } else advance = false
+              } else {
+                val oc = onOrd.compare(rOn, lOn)
+                if (oc < 0 || (oc == 0 && allowExact)) {
+                  bKey = rKey.copy()
+                  bPayload = payloadGen(rHead).copy()
+                  // TIMESTAMP and LONG both store a long at ordinal 0
+                  if (needLongOn) bOn = rOn.getLong(0)
+                  advanceR(); advance = rHead != null
+                } else if (oc == 0 && dir == "nearest") {
+                  // strict nearest: stash — excluded now, but the
+                  // latest strictly-before candidate for later rows
+                  eKey = rKey.copy()
+                  ePayload = payloadGen(rHead).copy()
+                  eOn = rOn.getLong(0)
+                  advanceR(); advance = rHead != null
+                } else advance = false
+              }
             } else advance = false
           }
         }
@@ -330,10 +379,13 @@ case class AsofJoinExec(
             if (c < 0) { advanceR(); advance = rHead != null }
             else if (c == 0) {
               val rOn = rOnGen(rHead)
-              if (rOn.isNullAt(0) || onOrd.compare(rOn, lOn) < 0) {
-                // behind this left time (or NULL): useless for every
-                // later left row too — discard (forward-only mode;
-                // nearest drains these into the backward slot first)
+              if (rOn.isNullAt(0) || onOrd.compare(rOn, lOn) < 0 ||
+                (!allowExact && onOrd.compare(rOn, lOn) == 0)) {
+                // behind this left time (or NULL, or AT it in strict
+                // mode — on == L can never satisfy on > L' for any
+                // later L' >= L): useless for every later left row
+                // too — discard (forward-only mode; nearest drains
+                // these into the backward/equal slots first)
                 advanceR(); advance = rHead != null
               } else {
                 fKey = rKey.copy()
@@ -369,16 +421,34 @@ case class AsofJoinExec(
             dir match {
               case "backward" => drainBackward(lKey, lOn)
               case "forward" =>
-                val fValid = fPayload != null && fKey.equals(lKey) &&
-                  onOrd.compare(fOnRow, lOn) >= 0
-                if (!fValid) captureForward(lKey, lOn)
+                val fc = if (fPayload != null && fKey.equals(lKey))
+                  onOrd.compare(fOnRow, lOn) else -1
+                if (!(fc > 0 || (fc == 0 && allowExact)))
+                  captureForward(lKey, lOn)
               case _ => // nearest
+                // a stashed equal-time row from a strictly earlier
+                // left time is now the latest strictly-before
+                // candidate — fold the equal slot into backward first
+                // (the forward slot, folded next, is always later in
+                // right-stream order, so this overwrite order is safe)
+                if (ePayload != null && eKey.equals(lKey) &&
+                  eOn < lOn.getLong(0)) {
+                  bKey = eKey; bPayload = ePayload; bOn = eOn
+                  ePayload = null
+                }
                 // a forward candidate that fell at-or-behind this left
                 // row IS the latest on <= left.on so far — fold it
-                if (fPayload != null && fKey.equals(lKey) &&
-                  onOrd.compare(fOnRow, lOn) <= 0) {
-                  bKey = fKey; bPayload = fPayload; bOn = fOn
-                  fPayload = null
+                // (strict mode: strictly-behind folds to backward; AT
+                // the left time re-stashes into the equal slot)
+                if (fPayload != null && fKey.equals(lKey)) {
+                  val fc = onOrd.compare(fOnRow, lOn)
+                  if (fc < 0 || (fc == 0 && allowExact)) {
+                    bKey = fKey; bPayload = fPayload; bOn = fOn
+                    fPayload = null
+                  } else if (fc == 0) {
+                    eKey = fKey; ePayload = fPayload; eOn = fOn
+                    fPayload = null
+                  }
                 }
                 drainBackward(lKey, lOn)
                 val fValid = fPayload != null && fKey.equals(lKey) &&
@@ -389,18 +459,27 @@ case class AsofJoinExec(
           val p =
             if (lOn.isNullAt(0)) nullPayload
             else {
+              // subtractExact: a raw LONG `on` column with extreme
+              // values would otherwise overflow silently and flip the
+              // tolerance/nearest decision (fine for TIMESTAMP micros;
+              // fail fast for adversarial LONGs)
               val bOk = bPayload != null && bKey.equals(lKey) &&
-                tol.forall(t => lOn.getLong(0) - bOn <= t)
-              val fOk = fPayload != null && fKey.equals(lKey) &&
-                onOrd.compare(fOnRow, lOn) >= 0 &&
-                tol.forall(t => fOn - lOn.getLong(0) <= t)
+                tol.forall(t =>
+                  Math.subtractExact(lOn.getLong(0), bOn) <= t)
+              val fCmpNow =
+                if (fPayload != null && fKey.equals(lKey))
+                  onOrd.compare(fOnRow, lOn) else -1
+              val fOk = (fCmpNow > 0 || (fCmpNow == 0 && allowExact)) &&
+                tol.forall(t =>
+                  Math.subtractExact(fOn, lOn.getLong(0)) <= t)
               dir match {
                 case "backward" => if (bOk) bPayload else nullPayload
                 case "forward" => if (fOk) fPayload else nullPayload
                 case _ =>
                   if (bOk && fOk) {
                     // tie → backward, the merge_asof convention
-                    if (lOn.getLong(0) - bOn <= fOn - lOn.getLong(0))
+                    if (Math.subtractExact(lOn.getLong(0), bOn) <=
+                        Math.subtractExact(fOn, lOn.getLong(0)))
                       bPayload
                     else fPayload
                   } else if (bOk) bPayload

@@ -53,7 +53,9 @@ import graft.operators.FuzzyDedup
   *    composed union-window form — one exchange per side, O(1) merge
   *    state, oracle-checked against DuckDB's native ASOF LEFT JOIN.
   *    q146 adds the merge_asof tolerance (max-lookback) variant; q147
-  *    the forward (earliest-at-or-after) direction.
+  *    the forward (earliest-at-or-after) direction; q148 the nearest
+  *    direction; q149 the strict (allow_exact_matches=false) mode —
+  *    the leakage-safe point-in-time join.
   *
   * Reference anchor: the reference's pipeline dedups rows only via
   * its T-SQL DISTINCT/ROW_NUMBER idioms (Select de Importação de
@@ -116,31 +118,34 @@ object Pipeline12 {
     var pickedIds = List.empty[Long]
     var rows = Vector.empty[Row]
     var cum = 0L
-    for (r <- 1 to k) {
-      val remaining =
-        if (covered == null) sh
-        else sh.join(covered, Seq("token"), "left_anti")
-      val notPicked =
-        if (pickedIds.isEmpty) remaining
-        else remaining.filter(!col("doc_id").isin(pickedIds: _*))
-      // exactly one row crosses to the driver per iteration
-      val top = notPicked.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("gain"))
-        .orderBy(col("gain").desc, col("doc_id"))
-        .limit(1).collect()
-      if (top.nonEmpty) {
-        val (id, gain) = (top(0).getLong(0), top(0).getLong(1))
-        cum += gain
-        rows :+= Row(r.toLong, id, gain, cum)
-        pickedIds ::= id
-        val picked = sh.filter(col("doc_id") === id).select(col("token"))
-        // localCheckpoint truncates the k-step lineage; the covered
-        // relation is the union of ≤k docs' token sets — tiny
-        covered = (if (covered == null) picked
-          else covered.union(picked)).localCheckpoint(true)
+    // unpersist in finally: a mid-loop failure must not strand the
+    // shingle relation in the block-manager for the session's lifetime
+    try {
+      for (r <- 1 to k) {
+        val remaining =
+          if (covered == null) sh
+          else sh.join(covered, Seq("token"), "left_anti")
+        val notPicked =
+          if (pickedIds.isEmpty) remaining
+          else remaining.filter(!col("doc_id").isin(pickedIds: _*))
+        // exactly one row crosses to the driver per iteration
+        val top = notPicked.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("gain"))
+          .orderBy(col("gain").desc, col("doc_id"))
+          .limit(1).collect()
+        if (top.nonEmpty) {
+          val (id, gain) = (top(0).getLong(0), top(0).getLong(1))
+          cum += gain
+          rows :+= Row(r.toLong, id, gain, cum)
+          pickedIds ::= id
+          val picked = sh.filter(col("doc_id") === id).select(col("token"))
+          // localCheckpoint truncates the k-step lineage; the covered
+          // relation is the union of ≤k docs' token sets — tiny
+          covered = (if (covered == null) picked
+            else covered.union(picked)).localCheckpoint(true)
+        }
       }
-    }
-    sh.unpersist()
+    } finally sh.unpersist()
     s.createDataFrame(s.sparkContext.parallelize(rows, 1),
       StructType(Seq(
         StructField("pick_rank", LongType, nullable = false),
@@ -300,6 +305,29 @@ object Pipeline12 {
         payload = Seq("purchase_id", "purchase_value"),
         rightTiebreak = Some(col("purchase_id")),
         direction = "nearest")
+        .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
+        .orderBy(col("event_id"))
+    }),
+
+    // STRICT as-of (pandas merge_asof allow_exact_matches=False): the
+    // latest purchase STRICTLY before each event — the point-in-time-
+    // correctness knob for leakage-safe feature joins (a label must
+    // never see a feature stamped at its own instant). Visible here:
+    // every purchase event matches the user's PREVIOUS purchase, not
+    // itself (q144 matches it to itself). Oracle: DuckDB ASOF with the
+    // strict `>` comparison.
+    "q149_asof_strict" -> ((s, dir) => {
+      val events = t(s, dir, "events")
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      graft.plans.AsofJoinNative.backward(
+        events.select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type")),
+        purchases, key = Seq("user_id"), on = "ts",
+        payload = Seq("purchase_id", "purchase_value"),
+        rightTiebreak = Some(col("purchase_id")),
+        allowExactMatches = false)
         .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
         .orderBy(col("event_id"))
     })
@@ -476,6 +504,20 @@ object Pipeline12 {
         |  CASE WHEN use_b THEN bv ELSE fv END AS asof_purchase_value
         |FROM events e JOIN b USING (event_id) JOIN f USING (event_id)
         |  JOIN pick USING (event_id)
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q149_asof_strict" ->
+      """WITH purchases AS (
+        |  SELECT user_id, ts, event_id AS purchase_id,
+        |    value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts
+        |    ORDER BY event_id DESC) = 1)
+        |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, e.event_type,
+        |  p.purchase_id AS asof_purchase_id,
+        |  p.purchase_value AS asof_purchase_value
+        |FROM events e ASOF LEFT JOIN purchases p
+        |  ON e.user_id = p.user_id AND e.ts > p.ts
         |ORDER BY e.event_id""".stripMargin
   )
 }

@@ -209,32 +209,38 @@ object StreamingReplay {
         .createTempDirectory("graft_q145_replay_").toString
       val outDir = java.nio.file.Files
         .createTempDirectory("graft_q145_out_").toString
-      events.repartition(replayFiles).write.mode(SaveMode.Overwrite)
-        .parquet(stage)
-      val stream = s.readStream.schema(events.schema)
-        .option("maxFilesPerTrigger", "1").parquet(stage)
-      val q = stream.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          graft.plans.AsofJoinNative.backward(
-            batch, purchases, key = Seq("user_id"), on = "ts",
-            payload = Seq("purchase_id", "purchase_value"),
-            rightTiebreak = Some(col("purchase_id")))
-            .write.mode(SaveMode.Append).parquet(outDir)
-        }
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      val fs = org.apache.hadoop.fs.FileSystem
-        .get(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
-      val out = s.read.parquet(outDir)
-        .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
-        .select(col("event_id"), col("user_id"), col("ts_us"),
-          col("event_type"), col("asof_purchase_id"),
-          col("asof_purchase_value"))
-        .orderBy(col("event_id"))
-        .localCheckpoint(true)
-      fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
-      out
+      // delete both scratch dirs on EVERY exit path — a failed batch
+      // write used to leak the staged parquet and the half-written
+      // output dir (localCheckpoint(true) detaches `out` from the
+      // files, so success-path cleanup inside the finally is safe too)
+      try {
+        events.repartition(replayFiles).write.mode(SaveMode.Overwrite)
+          .parquet(stage)
+        val stream = s.readStream.schema(events.schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+        val q = stream.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            graft.plans.AsofJoinNative.backward(
+              batch, purchases, key = Seq("user_id"), on = "ts",
+              payload = Seq("purchase_id", "purchase_value"),
+              rightTiebreak = Some(col("purchase_id")))
+              .write.mode(SaveMode.Append).parquet(outDir)
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.read.parquet(outDir)
+          .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            col("event_type"), col("asof_purchase_id"),
+            col("asof_purchase_value"))
+          .orderBy(col("event_id"))
+          .localCheckpoint(true)
+      } finally {
+        val fs = org.apache.hadoop.fs.FileSystem
+          .get(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+        fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
+      }
     })
   )
 

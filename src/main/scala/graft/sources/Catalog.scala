@@ -30,7 +30,13 @@ object Catalog {
     *    (nanos since epoch exceed 2^53; a double route would corrupt).
     *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): surfaces as
     *    TIMESTAMP_NTZ — cast to TimestampType, value-preserving under
-    *    the fixed UTC session timezone. */
+    *    the fixed UTC session timezone.
+    *
+    * Any OTHER encoding of a declared event-time column fails fast here,
+    * naming the column and type — the driver has regenerated testdata
+    * with a new encoding twice already, and a silent pass-through (e.g.
+    * an int32 day-number or a string ts) surfaces as a confusing
+    * analysis error deep inside whichever operator touches it first. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     eventTimeColumns.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
@@ -41,7 +47,13 @@ object Catalog {
         case Some(org.apache.spark.sql.types.TimestampNTZType) =>
           d.withColumn(c, org.apache.spark.sql.functions.col(c).cast(
             org.apache.spark.sql.types.TimestampType))
-        case _ => d
+        case Some(org.apache.spark.sql.types.TimestampType) => d
+        case None => d // column absent (projected-away or older schema)
+        case Some(other) => throw new IllegalStateException(
+          s"Catalog.table($name): event-time column '$c' has unsupported " +
+          s"parquet encoding $other — expected TIMESTAMP, TIMESTAMP_NTZ, " +
+          "or nanos-as-LONG. New driver testdata encoding? Add a " +
+          "normalization case in Catalog.eventTimeColumns handling.")
       }
     }
   }

@@ -303,6 +303,102 @@ class AsofNativeSpec extends AnyFunSuite {
       .count() === 0)
   }
 
+  test("strict backward: equal-timestamp row excluded, strictly-earlier wins") {
+    import spark.implicits._
+    def t(s: String): Timestamp = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 1L, t("2024-01-01 00:00:02")), // only :02 at-or-before → null
+      (2L, 1L, t("2024-01-01 00:00:03")), // strict: :02, not :03
+      (3L, 1L, t("2024-01-01 00:00:05")), // strict: :03, not :05
+      (4L, 1L, t("2024-01-01 00:00:05")), // duplicate left time: same
+      (5L, 1L, t("2024-01-01 00:00:06"))  // :05 now strictly earlier
+    ).toDF("id", "k", "ts")
+    val right = Seq(
+      (1L, t("2024-01-01 00:00:02"), 1.0),
+      (1L, t("2024-01-01 00:00:03"), 2.0),
+      (1L, t("2024-01-01 00:00:05"), 3.0)
+    ).toDF("k", "ts", "v")
+    def run(exact: Boolean) = AsofJoinNative.backward(left, right,
+      key = Seq("k"), on = "ts", payload = Seq("v"),
+      allowExactMatches = exact).orderBy("id").collect()
+      .map(x => Option(x.get(3))).toSeq
+    assert(run(false) ===
+      Seq(None, Some(1.0), Some(2.0), Some(2.0), Some(3.0)))
+    // and the default is unchanged
+    assert(run(true) ===
+      Seq(Some(1.0), Some(2.0), Some(3.0), Some(3.0), Some(3.0)))
+  }
+
+  test("strict forward: equal-timestamp row excluded, next-later wins") {
+    import spark.implicits._
+    def t(s: String): Timestamp = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 1L, t("2024-01-01 00:00:01")), // :02 is strictly after
+      (2L, 1L, t("2024-01-01 00:00:02")), // strict skips :02 → :05
+      (3L, 1L, t("2024-01-01 00:00:05"))  // nothing strictly after → null
+    ).toDF("id", "k", "ts")
+    val right = Seq(
+      (1L, t("2024-01-01 00:00:02"), 1.0),
+      (1L, t("2024-01-01 00:00:05"), 2.0)
+    ).toDF("k", "ts", "v")
+    val got = AsofJoinNative.backward(left, right, key = Seq("k"),
+      on = "ts", payload = Seq("v"), direction = "forward",
+      allowExactMatches = false).orderBy("id").collect()
+      .map(x => Option(x.get(3))).toSeq
+    assert(got === Seq(Some(1.0), Some(2.0), None))
+  }
+
+  test("strict nearest: exact row neither masks the forward side nor poisons backward") {
+    import spark.implicits._
+    def t(s: String): Timestamp = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 1L, t("2024-01-01 00:00:04")), // forward-only: :05 (1s)
+      (2L, 1L, t("2024-01-01 00:00:10")), // :10 excluded; :05 (5s back) vs :12 (2s ahead) → :12
+      (3L, 1L, t("2024-01-01 00:00:11")), // the :10 row RE-ENTERS as backward (1s) vs :12 (1s) → tie → backward
+      (4L, 1L, t("2024-01-01 00:00:20"))  // :12 (8s back)
+    ).toDF("id", "k", "ts")
+    val right = Seq(
+      (1L, t("2024-01-01 00:00:05"), 1.0),
+      (1L, t("2024-01-01 00:00:10"), 2.0),
+      (1L, t("2024-01-01 00:00:12"), 3.0)
+    ).toDF("k", "ts", "v")
+    def run(tolUs: Option[Long]) = AsofJoinNative.backward(left, right,
+      key = Seq("k"), on = "ts", payload = Seq("v"),
+      direction = "nearest", toleranceMicros = tolUs,
+      allowExactMatches = false).orderBy("id").collect()
+      .map(x => Option(x.get(3))).toSeq
+    assert(run(None) === Seq(Some(1.0), Some(3.0), Some(2.0), Some(3.0)))
+    // strict + tolerance compose: 1.5s window
+    assert(run(Some(1500000L)) === Seq(Some(1.0), None, Some(2.0), None))
+  }
+
+  test("strict ≡ shift law on real data: strict(ts) == default(ts∓1µs)") {
+    // on integer-micro timestamps, on < L ⟺ on <= L-1µs and
+    // on > L ⟺ on >= L+1µs — so strict mode must equal the default
+    // mode run with the left clock nudged one microsecond, on every
+    // row of the real events table, in both directions
+    val events = sources.Catalog.table(spark, dir, "events")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("pid"), col("value").as("pv"))
+    val l = events.select("event_id", "user_id", "ts")
+    for ((d, shiftUs) <- Seq(("backward", -1L), ("forward", 1L))) {
+      val strict = AsofJoinNative.backward(l, purchases,
+        key = Seq("user_id"), on = "ts", payload = Seq("pid"),
+        rightTiebreak = Some(col("pid")), direction = d,
+        allowExactMatches = false)
+        .select(col("event_id"), col("asof_pid"))
+      val shifted = AsofJoinNative.backward(
+        l.withColumn("ts", timestamp_micros(
+          unix_micros(col("ts")) + lit(shiftUs))),
+        purchases, key = Seq("user_id"), on = "ts", payload = Seq("pid"),
+        rightTiebreak = Some(col("pid")), direction = d)
+        .select(col("event_id"), col("asof_pid"))
+      assert(strict.exceptAll(shifted).count() === 0, s"direction=$d")
+      assert(shifted.exceptAll(strict).count() === 0, s"direction=$d")
+    }
+  }
+
   test("unmatched-before-first and latest-wins semantics") {
     import spark.implicits._
     def t(s: String): Timestamp = Timestamp.valueOf(s)
