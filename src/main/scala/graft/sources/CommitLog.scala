@@ -1,0 +1,298 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Minimal lakehouse commit protocol: versioned manifests over
+  * immutable parquet segments — the concurrent-writer story the plain
+  * directory sinks ([[graft.operators.IdempotentInsert.mergeIntoParquet]],
+  * [[Formats.compact]]) lack.
+  *
+  * The reference gets write-write safety for free from its database:
+  * `INSERT … ON CONFLICT DO NOTHING` serializes at the PG row lock
+  * (`SELECT.py:214-218`). The lakehouse analog (public design shared
+  * by Delta Lake's transaction log and Iceberg's snapshot pointer) is:
+  *
+  *  - data files are IMMUTABLE: every commit writes its rows into a
+  *    fresh uniquely-named segment directory and never touches prior
+  *    segments;
+  *  - a table's state is the highest-numbered manifest in `_commits/`,
+  *    a tiny JSON file listing exactly the segment directories that
+  *    make up that version;
+  *  - committing version N+1 is ONE atomic create-if-absent of
+  *    `_commits/<N+1>.manifest` — the filesystem arbitrates races:
+  *    exactly one writer wins a version, the loser re-reads the new
+  *    state, rebases its intent, and retries (optimistic concurrency);
+  *  - readers list `_commits/` once, pick a version, and read only the
+  *    segments that manifest names — a consistent snapshot regardless
+  *    of what writers do meanwhile (snapshot isolation), and any
+  *    retained older version is readable the same way (time travel).
+  *
+  * 100 TB posture: the manifest holds segment paths, not row data —
+  * commits cost one small file create no matter the table size; the
+  * OCC retry loop re-runs only the conflicted writer's merge; readers
+  * never block. Atomic publish primitive: `Files.createLink` (POSIX
+  * link(2) fails with EEXIST — atomic and content-complete, since the
+  * fully-written temp file is linked, never a partial) on local paths,
+  * HDFS's rename-without-overwrite elsewhere; an S3-class store with
+  * no atomic namespace op needs a conditional-put or coordination
+  * service — same caveat Delta documents.
+  */
+object CommitLog {
+
+  /** One committed table version: the segment directories whose union
+    * is the table's content at `version`. */
+  final case class Snapshot(version: Long, segments: Seq[String],
+      baseVersion: Long, op: String)
+
+  private def commitsDir(table: String) = s"$table/_commits"
+  private def manifestPath(table: String, v: Long) =
+    f"${commitsDir(table)}/$v%020d.manifest"
+
+  private def fs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+
+  /** All committed versions, ascending (empty → table absent). */
+  def versions(spark: SparkSession, table: String): Seq[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(commitsDir(table))
+    val f = fs(spark, table)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".manifest"))
+      .map(_.stripSuffix(".manifest").toLong).sorted
+  }
+
+  def currentVersion(spark: SparkSession, table: String): Option[Long] =
+    versions(spark, table).lastOption
+
+  /** Load one manifest (latest when `version` is None). None when the
+    * table has no commits OR the requested version's manifest is gone
+    * (vacuumed) — the caller sees "no such version", not a raw IO
+    * error from the missing file. */
+  def snapshot(spark: SparkSession, table: String,
+      version: Option[Long] = None): Option[Snapshot] = {
+    val v = version.orElse(currentVersion(spark, table))
+      .filter(ver => fs(spark, table).exists(
+        new org.apache.hadoop.fs.Path(manifestPath(table, ver))))
+    v.map { ver =>
+      val p = new org.apache.hadoop.fs.Path(manifestPath(table, ver))
+      val in = fs(spark, table).open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      parseManifest(ver, txt)
+    }
+  }
+
+  /** Read the table at a version (default: latest). The returned plan
+    * touches only that manifest's segments — writers committing
+    * meanwhile cannot change what this DataFrame sees. */
+  def read(spark: SparkSession, table: String,
+      asOfVersion: Option[Long] = None): DataFrame =
+    snapshot(spark, table, asOfVersion) match {
+      case Some(s) if s.segments.nonEmpty =>
+        spark.read.parquet(s.segments: _*)
+      case _ => throw new IllegalStateException(
+        s"CommitLog.read: no committed version at $table" +
+          asOfVersion.fold("")(v => s" (asOf=$v)"))
+    }
+
+  /** Write `df` as a fresh immutable segment under the table; returns
+    * the segment directory path. Never visible until a manifest names
+    * it, so a crashed writer leaves only unreferenced garbage (removed
+    * by [[vacuum]]), never a corrupt table. */
+  private[graft] def writeSegment(spark: SparkSession, table: String,
+      df: DataFrame): String = {
+    val seg = s"$table/data/${java.util.UUID.randomUUID().toString}"
+    df.write.mode(SaveMode.ErrorIfExists).parquet(seg)
+    seg
+  }
+
+  /** Try to publish `snap` as version `snap.version`: atomic
+    * create-if-absent of the manifest file. Returns false when that
+    * version was taken by a concurrent writer (caller rebases and
+    * retries); any other failure propagates. */
+  private[graft] def tryPublish(spark: SparkSession, table: String,
+      snap: Snapshot): Boolean = {
+    val f = fs(spark, table)
+    f.mkdirs(new org.apache.hadoop.fs.Path(commitsDir(table)))
+    val dst = new org.apache.hadoop.fs.Path(
+      manifestPath(table, snap.version))
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"${commitsDir(table)}/.tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, false)
+    try out.write(renderManifest(snap).getBytes("UTF-8"))
+    finally out.close()
+    try {
+      if (dst.toUri.getScheme == null || dst.toUri.getScheme == "file") {
+        // local path: POSIX link(2) — atomic, fails on existing dst
+        val dstFile = java.nio.file.Paths.get(dst.toUri.getPath)
+        val tmpFile = java.nio.file.Paths.get(tmp.toUri.getPath)
+        try { java.nio.file.Files.createLink(dstFile, tmpFile); true }
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else {
+        // HDFS-like: rename refuses an existing destination atomically
+        f.rename(tmp, dst)
+      }
+    } finally f.delete(tmp, false): Unit
+  }
+
+  /** Commit an APPEND: new segment joins the previous version's list.
+    * Lost-update-free under concurrency: a loser of the version race
+    * re-reads the winner's manifest, so its retry carries BOTH
+    * writers' segments. Returns the committed version. */
+  def append(spark: SparkSession, table: String, df: DataFrame,
+      maxRetries: Int = 20): Long = {
+    val seg = writeSegment(spark, table, df)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val cur = snapshot(spark, table)
+      val v = cur.fold(1L)(_.version + 1L)
+      val snap = Snapshot(v, cur.fold(Seq.empty[String])(_.segments) :+ seg,
+        cur.fold(0L)(_.version), "append")
+      if (tryPublish(spark, table, snap)) return v
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"CommitLog.append: lost the version race $maxRetries times at $table")
+  }
+
+  /** Keyed MERGE (upsert-replace, the
+    * [[graft.operators.IdempotentInsert.mergeIntoParquet]] semantics)
+    * under optimistic concurrency: read a snapshot, merge `incoming`
+    * against it, write the merged segment, try to commit the NEXT
+    * version. If a concurrent writer committed first, the merge is
+    * RECOMPUTED against the winner's snapshot — so neither writer's
+    * rows are lost (the DB-sink analog: PG re-evaluates ON CONFLICT
+    * against committed state, `SELECT.py:214-218`). Returns
+    * (version, inserted, replaced) of the winning commit. */
+  def merge(spark: SparkSession, table: String, incoming: DataFrame,
+      keys: Seq[String], maxRetries: Int = 20): (Long, Long, Long) = {
+    val payloadCols = incoming.columns.filterNot(keys.contains).toSeq
+    val incOne = if (payloadCols.isEmpty) incoming.dropDuplicates(keys)
+      else graft.operators.Dedup.latestPerKey(incoming,
+        partition = keys.map(col),
+        order = Seq(struct(payloadCols.map(col): _*).desc))
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val cur = snapshot(spark, table)
+      val (merged, inserted, replaced) = cur match {
+        case None => (incOne, -1L, 0L) // counted after materialize
+        case Some(s) =>
+          val ex = spark.read.parquet(s.segments: _*)
+          SchemaAssert.require(incOne, ex.schema)
+          val kept = ex.join(incOne.select(keys.map(col): _*), keys,
+            "left_anti")
+          val exCount = ex.count()
+          val keptCount = kept.count()
+          (kept.unionByName(incOne), -1L, exCount - keptCount)
+      }
+      val staged = merged.persist()
+      try {
+        val total = staged.count()
+        val ins = cur match {
+          case None => total
+          case Some(s) =>
+            total - spark.read.parquet(s.segments: _*).count()
+        }
+        val seg = writeSegment(spark, table, staged)
+        val v = cur.fold(1L)(_.version + 1L)
+        val snap = Snapshot(v, Seq(seg), cur.fold(0L)(_.version), "merge")
+        if (tryPublish(spark, table, snap)) return (v, ins, replaced)
+        // lost the race: drop the orphaned segment (never referenced)
+        // and recompute against the winner's state
+        fs(spark, table).delete(new org.apache.hadoop.fs.Path(seg), true)
+      } finally staged.unpersist()
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"CommitLog.merge: lost the version race $maxRetries times at $table")
+  }
+
+  /** Segment-compaction commit ([[Formats.compact]] semantics): rewrite
+    * the current version's content into ceil(rows/targetRowsPerFile)
+    * files as ONE new segment. Readers of older versions still see the
+    * old segments (immutable); a concurrent append/merge beats the
+    * compaction harmlessly — the retry recompacts the new state. */
+  def compact(spark: SparkSession, table: String,
+      targetRowsPerFile: Long, maxRetries: Int = 20): Long = {
+    require(targetRowsPerFile > 0, "targetRowsPerFile must be > 0")
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val cur = snapshot(spark, table).getOrElse(
+        throw new IllegalStateException(
+          s"CommitLog.compact: nothing committed at $table"))
+      val df = spark.read.parquet(cur.segments: _*)
+      val n = df.count()
+      val files = math.max(1L,
+        (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+      val seg = writeSegment(spark, table, df.repartition(files))
+      val snap = Snapshot(cur.version + 1L, Seq(seg), cur.version,
+        "compact")
+      if (tryPublish(spark, table, snap)) return snap.version
+      fs(spark, table).delete(new org.apache.hadoop.fs.Path(seg), true)
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"CommitLog.compact: lost the version race $maxRetries times at $table")
+  }
+
+  /** Delete segments referenced by NO manifest version >= the retained
+    * floor, then the manifests below it. Run only when no reader can
+    * hold a snapshot older than `retainVersions` — same contract as
+    * Delta VACUUM's retention window. */
+  def vacuum(spark: SparkSession, table: String,
+      retainVersions: Int = 2): Unit = {
+    val f = fs(spark, table)
+    val vs = versions(spark, table)
+    if (vs.isEmpty) return
+    // even with nothing to drop, sweep orphaned segments: a writer
+    // that staged data and died before publish left garbage no
+    // manifest references
+    val dropped = vs.dropRight(retainVersions)
+    val keepFloor = vs.takeRight(retainVersions)
+    val live = keepFloor.flatMap(v =>
+      snapshot(spark, table, Some(v)).get.segments).toSet
+    val dataDir = new org.apache.hadoop.fs.Path(s"$table/data")
+    if (f.exists(dataDir)) f.listStatus(dataDir).foreach { st =>
+      if (!live.contains(st.getPath.toUri.getPath) &&
+          !live.exists(_.endsWith(st.getPath.getName)))
+        f.delete(st.getPath, true): Unit
+    }
+    dropped.foreach { v =>
+      f.delete(new org.apache.hadoop.fs.Path(manifestPath(table, v)),
+        false): Unit
+    }
+  }
+
+  // manifest format: one JSON object, segments one-per-line for
+  // human-readable diffs; hand-rolled (de)serialization to keep the
+  // format transparent and dependency-free
+  private def renderManifest(s: Snapshot): String = {
+    val segs = s.segments.map(p =>
+      "\"" + p.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+    s"""{"version":${s.version},"baseVersion":${s.baseVersion},""" +
+      s""""op":"${s.op}","segments":[""" + segs.mkString(",") + "]}"
+  }
+
+  private def parseManifest(version: Long, txt: String): Snapshot = {
+    def field(name: String): String = {
+      val m = ("\"" + name + "\"\\s*:\\s*(\\d+|\"[^\"]*\")").r
+      m.findFirstMatchIn(txt).map(_.group(1)).getOrElse(
+        throw new IllegalStateException(
+          s"CommitLog: manifest v$version missing field '$name'"))
+    }
+    val segs = "\"segments\"\\s*:\\s*\\[([^\\]]*)\\]".r
+      .findFirstMatchIn(txt).map(_.group(1)).getOrElse(
+        throw new IllegalStateException(
+          s"CommitLog: manifest v$version missing segments"))
+    val segList =
+      if (segs.trim.isEmpty) Seq.empty[String]
+      else segs.split(",").toSeq.map(_.trim.stripPrefix("\"")
+        .stripSuffix("\"").replace("\\\"", "\"").replace("\\\\", "\\"))
+    Snapshot(version, segList, field("baseVersion").toLong,
+      field("op").stripPrefix("\"").stripSuffix("\""))
+  }
+}
