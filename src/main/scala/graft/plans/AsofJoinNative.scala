@@ -169,6 +169,76 @@ object AsofJoinNative {
     out.select(left.columns.map(col) ++
       payload.map(p => col(prefix + p)): _*)
   }
+
+  /** Skew pre-split for the native as-of: the explicit path AQE cannot
+    * provide for a custom exec (OptimizeSkewedJoin only recognizes
+    * Spark's own join nodes — the caveat documented in the operator
+    * scaladoc). A pathologically hot key otherwise lands its entire
+    * left slice in ONE merge task.
+    *
+    * Mechanics: keys whose LEFT row count exceeds `hotThreshold` are
+    * collected (tiny — by definition there can only be a handful of
+    * keys above any meaningful threshold) and broadcast. Hot left rows
+    * are spread across `nSalts` sub-keys by hashing the `on` value;
+    * the hot keys' RIGHT rows are replicated to every salt (the
+    * right side of a hot key is replicated ×nSalts, the left side is
+    * split — the standard salted-join asymmetry), and the as-of runs
+    * on (key, salt). Every left row still sees the full right history
+    * of its key, so the result is row-identical to the unsalted join
+    * (pinned by AsofNativeSpec's planted-skew law); the hot key's work
+    * now occupies nSalts parallel tasks instead of one.
+    *
+    * Cold keys run the plain native as-of unchanged; the two results
+    * union. Costs: one extra count aggregation over the left keys
+    * (map-side combined), each side scanned twice (hot/cold split) —
+    * worth it exactly when a hot key dominates a stage, the regime
+    * this exists for. */
+  def saltedBackward(
+      left: DataFrame,
+      right: DataFrame,
+      key: Seq[String],
+      on: String,
+      payload: Seq[String],
+      prefix: String = "asof_",
+      rightTiebreak: Option[Column] = None,
+      toleranceMicros: Option[Long] = None,
+      direction: String = "backward",
+      allowExactMatches: Boolean = true,
+      nSalts: Int = 16,
+      hotThreshold: Long = 2000000L): DataFrame = {
+    require(nSalts >= 2, s"nSalts must be >= 2, got $nSalts")
+    import org.apache.spark.sql.functions.{broadcast, explode, hash,
+      pmod, sequence}
+    val keyCols = key.map(col)
+    val hot = left.groupBy(keyCols: _*)
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("__n"))
+      .filter(col("__n") > hotThreshold)
+      .select(keyCols: _*)
+    def run(l: DataFrame, r: DataFrame, k: Seq[String]) =
+      backward(l, r, k, on, payload, prefix, rightTiebreak,
+        toleranceMicros, direction, allowExactMatches)
+    // the USING-style anti/semi joins move the key columns to the
+    // front — re-select the caller's column order so both branches
+    // (and therefore the union) match backward()'s output contract
+    val cold = run(
+      left.join(broadcast(hot), key, "left_anti")
+        .select(left.columns.map(col): _*),
+      right.join(broadcast(hot), key, "left_anti")
+        .select(right.columns.map(col): _*), key)
+    // hot left rows spread by hashing the time value (deterministic,
+    // high-cardinality within a hot key); hot right rows replicated to
+    // every salt so each sub-key holds the key's FULL history
+    val saltedLeft = left.join(broadcast(hot), key, "left_semi")
+      .select(left.columns.map(col): _*)
+      .withColumn("__salt", pmod(hash(col(on)), lit(nSalts)))
+    val saltedRight = right.join(broadcast(hot), key, "left_semi")
+      .select(right.columns.map(col): _*)
+      .withColumn("__salt",
+        explode(sequence(lit(0), lit(nSalts - 1))))
+    val hotResult = run(saltedLeft, saltedRight, key :+ "__salt")
+      .drop("__salt")
+    cold.unionByName(hotResult)
+  }
 }
 
 /** Logical as-of join node; resolved at construction from analyzed

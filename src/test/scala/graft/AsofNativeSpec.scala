@@ -399,6 +399,52 @@ class AsofNativeSpec extends AnyFunSuite {
     }
   }
 
+  test("salted pre-split on a planted hot key is row-identical to the unsalted join") {
+    // the documented AQE caveat: OptimizeSkewedJoin cannot split a
+    // custom exec, so the hot key needs the explicit salt path. Plant
+    // ~75% of left rows on ONE user (the SkewJoinSpec recipe) and pin
+    // multiset equality across all three directions and strict mode.
+    val events = sources.Catalog.table(spark, dir, "events")
+    val hotId = 42L
+    val skewedLeft = events.select("event_id", "user_id", "ts")
+      .withColumn("user_id",
+        when(pmod(col("event_id"), lit(4)) < 3, lit(hotId))
+          .otherwise(col("user_id")))
+    val skewedRight = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("pid"), col("value").as("pv"))
+      .withColumn("user_id",
+        when(pmod(col("pid"), lit(4)) < 3, lit(hotId))
+          .otherwise(col("user_id")))
+    for ((d, exact) <- Seq(("backward", true), ("forward", true),
+        ("nearest", true), ("backward", false))) {
+      val plain = AsofJoinNative.backward(skewedLeft, skewedRight,
+        key = Seq("user_id"), on = "ts", payload = Seq("pid", "pv"),
+        rightTiebreak = Some(col("pid")), direction = d,
+        allowExactMatches = exact)
+      val salted = AsofJoinNative.saltedBackward(skewedLeft, skewedRight,
+        key = Seq("user_id"), on = "ts", payload = Seq("pid", "pv"),
+        rightTiebreak = Some(col("pid")), direction = d,
+        allowExactMatches = exact, nSalts = 8,
+        // ~750 of 1000 left rows land on the planted key at sf0.001;
+        // every organic key carries ~17 — only the plant goes hot
+        hotThreshold = 400L)
+      assert(salted.count() === plain.count(), s"d=$d exact=$exact")
+      assert(salted.exceptAll(plain).count() === 0, s"d=$d exact=$exact")
+      assert(plain.exceptAll(salted).count() === 0, s"d=$d exact=$exact")
+    }
+    // and when nothing crosses the threshold the salted path IS the
+    // plain path (cold branch only — still row-identical)
+    val allCold = AsofJoinNative.saltedBackward(skewedLeft, skewedRight,
+      key = Seq("user_id"), on = "ts", payload = Seq("pid", "pv"),
+      rightTiebreak = Some(col("pid")), hotThreshold = Long.MaxValue)
+    val plainB = AsofJoinNative.backward(skewedLeft, skewedRight,
+      key = Seq("user_id"), on = "ts", payload = Seq("pid", "pv"),
+      rightTiebreak = Some(col("pid")))
+    assert(allCold.exceptAll(plainB).count() === 0)
+    assert(plainB.exceptAll(allCold).count() === 0)
+  }
+
   test("unmatched-before-first and latest-wins semantics") {
     import spark.implicits._
     def t(s: String): Timestamp = Timestamp.valueOf(s)
