@@ -57,6 +57,7 @@ object SparkEntry {
       graft.queries.Pipeline11.queries,
       graft.queries.Pipeline12.queries,
       graft.queries.Pipeline13.queries,
+      graft.queries.Pipeline14.queries,
       graft.queries.StreamingReplay.queries)
     val merged = modules.reduce(_ ++ _)
     // a duplicate name across modules would silently shadow a query —
@@ -131,6 +132,7 @@ object SparkEntry {
     graft.queries.Pipeline11.oracleSql ++
     graft.queries.Pipeline12.oracleSql ++
     graft.queries.Pipeline13.oracleSql ++
+    graft.queries.Pipeline14.oracleSql ++
     graft.queries.StreamingReplay.oracleSql
 
   private def baseOracleSql: Map[String, String] = Map(
