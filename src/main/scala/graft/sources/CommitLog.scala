@@ -41,9 +41,13 @@ import org.apache.spark.sql.functions._
 object CommitLog {
 
   /** One committed table version: the segment directories whose union
-    * is the table's content at `version`. */
+    * is the table's content at `version`. `txnApp`/`txnBatch` are the
+    * idempotent-writer transaction stamp (Delta's `txn` action, public
+    * design): a streaming query records (its id, micro-batch id) on
+    * every commit so a REPLAYED batch is recognized and skipped. */
   final case class Snapshot(version: Long, segments: Seq[String],
-      baseVersion: Long, op: String)
+      baseVersion: Long, op: String,
+      txnApp: Option[String] = None, txnBatch: Option[Long] = None)
 
   private def commitsDir(table: String) = s"$table/_commits"
   private def manifestPath(table: String, v: Long) =
@@ -157,6 +161,53 @@ object CommitLog {
     }
     throw new java.io.IOException(
       s"CommitLog.append: lost the version race $maxRetries times at $table")
+  }
+
+  /** Highest micro-batch id ever committed by `appId`, from the txn
+    * stamps in the RETAINED manifests. Vacuum caveat (same as Delta's):
+    * `retainVersions` must cover the longest possible replay window,
+    * or a replayed batch older than the retained history would be
+    * re-applied — keep retention ≥ the streaming checkpoint's
+    * lookback (one batch, for Structured Streaming's re-run-the-last-
+    * batch-on-restart model). */
+  def lastTxn(spark: SparkSession, table: String,
+      appId: String): Option[Long] = {
+    val stamps = versions(spark, table)
+      .flatMap(v => snapshot(spark, table, Some(v)))
+      .filter(_.txnApp.contains(appId)).flatMap(_.txnBatch)
+    if (stamps.isEmpty) None else Some(stamps.max)
+  }
+
+  /** Exactly-once APPEND for an idempotent writer: commit `df` stamped
+    * (appId, batchId) unless a commit with this app's batchId (or a
+    * later one) already exists — the replay-after-crash path of a
+    * streaming query re-running its last micro-batch. Returns the
+    * committed version, or None when the batch was recognized as
+    * already applied and skipped. The watermark is re-checked after
+    * every lost version race, so an interleaved foreign writer never
+    * confuses the dedup. */
+  def appendTxn(spark: SparkSession, table: String, df: DataFrame,
+      appId: String, batchId: Long, maxRetries: Int = 20): Option[Long] = {
+    if (lastTxn(spark, table, appId).exists(_ >= batchId)) return None
+    val seg = writeSegment(spark, table, df)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      if (lastTxn(spark, table, appId).exists(_ >= batchId)) {
+        // a concurrent replica of the same query won the race with
+        // this very batch: drop our orphaned segment, report skipped
+        fs(spark, table).delete(new org.apache.hadoop.fs.Path(seg), true)
+        return None
+      }
+      val cur = snapshot(spark, table)
+      val v = cur.fold(1L)(_.version + 1L)
+      val snap = Snapshot(v, cur.fold(Seq.empty[String])(_.segments) :+ seg,
+        cur.fold(0L)(_.version), "streaming-append",
+        txnApp = Some(appId), txnBatch = Some(batchId))
+      if (tryPublish(spark, table, snap)) return Some(v)
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"CommitLog.appendTxn: lost the version race $maxRetries times at $table")
   }
 
   /** Keyed MERGE (upsert-replace, the
@@ -273,7 +324,13 @@ object CommitLog {
   private def renderManifest(s: Snapshot): String = {
     val segs = s.segments.map(p =>
       "\"" + p.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+    val txn = (s.txnApp, s.txnBatch) match {
+      case (Some(a), Some(b)) =>
+        s""""txnApp":"$a","txnBatch":$b,"""
+      case _ => ""
+    }
     s"""{"version":${s.version},"baseVersion":${s.baseVersion},""" +
+      txn +
       s""""op":"${s.op}","segments":[""" + segs.mkString(",") + "]}"
   }
 
@@ -292,7 +349,14 @@ object CommitLog {
       if (segs.trim.isEmpty) Seq.empty[String]
       else segs.split(",").toSeq.map(_.trim.stripPrefix("\"")
         .stripSuffix("\"").replace("\\\"", "\"").replace("\\\\", "\\"))
+    def optField(name: String): Option[String] = {
+      val m = ("\"" + name + "\"\\s*:\\s*(\\d+|\"[^\"]*\")").r
+      m.findFirstMatchIn(txt).map(_.group(1))
+    }
     Snapshot(version, segList, field("baseVersion").toLong,
-      field("op").stripPrefix("\"").stripSuffix("\""))
+      field("op").stripPrefix("\"").stripSuffix("\""),
+      txnApp = optField("txnApp")
+        .map(_.stripPrefix("\"").stripSuffix("\"")),
+      txnBatch = optField("txnBatch").map(_.toLong))
   }
 }

@@ -118,6 +118,26 @@ object Streaming {
         ()
     }
 
+  /** Streaming EXACTLY-ONCE append sink into a [[graft.sources.CommitLog]]
+    * table: each micro-batch commits as one manifest version stamped
+    * (appId, batchId), so the crash-replay of a micro-batch (Structured
+    * Streaming re-runs the last uncommitted-at-the-SINK batch on
+    * restart) is recognized by [[graft.sources.CommitLog.lastTxn]] and
+    * skipped — no keys required, unlike [[idempotentParquetSink]],
+    * which buys idempotence from the data's primary key. This is the
+    * transactional-sink design Delta's streaming writer documents
+    * (txn action + version watermark), re-expressed over the repo's
+    * manifest log; concurrent BATCH writers interleave safely because
+    * every commit still goes through the optimistic version race. */
+  def commitLogSink(df: DataFrame, table: String, appId: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.sources.CommitLog.appendTxn(batch.sparkSession, table,
+          batch, appId, batchId)
+        ()
+    }
+
   /** Streaming corpus-dedup gate: drop stream documents whose content
     * fingerprint already exists in a STATIC historical corpus — the
     * "is this crawl page already in the training set?" filter an

@@ -209,4 +209,69 @@ class CommitLogSpec extends AnyFunSuite {
         Seq((1L, "a", 1.0)))
     } finally rm(t)
   }
+
+  // ---- exactly-once streaming appends (txn stamps) ---------------------
+
+  test("appendTxn: a replayed micro-batch is recognized and skipped") {
+    val t = tmpTable()
+    try {
+      assert(CommitLog.appendTxn(spark, t, df((1L, "a", 1.0)),
+        appId = "q", batchId = 0L) === Some(1L))
+      // crash-replay of batch 0: skipped, no new version, content same
+      assert(CommitLog.appendTxn(spark, t, df((1L, "a", 1.0)),
+        appId = "q", batchId = 0L) === None)
+      assert(CommitLog.versions(spark, t) === Seq(1L))
+      assert(sortedRows(CommitLog.read(spark, t)) === Seq((1L, "a", 1.0)))
+      // the next batch commits normally
+      assert(CommitLog.appendTxn(spark, t, df((2L, "b", 2.0)),
+        appId = "q", batchId = 1L) === Some(2L))
+      assert(CommitLog.lastTxn(spark, t, "q") === Some(1L))
+    } finally rm(t)
+  }
+
+  test("appendTxn: replay dedup survives an interleaved foreign writer; other apps are independent") {
+    val t = tmpTable()
+    try {
+      CommitLog.appendTxn(spark, t, df((1L, "a", 1.0)), "q", 0L)
+      // a batch writer commits between the original run and the replay
+      CommitLog.append(spark, t, df((5L, "x", 5.0)))
+      assert(CommitLog.appendTxn(spark, t, df((1L, "a", 1.0)),
+        "q", 0L) === None) // still recognized across the foreign commit
+      // a DIFFERENT app's batch 0 is not confused with q's
+      assert(CommitLog.appendTxn(spark, t, df((7L, "y", 7.0)),
+        "other", 0L).isDefined)
+      assert(sortedRows(CommitLog.read(spark, t)) ===
+        Seq((1L, "a", 1.0), (5L, "x", 5.0), (7L, "y", 7.0)))
+    } finally rm(t)
+  }
+
+  test("commitLogSink: end-to-end stream lands exactly-once; replayed last batch is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t = tmpTable()
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_clsink_ckpt_").toString
+    try {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+        spark.sqlContext
+      import spark.implicits._
+      val mem = MemoryStream[Long](100, spark, None)
+      val q = graft.streaming.Streaming.commitLogSink(
+          mem.toDF().withColumnRenamed("value", "id"), t, appId = "sinkq")
+        .option("checkpointLocation", ckpt).start()
+      try {
+        mem.addData(1L, 2L, 3L); q.processAllAvailable()
+        mem.addData(4L, 5L); q.processAllAvailable()
+      } finally q.stop()
+      val got = CommitLog.read(spark, t).select(col("id"))
+        .collect().map(_.getLong(0)).toSeq.sorted
+      assert(got === Seq(1L, 2L, 3L, 4L, 5L))
+      // simulate the restart-replay of the LAST batch (Structured
+      // Streaming re-runs it when the sink didn't record completion):
+      val lastBatch = CommitLog.lastTxn(spark, t, "sinkq").get
+      val before = CommitLog.currentVersion(spark, t)
+      assert(CommitLog.appendTxn(spark, t, df((4L, "dup", 4.0)),
+        "sinkq", lastBatch) === None)
+      assert(CommitLog.currentVersion(spark, t) === before)
+    } finally { rm(t); rm(ckpt + "/x") }
+  }
 }
