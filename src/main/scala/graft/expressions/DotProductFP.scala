@@ -95,6 +95,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.polyHashFp)
     ext.injectOptimizerRule(_ => RewriteDotProduct)
     ext.injectOptimizerRule(_ => RewritePolyHash)
+    ext.injectOptimizerRule(_ => graft.plans.MvRewrite)
     // whole-operator tier: native sort-merge as-of join (graft.plans)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
@@ -132,6 +133,12 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(RewritePolyHash))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewritePolyHash
+    // MV answering (graft.plans.MvRewrite): a no-op while MvRegistry
+    // is empty, so carrying it session-wide costs nothing
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.MvRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.MvRewrite
     // check the PLANNER's assembled strategy list, not just
     // experimental.extraStrategies: a session built withExtensions
     // already carries the strategy via customPlannerStrategies, and

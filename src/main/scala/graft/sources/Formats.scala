@@ -178,6 +178,84 @@ object Formats {
       spark.read.parquet(keep: _*).filter(pred)
   }
 
+  /** FILE-LEVEL BLOOM-FILTER skipping index — the point-lookup
+    * complement of [[writeWithStats]]. Min/max stats only prune when
+    * the layout clusters the probe column; a high-cardinality key
+    * scattered by an unrelated clustering (the usual case: data laid
+    * out by ingest time, probed by entity id) has every file's
+    * [min,max] covering every probe. A per-file Bloom filter answers
+    * "might this file contain key x?" regardless of layout: k hash
+    * bits per key, no false negatives, false positives only cost an
+    * extra file read. This is Delta/Iceberg's bloom column index and
+    * parquet's bloom_filter_enabled expressed engine-side, with the
+    * index queryable as data (one row per file, sorted set-bit list).
+    *
+    * Determinism/portability: positions are Kirsch–Mitzenmacher
+    * h1 + i·h2 over two 60-bit md5 slices of the key's string form —
+    * the same md5-based family as [[graft.operators.KmvSketch]]
+    * (mod-p polynomial mixes measurably fail uniformity on
+    * translate-structured key sets; see Pipeline15's scaladoc).
+    *
+    * Sizing: `mBits` should be ≥ ~10–16 bits per distinct key per
+    * file for ~1% fpp at k=3; the side table stores SET bits only, so
+    * an oversized m costs nothing extra. */
+  def writeBloomIndex(spark: SparkSession, path: String, keyCol: String,
+      mBits: Int = 1 << 18, numHashes: Int = 3): Unit = {
+    require(mBits > 0 && (mBits & (mBits - 1)) == 0,
+      s"mBits must be a power of two: $mBits")
+    require(numHashes >= 1 && numHashes <= 8,
+      s"numHashes out of [1,8]: $numHashes")
+    import org.apache.spark.sql.functions._
+    val key = col(keyCol).cast("string")
+    val h1 = conv(substring(md5(key), 1, 15), 16, 10).cast("long")
+    val h2 = conv(substring(md5(key), 17, 15), 16, 10).cast("long")
+    val bits = explode(array((0 until numHashes).map(i =>
+      pmod(h1 + lit(i.toLong) * h2, lit(mBits.toLong)).cast("int")): _*))
+    spark.read.parquet(path)
+      .select(input_file_name().as("file"), bits.as("bit"))
+      .distinct()
+      .groupBy(col("file"))
+      .agg(sort_array(collect_set(col("bit"))).as("bits"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path + ".bloom")
+  }
+
+  /** Driver-side twin of the index's hash — byte-identical to Spark's
+    * `md5(cast(key as string))` (hex lowercase, slices [0,15) and
+    * [16,31) parsed base 16). */
+  private[graft] def bloomPositions(key: String, mBits: Int,
+      numHashes: Int): Seq[Int] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(key.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    val h1 = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    val h2 = java.lang.Long.parseLong(hex.substring(16, 31), 16)
+    (0 until numHashes).map(i =>
+      java.lang.Math.floorMod(h1 + i.toLong * h2, mBits.toLong).toInt)
+  }
+
+  /** Point-lookup over a [[writeBloomIndex]]ed layout: keep only the
+    * files whose bloom admits at least one probe key (no false
+    * negatives ⇒ exact equality with the full-scan filter), then
+    * apply the exact IN predicate to the survivors. The index scan is
+    * one tiny side table; at 100 TB the win is identical in shape to
+    * [[readSkipping]] but holds on UNclustered keys. */
+  def readBloomSkipping(spark: SparkSession, path: String, keyCol: String,
+      keys: Seq[Long], mBits: Int = 1 << 18, numHashes: Int = 3)
+      : DataFrame = {
+    import org.apache.spark.sql.functions._
+    val probes = keys.map(k =>
+      bloomPositions(k.toString, mBits, numHashes))
+    val idx = spark.read.parquet(path + ".bloom").collect()
+    val keep = idx.filter { r =>
+      val bits = r.getAs[scala.collection.Seq[Int]]("bits").toSet
+      probes.exists(_.forall(bits))
+    }.map(_.getString(0))
+    val pred = col(keyCol).isin(keys: _*)
+    if (keep.isEmpty) spark.read.parquet(path).filter(lit(false))
+    else spark.read.parquet(keep.toIndexedSeq: _*).filter(pred)
+  }
+
   def writeZOrdered(df: DataFrame, path: String, colA: String,
       colB: String, bits: Int, partitions: Int = 8,
       maxRecordsPerFile: Int = 0): Unit = {

@@ -153,6 +153,53 @@ class FormatsSpec extends AnyFunSuite {
     assert(none.schema == spark.read.parquet(s"$base/li").schema)
   }
 
+  test("bloom skipping index: no false negatives, files skipped on " +
+      "an unclustered key, absent probes read zero files") {
+    val o = Catalog.table(spark, sfDir, "orders")
+    val base = Files.createTempDirectory("graft_bloom").toString
+    val data = s"$base/orders"
+    // layout clustered by DATE — orderkeys scatter across every file,
+    // so min/max stats on the key would prune NOTHING
+    o.repartitionByRange(8, col("o_orderdate"), col("o_orderkey"))
+      .sortWithinPartitions("o_orderdate")
+      .write.parquet(data)
+    Formats.writeBloomIndex(spark, data, "o_orderkey")
+    val nFiles = new java.io.File(data).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nFiles >= 8)
+
+    // no false negatives: EVERY key in the data is found (and found
+    // identically to the full-scan filter)
+    val allKeys = o.select(col("o_orderkey")).collect()
+      .map(_.getLong(0)).toSeq
+    val some = allKeys.sorted.grouped(math.max(1, allKeys.size / 25))
+      .map(_.head).toSeq // 25 spread probes
+    val viaBloom = Formats.readBloomSkipping(spark, data,
+      "o_orderkey", some)
+    val full = spark.read.parquet(data)
+      .filter(col("o_orderkey").isin(some: _*))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).groupBy(identity).view
+        .mapValues(_.size).toMap
+    assert(canon(viaBloom) == canon(full))
+
+    // a single-key probe must skip most files (each key lives in ONE
+    // file; fpp at these sizes keeps survivors well under half)
+    val one = Formats.readBloomSkipping(spark, data, "o_orderkey",
+      Seq(some.head))
+    val touched = one.select(input_file_name()).distinct().count()
+    assert(one.count() >= 1)
+    assert(touched <= math.max(1, nFiles / 2),
+      s"probe touched $touched of $nFiles files")
+
+    // absent keys: bloom says no everywhere → zero-file read, empty
+    // result, schema preserved
+    val absent = Formats.readBloomSkipping(spark, data, "o_orderkey",
+      Seq(allKeys.max + 101L, allKeys.max * 3 + 7L))
+    assert(absent.count() == 0)
+    assert(absent.schema == spark.read.parquet(data).schema)
+  }
+
   test("compact: many small files become few, data identical") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_cmp").toString
