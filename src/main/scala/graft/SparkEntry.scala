@@ -60,6 +60,7 @@ object SparkEntry {
       graft.queries.Pipeline14.queries,
       graft.queries.Pipeline15.queries,
       graft.queries.Pipeline16.queries,
+      graft.queries.Pipeline17.queries,
       graft.queries.StreamingReplay.queries)
     val merged = modules.reduce(_ ++ _)
     // a duplicate name across modules would silently shadow a query —
@@ -137,6 +138,7 @@ object SparkEntry {
     graft.queries.Pipeline14.oracleSql ++
     graft.queries.Pipeline15.oracleSql ++
     graft.queries.Pipeline16.oracleSql ++
+    graft.queries.Pipeline17.oracleSql ++
     graft.queries.StreamingReplay.oracleSql
 
   private def baseOracleSql: Map[String, String] = Map(
