@@ -38,6 +38,15 @@ object Pipeline17 {
   private val Rounds = 3
   private val Dims = Multimodal.FakeCodec.FeatDims
 
+  private def stageDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_${tag}_").toString
+
+  private def rmStage(s: SparkSession, stage: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true): Unit
+  }
+
   private def pairsOf(df: DataFrame, textCol: String): DataFrame =
     df.select(TextFunctions.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= 2)
@@ -72,6 +81,44 @@ object Pipeline17 {
       before.join(after, "source")
         .withColumn("toks_saved", col("toks_before") - col("toks_after"))
         .orderBy(col("source"))
+    }),
+
+    // The DSv2 connector under the oracle: two appends build a
+    // commit-log table from date-sliced lineitem; the CURRENT
+    // snapshot and a versionAsOf=1 time travel are both read back
+    // through `format("commitlog")` and aggregated side by side. The
+    // oracle recomputes both frames from raw lineitem — a hash match
+    // proves the manifest resolution, segment union, and time travel
+    // are content-exact through Spark's standard connector API.
+    "q161_commitlog_dsv2" -> ((s, dir) => {
+      val stage = stageDir("q161_cl")
+      val tbl = s"$stage/tbl"
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"),
+          col("l_shipdate"))
+      val cut = lit("1996-01-01").cast("timestamp")
+      graft.sources.CommitLog.append(s, tbl,
+        li.filter(col("l_shipdate") < cut))
+      graft.sources.CommitLog.append(s, tbl,
+        li.filter(col("l_shipdate") >= cut))
+      def read(opts: (String, String)*): DataFrame =
+        opts.foldLeft(s.read.format("commitlog").option("path", tbl))(
+          (r, kv) => r.option(kv._1, kv._2)).load()
+      def agg(df: DataFrame, n: String, q: String): DataFrame =
+        df.groupBy(col("l_returnflag")).agg(
+          count(lit(1)).as(n),
+          sum(col("l_quantity").cast("decimal(30,6)")).cast("double")
+            .as(q))
+      val out = agg(read(), "n_total", "qty_total")
+        .join(agg(read("versionAsOf" -> "1"), "n_v1", "qty_v1"),
+          Seq("l_returnflag"), "left")
+        .select(col("l_returnflag"), col("n_total"), col("qty_total"),
+          coalesce(col("n_v1"), lit(0L)).as("n_v1"),
+          coalesce(col("qty_v1"), lit(0.0)).as("qty_v1"))
+        .orderBy(col("l_returnflag"))
+        .localCheckpoint(true)
+      rmStage(s, stage)
+      out
     }),
 
     "q160_phash_image_dedup" -> ((s, dir) => {
@@ -154,6 +201,25 @@ object Pipeline17 {
          |FROM bef JOIN aft USING (source)
          |ORDER BY source""".stripMargin
     },
+
+    "q161_commitlog_dsv2" ->
+      """WITH cur AS (
+        |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_total,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+        |      AS qty_total
+        |  FROM lineitem GROUP BY l_returnflag),
+        |v1 AS (
+        |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_v1,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+        |      AS qty_v1
+        |  FROM lineitem
+        |  WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        |  GROUP BY l_returnflag)
+        |SELECT cur.l_returnflag, n_total, qty_total,
+        |  COALESCE(n_v1, 0) AS n_v1,
+        |  COALESCE(qty_v1, 0.0) AS qty_v1
+        |FROM cur LEFT JOIN v1 USING (l_returnflag)
+        |ORDER BY cur.l_returnflag""".stripMargin,
 
     "q160_phash_image_dedup" -> {
       val fsum = (0 until Dims).map(d => s"f$d").mkString(" + ")

@@ -42,6 +42,46 @@ class CommitLogSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
       .toSeq.sorted
 
+  test("DSv2 connector: format(\"commitlog\") reads the snapshot, " +
+      "time-travels, pins versions against concurrent commits, and " +
+      "pushes filters into the parquet scan") {
+    val t = tmpTable()
+    try {
+      CommitLog.append(spark, t, df((1L, "a", 1.0), (2L, "b", 2.0)))
+      CommitLog.append(spark, t, df((3L, "c", 3.0)))
+      def byFormat(opts: (String, String)*): DataFrame =
+        opts.foldLeft(spark.read.format("commitlog")
+          .option("path", t))((r, kv) => r.option(kv._1, kv._2)).load()
+      // current snapshot == CommitLog.read
+      assert(sortedRows(byFormat()) ==
+        sortedRows(CommitLog.read(spark, t)))
+      // time travel by option
+      assert(sortedRows(byFormat("versionAsOf" -> "1")) ==
+        Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+      // version pinning: a DataFrame planned BEFORE a commit keeps its
+      // snapshot (the segments were resolved at table construction)
+      val pinned = byFormat()
+      CommitLog.append(spark, t, df((4L, "d", 4.0)))
+      assert(sortedRows(pinned).map(_._1) == Seq(1L, 2L, 3L))
+      assert(sortedRows(byFormat()).map(_._1) == Seq(1L, 2L, 3L, 4L))
+      // stock parquet pushdown through the connector: the v2 scan
+      // carries the id predicate
+      val filtered = byFormat().filter(col("id") === 3L)
+      val scan = filtered.queryExecution.executedPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2
+            .BatchScanExec => b
+      }
+      assert(scan.nonEmpty, "no v2 BatchScan in the plan")
+      assert(scan.get.scan.description.contains("id"),
+        s"no pushed filter on id: ${scan.get.scan.description}")
+      assert(filtered.collect().map(_.getLong(0)).toSeq == Seq(3L))
+      // unknown version → loud error naming the ask
+      val e = intercept[IllegalStateException](
+        byFormat("versionAsOf" -> "99").collect())
+      assert(e.getMessage.contains("versionAsOf=99"))
+    } finally rm(t)
+  }
+
   test("append commits monotonic versions; read is the union") {
     val t = tmpTable()
     try {
