@@ -290,6 +290,78 @@ object CommitLog {
       s"CommitLog.compact: lost the version race $maxRetries times at $table")
   }
 
+  /** Incremental change feed over the APPEND history: one
+    * (version, delta DataFrame) per committed version after
+    * `afterVersion`, where the delta is exactly the segments that
+    * version added — O(delta) consumption of a growing table, the
+    * read-side complement of [[append]]/[[appendTxn]] (Delta's CDF
+    * for the append-only case, derived purely from manifests).
+    *
+    * Rewrite commits (merge / compact) do not decompose into added
+    * files: `compact` is content-preserving, so it is always safe to
+    * SKIP; `merge` changes row state, so by default it raises — a
+    * consumer that only tracks inserts can opt in to skipping it
+    * with `skipRewrites = true` (documented data loss for updates,
+    * exactly Delta's `ignoreChanges` caveat). Vacuumed history below
+    * `afterVersion + 1` also raises (the gap is detectable: missing
+    * manifest), never silently skips. */
+  def changes(spark: SparkSession, table: String, afterVersion: Long,
+      skipRewrites: Boolean = false): Seq[(Long, DataFrame)] = {
+    val vs = versions(spark, table).filter(_ > afterVersion)
+    val expected = (afterVersion + 1L) to vs.lastOption.getOrElse(afterVersion)
+    if (vs != expected) throw new IllegalStateException(
+      s"CommitLog.changes: versions ${expected.toSet -- vs.toSet} of " +
+        s"$table are vacuumed — cannot reconstruct the feed after " +
+        s"$afterVersion; start from a full snapshot read instead")
+    vs.flatMap { v =>
+      val snap = snapshot(spark, table, Some(v)).get
+      snap.op match {
+        case "append" =>
+          val prev = if (v == 1L) Set.empty[String]
+            else snapshot(spark, table, Some(v - 1L)).get.segments.toSet
+          val added = snap.segments.filterNot(prev)
+          if (added.isEmpty) None
+          else Some(v -> spark.read.parquet(added: _*))
+        case "compact" => None // content-preserving rewrite
+        case _ if skipRewrites => None
+        case op => throw new IllegalStateException(
+          s"CommitLog.changes: version $v of $table is a '$op' rewrite" +
+            " — its delta is not derivable from segments; pass " +
+            "skipRewrites=true to consume inserts only (updates lost)")
+      }
+    }
+  }
+
+  /** Checkpointed driver loop over [[changes]]: processes each new
+    * append delta in version order, advancing a watermark file AFTER
+    * the handler returns — at-least-once delivery (a crash between
+    * handler and watermark re-delivers that version on restart), so
+    * pair the handler with an idempotent sink ([[appendTxn]] or the
+    * keyed first-writer-wins upsert) for end-to-end exactly-once.
+    * Returns the number of versions processed this call. */
+  def consumeChanges(spark: SparkSession, table: String,
+      checkpointFile: String, skipRewrites: Boolean = false)(
+      handler: (Long, DataFrame) => Unit): Int = {
+    val f = fs(spark, checkpointFile)
+    val cp = new org.apache.hadoop.fs.Path(checkpointFile)
+    val last: Long =
+      if (!f.exists(cp)) 0L
+      else {
+        val in = f.open(cp)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          .trim.toLong
+        finally in.close()
+      }
+    var n = 0
+    changes(spark, table, last, skipRewrites).foreach { case (v, df) =>
+      handler(v, df)
+      val out = f.create(cp, true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+      n += 1
+    }
+    n
+  }
+
   /** Delete segments referenced by NO manifest version >= the retained
     * floor, then the manifests below it. Run only when no reader can
     * hold a snapshot older than `retainVersions` — same contract as

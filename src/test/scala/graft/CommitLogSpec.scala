@@ -82,6 +82,66 @@ class CommitLogSpec extends AnyFunSuite {
     } finally rm(t)
   }
 
+  test("change feed: per-version append deltas, compact skipped, " +
+      "merge refused unless opted in, vacuumed gap loud") {
+    val t = tmpTable()
+    try {
+      CommitLog.append(spark, t, df((1L, "a", 1.0)))
+      CommitLog.append(spark, t, df((2L, "b", 2.0), (3L, "c", 3.0)))
+      val feed = CommitLog.changes(spark, t, afterVersion = 0L)
+      assert(feed.map(_._1) == Seq(1L, 2L))
+      assert(sortedRows(feed(0)._2) == Seq((1L, "a", 1.0)))
+      assert(sortedRows(feed(1)._2) ==
+        Seq((2L, "b", 2.0), (3L, "c", 3.0)))
+      // from a mid watermark: only the tail
+      assert(CommitLog.changes(spark, t, 1L).map(_._1) == Seq(2L))
+      // compact is content-preserving → transparently skipped, and a
+      // post-compact append still yields exactly its own rows
+      CommitLog.compact(spark, t, targetRowsPerFile = 10)
+      CommitLog.append(spark, t, df((4L, "d", 4.0)))
+      val tail = CommitLog.changes(spark, t, 2L)
+      assert(tail.map(_._1) == Seq(4L))
+      assert(sortedRows(tail.head._2) == Seq((4L, "d", 4.0)))
+      // merge rewrites row state → refused by default, skippable
+      CommitLog.merge(spark, t, df((1L, "a2", 9.0)), Seq("id"))
+      val e = intercept[IllegalStateException](
+        CommitLog.changes(spark, t, 4L))
+      assert(e.getMessage.contains("merge"))
+      assert(CommitLog.changes(spark, t, 4L, skipRewrites = true).isEmpty)
+      // vacuumed history below the watermark → loud, never silent skip
+      CommitLog.append(spark, t, df((5L, "e", 5.0)))
+      CommitLog.vacuum(spark, t, retainVersions = 1)
+      val g = intercept[IllegalStateException](
+        CommitLog.changes(spark, t, 1L))
+      assert(g.getMessage.contains("vacuumed"))
+    } finally rm(t)
+  }
+
+  test("consumeChanges: checkpointed at-least-once consumption, " +
+      "re-run is a no-op, crash before watermark re-delivers") {
+    val t = tmpTable()
+    try {
+      val cp = s"$t.checkpoint"
+      CommitLog.append(spark, t, df((1L, "a", 1.0)))
+      CommitLog.append(spark, t, df((2L, "b", 2.0)))
+      val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      def run(): Int = CommitLog.consumeChanges(spark, t, cp) {
+        (v, d) => seen += ((v, d.count())): Unit
+      }
+      assert(run() == 2 && seen.toSeq == Seq((1L, 1L), (2L, 1L)))
+      assert(run() == 0) // watermark holds
+      CommitLog.append(spark, t, df((3L, "c", 3.0)))
+      assert(run() == 1 && seen.last == ((3L, 1L)))
+      // crash between handler and watermark: rewind the watermark by
+      // hand → the version is re-delivered (at-least-once contract)
+      val f = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val out = f.create(new org.apache.hadoop.fs.Path(cp), true)
+      try out.write("2".getBytes("UTF-8")) finally out.close()
+      assert(run() == 1 && seen.last == ((3L, 1L)))
+    } finally rm(t)
+  }
+
   test("append commits monotonic versions; read is the union") {
     val t = tmpTable()
     try {
