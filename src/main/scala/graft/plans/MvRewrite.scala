@@ -47,7 +47,14 @@ final case class MvDef(
     /** base measure column name -> MV column holding its per-grain SUM */
     sumMeasures: Map[String, String],
     /** MV column holding the per-grain COUNT(*) */
-    countCol: String)
+    countCol: String,
+    /** When set, the MV answers ONLY a scan of exactly this segment
+      * set (a CommitLog snapshot's segments): version-pinned MV
+      * answering — a time-travel read of any OTHER version never
+      * matches, so a maintained MV can never serve stale (or too
+      * fresh) data to a pinned-snapshot query. When None, the scan
+      * must be the single `basePath` root (a plain parquet table). */
+    baseSegments: Option[Seq[String]] = None)
 
 object MvRegistry {
   @volatile private var defs: List[MvDef] = Nil
@@ -81,11 +88,17 @@ object MvRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  private def scansPath(lr: LogicalRelation, path: String): Boolean =
+  private def norm(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  private def scansBase(lr: LogicalRelation, mv: MvDef): Boolean =
     lr.relation match {
       case fs: HadoopFsRelation =>
-        val want = new org.apache.hadoop.fs.Path(path).toUri.getPath
-        fs.location.rootPaths.exists(_.toUri.getPath == want)
+        val roots = fs.location.rootPaths.map(_.toUri.getPath).toSet
+        mv.baseSegments match {
+          case Some(segs) => roots == segs.map(norm).toSet
+          case None => roots == Set(norm(mv.basePath))
+        }
       case _ => false
     }
 
@@ -132,7 +145,7 @@ object MvRewrite extends Rule[LogicalPlan] {
             case _ => false
           }
       }
-      if (!scansPath(lr, mv.basePath) || !groupingOk || !filtersOk ||
+      if (!scansBase(lr, mv) || !groupingOk || !filtersOk ||
         !aggsOk) None
       else rewrite(agg, filters, mv)
     }

@@ -121,6 +121,43 @@ object Pipeline17 {
       out
     }),
 
+    // The change feed under the oracle: three date-sliced appends,
+    // then CommitLog.changes reconstructs each version's delta purely
+    // from manifests; per-delta aggregates tagged with their version
+    // hash-match the oracle's recomputation of the same slices from
+    // raw lineitem — proving the feed yields exactly the rows each
+    // version added, no leakage across versions.
+    "q162_commitlog_changefeed" -> ((s, dir) => {
+      val stage = stageDir("q162_cf")
+      val tbl = s"$stage/tbl"
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"),
+          col("l_shipdate"))
+      val c1 = lit("1995-01-01").cast("timestamp")
+      val c2 = lit("1996-01-01").cast("timestamp")
+      graft.sources.CommitLog.append(s, tbl,
+        li.filter(col("l_shipdate") < c1))
+      graft.sources.CommitLog.append(s, tbl,
+        li.filter(col("l_shipdate") >= c1 && col("l_shipdate") < c2))
+      graft.sources.CommitLog.append(s, tbl,
+        li.filter(col("l_shipdate") >= c2))
+      val out = graft.sources.CommitLog.changes(s, tbl, afterVersion = 0L)
+        .map { case (v, delta) =>
+          delta.groupBy(col("l_returnflag")).agg(
+            count(lit(1)).as("n_rows"),
+            sum(col("l_quantity").cast("decimal(30,6)")).cast("double")
+              .as("qty_sum"))
+            .withColumn("version", lit(v))
+        }
+        .reduce(_ unionByName _)
+        .select(col("version"), col("l_returnflag"), col("n_rows"),
+          col("qty_sum"))
+        .orderBy(col("version"), col("l_returnflag"))
+        .localCheckpoint(true)
+      rmStage(s, stage)
+      out
+    }),
+
     "q160_phash_image_dedup" -> ((s, dir) => {
       val meta = Multimodal.decodeMeta(
         Multimodal.assetsFromDocuments(s, dir), batchSize = 64).toDF()
@@ -220,6 +257,22 @@ object Pipeline17 {
         |  COALESCE(qty_v1, 0.0) AS qty_v1
         |FROM cur LEFT JOIN v1 USING (l_returnflag)
         |ORDER BY cur.l_returnflag""".stripMargin,
+
+    "q162_commitlog_changefeed" -> {
+      def slice(v: Int, pred: String): String =
+        s"""SELECT CAST($v AS BIGINT) AS version, l_returnflag,
+           |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+           |    AS qty_sum
+           |FROM lineitem WHERE $pred GROUP BY l_returnflag""".stripMargin
+      s"""${slice(1, "l_shipdate < TIMESTAMP '1995-01-01 00:00:00'")}
+         |UNION ALL
+         |${slice(2, "l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'" +
+           " AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'")}
+         |UNION ALL
+         |${slice(3, "l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'")}
+         |ORDER BY version, l_returnflag""".stripMargin
+    },
 
     "q160_phash_image_dedup" -> {
       val fsum = (0 until Dims).map(d => s"f$d").mkString(" + ")
