@@ -29,6 +29,13 @@ import graft.sources.Catalog
   *    distance (≤ 1% of feature mass). Exact duplicate payloads land
   *    at l1 = 0; near-identical ones well inside the gate; unrelated
   *    same-bucket collisions die in the verify.
+  *
+  * Plus the commit-log read surface under the DuckDB hash gate:
+  *  - q161 the DSv2 connector (snapshot + versionAsOf time travel);
+  *  - q162 the append change feed (per-version deltas from manifests);
+  *  - q163 row-level DML — copy-on-write DELETE + UPDATE with the
+  *    recorded change-data feed (insert/delete/update_preimage/
+  *    update_postimage) and the final state verified side by side.
   */
 object Pipeline17 {
 
@@ -158,6 +165,51 @@ object Pipeline17 {
       out
     }),
 
+    // Row-level DML under the oracle: two appends build the table,
+    // then a copy-on-write DELETE and a copy-on-write UPDATE commit
+    // versions 3 and 4; the full change feed (insert / delete /
+    // update_preimage / update_postimage, tagged with commit versions)
+    // AND the final table state are aggregated side by side. The
+    // oracle recomputes every slice from raw lineitem with static
+    // predicates — a hash match proves the touched-segment rewrite,
+    // the recorded change images, and the delete→update sequencing
+    // (the update sees the post-delete state) are all content-exact.
+    "q163_commitlog_dml" -> ((s, dir) => {
+      val stage = stageDir("q163_dml")
+      val tbl = s"$stage/tbl"
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"),
+          col("l_shipdate"))
+      val cut = lit("1996-01-01").cast("timestamp")
+      val old = lit("1995-06-01").cast("timestamp")
+      graft.sources.CommitLog.append(s, tbl,
+        li.filter(col("l_shipdate") < cut))
+      graft.sources.CommitLog.append(s, tbl,
+        li.filter(col("l_shipdate") >= cut))
+      graft.sources.CommitLog.delete(s, tbl,
+        col("l_returnflag") === "R" && col("l_shipdate") < old)
+      graft.sources.CommitLog.update(s, tbl, col("l_quantity") > 30,
+        Map("l_quantity" -> (col("l_quantity") * 2)))
+      def agg(g: org.apache.spark.sql.RelationalGroupedDataset): DataFrame =
+        g.agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(30,6)")).cast("double")
+            .as("qty_sum"))
+      val feed = agg(graft.sources.CommitLog.changeFeed(s, tbl, 0L)
+        .groupBy(col("_commit_version").as("version"),
+          col("_change_type").as("ctype"), col("l_returnflag")))
+      val fin = agg(graft.sources.CommitLog.read(s, tbl)
+          .groupBy(col("l_returnflag")))
+        .withColumn("version", lit(99L))
+        .withColumn("ctype", lit("final"))
+      val out = feed.unionByName(fin)
+        .select(col("version"), col("ctype"), col("l_returnflag"),
+          col("n_rows"), col("qty_sum"))
+        .orderBy(col("version"), col("ctype"), col("l_returnflag"))
+        .localCheckpoint(true)
+      rmStage(s, stage)
+      out
+    }),
+
     "q160_phash_image_dedup" -> ((s, dir) => {
       val meta = Multimodal.decodeMeta(
         Multimodal.assetsFromDocuments(s, dir), batchSize = 64).toDF()
@@ -272,6 +324,31 @@ object Pipeline17 {
          |UNION ALL
          |${slice(3, "l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'")}
          |ORDER BY version, l_returnflag""".stripMargin
+    },
+
+    "q163_commitlog_dml" -> {
+      val del = "l_returnflag = 'R' AND " +
+        "l_shipdate < TIMESTAMP '1995-06-01 00:00:00'"
+      def slice(v: Int, ctype: String, pred: String,
+          qty: String = "l_quantity"): String =
+        s"""SELECT CAST($v AS BIGINT) AS version, '$ctype' AS ctype,
+           |  l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(CAST($qty AS DECIMAL(30,6))) AS DOUBLE) AS qty_sum
+           |FROM lineitem WHERE $pred GROUP BY l_returnflag""".stripMargin
+      Seq(
+        slice(1, "insert",
+          "l_shipdate < TIMESTAMP '1996-01-01 00:00:00'"),
+        slice(2, "insert",
+          "l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'"),
+        slice(3, "delete", del),
+        slice(4, "update_preimage", s"NOT ($del) AND l_quantity > 30"),
+        slice(4, "update_postimage", s"NOT ($del) AND l_quantity > 30",
+          qty = "l_quantity * 2"),
+        slice(99, "final", s"NOT ($del)",
+          qty = "CASE WHEN l_quantity > 30 THEN l_quantity * 2 " +
+            "ELSE l_quantity END")
+      ).mkString("", "\nUNION ALL\n",
+        "\nORDER BY version, ctype, l_returnflag")
     },
 
     "q160_phash_image_dedup" -> {

@@ -241,6 +241,61 @@ object StreamingReplay {
         fs.delete(new org.apache.hadoop.fs.Path(stage), true)
         fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
       }
+    }),
+
+    // STREAMING read of the commit log under the oracle: a table is
+    // built from three date-sliced appends plus a copy-on-write
+    // delete, then `readStream.format("commitlog")` with
+    // readChangeFeed=true replays the whole history as a stream; the
+    // per-version/per-change-type aggregates landed by foreachBatch
+    // hash-match the oracle's static recomputation of every slice.
+    // Grouping is keyed on `_commit_version` carried IN the data, so
+    // the check is exact regardless of how admission packs versions
+    // into micro-batches — each version's rows arrive exactly once.
+    "q164_commitlog_stream_replay" -> ((s, dir) => {
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft_q164_cl_").toString
+      val tbl = s"$stage/tbl"
+      val outDir = s"$stage/out"
+      try {
+        val li = Catalog.table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"),
+            col("l_returnflag"), col("l_shipdate"))
+        val c1 = lit("1996-01-01").cast("timestamp")
+        val c2 = lit("1997-01-01").cast("timestamp")
+        val old = lit("1995-06-01").cast("timestamp")
+        graft.sources.CommitLog.append(s, tbl,
+          li.filter(col("l_shipdate") < c1))
+        graft.sources.CommitLog.append(s, tbl,
+          li.filter(col("l_shipdate") >= c1 && col("l_shipdate") < c2))
+        graft.sources.CommitLog.append(s, tbl,
+          li.filter(col("l_shipdate") >= c2))
+        graft.sources.CommitLog.delete(s, tbl,
+          col("l_returnflag") === "R" && col("l_shipdate") < old)
+        val stream = s.readStream.format("commitlog")
+          .option("path", tbl).option("readChangeFeed", "true").load()
+        val q = stream.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.groupBy(col("_commit_version").as("version"),
+                col("_change_type").as("ctype"), col("l_returnflag"))
+              .agg(count(lit(1)).as("n_rows"),
+                sum(col("l_quantity").cast("decimal(30,6)"))
+                  .cast("double").as("qty_sum"))
+              .write.mode(SaveMode.Append).parquet(outDir)
+          }
+          .option("checkpointLocation", s"$stage/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.read.parquet(outDir)
+          .select(col("version"), col("ctype"), col("l_returnflag"),
+            col("n_rows"), col("qty_sum"))
+          .orderBy(col("version"), col("ctype"), col("l_returnflag"))
+          .localCheckpoint(true)
+      } finally {
+        val fs = org.apache.hadoop.fs.FileSystem
+          .get(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+      }
     })
   )
 
@@ -304,6 +359,28 @@ object StreamingReplay {
         |  p.purchase_value AS asof_purchase_value
         |FROM events e ASOF LEFT JOIN purchases p
         |  ON e.user_id = p.user_id AND e.ts >= p.ts
-        |ORDER BY e.event_id""".stripMargin
+        |ORDER BY e.event_id""".stripMargin,
+
+    // every commit-log version's change rows, recomputed statically
+    "q164_commitlog_stream_replay" -> {
+      def slice(v: Int, ctype: String, pred: String): String =
+        s"""SELECT CAST($v AS BIGINT) AS version, '$ctype' AS ctype,
+           |  l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+           |    AS qty_sum
+           |FROM lineitem WHERE $pred GROUP BY l_returnflag""".stripMargin
+      Seq(
+        slice(1, "insert",
+          "l_shipdate < TIMESTAMP '1996-01-01 00:00:00'"),
+        slice(2, "insert",
+          "l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND " +
+            "l_shipdate < TIMESTAMP '1997-01-01 00:00:00'"),
+        slice(3, "insert",
+          "l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'"),
+        slice(4, "delete", "l_returnflag = 'R' AND " +
+          "l_shipdate < TIMESTAMP '1995-06-01 00:00:00'")
+      ).mkString("", "\nUNION ALL\n",
+        "\nORDER BY version, ctype, l_returnflag")
+    }
   )
 }

@@ -44,10 +44,16 @@ object CommitLog {
     * is the table's content at `version`. `txnApp`/`txnBatch` are the
     * idempotent-writer transaction stamp (Delta's `txn` action, public
     * design): a streaming query records (its id, micro-batch id) on
-    * every commit so a REPLAYED batch is recognized and skipped. */
+    * every commit so a REPLAYED batch is recognized and skipped.
+    * `changes` is the recorded change-data directory of a row-level
+    * DML commit ([[delete]]/[[update]]): the rows the commit removed /
+    * rewrote, stamped `_change_type` — Delta's CDC-file design, which
+    * makes DML versions consumable by [[changeFeed]] (a rewrite's
+    * delta is NOT derivable from segment diffs alone). */
   final case class Snapshot(version: Long, segments: Seq[String],
       baseVersion: Long, op: String,
-      txnApp: Option[String] = None, txnBatch: Option[Long] = None)
+      txnApp: Option[String] = None, txnBatch: Option[Long] = None,
+      changes: Option[String] = None)
 
   private def commitsDir(table: String) = s"$table/_commits"
   private def manifestPath(table: String, v: Long) =
@@ -262,6 +268,189 @@ object CommitLog {
       s"CommitLog.merge: lost the version race $maxRetries times at $table")
   }
 
+  /** Segment directories that contain at least one row matching
+    * `matched`: ONE predicate-pushed scan of the whole table collecting
+    * only the distinct FILE paths with a match (bounded: one row per
+    * touched file — Delta's find-touched-files step, driver-held there
+    * too), mapped back to their uuid-named segment dirs. Untouched
+    * segments survive a DML commit byte-identical. */
+  private def touchedSegments(spark: SparkSession, segments: Seq[String],
+      matched: org.apache.spark.sql.Column): Seq[String] = {
+    val files = spark.read.parquet(segments: _*).filter(matched)
+      .select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    segments.filter { seg =>
+      val uuid = seg.substring(seg.lastIndexOf('/') + 1)
+      files.exists(_.contains(uuid))
+    }
+  }
+
+  /** Copy-on-write DELETE (SQL semantics: a NULL predicate KEEPS the
+    * row — only `predicate = true` deletes): rewrite ONLY the segments
+    * that contain matching rows, leave every other segment in place,
+    * and commit the swap as one new version. The deleted rows are
+    * recorded under `_changes/` (stamped `_change_type = 'delete'`)
+    * and referenced from the manifest, so [[changeFeed]] can replay
+    * the deletion — the public Delta CDC design; a rewrite's delta is
+    * not derivable from segment diffs. OCC like [[merge]]: losing the
+    * version race discards the staged segment + change record and
+    * recomputes against the winner's state. Returns
+    * (committedVersion, rowsDeleted); a predicate matching nothing is
+    * a no-op that commits NO version (returns the current one).
+    *
+    * 100 TB posture: one pushed-down scan finds touched files; only
+    * touched segments are read again and rewritten; the untouched
+    * bulk of the table is never opened. */
+  def delete(spark: SparkSession, table: String,
+      predicate: org.apache.spark.sql.Column,
+      maxRetries: Int = 20): (Long, Long) = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val cur = snapshot(spark, table).getOrElse(
+        throw new IllegalStateException(
+          s"CommitLog.delete: nothing committed at $table"))
+      val matched = coalesce(predicate, lit(false))
+      val touched = touchedSegments(spark, cur.segments, matched)
+      if (touched.isEmpty) return (cur.version, 0L)
+      val touchedDf = spark.read.parquet(touched: _*)
+      val changeDir = s"$table/_changes/${java.util.UUID.randomUUID()}"
+      touchedDf.filter(matched)
+        .withColumn("_change_type", lit("delete"))
+        .write.mode(SaveMode.ErrorIfExists).parquet(changeDir)
+      val nDeleted = spark.read.parquet(changeDir).count()
+      val kept = touchedDf.filter(!matched)
+      // a fully-deleted segment set gets NO empty replacement segment
+      // (a zero-row parquet dir has no footer to infer schema from)
+      val keptSegs =
+        if (kept.isEmpty) Seq.empty[String]
+        else Seq(writeSegment(spark, table, kept))
+      val snap = Snapshot(cur.version + 1L,
+        cur.segments.filterNot(touched.toSet) ++ keptSegs,
+        cur.version, "delete", changes = Some(changeDir))
+      if (tryPublish(spark, table, snap)) return (snap.version, nDeleted)
+      keptSegs.foreach(s => fs(spark, table).delete(
+        new org.apache.hadoop.fs.Path(s), true): Unit)
+      fs(spark, table).delete(
+        new org.apache.hadoop.fs.Path(changeDir), true): Unit
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"CommitLog.delete: lost the version race $maxRetries times at $table")
+  }
+
+  /** Copy-on-write UPDATE: for rows matching `predicate`, replace each
+    * column in `set` (cast back to the column's declared type, so a
+    * widening expression cannot silently drift the schema); all other
+    * rows and all untouched segments survive byte-identical. Records
+    * BOTH images under `_changes/` (`update_preimage` /
+    * `update_postimage` — Delta's CDC row pair) referenced from the
+    * manifest for [[changeFeed]]. Same OCC + no-op + return contract
+    * as [[delete]]; unknown `set` columns fail fast naming the column. */
+  def update(spark: SparkSession, table: String,
+      predicate: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column],
+      maxRetries: Int = 20): (Long, Long) = {
+    require(set.nonEmpty, "CommitLog.update: empty SET clause")
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val cur = snapshot(spark, table).getOrElse(
+        throw new IllegalStateException(
+          s"CommitLog.update: nothing committed at $table"))
+      val schema = spark.read.parquet(cur.segments: _*).schema
+      val unknown = set.keySet -- schema.fieldNames.toSet
+      require(unknown.isEmpty,
+        s"CommitLog.update: SET names unknown column(s) " +
+          s"${unknown.mkString(", ")} — table has " +
+          schema.fieldNames.mkString(", "))
+      val matched = coalesce(predicate, lit(false))
+      val touched = touchedSegments(spark, cur.segments, matched)
+      if (touched.isEmpty) return (cur.version, 0L)
+      val touchedDf = spark.read.parquet(touched: _*)
+      def applied(onlyMatched: Boolean): DataFrame = {
+        val base = if (onlyMatched) touchedDf.filter(matched) else touchedDf
+        base.select(schema.fieldNames.toSeq.map { f =>
+          set.get(f) match {
+            case Some(e) if onlyMatched =>
+              e.cast(schema(f).dataType).as(f)
+            case Some(e) =>
+              when(matched, e.cast(schema(f).dataType))
+                .otherwise(col(f)).as(f)
+            case None => col(f)
+          }
+        }: _*)
+      }
+      val changeDir = s"$table/_changes/${java.util.UUID.randomUUID()}"
+      touchedDf.filter(matched)
+        .withColumn("_change_type", lit("update_preimage"))
+        .unionByName(applied(onlyMatched = true)
+          .withColumn("_change_type", lit("update_postimage")))
+        .write.mode(SaveMode.ErrorIfExists).parquet(changeDir)
+      val nUpdated = spark.read.parquet(changeDir)
+        .filter(col("_change_type") === "update_preimage").count()
+      val newSeg = writeSegment(spark, table, applied(onlyMatched = false))
+      val snap = Snapshot(cur.version + 1L,
+        cur.segments.filterNot(touched.toSet) :+ newSeg,
+        cur.version, "update", changes = Some(changeDir))
+      if (tryPublish(spark, table, snap)) return (snap.version, nUpdated)
+      fs(spark, table).delete(
+        new org.apache.hadoop.fs.Path(newSeg), true): Unit
+      fs(spark, table).delete(
+        new org.apache.hadoop.fs.Path(changeDir), true): Unit
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"CommitLog.update: lost the version race $maxRetries times at $table")
+  }
+
+  /** The FULL change-data feed after `afterVersion`, one DataFrame:
+    * table columns + `_change_type` ('insert' | 'delete' |
+    * 'update_preimage' | 'update_postimage') + `_commit_version`.
+    * Appends come from segment diffs (as [[changes]]); DML versions
+    * come from their recorded change directories; `compact` is
+    * content-preserving and transparently skipped; `merge` rewrites
+    * row state without a change record, so it raises unless
+    * `skipRewrites = true` (Delta's ignoreChanges caveat — updates
+    * lost). Vacuumed history below the start raises, never silently
+    * skips. */
+  def changeFeed(spark: SparkSession, table: String, afterVersion: Long,
+      skipRewrites: Boolean = false): DataFrame = {
+    val vs = versions(spark, table).filter(_ > afterVersion)
+    val expected = (afterVersion + 1L) to vs.lastOption.getOrElse(afterVersion)
+    if (vs != expected) throw new IllegalStateException(
+      s"CommitLog.changeFeed: versions ${expected.toSet -- vs.toSet} of " +
+        s"$table are vacuumed — cannot reconstruct the feed after " +
+        s"$afterVersion; start from a full snapshot read instead")
+    val parts = vs.flatMap { v =>
+      val snap = snapshot(spark, table, Some(v)).get
+      snap.op match {
+        case "append" | "streaming-append" =>
+          val prev = if (v == 1L) Set.empty[String]
+            else snapshot(spark, table, Some(v - 1L)).get.segments.toSet
+          val added = snap.segments.filterNot(prev)
+          if (added.isEmpty) None
+          else Some(spark.read.parquet(added: _*)
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(v)))
+        case "delete" | "update" =>
+          val dir = snap.changes.getOrElse(throw new IllegalStateException(
+            s"CommitLog.changeFeed: version $v of $table is a " +
+              s"'${snap.op}' with no recorded change directory"))
+          Some(spark.read.parquet(dir)
+            .withColumn("_commit_version", lit(v)))
+        case "compact" => None
+        case _ if skipRewrites => None
+        case op => throw new IllegalStateException(
+          s"CommitLog.changeFeed: version $v of $table is a '$op' " +
+            "rewrite with no change record — pass skipRewrites=true " +
+            "to consume the derivable changes only (its updates lost)")
+      }
+    }
+    if (parts.isEmpty) throw new IllegalStateException(
+      s"CommitLog.changeFeed: no change-producing versions of $table " +
+        s"after $afterVersion")
+    parts.reduce(_ unionByName _)
+  }
+
   /** Segment-compaction commit ([[Formats.compact]] semantics): rewrite
     * the current version's content into ceil(rows/targetRowsPerFile)
     * files as ONE new segment. Readers of older versions still see the
@@ -327,7 +516,8 @@ object CommitLog {
         case op => throw new IllegalStateException(
           s"CommitLog.changes: version $v of $table is a '$op' rewrite" +
             " — its delta is not derivable from segments; pass " +
-            "skipRewrites=true to consume inserts only (updates lost)")
+            "skipRewrites=true to consume inserts only (updates lost)," +
+            " or use changeFeed for the full recorded CDC view")
       }
     }
   }
@@ -384,6 +574,16 @@ object CommitLog {
           !live.exists(_.endsWith(st.getPath.getName)))
         f.delete(st.getPath, true): Unit
     }
+    // change-data records of dropped versions (and of crashed DML
+    // writers that never published) follow the same liveness rule
+    val liveChanges = keepFloor.flatMap(v =>
+      snapshot(spark, table, Some(v)).get.changes).toSet
+    val changesDir = new org.apache.hadoop.fs.Path(s"$table/_changes")
+    if (f.exists(changesDir)) f.listStatus(changesDir).foreach { st =>
+      if (!liveChanges.contains(st.getPath.toUri.getPath) &&
+          !liveChanges.exists(_.endsWith(st.getPath.getName)))
+        f.delete(st.getPath, true): Unit
+    }
     dropped.foreach { v =>
       f.delete(new org.apache.hadoop.fs.Path(manifestPath(table, v)),
         false): Unit
@@ -401,8 +601,10 @@ object CommitLog {
         s""""txnApp":"$a","txnBatch":$b,"""
       case _ => ""
     }
+    val ch = s.changes.fold("")(c =>
+      s""""changes":"${c.replace("\\", "\\\\").replace("\"", "\\\"")}",""")
     s"""{"version":${s.version},"baseVersion":${s.baseVersion},""" +
-      txn +
+      txn + ch +
       s""""op":"${s.op}","segments":[""" + segs.mkString(",") + "]}"
   }
 
@@ -429,6 +631,9 @@ object CommitLog {
       field("op").stripPrefix("\"").stripSuffix("\""),
       txnApp = optField("txnApp")
         .map(_.stripPrefix("\"").stripSuffix("\"")),
-      txnBatch = optField("txnBatch").map(_.toLong))
+      txnBatch = optField("txnBatch").map(_.toLong),
+      changes = optField("changes")
+        .map(_.stripPrefix("\"").stripSuffix("\"")
+          .replace("\\\"", "\"").replace("\\\\", "\\")))
   }
 }

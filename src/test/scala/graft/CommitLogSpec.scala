@@ -374,4 +374,251 @@ class CommitLogSpec extends AnyFunSuite {
       assert(CommitLog.currentVersion(spark, t) === before)
     } finally { rm(t); rm(ckpt + "/x") }
   }
+
+  test("delete: copy-on-write — only touched segments rewritten, SQL " +
+      "NULL-keeps semantics, no-op commits nothing, prior version intact") {
+    val t = tmpTable()
+    try {
+      import spark.implicits._
+      CommitLog.append(spark, t, df((1L, "a", 1.0), (2L, "b", 2.0)))
+      CommitLog.append(spark, t, df((3L, "c", 3.0), (4L, "d", 4.0)))
+      val segsBefore = CommitLog.snapshot(spark, t).get.segments
+      // NULL predicate keeps the row: name null on id=2
+      val t2 = tmpTable()
+      try {
+        CommitLog.append(spark, t2, Seq((1L, Some("x")), (2L, None))
+          .toDF("id", "name"))
+        val (_, n) = CommitLog.delete(spark, t2,
+          col("name") =!= "x") // NULL for id=2 → kept
+        assert(n === 0L)
+        assert(CommitLog.read(spark, t2).count() === 2L)
+      } finally rm(t2)
+      // delete touches only segment 2's rows
+      val (v, n) = CommitLog.delete(spark, t, col("id") === 3L)
+      assert((v, n) === (3L, 1L))
+      assert(sortedRows(CommitLog.read(spark, t)) ===
+        Seq((1L, "a", 1.0), (2L, "b", 2.0), (4L, "d", 4.0)))
+      // untouched segment 1 survives by IDENTITY (same path in the
+      // new manifest), not by rewrite
+      val segsAfter = CommitLog.snapshot(spark, t).get.segments
+      assert(segsAfter.contains(segsBefore.head))
+      assert(!segsAfter.contains(segsBefore(1)))
+      // time travel: pre-delete state intact
+      assert(sortedRows(CommitLog.read(spark, t, Some(2L))).map(_._1) ===
+        Seq(1L, 2L, 3L, 4L))
+      // no-op delete: no new version
+      val (v2, n2) = CommitLog.delete(spark, t, col("id") === 99L)
+      assert((v2, n2) === (3L, 0L))
+      assert(CommitLog.currentVersion(spark, t) === Some(3L))
+      // deleting every row of a segment drops it without an empty
+      // replacement segment
+      val (v3, n3) = CommitLog.delete(spark, t, col("id") <= 2L)
+      assert((v3, n3) === (4L, 2L))
+      assert(sortedRows(CommitLog.read(spark, t)) === Seq((4L, "d", 4.0)))
+    } finally rm(t)
+  }
+
+  test("update: matched rows rewritten with type-preserving SET, " +
+      "unknown column loud, unmatched rows and segments untouched") {
+    val t = tmpTable()
+    try {
+      CommitLog.append(spark, t, df((1L, "a", 1.0), (2L, "b", 2.0)))
+      CommitLog.append(spark, t, df((3L, "c", 3.0)))
+      val segsBefore = CommitLog.snapshot(spark, t).get.segments
+      val schemaBefore = CommitLog.read(spark, t).schema
+      // v*10 promotes through IntegerType arithmetic; the cast-back
+      // keeps the declared DoubleType (schema equality asserted below)
+      val (v, n) = CommitLog.update(spark, t, col("id") === 2L,
+        Map("name" -> upper(col("name")), "v" -> (col("v") * 10)))
+      assert((v, n) === (3L, 1L))
+      assert(sortedRows(CommitLog.read(spark, t)) ===
+        Seq((1L, "a", 1.0), (2L, "B", 20.0), (3L, "c", 3.0)))
+      assert(CommitLog.read(spark, t).schema === schemaBefore)
+      // only the touched segment was rewritten
+      val segsAfter = CommitLog.snapshot(spark, t).get.segments
+      assert(segsAfter.contains(segsBefore(1)))
+      assert(!segsAfter.contains(segsBefore.head))
+      // no-op update commits nothing
+      assert(CommitLog.update(spark, t, col("id") === 99L,
+        Map("v" -> lit(0.0))) === ((3L, 0L)))
+      // unknown SET column fails fast naming it
+      val e = intercept[IllegalArgumentException](
+        CommitLog.update(spark, t, col("id") === 1L,
+          Map("nope" -> lit(1))))
+      assert(e.getMessage.contains("nope"))
+    } finally rm(t)
+  }
+
+  test("changeFeed: insert/delete/update_pre/update_post rows with " +
+      "commit versions; DML applies to the prior feed state; compact " +
+      "skipped; merge refused unless opted in") {
+    val t = tmpTable()
+    try {
+      CommitLog.append(spark, t, df((1L, "a", 1.0), (2L, "b", 2.0)))
+      CommitLog.delete(spark, t, col("id") === 1L)
+      CommitLog.update(spark, t, col("id") === 2L,
+        Map("v" -> lit(22.0)))
+      CommitLog.compact(spark, t, targetRowsPerFile = 10)
+      CommitLog.append(spark, t, df((5L, "e", 5.0)))
+      val feed = CommitLog.changeFeed(spark, t, afterVersion = 0L)
+      val got = feed.select(col("_commit_version"), col("_change_type"),
+          col("id"), col("v")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSeq.sorted
+      assert(got === Seq(
+        (1L, "insert", 1L, 1.0), (1L, "insert", 2L, 2.0),
+        (2L, "delete", 1L, 1.0),
+        (3L, "update_postimage", 2L, 22.0),
+        (3L, "update_preimage", 2L, 2.0),
+        (5L, "insert", 5L, 5.0)))
+      // replaying the feed reconstructs the final state
+      assert(sortedRows(CommitLog.read(spark, t)) ===
+        Seq((2L, "b", 22.0), (5L, "e", 5.0)))
+      // merge has no change record → loud unless opted in
+      CommitLog.merge(spark, t, df((2L, "m", 99.0)), Seq("id"))
+      val e = intercept[IllegalStateException](
+        CommitLog.changeFeed(spark, t, 5L))
+      assert(e.getMessage.contains("merge"))
+      CommitLog.append(spark, t, df((7L, "g", 7.0)))
+      assert(CommitLog.changeFeed(spark, t, 5L, skipRewrites = true)
+        .filter(col("_change_type") === "insert").count() === 1L)
+    } finally rm(t)
+  }
+
+  test("vacuum removes change records of dropped versions; retained " +
+      "DML history still feeds") {
+    val t = tmpTable()
+    try {
+      CommitLog.append(spark, t, df((1L, "a", 1.0), (2L, "b", 2.0)))
+      CommitLog.delete(spark, t, col("id") === 1L)   // v2 + changes
+      CommitLog.append(spark, t, df((3L, "c", 3.0))) // v3
+      CommitLog.update(spark, t, col("id") === 3L,
+        Map("v" -> lit(30.0)))                        // v4 + changes
+      val chDir = new java.io.File(s"$t/_changes")
+      assert(chDir.listFiles.count(_.isDirectory) === 2)
+      CommitLog.vacuum(spark, t, retainVersions = 1)
+      // v2's delete record is unreferenced by the retained floor → gone;
+      // v4's update record survives (referenced by the live manifest)
+      assert(chDir.listFiles.count(_.isDirectory) === 1)
+      assert(CommitLog.snapshot(spark, t).get.changes.nonEmpty)
+      assert(sortedRows(CommitLog.read(spark, t)) ===
+        Seq((2L, "b", 2.0), (3L, "c", 30.0)))
+    } finally rm(t)
+  }
+
+  private def ckptDir(): String = java.nio.file.Files
+    .createTempDirectory("graft_clstream_ckpt_").toString
+
+  test("streaming source: versions stream exactly once across " +
+      "triggers AND restarts; admission paces by version") {
+    val t = tmpTable()
+    val ckpt = ckptDir()
+    try {
+      CommitLog.append(spark, t, df((1L, "a", 1.0), (2L, "b", 2.0)))
+      CommitLog.append(spark, t, df((3L, "c", 3.0)))
+      val batches =
+        scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+      def start() = spark.readStream.format("commitlog")
+        .option("path", t).option("maxVersionsPerTrigger", "1").load()
+        .writeStream.foreachBatch {
+          (b: org.apache.spark.sql.Dataset[Row], id: Long) =>
+            batches += ((id, b.select(col("id")).collect()
+              .map(_.getLong(0)).toSeq.sorted)): Unit
+        }
+        .option("checkpointLocation", ckpt).start()
+      val q = start()
+      try {
+        q.processAllAvailable()
+        // pacing: one version per micro-batch, in version order
+        assert(batches.map(_._2) === Seq(Seq(1L, 2L), Seq(3L)))
+        CommitLog.append(spark, t, df((4L, "d", 4.0)))
+        q.processAllAvailable()
+        assert(batches.last._2 === Seq(4L))
+      } finally q.stop()
+      // restart from the checkpoint: ONLY post-restart versions arrive
+      batches.clear()
+      CommitLog.append(spark, t, df((5L, "e", 5.0)))
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      assert(batches.flatMap(_._2) === Seq(5L))
+    } finally { rm(t); rm(ckpt + "/x") }
+  }
+
+  test("streaming source: readChangeFeed streams DML images; a " +
+      "rewrite without a change record fails loud unless skipped") {
+    val t = tmpTable()
+    val ckpt = ckptDir()
+    try {
+      CommitLog.append(spark, t, df((1L, "a", 1.0), (2L, "b", 2.0)))
+      CommitLog.delete(spark, t, col("id") === 1L)
+      CommitLog.update(spark, t, col("id") === 2L,
+        Map("v" -> lit(22.0)))
+      val rows = scala.collection.mutable
+        .ArrayBuffer.empty[(Long, String, Long, Double)]
+      val q = spark.readStream.format("commitlog")
+        .option("path", t).option("readChangeFeed", "true").load()
+        .writeStream.foreachBatch {
+          (b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+            rows ++= b.select(col("_commit_version"),
+                col("_change_type"), col("id"), col("v")).collect()
+              .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+                r.getDouble(3))): Unit
+        }
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+      assert(rows.sorted.toSeq === Seq(
+        (1L, "insert", 1L, 1.0), (1L, "insert", 2L, 2.0),
+        (2L, "delete", 1L, 1.0),
+        (3L, "update_postimage", 2L, 22.0),
+        (3L, "update_preimage", 2L, 2.0)))
+      // a rewrite in the history: a data-mode stream (no CDF, no
+      // opt-in) dies loud at the FIRST non-derivable version — the
+      // v2 delete — naming the op and the remedies
+      CommitLog.merge(spark, t, df((9L, "m", 9.0)), Seq("id"))
+      val ckpt2 = ckptDir()
+      val q2 = spark.readStream.format("commitlog").option("path", t)
+        .load().writeStream.foreachBatch {
+          (_: org.apache.spark.sql.Dataset[Row], _: Long) => ()
+        }
+        .option("checkpointLocation", ckpt2).start()
+      val e = intercept[org.apache.spark.sql.streaming
+        .StreamingQueryException] {
+        q2.processAllAvailable(); q2.stop()
+      }
+      val msg = e.getMessage +
+        Option(e.getCause).fold("")(_.getMessage)
+      assert(msg.contains("delete") && msg.contains("skipRewrites"))
+      val ckpt3 = ckptDir()
+      var n = 0L
+      val q3 = spark.readStream.format("commitlog").option("path", t)
+        .option("skipRewrites", "true").load()
+        .writeStream.foreachBatch {
+          (b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+            n += b.count(): Unit
+        }
+        .option("checkpointLocation", ckpt3).start()
+      try q3.processAllAvailable() finally q3.stop()
+      assert(n === 2L) // the two v1 inserts; DML + merge skipped
+    } finally { rm(t); rm(ckpt + "/x") }
+  }
+
+  test("DML lost-update law: a delete that loses the version race " +
+      "recomputes against the winner's state") {
+    val t = tmpTable()
+    try {
+      CommitLog.append(spark, t, df((1L, "a", 1.0), (2L, "b", 2.0)))
+      // steal version 2 between the delete's snapshot read and publish:
+      // deterministic interleave via the primitive, as the merge law
+      val base = CommitLog.snapshot(spark, t).get
+      val seg = CommitLog.writeSegment(spark, t, df((3L, "c", 3.0)))
+      assert(CommitLog.tryPublish(spark, t, CommitLog.Snapshot(
+        base.version + 1, base.segments :+ seg, base.version, "append")))
+      // the delete observes the winner's state (its loop re-reads the
+      // snapshot on entry) and removes id=1 without losing id=3
+      val (v, n) = CommitLog.delete(spark, t, col("id") === 1L)
+      assert((v, n) === (3L, 1L))
+      assert(sortedRows(CommitLog.read(spark, t)) ===
+        Seq((2L, "b", 2.0), (3L, "c", 3.0)))
+    } finally rm(t)
+  }
 }
