@@ -140,8 +140,8 @@ object Pipeline17 {
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"),
           col("l_shipdate"))
-      val c1 = lit("1995-01-01").cast("timestamp")
-      val c2 = lit("1996-01-01").cast("timestamp")
+      val c1 = lit("1996-01-01").cast("timestamp")
+      val c2 = lit("1997-01-01").cast("timestamp")
       graft.sources.CommitLog.append(s, tbl,
         li.filter(col("l_shipdate") < c1))
       graft.sources.CommitLog.append(s, tbl,
@@ -317,12 +317,12 @@ object Pipeline17 {
            |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
            |    AS qty_sum
            |FROM lineitem WHERE $pred GROUP BY l_returnflag""".stripMargin
-      s"""${slice(1, "l_shipdate < TIMESTAMP '1995-01-01 00:00:00'")}
+      s"""${slice(1, "l_shipdate < TIMESTAMP '1996-01-01 00:00:00'")}
          |UNION ALL
-         |${slice(2, "l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'" +
-           " AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'")}
+         |${slice(2, "l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'" +
+           " AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'")}
          |UNION ALL
-         |${slice(3, "l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'")}
+         |${slice(3, "l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'")}
          |ORDER BY version, l_returnflag""".stripMargin
     },
 
