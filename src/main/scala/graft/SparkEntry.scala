@@ -61,6 +61,7 @@ object SparkEntry {
       graft.queries.Pipeline15.queries,
       graft.queries.Pipeline16.queries,
       graft.queries.Pipeline17.queries,
+      graft.queries.Pipeline18.queries,
       graft.queries.StreamingReplay.queries)
     val merged = modules.reduce(_ ++ _)
     // a duplicate name across modules would silently shadow a query —
@@ -139,6 +140,7 @@ object SparkEntry {
     graft.queries.Pipeline15.oracleSql ++
     graft.queries.Pipeline16.oracleSql ++
     graft.queries.Pipeline17.oracleSql ++
+    graft.queries.Pipeline18.oracleSql ++
     graft.queries.StreamingReplay.oracleSql
 
   private def baseOracleSql: Map[String, String] = Map(

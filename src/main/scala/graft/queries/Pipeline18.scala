@@ -1,0 +1,204 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Catalog, CommitLog, CommitLogStats}
+
+/** Round-9 additions, part 5 — segment-level data skipping inside the
+  * commit protocol (the Iceberg manifest-stats layering over the
+  * repo's versioned manifests; see [[CommitLogStats]]):
+  *
+  *  - q165 STATS SKIPPING on naturally-clustered appends: a table
+  *    built by date-sliced appends carries tight per-segment
+  *    [min,max] sidecars, so a two-year probe range plans away every
+  *    other year's segment before any file I/O. The query emits the
+  *    kept/pruned segment counts as WITNESS columns — the oracle
+  *    hardcodes what the slicing implies, so the hash gate fails if
+  *    skipping silently stops pruning (or over-prunes, which would
+  *    also break the aggregate).
+  *  - q166 OPTIMIZE-for-skippability: the same table shape built the
+  *    way real ingest builds it (scattered — every segment spans the
+  *    full date range, stats prune NOTHING), then
+  *    [[CommitLogStats.compactClustered]] rewrites it as
+  *    range-disjoint segments in one manifest commit. The witness
+  *    columns carry segments kept before vs after; the oracle
+  *    recomputes the after-count from first principles (the same
+  *    global-row-number bucket formula over the same unique
+  *    ordering), so the pruning effect itself is hash-verified, not
+  *    just asserted in a spec.
+  *
+  * 100 TB reading: q165 is the steady-state ingest pattern (time-
+  * ordered appends are born skippable), q166 is the remediation for
+  * tables that weren't — one OPTIMIZE commit turns a full-scan probe
+  * into a touched-slices probe, and the manifest protocol keeps both
+  * concurrent-writer-safe and time-travelable.
+  */
+object Pipeline18 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Catalog.table(s, dir, name)
+
+  private def stageDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_${tag}_").toString
+
+  private def rmStage(s: SparkSession, stage: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true): Unit
+  }
+
+  /** Data-derived probe window: the driver regenerates the fixture
+    * between rounds (its shipdate span has already moved once), so
+    * both engines derive the year range from the data — slices are
+    * one append per calendar year, the probe is the 2nd and 3rd
+    * years. LocalDateTime bounds encode identically to the fixture's
+    * NTZ event time regardless of the JVM default zone
+    * (java.sql.Timestamp.valueOf would shift by it). */
+  private def yearSpan(li: DataFrame): (Int, Int) = {
+    val r = li.agg(min(year(col("l_shipdate"))).as("y0"),
+      max(year(col("l_shipdate"))).as("y1")).collect()(0)
+    (r.getInt(0), r.getInt(1))
+  }
+
+  private def probeBounds(y0: Int)
+      : (java.time.LocalDateTime, java.time.LocalDateTime) =
+    (java.time.LocalDateTime.of(y0 + 1, 1, 1, 0, 0, 0),
+      java.time.LocalDateTime.of(y0 + 2, 12, 31, 23, 59, 59))
+
+  private def aggregate(df: DataFrame): DataFrame =
+    df.groupBy(col("l_returnflag")).agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("l_quantity").cast("decimal(30,6)")).cast("double")
+        .as("sum_qty"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Year-sliced appends across the fixture's whole shipdate span,
+    // stats on l_shipdate; the 2-year probe keeps exactly the two
+    // touched year-segments.
+    "q165_commitlog_stats_skipping" -> ((s, dir) => {
+      val stage = stageDir("q165_skip")
+      try {
+        val tbl = s"$stage/tbl"
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_linenumber"), col("l_quantity"), col("l_returnflag"),
+          col("l_shipdate"))
+        val (y0, y1) = yearSpan(li)
+        (y0 to y1).foreach { y =>
+          CommitLogStats.appendWithStats(s, tbl,
+            li.filter(year(col("l_shipdate")) === y), Seq("l_shipdate"))
+        }
+        val (lo, hi) = probeBounds(y0)
+        val plan = CommitLogStats.planSkipping(s, tbl, "l_shipdate", lo, hi)
+        val out = aggregate(
+            CommitLogStats.readSkipping(s, tbl, "l_shipdate", lo, hi))
+          .withColumn("n_segments_kept", lit(plan.kept.size))
+          .withColumn("n_segments_pruned", lit(plan.pruned.size))
+          .orderBy(col("l_returnflag"))
+          .localCheckpoint(true)
+        out
+      } finally rmStage(s, stage)
+    }),
+
+    // Ingest-scattered table: 4 shuffled appends, every segment spans
+    // every year, stats prune nothing (kept_before = 4). One
+    // compactClustered commit rewrites it as 8 range-disjoint
+    // segments on the UNIQUE order (l_shipdate, l_orderkey,
+    // l_linenumber); the probe then keeps only the slices whose
+    // [min,max] window intersects 1994-1995 — a count the oracle
+    // re-derives from the bucket formula ((rn-1)*8)/n over the same
+    // ordering.
+    "q166_commitlog_optimize_cluster" -> ((s, dir) => {
+      val stage = stageDir("q166_opt")
+      try {
+        val tbl = s"$stage/tbl"
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_linenumber"), col("l_quantity"), col("l_returnflag"),
+          col("l_shipdate"))
+        (0 until 4).foreach { i =>
+          CommitLogStats.appendWithStats(s, tbl,
+            li.filter(pmod(col("l_orderkey") + col("l_linenumber"), lit(4))
+              === i).repartition(3),
+            Seq("l_shipdate"))
+        }
+        val (y0, _) = yearSpan(li)
+        val (lo, hi) = probeBounds(y0)
+        val before = CommitLogStats.planSkipping(s, tbl, "l_shipdate", lo, hi)
+        CommitLogStats.compactClustered(s, tbl,
+          Seq("l_shipdate", "l_orderkey", "l_linenumber"),
+          nSegments = 8, statsCols = Seq("l_shipdate"))
+        val after = CommitLogStats.planSkipping(s, tbl, "l_shipdate", lo, hi)
+        val out = aggregate(
+            CommitLogStats.readSkipping(s, tbl, "l_shipdate", lo, hi))
+          .withColumn("kept_before", lit(before.kept.size))
+          .withColumn("pruned_before", lit(before.pruned.size))
+          .withColumn("kept_after", lit(after.kept.size))
+          .orderBy(col("l_returnflag"))
+          .localCheckpoint(true)
+        out
+      } finally rmStage(s, stage)
+    })
+  )
+
+  /** DuckDB twin of [[yearSpan]]/[[probeBounds]]: the probe window and
+    * total segment count derived from the data, as the engine does. */
+  private val sqlWindow =
+    """yr AS (SELECT MIN(YEAR(l_shipdate)) AS y0,
+      |    MAX(YEAR(l_shipdate)) AS y1 FROM lineitem),
+      |w AS (SELECT make_timestamp(y0 + 1, 1, 1, 0, 0, 0) AS lo,
+      |    make_timestamp(y0 + 2, 12, 31, 23, 59, 59) AS hi,
+      |    y1 - y0 + 1 AS nseg FROM yr)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    // the aggregate over the probe window, plus the slicing's implied
+    // witness: a year-segment survives iff it has a row in the probe
+    // (the probe spans whole calendar years), so kept = distinct
+    // probe years present, pruned = the other year-segments
+    "q165_commitlog_stats_skipping" ->
+      s"""WITH $sqlWindow,
+         |kept AS (SELECT CAST(COUNT(DISTINCT YEAR(l_shipdate)) AS INT)
+         |    AS k FROM lineitem, w
+         |  WHERE l_shipdate >= lo AND l_shipdate <= hi)
+         |SELECT l_returnflag,
+         |  COUNT(*) AS n_rows,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+         |    AS sum_qty,
+         |  (SELECT k FROM kept) AS n_segments_kept,
+         |  (SELECT CAST(nseg AS INT) FROM w) - (SELECT k FROM kept)
+         |    AS n_segments_pruned
+         |FROM lineitem, w
+         |WHERE l_shipdate >= lo AND l_shipdate <= hi
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin,
+
+    // kept_after re-derived from first principles: bucket b of row rn
+    // (1-based, ordered by the unique triple) is ((rn-1)*8)//n; a
+    // bucket survives the probe iff its [min,max] shipdate window
+    // intersects [lo, hi]
+    "q166_commitlog_optimize_cluster" ->
+      s"""WITH $sqlWindow,
+         |r AS (
+         |  SELECT l_shipdate,
+         |    ROW_NUMBER() OVER (ORDER BY l_shipdate, l_orderkey,
+         |      l_linenumber) AS rn,
+         |    COUNT(*) OVER () AS n
+         |  FROM lineitem),
+         |b AS (SELECT l_shipdate,
+         |    CAST(((rn - 1) * 8) // n AS INT) AS bucket FROM r),
+         |k AS (SELECT bucket, MIN(l_shipdate) AS mn, MAX(l_shipdate) AS mx
+         |  FROM b GROUP BY bucket),
+         |ka AS (SELECT CAST(COUNT(*) AS INT) AS kept_after FROM k, w
+         |  WHERE mx >= lo AND mn <= hi)
+         |SELECT l_returnflag,
+         |  COUNT(*) AS n_rows,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+         |    AS sum_qty,
+         |  CAST(4 AS INT) AS kept_before,
+         |  CAST(0 AS INT) AS pruned_before,
+         |  (SELECT kept_after FROM ka) AS kept_after
+         |FROM lineitem, w
+         |WHERE l_shipdate >= lo AND l_shipdate <= hi
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin
+  )
+}

@@ -1,0 +1,380 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Segment-level data-skipping statistics for [[CommitLog]] tables —
+  * the Iceberg manifest-stats layering (public design: Iceberg's
+  * snapshot pointer names manifest files that carry per-data-file
+  * column bounds; Delta keeps the same bounds inline in its log)
+  * expressed over the repo's versioned-manifest protocol:
+  *
+  *  - a writer that opts in ([[appendWithStats]]) computes per-column
+  *    min / max / null-count over the EXACT rows its segment landed
+  *    and writes them as a `_stats.json` sidecar INSIDE the segment
+  *    directory, BEFORE any manifest references the segment — the
+  *    sidecar is as immutable and crash-safe as the data itself (a
+  *    crashed writer leaves both unreferenced; `_`-prefixed files are
+  *    invisible to Spark's parquet listing, like `_SUCCESS`);
+  *  - a reader ([[readSkipping]]) pins ONE snapshot (current or
+  *    time-travel), consults each named segment's sidecar, and hands
+  *    Spark only the segments whose [min,max] can intersect the probe
+  *    range — pruning at the SEGMENT LIST level, before any footer or
+  *    file listing I/O, with the exact predicate still applied to the
+  *    survivors so a stats gap can never change results;
+  *  - [[compactClustered]] is the OPTIMIZE that makes the bounds
+  *    tight: it rewrites the table as range-disjoint segments
+  *    (split points from the distributed row-number tier, no
+  *    single-reducer window) in ONE manifest commit, so a table whose
+  *    ingest order scattered the probe column becomes skippable.
+  *
+  * 100 TB posture: stats cost one small aggregate per segment at
+  * write time (amortized into the write) and one tiny sidecar read
+  * per segment at plan time; at a million segments the sidecar sweep
+  * replaces opening a million parquet footers. Skipping is always
+  * CONSERVATIVE: a segment with no sidecar, a sidecar without the
+  * probe column, or any unparseable entry is kept, and the full
+  * predicate re-filters whatever is read — the no-false-negative law
+  * (skipped scan ≡ full-scan filter) is pinned in CommitLogSpec.
+  *
+  * Comparison semantics: strings order by UTF-8 bytes (unsigned) —
+  * Spark's UTF8String ordering and DuckDB's BINARY collation agree on
+  * this; timestamps compare as epoch micros, dates as epoch days,
+  * decimals exactly. A probe whose type disagrees with the recorded
+  * stats type fails LOUDLY (the [[Catalog]] event-time hardening
+  * precedent) rather than silently keeping everything.
+  */
+object CommitLogStats {
+
+  /** Typed min/max/nulls for one column of one segment. `min`/`max`
+    * are None when every value in the segment is NULL — such a
+    * segment is safely PRUNED by any range probe (NULL never
+    * satisfies a range predicate). */
+  final case class ColStats(tag: String, min: Option[Any],
+      max: Option[Any], nulls: Long)
+
+  final case class SegmentStats(rows: Long, cols: Map[String, ColStats])
+
+  /** Which segments a probe kept vs pruned, for one pinned snapshot. */
+  final case class SkipPlan(snapshot: CommitLog.Snapshot,
+      kept: Seq[String], pruned: Seq[String])
+
+  private def statsPath(segment: String) = s"$segment/_stats.json"
+
+  private def fs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+
+  // ---- typed encode / decode ------------------------------------------
+
+  /** Canonical comparable form + tag for a stats value pulled out of
+    * the min/max aggregate row. */
+  private def encode(dt: DataType, v: Any): (String, Any) = dt match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      ("long", v.asInstanceOf[Number].longValue())
+    case FloatType | DoubleType =>
+      ("double", v.asInstanceOf[Number].doubleValue())
+    case StringType => ("string", v.asInstanceOf[String])
+    case DateType =>
+      ("date", v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay)
+    case TimestampType =>
+      val t = v.asInstanceOf[java.sql.Timestamp]
+      ("ts", t.getTime / 1000L * 1000000L + t.getNanos / 1000L)
+    case TimestampNTZType =>
+      // NTZ micros under the UTC wall clock — same "ts" tag, so an
+      // LTZ-or-NTZ probe compares against either encoding (the
+      // session runs UTC; Catalog normalizes event time the same way)
+      val t = v.asInstanceOf[java.time.LocalDateTime]
+        .toInstant(java.time.ZoneOffset.UTC)
+      ("ts", t.getEpochSecond * 1000000L + t.getNano / 1000L)
+    case _: DecimalType =>
+      ("decimal", v.asInstanceOf[java.math.BigDecimal])
+    case other => throw new IllegalArgumentException(
+      s"CommitLogStats: unsupported stats column type $other")
+  }
+
+  /** Map a caller-supplied probe bound onto the same canonical form. */
+  private def encodeProbe(v: Any): (String, Any) = v match {
+    case n: Byte => ("long", n.toLong)
+    case n: Short => ("long", n.toLong)
+    case n: Int => ("long", n.toLong)
+    case n: Long => ("long", n)
+    case n: Float => ("double", n.toDouble)
+    case n: Double => ("double", n)
+    case s: String => ("string", s)
+    case d: java.sql.Date => ("date", d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => ("date", d.toEpochDay)
+    case t: java.sql.Timestamp =>
+      ("ts", t.getTime / 1000L * 1000000L + t.getNanos / 1000L)
+    case t: java.time.Instant =>
+      ("ts", t.getEpochSecond * 1000000L + t.getNano / 1000L)
+    case t: java.time.LocalDateTime =>
+      val i = t.toInstant(java.time.ZoneOffset.UTC)
+      ("ts", i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    case d: java.math.BigDecimal => ("decimal", d)
+    case d: BigDecimal => ("decimal", d.bigDecimal)
+    case other => throw new IllegalArgumentException(
+      s"CommitLogStats: unsupported probe value $other " +
+        s"(${other.getClass.getName})")
+  }
+
+  /** UTF-8 unsigned byte comparison — Spark UTF8String / DuckDB
+    * BINARY collation order, NOT java.lang.String's UTF-16 order
+    * (they differ above the BMP). */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  private def cmp(tag: String, a: Any, b: Any): Int = tag match {
+    case "long" | "date" | "ts" =>
+      java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case "double" => java.lang.Double.compare(
+      a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case "string" =>
+      utf8Compare(a.asInstanceOf[String], b.asInstanceOf[String])
+    case "decimal" => a.asInstanceOf[java.math.BigDecimal]
+      .compareTo(b.asInstanceOf[java.math.BigDecimal])
+  }
+
+  private def jsonValue(tag: String, v: Any): String = tag match {
+    case "string" => "\"" + v.asInstanceOf[String]
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n").replace("\r", "\\r") + "\""
+    case "decimal" => "\"" + v.toString + "\""
+    case _ => v.toString
+  }
+
+  private def parseValue(tag: String, raw: String): Any = tag match {
+    case "long" | "date" | "ts" => raw.toLong
+    case "double" => raw.toDouble
+    case "string" => raw.stripPrefix("\"").stripSuffix("\"")
+      .replace("\\n", "\n").replace("\\r", "\r")
+      .replace("\\\"", "\"").replace("\\\\", "\\")
+    case "decimal" =>
+      new java.math.BigDecimal(raw.stripPrefix("\"").stripSuffix("\""))
+  }
+
+  // ---- sidecar write / read -------------------------------------------
+
+  /** Compute and persist `_stats.json` for an already-written segment.
+    * One aggregate job over the segment; the sidecar lands before the
+    * caller publishes any manifest naming the segment. */
+  private[graft] def writeSidecar(spark: SparkSession, segment: String,
+      statsCols: Seq[String]): Unit = {
+    require(statsCols.nonEmpty, "statsCols must be non-empty")
+    val df = spark.read.parquet(segment)
+    val schema = df.schema
+    statsCols.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"CommitLogStats: stats column '$c' absent from segment schema " +
+          schema.fieldNames.mkString("[", ", ", "]"))
+    }
+    val aggs = statsCols.flatMap(c => Seq(
+      min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"))) :+
+      count(lit(1)).as("__rows")
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val entries = statsCols.map { c =>
+      val dt = schema(c).dataType
+      val mn = row.getAs[Any](s"__min_$c")
+      val mx = row.getAs[Any](s"__max_$c")
+      val nulls = row.getAs[Long](s"__nulls_$c")
+      val (tag, body) =
+        if (mn == null) (encode(dt, defaultFor(dt))._1,
+          s""""min":null,"max":null""")
+        else {
+          val (t1, emn) = encode(dt, mn)
+          val (_, emx) = encode(dt, mx)
+          (t1, s""""min":${jsonValue(t1, emn)},"max":${jsonValue(t1, emx)}""")
+        }
+      s""""${c}":{"t":"$tag",$body,"nulls":$nulls}"""
+    }
+    val rows = row.getAs[Long]("__rows")
+    val txt = s"""{"rows":$rows,"cols":{${entries.mkString(",")}}}"""
+    val f = fs(spark, segment)
+    val p = new org.apache.hadoop.fs.Path(statsPath(segment))
+    val out = f.create(p, false)
+    try out.write(txt.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** A representative value per type so an all-NULL column still
+    * records its tag (the probe type check stays loud). */
+  private def defaultFor(dt: DataType): Any = dt match {
+    case ByteType | ShortType | IntegerType | LongType => 0L
+    case FloatType | DoubleType => 0.0
+    case StringType => ""
+    case DateType => java.sql.Date.valueOf("1970-01-01")
+    case TimestampType => new java.sql.Timestamp(0L)
+    case TimestampNTZType =>
+      java.time.LocalDateTime.of(1970, 1, 1, 0, 0)
+    case _: DecimalType => java.math.BigDecimal.ZERO
+    case other => throw new IllegalArgumentException(
+      s"CommitLogStats: unsupported stats column type $other")
+  }
+
+  /** Load a segment's sidecar; None when the segment never recorded
+    * one (a foreign or pre-stats writer) — the caller keeps it. */
+  def readSidecar(spark: SparkSession, segment: String)
+      : Option[SegmentStats] = {
+    val f = fs(spark, segment)
+    val p = new org.apache.hadoop.fs.Path(statsPath(segment))
+    if (!f.exists(p)) return None
+    val in = f.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val rows = "\"rows\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt)
+      .map(_.group(1).toLong).getOrElse(0L)
+    val entry = ("\"([^\"]+)\"\\s*:\\s*\\{\"t\":\"(\\w+)\"," +
+      "\"min\":(null|\"(?:[^\"\\\\]|\\\\.)*\"|[-0-9.eE]+)," +
+      "\"max\":(null|\"(?:[^\"\\\\]|\\\\.)*\"|[-0-9.eE]+)," +
+      "\"nulls\":(\\d+)\\}").r
+    val cols = entry.findAllMatchIn(txt).map { m =>
+      val tag = m.group(2)
+      val mn = if (m.group(3) == "null") None
+        else Some(parseValue(tag, m.group(3)))
+      val mx = if (m.group(4) == "null") None
+        else Some(parseValue(tag, m.group(4)))
+      m.group(1) -> ColStats(tag, mn, mx, m.group(5).toLong)
+    }.toMap
+    Some(SegmentStats(rows, cols))
+  }
+
+  // ---- stats-carrying commits -----------------------------------------
+
+  /** [[CommitLog.append]] with a stats sidecar on the new segment.
+    * Identical OCC publish loop; the sidecar is in place before the
+    * first manifest names the segment. */
+  def appendWithStats(spark: SparkSession, table: String, df: DataFrame,
+      statsCols: Seq[String], maxRetries: Int = 20): Long = {
+    val seg = CommitLog.writeSegment(spark, table, df)
+    writeSidecar(spark, seg, statsCols)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val cur = CommitLog.snapshot(spark, table)
+      val v = cur.fold(1L)(_.version + 1L)
+      val snap = CommitLog.Snapshot(v,
+        cur.fold(Seq.empty[String])(_.segments) :+ seg,
+        cur.fold(0L)(_.version), "append")
+      if (CommitLog.tryPublish(spark, table, snap)) return v
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"CommitLogStats.appendWithStats: lost the version race " +
+        s"$maxRetries times at $table")
+  }
+
+  /** OPTIMIZE for skippability: rewrite the CURRENT snapshot as
+    * `nSegments` range-disjoint segments on `clusterCols` (split
+    * points from a distributed row-number pass — no single-reducer
+    * window), each with a stats sidecar, committed as ONE manifest
+    * version (`op = "compact"`, so the change feed treats it as the
+    * content-preserving rewrite it is). Turns an ingest-ordered table
+    * whose every segment spans the full probe range into one where
+    * [[readSkipping]] prunes all but the touched slices. Pass enough
+    * `clusterCols` to make the ordering UNIQUE — boundary ties on a
+    * non-unique prefix would let shuffle order move rows across
+    * segment boundaries between runs. */
+  def compactClustered(spark: SparkSession, table: String,
+      clusterCols: Seq[String], nSegments: Int, statsCols: Seq[String],
+      maxRetries: Int = 20): Long = {
+    require(nSegments >= 1, "nSegments must be >= 1")
+    require(clusterCols.nonEmpty, "clusterCols must be non-empty")
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val cur = CommitLog.snapshot(spark, table).getOrElse(
+        throw new IllegalStateException(
+          s"CommitLogStats.compactClustered: nothing committed at $table"))
+      val df = spark.read.parquet(cur.segments: _*)
+      val ranked = graft.operators.DistributedRank.globalRowNumber(
+        df, clusterCols.map(col), "__rn")
+      val n = math.max(1L, ranked.count())
+      // floor division — Spark's `/` on integral columns is DOUBLE
+      // division; floor() is exact here ((rn-1)*nSegments ≪ 2^53)
+      val bucketed = ranked.withColumn("__bucket",
+        floor(((col("__rn") - 1L) * nSegments) / lit(n))
+          .cast("int")).persist()
+      try {
+        val segs = (0 until nSegments).flatMap { b =>
+          val slice = bucketed.filter(col("__bucket") === b)
+            .drop("__rn", "__bucket")
+          if (slice.isEmpty) None
+          else {
+            val seg = CommitLog.writeSegment(spark, table, slice)
+            writeSidecar(spark, seg, statsCols)
+            Some(seg)
+          }
+        }
+        val snap = CommitLog.Snapshot(cur.version + 1L, segs,
+          cur.version, "compact")
+        if (CommitLog.tryPublish(spark, table, snap)) return snap.version
+        val f = fs(spark, table)
+        segs.foreach(s =>
+          f.delete(new org.apache.hadoop.fs.Path(s), true): Unit)
+      } finally bucketed.unpersist()
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"CommitLogStats.compactClustered: lost the version race " +
+        s"$maxRetries times at $table")
+  }
+
+  // ---- skipping reads --------------------------------------------------
+
+  /** Decide, for ONE pinned snapshot, which segments a closed probe
+    * range [lo, hi] on `statsCol` can touch. Conservative on every
+    * gap (no sidecar / column absent → kept); all-NULL column →
+    * pruned; probe type vs recorded stats type mismatch → LOUD. */
+  def planSkipping(spark: SparkSession, table: String, statsCol: String,
+      lo: Any, hi: Any, asOfVersion: Option[Long] = None): SkipPlan = {
+    val snap = CommitLog.snapshot(spark, table, asOfVersion).getOrElse(
+      throw new IllegalStateException(
+        s"CommitLogStats.planSkipping: no committed version at $table" +
+          asOfVersion.fold("")(v => s" (asOf=$v)")))
+    val (loTag, loV) = encodeProbe(lo)
+    val (hiTag, hiV) = encodeProbe(hi)
+    require(loTag == hiTag,
+      s"CommitLogStats: probe bounds disagree on type ($loTag vs $hiTag)")
+    val (kept, pruned) = snap.segments.partition { seg =>
+      readSidecar(spark, seg) match {
+        case None => true
+        case Some(stats) => stats.cols.get(statsCol) match {
+          case None => true
+          case Some(cs) =>
+            if (cs.tag != loTag) throw new IllegalStateException(
+              s"CommitLogStats: probe on '$statsCol' has type $loTag " +
+                s"but segment $seg recorded ${cs.tag} stats — fix the " +
+                "probe value, not the comparison")
+            (cs.min, cs.max) match {
+              case (Some(mn), Some(mx)) =>
+                cmp(cs.tag, mx, loV) >= 0 && cmp(cs.tag, mn, hiV) <= 0
+              case _ => false // all-NULL segment: no row can match
+            }
+        }
+      }
+    }
+    SkipPlan(snap, kept, pruned)
+  }
+
+  /** Range scan with segment skipping: read only the segments
+    * [[planSkipping]] kept, then apply the EXACT predicate — result
+    * is identical to `CommitLog.read(..).filter(lo <= c <= hi)` by
+    * the no-false-negative law (CommitLogSpec). */
+  def readSkipping(spark: SparkSession, table: String, statsCol: String,
+      lo: Any, hi: Any, asOfVersion: Option[Long] = None): DataFrame = {
+    val plan = planSkipping(spark, table, statsCol, lo, hi, asOfVersion)
+    val pred = col(statsCol) >= lit(lo) && col(statsCol) <= lit(hi)
+    if (plan.kept.isEmpty)
+      CommitLog.read(spark, table, asOfVersion).filter(lit(false))
+    else
+      spark.read.parquet(plan.kept: _*).filter(pred)
+  }
+}

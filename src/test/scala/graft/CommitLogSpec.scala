@@ -621,4 +621,130 @@ class CommitLogSpec extends AnyFunSuite {
         Seq((2L, "b", 2.0), (3L, "c", 3.0)))
     } finally rm(t)
   }
+
+  // ---- segment-level stats skipping (CommitLogStats) -----------------
+
+  import graft.sources.CommitLogStats
+
+  test("stats skipping: no-false-negative law — readSkipping equals " +
+      "the full-scan filter on in-range, boundary, and empty probes") {
+    val t = tmpTable()
+    try {
+      // three appends with overlapping but distinct v-ranges
+      CommitLogStats.appendWithStats(spark, t,
+        df((1L, "a", 1.0), (2L, "b", 5.0)), Seq("v", "id"))
+      CommitLogStats.appendWithStats(spark, t,
+        df((3L, "c", 4.0), (4L, "d", 9.0)), Seq("v", "id"))
+      CommitLogStats.appendWithStats(spark, t,
+        df((5L, "e", 20.0), (6L, "f", 25.0)), Seq("v", "id"))
+      for ((lo, hi) <- Seq((0.0, 100.0), (4.0, 9.0), (5.0, 5.0),
+          (9.5, 19.5), (30.0, 40.0), (10.0, 0.0))) {
+        val skipped = CommitLogStats.readSkipping(spark, t, "v", lo, hi)
+        val full = CommitLog.read(spark, t)
+          .filter(col("v") >= lo && col("v") <= hi)
+        assert(sortedRows(skipped) === sortedRows(full),
+          s"probe [$lo,$hi]")
+      }
+      // the middle probe prunes the out-of-range segment
+      val plan = CommitLogStats.planSkipping(spark, t, "v", 4.0, 9.0)
+      assert(plan.kept.size === 2 && plan.pruned.size === 1)
+      // long probe on the long column works too
+      assert(CommitLogStats.planSkipping(spark, t, "id", 5L, 6L)
+        .kept.size === 1)
+    } finally rm(t)
+  }
+
+  test("stats skipping: conservative on gaps — a sidecar-less foreign " +
+      "segment is kept, an all-NULL column prunes, a mistyped probe " +
+      "fails loudly") {
+    val t = tmpTable()
+    try {
+      CommitLogStats.appendWithStats(spark, t,
+        df((1L, "a", 1.0)), Seq("v"))
+      // foreign writer: plain append, no sidecar
+      CommitLog.append(spark, t, df((2L, "b", 50.0)))
+      // an all-NULL v segment
+      import spark.implicits._
+      val nulls = Seq((3L, "c")).toDF("id", "name")
+        .withColumn("v", lit(null).cast("double"))
+        .select(col("id"), col("name"), col("v"))
+      val seg3 = CommitLog.append(spark, t, nulls)
+      CommitLogStats.writeSidecar(spark,
+        CommitLog.snapshot(spark, t).get.segments.last, Seq("v"))
+      assert(seg3 === 3L)
+      val plan = CommitLogStats.planSkipping(spark, t, "v", 40.0, 60.0)
+      // stats segment pruned (1.0 < 40), foreign segment kept
+      // (conservative), all-NULL segment pruned
+      assert(plan.kept.size === 1 && plan.pruned.size === 2)
+      assert(sortedRows(CommitLogStats.readSkipping(
+        spark, t, "v", 40.0, 60.0)) === Seq((2L, "b", 50.0)))
+      // NULL rows never match, so even a full-range probe agrees with
+      // the filter semantics
+      assert(sortedRows(CommitLogStats.readSkipping(
+          spark, t, "v", -1e9, 1e9)) ===
+        sortedRows(CommitLog.read(spark, t).filter(
+          col("v") >= -1e9 && col("v") <= 1e9)))
+      val e = intercept[IllegalStateException] {
+        CommitLogStats.planSkipping(spark, t, "v", "x", "y")
+      }
+      assert(e.getMessage.contains("type") &&
+        e.getMessage.contains("v"))
+    } finally rm(t)
+  }
+
+  test("compactClustered: content preserved in ONE commit, segments " +
+      "range-disjoint so the probe prunes, change feed still treats " +
+      "it as a rewrite") {
+    val t = tmpTable()
+    try {
+      // scattered ingest: both appends span the full v range
+      CommitLogStats.appendWithStats(spark, t,
+        df((1L, "a", 1.0), (4L, "d", 40.0), (7L, "g", 70.0)), Seq("v"))
+      CommitLogStats.appendWithStats(spark, t,
+        df((2L, "b", 5.0), (5L, "e", 45.0), (8L, "h", 75.0)), Seq("v"))
+      val before = CommitLogStats.planSkipping(spark, t, "v", 1.0, 6.0)
+      assert(before.kept.size === 2 && before.pruned.isEmpty)
+      val pre = sortedRows(CommitLog.read(spark, t))
+      val v = CommitLogStats.compactClustered(spark, t,
+        Seq("v", "id"), nSegments = 3, statsCols = Seq("v"))
+      assert(v === 3L)
+      assert(sortedRows(CommitLog.read(spark, t)) === pre)
+      val after = CommitLogStats.planSkipping(spark, t, "v", 1.0, 6.0)
+      // 6 rows over 3 buckets of 2: [1,5] [40,45] [70,75] — one kept
+      assert(after.kept.size === 1 && after.pruned.size === 2)
+      assert(sortedRows(CommitLogStats.readSkipping(
+          spark, t, "v", 1.0, 6.0)) ===
+        Seq((1L, "a", 1.0), (2L, "b", 5.0)))
+      // prior version remains time-travelable with its own stats
+      assert(CommitLogStats.planSkipping(spark, t, "v", 1.0, 6.0,
+        asOfVersion = Some(2L)).kept.size === 2)
+      // change feed: compact is content-preserving, transparently
+      // skipped exactly like CommitLog.compact
+      val feed = CommitLog.changes(spark, t, afterVersion = 2L)
+      assert(feed.isEmpty)
+    } finally rm(t)
+  }
+
+  test("stats skipping composes with the OCC race: a loser's retried " +
+      "appendWithStats keeps both writers' segments and sidecars") {
+    val t = tmpTable()
+    try {
+      CommitLogStats.appendWithStats(spark, t, df((1L, "a", 1.0)),
+        Seq("v"))
+      // steal version 2 between snapshot read and publish
+      val base = CommitLog.snapshot(spark, t).get
+      val seg = CommitLog.writeSegment(spark, t, df((2L, "b", 2.0)))
+      CommitLogStats.writeSidecar(spark, seg, Seq("v"))
+      assert(CommitLog.tryPublish(spark, t, CommitLog.Snapshot(
+        base.version + 1, base.segments :+ seg, base.version, "append")))
+      val v = CommitLogStats.appendWithStats(spark, t,
+        df((3L, "c", 30.0)), Seq("v"))
+      assert(v === 3L)
+      assert(sortedRows(CommitLog.read(spark, t)) ===
+        Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 30.0)))
+      // every segment has a sidecar; the narrow probe keeps only one
+      assert(CommitLogStats.planSkipping(spark, t, "v", 25.0, 35.0)
+        .kept.size === 1)
+    } finally rm(t)
+  }
 }
