@@ -28,11 +28,21 @@ import graft.sources.{Catalog, CommitLog, CommitLogStats}
   *    ordering), so the pruning effect itself is hash-verified, not
   *    just asserted in a spec.
   *
+  *  - q167 ADD-COLUMN SCHEMA EVOLUTION ([[CommitLog.appendEvolve]]):
+  *    the committed manifest records the merged schema (base64
+  *    StructType), so every reader — snapshot, time travel, DML
+  *    rewrites, stats skipping, the DSv2 connector — serves a stable
+  *    pinned column set, with NULLs for segments that predate a
+  *    column. Type changes refuse loudly; v1 time travel keeps v1's
+  *    own columns (witness columns n_cols_v1/n_cols_v2).
+  *
   * 100 TB reading: q165 is the steady-state ingest pattern (time-
   * ordered appends are born skippable), q166 is the remediation for
   * tables that weren't — one OPTIMIZE commit turns a full-scan probe
-  * into a touched-slices probe, and the manifest protocol keeps both
-  * concurrent-writer-safe and time-travelable.
+  * into a touched-slices probe — and q167 is the decade-lifetime
+  * reality that columns arrive after the first petabyte has landed;
+  * the manifest protocol keeps all three concurrent-writer-safe and
+  * time-travelable.
   */
 object Pipeline18 {
 
@@ -137,6 +147,42 @@ object Pipeline18 {
           .localCheckpoint(true)
         out
       } finally rmStage(s, stage)
+    }),
+
+    // ADD-COLUMN schema evolution through the manifest: v1 appends a
+    // 3-column orders slice, v2 appendEvolves the complementary slice
+    // carrying a derived priority_class column. The CURRENT read
+    // serves NULL priority_class for v1's segment (grouping them under
+    // the NULL class); the v1 time travel still has exactly its own
+    // 3 columns — both pinned as witness columns through the oracle.
+    "q167_commitlog_schema_evolution" -> ((s, dir) => {
+      val stage = stageDir("q167_evolve")
+      try {
+        val tbl = s"$stage/tbl"
+        val o = t(s, dir, "orders")
+        val base = o.select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"))
+        CommitLog.appendEvolve(s, tbl,
+          base.filter(pmod(col("o_orderkey"), lit(2)) === 0))
+        CommitLog.appendEvolve(s, tbl,
+          o.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+            .select(col("o_orderkey"), col("o_custkey"),
+              col("o_totalprice"),
+              substring(col("o_orderpriority"), 1, 1)
+                .as("priority_class")))
+        val nColsV1 = CommitLog.read(s, tbl, Some(1L)).columns.length
+        val nColsV2 = CommitLog.read(s, tbl).columns.length
+        val out = CommitLog.read(s, tbl)
+          .groupBy(col("priority_class")).agg(
+            count(lit(1)).as("n_rows"),
+            sum(col("o_totalprice").cast("decimal(30,6)")).cast("double")
+              .as("sum_price"))
+          .withColumn("n_cols_v1", lit(nColsV1))
+          .withColumn("n_cols_v2", lit(nColsV2))
+          .orderBy(col("priority_class"))
+          .localCheckpoint(true)
+        out
+      } finally rmStage(s, stage)
     })
   )
 
@@ -199,6 +245,21 @@ object Pipeline18 {
          |FROM lineitem, w
          |WHERE l_shipdate >= lo AND l_shipdate <= hi
          |GROUP BY l_returnflag
-         |ORDER BY l_returnflag""".stripMargin
+         |ORDER BY l_returnflag""".stripMargin,
+
+    // rebuild the evolved table's logical content from raw orders:
+    // even keys predate the column (NULL class), odd keys carry it
+    "q167_commitlog_schema_evolution" ->
+      """SELECT
+        |  CASE WHEN o_orderkey % 2 = 1
+        |    THEN substr(o_orderpriority, 1, 1) END AS priority_class,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price,
+        |  CAST(3 AS INT) AS n_cols_v1,
+        |  CAST(4 AS INT) AS n_cols_v2
+        |FROM orders
+        |GROUP BY priority_class
+        |ORDER BY priority_class""".stripMargin
   )
 }

@@ -53,7 +53,8 @@ object CommitLog {
   final case class Snapshot(version: Long, segments: Seq[String],
       baseVersion: Long, op: String,
       txnApp: Option[String] = None, txnBatch: Option[Long] = None,
-      changes: Option[String] = None)
+      changes: Option[String] = None,
+      schema: Option[String] = None)
 
   private def commitsDir(table: String) = s"$table/_commits"
   private def manifestPath(table: String, v: Long) =
@@ -101,10 +102,23 @@ object CommitLog {
       asOfVersion: Option[Long] = None): DataFrame =
     snapshot(spark, table, asOfVersion) match {
       case Some(s) if s.segments.nonEmpty =>
-        spark.read.parquet(s.segments: _*)
+        // a recorded (possibly evolved) schema pins column set AND
+        // order; segments predating an added column serve NULLs
+        readSegments(spark, s.segments, s.schema)
       case _ => throw new IllegalStateException(
         s"CommitLog.read: no committed version at $table" +
           asOfVersion.fold("")(v => s" (asOf=$v)"))
+    }
+
+  /** Read a segment list under an optionally-pinned (possibly evolved)
+    * schema: segments written before a column was added serve NULLs
+    * for it, and column set/order is stable regardless of which file
+    * the parquet reader would have sampled. */
+  private[graft] def readSegments(spark: SparkSession,
+      segments: Seq[String], schema: Option[String]): DataFrame =
+    schema.map(decodeSchema) match {
+      case Some(sch) => spark.read.schema(sch).parquet(segments: _*)
+      case None => spark.read.parquet(segments: _*)
     }
 
   /** Write `df` as a fresh immutable segment under the table; returns
@@ -161,12 +175,83 @@ object CommitLog {
       val cur = snapshot(spark, table)
       val v = cur.fold(1L)(_.version + 1L)
       val snap = Snapshot(v, cur.fold(Seq.empty[String])(_.segments) :+ seg,
-        cur.fold(0L)(_.version), "append")
+        cur.fold(0L)(_.version), "append",
+        schema = cur.flatMap(_.schema))
       if (tryPublish(spark, table, snap)) return v
       attempt += 1
     }
     throw new java.io.IOException(
       s"CommitLog.append: lost the version race $maxRetries times at $table")
+  }
+
+  // ---- schema evolution ------------------------------------------------
+
+  /** base64 of StructType.json — regex-safe inside the flat manifest
+    * format (the payload can contain no quotes or brackets). */
+  private[graft] def encodeSchema(
+      s: org.apache.spark.sql.types.StructType): String =
+    java.util.Base64.getEncoder.encodeToString(s.json.getBytes("UTF-8"))
+
+  private[graft] def decodeSchema(
+      b64: String): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.DataType.fromJson(
+      new String(java.util.Base64.getDecoder.decode(b64), "UTF-8"))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+
+  /** ADD-COLUMN evolution — the safe subset of Delta's mergeSchema:
+    * a same-name field must keep its EXACT type (a silent widen or
+    * narrow is a rewrite, not an evolution — refuse loudly, the
+    * [[Catalog]] event-time precedent); new incoming fields append
+    * after the current ones, forced nullable (every pre-evolution
+    * segment serves NULL for them). Incoming MAY omit existing
+    * columns — its segment serves NULL there, symmetrically. */
+  private[graft] def evolveSchema(
+      cur: org.apache.spark.sql.types.StructType,
+      inc: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    val byName = cur.fields.map(f => f.name -> f).toMap
+    inc.fields.foreach { f =>
+      byName.get(f.name).foreach { c =>
+        if (c.dataType != f.dataType) throw new IllegalStateException(
+          s"CommitLog.appendEvolve: column '${f.name}' would change " +
+            s"type ${c.dataType.simpleString} -> " +
+            s"${f.dataType.simpleString}; type changes need an explicit " +
+            "rewrite, not schema evolution")
+      }
+    }
+    val added = inc.fields.filterNot(f => byName.contains(f.name))
+      .map(_.copy(nullable = true))
+    org.apache.spark.sql.types.StructType(cur.fields ++ added)
+  }
+
+  /** APPEND with add-column schema evolution: the committed manifest
+    * records the merged schema, so every reader (snapshot, time
+    * travel, merge/DML rewrites, stats skipping) sees a stable,
+    * pinned column set — old segments serve NULL for columns added
+    * after them. First commit records the incoming schema as-is; a
+    * type change refuses loudly ([[evolveSchema]]). The OCC loop
+    * re-merges against the winner's schema on a lost race, so two
+    * concurrent evolvers adding different columns both land (their
+    * union), exactly like two appends' rows. */
+  def appendEvolve(spark: SparkSession, table: String, df: DataFrame,
+      maxRetries: Int = 20): Long = {
+    val seg = writeSegment(spark, table, df)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val cur = snapshot(spark, table)
+      val base = cur.map(s => s.schema.map(decodeSchema).getOrElse(
+        readSegments(spark, s.segments, None).schema))
+      val merged = base.fold(df.schema)(b => evolveSchema(b, df.schema))
+      val v = cur.fold(1L)(_.version + 1L)
+      val snap = Snapshot(v, cur.fold(Seq.empty[String])(_.segments) :+ seg,
+        cur.fold(0L)(_.version), "append",
+        schema = Some(encodeSchema(merged)))
+      if (tryPublish(spark, table, snap)) return v
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"CommitLog.appendEvolve: lost the version race $maxRetries " +
+        s"times at $table")
   }
 
   /** Highest micro-batch id ever committed by `appId`, from the txn
@@ -208,7 +293,8 @@ object CommitLog {
       val v = cur.fold(1L)(_.version + 1L)
       val snap = Snapshot(v, cur.fold(Seq.empty[String])(_.segments) :+ seg,
         cur.fold(0L)(_.version), "streaming-append",
-        txnApp = Some(appId), txnBatch = Some(batchId))
+        txnApp = Some(appId), txnBatch = Some(batchId),
+        schema = cur.flatMap(_.schema))
       if (tryPublish(spark, table, snap)) return Some(v)
       attempt += 1
     }
@@ -238,7 +324,7 @@ object CommitLog {
       val (merged, inserted, replaced) = cur match {
         case None => (incOne, -1L, 0L) // counted after materialize
         case Some(s) =>
-          val ex = spark.read.parquet(s.segments: _*)
+          val ex = readSegments(spark, s.segments, s.schema)
           SchemaAssert.require(incOne, ex.schema)
           val kept = ex.join(incOne.select(keys.map(col): _*), keys,
             "left_anti")
@@ -252,11 +338,12 @@ object CommitLog {
         val ins = cur match {
           case None => total
           case Some(s) =>
-            total - spark.read.parquet(s.segments: _*).count()
+            total - readSegments(spark, s.segments, s.schema).count()
         }
         val seg = writeSegment(spark, table, staged)
         val v = cur.fold(1L)(_.version + 1L)
-        val snap = Snapshot(v, Seq(seg), cur.fold(0L)(_.version), "merge")
+        val snap = Snapshot(v, Seq(seg), cur.fold(0L)(_.version), "merge",
+          schema = cur.flatMap(_.schema))
         if (tryPublish(spark, table, snap)) return (v, ins, replaced)
         // lost the race: drop the orphaned segment (never referenced)
         // and recompute against the winner's state
@@ -275,8 +362,9 @@ object CommitLog {
     * too), mapped back to their uuid-named segment dirs. Untouched
     * segments survive a DML commit byte-identical. */
   private def touchedSegments(spark: SparkSession, segments: Seq[String],
-      matched: org.apache.spark.sql.Column): Seq[String] = {
-    val files = spark.read.parquet(segments: _*).filter(matched)
+      matched: org.apache.spark.sql.Column,
+      schema: Option[String]): Seq[String] = {
+    val files = readSegments(spark, segments, schema).filter(matched)
       .select(input_file_name()).distinct()
       .collect().map(_.getString(0))
     segments.filter { seg =>
@@ -310,9 +398,10 @@ object CommitLog {
         throw new IllegalStateException(
           s"CommitLog.delete: nothing committed at $table"))
       val matched = coalesce(predicate, lit(false))
-      val touched = touchedSegments(spark, cur.segments, matched)
+      val touched = touchedSegments(spark, cur.segments, matched,
+        cur.schema)
       if (touched.isEmpty) return (cur.version, 0L)
-      val touchedDf = spark.read.parquet(touched: _*)
+      val touchedDf = readSegments(spark, touched, cur.schema)
       val changeDir = s"$table/_changes/${java.util.UUID.randomUUID()}"
       touchedDf.filter(matched)
         .withColumn("_change_type", lit("delete"))
@@ -326,7 +415,8 @@ object CommitLog {
         else Seq(writeSegment(spark, table, kept))
       val snap = Snapshot(cur.version + 1L,
         cur.segments.filterNot(touched.toSet) ++ keptSegs,
-        cur.version, "delete", changes = Some(changeDir))
+        cur.version, "delete", changes = Some(changeDir),
+        schema = cur.schema)
       if (tryPublish(spark, table, snap)) return (snap.version, nDeleted)
       keptSegs.foreach(s => fs(spark, table).delete(
         new org.apache.hadoop.fs.Path(s), true): Unit)
@@ -356,16 +446,17 @@ object CommitLog {
       val cur = snapshot(spark, table).getOrElse(
         throw new IllegalStateException(
           s"CommitLog.update: nothing committed at $table"))
-      val schema = spark.read.parquet(cur.segments: _*).schema
+      val schema = readSegments(spark, cur.segments, cur.schema).schema
       val unknown = set.keySet -- schema.fieldNames.toSet
       require(unknown.isEmpty,
         s"CommitLog.update: SET names unknown column(s) " +
           s"${unknown.mkString(", ")} — table has " +
           schema.fieldNames.mkString(", "))
       val matched = coalesce(predicate, lit(false))
-      val touched = touchedSegments(spark, cur.segments, matched)
+      val touched = touchedSegments(spark, cur.segments, matched,
+        cur.schema)
       if (touched.isEmpty) return (cur.version, 0L)
-      val touchedDf = spark.read.parquet(touched: _*)
+      val touchedDf = readSegments(spark, touched, cur.schema)
       def applied(onlyMatched: Boolean): DataFrame = {
         val base = if (onlyMatched) touchedDf.filter(matched) else touchedDf
         base.select(schema.fieldNames.toSeq.map { f =>
@@ -390,7 +481,8 @@ object CommitLog {
       val newSeg = writeSegment(spark, table, applied(onlyMatched = false))
       val snap = Snapshot(cur.version + 1L,
         cur.segments.filterNot(touched.toSet) :+ newSeg,
-        cur.version, "update", changes = Some(changeDir))
+        cur.version, "update", changes = Some(changeDir),
+        schema = cur.schema)
       if (tryPublish(spark, table, snap)) return (snap.version, nUpdated)
       fs(spark, table).delete(
         new org.apache.hadoop.fs.Path(newSeg), true): Unit
@@ -464,13 +556,13 @@ object CommitLog {
       val cur = snapshot(spark, table).getOrElse(
         throw new IllegalStateException(
           s"CommitLog.compact: nothing committed at $table"))
-      val df = spark.read.parquet(cur.segments: _*)
+      val df = readSegments(spark, cur.segments, cur.schema)
       val n = df.count()
       val files = math.max(1L,
         (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
       val seg = writeSegment(spark, table, df.repartition(files))
       val snap = Snapshot(cur.version + 1L, Seq(seg), cur.version,
-        "compact")
+        "compact", schema = cur.schema)
       if (tryPublish(spark, table, snap)) return snap.version
       fs(spark, table).delete(new org.apache.hadoop.fs.Path(seg), true)
       attempt += 1
@@ -603,8 +695,9 @@ object CommitLog {
     }
     val ch = s.changes.fold("")(c =>
       s""""changes":"${c.replace("\\", "\\\\").replace("\"", "\\\"")}",""")
+    val sch = s.schema.fold("")(b64 => s""""schema":"$b64",""")
     s"""{"version":${s.version},"baseVersion":${s.baseVersion},""" +
-      txn + ch +
+      txn + ch + sch +
       s""""op":"${s.op}","segments":[""" + segs.mkString(",") + "]}"
   }
 
@@ -634,6 +727,8 @@ object CommitLog {
       txnBatch = optField("txnBatch").map(_.toLong),
       changes = optField("changes")
         .map(_.stripPrefix("\"").stripSuffix("\"")
-          .replace("\\\"", "\"").replace("\\\\", "\\")))
+          .replace("\\\"", "\"").replace("\\\\", "\\")),
+      schema = optField("schema")
+        .map(_.stripPrefix("\"").stripSuffix("\"")))
   }
 }

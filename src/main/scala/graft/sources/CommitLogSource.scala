@@ -99,8 +99,11 @@ class CommitLogSource extends TableProvider with DataSourceRegister
             "committed)")))
     if (snap.segments.isEmpty) throw new IllegalStateException(
       s"commitlog: version ${snap.version} of $path has no segments")
+    // an evolved table's recorded schema pins the column set exactly
+    // as CommitLog.read does; otherwise ParquetTable infers from files
     ParquetTable(s"commitlog:$path@v${snap.version}", spark,
-      options, snap.segments, None, classOf[ParquetFileFormat])
+      options, snap.segments, snap.schema.map(CommitLog.decodeSchema),
+      classOf[ParquetFileFormat])
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -122,7 +125,8 @@ object CommitLogStreamSource {
     CommitLog.versions(spark, table).reverse.iterator
       .flatMap(v => CommitLog.snapshot(spark, table, Some(v)))
       .collectFirst { case s if s.segments.nonEmpty =>
-        spark.read.parquet(s.segments: _*).schema }
+        // honors a recorded (evolved) schema; falls back to inference
+        CommitLog.readSegments(spark, s.segments, s.schema).schema }
       .getOrElse(throw new IllegalStateException(
         "commitlog stream: no committed version with data at " +
           s"$table — the table must exist before the stream starts"))

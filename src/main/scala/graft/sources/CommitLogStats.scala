@@ -263,7 +263,8 @@ object CommitLogStats {
       val v = cur.fold(1L)(_.version + 1L)
       val snap = CommitLog.Snapshot(v,
         cur.fold(Seq.empty[String])(_.segments) :+ seg,
-        cur.fold(0L)(_.version), "append")
+        cur.fold(0L)(_.version), "append",
+        schema = cur.flatMap(_.schema))
       if (CommitLog.tryPublish(spark, table, snap)) return v
       attempt += 1
     }
@@ -293,7 +294,7 @@ object CommitLogStats {
       val cur = CommitLog.snapshot(spark, table).getOrElse(
         throw new IllegalStateException(
           s"CommitLogStats.compactClustered: nothing committed at $table"))
-      val df = spark.read.parquet(cur.segments: _*)
+      val df = CommitLog.readSegments(spark, cur.segments, cur.schema)
       val ranked = graft.operators.DistributedRank.globalRowNumber(
         df, clusterCols.map(col), "__rn")
       val n = math.max(1L, ranked.count())
@@ -314,7 +315,7 @@ object CommitLogStats {
           }
         }
         val snap = CommitLog.Snapshot(cur.version + 1L, segs,
-          cur.version, "compact")
+          cur.version, "compact", schema = cur.schema)
         if (CommitLog.tryPublish(spark, table, snap)) return snap.version
         val f = fs(spark, table)
         segs.foreach(s =>
@@ -375,6 +376,7 @@ object CommitLogStats {
     if (plan.kept.isEmpty)
       CommitLog.read(spark, table, asOfVersion).filter(lit(false))
     else
-      spark.read.parquet(plan.kept: _*).filter(pred)
+      CommitLog.readSegments(spark, plan.kept, plan.snapshot.schema)
+        .filter(pred)
   }
 }

@@ -747,4 +747,84 @@ class CommitLogSpec extends AnyFunSuite {
         .kept.size === 1)
     } finally rm(t)
   }
+
+  // ---- schema evolution ----------------------------------------------
+
+  test("appendEvolve: added column is NULL for prior segments, column " +
+      "order is stable, time travel keeps the old column set, type " +
+      "change refuses loudly") {
+    val t = tmpTable()
+    try {
+      import spark.implicits._
+      CommitLog.appendEvolve(spark, t,
+        Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+      CommitLog.appendEvolve(spark, t,
+        Seq((3L, "c", 30.0)).toDF("id", "name", "score"))
+      val cur = CommitLog.read(spark, t)
+      assert(cur.columns.toSeq === Seq("id", "name", "score"))
+      val rows = cur.collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)))).toSeq.sortBy(_._1)
+      assert(rows === Seq((1L, "a", None), (2L, "b", None),
+        (3L, "c", Some(30.0))))
+      // time travel: v1 still has exactly its own columns
+      assert(CommitLog.read(spark, t, Some(1L)).columns.toSeq ===
+        Seq("id", "name"))
+      // a type change is a rewrite, not an evolution
+      val e = intercept[IllegalStateException] {
+        CommitLog.appendEvolve(spark, t,
+          Seq(("x", "d", 1.0)).toDF("id", "name", "score"))
+      }
+      assert(e.getMessage.contains("id") &&
+        e.getMessage.contains("bigint"))
+      // incoming may omit an existing column — NULLs, symmetrically
+      CommitLog.appendEvolve(spark, t, Seq((4L, 40.0)).toDF("id", "score"))
+      val r4 = CommitLog.read(spark, t).filter(col("id") === 4L)
+        .collect()(0)
+      assert(r4.isNullAt(1) && r4.getDouble(2) === 40.0)
+    } finally rm(t)
+  }
+
+  test("evolved schema survives plain append, compact, DML, and merge; " +
+      "stats skipping reads under the pinned schema") {
+    val t = tmpTable()
+    try {
+      import spark.implicits._
+      CommitLog.appendEvolve(spark, t,
+        Seq((1L, "a", 1.0)).toDF("id", "name", "v"))
+      CommitLog.appendEvolve(spark, t,
+        Seq((2L, "b", 2.0, "extra")).toDF("id", "name", "v", "note"))
+      // plain append (schema-less writer) carries the recorded schema
+      CommitLog.append(spark, t, Seq((3L, "c", 3.0)).toDF("id", "name", "v"))
+      assert(CommitLog.read(spark, t).columns.toSeq ===
+        Seq("id", "name", "v", "note"))
+      // compact: rewritten single segment, schema intact, NULLs intact
+      CommitLog.compact(spark, t, targetRowsPerFile = 100L)
+      val afterCompact = CommitLog.read(spark, t)
+      assert(afterCompact.columns.toSeq === Seq("id", "name", "v", "note"))
+      assert(afterCompact.filter(col("note").isNull).count() === 2L)
+      // DML on the evolved column set
+      val (_, nUpd) = CommitLog.update(spark, t, col("id") === 1L,
+        Map("note" -> lit("patched")))
+      assert(nUpd === 1L)
+      assert(CommitLog.read(spark, t)
+        .filter(col("note") === "patched").count() === 1L)
+      // merge keyed on id accepts the evolved shape
+      val (_, ins, repl) = CommitLog.merge(spark, t,
+        Seq((3L, "c2", 3.5, "m"), (9L, "i", 9.0, "n"))
+          .toDF("id", "name", "v", "note"), Seq("id"))
+      assert((ins, repl) === (1L, 1L))
+      // stats skipping under the pinned schema: sidecars written after
+      // evolution still plan correctly
+      CommitLogStats.appendWithStats(spark, t,
+        Seq((10L, "j", 100.0, "z")).toDF("id", "name", "v", "note"),
+        Seq("v"))
+      // merge's rewritten segment has no sidecar → conservatively
+      // kept; the stats-carrying segment is kept on range
+      val plan = CommitLogStats.planSkipping(spark, t, "v", 50.0, 200.0)
+      assert(plan.kept.size === 2 && plan.pruned.isEmpty)
+      val skipped = CommitLogStats.readSkipping(spark, t, "v", 50.0, 200.0)
+      assert(skipped.columns.toSeq === Seq("id", "name", "v", "note"))
+      assert(skipped.collect().map(_.getLong(0)).toSeq === Seq(10L))
+    } finally rm(t)
+  }
 }
