@@ -18,6 +18,9 @@ object SimilarityQueries {
   private val LshK = 3
   private val Bits = 8
   private val Tables = 16
+  private val PqM = 8      // subspaces (64 dims → 8×8)
+  private val PqK = 16     // centroids per subspace codebook
+  private val PqIters = 2  // Lloyd refinement rounds
   private val TauFp = 45000000000000L // cosine 0.45 at 1e7² fixed point
   private val TauLshFp = 95000000000000L // cosine 0.95 for the LSH path
 
@@ -103,7 +106,22 @@ object SimilarityQueries {
     "q30_ann_ivf" -> ((s, dir) =>
       graft.operators.IvfIndex.topK(queriesSide(s, dir), emb(s, dir),
         "vec_id", "embedding", k = LshK, nCells = 16, nProbe = 16)
-        .orderBy(col("query_id"), col("rn")))
+        .orderBy(col("query_id"), col("rn"))),
+
+    // Product-quantization ADC scan (PqIndex): the corpus moves as
+    // M=8 code bytes per vector (32× compression — the 100 TB
+    // memory-bandwidth lever), queries stay exact and score via M×K
+    // lookup tables. Every step is deterministic integer arithmetic
+    // (seeded subspace Lloyd, strict-< tie-break, truncating mean),
+    // so the oracle replays the ENTIRE fit→encode→ADC pipeline —
+    // the approximation itself is hash-verified, not just its recall.
+    "q168_pq_adc_knn" -> ((s, dir) => {
+      val cb = graft.operators.PqIndex.fit(emb(s, dir), "vec_id",
+        "embedding", m = PqM, k = PqK, iters = PqIters)
+      graft.operators.PqIndex.adcTopK(queriesSide(s, dir), emb(s, dir),
+        "vec_id", "embedding", cb, k = K)
+        .orderBy(col("query_id"), col("rn"))
+    })
   )
 
   /** DuckDB fragment: fixed-point vectors of the embeddings table. */
@@ -227,6 +245,67 @@ object SimilarityQueries {
          |  ${sqlDot("a.v", "b.v")} AS dot_fp
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
          |WHERE ${sqlDot("a.v", "b.v")} >= $TauLshFp
-         |ORDER BY id_a, id_b""".stripMargin
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // full PQ replay: seeded subspace Lloyd (2 rounds), encode, LUT,
+    // ADC top-k — every step the same integer arithmetic the engine
+    // runs (truncating // mean, strict-< smallest-kk tie-break)
+    "q168_pq_adc_knn" -> {
+      def assign(prev: String, out: String): String =
+        s"""$out AS MATERIALIZED (
+           |  SELECT vec_id, m, kk FROM (
+           |    SELECT s.vec_id, s.m, c.kk,
+           |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+           |        ORDER BY SUM((s.x - c.x) * (s.x - c.x)), c.kk) AS rn
+           |    FROM sub s JOIN $prev c ON c.m = s.m AND c.j = s.j
+           |    GROUP BY s.vec_id, s.m, c.kk)
+           |  WHERE rn = 1)""".stripMargin
+      def update(a: String, prev: String, out: String): String =
+        s"""$out AS MATERIALIZED (
+           |  SELECT c.m, c.kk, c.j, COALESCE(u.cx, c.x) AS x
+           |  FROM $prev c LEFT JOIN (
+           |    SELECT a.m, a.kk, s.j,
+           |      CAST(SUM(s.x) // COUNT(*) AS BIGINT) AS cx
+           |    FROM $a a JOIN sub s
+           |      ON s.vec_id = a.vec_id AND s.m = a.m
+           |    GROUP BY a.m, a.kk, s.j) u
+           |  ON u.m = c.m AND u.kk = c.kk AND u.j = c.j)""".stripMargin
+      s"""WITH $sqlFixed,
+         |sub AS MATERIALIZED (
+         |  SELECT e.vec_id, mm.m, jj.j, e.v[mm.m * 8 + jj.j] AS x
+         |  FROM e
+         |  CROSS JOIN (SELECT unnest(range($PqM)) AS m) mm
+         |  CROSS JOIN (SELECT unnest(range(1, 9)) AS j) jj),
+         |c0 AS MATERIALIZED (
+         |  SELECT m, kk, j, x FROM (
+         |    SELECT sub.*, ROW_NUMBER() OVER (PARTITION BY m, j
+         |      ORDER BY vec_id) - 1 AS kk
+         |    FROM sub)
+         |  WHERE kk < $PqK),
+         |${assign("c0", "a1")},
+         |${update("a1", "c0", "c1")},
+         |${assign("c1", "a2")},
+         |${update("a2", "c1", "c2")},
+         |${assign("c2", "codes")},
+         |q AS (SELECT * FROM sub WHERE vec_id % 50 = 0),
+         |lut AS MATERIALIZED (
+         |  SELECT q.vec_id AS query_id, c.m, c.kk,
+         |    CAST(SUM(q.x * c.x) AS BIGINT) AS d
+         |  FROM q JOIN c2 c ON c.m = q.m AND c.j = q.j
+         |  GROUP BY q.vec_id, c.m, c.kk),
+         |score AS MATERIALIZED (
+         |  SELECT l.query_id, a.vec_id AS neighbor_id,
+         |    CAST(SUM(l.d) AS BIGINT) AS dot_fp
+         |  FROM codes a JOIN lut l ON l.m = a.m AND l.kk = a.kk
+         |  WHERE a.vec_id <> l.query_id
+         |  GROUP BY l.query_id, a.vec_id)
+         |SELECT query_id, neighbor_id, dot_fp,
+         |  CAST(ROW_NUMBER() OVER w AS INT) AS rn
+         |FROM score
+         |WINDOW w AS (PARTITION BY query_id
+         |  ORDER BY dot_fp DESC, neighbor_id ASC)
+         |QUALIFY ROW_NUMBER() OVER w <= $K
+         |ORDER BY query_id, rn""".stripMargin
+    }
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{AsofJoin, FuzzyDedup, Similarity}
+import graft.operators.{AsofJoin, FuzzyDedup, PqIndex, Similarity}
 
 /** Unit specs for the corpus operators (as-of join, fuzzy dedup,
   * similarity search) — semantics the DuckDB oracle checks end-to-end
@@ -376,5 +376,61 @@ class CorpusOpsSpec extends AnyFunSuite {
       .groupBy("t", "bucket").agg(countDistinct("vec_id").as("n"))
       .collect().map(_.getAs[Long]("n")).toSeq
     assert(b.size == 4 && b.forall(_ == 2L))
+  }
+
+  test("PqIndex: reconstruction law — a corpus of codebook " +
+      "reconstructions gets EXACT dots from ADC; fit is deterministic") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.sources.Catalog.table(spark, dir, "embeddings")
+    val cb = PqIndex.fit(emb, "vec_id", "embedding", m = 8, k = 16)
+    val cb2 = PqIndex.fit(emb, "vec_id", "embedding", m = 8, k = 16)
+    assert(cb.cents.flatten.flatten.toSeq == cb2.cents.flatten.flatten.toSeq)
+    // synthetic corpus: concatenations of the learned centroids —
+    // quantization error is zero, so ADC == exact fixed-point dot.
+    // (c + 0.5)/1e7 floors back to exactly c through fixedPoint; a
+    // bare c/1e7 can land at c−1 after the double round-trip.
+    val recon = (0 until 16).map { kk =>
+      val v = (0 until 8).flatMap(mm =>
+        cb.cents(mm)(kk).map(c => (c + 0.5) / 1e7))
+      (kk.toLong, v.toArray)
+    }.toDF("vec_id", "embedding")
+    val qs = recon.filter(col("vec_id") < 3)
+    val adc = PqIndex.adcTopK(qs, recon, "vec_id", "embedding", cb, 5)
+    val exact = Similarity.bruteForceTopK(qs, recon, "vec_id",
+      "embedding", 5)
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(m(adc) == m(exact) && m(adc).nonEmpty)
+  }
+
+  test("PqIndex: partition-count invariance (bounded-heap merge is " +
+      "exact) and honest recall vs brute force on the driver corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.sources.Catalog.table(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val cb = PqIndex.fit(emb, "vec_id", "embedding", m = 8, k = 16)
+    def run(parts: Int) = PqIndex.adcTopK(queries,
+        emb.repartition(parts), "vec_id", "embedding", cb, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1))
+      .toMap
+    val one = run(1)
+    assert(one == run(7) && one.size == queries.count() * 5)
+    // recall@5 of the 32×-compressed scan vs exact — approximate by
+    // design; the bound is a collapse tripwire, not a target
+    def tops(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = tops(Similarity.bruteForceTopK(
+      queries, emb, "vec_id", "embedding", 5))
+    val adc = tops(PqIndex.adcTopK(
+      queries, emb, "vec_id", "embedding", cb, 5))
+    // the fixture's embeddings are near-unstructured, the worst case
+    // for a 16-cell codebook — measured ~0.26 here vs ~0.01 for a
+    // random ranking (26×); real clustered corpora sit far higher
+    val recalls = exact.keys.toSeq.map(k =>
+      (exact(k) & adc(k)).size.toDouble / exact(k).size)
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.1, s"PQ recall@5 collapsed: $mean ($recalls)")
   }
 }
