@@ -183,6 +183,66 @@ object Pipeline18 {
           .localCheckpoint(true)
         out
       } finally rmStage(s, stage)
+    }),
+
+    // Full three-clause MERGE INTO: target = keys ≡ 0 (mod 3), source
+    // = keys ≡ 0 (mod 2); matched 'F' rows delete, other matched rows
+    // take the source's new_price, unmatched source rows insert.
+    // The update/delete/insert counts ride as witness columns; the
+    // oracle recomputes the final state AND the counts from raw
+    // orders with the same clause-order semantics.
+    "q169_commitlog_merge_into" -> ((s, dir) => {
+      val stage = stageDir("q169_merge")
+      try {
+        val tbl = s"$stage/tbl"
+        val o = t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+        CommitLog.append(s, tbl,
+          o.filter(pmod(col("o_orderkey"), lit(3)) === 0))
+        val source = o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+          .withColumn("new_price", col("o_totalprice") + 1000.0)
+        val (_, nUpd, nDel, nIns) = CommitLog.mergeInto(s, tbl, source,
+          Seq("o_orderkey"),
+          whenMatchedUpdate =
+            Map("o_totalprice" -> CommitLog.src("new_price")),
+          whenMatchedDelete = Some(col("o_orderstatus") === "F"))
+        val out = CommitLog.read(s, tbl)
+          .groupBy(col("o_orderstatus")).agg(
+            count(lit(1)).as("n_rows"),
+            sum(col("o_totalprice").cast("decimal(30,6)")).cast("double")
+              .as("sum_price"))
+          .withColumn("n_updated", lit(nUpd))
+          .withColumn("n_deleted", lit(nDel))
+          .withColumn("n_inserted", lit(nIns))
+          .orderBy(col("o_orderstatus"))
+          .localCheckpoint(true)
+        out
+      } finally rmStage(s, stage)
+    }),
+
+    // DESCRIBE HISTORY over a deterministic five-commit lifecycle:
+    // append → evolving append → copy-on-write delete → compact →
+    // txn-stamped streaming append. Every surfaced column (op, base
+    // version, segment count, change record, schema width, txn stamp)
+    // is pinned by the hardcoded oracle.
+    "q170_commitlog_history" -> ((s, dir) => {
+      val stage = stageDir("q170_hist")
+      try {
+        val tbl = s"$stage/tbl"
+        val r = t(s, dir, "region").select(col("r_regionkey"),
+          col("r_name"))
+        CommitLog.append(s, tbl, r.filter(col("r_regionkey") < 3))
+        CommitLog.appendEvolve(s, tbl,
+          r.filter(col("r_regionkey") >= 3)
+            .withColumn("name_len", length(col("r_name"))))
+        CommitLog.delete(s, tbl, col("r_regionkey") === 0)
+        CommitLog.compact(s, tbl, targetRowsPerFile = 100L)
+        CommitLog.appendTxn(s, tbl,
+          r.filter(col("r_regionkey") === 0), appId = "h", batchId = 1L)
+        CommitLog.history(s, tbl)
+          .orderBy(col("version"))
+          .localCheckpoint(true)
+      } finally rmStage(s, stage)
     })
   )
 
@@ -260,6 +320,71 @@ object Pipeline18 {
         |  CAST(4 AS INT) AS n_cols_v2
         |FROM orders
         |GROUP BY priority_class
-        |ORDER BY priority_class""".stripMargin
+        |ORDER BY priority_class""".stripMargin,
+
+    // the same clause-order semantics re-derived from raw orders:
+    // matched+F deletes, matched+non-F updates to price+1000,
+    // unmatched target keeps, unmatched source inserts
+    "q169_commitlog_merge_into" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    o_totalprice FROM orders WHERE o_orderkey % 3 = 0),
+        |s AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    o_totalprice, o_totalprice + 1000.0 AS new_price
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |final AS (
+        |  SELECT t.o_orderstatus,
+        |    CASE WHEN s.o_orderkey IS NOT NULL
+        |      THEN s.new_price ELSE t.o_totalprice END AS price
+        |  FROM t LEFT JOIN s ON s.o_orderkey = t.o_orderkey
+        |  WHERE NOT (s.o_orderkey IS NOT NULL AND t.o_orderstatus = 'F')
+        |  UNION ALL
+        |  SELECT s.o_orderstatus, s.o_totalprice
+        |  FROM s LEFT JOIN t ON t.o_orderkey = s.o_orderkey
+        |  WHERE t.o_orderkey IS NULL),
+        |counts AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN s.o_orderkey IS NOT NULL
+        |      AND t.o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_updated,
+        |    CAST(SUM(CASE WHEN s.o_orderkey IS NOT NULL
+        |      AND t.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_deleted
+        |  FROM t LEFT JOIN s ON s.o_orderkey = t.o_orderkey),
+        |ins AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_inserted
+        |  FROM s LEFT JOIN t ON t.o_orderkey = s.o_orderkey
+        |  WHERE t.o_orderkey IS NULL)
+        |SELECT o_orderstatus,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(price AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+        |  (SELECT n_updated FROM counts) AS n_updated,
+        |  (SELECT n_deleted FROM counts) AS n_deleted,
+        |  (SELECT n_inserted FROM ins) AS n_inserted
+        |FROM final
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    // the five-commit lifecycle, hardcoded: the history surface is
+    // deterministic by construction
+    "q170_commitlog_history" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'append', CAST(0 AS BIGINT),
+        |    CAST(1 AS INT), CAST(NULL AS VARCHAR),
+        |    CAST(NULL AS BIGINT), false, CAST(NULL AS INT)),
+        |  (CAST(2 AS BIGINT), 'append', CAST(1 AS BIGINT),
+        |    CAST(2 AS INT), CAST(NULL AS VARCHAR),
+        |    CAST(NULL AS BIGINT), false, CAST(3 AS INT)),
+        |  (CAST(3 AS BIGINT), 'delete', CAST(2 AS BIGINT),
+        |    CAST(2 AS INT), CAST(NULL AS VARCHAR),
+        |    CAST(NULL AS BIGINT), true, CAST(3 AS INT)),
+        |  (CAST(4 AS BIGINT), 'compact', CAST(3 AS BIGINT),
+        |    CAST(1 AS INT), CAST(NULL AS VARCHAR),
+        |    CAST(NULL AS BIGINT), false, CAST(3 AS INT)),
+        |  (CAST(5 AS BIGINT), 'streaming-append', CAST(4 AS BIGINT),
+        |    CAST(2 AS INT), 'h', CAST(1 AS BIGINT), false,
+        |    CAST(3 AS INT))
+        |) AS t(version, op, base_version, n_segments, txn_app,
+        |  txn_batch, has_changes, n_columns)
+        |ORDER BY version""".stripMargin
   )
 }

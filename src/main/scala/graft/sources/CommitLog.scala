@@ -494,6 +494,185 @@ object CommitLog {
       s"CommitLog.update: lost the version race $maxRetries times at $table")
   }
 
+  /** Reference a SOURCE column inside [[mergeInto]]'s matched-clause
+    * expressions (SET values, delete/update conditions): the joined
+    * row exposes target columns at their own names and source
+    * non-key columns under this prefix. */
+  def src(name: String): org.apache.spark.sql.Column =
+    col(s"__src_$name")
+
+  /** Full three-clause MERGE INTO (the Delta MERGE surface) under the
+    * same copy-on-write + OCC + CDC contract as [[delete]]/[[update]]:
+    *
+    *  - WHEN MATCHED AND `whenMatchedDelete` THEN DELETE
+    *  - WHEN MATCHED [AND `whenMatchedUpdateCondition`] THEN UPDATE
+    *    SET `whenMatchedUpdate` (values may reference the source row
+    *    via [[src]]; cast back to the column's declared type)
+    *  - WHEN NOT MATCHED THEN INSERT (source projected onto the
+    *    table schema by name — missing columns NULL, extra source
+    *    columns ignored), if `whenNotMatchedInsert`
+    *
+    * Clause order is Delta's: a matched row tests DELETE first, then
+    * UPDATE, else survives unchanged. A source with DUPLICATE keys
+    * refuses loudly (a matched target row's outcome would be
+    * nondeterministic — the same error Delta raises). Only segments
+    * containing matched keys are rewritten; inserts and rewritten
+    * rows land in ONE new segment; every touched row is recorded
+    * under `_changes/` (delete / update_preimage / update_postimage /
+    * insert) so [[changeFeed]] replays the whole commit — unlike the
+    * keyed [[merge]], whose full-rewrite delta is not derivable.
+    * Returns (version, updated, deleted, inserted).
+    *
+    * 100 TB posture: one key-pushed scan finds touched files; the
+    * untouched bulk is never opened; the source's keys ride a
+    * semi/anti join (broadcast when small, shuffle otherwise — AQE's
+    * choice), never a collect. */
+  def mergeInto(spark: SparkSession, table: String, source: DataFrame,
+      keys: Seq[String],
+      whenMatchedUpdate: Map[String, org.apache.spark.sql.Column] =
+        Map.empty,
+      whenMatchedUpdateCondition: Option[org.apache.spark.sql.Column] =
+        None,
+      whenMatchedDelete: Option[org.apache.spark.sql.Column] = None,
+      whenNotMatchedInsert: Boolean = true,
+      maxRetries: Int = 20): (Long, Long, Long, Long) = {
+    require(keys.nonEmpty, "CommitLog.mergeInto: empty key list")
+    require(whenMatchedUpdate.nonEmpty || whenMatchedDelete.nonEmpty ||
+      whenNotMatchedInsert,
+      "CommitLog.mergeInto: no clauses — nothing to do")
+    val dup = source.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1L)
+      .limit(1).collect()
+    if (dup.nonEmpty) throw new IllegalStateException(
+      "CommitLog.mergeInto: source has duplicate keys (e.g. " +
+        keys.zipWithIndex.map { case (k, i) => s"$k=${dup(0).get(i)}" }
+          .mkString(", ") + ") — a matched row's outcome would be " +
+        "nondeterministic; deduplicate the source first")
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val cur = snapshot(spark, table).getOrElse(
+        throw new IllegalStateException(
+          s"CommitLog.mergeInto: nothing committed at $table"))
+      val schema = readSegments(spark, cur.segments, cur.schema).schema
+      val unknownKeys = keys.toSet -- schema.fieldNames.toSet
+      require(unknownKeys.isEmpty,
+        s"CommitLog.mergeInto: key(s) ${unknownKeys.mkString(", ")} " +
+          s"absent from table schema ${schema.fieldNames.mkString(", ")}")
+      val unknownSet = whenMatchedUpdate.keySet -- schema.fieldNames.toSet
+      require(unknownSet.isEmpty,
+        s"CommitLog.mergeInto: SET names unknown column(s) " +
+          unknownSet.mkString(", "))
+      val nonKeySrc = source.columns.filterNot(keys.contains).toSeq
+      val srcRenamed = source.select(keys.map(col) ++
+        nonKeySrc.map(c => col(c).as(s"__src_$c")) :+
+        lit(true).as("__src_matched"): _*)
+      // touched segments: files holding at least one matched key
+      val all = readSegments(spark, cur.segments, cur.schema)
+      val touchedFiles = all
+        .select((keys.map(col) :+ input_file_name().as("__file")): _*)
+        .join(srcRenamed.select(keys.map(col): _*), keys, "left_semi")
+        .select("__file").distinct().collect().map(_.getString(0))
+      val touched = cur.segments.filter { seg =>
+        val uuid = seg.substring(seg.lastIndexOf('/') + 1)
+        touchedFiles.exists(_.contains(uuid))
+      }
+      // empty touched list: an insert-only merge — keep a same-schema
+      // empty frame (an empty parquet path list cannot infer one);
+      // the join still runs so src() references stay resolvable
+      val touchedDf =
+        if (touched.isEmpty) all.filter(lit(false))
+        else readSegments(spark, touched, cur.schema)
+      val joined = touchedDf.join(srcRenamed, keys, "left_outer")
+      val isMatched = coalesce(col("__src_matched"), lit(false))
+      val delCond = isMatched &&
+        coalesce(whenMatchedDelete.getOrElse(lit(false)), lit(false))
+      val updCond = isMatched && !delCond &&
+        lit(whenMatchedUpdate.nonEmpty) &&
+        coalesce(whenMatchedUpdateCondition.getOrElse(lit(true)),
+          lit(false))
+      def project(df: DataFrame, updated: Boolean): DataFrame =
+        df.select(schema.fieldNames.toSeq.map { f =>
+          whenMatchedUpdate.get(f) match {
+            case Some(e) if updated => e.cast(schema(f).dataType).as(f)
+            case _ => col(f)
+          }
+        }: _*)
+      // inserts check NOT-MATCHED against the WHOLE table, not just
+      // touched segments
+      val inserts =
+        if (!whenNotMatchedInsert) None
+        else {
+          val anti = source.join(
+            all.select(keys.map(col): _*), keys, "left_anti")
+          val projected = anti.select(schema.fieldNames.toSeq.map { f =>
+            if (anti.columns.contains(f))
+              col(f).cast(schema(f).dataType).as(f)
+            else lit(null).cast(schema(f).dataType).as(f)
+          }: _*)
+          if (projected.isEmpty) None else Some(projected)
+        }
+      if (touched.isEmpty && inserts.isEmpty)
+        return (cur.version, 0L, 0L, 0L)
+      val changeDir = s"$table/_changes/${java.util.UUID.randomUUID()}"
+      val deletedRows = project(joined.filter(delCond), updated = false)
+        .withColumn("_change_type", lit("delete"))
+      val preRows = project(joined.filter(updCond), updated = false)
+        .withColumn("_change_type", lit("update_preimage"))
+      val postRows = project(joined.filter(updCond), updated = true)
+        .withColumn("_change_type", lit("update_postimage"))
+      val insRows = inserts.map(_.withColumn("_change_type",
+        lit("insert"))).getOrElse(deletedRows.filter(lit(false)))
+      deletedRows.unionByName(preRows).unionByName(postRows)
+        .unionByName(insRows)
+        .write.mode(SaveMode.ErrorIfExists).parquet(changeDir)
+      val byType = spark.read.parquet(changeDir)
+        .groupBy(col("_change_type")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val nDel = byType.getOrElse("delete", 0L)
+      val nUpd = byType.getOrElse("update_preimage", 0L)
+      val nIns = byType.getOrElse("insert", 0L)
+      // rewritten touched rows (survivors) + inserts → one segment
+      val survivors = project(joined.filter(!delCond && !updCond),
+          updated = false)
+        .unionByName(project(joined.filter(updCond), updated = true))
+      val newRows = inserts.fold(survivors)(survivors.unionByName(_))
+      val newSegs =
+        if (newRows.isEmpty) Seq.empty[String]
+        else Seq(writeSegment(spark, table, newRows))
+      val snap = Snapshot(cur.version + 1L,
+        cur.segments.filterNot(touched.toSet) ++ newSegs,
+        cur.version, "merge_into", changes = Some(changeDir),
+        schema = cur.schema)
+      if (tryPublish(spark, table, snap))
+        return (snap.version, nUpd, nDel, nIns)
+      newSegs.foreach(s => fs(spark, table).delete(
+        new org.apache.hadoop.fs.Path(s), true): Unit)
+      fs(spark, table).delete(
+        new org.apache.hadoop.fs.Path(changeDir), true): Unit
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"CommitLog.mergeInto: lost the version race $maxRetries times " +
+        s"at $table")
+  }
+
+  /** DESCRIBE HISTORY: one row per RETAINED version, ascending — the
+    * operational audit surface (Delta's DESCRIBE HISTORY), derived
+    * purely from manifests: (version, op, base_version, n_segments,
+    * txn_app, txn_batch, has_changes, n_columns — NULL until a
+    * schema-recording commit). Driver-side: manifests are tiny by
+    * design; vacuumed versions simply don't appear. */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    versions(spark, table)
+      .flatMap(v => snapshot(spark, table, Some(v)))
+      .map(s => (s.version, s.op, s.baseVersion, s.segments.size,
+        s.txnApp, s.txnBatch, s.changes.isDefined,
+        s.schema.map(b64 => decodeSchema(b64).fields.length)))
+      .toDF("version", "op", "base_version", "n_segments", "txn_app",
+        "txn_batch", "has_changes", "n_columns")
+  }
+
   /** The FULL change-data feed after `afterVersion`, one DataFrame:
     * table columns + `_change_type` ('insert' | 'delete' |
     * 'update_preimage' | 'update_postimage') + `_commit_version`.
@@ -523,7 +702,7 @@ object CommitLog {
           else Some(spark.read.parquet(added: _*)
             .withColumn("_change_type", lit("insert"))
             .withColumn("_commit_version", lit(v)))
-        case "delete" | "update" =>
+        case "delete" | "update" | "merge_into" =>
           val dir = snap.changes.getOrElse(throw new IllegalStateException(
             s"CommitLog.changeFeed: version $v of $table is a " +
               s"'${snap.op}' with no recorded change directory"))

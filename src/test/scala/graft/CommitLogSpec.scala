@@ -748,6 +748,99 @@ class CommitLogSpec extends AnyFunSuite {
     } finally rm(t)
   }
 
+  // ---- three-clause MERGE INTO ---------------------------------------
+
+  test("mergeInto: delete-before-update clause order, CDC recorded, " +
+      "untouched segments survive, counts exact") {
+    val t = tmpTable()
+    try {
+      import spark.implicits._
+      CommitLog.append(spark, t, df((1L, "F", 10.0), (2L, "O", 20.0)))
+      CommitLog.append(spark, t, df((3L, "O", 30.0), (4L, "F", 40.0)))
+      val untouchedSeg = CommitLog.snapshot(spark, t).get.segments.head
+      // source hits only segment 2 (keys 3, 4) + inserts key 9
+      val source = Seq((3L, 300.0), (4L, 400.0), (9L, 900.0))
+        .toDF("id", "newv")
+        .withColumn("name", lit("I"))
+        .withColumn("v", col("newv") / 10.0)
+      val (v, nUpd, nDel, nIns) = CommitLog.mergeInto(spark, t, source,
+        Seq("id"),
+        whenMatchedUpdate = Map("v" -> CommitLog.src("newv")),
+        whenMatchedDelete = Some(col("name") === "F"))
+      assert((v, nUpd, nDel, nIns) === (3L, 1L, 1L, 1L))
+      // id=4 (F) deleted, id=3 updated to 300, id=9 inserted as
+      // (9, "I", 90.0) — insert takes the SOURCE's name/v columns
+      assert(sortedRows(CommitLog.read(spark, t)) === Seq(
+        (1L, "F", 10.0), (2L, "O", 20.0), (3L, "O", 300.0),
+        (9L, "I", 90.0)))
+      // segment 1 held no matched key: still referenced verbatim
+      assert(CommitLog.snapshot(spark, t).get.segments
+        .contains(untouchedSeg))
+      // CDC: the merge_into version feeds delete + both images + insert
+      val feed = CommitLog.changeFeed(spark, t, afterVersion = 2L)
+        .collect().map(r => (r.getAs[String]("_change_type"),
+          r.getAs[Long]("id"))).toSet
+      assert(feed === Set(("delete", 4L), ("update_preimage", 3L),
+        ("update_postimage", 3L), ("insert", 9L)))
+    } finally rm(t)
+  }
+
+  test("mergeInto: duplicate source keys refuse loudly; insert-only " +
+      "merge works; clause-less call refuses; matched-miss is a no-op") {
+    val t = tmpTable()
+    try {
+      import spark.implicits._
+      CommitLog.append(spark, t, df((1L, "a", 1.0)))
+      val dup = Seq((5L, 1.0), (5L, 2.0)).toDF("id", "newv")
+      val e = intercept[IllegalStateException] {
+        CommitLog.mergeInto(spark, t, dup, Seq("id"),
+          whenMatchedUpdate = Map("v" -> CommitLog.src("newv")))
+      }
+      assert(e.getMessage.contains("duplicate"))
+      // insert-only: no touched segments, still commits
+      val src2 = Seq((7L, "g", 7.0)).toDF("id", "name", "v")
+      val (v2, u2, d2, i2) = CommitLog.mergeInto(spark, t, src2,
+        Seq("id"), whenNotMatchedInsert = true)
+      assert((v2, u2, d2, i2) === (2L, 0L, 0L, 1L))
+      assert(sortedRows(CommitLog.read(spark, t)) ===
+        Seq((1L, "a", 1.0), (7L, "g", 7.0)))
+      // update-only merge whose source misses every key: no commit
+      val src3 = Seq((99L, 9.0)).toDF("id", "newv")
+      val (v3, u3, d3, i3) = CommitLog.mergeInto(spark, t, src3,
+        Seq("id"),
+        whenMatchedUpdate = Map("v" -> CommitLog.src("newv")),
+        whenNotMatchedInsert = false)
+      assert((v3, u3, d3, i3) === (2L, 0L, 0L, 0L))
+      intercept[IllegalArgumentException] {
+        CommitLog.mergeInto(spark, t, src3, Seq("id"),
+          whenNotMatchedInsert = false)
+      }
+    } finally rm(t)
+  }
+
+  test("mergeInto lost-update law: a merge that loses the version " +
+      "race recomputes against the winner's state") {
+    val t = tmpTable()
+    try {
+      import spark.implicits._
+      CommitLog.append(spark, t, df((1L, "a", 1.0)))
+      // steal version 2 between the merge's snapshot read and publish
+      val base = CommitLog.snapshot(spark, t).get
+      val seg = CommitLog.writeSegment(spark, t, df((2L, "b", 2.0)))
+      assert(CommitLog.tryPublish(spark, t, CommitLog.Snapshot(
+        base.version + 1, base.segments :+ seg, base.version, "append")))
+      val source = Seq((2L, 200.0)).toDF("id", "newv")
+      val (v, nUpd, _, _) = CommitLog.mergeInto(spark, t, source,
+        Seq("id"),
+        whenMatchedUpdate = Map("v" -> CommitLog.src("newv")),
+        whenNotMatchedInsert = false)
+      // the merge observed the winner's row and updated it
+      assert((v, nUpd) === (3L, 1L))
+      assert(sortedRows(CommitLog.read(spark, t)) ===
+        Seq((1L, "a", 1.0), (2L, "b", 200.0)))
+    } finally rm(t)
+  }
+
   // ---- schema evolution ----------------------------------------------
 
   test("appendEvolve: added column is NULL for prior segments, column " +
