@@ -243,6 +243,84 @@ object Pipeline18 {
           .orderBy(col("version"))
           .localCheckpoint(true)
       } finally rmStage(s, stage)
+    }),
+
+    // CHECK constraints at the commit gate: a clean append lands, a
+    // violating one refuses ATOMICALLY (no version, no partial rows).
+    // Witnesses: the refusal observed, the version count unchanged by
+    // it, and the violating row count parsed from the loud error.
+    "q171_commitlog_constraints" -> ((s, dir) => {
+      val stage = stageDir("q171_check")
+      try {
+        val tbl = s"$stage/tbl"
+        val o = t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+        val checks = Map(
+          "price_positive" -> (col("o_totalprice") > 0.0),
+          "status_known" -> col("o_orderstatus").isin("F", "O", "P"))
+        CommitLog.appendChecked(s, tbl,
+          o.filter(col("o_totalprice") > 50000.0), checks)
+        val nBad = o.filter(col("o_totalprice") <= 50000.0).count()
+        val refused =
+          try {
+            CommitLog.appendChecked(s, tbl,
+              o.filter(col("o_totalprice") <= 50000.0)
+                .withColumn("o_totalprice", -col("o_totalprice")),
+              checks)
+            None
+          } catch { case e: IllegalStateException => Some(e.getMessage) }
+        val out = CommitLog.read(s, tbl)
+          .groupBy(col("o_orderstatus")).agg(
+            count(lit(1)).as("n_rows"),
+            sum(col("o_totalprice").cast("decimal(30,6)")).cast("double")
+              .as("sum_price"))
+          .withColumn("refused",
+            lit(refused.exists(_.contains("price_positive"))))
+          .withColumn("violations_counted",
+            lit(refused.exists(_.contains(s"$nBad row"))))
+          .withColumn("n_versions",
+            lit(CommitLog.versions(s, tbl).size))
+          .orderBy(col("o_orderstatus"))
+          .localCheckpoint(true)
+        out
+      } finally rmStage(s, stage)
+    }),
+
+    // Zero-copy shallow clone + restore: the clone pins the source's
+    // v2 content without copying a byte; the source diverges with a
+    // third append and then RESTOREs back to v2 as a NEW commit
+    // (history preserved). Source-after-restore and clone must agree
+    // exactly — both aggregated side by side under one oracle.
+    "q172_commitlog_clone_restore" -> ((s, dir) => {
+      val stage = stageDir("q172_clone")
+      try {
+        val (src, cln) = (s"$stage/src", s"$stage/cln")
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_quantity"), col("l_returnflag"))
+        CommitLog.append(s, src,
+          li.filter(pmod(col("l_orderkey"), lit(3)) === 0))
+        CommitLog.append(s, src,
+          li.filter(pmod(col("l_orderkey"), lit(3)) === 1))
+        CommitLog.cloneTable(s, src, cln)
+        CommitLog.append(s, src,
+          li.filter(pmod(col("l_orderkey"), lit(3)) === 2))
+        CommitLog.restore(s, src, toVersion = 2L)
+        def agg(df: DataFrame, n: String, q: String): DataFrame =
+          df.groupBy(col("l_returnflag")).agg(
+            count(lit(1)).as(n),
+            sum(col("l_quantity").cast("decimal(30,6)")).cast("double")
+              .as(q))
+        val out = agg(CommitLog.read(s, src), "n_src", "qty_src")
+          .join(agg(CommitLog.read(s, cln), "n_clone", "qty_clone"),
+            "l_returnflag")
+          .withColumn("src_versions",
+            lit(CommitLog.versions(s, src).size))
+          .withColumn("clone_versions",
+            lit(CommitLog.versions(s, cln).size))
+          .orderBy(col("l_returnflag"))
+          .localCheckpoint(true)
+        out
+      } finally rmStage(s, stage)
     })
   )
 
@@ -385,6 +463,40 @@ object Pipeline18 {
         |    CAST(3 AS INT))
         |) AS t(version, op, base_version, n_segments, txn_app,
         |  txn_batch, has_changes, n_columns)
-        |ORDER BY version""".stripMargin
+        |ORDER BY version""".stripMargin,
+
+    // the table holds exactly the clean slice; the dirty append never
+    // landed (1 version), its refusal named the first constraint and
+    // counted every violating row
+    "q171_commitlog_constraints" ->
+      """SELECT o_orderstatus,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price,
+        |  true AS refused,
+        |  true AS violations_counted,
+        |  CAST(1 AS INT) AS n_versions
+        |FROM orders
+        |WHERE o_totalprice > 50000.0
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    // source-after-restore ≡ clone ≡ slices 0+1 (mod 3); the source
+    // carries 4 versions (append, append, diverging append, restore),
+    // the clone exactly 1
+    "q172_commitlog_clone_restore" ->
+      """SELECT l_returnflag,
+        |  COUNT(*) AS n_src,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS qty_src,
+        |  COUNT(*) AS n_clone,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS qty_clone,
+        |  CAST(4 AS INT) AS src_versions,
+        |  CAST(1 AS INT) AS clone_versions
+        |FROM lineitem
+        |WHERE l_orderkey % 3 IN (0, 1)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
   )
 }

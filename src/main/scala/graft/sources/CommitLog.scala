@@ -494,6 +494,104 @@ object CommitLog {
       s"CommitLog.update: lost the version race $maxRetries times at $table")
   }
 
+  /** APPEND guarded by CHECK constraints (Delta's table constraints,
+    * write-side enforced): every predicate must hold on EVERY incoming
+    * row or the commit refuses atomically — the segment is written
+    * first (cheap to validate from, and a refusal leaves only
+    * unreferenced garbage for [[vacuum]]), validated with ONE
+    * aggregate, and only then published. A NULL predicate result
+    * counts as a violation (SQL CHECK accepts only TRUE — unknown is
+    * not proof). Returns the committed version; raises with the first
+    * violating constraint's name and its violation count. */
+  def appendChecked(spark: SparkSession, table: String, df: DataFrame,
+      constraints: Map[String, org.apache.spark.sql.Column],
+      maxRetries: Int = 20): Long = {
+    require(constraints.nonEmpty, "appendChecked: no constraints — " +
+      "use append")
+    val seg = writeSegment(spark, table, df)
+    val staged = spark.read.parquet(seg)
+    val aggs = constraints.toSeq.sortBy(_._1).map { case (name, pred) =>
+      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(name)
+    }
+    val row = staged.agg(aggs.head, aggs.tail: _*).collect()(0)
+    constraints.keys.toSeq.sorted.foreach { name =>
+      val bad = Option(row.getAs[java.lang.Long](name))
+        .map(_.longValue).getOrElse(0L)
+      if (bad > 0L) {
+        fs(spark, table).delete(new org.apache.hadoop.fs.Path(seg), true)
+        throw new IllegalStateException(
+          s"CommitLog.appendChecked: constraint '$name' violated by " +
+            s"$bad row(s) — nothing committed")
+      }
+    }
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val cur = snapshot(spark, table)
+      val v = cur.fold(1L)(_.version + 1L)
+      val snap = Snapshot(v, cur.fold(Seq.empty[String])(_.segments) :+ seg,
+        cur.fold(0L)(_.version), "append",
+        schema = cur.flatMap(_.schema))
+      if (tryPublish(spark, table, snap)) return v
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"CommitLog.appendChecked: lost the version race $maxRetries " +
+        s"times at $table")
+  }
+
+  /** SHALLOW CLONE (Delta/Iceberg snapshot sharing): a NEW table whose
+    * version 1 references the SOURCE's segments at `asOfVersion`
+    * (default: latest) — zero data copied, one manifest create.
+    * Segments are immutable, so subsequent commits to either table
+    * never affect the other; the clone's first rewrite (compact, DML)
+    * naturally materializes its own segments. Caveat (Delta's too):
+    * a VACUUM of the source can delete segments the clone still
+    * references — retain source history across the clone's lifetime,
+    * or compact the clone to self-owned segments first. */
+  def cloneTable(spark: SparkSession, source: String, target: String,
+      asOfVersion: Option[Long] = None): Long = {
+    val snap = snapshot(spark, source, asOfVersion).getOrElse(
+      throw new IllegalStateException(
+        s"CommitLog.cloneTable: no committed version at $source" +
+          asOfVersion.fold("")(v => s" (asOf=$v)")))
+    require(currentVersion(spark, target).isEmpty,
+      s"CommitLog.cloneTable: target $target already exists")
+    val out = Snapshot(1L, snap.segments, 0L, "clone",
+      schema = snap.schema)
+    if (!tryPublish(spark, target, out)) throw new IllegalStateException(
+      s"CommitLog.cloneTable: target $target was created concurrently")
+    1L
+  }
+
+  /** RESTORE (Delta RESTORE TABLE ... TO VERSION): roll the table
+    * back to `toVersion`'s content as a NEW commit referencing that
+    * version's segments — history is preserved (the bad commits stay
+    * readable), nothing is rewritten, and the restore itself is one
+    * manifest create under the usual OCC. The restored version's
+    * schema rides along (restoring across an evolution restores the
+    * old column set). Raises when `toVersion` is vacuumed. */
+  def restore(spark: SparkSession, table: String, toVersion: Long,
+      maxRetries: Int = 20): Long = {
+    val target = snapshot(spark, table, Some(toVersion)).getOrElse(
+      throw new IllegalStateException(
+        s"CommitLog.restore: version $toVersion of $table is vacuumed " +
+          "or never existed"))
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val cur = snapshot(spark, table).getOrElse(
+        throw new IllegalStateException(
+          s"CommitLog.restore: nothing committed at $table"))
+      if (cur.version == toVersion) return cur.version
+      val snap = Snapshot(cur.version + 1L, target.segments,
+        cur.version, "restore", schema = target.schema)
+      if (tryPublish(spark, table, snap)) return snap.version
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"CommitLog.restore: lost the version race $maxRetries times " +
+        s"at $table")
+  }
+
   /** Reference a SOURCE column inside [[mergeInto]]'s matched-clause
     * expressions (SET values, delete/update conditions): the joined
     * row exposes target columns at their own names and source
@@ -694,7 +792,7 @@ object CommitLog {
     val parts = vs.flatMap { v =>
       val snap = snapshot(spark, table, Some(v)).get
       snap.op match {
-        case "append" | "streaming-append" =>
+        case "append" | "streaming-append" | "clone" =>
           val prev = if (v == 1L) Set.empty[String]
             else snapshot(spark, table, Some(v - 1L)).get.segments.toSet
           val added = snap.segments.filterNot(prev)
@@ -776,7 +874,7 @@ object CommitLog {
     vs.flatMap { v =>
       val snap = snapshot(spark, table, Some(v)).get
       snap.op match {
-        case "append" =>
+        case "append" | "clone" =>
           val prev = if (v == 1L) Set.empty[String]
             else snapshot(spark, table, Some(v - 1L)).get.segments.toSet
           val added = snap.segments.filterNot(prev)

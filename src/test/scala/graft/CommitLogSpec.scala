@@ -748,6 +748,90 @@ class CommitLogSpec extends AnyFunSuite {
     } finally rm(t)
   }
 
+  // ---- CHECK constraints / clone / restore ---------------------------
+
+  test("appendChecked: clean append lands, violation refuses " +
+      "atomically (no version, garbage vacuumable), NULL check is a " +
+      "violation") {
+    val t = tmpTable()
+    try {
+      val checks = Map("v_positive" -> (col("v") > 0.0))
+      assert(CommitLog.appendChecked(spark, t,
+        df((1L, "a", 1.0)), checks) === 1L)
+      val e = intercept[IllegalStateException] {
+        CommitLog.appendChecked(spark, t,
+          df((2L, "b", -2.0), (3L, "c", 3.0), (4L, "d", -4.0)), checks)
+      }
+      assert(e.getMessage.contains("v_positive") &&
+        e.getMessage.contains("2 row"))
+      assert(CommitLog.versions(spark, t) === Seq(1L))
+      assert(sortedRows(CommitLog.read(spark, t)) === Seq((1L, "a", 1.0)))
+      // the refused segment is unreferenced garbage: vacuum removes it
+      CommitLog.vacuum(spark, t, retainVersions = 1)
+      assert(sortedRows(CommitLog.read(spark, t)) === Seq((1L, "a", 1.0)))
+      // NULL predicate result = violation (SQL CHECK accepts only TRUE)
+      import spark.implicits._
+      val withNull = Seq((5L, "e")).toDF("id", "name")
+        .withColumn("v", lit(null).cast("double"))
+      intercept[IllegalStateException] {
+        CommitLog.appendChecked(spark, t, withNull, checks)
+      }
+    } finally rm(t)
+  }
+
+  test("cloneTable: zero-copy segment sharing, divergence isolation " +
+      "both ways, existing target refused") {
+    val t = tmpTable()
+    val c = tmpTable()
+    try {
+      CommitLog.append(spark, t, df((1L, "a", 1.0)))
+      CommitLog.append(spark, t, df((2L, "b", 2.0)))
+      assert(CommitLog.cloneTable(spark, t, c) === 1L)
+      // shallow: the clone references the SOURCE's segment paths
+      assert(CommitLog.snapshot(spark, c).get.segments ===
+        CommitLog.snapshot(spark, t).get.segments)
+      assert(sortedRows(CommitLog.read(spark, c)) ===
+        sortedRows(CommitLog.read(spark, t)))
+      // divergence: writes to one never show in the other
+      CommitLog.append(spark, t, df((3L, "c", 3.0)))
+      CommitLog.append(spark, c, df((9L, "z", 9.0)))
+      assert(sortedRows(CommitLog.read(spark, t)) ===
+        Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+      assert(sortedRows(CommitLog.read(spark, c)) ===
+        Seq((1L, "a", 1.0), (2L, "b", 2.0), (9L, "z", 9.0)))
+      intercept[IllegalArgumentException] {
+        CommitLog.cloneTable(spark, t, c)
+      }
+    } finally { rm(t); rm(c) }
+  }
+
+  test("restore: rolls content back as a NEW commit, history intact, " +
+      "schema restored across an evolution, no-op at current, " +
+      "vacuumed target loud") {
+    val t = tmpTable()
+    try {
+      CommitLog.append(spark, t, df((1L, "a", 1.0)))
+      import spark.implicits._
+      CommitLog.appendEvolve(spark, t,
+        Seq((2L, "b", 2.0, "x")).toDF("id", "name", "v", "note"))
+      assert(CommitLog.read(spark, t).columns.length === 4)
+      val v = CommitLog.restore(spark, t, toVersion = 1L)
+      assert(v === 3L)
+      // restored content AND schema are version 1's
+      assert(CommitLog.read(spark, t).columns.toSeq ===
+        Seq("id", "name", "v"))
+      assert(sortedRows(CommitLog.read(spark, t)) === Seq((1L, "a", 1.0)))
+      // the rolled-back version is still readable (history preserved)
+      assert(CommitLog.read(spark, t, Some(2L)).count() === 2L)
+      // restore to the current version commits nothing
+      assert(CommitLog.restore(spark, t, toVersion = 3L) === 3L)
+      assert(CommitLog.versions(spark, t) === Seq(1L, 2L, 3L))
+      intercept[IllegalStateException] {
+        CommitLog.restore(spark, t, toVersion = 99L)
+      }
+    } finally rm(t)
+  }
+
   // ---- three-clause MERGE INTO ---------------------------------------
 
   test("mergeInto: delete-before-update clause order, CDC recorded, " +
