@@ -321,6 +321,49 @@ object Pipeline18 {
           .localCheckpoint(true)
         out
       } finally rmStage(s, stage)
+    }),
+
+    // Metadata-only COUNT/MIN/MAX: the whole answer comes from the
+    // stats sidecars — zero data files open (the 100 TB
+    // count-in-milliseconds path). The scan-computed twin rides along
+    // as a witness so the hash gate proves metadata ≡ data.
+    "q173_commitlog_metadata_agg" -> ((s, dir) => {
+      val stage = stageDir("q173_meta")
+      try {
+        val tbl = s"$stage/tbl"
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_linenumber"), col("l_quantity"), col("l_returnflag"),
+          col("l_shipdate"))
+        val (y0, y1) = yearSpan(li)
+        (y0 to y1).foreach { y =>
+          CommitLogStats.appendWithStats(s, tbl,
+            li.filter(year(col("l_shipdate")) === y), Seq("l_shipdate"))
+        }
+        val meta = CommitLogStats.metadataAgg(s, tbl, "l_shipdate")
+          .getOrElse(throw new IllegalStateException(
+            "q173: every segment carries stats — metadata answer due"))
+        val (rows, mnO, mxO) = meta
+        def ldt(v: Any): java.time.LocalDateTime = {
+          val us = v.asInstanceOf[Long]
+          java.time.LocalDateTime.ofEpochSecond(
+            Math.floorDiv(us, 1000000L),
+            (Math.floorMod(us, 1000000L) * 1000L).toInt,
+            java.time.ZoneOffset.UTC)
+        }
+        val scan = CommitLog.read(s, tbl).agg(
+          count(lit(1)), min(col("l_shipdate")), max(col("l_shipdate")))
+          .collect()(0)
+        val matches = rows == scan.getLong(0) &&
+          mnO.map(ldt).contains(scan.getAs[java.time.LocalDateTime](1)) &&
+          mxO.map(ldt).contains(scan.getAs[java.time.LocalDateTime](2))
+        val one = s.range(1).select(
+          lit(rows).as("n_rows"),
+          lit(mnO.map(ldt).orNull).as("min_ship"),
+          lit(mxO.map(ldt).orNull).as("max_ship"),
+          lit(matches).as("matches_scan"))
+        val out = one.localCheckpoint(true)
+        out
+      } finally rmStage(s, stage)
     })
   )
 
@@ -497,6 +540,14 @@ object Pipeline18 {
         |FROM lineitem
         |WHERE l_orderkey % 3 IN (0, 1)
         |GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // the metadata answer must equal the raw-table aggregate exactly
+    "q173_commitlog_metadata_agg" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  MIN(l_shipdate) AS min_ship,
+        |  MAX(l_shipdate) AS max_ship,
+        |  true AS matches_scan
+        |FROM lineitem""".stripMargin
   )
 }

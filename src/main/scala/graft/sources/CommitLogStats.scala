@@ -328,6 +328,43 @@ object CommitLogStats {
         s"$maxRetries times at $table")
   }
 
+  // ---- metadata-only aggregates ---------------------------------------
+
+  /** Answer COUNT(*) / MIN(col) / MAX(col) from sidecars ALONE — the
+    * metadata-only query Delta serves from its log: at 100 TB a
+    * COUNT(*) that opens zero data files is the difference between
+    * milliseconds and a cluster-wide scan. Returns None when ANY
+    * segment of the pinned snapshot lacks a sidecar or the column —
+    * the caller falls back to the scan; a partial metadata answer
+    * would be silently wrong, never do that. MIN/MAX are None for an
+    * empty or all-NULL table (SQL semantics). Exactness holds because
+    * sidecars are computed over the exact rows each segment landed
+    * and segments are immutable. */
+  def metadataAgg(spark: SparkSession, table: String, statsCol: String,
+      asOfVersion: Option[Long] = None)
+      : Option[(Long, Option[Any], Option[Any])] = {
+    val snap = CommitLog.snapshot(spark, table, asOfVersion).getOrElse(
+      throw new IllegalStateException(
+        s"CommitLogStats.metadataAgg: no committed version at $table" +
+          asOfVersion.fold("")(v => s" (asOf=$v)")))
+    val sides = snap.segments.map(readSidecar(spark, _))
+    if (sides.exists(_.isEmpty)) return None
+    val stats = sides.flatten
+    if (stats.exists(!_.cols.contains(statsCol))) return None
+    val rows = stats.map(_.rows).sum
+    val cols = stats.map(_.cols(statsCol))
+    val tags = cols.map(_.tag).distinct
+    require(tags.size <= 1,
+      s"CommitLogStats.metadataAgg: segments disagree on '$statsCol' " +
+        s"type (${tags.mkString(", ")})")
+    val mins = cols.flatMap(_.min)
+    val maxs = cols.flatMap(_.max)
+    val tag = tags.headOption.getOrElse("long")
+    Some((rows,
+      mins.reduceOption((a, b) => if (cmp(tag, a, b) <= 0) a else b),
+      maxs.reduceOption((a, b) => if (cmp(tag, a, b) >= 0) a else b)))
+  }
+
   // ---- skipping reads --------------------------------------------------
 
   /** Decide, for ONE pinned snapshot, which segments a closed probe

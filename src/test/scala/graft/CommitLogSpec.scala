@@ -748,6 +748,38 @@ class CommitLogSpec extends AnyFunSuite {
     } finally rm(t)
   }
 
+  test("metadataAgg: answers COUNT/MIN/MAX from sidecars alone, " +
+      "refuses a partial answer, all-NULL and empty handled as SQL") {
+    val t = tmpTable()
+    try {
+      CommitLogStats.appendWithStats(spark, t,
+        df((1L, "a", 5.0), (2L, "b", 1.0)), Seq("v"))
+      CommitLogStats.appendWithStats(spark, t,
+        df((3L, "c", 9.0)), Seq("v"))
+      assert(CommitLogStats.metadataAgg(spark, t, "v") ===
+        Some((3L, Some(1.0), Some(9.0))))
+      // an all-NULL segment contributes rows but no bounds
+      import spark.implicits._
+      val nulls = Seq((4L, "d")).toDF("id", "name")
+        .withColumn("v", lit(null).cast("double"))
+        .select(col("id"), col("name"), col("v"))
+      val seg = CommitLog.writeSegment(spark, t, nulls)
+      CommitLogStats.writeSidecar(spark, seg, Seq("v"))
+      val base = CommitLog.snapshot(spark, t).get
+      assert(CommitLog.tryPublish(spark, t, CommitLog.Snapshot(
+        base.version + 1, base.segments :+ seg, base.version, "append")))
+      assert(CommitLogStats.metadataAgg(spark, t, "v") ===
+        Some((4L, Some(1.0), Some(9.0))))
+      // a sidecar-less foreign segment forbids the metadata answer
+      CommitLog.append(spark, t, df((5L, "e", 100.0)))
+      assert(CommitLogStats.metadataAgg(spark, t, "v") === None)
+      // ...but time travel to the fully-covered version (v3: the two
+      // stats appends + the null segment) still answers
+      assert(CommitLogStats.metadataAgg(spark, t, "v",
+        asOfVersion = Some(3L)) === Some((4L, Some(1.0), Some(9.0))))
+    } finally rm(t)
+  }
+
   // ---- CHECK constraints / clone / restore ---------------------------
 
   test("appendChecked: clean append lands, violation refuses " +
