@@ -483,7 +483,7 @@ object Pipeline10 {
         shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
     }.reduce(_ + _)
 
-  private def zOrderSql(x: String, y: String): String =
+  private[graft] def zOrderSql(x: String, y: String): String =
     (0 until ZBits).map { i =>
       s"((($x >> $i) & 1) * ${1L << (2 * i)} + (($y >> $i) & 1) * ${1L << (2 * i + 1)})"
     }.mkString("(", " + ", ")")

@@ -364,6 +364,46 @@ object Pipeline18 {
         val out = one.localCheckpoint(true)
         out
       } finally rmStage(s, stage)
+    }),
+
+    // Z-ORDER OPTIMIZE + 2-D box probe: scattered appends prune
+    // nothing; one morton-clustered rewrite bounds BOTH (partkey,
+    // suppkey) per segment, so the box keeps only the corner slices.
+    // kept_after is re-derived by the oracle from the identical
+    // interleave + bucket formula — the 2-D pruning effect itself is
+    // hash-verified.
+    "q174_commitlog_zorder_skipping" -> ((s, dir) => {
+      val stage = stageDir("q174_zorder")
+      try {
+        val tbl = s"$stage/tbl"
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"))
+        (0 until 4).foreach { i =>
+          CommitLogStats.appendWithStats(s, tbl,
+            li.filter(pmod(col("l_orderkey") + col("l_linenumber"), lit(4))
+              === i).repartition(3),
+            Seq("l_partkey", "l_suppkey"))
+        }
+        val bounds = li.agg(max(col("l_partkey")), max(col("l_suppkey")))
+          .collect()(0)
+        val (pHi, sHi) = (bounds.getLong(0) / 8L, bounds.getLong(1) / 8L)
+        val probes = Seq[(String, Any, Any)](
+          ("l_partkey", 1L, pHi), ("l_suppkey", 1L, sHi))
+        val before = CommitLogStats.planSkippingAll(s, tbl, probes)
+        CommitLogStats.compactZOrder(s, tbl, "l_partkey", "l_suppkey",
+          tieBreak = Seq("l_orderkey", "l_linenumber"),
+          nSegments = 16, statsCols = Seq("l_partkey", "l_suppkey"))
+        val after = CommitLogStats.planSkippingAll(s, tbl, probes)
+        val out = CommitLogStats.readSkippingAll(s, tbl, probes)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("l_quantity").cast("decimal(30,6)")).cast("double")
+              .as("sum_qty"))
+          .withColumn("kept_before", lit(before.kept.size))
+          .withColumn("kept_after", lit(after.kept.size))
+          .localCheckpoint(true)
+        out
+      } finally rmStage(s, stage)
     })
   )
 
@@ -548,6 +588,35 @@ object Pipeline18 {
         |  MIN(l_shipdate) AS min_ship,
         |  MAX(l_shipdate) AS max_ship,
         |  true AS matches_scan
-        |FROM lineitem""".stripMargin
+        |FROM lineitem""".stripMargin,
+
+    // the identical interleave + bucket formula re-derives which of
+    // the 16 morton slices intersect the 2-D box
+    "q174_commitlog_zorder_skipping" -> {
+      val z = graft.queries.Pipeline10.zOrderSql("l_partkey", "l_suppkey")
+      s"""WITH b AS (SELECT MAX(l_partkey) // 8 AS p_hi,
+         |    MAX(l_suppkey) // 8 AS s_hi FROM lineitem),
+         |r AS (
+         |  SELECT l_partkey, l_suppkey,
+         |    ROW_NUMBER() OVER (ORDER BY $z, l_orderkey, l_linenumber)
+         |      AS rn,
+         |    COUNT(*) OVER () AS n
+         |  FROM lineitem),
+         |k AS (
+         |  SELECT CAST(((rn - 1) * 16) // n AS INT) AS bucket,
+         |    MIN(l_partkey) AS pmn, MAX(l_partkey) AS pmx,
+         |    MIN(l_suppkey) AS smn, MAX(l_suppkey) AS smx
+         |  FROM r GROUP BY bucket),
+         |ka AS (SELECT CAST(COUNT(*) AS INT) AS kept_after FROM k, b
+         |  WHERE pmx >= 1 AND pmn <= p_hi AND smx >= 1 AND smn <= s_hi)
+         |SELECT COUNT(*) AS n_rows,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+         |    AS sum_qty,
+         |  CAST(4 AS INT) AS kept_before,
+         |  (SELECT kept_after FROM ka) AS kept_after
+         |FROM lineitem, b
+         |WHERE l_partkey >= 1 AND l_partkey <= p_hi
+         |  AND l_suppkey >= 1 AND l_suppkey <= s_hi""".stripMargin
+    }
   )
 }

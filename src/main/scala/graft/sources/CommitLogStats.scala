@@ -328,6 +328,61 @@ object CommitLogStats {
         s"$maxRetries times at $table")
   }
 
+  /** Z-ORDER OPTIMIZE: [[compactClustered]]'s 2-D sibling — segments
+    * are range-disjoint in MORTON order (bit-interleave of xCol and
+    * yCol, the same exact-integer `zOrder` the q123 layout tier
+    * replays in SQL), so each segment's sidecar bounds BOTH
+    * dimensions and a 2-D box probe ([[planSkippingAll]]) prunes
+    * where any single-column sort would leave the other dimension
+    * unconstrained. `tieBreak` columns must make the total order
+    * unique (same contract as compactClustered). Both columns must be
+    * non-negative integral < 2^31 for the interleave to be a
+    * bijection — larger keys alias deterministically (documented at
+    * the q123 tier). */
+  def compactZOrder(spark: SparkSession, table: String,
+      xCol: String, yCol: String, tieBreak: Seq[String],
+      nSegments: Int, statsCols: Seq[String],
+      maxRetries: Int = 20): Long = {
+    require(nSegments >= 1, "nSegments must be >= 1")
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val cur = CommitLog.snapshot(spark, table).getOrElse(
+        throw new IllegalStateException(
+          s"CommitLogStats.compactZOrder: nothing committed at $table"))
+      val df = CommitLog.readSegments(spark, cur.segments, cur.schema)
+        .withColumn("__z", graft.queries.Pipeline10.zOrder(
+          col(xCol), col(yCol)))
+      val ranked = graft.operators.DistributedRank.globalRowNumber(
+        df, col("__z") +: tieBreak.map(col), "__rn")
+      val n = math.max(1L, ranked.count())
+      val bucketed = ranked.withColumn("__bucket",
+        floor(((col("__rn") - 1L) * nSegments) / lit(n))
+          .cast("int")).persist()
+      try {
+        val segs = (0 until nSegments).flatMap { b =>
+          val slice = bucketed.filter(col("__bucket") === b)
+            .drop("__z", "__rn", "__bucket")
+          if (slice.isEmpty) None
+          else {
+            val seg = CommitLog.writeSegment(spark, table, slice)
+            writeSidecar(spark, seg, statsCols)
+            Some(seg)
+          }
+        }
+        val snap = CommitLog.Snapshot(cur.version + 1L, segs,
+          cur.version, "compact", schema = cur.schema)
+        if (CommitLog.tryPublish(spark, table, snap)) return snap.version
+        val f = fs(spark, table)
+        segs.foreach(s =>
+          f.delete(new org.apache.hadoop.fs.Path(s), true): Unit)
+      } finally bucketed.unpersist()
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"CommitLogStats.compactZOrder: lost the version race " +
+        s"$maxRetries times at $table")
+  }
+
   // ---- metadata-only aggregates ---------------------------------------
 
   /** Answer COUNT(*) / MIN(col) / MAX(col) from sidecars ALONE — the
@@ -372,34 +427,67 @@ object CommitLogStats {
     * gap (no sidecar / column absent → kept); all-NULL column →
     * pruned; probe type vs recorded stats type mismatch → LOUD. */
   def planSkipping(spark: SparkSession, table: String, statsCol: String,
-      lo: Any, hi: Any, asOfVersion: Option[Long] = None): SkipPlan = {
+      lo: Any, hi: Any, asOfVersion: Option[Long] = None): SkipPlan =
+    planSkippingAll(spark, table, Seq((statsCol, lo, hi)), asOfVersion)
+
+  /** Multi-interval [[planSkipping]]: a segment survives only when
+    * EVERY probe's interval may intersect it — the 2-D (or N-D) box
+    * probe a [[compactZOrder]] layout makes effective, since morton
+    * segments bound all interleaved dimensions at once. Same
+    * conservative/gap/type contract per probe. */
+  def planSkippingAll(spark: SparkSession, table: String,
+      probes: Seq[(String, Any, Any)],
+      asOfVersion: Option[Long] = None): SkipPlan = {
+    require(probes.nonEmpty, "planSkippingAll: no probes")
     val snap = CommitLog.snapshot(spark, table, asOfVersion).getOrElse(
       throw new IllegalStateException(
         s"CommitLogStats.planSkipping: no committed version at $table" +
           asOfVersion.fold("")(v => s" (asOf=$v)")))
-    val (loTag, loV) = encodeProbe(lo)
-    val (hiTag, hiV) = encodeProbe(hi)
-    require(loTag == hiTag,
-      s"CommitLogStats: probe bounds disagree on type ($loTag vs $hiTag)")
+    val encoded = probes.map { case (c, lo, hi) =>
+      val (loTag, loV) = encodeProbe(lo)
+      val (hiTag, hiV) = encodeProbe(hi)
+      require(loTag == hiTag,
+        s"CommitLogStats: probe bounds disagree on type ($loTag vs $hiTag)")
+      (c, loTag, loV, hiV)
+    }
     val (kept, pruned) = snap.segments.partition { seg =>
-      readSidecar(spark, seg) match {
-        case None => true
-        case Some(stats) => stats.cols.get(statsCol) match {
+      val sidecar = readSidecar(spark, seg)
+      encoded.forall { case (statsCol, tag, loV, hiV) =>
+        sidecar match {
           case None => true
-          case Some(cs) =>
-            if (cs.tag != loTag) throw new IllegalStateException(
-              s"CommitLogStats: probe on '$statsCol' has type $loTag " +
-                s"but segment $seg recorded ${cs.tag} stats — fix the " +
-                "probe value, not the comparison")
-            (cs.min, cs.max) match {
-              case (Some(mn), Some(mx)) =>
-                cmp(cs.tag, mx, loV) >= 0 && cmp(cs.tag, mn, hiV) <= 0
-              case _ => false // all-NULL segment: no row can match
-            }
+          case Some(stats) => stats.cols.get(statsCol) match {
+            case None => true
+            case Some(cs) =>
+              if (cs.tag != tag) throw new IllegalStateException(
+                s"CommitLogStats: probe on '$statsCol' has type $tag " +
+                  s"but segment $seg recorded ${cs.tag} stats — fix the " +
+                  "probe value, not the comparison")
+              (cs.min, cs.max) match {
+                case (Some(mn), Some(mx)) =>
+                  cmp(cs.tag, mx, loV) >= 0 && cmp(cs.tag, mn, hiV) <= 0
+                case _ => false // all-NULL segment: no row can match
+              }
+          }
         }
       }
     }
     SkipPlan(snap, kept, pruned)
+  }
+
+  /** Box scan over a multi-column probe: read only the segments every
+    * interval keeps, then apply ALL the exact predicates. */
+  def readSkippingAll(spark: SparkSession, table: String,
+      probes: Seq[(String, Any, Any)],
+      asOfVersion: Option[Long] = None): DataFrame = {
+    val plan = planSkippingAll(spark, table, probes, asOfVersion)
+    val pred = probes.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    }.reduce(_ && _)
+    if (plan.kept.isEmpty)
+      CommitLog.read(spark, table, asOfVersion).filter(lit(false))
+    else
+      CommitLog.readSegments(spark, plan.kept, plan.snapshot.schema)
+        .filter(pred)
   }
 
   /** Range scan with segment skipping: read only the segments

@@ -748,6 +748,43 @@ class CommitLogSpec extends AnyFunSuite {
     } finally rm(t)
   }
 
+  test("compactZOrder: a 2-D box probe prunes morton segments where " +
+      "the single-axis clustering leaves the other dimension " +
+      "unconstrained; results equal the full-scan box filter") {
+    import spark.implicits._
+    def grid(): org.apache.spark.sql.DataFrame =
+      (for (x <- 0L until 16L; y <- 0L until 16L)
+        yield (x * 16 + y, x, y)).toDF("id", "x", "y")
+    val probes = Seq[(String, Any, Any)]((("x"), 0L, 3L), (("y"), 0L, 3L))
+    def keptAfter(cluster: String => Long): (Int, Seq[(Long, Long, Long)]) = {
+      val t = tmpTable()
+      try {
+        CommitLog.append(spark, t, grid())
+        cluster(t)
+        val plan = CommitLogStats.planSkippingAll(spark, t, probes)
+        val rows = CommitLogStats.readSkippingAll(spark, t, probes)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSeq.sorted
+        (plan.kept.size, rows)
+      } finally rm(t)
+    }
+    val (keptZ, rowsZ) = keptAfter(t => CommitLogStats.compactZOrder(
+      spark, t, "x", "y", tieBreak = Seq("id"), nSegments = 16,
+      statsCols = Seq("x", "y")))
+    val (keptX, rowsX) = keptAfter(t => CommitLogStats.compactClustered(
+      spark, t, Seq("x", "id"), nSegments = 16,
+      statsCols = Seq("x", "y")))
+    // both layouts return exactly the 4×4 corner box
+    val expect = (for (x <- 0L until 4L; y <- 0L until 4L)
+      yield (x * 16 + y, x, y)).sorted
+    assert(rowsZ === expect && rowsX === expect)
+    // the morton layout bounds BOTH dims per segment: the corner box
+    // touches 1 of 16 slices; the x-sorted layout keeps all 4 slices
+    // spanning x∈[0,3] because every one covers the full y range
+    assert(keptZ === 1, s"zorder kept $keptZ")
+    assert(keptX === 4, s"x-sorted kept $keptX")
+  }
+
   test("metadataAgg: answers COUNT/MIN/MAX from sidecars alone, " +
       "refuses a partial answer, all-NULL and empty handled as SQL") {
     val t = tmpTable()
