@@ -404,6 +404,41 @@ object Pipeline18 {
           .localCheckpoint(true)
         out
       } finally rmStage(s, stage)
+    }),
+
+    // Key-bucketed OPTIMIZE bounds copy-on-write write amplification:
+    // after hash-bucketing into 8 segments, a single-key DELETE
+    // rewrites exactly ONE bucket — the other 7 stay referenced
+    // byte-identical (witnessed by the segment-set overlap between
+    // the pre- and post-DML manifests).
+    "q175_commitlog_bucketed_dml" -> ((s, dir) => {
+      val stage = stageDir("q175_bucket")
+      try {
+        val tbl = s"$stage/tbl"
+        val o = t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+        (0 until 4).foreach { i =>
+          CommitLog.append(s, tbl,
+            o.filter(pmod(col("o_orderkey"), lit(4)) === i)
+              .repartition(3))
+        }
+        CommitLogStats.compactBucketed(s, tbl, Seq("o_orderkey"),
+          nBuckets = 8, statsCols = Seq("o_orderkey"))
+        val victim = o.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+        val pre = CommitLog.snapshot(s, tbl).get.segments.toSet
+        CommitLog.delete(s, tbl, col("o_orderkey") === victim)
+        val post = CommitLog.snapshot(s, tbl).get.segments.toSet
+        val out = CommitLog.read(s, tbl)
+          .groupBy(col("o_orderstatus")).agg(
+            count(lit(1)).as("n_rows"),
+            sum(col("o_totalprice").cast("decimal(30,6)")).cast("double")
+              .as("sum_price"))
+          .withColumn("n_untouched", lit((pre & post).size))
+          .withColumn("n_segments_after", lit(post.size))
+          .orderBy(col("o_orderstatus"))
+          .localCheckpoint(true)
+        out
+      } finally rmStage(s, stage)
     })
   )
 
@@ -617,6 +652,22 @@ object Pipeline18 {
          |FROM lineitem, b
          |WHERE l_partkey >= 1 AND l_partkey <= p_hi
          |  AND l_suppkey >= 1 AND l_suppkey <= s_hi""".stripMargin
-    }
+    },
+
+    // final state = all orders minus the max key; one bucket of 8
+    // rewritten (7 untouched, 8 referenced after — the kept rewrite
+    // replaces the victim's bucket)
+    "q175_commitlog_bucketed_dml" ->
+      """WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders)
+        |SELECT o_orderstatus,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price,
+        |  CAST(7 AS INT) AS n_untouched,
+        |  CAST(8 AS INT) AS n_segments_after
+        |FROM orders, mx
+        |WHERE o_orderkey <> m
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin
   )
 }

@@ -383,6 +383,55 @@ object CommitLogStats {
         s"$maxRetries times at $table")
   }
 
+  /** KEY-BUCKETED OPTIMIZE: rewrite the snapshot as `nBuckets`
+    * hash-disjoint segments on `keys` (segment i holds exactly the
+    * rows with pmod(hash(keys), n) = i) — the layout that bounds
+    * copy-on-write WRITE AMPLIFICATION: a DML/merge touching K keys
+    * rewrites at most the K buckets those keys hash into, never the
+    * whole table (the Hive-bucketing idea applied to the commit-log
+    * segment layout; Delta achieves the same with partitioning or
+    * liquid clustering). Stats sidecars ride along so range probes
+    * on OTHER columns keep their conservative skipping. ONE shuffle
+    * (repartition by hash) + one write per bucket, committed as a
+    * single content-preserving manifest version. */
+  def compactBucketed(spark: SparkSession, table: String,
+      keys: Seq[String], nBuckets: Int, statsCols: Seq[String],
+      maxRetries: Int = 20): Long = {
+    require(nBuckets >= 1, "nBuckets must be >= 1")
+    require(keys.nonEmpty, "keys must be non-empty")
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val cur = CommitLog.snapshot(spark, table).getOrElse(
+        throw new IllegalStateException(
+          s"CommitLogStats.compactBucketed: nothing committed at $table"))
+      val df = CommitLog.readSegments(spark, cur.segments, cur.schema)
+        .withColumn("__bucket", pmod(hash(keys.map(col): _*),
+          lit(nBuckets)))
+        .persist()
+      try {
+        val segs = (0 until nBuckets).flatMap { b =>
+          val slice = df.filter(col("__bucket") === b).drop("__bucket")
+          if (slice.isEmpty) None
+          else {
+            val seg = CommitLog.writeSegment(spark, table, slice)
+            writeSidecar(spark, seg, statsCols)
+            Some(seg)
+          }
+        }
+        val snap = CommitLog.Snapshot(cur.version + 1L, segs,
+          cur.version, "compact", schema = cur.schema)
+        if (CommitLog.tryPublish(spark, table, snap)) return snap.version
+        val f = fs(spark, table)
+        segs.foreach(s =>
+          f.delete(new org.apache.hadoop.fs.Path(s), true): Unit)
+      } finally df.unpersist()
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"CommitLogStats.compactBucketed: lost the version race " +
+        s"$maxRetries times at $table")
+  }
+
   // ---- metadata-only aggregates ---------------------------------------
 
   /** Answer COUNT(*) / MIN(col) / MAX(col) from sidecars ALONE — the

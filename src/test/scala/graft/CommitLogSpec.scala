@@ -785,6 +785,33 @@ class CommitLogSpec extends AnyFunSuite {
     assert(keptX === 4, s"x-sorted kept $keptX")
   }
 
+  test("compactBucketed: hash-disjoint buckets bound DML write " +
+      "amplification — a single-key delete rewrites exactly one " +
+      "bucket; content preserved") {
+    val t = tmpTable()
+    try {
+      import spark.implicits._
+      val rows = (1L to 64L).map(i => (i, s"n$i", i * 1.0))
+      CommitLog.append(spark, t, rows.toDF("id", "name", "v"))
+      CommitLog.append(spark, t,
+        (65L to 96L).map(i => (i, s"n$i", i * 1.0)).toDF("id", "name", "v"))
+      val pre = sortedRows(CommitLog.read(spark, t))
+      CommitLogStats.compactBucketed(spark, t, Seq("id"),
+        nBuckets = 8, statsCols = Seq("id"))
+      assert(sortedRows(CommitLog.read(spark, t)) === pre)
+      val bucketed = CommitLog.snapshot(spark, t).get.segments.toSet
+      assert(bucketed.size === 8)
+      // rows with the same key hash land in the same segment: deleting
+      // one key touches exactly its bucket
+      val (_, n) = CommitLog.delete(spark, t, col("id") === 42L)
+      assert(n === 1L)
+      val post = CommitLog.snapshot(spark, t).get.segments.toSet
+      assert((bucketed & post).size === 7)
+      assert(sortedRows(CommitLog.read(spark, t)) ===
+        pre.filterNot(_._1 == 42L))
+    } finally rm(t)
+  }
+
   test("metadataAgg: answers COUNT/MIN/MAX from sidecars alone, " +
       "refuses a partial answer, all-NULL and empty handled as SQL") {
     val t = tmpTable()
