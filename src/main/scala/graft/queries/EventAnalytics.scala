@@ -105,6 +105,35 @@ object EventAnalytics {
     // users from that cohort active at each day offset. Day buckets
     // by exact integer division of epoch-micros (no timezone/calendar
     // dependence to diverge across engines).
+    // Lag-k AUTOCORRELATION per user — the seasonality/trend detector
+    // of a monitoring pipeline: Pearson r between each user's value
+    // sequence and its k-shifted self (k = 1, 2), computed from EXACT
+    // integer moments (cents) with one identically-shaped double
+    // expression at the end (IEEE correctly-rounded ÷ and sqrt — both
+    // engines produce the same bits). Scale shape: ONE window shuffle
+    // on user_id feeding both lags, then a same-key groupBy — the
+    // window and the aggregate co-locate, nothing else moves.
+    "q176_acf_per_user" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = ev(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          (col("value").cast("decimal(12,2)") * 100).cast("long")
+            .as("vc"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val lagged = base
+        .withColumn("lead_1", lead(col("vc"), 1).over(w))
+        .withColumn("lead_2", lead(col("vc"), 2).over(w))
+      val aggs = acfCols(1) ++ acfCols(2)
+      lagged.groupBy(col("user_id"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("user_id"), col("n_1"), col("num_1"),
+          acfRatio(1).as("acf_1"), col("n_2"), col("num_2"),
+          acfRatio(2).as("acf_2"))
+        .orderBy(col("user_id"))
+    }),
+
     "q80_retention_cohorts" -> ((s, dir) => {
       // `div`, not `/`: Spark's `/` on longs is DOUBLE division (q39's
       // lesson), and epoch-micros near 2^53 would round
@@ -124,7 +153,69 @@ object EventAnalytics {
     })
   )
 
+  /** q176 shared arithmetic: Pearson autocorrelation at lag k from
+    * EXACT integer moments (value in cents), with one final
+    * IEEE-correctly-rounded double expression both engines evaluate
+    * with the identical tree — the repo's fixed-point discipline
+    * extended to a ratio statistic. */
+  private def acfCols(k: Int): Seq[org.apache.spark.sql.Column] = {
+    val x = col("vc"); val y = col(s"lead_$k")
+    val n = sum(when(y.isNotNull, 1L).otherwise(0L))
+    def s1(c: org.apache.spark.sql.Column) =
+      sum(when(y.isNotNull, c).otherwise(0L))
+    val (sx, sy) = (s1(x), s1(y))
+    val (sxx, syy, sxy) = (s1(x * x), s1(y * y), s1(x * y))
+    val num = n * sxy - sx * sy
+    val d1 = n * sxx - sx * sx
+    val d2 = n * syy - sy * sy
+    // range: cents ≤ ~5e4 (fixture values < 500), so n·Σx² stays
+    // under 2^63 through ~1e5 events per user — far past x100
+    Seq(n.as(s"n_$k"), num.as(s"num_$k"),
+      d1.as(s"d1_$k"), d2.as(s"d2_$k"))
+  }
+
+  private def acfRatio(k: Int): org.apache.spark.sql.Column =
+    when(col(s"d1_$k") > 0L && col(s"d2_$k") > 0L,
+      col(s"num_$k").cast("double") /
+        (sqrt(col(s"d1_$k").cast("double")) *
+          sqrt(col(s"d2_$k").cast("double"))))
+      .otherwise(lit(null))
+
+  private def acfSql(k: Int): String = {
+    def s1(c: String) =
+      s"CAST(SUM(CASE WHEN lead_$k IS NOT NULL THEN $c ELSE 0 END) AS BIGINT)"
+    s"""CAST(SUM(CASE WHEN lead_$k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_$k,
+       |  CAST(${s1("1")} * ${s1(s"vc * lead_$k")} -
+       |    ${s1("vc")} * ${s1(s"lead_$k")} AS BIGINT) AS num_$k,
+       |  CAST(${s1("1")} * ${s1("vc * vc")} -
+       |    ${s1("vc")} * ${s1("vc")} AS BIGINT) AS d1_$k,
+       |  CAST(${s1("1")} * ${s1(s"lead_$k * lead_$k")} -
+       |    ${s1(s"lead_$k")} * ${s1(s"lead_$k")} AS BIGINT) AS d2_$k""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q176_acf_per_user" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc
+         |  FROM events),
+         |l AS (SELECT user_id, vc,
+         |    lead(vc, 1) OVER w AS lead_1, lead(vc, 2) OVER w AS lead_2
+         |  FROM e
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         |a AS (SELECT user_id, ${acfSql(1)},
+         |  ${acfSql(2)}
+         |  FROM l GROUP BY user_id)
+         |SELECT user_id, n_1, num_1,
+         |  CASE WHEN d1_1 > 0 AND d2_1 > 0 THEN CAST(num_1 AS DOUBLE) /
+         |    (sqrt(CAST(d1_1 AS DOUBLE)) * sqrt(CAST(d2_1 AS DOUBLE)))
+         |  END AS acf_1,
+         |  n_2, num_2,
+         |  CASE WHEN d1_2 > 0 AND d2_2 > 0 THEN CAST(num_2 AS DOUBLE) /
+         |    (sqrt(CAST(d1_2 AS DOUBLE)) * sqrt(CAST(d2_2 AS DOUBLE)))
+         |  END AS acf_2
+         |FROM a
+         |ORDER BY user_id""".stripMargin,
+
     "q78_mad_outliers" ->
       s"""WITH m AS (
          |  SELECT user_id, value AS med FROM (
