@@ -36,12 +36,21 @@ import graft.sources.{Catalog, CommitLog, CommitLogStats}
   *    column. Type changes refuse loudly; v1 time travel keeps v1's
   *    own columns (witness columns n_cols_v1/n_cols_v2).
   *
+  * Plus the rest of the lakehouse op set over the same protocol:
+  *  - q169 three-clause MERGE INTO (copy-on-write, CDC-recorded);
+  *  - q170 DESCRIBE HISTORY (five-commit lifecycle, hardcoded oracle);
+  *  - q171 CHECK constraints (atomic refusal witnessed);
+  *  - q172 shallow CLONE + RESTORE (zero-copy snapshot lifecycle);
+  *  - q173 metadata-only COUNT/MIN/MAX (sidecars answer, zero files);
+  *  - q174 z-order OPTIMIZE + 2-D box skipping (morton sidecars);
+  *  - q175 key-bucketed OPTIMIZE (DML write amplification bounded).
+  *
   * 100 TB reading: q165 is the steady-state ingest pattern (time-
   * ordered appends are born skippable), q166 is the remediation for
   * tables that weren't — one OPTIMIZE commit turns a full-scan probe
   * into a touched-slices probe — and q167 is the decade-lifetime
   * reality that columns arrive after the first petabyte has landed;
-  * the manifest protocol keeps all three concurrent-writer-safe and
+  * the manifest protocol keeps everything concurrent-writer-safe and
   * time-travelable.
   */
 object Pipeline18 {
