@@ -248,7 +248,10 @@ object Pipeline18 {
         CommitLog.compact(s, tbl, targetRowsPerFile = 100L)
         CommitLog.appendTxn(s, tbl,
           r.filter(col("r_regionkey") === 0), appId = "h", batchId = 1L)
-        CommitLog.history(s, tbl)
+        // commit_ts is wall-clock — structural fields only for the
+        // deterministic oracle; the TIMESTAMP AS OF behavior it feeds
+        // is law-pinned in CommitLogSpec
+        CommitLog.history(s, tbl).drop("commit_ts")
           .orderBy(col("version"))
           .localCheckpoint(true)
       } finally rmStage(s, stage)

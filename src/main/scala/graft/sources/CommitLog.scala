@@ -54,7 +54,8 @@ object CommitLog {
       baseVersion: Long, op: String,
       txnApp: Option[String] = None, txnBatch: Option[Long] = None,
       changes: Option[String] = None,
-      schema: Option[String] = None)
+      schema: Option[String] = None,
+      ts: Option[Long] = None)
 
   private def commitsDir(table: String) = s"$table/_commits"
   private def manifestPath(table: String, v: Long) =
@@ -110,6 +111,31 @@ object CommitLog {
           asOfVersion.fold("")(v => s" (asOf=$v)"))
     }
 
+  /** TIMESTAMP AS OF resolution (Delta's second time-travel knob):
+    * the LATEST version whose commit wall-time is ≤ `tsMillis`.
+    * Commit times are stamped at publish (one clock read inside
+    * [[tryPublish]] — monotone per table because versions serialize
+    * on the manifest create). A cutoff before the earliest retained
+    * commit raises — resolving it to "nothing" would silently serve
+    * an empty table for a typo'd date. Pre-timestamp manifests (older
+    * format) are treated as unknown and skipped. */
+  def snapshotAsOfTimestamp(spark: SparkSession, table: String,
+      tsMillis: Long): Snapshot = {
+    val snaps = versions(spark, table)
+      .flatMap(v => snapshot(spark, table, Some(v)))
+    val eligible = snaps.filter(_.ts.exists(_ <= tsMillis))
+    eligible.lastOption.getOrElse(throw new IllegalStateException(
+      s"CommitLog: no commit at or before timestamp $tsMillis at " +
+        s"$table (earliest retained: " +
+        s"${snaps.headOption.flatMap(_.ts).getOrElse("none")})"))
+  }
+
+  /** Read the table as of a wall-clock instant. */
+  def readAsOfTimestamp(spark: SparkSession, table: String,
+      tsMillis: Long): DataFrame =
+    read(spark, table,
+      Some(snapshotAsOfTimestamp(spark, table, tsMillis).version))
+
   /** Read a segment list under an optionally-pinned (possibly evolved)
     * schema: segments written before a column was added serve NULLs
     * for it, and column set/order is stable regardless of which file
@@ -144,8 +170,9 @@ object CommitLog {
       manifestPath(table, snap.version))
     val tmp = new org.apache.hadoop.fs.Path(
       s"${commitsDir(table)}/.tmp-${java.util.UUID.randomUUID()}")
+    val stamped = snap.copy(ts = Some(System.currentTimeMillis()))
     val out = f.create(tmp, false)
-    try out.write(renderManifest(snap).getBytes("UTF-8"))
+    try out.write(renderManifest(stamped).getBytes("UTF-8"))
     finally out.close()
     try {
       if (dst.toUri.getScheme == null || dst.toUri.getScheme == "file") {
@@ -766,9 +793,9 @@ object CommitLog {
       .flatMap(v => snapshot(spark, table, Some(v)))
       .map(s => (s.version, s.op, s.baseVersion, s.segments.size,
         s.txnApp, s.txnBatch, s.changes.isDefined,
-        s.schema.map(b64 => decodeSchema(b64).fields.length)))
+        s.schema.map(b64 => decodeSchema(b64).fields.length), s.ts))
       .toDF("version", "op", "base_version", "n_segments", "txn_app",
-        "txn_batch", "has_changes", "n_columns")
+        "txn_batch", "has_changes", "n_columns", "commit_ts")
   }
 
   /** The FULL change-data feed after `afterVersion`, one DataFrame:
@@ -973,8 +1000,9 @@ object CommitLog {
     val ch = s.changes.fold("")(c =>
       s""""changes":"${c.replace("\\", "\\\\").replace("\"", "\\\"")}",""")
     val sch = s.schema.fold("")(b64 => s""""schema":"$b64",""")
+    val ts = s.ts.fold("")(t => s""""ts":$t,""")
     s"""{"version":${s.version},"baseVersion":${s.baseVersion},""" +
-      txn + ch + sch +
+      txn + ch + sch + ts +
       s""""op":"${s.op}","segments":[""" + segs.mkString(",") + "]}"
   }
 
@@ -1006,6 +1034,7 @@ object CommitLog {
         .map(_.stripPrefix("\"").stripSuffix("\"")
           .replace("\\\"", "\"").replace("\\\\", "\\")),
       schema = optField("schema")
-        .map(_.stripPrefix("\"").stripSuffix("\"")))
+        .map(_.stripPrefix("\"").stripSuffix("\"")),
+      ts = optField("ts").map(_.toLong))
   }
 }

@@ -92,10 +92,16 @@ class CommitLogSource extends TableProvider with DataSourceRegister
       new IllegalArgumentException(
         "commitlog source requires option 'path' (the table directory)"))
     val version = Option(options.get("versionAsOf")).map(_.toLong)
-    val snap = CommitLog.snapshot(spark, path, version).getOrElse(throw
+    val tsOf = Option(options.get("timestampAsOf")).map(_.toLong)
+    require(version.isEmpty || tsOf.isEmpty,
+      "commitlog: versionAsOf and timestampAsOf are mutually exclusive")
+    val resolved = tsOf.map(t =>
+      CommitLog.snapshotAsOfTimestamp(spark, path, t).version)
+      .orElse(version)
+    val snap = CommitLog.snapshot(spark, path, resolved).getOrElse(throw
       new IllegalStateException(
         s"commitlog: no committed version at $path" +
-          version.fold("")(v => s" (versionAsOf=$v — vacuumed or never " +
+          resolved.fold("")(v => s" (versionAsOf=$v — vacuumed or never " +
             "committed)")))
     if (snap.segments.isEmpty) throw new IllegalStateException(
       s"commitlog: version ${snap.version} of $path has no segments")

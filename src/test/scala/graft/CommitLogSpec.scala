@@ -785,6 +785,44 @@ class CommitLogSpec extends AnyFunSuite {
     assert(keptX === 4, s"x-sorted kept $keptX")
   }
 
+  test("TIMESTAMP AS OF: resolves to the latest commit at-or-before " +
+      "the cutoff, refuses a pre-history cutoff, works through the " +
+      "DSv2 option") {
+    val t = tmpTable()
+    try {
+      CommitLog.append(spark, t, df((1L, "a", 1.0)))
+      val t1 = CommitLog.snapshot(spark, t).get.ts.get
+      Thread.sleep(5)
+      CommitLog.append(spark, t, df((2L, "b", 2.0)))
+      val t2 = CommitLog.snapshot(spark, t).get.ts.get
+      assert(t2 > t1) // publishes serialize; the clock read is inside
+      // cutoff between the commits → version 1
+      assert(sortedRows(CommitLog.readAsOfTimestamp(spark, t, t1)) ===
+        Seq((1L, "a", 1.0)))
+      // cutoff at/after the latest → latest
+      assert(sortedRows(CommitLog.readAsOfTimestamp(spark, t, t2 + 1000))
+        === Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+      // before history → loud
+      val e = intercept[IllegalStateException] {
+        CommitLog.readAsOfTimestamp(spark, t, t1 - 1000)
+      }
+      assert(e.getMessage.contains("earliest"))
+      // DSv2 option
+      val viaFormat = spark.read.format("commitlog")
+        .option("path", t).option("timestampAsOf", t1.toString).load()
+      assert(sortedRows(viaFormat) === Seq((1L, "a", 1.0)))
+      intercept[IllegalArgumentException] {
+        spark.read.format("commitlog").option("path", t)
+          .option("versionAsOf", "1")
+          .option("timestampAsOf", t1.toString).load()
+      }
+      // history surfaces the stamp
+      val ts = CommitLog.history(spark, t)
+        .select("commit_ts").collect().map(_.getLong(0)).toSeq
+      assert(ts === Seq(t1, t2))
+    } finally rm(t)
+  }
+
   test("compactBucketed: hash-disjoint buckets bound DML write " +
       "amplification — a single-key delete rewrites exactly one " +
       "bucket; content preserved") {
