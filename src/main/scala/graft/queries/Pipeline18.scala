@@ -451,6 +451,35 @@ object Pipeline18 {
           .localCheckpoint(true)
         out
       } finally rmStage(s, stage)
+    }),
+
+    // The standard WRITER surface: df.write.format("commitlog") in
+    // append and overwrite modes, committing through the protocol —
+    // the overwrite replaces content as ONE version while the
+    // replaced state stays a time travel away (witnessed).
+    "q177_commitlog_dsv2_write" -> ((s, dir) => {
+      val stage = stageDir("q177_write")
+      try {
+        val tbl = s"$stage/tbl"
+        val r = t(s, dir, "region").select(col("r_regionkey"),
+          col("r_name"))
+        CommitLog.append(s, tbl, r.filter(col("r_regionkey") < 2))
+        r.filter(col("r_regionkey").between(2, 2)).write
+          .format("commitlog").option("path", tbl).mode("append").save()
+        val nV2 = CommitLog.read(s, tbl).count()
+        r.filter(col("r_regionkey") >= 3).write
+          .format("commitlog").option("path", tbl).mode("overwrite")
+          .save()
+        val ops = CommitLog.history(s, tbl).select("op")
+          .collect().map(_.getString(0)).mkString(",")
+        val out = CommitLog.read(s, tbl)
+          .select(col("r_regionkey"), col("r_name"))
+          .withColumn("ops", lit(ops))
+          .withColumn("n_v2", lit(nV2))
+          .orderBy(col("r_regionkey"))
+          .localCheckpoint(true)
+        out
+      } finally rmStage(s, stage)
     })
   )
 
@@ -680,6 +709,15 @@ object Pipeline18 {
         |FROM orders, mx
         |WHERE o_orderkey <> m
         |GROUP BY o_orderstatus
-        |ORDER BY o_orderstatus""".stripMargin
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    // final content = regions 3+, three commits in order, v2 held 3
+    "q177_commitlog_dsv2_write" ->
+      """SELECT r_regionkey, r_name,
+        |  'append,append,overwrite' AS ops,
+        |  CAST(3 AS BIGINT) AS n_v2
+        |FROM region
+        |WHERE r_regionkey >= 3
+        |ORDER BY r_regionkey""".stripMargin
   )
 }

@@ -86,7 +86,7 @@ class CommitLogSource extends TableProvider with DataSourceRegister
       path, startingVersion, cdf, skip, maxV)
   }
 
-  private def resolve(options: CaseInsensitiveStringMap): ParquetTable = {
+  private def resolve(options: CaseInsensitiveStringMap): CommitLogTable = {
     val spark = SparkSession.active
     val path = Option(options.get("path")).getOrElse(throw
       new IllegalArgumentException(
@@ -107,9 +107,10 @@ class CommitLogSource extends TableProvider with DataSourceRegister
       s"commitlog: version ${snap.version} of $path has no segments")
     // an evolved table's recorded schema pins the column set exactly
     // as CommitLog.read does; otherwise ParquetTable infers from files
-    ParquetTable(s"commitlog:$path@v${snap.version}", spark,
+    val pq = ParquetTable(s"commitlog:$path@v${snap.version}", spark,
       options, snap.segments, snap.schema.map(CommitLog.decodeSchema),
       classOf[ParquetFileFormat])
+    new CommitLogTable(spark, path, pq)
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -119,6 +120,85 @@ class CommitLogSource extends TableProvider with DataSourceRegister
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     resolve(new CaseInsensitiveStringMap(properties))
+}
+
+/** DSv2 table wrapper: READS delegate wholesale to Spark's
+  * `ParquetTable` over the pinned snapshot's segments (pushdown /
+  * pruning / vectorized decode stock, as before); WRITES go through
+  * the commit protocol via the V1 write bridge (`V1Write` →
+  * `InsertableRelation` — the public fallback Spark's own connectors
+  * use for relation-level writes): `mode("append")` is a
+  * [[CommitLog.append]] commit, `mode("overwrite")` is a
+  * whole-table replace committed as ONE `op = "overwrite"` version
+  * (prior versions stay time-travelable; the change feed treats it
+  * as a rewrite — raise unless skipRewrites, like merge). The table
+  * must already exist (first commit via the programmatic API) — the
+  * provider resolves the snapshot to serve the READ schema, the same
+  * existence requirement the streaming source documents. */
+class CommitLogTable(spark: SparkSession, path: String,
+    pq: ParquetTable)
+    extends Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  import org.apache.spark.sql.connector.catalog.TableCapability
+
+  override def name(): String = pq.name
+  override def schema(): StructType = pq.schema
+  override def capabilities(): util.Set[TableCapability] = {
+    val caps = new util.HashSet[TableCapability](pq.capabilities())
+    caps.add(TableCapability.V1_BATCH_WRITE)
+    caps.add(TableCapability.TRUNCATE)
+    caps
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    pq.newScanBuilder(options)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var overwrite = false
+      override def truncate()
+          : org.apache.spark.sql.connector.write.WriteBuilder = {
+        overwrite = true; this
+      }
+      override def build()
+          : org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            (data: DataFrame, _: Boolean) => {
+              if (overwrite) CommitLogTable.overwrite(spark, path, data)
+              else { CommitLog.append(spark, path, data): Unit }
+            }
+        }
+    }
+}
+
+object CommitLogTable {
+  /** Whole-table replace as one commit: a fresh segment set under the
+    * usual OCC; history preserved (time travel still reaches the
+    * replaced versions until vacuum). */
+  private[sources] def overwrite(spark: SparkSession, table: String,
+      df: DataFrame): Unit = {
+    val seg = CommitLog.writeSegment(spark, table, df)
+    var attempt = 0
+    while (attempt < 20) {
+      val cur = CommitLog.snapshot(spark, table)
+      val v = cur.fold(1L)(_.version + 1L)
+      val snap = CommitLog.Snapshot(v, Seq(seg),
+        cur.fold(0L)(_.version), "overwrite",
+        schema = cur.flatMap(_.schema))
+      if (CommitLog.tryPublish(spark, table, snap)) return
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"commitlog overwrite: lost the version race 20 times at $table")
+  }
 }
 
 object CommitLogStreamSource {

@@ -785,6 +785,32 @@ class CommitLogSpec extends AnyFunSuite {
     assert(keptX === 4, s"x-sorted kept $keptX")
   }
 
+  test("DSv2 write: mode(append) commits through the protocol, " +
+      "mode(overwrite) replaces as one op=overwrite version, history " +
+      "and time travel stay intact") {
+    val t = tmpTable()
+    try {
+      CommitLog.append(spark, t, df((1L, "a", 1.0)))
+      df((2L, "b", 2.0)).write.format("commitlog")
+        .option("path", t).mode("append").save()
+      assert(sortedRows(CommitLog.read(spark, t)) ===
+        Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+      df((9L, "z", 9.0)).write.format("commitlog")
+        .option("path", t).mode("overwrite").save()
+      assert(sortedRows(CommitLog.read(spark, t)) === Seq((9L, "z", 9.0)))
+      assert(CommitLog.history(spark, t).select("op")
+        .collect().map(_.getString(0)).toSeq ===
+        Seq("append", "append", "overwrite"))
+      // the replaced content is still one time travel away
+      assert(sortedRows(CommitLog.read(spark, t, Some(2L))) ===
+        Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+      // the change feed treats overwrite as a rewrite: loud by default
+      intercept[IllegalStateException] {
+        CommitLog.changeFeed(spark, t, afterVersion = 2L)
+      }
+    } finally rm(t)
+  }
+
   test("TIMESTAMP AS OF: resolves to the latest commit at-or-before " +
       "the cutoff, refuses a pre-history cutoff, works through the " +
       "DSv2 option") {
