@@ -480,6 +480,42 @@ object Pipeline18 {
           .localCheckpoint(true)
         out
       } finally rmStage(s, stage)
+    }),
+
+    // The plain-SQL surface end to end: CREATE TABLE / INSERT INTO …
+    // SELECT / INSERT OVERWRITE / SELECT against the DSv2 catalog,
+    // with the protocol's version history as witness.
+    "q178_commitlog_sql_catalog" -> ((s, dir) => {
+      val stage = stageDir("q178_sqlcat")
+      try {
+        s.conf.set("spark.sql.catalog.graftq178",
+          "graft.sources.CommitLogCatalog")
+        s.conf.set("spark.sql.catalog.graftq178.root", stage)
+        t(s, dir, "nation").createOrReplaceTempView("q178_nation")
+        s.sql("CREATE TABLE graftq178.ns.nations " +
+          "(n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT)")
+        s.sql("INSERT INTO graftq178.ns.nations " +
+          "SELECT n_nationkey, n_name, n_regionkey FROM q178_nation " +
+          "WHERE n_regionkey < 3")
+        s.sql("INSERT OVERWRITE graftq178.ns.nations " +
+          "SELECT n_nationkey, n_name, n_regionkey FROM q178_nation " +
+          "WHERE n_regionkey >= 2")
+        val ops = CommitLog.history(s, s"$stage/ns/nations")
+          .select("op").collect().map(_.getString(0)).mkString(",")
+        val out = s.sql(
+          "SELECT n_regionkey, COUNT(*) AS n_nations, " +
+            "MIN(n_name) AS first_name " +
+            "FROM graftq178.ns.nations GROUP BY n_regionkey")
+          .withColumn("ops", lit(ops))
+          .orderBy(col("n_regionkey"))
+          .localCheckpoint(true)
+        out
+      } finally {
+        s.catalog.dropTempView("q178_nation"): Unit
+        s.conf.unset("spark.sql.catalog.graftq178")
+        s.conf.unset("spark.sql.catalog.graftq178.root")
+        rmStage(s, stage)
+      }
     })
   )
 
@@ -718,6 +754,17 @@ object Pipeline18 {
         |  CAST(3 AS BIGINT) AS n_v2
         |FROM region
         |WHERE r_regionkey >= 3
-        |ORDER BY r_regionkey""".stripMargin
+        |ORDER BY r_regionkey""".stripMargin,
+
+    // the overwrite's content (regionkeys >= 2), with the version ops
+    "q178_commitlog_sql_catalog" ->
+      """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+        |  COUNT(*) AS n_nations,
+        |  MIN(n_name) AS first_name,
+        |  'create,append,overwrite' AS ops
+        |FROM nation
+        |WHERE n_regionkey >= 2
+        |GROUP BY n_regionkey
+        |ORDER BY n_regionkey""".stripMargin
   )
 }

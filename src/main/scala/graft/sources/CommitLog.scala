@@ -106,6 +106,12 @@ object CommitLog {
         // a recorded (possibly evolved) schema pins column set AND
         // order; segments predating an added column serve NULLs
         readSegments(spark, s.segments, s.schema)
+      case Some(s) if s.schema.isDefined =>
+        // a created-but-empty (or fully-deleted) table with a
+        // recorded schema reads as an empty frame of that shape
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          decodeSchema(s.schema.get))
       case _ => throw new IllegalStateException(
         s"CommitLog.read: no committed version at $table" +
           asOfVersion.fold("")(v => s" (asOf=$v)"))

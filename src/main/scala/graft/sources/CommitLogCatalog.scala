@@ -1,0 +1,124 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DSv2 catalog over [[CommitLog]] tables — the plain-SQL surface:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft",
+  *     "graft.sources.CommitLogCatalog")
+  *   spark.conf.set("spark.sql.catalog.graft.root", "/data/lake")
+  *
+  *   spark.sql("CREATE TABLE graft.sales.orders (id BIGINT, v DOUBLE)")
+  *   spark.sql("INSERT INTO graft.sales.orders VALUES (1, 2.0)")
+  *   spark.sql("SELECT * FROM graft.sales.orders")
+  *   spark.sql("INSERT OVERWRITE graft.sales.orders SELECT ...")
+  * }}}
+  *
+  * Identifiers map to directories under the configured `root`
+  * (namespace levels are path segments); a table IS its commit-log
+  * directory, so the catalog carries no state of its own — listing,
+  * existence, loading all derive from `_commits/` on the filesystem,
+  * and every other tool (programmatic API, `format("commitlog")`,
+  * the streaming source) sees the same tables. Reads resolve one
+  * snapshot at loadTable time (per-query pinning, as the connector);
+  * writes reuse [[CommitLogTable]]'s protocol commits, so SQL INSERT
+  * INTO is an `append` version and INSERT OVERWRITE an `overwrite`
+  * version. CREATE TABLE commits version 1 with the schema recorded
+  * and NO segments — an empty table that reads as an empty frame of
+  * its declared shape. DROP removes the directory; RENAME and ALTER
+  * are refused loudly (rename would break the clone/segment-path
+  * sharing contract; evolution goes through `appendEvolve`).
+  */
+class CommitLogCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        s"commitlog catalog '$name' requires option 'root' " +
+          s"(spark.sql.catalog.$name.root = <directory>)"))
+  }
+
+  override def name(): String = catalogName
+
+  private def pathOf(ident: Identifier): String =
+    (root +: ident.namespace().toSeq :+ ident.name()).mkString("/")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = new org.apache.hadoop.fs.Path(
+      (root +: namespace.toSeq).mkString("/"))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Array.empty
+    else fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_commits")))
+      .map(p => Identifier.of(namespace, p.getName))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    CommitLog.currentVersion(spark, pathOf(ident)).nonEmpty
+
+  override def loadTable(ident: Identifier): Table = {
+    val path = pathOf(ident)
+    val snap = CommitLog.snapshot(spark, path).getOrElse(
+      throw new NoSuchTableException(ident))
+    CommitLogTable.forSnapshot(spark, path, snap)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "commitlog catalog: partition transforms are not supported — " +
+        "use compactClustered/compactZOrder/compactBucketed for layout")
+    val path = pathOf(ident)
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val snap = CommitLog.Snapshot(1L, Seq.empty, 0L, "create",
+      schema = Some(CommitLog.encodeSchema(schema)))
+    if (!CommitLog.tryPublish(spark, path, snap))
+      throw new TableAlreadyExistsException(ident)
+    loadTable(ident)
+  }
+
+  override def createTable(ident: Identifier,
+      info: TableInfo): Table =
+    createTable(ident, info.schema(), info.partitions(),
+      info.properties())
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "commitlog catalog: ALTER TABLE is not supported — add-column " +
+        "evolution goes through CommitLog.appendEvolve (recorded in " +
+        "the manifest, time-travel-correct)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(pathOf(ident))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(path, "_commits")) &&
+      fs.delete(path, true)
+  }
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "commitlog catalog: RENAME TABLE is not supported — segment " +
+        "paths are shared by clones and pinned by readers; copy via " +
+        "cloneTable + compact instead")
+}
+

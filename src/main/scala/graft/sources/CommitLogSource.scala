@@ -180,6 +180,22 @@ class CommitLogTable(spark: SparkSession, path: String,
 }
 
 object CommitLogTable {
+  /** Build the DSv2 table for an already-resolved snapshot: stock
+    * ParquetTable over the pinned segments (empty path list + the
+    * recorded schema for a created-but-empty table), wrapped with the
+    * protocol write path. Used by [[CommitLogCatalog.loadTable]]. */
+  private[sources] def forSnapshot(spark: SparkSession, path: String,
+      snap: CommitLog.Snapshot): CommitLogTable = {
+    val schema = snap.schema.map(CommitLog.decodeSchema)
+    require(snap.segments.nonEmpty || schema.isDefined,
+      s"commitlog: version ${snap.version} of $path has no segments " +
+        "and no recorded schema")
+    val pq = ParquetTable(s"commitlog:$path@v${snap.version}", spark,
+      CaseInsensitiveStringMap.empty(), snap.segments, schema,
+      classOf[ParquetFileFormat])
+    new CommitLogTable(spark, path, pq)
+  }
+
   /** Whole-table replace as one commit: a fresh segment set under the
     * usual OCC; history preserved (time travel still reaches the
     * replaced versions until vacuum). */

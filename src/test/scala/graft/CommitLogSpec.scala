@@ -785,6 +785,49 @@ class CommitLogSpec extends AnyFunSuite {
     assert(keptX === 4, s"x-sorted kept $keptX")
   }
 
+  test("SQL catalog: CREATE TABLE / INSERT INTO / SELECT / INSERT " +
+      "OVERWRITE / DROP in plain SQL over commit-log tables; state " +
+      "shared with the programmatic API; ALTER/RENAME refused") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_catalog_").toString
+    try {
+      spark.conf.set("spark.sql.catalog.gtest",
+        "graft.sources.CommitLogCatalog")
+      spark.conf.set("spark.sql.catalog.gtest.root", root)
+      spark.sql(
+        "CREATE TABLE gtest.ns.t (id BIGINT, name STRING, v DOUBLE)")
+      assert(spark.sql("SELECT * FROM gtest.ns.t").count() === 0L)
+      spark.sql(
+        "INSERT INTO gtest.ns.t VALUES (1, 'a', 1.0), (2, 'b', 2.0)")
+      assert(spark.sql("SELECT * FROM gtest.ns.t").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        .toSeq.sorted === Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+      spark.sql("INSERT OVERWRITE gtest.ns.t VALUES (9, 'z', 9.0)")
+      assert(spark.sql("SELECT id FROM gtest.ns.t").collect()
+        .map(_.getLong(0)).toSeq === Seq(9L))
+      // one shared state with the programmatic API: create + append +
+      // overwrite are protocol versions of the SAME table
+      val path = s"$root/ns/t"
+      assert(CommitLog.history(spark, path).select("op")
+        .collect().map(_.getString(0)).toSeq ===
+        Seq("create", "append", "overwrite"))
+      assert(sortedRows(CommitLog.read(spark, path, Some(2L))) ===
+        Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+      intercept[UnsupportedOperationException] {
+        spark.sql("ALTER TABLE gtest.ns.t ADD COLUMN extra STRING")
+      }
+      // catalog listing derives from the filesystem
+      assert(spark.sql("SHOW TABLES IN gtest.ns").collect()
+        .map(_.getString(1)).toSeq === Seq("t"))
+      spark.sql("DROP TABLE gtest.ns.t")
+      assert(CommitLog.versions(spark, path).isEmpty)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gtest")
+      spark.conf.unset("spark.sql.catalog.gtest.root")
+      rm(root + "/x") // rm deletes the parent of its argument
+    }
+  }
+
   test("DSv2 write: mode(append) commits through the protocol, " +
       "mode(overwrite) replaces as one op=overwrite version, history " +
       "and time travel stay intact") {
