@@ -80,6 +80,23 @@ class CommitLogCatalog extends TableCatalog {
     CommitLogTable.forSnapshot(spark, path, snap)
   }
 
+  /** SQL `VERSION AS OF <v>` — Spark routes the literal here. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val path = pathOf(ident)
+    val snap = CommitLog.snapshot(spark, path, Some(version.toLong))
+      .getOrElse(throw new NoSuchTableException(ident))
+    CommitLogTable.forSnapshot(spark, path, snap)
+  }
+
+  /** SQL `TIMESTAMP AS OF <ts>` — Spark hands epoch MICROS. */
+  override def loadTable(ident: Identifier,
+      timestampMicros: Long): Table = {
+    val path = pathOf(ident)
+    val snap = CommitLog.snapshotAsOfTimestamp(spark, path,
+      timestampMicros / 1000L)
+    CommitLogTable.forSnapshot(spark, path, snap)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {

@@ -813,6 +813,18 @@ class CommitLogSpec extends AnyFunSuite {
         Seq("create", "append", "overwrite"))
       assert(sortedRows(CommitLog.read(spark, path, Some(2L))) ===
         Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+      // SQL time travel through the catalog: both knobs
+      assert(spark.sql("SELECT id FROM gtest.ns.t VERSION AS OF 2")
+        .collect().map(_.getLong(0)).toSeq.sorted === Seq(1L, 2L))
+      val t2 = CommitLog.snapshot(spark, path, Some(2L)).get.ts.get
+      // render in UTC (the session zone) — java.sql.Timestamp.toString
+      // would use the JVM default zone
+      val lit = java.time.LocalDateTime.ofInstant(
+        java.time.Instant.ofEpochMilli(t2),
+        java.time.ZoneOffset.UTC).toString.replace('T', ' ')
+      assert(spark.sql(
+          s"SELECT id FROM gtest.ns.t TIMESTAMP AS OF '$lit'")
+        .collect().map(_.getLong(0)).toSeq.sorted === Seq(1L, 2L))
       intercept[UnsupportedOperationException] {
         spark.sql("ALTER TABLE gtest.ns.t ADD COLUMN extra STRING")
       }
