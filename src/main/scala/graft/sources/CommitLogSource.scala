@@ -139,9 +139,34 @@ class CommitLogTable(spark: SparkSession, path: String,
     pq: ParquetTable)
     extends Table
     with org.apache.spark.sql.connector.catalog.SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   import org.apache.spark.sql.connector.catalog.TableCapability
+
+  /** SQL `DELETE FROM … WHERE …`: translated filters feed the
+    * copy-on-write [[CommitLog.delete]] — only touched segments
+    * rewrite, the deletion is CDC-recorded, prior versions stay
+    * time-travelable. `canDeleteWhere` admits exactly the filters the
+    * translator covers, so Spark falls back with a clear error (not a
+    * silent wrong delete) on anything fancier. */
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(f => CommitLogTable.filterToColumn(f).isDefined)
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val pred = filters.flatMap(CommitLogTable.filterToColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    CommitLog.delete(spark, path, pred): Unit
+  }
+
+  override def truncateTable(): Boolean = {
+    import org.apache.spark.sql.functions.lit
+    CommitLog.delete(spark, path, lit(true))
+    true
+  }
 
   override def name(): String = pq.name
   override def schema(): StructType = pq.schema
@@ -180,6 +205,41 @@ class CommitLogTable(spark: SparkSession, path: String,
 }
 
 object CommitLogTable {
+
+  /** V1 Filter → Column, for the filter shapes SQL DELETE produces.
+    * None = untranslatable → `canDeleteWhere` refuses and Spark
+    * reports the delete as unsupported instead of guessing. */
+  private[sources] def filterToColumn(
+      f: org.apache.spark.sql.sources.Filter)
+      : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, v) => Some(col(a) === lit(v))
+      case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+      case GreaterThan(a, v) => Some(col(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case LessThan(a, v) => Some(col(a) < lit(v))
+      case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case IsNull(a) => Some(col(a).isNull)
+      case IsNotNull(a) => Some(col(a).isNotNull)
+      case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+      case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+      case StringContains(a, v) => Some(col(a).contains(v))
+      case And(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r))
+          yield lc && rc
+      case Or(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r))
+          yield lc || rc
+      case Not(c) => filterToColumn(c).map(!_)
+      case AlwaysTrue() => Some(lit(true))
+      case AlwaysFalse() => Some(lit(false))
+      case _ => None
+    }
+  }
+
   /** Build the DSv2 table for an already-resolved snapshot: stock
     * ParquetTable over the pinned segments (empty path list + the
     * recorded schema for a created-but-empty table), wrapped with the

@@ -813,6 +813,13 @@ class CommitLogSpec extends AnyFunSuite {
         Seq("create", "append", "overwrite"))
       assert(sortedRows(CommitLog.read(spark, path, Some(2L))) ===
         Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+      // SQL DELETE routes through the copy-on-write protocol delete
+      spark.sql("INSERT INTO gtest.ns.t VALUES (10, 'x', 10.0), " +
+        "(11, 'y', 11.0)")
+      spark.sql("DELETE FROM gtest.ns.t WHERE id = 10 OR name = 'q'")
+      assert(spark.sql("SELECT id FROM gtest.ns.t").collect()
+        .map(_.getLong(0)).toSeq.sorted === Seq(9L, 11L))
+      assert(CommitLog.snapshot(spark, path).get.op === "delete")
       // SQL time travel through the catalog: both knobs
       assert(spark.sql("SELECT id FROM gtest.ns.t VERSION AS OF 2")
         .collect().map(_.getLong(0)).toSeq.sorted === Seq(1L, 2L))
