@@ -39,7 +39,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * are refused loudly (rename would break the clone/segment-path
   * sharing contract; evolution goes through `appendEvolve`).
   */
-class CommitLogCatalog extends TableCatalog {
+class CommitLogCatalog extends TableCatalog
+    with SupportsNamespaces {
 
   private var catalogName: String = _
   private var root: String = _
@@ -137,5 +138,72 @@ class CommitLogCatalog extends TableCatalog {
       "commitlog catalog: RENAME TABLE is not supported — segment " +
         "paths are shared by clones and pinned by readers; copy via " +
         "cloneTable + compact instead")
+
+  // ---- namespaces = directories under root ---------------------------
+
+  private def nsPath(namespace: Array[String]) =
+    new org.apache.hadoop.fs.Path((root +: namespace.toSeq).mkString("/"))
+
+  private def fsOf(p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def isTableDir(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(p, "_commits"))
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val p = nsPath(Array.empty)
+    val fs = fsOf(p)
+    if (!fs.exists(p)) Array.empty
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+      .filterNot(isTableDir(fs, _)).map(d => Array(d.getName))
+  }
+
+  override def listNamespaces(namespace: Array[String])
+      : Array[Array[String]] = {
+    val p = nsPath(namespace)
+    val fs = fsOf(p)
+    if (!fs.exists(p)) Array.empty
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+      .filterNot(isTableDir(fs, _))
+      .map(d => namespace :+ d.getName)
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    val p = nsPath(namespace)
+    val fs = fsOf(p)
+    namespace.nonEmpty && fs.exists(p) && !isTableDir(fs, p)
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(namespace)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    val p = nsPath(namespace)
+    fsOf(p).mkdirs(p): Unit
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "commitlog catalog: namespaces carry no metadata to alter")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    val p = nsPath(namespace)
+    val fs = fsOf(p)
+    if (!namespaceExists(namespace)) false
+    else if (!cascade && fs.listStatus(p).nonEmpty)
+      throw new IllegalStateException(
+        s"commitlog catalog: namespace ${namespace.mkString(".")} is " +
+          "not empty — use CASCADE")
+    else fs.delete(p, true)
+  }
 }
 

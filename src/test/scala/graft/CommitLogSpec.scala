@@ -838,6 +838,13 @@ class CommitLogSpec extends AnyFunSuite {
       // catalog listing derives from the filesystem
       assert(spark.sql("SHOW TABLES IN gtest.ns").collect()
         .map(_.getString(1)).toSeq === Seq("t"))
+      // namespaces are directories: SHOW / CREATE / DROP
+      assert(spark.sql("SHOW NAMESPACES IN gtest").collect()
+        .map(_.getString(0)).toSeq === Seq("ns"))
+      spark.sql("CREATE NAMESPACE gtest.other")
+      assert(spark.sql("SHOW NAMESPACES IN gtest").collect()
+        .map(_.getString(0)).toSeq.sorted === Seq("ns", "other"))
+      spark.sql("DROP NAMESPACE gtest.other")
       spark.sql("DROP TABLE gtest.ns.t")
       assert(CommitLog.versions(spark, path).isEmpty)
     } finally {
