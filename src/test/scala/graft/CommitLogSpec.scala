@@ -854,6 +854,25 @@ class CommitLogSpec extends AnyFunSuite {
     }
   }
 
+  test("connector scan optimizations are stock: MIN/MAX/COUNT push " +
+      "into the parquet footers when enabled (no row decode)") {
+    val t = tmpTable()
+    try {
+      CommitLog.append(spark, t, df((1L, "a", 1.0), (2L, "b", 9.0)))
+      spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      try {
+        val agg = spark.read.format("commitlog").option("path", t)
+          .load().agg(min(col("v")), max(col("v")), count(lit(1)))
+        val planned = agg.queryExecution.executedPlan.toString
+        assert(planned.contains("PushedAggregation") &&
+          planned.contains("MIN(v)"),
+          s"aggregate not pushed:\n$planned")
+        assert(agg.collect()(0).toSeq === Seq(1.0, 9.0, 2L))
+      } finally
+        spark.conf.unset("spark.sql.parquet.aggregatePushdown")
+    } finally rm(t)
+  }
+
   test("DSv2 write: mode(append) commits through the protocol, " +
       "mode(overwrite) replaces as one op=overwrite version, history " +
       "and time travel stay intact") {
