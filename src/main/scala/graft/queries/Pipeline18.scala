@@ -484,40 +484,48 @@ object Pipeline18 {
 
     // The plain-SQL surface end to end: CREATE TABLE / INSERT INTO …
     // SELECT / INSERT OVERWRITE / SELECT against the DSv2 catalog,
-    // with the protocol's version history as witness.
+    // with the protocol's version history as witness. The catalog
+    // NAME is unique per invocation: Spark caches catalog plugin
+    // instances by name for the session's lifetime, so a re-run under
+    // the same name would reuse an instance initialized with the
+    // previous (deleted) root — the bench runs every query three
+    // times in one session.
     "q178_commitlog_sql_catalog" -> ((s, dir) => {
       val stage = stageDir("q178_sqlcat")
+      val cat = s"graftq178_${SqlCatSeq.incrementAndGet()}"
       try {
-        s.conf.set("spark.sql.catalog.graftq178",
+        s.conf.set(s"spark.sql.catalog.$cat",
           "graft.sources.CommitLogCatalog")
-        s.conf.set("spark.sql.catalog.graftq178.root", stage)
+        s.conf.set(s"spark.sql.catalog.$cat.root", stage)
         t(s, dir, "nation").createOrReplaceTempView("q178_nation")
-        s.sql("CREATE TABLE graftq178.ns.nations " +
+        s.sql(s"CREATE TABLE $cat.ns.nations " +
           "(n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT)")
-        s.sql("INSERT INTO graftq178.ns.nations " +
+        s.sql(s"INSERT INTO $cat.ns.nations " +
           "SELECT n_nationkey, n_name, n_regionkey FROM q178_nation " +
           "WHERE n_regionkey < 3")
-        s.sql("INSERT OVERWRITE graftq178.ns.nations " +
+        s.sql(s"INSERT OVERWRITE $cat.ns.nations " +
           "SELECT n_nationkey, n_name, n_regionkey FROM q178_nation " +
           "WHERE n_regionkey >= 2")
         val ops = CommitLog.history(s, s"$stage/ns/nations")
           .select("op").collect().map(_.getString(0)).mkString(",")
         val out = s.sql(
-          "SELECT n_regionkey, COUNT(*) AS n_nations, " +
+          s"SELECT n_regionkey, COUNT(*) AS n_nations, " +
             "MIN(n_name) AS first_name " +
-            "FROM graftq178.ns.nations GROUP BY n_regionkey")
+            s"FROM $cat.ns.nations GROUP BY n_regionkey")
           .withColumn("ops", lit(ops))
           .orderBy(col("n_regionkey"))
           .localCheckpoint(true)
         out
       } finally {
         s.catalog.dropTempView("q178_nation"): Unit
-        s.conf.unset("spark.sql.catalog.graftq178")
-        s.conf.unset("spark.sql.catalog.graftq178.root")
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.root")
         rmStage(s, stage)
       }
     })
   )
+
+  private val SqlCatSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** DuckDB twin of [[yearSpan]]/[[probeBounds]]: the probe window and
     * total segment count derived from the data, as the engine does. */
