@@ -37,7 +37,48 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * by short name.
   */
 class CommitLogSource extends TableProvider with DataSourceRegister
-    with StreamSourceProvider {
+    with StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider {
+
+  /** `df.writeStream.format("commitlog")` — the standard streaming
+    * WRITER surface over the exactly-once protocol append: each
+    * micro-batch commits as one txn-stamped manifest version
+    * ([[CommitLog.appendTxn]]), so the crash-replay of the last batch
+    * is recognized and skipped. `txnAppId` is REQUIRED (Delta's
+    * option of the same name): the checkpoint identifies the query,
+    * the app id identifies the writer across checkpoint rebuilds.
+    * Append mode only — aggregations stream through foreachBatch +
+    * the idempotent keyed sinks instead. */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val path = parameters.getOrElse("path", throw
+      new IllegalArgumentException(
+        "commitlog sink requires option 'path' (the table directory)"))
+    val appId = parameters.getOrElse("txnAppId", throw
+      new IllegalArgumentException(
+        "commitlog sink requires option 'txnAppId' — the writer " +
+          "identity that makes crash-replayed batches recognizable"))
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode
+      .Append(), s"commitlog sink: Append mode only, got $outputMode")
+    require(partitionColumns.isEmpty,
+      "commitlog sink: partitionBy is not supported — cluster with " +
+        "compactClustered/compactZOrder/compactBucketed")
+    new org.apache.spark.sql.execution.streaming.Sink {
+      override def addBatch(batchId: Long, data: DataFrame): Unit = {
+        // the incoming frame carries a streaming-tagged plan; re-wrap
+        // the computed rows as a batch frame (see ofInternalRows)
+        val spark = sqlContext.sparkSession
+        val rows = data.queryExecution.toRdd.map(_.copy())
+        val batchDf = org.apache.spark.sql.GraftColumnBridge
+          .ofInternalRows(spark, data.schema, rows)
+        CommitLog.appendTxn(spark, path, batchDf, appId, batchId): Unit
+      }
+      override def toString: String = s"CommitLogSink[$path]"
+    }
+  }
 
   override def shortName(): String = "commitlog"
 
@@ -113,13 +154,41 @@ class CommitLogSource extends TableProvider with DataSourceRegister
     new CommitLogTable(spark, path, pq)
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    resolve(options).schema
+  /** A table with no commits yet: `writeStream` probes the provider
+    * for a table BEFORE falling back to the V1 sink, so an absent
+    * table must resolve to SOMETHING — a capability-less stub (reads
+    * refuse with "does not support batch read"; the V1 sink fallback
+    * proceeds and the first committed batch creates the table). */
+  private def uncommitted(path: String,
+      schema: StructType): Table = new Table {
+    override def name(): String = s"commitlog:$path (no commits yet)"
+    override def schema(): StructType = schema
+    override def capabilities()
+        : util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+      util.Collections.emptySet()
+  }
+
+  private def pathOf(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(throw
+      new IllegalArgumentException(
+        "commitlog source requires option 'path' (the table directory)"))
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = pathOf(options)
+    if (CommitLog.currentVersion(SparkSession.active, path).isEmpty)
+      new StructType()
+    else resolve(options).schema
+  }
 
   override def getTable(schema: StructType,
       partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    resolve(new CaseInsensitiveStringMap(properties))
+      properties: util.Map[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    val path = pathOf(options)
+    if (CommitLog.currentVersion(SparkSession.active, path).isEmpty)
+      uncommitted(path, schema)
+    else resolve(options)
+  }
 }
 
 /** DSv2 table wrapper: READS delegate wholesale to Spark's

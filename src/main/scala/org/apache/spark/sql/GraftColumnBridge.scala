@@ -16,4 +16,19 @@ object GraftColumnBridge {
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Batch DataFrame over already-computed InternalRows — the V1
+    * streaming Sink seam: `addBatch`'s incoming frame carries a
+    * streaming-tagged plan that batch writers refuse, so sinks
+    * re-wrap `queryExecution.toRdd` as a LogicalRDD (the same
+    * public-knowledge pattern Delta's V1 DeltaSink uses). */
+  def ofInternalRows(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      rdd: org.apache.spark.rdd.RDD[
+        org.apache.spark.sql.catalyst.InternalRow]): DataFrame = {
+    val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils
+      .toAttributes(schema)
+    ofRows(spark, org.apache.spark.sql.execution.LogicalRDD(attrs, rdd)(
+      spark.asInstanceOf[classic.SparkSession]))
+  }
 }

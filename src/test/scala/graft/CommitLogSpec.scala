@@ -854,6 +854,45 @@ class CommitLogSpec extends AnyFunSuite {
     }
   }
 
+  test("writeStream.format(commitlog): standard streaming writer " +
+      "surface — txn-stamped exactly-once appends, txnAppId required, " +
+      "append-only") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t = tmpTable()
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_fmt_sink_").toString
+    try {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+        spark.sqlContext
+      import spark.implicits._
+      val mem = MemoryStream[Long](300, spark, None)
+      val q = mem.toDF().withColumnRenamed("value", "id")
+        .writeStream.format("commitlog")
+        .option("path", t).option("txnAppId", "fmtsink")
+        .option("checkpointLocation", ckpt).start()
+      try {
+        mem.addData(1L, 2L); q.processAllAvailable()
+        mem.addData(3L); q.processAllAvailable()
+      } finally q.stop()
+      assert(CommitLog.read(spark, t).select(col("id"))
+        .collect().map(_.getLong(0)).toSeq.sorted === Seq(1L, 2L, 3L))
+      // every version is a txn-stamped streaming append
+      assert(CommitLog.history(spark, t).select("op").collect()
+        .map(_.getString(0)).distinct.toSeq === Seq("streaming-append"))
+      // crash-replay of the last batch is a no-op
+      val lastBatch = CommitLog.lastTxn(spark, t, "fmtsink").get
+      import spark.implicits._
+      assert(CommitLog.appendTxn(spark, t, Seq(3L).toDF("id"),
+        "fmtsink", lastBatch) === None)
+      // txnAppId is mandatory
+      val e = intercept[Exception] {
+        mem.toDF().writeStream.format("commitlog").option("path", t)
+          .option("checkpointLocation", ckpt + "2").start()
+      }
+      assert(e.getMessage.contains("txnAppId"))
+    } finally { rm(t); rm(ckpt + "/x") }
+  }
+
   test("connector scan optimizations are stock: MIN/MAX/COUNT push " +
       "into the parquet footers when enabled (no row decode)") {
     val t = tmpTable()
