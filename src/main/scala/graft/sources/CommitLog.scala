@@ -840,6 +840,9 @@ object CommitLog {
           Some(spark.read.parquet(dir)
             .withColumn("_commit_version", lit(v)))
         case "compact" => None
+        // the catalog's CREATE TABLE commit records a schema and zero
+        // segments — no content change, same class as compact
+        case "create" => None
         case _ if skipRewrites => None
         case op => throw new IllegalStateException(
           s"CommitLog.changeFeed: version $v of $table is a '$op' " +
@@ -914,6 +917,7 @@ object CommitLog {
           if (added.isEmpty) None
           else Some(v -> spark.read.parquet(added: _*))
         case "compact" => None // content-preserving rewrite
+        case "create" => None  // zero-segment schema-only commit
         case _ if skipRewrites => None
         case op => throw new IllegalStateException(
           s"CommitLog.changes: version $v of $table is a '$op' rewrite" +

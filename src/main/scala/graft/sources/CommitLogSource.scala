@@ -144,8 +144,14 @@ class CommitLogSource extends TableProvider with DataSourceRegister
         s"commitlog: no committed version at $path" +
           resolved.fold("")(v => s" (versionAsOf=$v — vacuumed or never " +
             "committed)")))
-    if (snap.segments.isEmpty) throw new IllegalStateException(
-      s"commitlog: version ${snap.version} of $path has no segments")
+    // created-but-empty or fully-deleted snapshots with a recorded
+    // schema serve an empty frame of the declared shape — the same
+    // behavior as CommitLog.read and the SQL catalog (forSnapshot);
+    // only a segment-less snapshot with NO schema is unreadable
+    if (snap.segments.isEmpty && snap.schema.isEmpty)
+      throw new IllegalStateException(
+        s"commitlog: version ${snap.version} of $path has no segments " +
+          "and no recorded schema")
     // an evolved table's recorded schema pins the column set exactly
     // as CommitLog.read does; otherwise ParquetTable infers from files
     val pq = ParquetTable(s"commitlog:$path@v${snap.version}", spark,
@@ -160,9 +166,9 @@ class CommitLogSource extends TableProvider with DataSourceRegister
     * refuse with "does not support batch read"; the V1 sink fallback
     * proceeds and the first committed batch creates the table). */
   private def uncommitted(path: String,
-      schema: StructType): Table = new Table {
+      declared: StructType): Table = new Table {
     override def name(): String = s"commitlog:$path (no commits yet)"
-    override def schema(): StructType = schema
+    override def schema(): StructType = declared
     override def capabilities()
         : util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
       util.Collections.emptySet()
@@ -468,6 +474,7 @@ class CommitLogStreamSource(spark: SparkSession, metadataPath: String,
             else d)
           }
         case "compact" => None // content-preserving rewrite
+        case "create" => None  // zero-segment schema-only commit
         case "delete" | "update" if readChangeFeed =>
           val dir = snap.changes.getOrElse(throw
             new IllegalStateException(

@@ -79,8 +79,12 @@ object CommitLogStats {
     case DateType =>
       ("date", v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay)
     case TimestampType =>
+      // floorDiv, not /: getTime truncates toward zero, so pre-1970
+      // values would otherwise encode up to 1s too high while the
+      // Instant/LocalDateTime probe encodings are floor-correct
       val t = v.asInstanceOf[java.sql.Timestamp]
-      ("ts", t.getTime / 1000L * 1000000L + t.getNanos / 1000L)
+      ("ts", Math.floorDiv(t.getTime, 1000L) * 1000000L +
+        t.getNanos / 1000L)
     case TimestampNTZType =>
       // NTZ micros under the UTC wall clock — same "ts" tag, so an
       // LTZ-or-NTZ probe compares against either encoding (the
@@ -106,7 +110,8 @@ object CommitLogStats {
     case d: java.sql.Date => ("date", d.toLocalDate.toEpochDay)
     case d: java.time.LocalDate => ("date", d.toEpochDay)
     case t: java.sql.Timestamp =>
-      ("ts", t.getTime / 1000L * 1000000L + t.getNanos / 1000L)
+      ("ts", Math.floorDiv(t.getTime, 1000L) * 1000000L +
+        t.getNanos / 1000L)
     case t: java.time.Instant =>
       ("ts", t.getEpochSecond * 1000000L + t.getNano / 1000L)
     case t: java.time.LocalDateTime =>
@@ -156,11 +161,34 @@ object CommitLogStats {
   private def parseValue(tag: String, raw: String): Any = tag match {
     case "long" | "date" | "ts" => raw.toLong
     case "double" => raw.toDouble
-    case "string" => raw.stripPrefix("\"").stripSuffix("\"")
-      .replace("\\n", "\n").replace("\\r", "\r")
-      .replace("\\\"", "\"").replace("\\\\", "\\")
+    case "string" => unescape(raw.stripPrefix("\"").stripSuffix("\""))
     case "decimal" =>
       new java.math.BigDecimal(raw.stripPrefix("\"").stripSuffix("\""))
+  }
+
+  /** Single left-to-right unescape — each backslash escape is decoded
+    * exactly once. Chained `.replace` calls would re-interpret the
+    * OUTPUT of the `\\` pass (e.g. `C:\names` round-trips as
+    * `C:\\names` in the sidecar; replace-based decoding would turn
+    * the restored `\n` into a newline and corrupt the bound, which
+    * can prune a segment that holds matching rows). */
+  private def unescape(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n'   => sb.append('\n')
+          case 'r'   => sb.append('\r')
+          case '"'   => sb.append('"')
+          case '\\'  => sb.append('\\')
+          case other => sb.append('\\').append(other)
+        }
+        i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   // ---- sidecar write / read -------------------------------------------

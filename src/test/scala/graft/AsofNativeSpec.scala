@@ -462,4 +462,24 @@ class AsofNativeSpec extends AnyFunSuite {
     assert(r.map(x => Option(x.get(3))).toSeq ===
       Seq(None, Some(2.0), None))
   }
+
+  test("key/on type mismatch between sides fails LOUDLY, never compares") {
+    import spark.implicits._
+    def t(s: String): Timestamp = Timestamp.valueOf(s)
+    val left = Seq((1L, t("2024-01-01 00:00:05")))
+      .toDF("k", "ts") // k: LONG
+    val rightIntKey = Seq((1, t("2024-01-01 00:00:02"), 1.0))
+      .toDF("k", "ts", "v") // k: INT — different UnsafeRow layout
+    val eKey = intercept[IllegalArgumentException] {
+      AsofJoinNative.backward(left, rightIntKey, key = Seq("k"),
+        on = "ts", payload = Seq("v"))
+    }
+    assert(eKey.getMessage.contains("type mismatch"))
+    val rightLongOn = Seq((1L, 2L, 1.0)).toDF("k", "ts", "v") // ts: LONG
+    val eOn = intercept[IllegalArgumentException] {
+      AsofJoinNative.backward(left, rightLongOn, key = Seq("k"),
+        on = "ts", payload = Seq("v"))
+    }
+    assert(eOn.getMessage.contains("type mismatch"))
+  }
 }

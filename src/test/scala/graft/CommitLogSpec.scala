@@ -1291,4 +1291,113 @@ class CommitLogSpec extends AnyFunSuite {
       assert(skipped.collect().map(_.getLong(0)).toSeq === Seq(10L))
     } finally rm(t)
   }
+
+  test("sidecar string stats with backslash escapes round-trip exactly; " +
+      "skipping never prunes a matching segment (no-false-negative)") {
+    import spark.implicits._
+    val t = tmpTable()
+    try {
+      // bounds whose sidecar encodings contain backslash-n / -r / -quote
+      // SEQUENCES: a chained-replace decoder corrupts them (C:\names
+      // encodes as C:\\names; decoding \\ first restores \n, then the
+      // \n pass turns it into a newline → min/max too small/large →
+      // silent mis-prune). The single-scan decoder must round-trip.
+      val tricky = Seq("C:\\names", "a\\rb", "x\\\"q", "line1\nline2",
+        "cr\rhere", "plain")
+      CommitLogStats.appendWithStats(spark, t,
+        tricky.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+          .toDF("id", "s"), Seq("s"))
+      val side = CommitLogStats.readSidecar(spark,
+        CommitLog.snapshot(spark, t).get.segments.head).get
+      val cs = side.cols("s")
+      val utf8sorted = tricky.sortWith((a, b) =>
+        java.util.Arrays.compareUnsigned(
+          a.getBytes("UTF-8"), b.getBytes("UTF-8")) < 0)
+      assert(cs.min === Some(utf8sorted.head))
+      assert(cs.max === Some(utf8sorted.last))
+      // a probe equal to the true max must keep the segment — with the
+      // corrupted decode ("C:\names" max would decode with a newline,
+      // sorting BELOW the probe) the segment would be pruned
+      val plan = CommitLogStats.planSkipping(spark, t, "s",
+        utf8sorted.last, utf8sorted.last)
+      assert(plan.kept.size === 1 && plan.pruned.isEmpty)
+      val got = CommitLogStats.readSkipping(spark, t, "s",
+        utf8sorted.last, utf8sorted.last).collect()
+      assert(got.map(_.getString(1)).toSeq === Seq(utf8sorted.last))
+    } finally rm(t)
+  }
+
+  test("pre-epoch timestamp stats encode floor-correct: boundary probes " +
+      "agree between sidecar and Instant/LocalDateTime encodings") {
+    import spark.implicits._
+    val t = tmpTable()
+    try {
+      // 1969-12-31 23:59:59.25 UTC — getTime truncation-toward-zero
+      // would encode this 1s too high and a probe AT the true min
+      // would prune the segment
+      val pre = java.sql.Timestamp.from(
+        java.time.Instant.parse("1969-12-31T23:59:59.250Z"))
+      val post = java.sql.Timestamp.from(
+        java.time.Instant.parse("1970-01-02T00:00:00.500Z"))
+      CommitLogStats.appendWithStats(spark, t,
+        Seq((1L, pre), (2L, post)).toDF("id", "ts"), Seq("ts"))
+      // probe exactly [min, min] via Instant (floor-correct encoding)
+      val plan = CommitLogStats.planSkipping(spark, t, "ts",
+        java.time.Instant.parse("1969-12-31T23:59:59.250Z"),
+        java.time.Instant.parse("1969-12-31T23:59:59.250Z"))
+      assert(plan.kept.size === 1 && plan.pruned.isEmpty)
+      // a probe range strictly BEFORE the true min must prune
+      val plan2 = CommitLogStats.planSkipping(spark, t, "ts",
+        java.time.Instant.parse("1969-12-31T00:00:00Z"),
+        java.time.Instant.parse("1969-12-31T23:59:59.249Z"))
+      assert(plan2.kept.isEmpty && plan2.pruned.size === 1)
+      // and the same boundary via java.sql.Timestamp probes agrees
+      val plan3 = CommitLogStats.planSkipping(spark, t, "ts", pre, pre)
+      assert(plan3.kept.size === 1)
+    } finally rm(t)
+  }
+
+  test("a SQL-created table's zero-segment 'create' commit is a no-op " +
+      "for changeFeed/changes/stream, and the empty snapshot batch-" +
+      "reads as an empty frame of the declared schema") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_catalog2_").toString
+    try {
+      spark.conf.set("spark.sql.catalog.gcr",
+        "graft.sources.CommitLogCatalog")
+      spark.conf.set("spark.sql.catalog.gcr.root", root)
+      spark.sql("CREATE TABLE gcr.ns.t (id BIGINT, name STRING, v DOUBLE)")
+      val path = s"$root/ns/t"
+      // batch read surfaces agree on the created-but-empty snapshot:
+      // empty frame of the declared shape, not an exception
+      val viaFormat = spark.read.format("commitlog").option("path", path)
+        .load()
+      assert(viaFormat.columns.toSeq === Seq("id", "name", "v"))
+      assert(viaFormat.count() === 0L)
+      spark.sql("INSERT INTO gcr.ns.t VALUES (1, 'a', 1.0)")
+      // changes/changeFeed from version 0 cross the create commit
+      val ch = CommitLog.changes(spark, path, 0L)
+      assert(ch.map(_._1) === Seq(2L))
+      val feed = CommitLog.changeFeed(spark, path, 0L)
+      assert(feed.select("_change_type", "_commit_version").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq ===
+        Seq(("insert", 2L)))
+      // streaming from startingVersion=1 crosses the create commit too
+      import org.apache.spark.sql.streaming.Trigger
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_cr_out_").toString
+      val q = spark.readStream.format("commitlog").option("path", path)
+        .load().writeStream.format("memory").queryName("gcr_stream")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$outDir/cp").start()
+      q.awaitTermination(60000)
+      assert(spark.sql("SELECT id FROM gcr_stream").collect()
+        .map(_.getLong(0)).toSeq === Seq(1L))
+      spark.sql("DROP TABLE gcr.ns.t")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gcr")
+      spark.conf.unset("spark.sql.catalog.gcr.root")
+      rm(root + "/x")
+    }
+  }
 }
