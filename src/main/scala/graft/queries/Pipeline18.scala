@@ -484,15 +484,14 @@ object Pipeline18 {
 
     // The plain-SQL surface end to end: CREATE TABLE / INSERT INTO …
     // SELECT / INSERT OVERWRITE / SELECT against the DSv2 catalog,
-    // with the protocol's version history as witness. The catalog
-    // NAME is unique per invocation: Spark caches catalog plugin
-    // instances by name for the session's lifetime, so a re-run under
-    // the same name would reuse an instance initialized with the
-    // previous (deleted) root — the bench runs every query three
-    // times in one session.
+    // with the protocol's version history as witness.
     "q178_commitlog_sql_catalog" -> ((s, dir) => {
       val stage = stageDir("q178_sqlcat")
-      val cat = s"graftq178_${SqlCatSeq.incrementAndGet()}"
+      // a FIXED catalog name is safe: Spark caches catalog instances
+      // by name, but CommitLogCatalog re-resolves its root from the
+      // live conf at every access, so re-registration with a fresh
+      // stage directory takes effect (spec-pinned re-initialization)
+      val cat = "graftq178"
       try {
         s.conf.set(s"spark.sql.catalog.$cat",
           "graft.sources.CommitLogCatalog")
@@ -522,10 +521,128 @@ object Pipeline18 {
         s.conf.unset(s"spark.sql.catalog.$cat.root")
         rmStage(s, stage)
       }
+    }),
+
+    // SIDECAR SKIPPING ON THE SQL SURFACE (q165's layout, driven
+    // through the catalog): year-sliced stats appends, then a plain
+    // `SELECT … WHERE l_shipdate BETWEEN …` via spark.sql — the
+    // connector's scan builder prunes the segment list from sidecars
+    // before any footer I/O. Witnessed from the EXECUTED plan: the
+    // scan's file index holds only the kept year-segments' files.
+    "q179_commitlog_sql_skipping" -> ((s, dir) => {
+      val stage = stageDir("q179_sqlskip")
+      val cat = "graftq179"
+      try {
+        s.conf.set(s"spark.sql.catalog.$cat",
+          "graft.sources.CommitLogCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", stage)
+        val tbl = s"$stage/ns/li"
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_linenumber"), col("l_quantity"), col("l_returnflag"),
+          col("l_shipdate"))
+        val (y0, y1) = yearSpan(li)
+        (y0 to y1).foreach { y =>
+          CommitLogStats.appendWithStats(s, tbl,
+            li.filter(year(col("l_shipdate")) === y), Seq("l_shipdate"))
+        }
+        val (lo, hi) = probeBounds(y0)
+        // TIMESTAMP_NTZ literals: the fixture's shipdate surfaces as
+        // NTZ, and a same-type literal keeps the pushed comparison a
+        // bare attribute-vs-literal (a cast would disable skipping)
+        val fmt = java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss")
+        val q = s.sql(
+          s"""SELECT l_returnflag, COUNT(*) AS n_rows,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+             |    AS sum_qty
+             |FROM $cat.ns.li
+             |WHERE l_shipdate >= TIMESTAMP_NTZ '${fmt.format(lo)}'
+             |  AND l_shipdate <= TIMESTAMP_NTZ '${fmt.format(hi)}'
+             |GROUP BY l_returnflag""".stripMargin)
+        val scanned = scannedSegmentCount(q)
+        q.withColumn("n_segments_scanned", lit(scanned))
+          .withColumn("n_segments_live", lit(y1 - y0 + 1))
+          .orderBy(col("l_returnflag"))
+          .localCheckpoint(true)
+      } finally {
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.root")
+        rmStage(s, stage)
+      }
+    }),
+
+    // METADATA-ONLY AGGREGATES ON THE SQL SURFACE: COUNT / MIN / MAX
+    // over a fully-sidecar'd table answer from sidecars alone — the
+    // scan builder serves a LocalScan, the executed plan holds a
+    // LocalTableScan and NO file scan (witness column), and string
+    // min/max — which parquet FOOTER pushdown refuses because binary
+    // stats may be truncated — are served exactly.
+    "q180_commitlog_sql_metadata_agg" -> ((s, dir) => {
+      val stage = stageDir("q180_sqlmeta")
+      val cat = "graftq180"
+      try {
+        s.conf.set(s"spark.sql.catalog.$cat",
+          "graft.sources.CommitLogCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", stage)
+        val tbl = s"$stage/ns/ord"
+        val o = t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+        (0 until 2).foreach { i =>
+          CommitLogStats.appendWithStats(s, tbl,
+            o.filter(pmod(col("o_orderkey"), lit(2)) === i),
+            Seq("o_orderkey", "o_orderstatus", "o_totalprice"))
+        }
+        val q = s.sql(
+          s"""SELECT COUNT(*) AS n_rows,
+             |  COUNT(o_orderstatus) AS n_status,
+             |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+             |  MIN(o_orderstatus) AS min_status,
+             |  MAX(o_orderstatus) AS max_status,
+             |  MIN(o_totalprice) AS min_price,
+             |  MAX(o_totalprice) AS max_price
+             |FROM $cat.ns.ord""".stripMargin)
+        q.collect(): Unit // finalize the adaptive plan before reading it
+        val leaves = planLeaves(q.queryExecution.executedPlan)
+        val metadataOnly = leaves.exists(_.isInstanceOf[
+            org.apache.spark.sql.execution.LocalTableScanExec]) &&
+          !leaves.exists(_.isInstanceOf[
+            org.apache.spark.sql.execution.datasources.v2.BatchScanExec])
+        q.withColumn("metadata_only", lit(metadataOnly))
+          .localCheckpoint(true)
+      } finally {
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.root")
+        rmStage(s, stage)
+      }
     })
   )
 
-  private val SqlCatSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+  // ---- executed-plan witnesses for the SQL read path ------------------
+
+  private def planLeaves(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      planLeaves(a.executedPlan)
+    case st: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      planLeaves(st.plan)
+    case other => other.children.flatMap(planLeaves) :+ other
+  }
+
+  /** Distinct segment directories the executed plan's file scans
+    * actually read — the hard witness that sidecar pruning reached
+    * the SQL surface (file lists come from the scan's own index). */
+  private def scannedSegmentCount(df: DataFrame): Int = {
+    df.collect(): Unit // run, so adaptive stages are final
+    planLeaves(df.queryExecution.executedPlan).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan match {
+          case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+            f.fileIndex.inputFiles.toSeq
+              .map(p => p.substring(0, p.lastIndexOf('/')))
+          case _ => Seq.empty
+        }
+    }.flatten.distinct.size
+  }
 
   /** DuckDB twin of [[yearSpan]]/[[probeBounds]]: the probe window and
     * total segment count derived from the data, as the engine does. */
@@ -773,6 +890,36 @@ object Pipeline18 {
         |FROM nation
         |WHERE n_regionkey >= 2
         |GROUP BY n_regionkey
-        |ORDER BY n_regionkey""".stripMargin
+        |ORDER BY n_regionkey""".stripMargin,
+
+    // q165's witness algebra, but the kept count comes from the SQL
+    // read path's executed plan: a year-segment is scanned iff it has
+    // a row in the probe window (segments are whole calendar years)
+    "q179_commitlog_sql_skipping" ->
+      s"""WITH $sqlWindow,
+         |kept AS (SELECT CAST(COUNT(DISTINCT YEAR(l_shipdate)) AS INT)
+         |    AS k FROM lineitem, w
+         |  WHERE l_shipdate >= lo AND l_shipdate <= hi)
+         |SELECT l_returnflag,
+         |  COUNT(*) AS n_rows,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+         |    AS sum_qty,
+         |  (SELECT k FROM kept) AS n_segments_scanned,
+         |  (SELECT CAST(nseg AS INT) FROM w) AS n_segments_live
+         |FROM lineitem, w
+         |WHERE l_shipdate >= lo AND l_shipdate <= hi
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin,
+
+    "q180_commitlog_sql_metadata_agg" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  COUNT(o_orderstatus) AS n_status,
+        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+        |  MIN(o_orderstatus) AS min_status,
+        |  MAX(o_orderstatus) AS max_status,
+        |  MIN(o_totalprice) AS min_price,
+        |  MAX(o_totalprice) AS max_price,
+        |  TRUE AS metadata_only
+        |FROM orders""".stripMargin
   )
 }

@@ -43,14 +43,23 @@ class CommitLogCatalog extends TableCatalog
     with SupportsNamespaces {
 
   private var catalogName: String = _
-  private var root: String = _
+  private var initialRoot: String = _
 
   private def spark: SparkSession = SparkSession.active
+
+  /** Spark caches catalog INSTANCES by name per session, so a user
+    * who re-points `spark.sql.catalog.<name>.root` in a live session
+    * would otherwise keep hitting the initialize-time directory (or a
+    * deleted one). Re-resolve from the live conf on every access —
+    * initialize's value is only the fallback. */
+  private def root: String =
+    spark.conf.getOption(s"spark.sql.catalog.$catalogName.root")
+      .getOrElse(initialRoot)
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
-    root = Option(options.get("root")).getOrElse(
+    initialRoot = Option(options.get("root")).getOrElse(
       throw new IllegalArgumentException(
         s"commitlog catalog '$name' requires option 'root' " +
           s"(spark.sql.catalog.$name.root = <directory>)"))

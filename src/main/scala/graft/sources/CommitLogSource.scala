@@ -31,7 +31,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `ParquetTable` over the pinned segment directories, so filter
   * pushdown, column pruning, vectorized decode and partition planning
   * are all stock — the connector adds versioned-manifest resolution
-  * and nothing else (the Delta/Iceberg layering, expressed minimally).
+  * plus two sidecar-stats tiers on top ([[CommitLogSkipping]], the
+  * Delta/Iceberg layering): pushed range filters prune the SEGMENT
+  * LIST before any footer I/O, and whole-table COUNT/MIN/MAX
+  * aggregates are answered from sidecars alone as a `LocalScan`
+  * (zero data files opened), falling back to stock parquet behavior
+  * whenever any sidecar is missing.
   *
   * Registered in META-INF/services so `format("commitlog")` resolves
   * by short name.
@@ -157,7 +162,7 @@ class CommitLogSource extends TableProvider with DataSourceRegister
     val pq = ParquetTable(s"commitlog:$path@v${snap.version}", spark,
       options, snap.segments, snap.schema.map(CommitLog.decodeSchema),
       classOf[ParquetFileFormat])
-    new CommitLogTable(spark, path, pq)
+    new CommitLogTable(spark, path, pq, snap)
   }
 
   /** A table with no commits yet: `writeStream` probes the provider
@@ -211,7 +216,7 @@ class CommitLogSource extends TableProvider with DataSourceRegister
   * provider resolves the snapshot to serve the READ schema, the same
   * existence requirement the streaming source documents. */
 class CommitLogTable(spark: SparkSession, path: String,
-    pq: ParquetTable)
+    pq: ParquetTable, snap: CommitLog.Snapshot)
     extends Table
     with org.apache.spark.sql.connector.catalog.SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
@@ -254,7 +259,7 @@ class CommitLogTable(spark: SparkSession, path: String,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : org.apache.spark.sql.connector.read.ScanBuilder =
-    pq.newScanBuilder(options)
+    new CommitLogScanBuilder(spark, snap, pq, options)
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -277,6 +282,101 @@ class CommitLogTable(spark: SparkSession, path: String,
             }
         }
     }
+}
+
+/** The connector's scan builder: a thin interposer over Spark's
+  * `ParquetScanBuilder` that adds the two sidecar-stats tiers
+  * ([[CommitLogSkipping]]) without re-implementing ANY of parquet's
+  * own pushdown machinery:
+  *
+  *  - `pushFilters` (the Catalyst-filter hook `FileScanBuilder`
+  *    itself uses) first prunes the pinned snapshot's SEGMENT LIST
+  *    against each segment's `_stats.json`; when anything prunes,
+  *    the inner builder is rebuilt over the surviving segments only
+  *    — then the filters are forwarded unchanged, so parquet
+  *    footer/page pruning and the post-scan exact predicate still
+  *    apply to the survivors (results can never change, only I/O);
+  *  - `pushAggregation` answers whole-table COUNT/MIN/MAX from
+  *    sidecars as a COMPLETE pushdown serving a [[LocalScan]] (zero
+  *    data files opened, plans as LocalTableScan), falling back to
+  *    stock parquet footer aggregation when any sidecar is absent.
+  *
+  * Everything else (column pruning, build) forwards to the inner
+  * builder chosen above. */
+private[sources] class CommitLogScanBuilder(spark: SparkSession,
+    snap: CommitLog.Snapshot, full: ParquetTable,
+    options: CaseInsensitiveStringMap)
+    extends org.apache.spark.sql.connector.read.ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+  import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns}
+  import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+
+  private var inner: ScanBuilder = full.newScanBuilder(options)
+  private var sawFilters = false
+  private var metadataAnswer: Option[(StructType, InternalRow)] = None
+
+  private def catalystInner: SupportsPushDownCatalystFilters =
+    inner.asInstanceOf[SupportsPushDownCatalystFilters]
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    sawFilters = sawFilters || filters.nonEmpty
+    val kept = CommitLogSkipping.keptSegments(spark, snap.segments,
+      filters)
+    if (kept.length < snap.segments.length) {
+      // rebuild over survivors; pin the FULL table's resolved schema
+      // so an empty survivor list still has a readable shape
+      inner = ParquetTable(
+        s"${full.name} [sidecar-skip ${snap.segments.length - kept.length}" +
+          s"/${snap.segments.length} segments]",
+        spark, options, kept, Some(full.schema),
+        classOf[ParquetFileFormat]).newScanBuilder(options)
+    }
+    catalystInner.pushFilters(filters)
+  }
+
+  override def pushedFilters
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    catalystInner.pushedFilters
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    inner.asInstanceOf[SupportsPushDownRequiredColumns]
+      .pruneColumns(requiredSchema)
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean = {
+    // sidecar answers are whole-table: only valid with no filters
+    // (parquet data filters are post-scan, so Spark only attempts
+    // aggregate pushdown filter-free — this guard is belt-and-braces)
+    if (!sawFilters)
+      metadataAnswer = CommitLogSkipping.metadataAggregate(
+        spark, snap.segments, full.schema, agg)
+    metadataAnswer.isDefined || (inner match {
+      case a: SupportsPushDownAggregates => a.supportCompletePushDown(agg)
+      case _ => false
+    })
+  }
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    metadataAnswer.isDefined || (inner match {
+      case a: SupportsPushDownAggregates => a.pushAggregation(agg)
+      case _ => false
+    })
+
+  override def build(): Scan = metadataAnswer match {
+    case Some((aggSchema, row)) =>
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = aggSchema
+        override def rows(): Array[InternalRow] = Array(row)
+        override def description(): String =
+          s"CommitLogMetadataScan(${full.name})"
+      }
+    case None => inner.build()
+  }
 }
 
 object CommitLogTable {
@@ -328,7 +428,7 @@ object CommitLogTable {
     val pq = ParquetTable(s"commitlog:$path@v${snap.version}", spark,
       CaseInsensitiveStringMap.empty(), snap.segments, schema,
       classOf[ParquetFileFormat])
-    new CommitLogTable(spark, path, pq)
+    new CommitLogTable(spark, path, pq, snap)
   }
 
   /** Whole-table replace as one commit: a fresh segment set under the

@@ -1400,4 +1400,156 @@ class CommitLogSpec extends AnyFunSuite {
       rm(root + "/x")
     }
   }
+
+  // descend through adaptive wrappers to reach the real scan leaves
+  private def planLeaves(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      planLeaves(a.executedPlan)
+    case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      planLeaves(s.plan)
+    case other => other.children.flatMap(planLeaves) :+ other
+  }
+
+  private def scannedSegments(df: DataFrame): Seq[String] = {
+    df.collect() // force execution so adaptive plans are final
+    planLeaves(df.queryExecution.executedPlan).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan match {
+          case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+            f.fileIndex.inputFiles.toSeq
+              .map(p => p.substring(0, p.lastIndexOf('/')))
+          case _ => Seq.empty
+        }
+    }.flatten.distinct
+  }
+
+  test("SQL/DSv2 read path consumes sidecar skipping: a selective " +
+      "predicate through the catalog reads fewer segments than live, " +
+      "with identical results to the full-scan filter") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_catalog3_").toString
+    try {
+      spark.conf.set("spark.sql.catalog.gsk",
+        "graft.sources.CommitLogCatalog")
+      spark.conf.set("spark.sql.catalog.gsk.root", root)
+      spark.sql("CREATE TABLE gsk.ns.t (id BIGINT, name STRING, v DOUBLE)")
+      val path = s"$root/ns/t"
+      // four stats-carrying segments with disjoint id ranges
+      for (b <- 0 until 4)
+        CommitLogStats.appendWithStats(spark, path,
+          df((b * 10 + 1L, s"n$b", b + 1.0), (b * 10 + 5L, s"m$b", b + 1.5)),
+          Seq("id", "v"))
+      val live = CommitLog.snapshot(spark, path).get.segments.size
+      assert(live === 4)
+      // selective range: only segment 0 (ids 1..5) can match
+      val q = spark.sql("SELECT id, name FROM gsk.ns.t WHERE id <= 5")
+      val segs = scannedSegments(q)
+      assert(segs.size === 1, s"expected 1 kept segment, read $segs")
+      assert(q.collect().map(_.getLong(0)).toSeq.sorted === Seq(1L, 5L))
+      // equality probe through format("commitlog") prunes the same way
+      val q2 = spark.read.format("commitlog").option("path", path)
+        .load().filter(col("id") === 21L).select("id", "v")
+      assert(scannedSegments(q2).size === 1)
+      assert(q2.collect().map(r => (r.getLong(0), r.getDouble(1)))
+        .toSeq === Seq((21L, 3.0)))
+      // a probe hitting nothing reads ZERO segments and returns empty
+      val q3 = spark.sql("SELECT id FROM gsk.ns.t WHERE id > 1000")
+      assert(scannedSegments(q3).isEmpty && q3.count() === 0L)
+      // no-false-negative law on the SQL surface: skipped scan equals
+      // the full-scan filter for a range spanning two segments
+      val got = spark.sql(
+        "SELECT id FROM gsk.ns.t WHERE id BETWEEN 5 AND 15 ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(got === Seq(5L, 11L, 15L))
+      // a column with NO stats recorded keeps everything (conservative)
+      val q4 = spark.sql("SELECT id FROM gsk.ns.t WHERE name = 'n0'")
+      assert(scannedSegments(q4).size === 4)
+      assert(q4.collect().map(_.getLong(0)).toSeq === Seq(1L))
+      spark.sql("DROP TABLE gsk.ns.t")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gsk")
+      spark.conf.unset("spark.sql.catalog.gsk.root")
+      rm(root + "/x")
+    }
+  }
+
+  test("re-pointing a catalog's root in a live session takes effect: " +
+      "the cached catalog instance re-resolves root from the conf") {
+    val root1 = java.nio.file.Files
+      .createTempDirectory("graft_reroot1_").toString
+    val root2 = java.nio.file.Files
+      .createTempDirectory("graft_reroot2_").toString
+    try {
+      spark.conf.set("spark.sql.catalog.grr",
+        "graft.sources.CommitLogCatalog")
+      spark.conf.set("spark.sql.catalog.grr.root", root1)
+      spark.sql("CREATE TABLE grr.ns.t (id BIGINT)")
+      spark.sql("INSERT INTO grr.ns.t VALUES (1)")
+      assert(spark.sql("SELECT id FROM grr.ns.t").collect()
+        .map(_.getLong(0)).toSeq === Seq(1L))
+      // re-point the SAME catalog name at a different root — Spark
+      // keeps the cached plugin instance, so without live-conf
+      // resolution this would keep serving (or crash on) root1
+      spark.conf.set("spark.sql.catalog.grr.root", root2)
+      spark.sql("CREATE TABLE grr.ns.t (id BIGINT)")
+      spark.sql("INSERT INTO grr.ns.t VALUES (2), (3)")
+      assert(spark.sql("SELECT id FROM grr.ns.t").collect()
+        .map(_.getLong(0)).toSeq.sorted === Seq(2L, 3L))
+      assert(CommitLog.read(spark, s"$root1/ns/t").collect()
+        .map(_.getLong(0)).toSeq === Seq(1L)) // root1 untouched
+    } finally {
+      spark.conf.unset("spark.sql.catalog.grr")
+      spark.conf.unset("spark.sql.catalog.grr.root")
+      rm(root1 + "/x"); rm(root2 + "/x")
+    }
+  }
+
+  test("metadata-only aggregates through SQL: COUNT/MIN/MAX over a " +
+      "fully-sidecar'd table plan as LocalTableScan (zero data files), " +
+      "including string min/max that footer pushdown refuses") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_catalog4_").toString
+    try {
+      spark.conf.set("spark.sql.catalog.gma",
+        "graft.sources.CommitLogCatalog")
+      spark.conf.set("spark.sql.catalog.gma.root", root)
+      spark.sql("CREATE TABLE gma.ns.t (id BIGINT, name STRING, v DOUBLE)")
+      val path = s"$root/ns/t"
+      CommitLogStats.appendWithStats(spark, path,
+        df((1L, "alpha", 1.0), (2L, "omega", 9.0)), Seq("id", "name", "v"))
+      CommitLogStats.appendWithStats(spark, path,
+        df((3L, "beta", -2.0)), Seq("id", "name", "v"))
+      val agg = spark.sql("SELECT count(*) AS c, count(name) AS cn, " +
+        "min(v) AS mnv, max(v) AS mxv, min(name) AS mnn, " +
+        "max(name) AS mxn FROM gma.ns.t")
+      assert(agg.collect()(0).toSeq ===
+        Seq(3L, 3L, -2.0, 9.0, "alpha", "omega"))
+      val leaves = planLeaves(agg.queryExecution.executedPlan)
+      assert(leaves.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec]),
+        s"expected LocalTableScan:\n${agg.queryExecution.executedPlan}")
+      assert(!leaves.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.datasources.v2.BatchScanExec]),
+        "metadata aggregate still opened a file scan")
+      // a sidecar-less append breaks completeness → falls back to a
+      // real scan, result identical
+      CommitLog.append(spark, path, df((4L, "zeta", 99.0)))
+      val agg2 = spark.sql(
+        "SELECT count(*) AS c, max(v) AS mxv FROM gma.ns.t")
+      assert(agg2.collect()(0).toSeq === Seq(4L, 99.0))
+      assert(planLeaves(agg2.queryExecution.executedPlan).exists(
+        _.isInstanceOf[
+          org.apache.spark.sql.execution.datasources.v2.BatchScanExec]))
+      // aggregates WITH a filter never take the metadata path
+      val agg3 = spark.sql(
+        "SELECT count(*) AS c FROM gma.ns.t WHERE v > 0")
+      assert(agg3.collect()(0).getLong(0) === 3L)
+      spark.sql("DROP TABLE gma.ns.t")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gma")
+      spark.conf.unset("spark.sql.catalog.gma.root")
+      rm(root + "/x")
+    }
+  }
 }
