@@ -98,6 +98,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.MvRewrite)
     // whole-operator tier: native sort-merge as-of join (graft.plans)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    // SQL UPDATE / MERGE INTO over commit-log tables (graft.plans)
+    ext.injectPlannerStrategy(_ => graft.plans.CommitLogDmlStrategy)
   }
 }
 
@@ -148,5 +150,10 @@ object GraftExtensions {
         .contains(graft.plans.AsofJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.AsofJoinStrategy
+    if (!spark.sessionState.planner.strategies
+        .contains(graft.plans.CommitLogDmlStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+
+          graft.plans.CommitLogDmlStrategy
   }
 }

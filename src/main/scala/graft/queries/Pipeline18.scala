@@ -91,7 +91,11 @@ object Pipeline18 {
       sum(col("l_quantity").cast("decimal(30,6)")).cast("double")
         .as("sum_qty"))
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    queriesBase ++ queriesDml
+
+  private def queriesBase
+      : Map[String, (SparkSession, String) => DataFrame] = Map(
     // Year-sliced appends across the fixture's whole shipdate span,
     // stats on l_shipdate; the 2-year probe keeps exactly the two
     // touched year-segments.
@@ -617,6 +621,65 @@ object Pipeline18 {
     })
   )
 
+  // ---- SQL row-level DML ----------------------------------------------
+
+  private def queriesDml
+      : Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q169's merge, driven through `MERGE INTO` SQL against the
+    // catalog: DELETE and UPDATE clauses in SQL order, name-aligned
+    // INSERT, per-clause counts re-derived from the commit's RECORDED
+    // CDC (the SQL statement returns no counts — the change feed is
+    // the auditable witness), all hash-checked by q169's oracle
+    // algebra.
+    "q181_commitlog_sql_merge" -> ((s, dir) => {
+      val stage = stageDir("q181_sqlmerge")
+      val cat = "graftq181"
+      try {
+        s.conf.set(s"spark.sql.catalog.$cat",
+          "graft.sources.CommitLogCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", stage)
+        val tbl = s"$stage/ns/t"
+        val o = t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+        CommitLog.append(s, tbl,
+          o.filter(pmod(col("o_orderkey"), lit(3)) === 0))
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+          .withColumn("new_price", col("o_totalprice") + 1000.0)
+          .createOrReplaceTempView("q181_src")
+        val preVersion = CommitLog.versions(s, tbl).max
+        s.sql(
+          s"""MERGE INTO $cat.ns.t t USING q181_src s
+             |ON t.o_orderkey = s.o_orderkey
+             |WHEN MATCHED AND t.o_orderstatus = 'F' THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET o_totalprice = s.new_price
+             |WHEN NOT MATCHED THEN INSERT
+             |  (o_orderkey, o_custkey, o_orderstatus, o_totalprice)
+             |  VALUES (s.o_orderkey, s.o_custkey, s.o_orderstatus,
+             |          s.o_totalprice)""".stripMargin)
+        val byType = CommitLog.changeFeed(s, tbl, preVersion)
+          .groupBy(col("_change_type")).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val out = s.sql(s"SELECT * FROM $cat.ns.t")
+          .groupBy(col("o_orderstatus")).agg(
+            count(lit(1)).as("n_rows"),
+            sum(col("o_totalprice").cast("decimal(30,6)")).cast("double")
+              .as("sum_price"))
+          .withColumn("n_updated",
+            lit(byType.getOrElse("update_preimage", 0L)))
+          .withColumn("n_deleted", lit(byType.getOrElse("delete", 0L)))
+          .withColumn("n_inserted", lit(byType.getOrElse("insert", 0L)))
+          .orderBy(col("o_orderstatus"))
+          .localCheckpoint(true)
+        out
+      } finally {
+        s.catalog.dropTempView("q181_src"): Unit
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.root")
+        rmStage(s, stage)
+      }
+    })
+  )
+
   // ---- executed-plan witnesses for the SQL read path ------------------
 
   private def planLeaves(p: org.apache.spark.sql.execution.SparkPlan)
@@ -920,6 +983,48 @@ object Pipeline18 {
         |  MIN(o_totalprice) AS min_price,
         |  MAX(o_totalprice) AS max_price,
         |  TRUE AS metadata_only
-        |FROM orders""".stripMargin
+        |FROM orders""".stripMargin,
+
+    // q169's merge algebra verbatim — the SQL-driven merge must land
+    // the identical final state, and its CDC-derived per-clause
+    // counts must equal the first-principles re-derivation
+    "q181_commitlog_sql_merge" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    o_totalprice FROM orders WHERE o_orderkey % 3 = 0),
+        |s AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    o_totalprice, o_totalprice + 1000.0 AS new_price
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |final AS (
+        |  SELECT t.o_orderstatus,
+        |    CASE WHEN s.o_orderkey IS NOT NULL
+        |      THEN s.new_price ELSE t.o_totalprice END AS price
+        |  FROM t LEFT JOIN s ON s.o_orderkey = t.o_orderkey
+        |  WHERE NOT (s.o_orderkey IS NOT NULL AND t.o_orderstatus = 'F')
+        |  UNION ALL
+        |  SELECT s.o_orderstatus, s.o_totalprice
+        |  FROM s LEFT JOIN t ON t.o_orderkey = s.o_orderkey
+        |  WHERE t.o_orderkey IS NULL),
+        |counts AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN s.o_orderkey IS NOT NULL
+        |      AND t.o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_updated,
+        |    CAST(SUM(CASE WHEN s.o_orderkey IS NOT NULL
+        |      AND t.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_deleted
+        |  FROM t LEFT JOIN s ON s.o_orderkey = t.o_orderkey),
+        |ins AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_inserted
+        |  FROM s LEFT JOIN t ON t.o_orderkey = s.o_orderkey
+        |  WHERE t.o_orderkey IS NULL)
+        |SELECT o_orderstatus,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(price AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+        |  (SELECT n_updated FROM counts) AS n_updated,
+        |  (SELECT n_deleted FROM counts) AS n_deleted,
+        |  (SELECT n_inserted FROM ins) AS n_inserted
+        |FROM final
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin
   )
 }

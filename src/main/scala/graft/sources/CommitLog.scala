@@ -639,9 +639,10 @@ object CommitLog {
     *  - WHEN MATCHED [AND `whenMatchedUpdateCondition`] THEN UPDATE
     *    SET `whenMatchedUpdate` (values may reference the source row
     *    via [[src]]; cast back to the column's declared type)
-    *  - WHEN NOT MATCHED THEN INSERT (source projected onto the
-    *    table schema by name — missing columns NULL, extra source
-    *    columns ignored), if `whenNotMatchedInsert`
+    *  - WHEN NOT MATCHED [AND `whenNotMatchedInsertCondition`] THEN
+    *    INSERT (source projected onto the table schema by name —
+    *    missing columns NULL, extra source columns ignored), if
+    *    `whenNotMatchedInsert`
     *
     * Clause order is Delta's: a matched row tests DELETE first, then
     * UPDATE, else survives unchanged. A source with DUPLICATE keys
@@ -666,6 +667,8 @@ object CommitLog {
         None,
       whenMatchedDelete: Option[org.apache.spark.sql.Column] = None,
       whenNotMatchedInsert: Boolean = true,
+      whenNotMatchedInsertCondition: Option[org.apache.spark.sql.Column] =
+        None,
       maxRetries: Int = 20): (Long, Long, Long, Long) = {
     require(keys.nonEmpty, "CommitLog.mergeInto: empty key list")
     require(whenMatchedUpdate.nonEmpty || whenMatchedDelete.nonEmpty ||
@@ -733,8 +736,12 @@ object CommitLog {
       val inserts =
         if (!whenNotMatchedInsert) None
         else {
-          val anti = source.join(
-            all.select(keys.map(col): _*), keys, "left_anti")
+          // WHEN NOT MATCHED [AND cond]: the condition gates inserts
+          // only (evaluated over source columns), never the matched
+          // clauses — SQL MERGE semantics
+          val anti = source
+            .filter(whenNotMatchedInsertCondition.getOrElse(lit(true)))
+            .join(all.select(keys.map(col): _*), keys, "left_anti")
           val projected = anti.select(schema.fieldNames.toSeq.map { f =>
             if (anti.columns.contains(f))
               col(f).cast(schema(f).dataType).as(f)

@@ -63,6 +63,15 @@ class CommitLogCatalog extends TableCatalog
       throw new IllegalArgumentException(
         s"commitlog catalog '$name' requires option 'root' " +
           s"(spark.sql.catalog.$name.root = <directory>)"))
+    // UPDATE / MERGE INTO route through a planner strategy
+    // (graft.plans.CommitLogDmlStrategy); registering it here means a
+    // catalog-only user gets SQL DML with zero extension setup — the
+    // strategy is a no-op on every non-commit-log plan
+    val s = spark
+    if (!s.sessionState.planner.strategies
+        .contains(graft.plans.CommitLogDmlStrategy))
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies :+ graft.plans.CommitLogDmlStrategy
   }
 
   override def name(): String = catalogName

@@ -224,6 +224,11 @@ class CommitLogTable(spark: SparkSession, path: String,
 
   import org.apache.spark.sql.connector.catalog.TableCapability
 
+  /** The commit-log table directory — the handle the SQL DML
+    * strategy (graft.plans.CommitLogDmlStrategy) routes UPDATE /
+    * MERGE INTO through. */
+  private[graft] def tablePath: String = path
+
   /** SQL `DELETE FROM … WHERE …`: translated filters feed the
     * copy-on-write [[CommitLog.delete]] — only touched segments
     * rewrite, the deletion is CDC-recorded, prior versions stay

@@ -1505,6 +1505,78 @@ class CommitLogSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL UPDATE and MERGE INTO route through the bounded protocol " +
+      "executor: clause order, insert conditions, CDC, duplicate-source " +
+      "refusal, and loud unsupported shapes") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sqldml_").toString
+    try {
+      spark.conf.set("spark.sql.catalog.gdm",
+        "graft.sources.CommitLogCatalog")
+      spark.conf.set("spark.sql.catalog.gdm.root", root)
+      spark.sql("CREATE TABLE gdm.ns.t (id BIGINT, name STRING, v DOUBLE)")
+      spark.sql("INSERT INTO gdm.ns.t VALUES (1, 'a', 1.0), " +
+        "(2, 'b', 2.0), (3, 'c', 3.0)")
+      val path = s"$root/ns/t"
+
+      // UPDATE: expression SET over the WHERE subset; op recorded
+      spark.sql("UPDATE gdm.ns.t SET v = v * 10, name = concat(name, " +
+        "'!') WHERE id <= 2")
+      assert(sortedRows(spark.sql("SELECT * FROM gdm.ns.t")) ===
+        Seq((1L, "a!", 10.0), (2L, "b!", 20.0), (3L, "c", 3.0)))
+      assert(CommitLog.snapshot(spark, path).get.op === "update")
+
+      // MERGE: update-before-delete clause order is first-match-wins —
+      // id=1 matches BOTH conditions and must update, not delete;
+      // id=2 matches only the delete; id=9 inserts (condition-gated)
+      Seq((1L, "A", 100.0), (2L, "B", -1.0), (9L, "z", 9.0),
+        (10L, "tiny", 0.1))
+        .toDF("id", "name", "v").createOrReplaceTempView("gdm_src")
+      spark.sql(
+        """MERGE INTO gdm.ns.t t USING gdm_src s ON t.id = s.id
+          |WHEN MATCHED AND s.v > 0 THEN UPDATE SET v = s.v, name = s.name
+          |WHEN MATCHED THEN DELETE
+          |WHEN NOT MATCHED AND s.v > 1 THEN INSERT *""".stripMargin)
+      assert(sortedRows(spark.sql("SELECT * FROM gdm.ns.t")) ===
+        Seq((1L, "A", 100.0), (3L, "c", 3.0), (9L, "z", 9.0)))
+      assert(CommitLog.snapshot(spark, path).get.op === "merge_into")
+      // CDC recorded for the SQL merge: replay the change types
+      val feed = CommitLog.changeFeed(spark, path,
+        CommitLog.versions(spark, path).max - 1L)
+      assert(feed.groupBy("_change_type").count().collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap ===
+        Map("delete" -> 1L, "update_preimage" -> 1L,
+          "update_postimage" -> 1L, "insert" -> 1L))
+
+      // duplicate source keys refuse loudly through SQL too
+      Seq((3L, "x", 1.0), (3L, "y", 2.0)).toDF("id", "name", "v")
+        .createOrReplaceTempView("gdm_dup")
+      val dup = intercept[Exception] {
+        spark.sql("MERGE INTO gdm.ns.t t USING gdm_dup s ON t.id = s.id " +
+          "WHEN MATCHED THEN UPDATE SET v = s.v")
+      }
+      assert(dup.getMessage.contains("duplicate keys"))
+
+      // unsupported shapes fail loudly, not silently wrong
+      val nonEqui = intercept[UnsupportedOperationException] {
+        spark.sql("MERGE INTO gdm.ns.t t USING gdm_src s ON t.id > s.id " +
+          "WHEN MATCHED THEN DELETE")
+      }
+      assert(nonEqui.getMessage.contains("equi-key"))
+      val bySource = intercept[UnsupportedOperationException] {
+        spark.sql("MERGE INTO gdm.ns.t t USING gdm_src s ON t.id = s.id " +
+          "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+      }
+      assert(bySource.getMessage.contains("NOT MATCHED BY SOURCE"))
+      spark.sql("DROP TABLE gdm.ns.t")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gdm")
+      spark.conf.unset("spark.sql.catalog.gdm.root")
+      rm(root + "/x")
+    }
+  }
+
   test("metadata-only aggregates through SQL: COUNT/MIN/MAX over a " +
       "fully-sidecar'd table plan as LocalTableScan (zero data files), " +
       "including string min/max that footer pushdown refuses") {
