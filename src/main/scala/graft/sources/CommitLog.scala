@@ -31,12 +31,17 @@ import org.apache.spark.sql.functions._
   * 100 TB posture: the manifest holds segment paths, not row data —
   * commits cost one small file create no matter the table size; the
   * OCC retry loop re-runs only the conflicted writer's merge; readers
-  * never block. Atomic publish primitive: `Files.createLink` (POSIX
+  * never block. The atomic publish primitive is a pluggable seam
+  * ([[ManifestStore]]): the default uses `Files.createLink` (POSIX
   * link(2) fails with EEXIST — atomic and content-complete, since the
-  * fully-written temp file is linked, never a partial) on local paths,
-  * HDFS's rename-without-overwrite elsewhere; an S3-class store with
-  * no atomic namespace op needs a conditional-put or coordination
-  * service — same caveat Delta documents.
+  * fully-written temp file is linked, never a partial) on local paths
+  * and HDFS's rename-without-overwrite elsewhere; an S3-class store
+  * with no atomic namespace op registers a [[ConditionalPutStore]]
+  * over its conditional PUT (`If-None-Match: *`) — the same
+  * store-arbitrated design Delta uses for S3 multi-writer commits.
+  * The lost-update law is spec-run against a contended fake object
+  * store (and a deliberately broken blind-PUT store, proving the law
+  * rests on exactly this primitive) in CommitLogSpec.
   */
 object CommitLog {
 
@@ -164,36 +169,94 @@ object CommitLog {
     seg
   }
 
+  /** SPI for the atomic create-if-absent arbitration the WHOLE
+    * protocol rests on: publish `content` at `dst` iff nothing exists
+    * there, atomically and content-complete (a reader that can see
+    * `dst` sees all of `content`). Returns true iff this caller won.
+    * The default [[FsManifestStore]] covers POSIX (link(2)) and
+    * HDFS-class (rename-no-overwrite) semantics; object stores plug
+    * in their server-side conditional PUT via
+    * [[CommitLog.registerManifestStore]]. */
+  trait ManifestStore {
+    def createIfAbsent(dst: String, content: Array[Byte]): Boolean
+  }
+
+  /** Adapter for S3-class stores: the store's own conditional PUT
+    * (`If-None-Match: *` — server-side arbitration, exactly-one
+    * winner under any concurrency) IS the primitive; no temp files
+    * or renames are involved because the PUT itself is atomic and
+    * content-complete. */
+  final class ConditionalPutStore(
+      putIfAbsent: (String, Array[Byte]) => Boolean)
+      extends ManifestStore {
+    override def createIfAbsent(dst: String,
+        content: Array[Byte]): Boolean = putIfAbsent(dst, content)
+  }
+
+  /** Default: link(2) on local paths (atomic; EEXIST loses), atomic
+    * rename-without-overwrite on HDFS-class filesystems. The fully
+    * written temp file is linked/renamed, never a partial. */
+  private final class FsManifestStore(
+      f: org.apache.hadoop.fs.FileSystem) extends ManifestStore {
+    override def createIfAbsent(dst: String,
+        content: Array[Byte]): Boolean = {
+      val dstP = new org.apache.hadoop.fs.Path(dst)
+      val parent = dstP.getParent
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$parent/.tmp-${java.util.UUID.randomUUID()}")
+      val out = f.create(tmp, false)
+      try out.write(content) finally out.close()
+      try {
+        if (dstP.toUri.getScheme == null ||
+            dstP.toUri.getScheme == "file") {
+          val dstFile = java.nio.file.Paths.get(dstP.toUri.getPath)
+          val tmpFile = java.nio.file.Paths.get(tmp.toUri.getPath)
+          try { java.nio.file.Files.createLink(dstFile, tmpFile); true }
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+          }
+        } else {
+          f.rename(tmp, dstP)
+        }
+      } finally f.delete(tmp, false): Unit
+    }
+  }
+
+  private val storeRegistry =
+    new java.util.concurrent.ConcurrentHashMap[String, ManifestStore]()
+
+  /** Route manifest publishes for tables under `pathPrefix` through
+    * `store` (longest prefix wins). Registration is process-wide —
+    * the same scope as Hadoop FileSystem bindings. */
+  def registerManifestStore(pathPrefix: String,
+      store: ManifestStore): Unit =
+    storeRegistry.put(pathPrefix, store): Unit
+
+  def unregisterManifestStore(pathPrefix: String): Unit =
+    storeRegistry.remove(pathPrefix): Unit
+
+  private def storeFor(spark: SparkSession, table: String)
+      : ManifestStore = {
+    import scala.jdk.CollectionConverters._
+    storeRegistry.asScala.toSeq
+      .filter { case (prefix, _) => table.startsWith(prefix) }
+      .sortBy(-_._1.length).headOption.map(_._2)
+      .getOrElse(new FsManifestStore(fs(spark, table)))
+  }
+
   /** Try to publish `snap` as version `snap.version`: atomic
-    * create-if-absent of the manifest file. Returns false when that
-    * version was taken by a concurrent writer (caller rebases and
-    * retries); any other failure propagates. */
+    * create-if-absent of the manifest file through the table's
+    * [[ManifestStore]]. Returns false when that version was taken by
+    * a concurrent writer (caller rebases and retries); any other
+    * failure propagates. */
   private[graft] def tryPublish(spark: SparkSession, table: String,
       snap: Snapshot): Boolean = {
     val f = fs(spark, table)
     f.mkdirs(new org.apache.hadoop.fs.Path(commitsDir(table)))
-    val dst = new org.apache.hadoop.fs.Path(
-      manifestPath(table, snap.version))
-    val tmp = new org.apache.hadoop.fs.Path(
-      s"${commitsDir(table)}/.tmp-${java.util.UUID.randomUUID()}")
     val stamped = snap.copy(ts = Some(System.currentTimeMillis()))
-    val out = f.create(tmp, false)
-    try out.write(renderManifest(stamped).getBytes("UTF-8"))
-    finally out.close()
-    try {
-      if (dst.toUri.getScheme == null || dst.toUri.getScheme == "file") {
-        // local path: POSIX link(2) — atomic, fails on existing dst
-        val dstFile = java.nio.file.Paths.get(dst.toUri.getPath)
-        val tmpFile = java.nio.file.Paths.get(tmp.toUri.getPath)
-        try { java.nio.file.Files.createLink(dstFile, tmpFile); true }
-        catch {
-          case _: java.nio.file.FileAlreadyExistsException => false
-        }
-      } else {
-        // HDFS-like: rename refuses an existing destination atomically
-        f.rename(tmp, dst)
-      }
-    } finally f.delete(tmp, false): Unit
+    storeFor(spark, table).createIfAbsent(
+      manifestPath(table, snap.version),
+      renderManifest(stamped).getBytes("UTF-8"))
   }
 
   /** Commit an APPEND: new segment joins the previous version's list.

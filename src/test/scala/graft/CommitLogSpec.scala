@@ -1505,6 +1505,72 @@ class CommitLogSpec extends AnyFunSuite {
     }
   }
 
+  test("manifest-store seam: the lost-update law holds against a " +
+      "contended conditional-put object store, and BREAKS under a " +
+      "blind-PUT store — the law rests on exactly this primitive") {
+    val t = tmpTable()
+    // write-through fake S3: an exists-CHECK followed by a plain PUT
+    // is the race a conditional PUT closes; the artificial delay
+    // widens the window so contending appends genuinely interleave,
+    // and the synchronized recheck emulates server-side If-None-Match
+    val conditionalPut = new CommitLog.ConditionalPutStore(
+      (dst: String, content: Array[Byte]) => {
+        val p = java.nio.file.Paths.get(dst)
+        val existsAtCheck = java.nio.file.Files.exists(p)
+        Thread.sleep(30) // the check-to-put window
+        if (existsAtCheck) false
+        else CommitLogSpec.fakeStoreLock.synchronized {
+          if (java.nio.file.Files.exists(p)) false
+          else { java.nio.file.Files.write(p, content); true }
+        }
+      })
+    try {
+      CommitLog.registerManifestStore(t, conditionalPut)
+      CommitLog.append(spark, t, df((1L, "base", 0.0)))
+      // two genuinely concurrent appends: both enter the race window
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fa = Future(CommitLog.append(spark, t, df((2L, "a", 2.0))))
+      val fb = Future(CommitLog.append(spark, t, df((3L, "b", 3.0))))
+      val (va, vb) = (Await.result(fa, 120.seconds),
+        Await.result(fb, 120.seconds))
+      assert(Set(va, vb) === Set(2L, 3L), "exactly one winner per version")
+      assert(sortedRows(CommitLog.read(spark, t)) ===
+        Seq((1L, "base", 0.0), (2L, "a", 2.0), (3L, "b", 3.0)),
+        "no lost update: both writers' rows survive")
+    } finally CommitLog.unregisterManifestStore(t)
+
+    // negative control: blind PUT (no arbitration — what a naive S3
+    // writer does). Both contenders "win" the same version; the
+    // second overwrite erases the first writer's commit.
+    val t2 = tmpTable()
+    val blindPut = new CommitLog.ConditionalPutStore(
+      (dst: String, content: Array[Byte]) => {
+        Thread.sleep(30)
+        java.nio.file.Files.write(java.nio.file.Paths.get(dst), content)
+        true
+      })
+    try {
+      CommitLog.registerManifestStore(t2, blindPut)
+      CommitLog.append(spark, t2, df((1L, "base", 0.0)))
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fa = Future(CommitLog.append(spark, t2, df((2L, "a", 2.0))))
+      val fb = Future(CommitLog.append(spark, t2, df((3L, "b", 3.0))))
+      Await.result(fa, 120.seconds); Await.result(fb, 120.seconds)
+      val ids = CommitLog.read(spark, t2).select("id").collect()
+        .map(_.getLong(0)).toSet
+      assert(!(ids.contains(2L) && ids.contains(3L)),
+        s"blind PUT should lose one writer's update, read $ids")
+    } finally {
+      CommitLog.unregisterManifestStore(t2)
+      rm(t2)
+    }
+    rm(t)
+  }
+
   test("SQL UPDATE and MERGE INTO route through the bounded protocol " +
       "executor: clause order, insert conditions, CDC, duplicate-source " +
       "refusal, and loud unsupported shapes") {
@@ -1624,4 +1690,10 @@ class CommitLogSpec extends AnyFunSuite {
       rm(root + "/x")
     }
   }
+}
+
+object CommitLogSpec {
+  /** Emulates the object store's SERVER-SIDE arbitration point for
+    * the fake conditional-put store. */
+  val fakeStoreLock = new Object
 }
