@@ -92,7 +92,7 @@ object Pipeline18 {
         .as("sum_qty"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    queriesBase ++ queriesDml
+    queriesBase ++ queriesDml ++ queriesPartitioned
 
   private def queriesBase
       : Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -680,6 +680,49 @@ object Pipeline18 {
     })
   )
 
+  // ---- partitioned layout ---------------------------------------------
+
+  private def queriesPartitioned
+      : Map[String, (SparkSession, String) => DataFrame] = Map(
+    // PARTITIONED APPEND: orders lands as one segment per
+    // o_orderstatus in ONE commit (partition value recorded as a
+    // min=max sidecar), and a SQL equality probe on the partition
+    // column scans exactly one segment — witnessed from the executed
+    // plan, aggregate hash-checked against the oracle.
+    "q182_commitlog_partitioned" -> ((s, dir) => {
+      val stage = stageDir("q182_part")
+      val cat = "graftq182"
+      try {
+        s.conf.set(s"spark.sql.catalog.$cat",
+          "graft.sources.CommitLogCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", stage)
+        val tbl = s"$stage/ns/ord"
+        val o = t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+        CommitLogStats.appendPartitioned(s, tbl, o,
+          partitionCols = Seq("o_orderstatus"),
+          statsCols = Seq("o_orderkey"))
+        val live = CommitLog.snapshot(s, tbl).get.segments.size
+        val q = s.sql(
+          s"""SELECT o_orderstatus, COUNT(*) AS n_rows,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+             |    AS sum_price
+             |FROM $cat.ns.ord
+             |WHERE o_orderstatus = 'F'
+             |GROUP BY o_orderstatus""".stripMargin)
+        val scanned = scannedSegmentCount(q)
+        q.withColumn("n_segments_scanned", lit(scanned))
+          .withColumn("n_segments_live", lit(live))
+          .orderBy(col("o_orderstatus"))
+          .localCheckpoint(true)
+      } finally {
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.root")
+        rmStage(s, stage)
+      }
+    })
+  )
+
   // ---- executed-plan witnesses for the SQL read path ------------------
 
   private def planLeaves(p: org.apache.spark.sql.execution.SparkPlan)
@@ -1024,6 +1067,20 @@ object Pipeline18 {
         |  (SELECT n_deleted FROM counts) AS n_deleted,
         |  (SELECT n_inserted FROM ins) AS n_inserted
         |FROM final
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    // one segment per status by construction → the 'F' probe scans
+    // exactly 1 of COUNT(DISTINCT o_orderstatus) live segments
+    "q182_commitlog_partitioned" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price,
+        |  1 AS n_segments_scanned,
+        |  (SELECT CAST(COUNT(DISTINCT o_orderstatus) AS INT)
+        |     FROM orders) AS n_segments_live
+        |FROM orders
+        |WHERE o_orderstatus = 'F'
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin
   )

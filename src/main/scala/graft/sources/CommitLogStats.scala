@@ -370,6 +370,110 @@ object CommitLogStats {
         s"$maxRetries times at $table")
   }
 
+  /** PARTITIONED APPEND: land `df` as one segment PER DISTINCT
+    * partition-column tuple, committed as ONE manifest version — the
+    * layout knob Delta/Iceberg users reach for first, expressed
+    * through the machinery the tier already has: each segment's
+    * sidecar records min = max = its partition value, so the EXISTING
+    * skipping planner (programmatic [[planSkipping]] AND the SQL/DSv2
+    * read path) serves as partition pruning — an equality or range
+    * probe on a partition column opens only the matching segments,
+    * with no manifest-format change and no partition-value injection
+    * at read time (the columns stay IN the data files; the
+    * `partitionBy` staging write sees cloned `__p_` twins, so the
+    * originals survive). DML write amplification is bounded the same
+    * way: a delete/update/merge touching K partitions rewrites K
+    * segments.
+    *
+    * One shuffled partitioned write + one grouped stats pass,
+    * regardless of partition count ([[writeBucketedSegments]]'s
+    * shape). Partition columns must be STRING / integral / BOOLEAN
+    * and non-NULL — loud refusal otherwise (the restriction keeps
+    * the staged directory name ↔ value mapping exact; Hive-style
+    * partitioning without the __HIVE_DEFAULT_PARTITION__ null
+    * ambiguity). Extra `statsCols` ride along for range skipping on
+    * non-partition columns. */
+  def appendPartitioned(spark: SparkSession, table: String,
+      df: DataFrame, partitionCols: Seq[String],
+      statsCols: Seq[String] = Seq.empty,
+      maxRetries: Int = 20): Long = {
+    require(partitionCols.nonEmpty, "partitionCols must be non-empty")
+    val schema = df.schema
+    partitionCols.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"appendPartitioned: partition column '$c' absent from schema")
+      schema(c).dataType match {
+        case StringType | ByteType | ShortType | IntegerType |
+             LongType | BooleanType => ()
+        case other => throw new IllegalArgumentException(
+          s"appendPartitioned: partition column '$c' has type $other " +
+            "— only STRING / integral / BOOLEAN partition columns " +
+            "are supported (keeps directory-name ↔ value mapping exact)")
+      }
+    }
+    val sidecarCols = (partitionCols ++ statsCols).distinct
+    requireStatsCols(schema, sidecarCols)
+    val f = fs(spark, table)
+    val staging = s"$table/data/.staging-${java.util.UUID.randomUUID()}"
+    val pCols = partitionCols.map(c => s"__p_$c")
+    val segs: Seq[String] =
+      try {
+        // clone the partition columns so partitionBy's column
+        // dropping leaves the originals in the data files
+        val staged = partitionCols.foldLeft(df)((d, c) =>
+          d.withColumn(s"__p_$c", col(c)))
+        staged.repartition(partitionCols.map(col): _*)
+          .write.partitionBy(pCols: _*).parquet(staging)
+        val aggs = statsAggExprs(sidecarCols) :+
+          sum(when(partitionCols.map(col(_).isNull)
+            .reduce(_ || _), 1L).otherwise(0L)).as("__p_nulls")
+        val groups = df.groupBy(partitionCols.map(col): _*)
+          .agg(aggs.head, aggs.tail: _*).collect()
+        if (groups.exists(_.getAs[Long]("__p_nulls") > 0L) ||
+            groups.exists(r => partitionCols.indices.exists(r.isNullAt)))
+          throw new IllegalArgumentException(
+            "appendPartitioned: NULL partition values are not " +
+              "supported — filter or coalesce them first")
+        groups.toSeq.map { row =>
+          val leaf = partitionCols.map { c =>
+            val v = row.getAs[Any](c)
+            val s = v match {
+              case str: String => org.apache.spark.sql.catalyst.catalog
+                .ExternalCatalogUtils.escapePathName(str)
+              case other => other.toString
+            }
+            s"__p_$c=$s"
+          }.mkString("/")
+          val src = new org.apache.hadoop.fs.Path(s"$staging/$leaf")
+          require(f.exists(src),
+            s"appendPartitioned: staged partition dir $src missing — " +
+              "value/path encoding mismatch (report the partition value)")
+          val dst = s"$table/data/${java.util.UUID.randomUUID()}"
+          if (!f.rename(src, new org.apache.hadoop.fs.Path(dst)))
+            throw new java.io.IOException(
+              s"appendPartitioned: failed to move $src to $dst")
+          writeSidecarText(spark, dst,
+            sidecarText(schema, sidecarCols, row))
+          dst
+        }
+      } finally
+        f.delete(new org.apache.hadoop.fs.Path(staging), true): Unit
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val cur = CommitLog.snapshot(spark, table)
+      val v = cur.fold(1L)(_.version + 1L)
+      val snap = CommitLog.Snapshot(v,
+        cur.fold(Seq.empty[String])(_.segments) ++ segs,
+        cur.fold(0L)(_.version), "append",
+        schema = cur.flatMap(_.schema))
+      if (CommitLog.tryPublish(spark, table, snap)) return v
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"CommitLogStats.appendPartitioned: lost the version race " +
+        s"$maxRetries times at $table")
+  }
+
   /** OPTIMIZE for skippability: rewrite the CURRENT snapshot as
     * `nSegments` range-disjoint segments on `clusterCols` (split
     * points from a distributed row-number pass — no single-reducer

@@ -1505,6 +1505,69 @@ class CommitLogSpec extends AnyFunSuite {
     }
   }
 
+  test("appendPartitioned: one segment per partition value in one " +
+      "commit; equality probes prune through BOTH the programmatic " +
+      "planner and the SQL read path; DML rewrites only the touched " +
+      "partition; NULL and unsupported-type partitions refuse") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_part_").toString
+    try {
+      spark.conf.set("spark.sql.catalog.gpt",
+        "graft.sources.CommitLogCatalog")
+      spark.conf.set("spark.sql.catalog.gpt.root", root)
+      val path = s"$root/ns/t"
+      val data = Seq(
+        (1L, "us", 1.0), (2L, "us", 2.0), (3L, "eu=1/x", 3.0),
+        (4L, "ap", 4.0), (5L, "ap", 5.0))
+        .toDF("id", "region", "v")
+      val v = CommitLogStats.appendPartitioned(spark, path, data,
+        partitionCols = Seq("region"), statsCols = Seq("id"))
+      assert(v === 1L)
+      val snap = CommitLog.snapshot(spark, path).get
+      assert(snap.segments.size === 3, "one segment per region")
+      // partition columns survive IN the data
+      assert(CommitLog.read(spark, path).columns.toSeq ===
+        Seq("id", "region", "v"))
+      // programmatic pruning: equality probe keeps one segment —
+      // including the special-char value that exercises path escaping
+      val plan = CommitLogStats.planSkipping(spark, path, "region",
+        "eu=1/x", "eu=1/x")
+      assert(plan.kept.size === 1 && plan.pruned.size === 2)
+      assert(CommitLogStats.readSkipping(spark, path, "region",
+        "eu=1/x", "eu=1/x").collect().map(_.getLong(0)).toSeq === Seq(3L))
+      // SQL read path prunes the same way (sidecar min=max=value)
+      val q = spark.sql("SELECT id FROM gpt.ns.t WHERE region = 'us'")
+      assert(scannedSegments(q).size === 1)
+      assert(q.collect().map(_.getLong(0)).toSeq.sorted === Seq(1L, 2L))
+      // the extra stats column prunes on ranges across partitions
+      val idPlan = CommitLogStats.planSkipping(spark, path, "id", 4L, 5L)
+      assert(idPlan.kept.size === 1)
+      // DML write amplification is bounded to the touched partition
+      val pre = CommitLog.snapshot(spark, path).get.segments.toSet
+      CommitLog.delete(spark, path, col("id") === 4L)
+      val post = CommitLog.snapshot(spark, path).get.segments.toSet
+      assert((pre -- post).size === 1, "only one partition rewritten")
+      assert((pre & post).size === 2, "other partitions untouched")
+      // refusals: NULL partition values; non-scalar partition types
+      val eNull = intercept[IllegalArgumentException] {
+        CommitLogStats.appendPartitioned(spark, path,
+          Seq((9L, null: String, 9.0)).toDF("id", "region", "v"),
+          Seq("region"))
+      }
+      assert(eNull.getMessage.contains("NULL partition"))
+      val eType = intercept[IllegalArgumentException] {
+        CommitLogStats.appendPartitioned(spark, path,
+          Seq((9L, 1.5, 9.0)).toDF("id", "region", "v"), Seq("v"))
+      }
+      assert(eType.getMessage.contains("only STRING / integral"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gpt")
+      spark.conf.unset("spark.sql.catalog.gpt.root")
+      rm(root + "/x")
+    }
+  }
+
   test("manifest-store seam: the lost-update law holds against a " +
       "contended conditional-put object store, and BREAKS under a " +
       "blind-PUT store — the law rests on exactly this primitive") {
