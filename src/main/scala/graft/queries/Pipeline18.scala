@@ -106,11 +106,13 @@ object Pipeline18 {
         val li = t(s, dir, "lineitem").select(col("l_orderkey"),
           col("l_linenumber"), col("l_quantity"), col("l_returnflag"),
           col("l_shipdate"))
-        val (y0, y1) = yearSpan(li)
-        (y0 to y1).foreach { y =>
-          CommitLogStats.appendWithStats(s, tbl,
-            li.filter(year(col("l_shipdate")) === y), Seq("l_shipdate"))
-        }
+        val (y0, _) = yearSpan(li)
+        // one segment per calendar year in ONE commit (constant job
+        // count) — same layout the per-year appendWithStats loop
+        // built, at 2 jobs instead of 3 × nYears
+        CommitLogStats.appendSliced(s, tbl,
+          li.withColumn("__slice", year(col("l_shipdate"))),
+          "__slice", Seq("l_shipdate"))
         val (lo, hi) = probeBounds(y0)
         val plan = CommitLogStats.planSkipping(s, tbl, "l_shipdate", lo, hi)
         val out = aggregate(
@@ -350,11 +352,9 @@ object Pipeline18 {
         val li = t(s, dir, "lineitem").select(col("l_orderkey"),
           col("l_linenumber"), col("l_quantity"), col("l_returnflag"),
           col("l_shipdate"))
-        val (y0, y1) = yearSpan(li)
-        (y0 to y1).foreach { y =>
-          CommitLogStats.appendWithStats(s, tbl,
-            li.filter(year(col("l_shipdate")) === y), Seq("l_shipdate"))
-        }
+        CommitLogStats.appendSliced(s, tbl,
+          li.withColumn("__slice", year(col("l_shipdate"))),
+          "__slice", Seq("l_shipdate"))
         val meta = CommitLogStats.metadataAgg(s, tbl, "l_shipdate")
           .getOrElse(throw new IllegalStateException(
             "q173: every segment carries stats — metadata answer due"))
@@ -545,10 +545,9 @@ object Pipeline18 {
           col("l_linenumber"), col("l_quantity"), col("l_returnflag"),
           col("l_shipdate"))
         val (y0, y1) = yearSpan(li)
-        (y0 to y1).foreach { y =>
-          CommitLogStats.appendWithStats(s, tbl,
-            li.filter(year(col("l_shipdate")) === y), Seq("l_shipdate"))
-        }
+        CommitLogStats.appendSliced(s, tbl,
+          li.withColumn("__slice", year(col("l_shipdate"))),
+          "__slice", Seq("l_shipdate"))
         val (lo, hi) = probeBounds(y0)
         // TIMESTAMP_NTZ literals: the fixture's shipdate surfaces as
         // NTZ, and a same-type literal keeps the pushed comparison a

@@ -370,6 +370,44 @@ object CommitLogStats {
         s"$maxRetries times at $table")
   }
 
+  /** SLICED APPEND: land a frame carrying a caller-computed integer
+    * slice column as one segment PER SLICE in ONE append commit —
+    * the constant-job-count way to build a skippable time-sliced
+    * table (e.g. one segment per calendar year): one shuffled
+    * partitioned write + one grouped stats pass regardless of slice
+    * count, versus a write job + a stats job + a manifest commit PER
+    * slice for an appendWithStats loop. The slice column is dropped
+    * from the landed data; `statsCols` (typically the column the
+    * slicing was derived from) get sidecars with per-slice bounds,
+    * so [[planSkipping]] and the SQL read path prune exactly as for
+    * the loop-built layout. */
+  def appendSliced(spark: SparkSession, table: String, df: DataFrame,
+      sliceCol: String, statsCols: Seq[String],
+      maxRetries: Int = 20): Long = {
+    require(df.schema.fieldNames.contains(sliceCol),
+      s"appendSliced: slice column '$sliceCol' absent from frame")
+    val persisted = df.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val segs =
+      try writeBucketedSegments(spark, table, persisted, sliceCol,
+        Seq.empty, statsCols).map(_._2)
+      finally persisted.unpersist()
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val cur = CommitLog.snapshot(spark, table)
+      val v = cur.fold(1L)(_.version + 1L)
+      val snap = CommitLog.Snapshot(v,
+        cur.fold(Seq.empty[String])(_.segments) ++ segs,
+        cur.fold(0L)(_.version), "append",
+        schema = cur.flatMap(_.schema))
+      if (CommitLog.tryPublish(spark, table, snap)) return v
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"CommitLogStats.appendSliced: lost the version race " +
+        s"$maxRetries times at $table")
+  }
+
   /** PARTITIONED APPEND: land `df` as one segment PER DISTINCT
     * partition-column tuple, committed as ONE manifest version — the
     * layout knob Delta/Iceberg users reach for first, expressed
