@@ -100,6 +100,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     // SQL UPDATE / MERGE INTO over commit-log tables (graft.plans)
     ext.injectPlannerStrategy(_ => graft.plans.CommitLogDmlStrategy)
+    // table-valued CDC / audit surface (Delta's table_changes parity)
+    ext.injectTableFunction(GraftExtensions.tableChanges)
+    ext.injectTableFunction(GraftExtensions.tableHistory)
   }
 }
 
@@ -120,6 +123,58 @@ object GraftExtensions {
       PolyHashFP(children.head): Expression
     })
 
+  /** `SELECT * FROM graft_table_changes('<table dir>', <afterVersion>)`
+    * — the SQL surface of [[graft.sources.CommitLog.changeFeed]]
+    * (Delta's `table_changes` TVF, public design): full CDC rows with
+    * `_change_type` / `_commit_version` after the given version. Both
+    * arguments must be literals (the plan is built at analysis time —
+    * the same contract as Spark's own range()-style TVFs). */
+  private val tableChanges = (
+    new FunctionIdentifier("graft_table_changes"),
+    new ExpressionInfo(classOf[graft.sources.CommitLog.Snapshot].getName,
+      "graft_table_changes"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        "graft_table_changes(path STRING, afterVersion BIGINT)")
+      val path = literalString(children(0), "path")
+      val after = literalLong(children(1), "afterVersion")
+      graft.sources.CommitLog.changeFeed(
+        org.apache.spark.sql.SparkSession.active, path, after)
+        .queryExecution.analyzed
+    })
+
+  /** `SELECT * FROM graft_table_history('<table dir>')` — DESCRIBE
+    * HISTORY as a TVF over [[graft.sources.CommitLog.history]]. */
+  private val tableHistory = (
+    new FunctionIdentifier("graft_table_history"),
+    new ExpressionInfo(classOf[graft.sources.CommitLog.Snapshot].getName,
+      "graft_table_history"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1,
+        "graft_table_history(path STRING)")
+      val path = literalString(children(0), "path")
+      graft.sources.CommitLog.history(
+        org.apache.spark.sql.SparkSession.active, path)
+        .queryExecution.analyzed
+    })
+
+  private def literalString(e: Expression, name: String): String = {
+    require(e.foldable && e.dataType ==
+      org.apache.spark.sql.types.StringType,
+      s"argument '$name' must be a STRING literal")
+    e.eval().toString
+  }
+
+  private def literalLong(e: Expression, name: String): Long = {
+    require(e.foldable, s"argument '$name' must be a literal")
+    e.eval() match {
+      case i: Int => i.toLong
+      case l: Long => l
+      case other => throw new IllegalArgumentException(
+        s"argument '$name' must be an integral literal, got $other")
+    }
+  }
+
   /** Register on an already-built session (extensions only apply at
     * build time; tests and notebooks share getOrCreate'd sessions).
     * The optimizer rule rides `experimental.extraOptimizations`, the
@@ -129,6 +184,10 @@ object GraftExtensions {
       .registerFunction(dotFp._1, dotFp._2, dotFp._3)
     spark.sessionState.functionRegistry
       .registerFunction(polyHashFp._1, polyHashFp._2, polyHashFp._3)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      tableChanges._1, tableChanges._2, tableChanges._3)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      tableHistory._1, tableHistory._2, tableHistory._3)
     if (!spark.experimental.extraOptimizations.contains(RewriteDotProduct))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteDotProduct

@@ -386,6 +386,9 @@ object CommitLogStats {
       maxRetries: Int = 20): Long = {
     require(df.schema.fieldNames.contains(sliceCol),
       s"appendSliced: slice column '$sliceCol' absent from frame")
+    require(df.schema(sliceCol).dataType == IntegerType,
+      s"appendSliced: slice column '$sliceCol' must be INT (got " +
+        s"${df.schema(sliceCol).dataType}) — cast the slice expression")
     val persisted = df.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val segs =

@@ -201,4 +201,44 @@ class ExpressionSpec extends AnyFunSuite {
     val norms = emb.collect().map(_.getLong(0))
     assert(norms.forall(n => math.abs(n - 1e14) < 1e10))
   }
+
+  test("graft_table_changes / graft_table_history TVFs: the CDC and " +
+      "audit surfaces in plain SQL") {
+    import spark.implicits._
+    import graft.sources.CommitLog
+    val t = java.nio.file.Files
+      .createTempDirectory("graft_tvf_").resolve("tbl").toString
+    try {
+      CommitLog.append(spark, t,
+        Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+      CommitLog.append(spark, t, Seq((3L, "c")).toDF("id", "name"))
+      CommitLog.delete(spark, t, col("id") === 2L)
+      val feed = spark.sql(
+        s"SELECT _change_type, _commit_version, id FROM " +
+          s"graft_table_changes('$t', 1) ORDER BY _commit_version, id")
+      assert(feed.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ===
+        Seq(("insert", 2L, 3L), ("delete", 3L, 2L)))
+      // TVF composes with ordinary SQL (aggregation over the feed)
+      assert(spark.sql(
+        s"SELECT COUNT(*) FROM graft_table_changes('$t', 0) " +
+          "WHERE _change_type = 'insert'").collect()(0).getLong(0) === 3L)
+      val hist = spark.sql(
+        s"SELECT version, op FROM graft_table_history('$t') " +
+          "ORDER BY version")
+      assert(hist.collect().map(r => (r.getLong(0), r.getString(1)))
+        .toSeq === Seq((1L, "append"), (2L, "append"), (3L, "delete")))
+      // non-literal args refuse loudly
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT * FROM graft_table_changes('$t', id)")
+      }
+      assert(e.getMessage.toLowerCase.contains("literal") ||
+        e.getMessage.toLowerCase.contains("resolve"))
+    } finally {
+      def go(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(go)); f.delete(): Unit
+      }
+      go(new java.io.File(t).getParentFile)
+    }
+  }
 }
