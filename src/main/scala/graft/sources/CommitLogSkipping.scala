@@ -60,7 +60,10 @@ object CommitLogSkipping {
       case ByteType | ShortType | IntegerType | LongType =>
         Some(("long", l.value.asInstanceOf[Number].longValue()))
       case FloatType | DoubleType =>
-        Some(("double", l.value.asInstanceOf[Number].doubleValue()))
+        // -0.0 normalized to 0.0 — SQL equality vs Double.compare
+        // ordering (same rule as CommitLogStats.encode)
+        val d = l.value.asInstanceOf[Number].doubleValue()
+        Some(("double", if (d == 0.0) 0.0 else d))
       case StringType => Some(("string", l.value.toString))
       case DateType =>
         Some(("date", l.value.asInstanceOf[Int].toLong))

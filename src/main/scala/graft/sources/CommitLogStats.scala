@@ -68,13 +68,20 @@ object CommitLogStats {
 
   // ---- typed encode / decode ------------------------------------------
 
+  /** SQL equality treats -0.0 = 0.0 but Double.compare orders them —
+    * left unnormalized, a segment whose max is -0.0 would be wrongly
+    * pruned by a >= 0.0 probe (a false negative). Normalize at every
+    * encode boundary. NaN needs no special case: Double.compare puts
+    * it greatest and equal to itself, matching Spark's ordering. */
+  private def normZero(d: Double): Double = if (d == 0.0) 0.0 else d
+
   /** Canonical comparable form + tag for a stats value pulled out of
     * the min/max aggregate row. */
   private def encode(dt: DataType, v: Any): (String, Any) = dt match {
     case ByteType | ShortType | IntegerType | LongType =>
       ("long", v.asInstanceOf[Number].longValue())
     case FloatType | DoubleType =>
-      ("double", v.asInstanceOf[Number].doubleValue())
+      ("double", normZero(v.asInstanceOf[Number].doubleValue()))
     case StringType => ("string", v.asInstanceOf[String])
     case DateType =>
       ("date", v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay)
@@ -104,8 +111,8 @@ object CommitLogStats {
     case n: Short => ("long", n.toLong)
     case n: Int => ("long", n.toLong)
     case n: Long => ("long", n)
-    case n: Float => ("double", n.toDouble)
-    case n: Double => ("double", n)
+    case n: Float => ("double", normZero(n.toDouble))
+    case n: Double => ("double", normZero(n))
     case s: String => ("string", s)
     case d: java.sql.Date => ("date", d.toLocalDate.toEpochDay)
     case d: java.time.LocalDate => ("date", d.toEpochDay)

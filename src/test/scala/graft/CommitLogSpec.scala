@@ -1505,6 +1505,29 @@ class CommitLogSpec extends AnyFunSuite {
     }
   }
 
+  test("negative-zero stats: a segment whose max is -0.0 is KEPT by " +
+      "a >= 0.0 probe (SQL equality, not IEEE total order)") {
+    import spark.implicits._
+    val t = tmpTable()
+    try {
+      CommitLogStats.appendWithStats(spark, t,
+        Seq((1L, -0.0), (2L, -1.5)).toDF("id", "v"), Seq("v"))
+      // the sidecar's canonical form normalizes the zero: recorded
+      // max must compare equal-to-zero under Double.compare, so the
+      // probe decision can't depend on the writer's sign bit
+      val side = CommitLogStats.readSidecar(spark,
+        CommitLog.snapshot(spark, t).get.segments.head).get
+      val mx = side.cols("v").max.get.asInstanceOf[Double]
+      assert(java.lang.Double.compare(mx, 0.0) === 0,
+        s"sidecar max $mx must be normalized +0.0")
+      val plan = CommitLogStats.planSkipping(spark, t, "v", 0.0, 10.0)
+      assert(plan.kept.size === 1,
+        "-0.0 max must not prune the [0.0, 10.0] probe")
+      assert(CommitLogStats.readSkipping(spark, t, "v", 0.0, 10.0)
+        .collect().map(_.getLong(0)).toSeq === Seq(1L))
+    } finally rm(t)
+  }
+
   test("appendPartitioned: one segment per partition value in one " +
       "commit; equality probes prune through BOTH the programmatic " +
       "planner and the SQL read path; DML rewrites only the touched " +
