@@ -40,7 +40,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * sharing contract; evolution goes through `appendEvolve`).
   */
 class CommitLogCatalog extends TableCatalog
-    with SupportsNamespaces {
+    with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var initialRoot: String = _
@@ -78,6 +79,35 @@ class CommitLogCatalog extends TableCatalog
 
   private def pathOf(ident: Identifier): String =
     (root +: ident.namespace().toSeq :+ ident.name()).mkString("/")
+
+  /** Resolve a `namespace.table` reference (a procedure's `table`
+    * argument) under this catalog's root. */
+  private[sources] def locationOf(tableRef: String): String =
+    (root +: tableRef.split('.').toSeq.map(_.trim)).mkString("/")
+
+  /** `CALL <cat>.system.<proc>(...)` — the lifecycle verbs Spark's
+    * parser has no statements for (OPTIMIZE / VACUUM / RESTORE /
+    * CLONE), shipped the way Iceberg ships them: as catalog stored
+    * procedures. See [[CommitLogProcedures]]. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures
+        .UnboundProcedure = {
+    if (ident.namespace().toSeq != Seq("system"))
+      throw new RuntimeException(
+        s"commitlog catalog: procedures live in the 'system' " +
+          s"namespace, got ${ident.namespace().mkString(".")}")
+    CommitLogProcedures.load(this, ident.name()).getOrElse(
+      throw new RuntimeException(
+        s"commitlog catalog: unknown procedure '${ident.name()}' — " +
+          s"available: ${CommitLogProcedures.list.mkString(", ")}"))
+  }
+
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] =
+    if (namespace.toSeq == Seq("system"))
+      CommitLogProcedures.list
+        .map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = new org.apache.hadoop.fs.Path(

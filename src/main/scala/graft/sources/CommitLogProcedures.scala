@@ -1,0 +1,147 @@
+package graft.sources
+
+import java.util.Collections
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+
+/** SQL stored procedures for the commit-log lifecycle — the
+  * `CALL cat.system.<proc>(...)` surface (Spark 4's ProcedureCatalog,
+  * the public pattern Iceberg ships its OPTIMIZE/maintenance verbs
+  * through, since Spark's parser has no OPTIMIZE/VACUUM statements):
+  *
+  * {{{
+  *   CALL cat.system.compact(table => 'ns.t', target_rows => 100000)
+  *   CALL cat.system.optimize_cluster(table => 'ns.t',
+  *     cluster_by => 'l_shipdate,l_orderkey', segments => 8,
+  *     stats_by => 'l_shipdate')
+  *   CALL cat.system.optimize_zorder(table => 'ns.t', x => 'p',
+  *     y => 's', tie_break => 'id', segments => 16)
+  *   CALL cat.system.optimize_bucket(table => 'ns.t', keys => 'id',
+  *     buckets => 8)
+  *   CALL cat.system.vacuum(table => 'ns.t', retain => 2)
+  *   CALL cat.system.restore(table => 'ns.t', version => 3)
+  *   CALL cat.system.clone_table(source => 'ns.t', target => 'ns.u')
+  * }}}
+  *
+  * Each returns its committed version as a one-row result. Column
+  * lists are comma-separated strings (`a,b,c`). Table references are
+  * `namespace.table` under the owning catalog's root — the same
+  * resolution every other surface uses. */
+private[sources] object CommitLogProcedures {
+
+  private def spark: SparkSession = SparkSession.active
+
+  private val names = Seq("compact", "optimize_cluster",
+    "optimize_zorder", "optimize_bucket", "vacuum", "restore",
+    "clone_table")
+
+  def list: Seq[String] = names
+
+  def load(catalog: CommitLogCatalog, name: String)
+      : Option[UnboundProcedure] = {
+    def path(ref: String): String = catalog.locationOf(ref)
+    def cols(s: String): Seq[String] =
+      s.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    name.toLowerCase match {
+      case "compact" => Some(proc("compact",
+        Seq(in("table", StringType),
+          in("target_rows", LongType, Some("1048576"))),
+        row => CommitLog.compact(spark, path(str(row, 0)),
+          targetRowsPerFile = row.getLong(1))))
+      case "optimize_cluster" => Some(proc("optimize_cluster",
+        Seq(in("table", StringType), in("cluster_by", StringType),
+          in("segments", IntegerType),
+          in("stats_by", StringType, Some("NULL"))),
+        row => {
+          val cluster = cols(str(row, 1))
+          val stats = if (row.isNullAt(3)) cluster else cols(str(row, 3))
+          CommitLogStats.compactClustered(spark, path(str(row, 0)),
+            cluster, row.getInt(2), stats)
+        }))
+      case "optimize_zorder" => Some(proc("optimize_zorder",
+        Seq(in("table", StringType), in("x", StringType),
+          in("y", StringType), in("tie_break", StringType),
+          in("segments", IntegerType),
+          in("stats_by", StringType, Some("NULL"))),
+        row => {
+          val (x, y) = (str(row, 1), str(row, 2))
+          val stats = if (row.isNullAt(5)) Seq(x, y) else cols(str(row, 5))
+          CommitLogStats.compactZOrder(spark, path(str(row, 0)), x, y,
+            cols(str(row, 3)), row.getInt(4), stats)
+        }))
+      case "optimize_bucket" => Some(proc("optimize_bucket",
+        Seq(in("table", StringType), in("keys", StringType),
+          in("buckets", IntegerType),
+          in("stats_by", StringType, Some("NULL"))),
+        row => {
+          val keys = cols(str(row, 1))
+          val stats = if (row.isNullAt(3)) keys else cols(str(row, 3))
+          CommitLogStats.compactBucketed(spark, path(str(row, 0)),
+            keys, row.getInt(2), stats)
+        }))
+      case "vacuum" => Some(proc("vacuum",
+        Seq(in("table", StringType),
+          in("retain", IntegerType, Some("2"))),
+        row => {
+          val p = path(str(row, 0))
+          CommitLog.vacuum(spark, p, retainVersions = row.getInt(1))
+          CommitLog.currentVersion(spark, p).getOrElse(0L)
+        }))
+      case "restore" => Some(proc("restore",
+        Seq(in("table", StringType), in("version", LongType)),
+        row => CommitLog.restore(spark, path(str(row, 0)),
+          row.getLong(1))))
+      case "clone_table" => Some(proc("clone_table",
+        Seq(in("source", StringType), in("target", StringType)),
+        row => CommitLog.cloneTable(spark, path(str(row, 0)),
+          path(str(row, 1)))))
+      case _ => None
+    }
+  }
+
+  private def str(row: InternalRow, i: Int): String =
+    row.getUTF8String(i).toString
+
+  private def in(name: String, dt: DataType,
+      default: Option[String] = None): ProcedureParameter = {
+    val b = ProcedureParameter.in(name, dt)
+    default.foreach(b.defaultValue)
+    b.build()
+  }
+
+  /** One-row `(version BIGINT)` result through a LocalScan — the
+    * procedure's committed version, so `CALL` composes in SQL. */
+  private def proc(procName: String, params: Seq[ProcedureParameter],
+      body: InternalRow => Long): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String =
+        s"commitlog lifecycle procedure $procName"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = procName
+          override def description(): String =
+            s"commitlog lifecycle procedure $procName"
+          override def parameters(): Array[ProcedureParameter] =
+            params.toArray
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow)
+              : java.util.Iterator[Scan] = {
+            val version = body(input)
+            val scan: Scan = new LocalScan {
+              override def readSchema(): StructType = StructType(Seq(
+                StructField("version", LongType, nullable = false)))
+              override def rows(): Array[InternalRow] =
+                Array(InternalRow(version))
+              override def description(): String =
+                s"CommitLogProcedureResult($procName)"
+            }
+            Collections.singletonList(scan).iterator()
+          }
+        }
+    }
+}

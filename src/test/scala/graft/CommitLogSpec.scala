@@ -1505,6 +1505,67 @@ class CommitLogSpec extends AnyFunSuite {
     }
   }
 
+  test("CALL procedures: optimize_cluster / optimize_bucket / compact " +
+      "/ vacuum / restore / clone_table drive the lifecycle from SQL, " +
+      "each returning its committed version") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_proc_").toString
+    try {
+      spark.conf.set("spark.sql.catalog.gpr",
+        "graft.sources.CommitLogCatalog")
+      spark.conf.set("spark.sql.catalog.gpr.root", root)
+      val path = s"$root/ns/t"
+      // scattered ingest: 3 appends, every segment spans the id range
+      for (i <- 0 until 3)
+        CommitLog.append(spark, path, (0 until 20).filter(_ % 3 == i)
+          .map(k => (k.toLong, s"n$k", k * 1.0))
+          .toDF("id", "name", "v"))
+      // OPTIMIZE via CALL: 4 range-disjoint segments, stats on id
+      val v1 = spark.sql("CALL gpr.system.optimize_cluster(" +
+        "table => 'ns.t', cluster_by => 'id', segments => 4)")
+        .collect()(0).getLong(0)
+      assert(v1 === 4L)
+      assert(CommitLog.snapshot(spark, path).get.segments.size === 4)
+      val plan = CommitLogStats.planSkipping(spark, path, "id", 0L, 4L)
+      assert(plan.kept.size === 1 && plan.pruned.size === 3)
+      // bucket OPTIMIZE via CALL
+      val v2 = spark.sql("CALL gpr.system.optimize_bucket(" +
+        "table => 'ns.t', keys => 'id', buckets => 2)")
+        .collect()(0).getLong(0)
+      assert(v2 === 5L)
+      // compact with the default target_rows (parameter default used)
+      val v3 = spark.sql("CALL gpr.system.compact(table => 'ns.t')")
+        .collect()(0).getLong(0)
+      assert(v3 === 6L)
+      // restore to the clustered version — content identical
+      val v4 = spark.sql("CALL gpr.system.restore(" +
+        "table => 'ns.t', version => 4)").collect()(0).getLong(0)
+      assert(v4 === 7L)
+      assert(CommitLog.read(spark, path).count() === 20L)
+      // clone, then vacuum the source down to 2 retained versions
+      spark.sql("CALL gpr.system.clone_table(" +
+        "source => 'ns.t', target => 'ns.t2')")
+      assert(CommitLog.read(spark, s"$root/ns/t2").count() === 20L)
+      spark.sql("CALL gpr.system.vacuum(table => 'ns.t', retain => 2)")
+      assert(CommitLog.versions(spark, path) === Seq(6L, 7L))
+      assert(CommitLog.read(spark, path).count() === 20L)
+      // unknown procedure refuses (Spark wraps the catalog's error,
+      // which names the available procedures, in FAILED_TO_LOAD_ROUTINE)
+      val e = intercept[Exception] {
+        spark.sql("CALL gpr.system.nope(table => 'ns.t')")
+      }
+      val messages = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+      assert(messages.contains("FAILED_TO_LOAD_ROUTINE") ||
+        messages.contains("available"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gpr")
+      spark.conf.unset("spark.sql.catalog.gpr.root")
+      rm(root + "/x")
+    }
+  }
+
   test("negative-zero stats: a segment whose max is -0.0 is KEPT by " +
       "a >= 0.0 probe (SQL equality, not IEEE total order)") {
     import spark.implicits._
