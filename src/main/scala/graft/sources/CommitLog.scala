@@ -63,6 +63,42 @@ object CommitLog {
       ts: Option[Long] = None)
 
   private def commitsDir(table: String) = s"$table/_commits"
+
+  /** Table-level partition-column marker (`_partition.json`): written
+    * once at `CREATE TABLE … PARTITIONED BY` and immutable thereafter
+    * — partition columns are table metadata, not per-version state
+    * (the Hive/Delta model), so the manifest format is untouched.
+    * Catalog INSERTs route through the partitioned writer when the
+    * marker is present; every reader prunes via the ordinary sidecar
+    * tier (partition segments carry min = max = value). */
+  private[graft] def writePartitionMarker(spark: SparkSession,
+      table: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty && cols.forall(!_.contains(",")),
+      "partition columns must be non-empty and comma-free")
+    val f = fs(spark, table)
+    f.mkdirs(new org.apache.hadoop.fs.Path(table))
+    val p = new org.apache.hadoop.fs.Path(s"$table/_partition.json")
+    val out = f.create(p, false)
+    try out.write(
+      s"""{"partitionBy":"${cols.mkString(",")}"}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The recorded partition columns, if the table was created
+    * partitioned. */
+  def partitionColumns(spark: SparkSession,
+      table: String): Option[Seq[String]] = {
+    val f = fs(spark, table)
+    val p = new org.apache.hadoop.fs.Path(s"$table/_partition.json")
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      "\"partitionBy\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(txt)
+        .map(_.group(1).split(',').toSeq.filter(_.nonEmpty))
+    }
+  }
   private def manifestPath(table: String, v: Long) =
     f"${commitsDir(table)}/$v%020d.manifest"
 

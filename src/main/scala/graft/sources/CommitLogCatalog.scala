@@ -149,11 +149,27 @@ class CommitLogCatalog extends TableCatalog
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "commitlog catalog: partition transforms are not supported — " +
-        "use compactClustered/compactZOrder/compactBucketed for layout")
+    // identity partition transforms only (Hive-style `PARTITIONED BY
+    // (col)`); bucket/temporal transforms go through the OPTIMIZE
+    // procedures instead
+    val partitionCols = partitions.toSeq.map { t =>
+      val refs = t.references()
+      if (t.name() == "identity" && refs.length == 1 &&
+          refs(0).fieldNames().length == 1) refs(0).fieldNames()(0)
+      else throw new UnsupportedOperationException(
+        s"commitlog catalog: unsupported partition transform $t — " +
+          "only identity PARTITIONED BY (col, …) is supported; use " +
+          "CALL <cat>.system.optimize_* for bucket/z-order layout")
+    }
+    partitionCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"commitlog catalog: partition column '$c' absent from schema"))
     val path = pathOf(ident)
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    // marker first: a crash between marker and manifest leaves a
+    // table that does not exist yet (existence = _commits), and the
+    // second create attempt fails loudly on the existing marker
+    if (partitionCols.nonEmpty)
+      CommitLog.writePartitionMarker(spark, path, partitionCols)
     val snap = CommitLog.Snapshot(1L, Seq.empty, 0L, "create",
       schema = Some(CommitLog.encodeSchema(schema)))
     if (!CommitLog.tryPublish(spark, path, snap))

@@ -255,6 +255,15 @@ class CommitLogTable(spark: SparkSession, path: String,
 
   override def name(): String = pq.name
   override def schema(): StructType = pq.schema
+
+  /** A table created `PARTITIONED BY` reports its identity
+    * transforms (DESCRIBE shows them; writes route through the
+    * partitioned writer below). */
+  override def partitioning()
+      : Array[org.apache.spark.sql.connector.expressions.Transform] =
+    CommitLog.partitionColumns(spark, path).getOrElse(Seq.empty)
+      .map(c => org.apache.spark.sql.connector.expressions
+        .Expressions.identity(c)).toArray
   override def capabilities(): util.Set[TableCapability] = {
     val caps = new util.HashSet[TableCapability](pq.capabilities())
     caps.add(TableCapability.V1_BATCH_WRITE)
@@ -282,8 +291,22 @@ class CommitLogTable(spark: SparkSession, path: String,
           override def toInsertableRelation
               : org.apache.spark.sql.sources.InsertableRelation =
             (data: DataFrame, _: Boolean) => {
-              if (overwrite) CommitLogTable.overwrite(spark, path, data)
-              else { CommitLog.append(spark, path, data): Unit }
+              // a PARTITIONED BY table lands one sidecar'd segment
+              // per partition tuple on every write — INSERTs are
+              // born prunable, no OPTIMIZE needed
+              val pCols = CommitLog.partitionColumns(spark, path)
+              (overwrite, pCols) match {
+                case (false, None) =>
+                  CommitLog.append(spark, path, data): Unit
+                case (false, Some(cols)) =>
+                  CommitLogStats.appendPartitioned(spark, path, data,
+                    cols): Unit
+                case (true, None) =>
+                  CommitLogTable.overwrite(spark, path, data)
+                case (true, Some(cols)) =>
+                  CommitLogTable.overwritePartitioned(spark, path,
+                    data, cols)
+              }
             }
         }
     }
@@ -447,6 +470,27 @@ object CommitLogTable {
       val cur = CommitLog.snapshot(spark, table)
       val v = cur.fold(1L)(_.version + 1L)
       val snap = CommitLog.Snapshot(v, Seq(seg),
+        cur.fold(0L)(_.version), "overwrite",
+        schema = cur.flatMap(_.schema))
+      if (CommitLog.tryPublish(spark, table, snap)) return
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"commitlog overwrite: lost the version race 20 times at $table")
+  }
+
+  /** [[overwrite]] for a PARTITIONED BY table: the replacement state
+    * lands as one sidecar'd segment per partition tuple (the same
+    * staging as a partitioned append), published as one `overwrite`
+    * version. */
+  private[sources] def overwritePartitioned(spark: SparkSession,
+      table: String, df: DataFrame, cols: Seq[String]): Unit = {
+    val segs = CommitLogStats.stagePartitioned(spark, table, df, cols)
+    var attempt = 0
+    while (attempt < 20) {
+      val cur = CommitLog.snapshot(spark, table)
+      val v = cur.fold(1L)(_.version + 1L)
+      val snap = CommitLog.Snapshot(v, segs,
         cur.fold(0L)(_.version), "overwrite",
         schema = cur.flatMap(_.schema))
       if (CommitLog.tryPublish(spark, table, snap)) return

@@ -445,6 +445,32 @@ object CommitLogStats {
       df: DataFrame, partitionCols: Seq[String],
       statsCols: Seq[String] = Seq.empty,
       maxRetries: Int = 20): Long = {
+    val segs = stagePartitioned(spark, table, df, partitionCols,
+      statsCols)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val cur = CommitLog.snapshot(spark, table)
+      val v = cur.fold(1L)(_.version + 1L)
+      val snap = CommitLog.Snapshot(v,
+        cur.fold(Seq.empty[String])(_.segments) ++ segs,
+        cur.fold(0L)(_.version), "append",
+        schema = cur.flatMap(_.schema))
+      if (CommitLog.tryPublish(spark, table, snap)) return v
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"CommitLogStats.appendPartitioned: lost the version race " +
+        s"$maxRetries times at $table")
+  }
+
+  /** [[appendPartitioned]]'s staging step alone: land `df` as one
+    * sidecar'd segment per partition tuple and return the segment
+    * list WITHOUT publishing — the caller commits them in its own
+    * snapshot (the catalog's partitioned INSERT OVERWRITE publishes
+    * an `overwrite` version over the same staged set). */
+  private[sources] def stagePartitioned(spark: SparkSession,
+      table: String, df: DataFrame, partitionCols: Seq[String],
+      statsCols: Seq[String] = Seq.empty): Seq[String] = {
     require(partitionCols.nonEmpty, "partitionCols must be non-empty")
     val schema = df.schema
     partitionCols.foreach { c =>
@@ -506,20 +532,7 @@ object CommitLogStats {
         }
       } finally
         f.delete(new org.apache.hadoop.fs.Path(staging), true): Unit
-    var attempt = 0
-    while (attempt < maxRetries) {
-      val cur = CommitLog.snapshot(spark, table)
-      val v = cur.fold(1L)(_.version + 1L)
-      val snap = CommitLog.Snapshot(v,
-        cur.fold(Seq.empty[String])(_.segments) ++ segs,
-        cur.fold(0L)(_.version), "append",
-        schema = cur.flatMap(_.schema))
-      if (CommitLog.tryPublish(spark, table, snap)) return v
-      attempt += 1
-    }
-    throw new java.io.IOException(
-      s"CommitLogStats.appendPartitioned: lost the version race " +
-        s"$maxRetries times at $table")
+    segs
   }
 
   /** OPTIMIZE for skippability: rewrite the CURRENT snapshot as

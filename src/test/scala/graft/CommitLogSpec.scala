@@ -1505,6 +1505,63 @@ class CommitLogSpec extends AnyFunSuite {
     }
   }
 
+  test("CREATE TABLE PARTITIONED BY: INSERTs land one segment per " +
+      "partition value, SQL probes prune, INSERT OVERWRITE stays " +
+      "partitioned, non-identity transforms refuse") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ddlpart_").toString
+    try {
+      spark.conf.set("spark.sql.catalog.gdp",
+        "graft.sources.CommitLogCatalog")
+      spark.conf.set("spark.sql.catalog.gdp.root", root)
+      spark.sql("CREATE TABLE gdp.ns.t (id BIGINT, region STRING, " +
+        "v DOUBLE) PARTITIONED BY (region)")
+      val path = s"$root/ns/t"
+      assert(CommitLog.partitionColumns(spark, path) ===
+        Some(Seq("region")))
+      spark.sql("INSERT INTO gdp.ns.t VALUES (1, 'us', 1.0), " +
+        "(2, 'eu', 2.0), (3, 'us', 3.0)")
+      // one segment per region, each with a min=max sidecar
+      assert(CommitLog.snapshot(spark, path).get.segments.size === 2)
+      // the partition column survives in the data
+      assert(spark.sql("SELECT region FROM gdp.ns.t WHERE id = 1")
+        .collect()(0).getString(0) === "us")
+      // equality probe on the partition column scans 1 segment
+      val q = spark.sql("SELECT id FROM gdp.ns.t WHERE region = 'eu'")
+      assert(scannedSegments(q).size === 1)
+      assert(q.collect().map(_.getLong(0)).toSeq === Seq(2L))
+      // DESCRIBE surfaces the partitioning
+      val desc = spark.sql("DESCRIBE TABLE gdp.ns.t").collect()
+        .map(_.getString(0))
+      assert(desc.contains("# Partitioning") ||
+        desc.exists(_.contains("region")), desc.mkString(","))
+      // a second INSERT appends partition-pure segments (no merge
+      // of partitions across commits — 2 more segments)
+      spark.sql("INSERT INTO gdp.ns.t VALUES (4, 'eu', 4.0), " +
+        "(5, 'ap', 5.0)")
+      assert(CommitLog.snapshot(spark, path).get.segments.size === 4)
+      // INSERT OVERWRITE replaces with a partitioned layout
+      spark.sql("INSERT OVERWRITE gdp.ns.t VALUES (9, 'us', 9.0), " +
+        "(10, 'eu', 10.0)")
+      val snap = CommitLog.snapshot(spark, path).get
+      assert(snap.op === "overwrite" && snap.segments.size === 2)
+      val q2 = spark.sql("SELECT id FROM gdp.ns.t WHERE region = 'us'")
+      assert(scannedSegments(q2).size === 1)
+      assert(q2.collect().map(_.getLong(0)).toSeq === Seq(9L))
+      // non-identity transforms refuse loudly
+      val e = intercept[UnsupportedOperationException] {
+        spark.sql("CREATE TABLE gdp.ns.bad (id BIGINT, ts TIMESTAMP) " +
+          "PARTITIONED BY (days(ts))")
+      }
+      assert(e.getMessage.contains("identity"))
+      spark.sql("DROP TABLE gdp.ns.t")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gdp")
+      spark.conf.unset("spark.sql.catalog.gdp.root")
+      rm(root + "/x")
+    }
+  }
+
   test("CALL procedures: optimize_cluster / optimize_bucket / compact " +
       "/ vacuum / restore / clone_table drive the lifecycle from SQL, " +
       "each returning its committed version") {
