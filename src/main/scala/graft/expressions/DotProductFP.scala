@@ -162,7 +162,9 @@ object GraftExtensions {
     require(e.foldable && e.dataType ==
       org.apache.spark.sql.types.StringType,
       s"argument '$name' must be a STRING literal")
-    e.eval().toString
+    val v = e.eval()
+    require(v != null, s"argument '$name' must not be NULL")
+    v.toString
   }
 
   private def literalLong(e: Expression, name: String): Long = {
@@ -170,6 +172,8 @@ object GraftExtensions {
     e.eval() match {
       case i: Int => i.toLong
       case l: Long => l
+      case null => throw new IllegalArgumentException(
+        s"argument '$name' must not be NULL")
       case other => throw new IllegalArgumentException(
         s"argument '$name' must be an integral literal, got $other")
     }

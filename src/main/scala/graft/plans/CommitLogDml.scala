@@ -155,11 +155,17 @@ object CommitLogDmlStrategy extends SparkStrategy {
     // the executor tests DELETE before UPDATE; SQL is first-match-
     // wins in clause order. With UPDATE listed first, a row matching
     // both conditions must update — guard the delete condition.
+    // Three-valued logic: a NULL-evaluating update condition means
+    // "update clause NOT taken" (SQL falls through to DELETE), but a
+    // bare `base && !NULL` is NULL and the executor's
+    // coalesce(delCond, false) would silently KEEP the row — so the
+    // guard must coalesce the update condition to false first.
     val deleteCond: Option[Column] = delete.map { condOpt =>
       val base = condOpt.getOrElse(lit(true))
       if (updateBeforeDelete && update.nonEmpty) {
         val updCond = update.get._2.getOrElse(lit(true))
-        base && !updCond
+        base && !org.apache.spark.sql.functions.coalesce(
+          updCond, lit(false))
       } else base
     }
 

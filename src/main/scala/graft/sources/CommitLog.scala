@@ -274,8 +274,12 @@ object CommitLog {
   private def storeFor(spark: SparkSession, table: String)
       : ManifestStore = {
     import scala.jdk.CollectionConverters._
+    // path-segment-boundary prefix match: a store registered for
+    // /data/tbl must NOT capture /data/tbl_backup
     storeRegistry.asScala.toSeq
-      .filter { case (prefix, _) => table.startsWith(prefix) }
+      .filter { case (prefix, _) =>
+        table == prefix || table.startsWith(prefix.stripSuffix("/") + "/")
+      }
       .sortBy(-_._1.length).headOption.map(_._2)
       .getOrElse(new FsManifestStore(fs(spark, table)))
   }

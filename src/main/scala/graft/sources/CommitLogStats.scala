@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -277,7 +277,8 @@ object CommitLogStats {
     * Returns (bucket → segment), empty buckets absent. */
   private def writeBucketedSegments(spark: SparkSession, table: String,
       bucketed: DataFrame, bucketCol: String, dropCols: Seq[String],
-      statsCols: Seq[String]): Seq[(Int, String)] = {
+      statsCols: Seq[String],
+      orderWithin: Seq[Column] = Seq.empty): Seq[(Int, String)] = {
     val clean = bucketed.drop(dropCols.filterNot(_ == bucketCol): _*)
     val landedSchema = StructType(
       clean.schema.filterNot(_.name == bucketCol))
@@ -285,11 +286,31 @@ object CommitLogStats {
     val f = fs(spark, table)
     val staging = s"$table/data/.staging-${java.util.UUID.randomUUID()}"
     try {
+      // sort within partitions after the bucket shuffle so the row
+      // groups INSIDE each segment stay range-tight on the layout
+      // columns — segment-level disjointness alone would leave every
+      // row group spanning its segment's whole range, wasting the
+      // footer/page pruning the OPTIMIZE paid a global sort for
+      val orderCols =
+        if (orderWithin.nonEmpty) orderWithin
+        else statsCols.filter(landedSchema.fieldNames.contains).map(col)
       clean.repartition(col(bucketCol))
+        .sortWithinPartitions(col(bucketCol) +: orderCols: _*)
         .write.partitionBy(bucketCol).parquet(staging)
       val leaves = f.listStatus(new org.apache.hadoop.fs.Path(staging))
         .map(_.getPath).filter(_.getName.startsWith(s"$bucketCol="))
-        .map(p => p.getName.stripPrefix(s"$bucketCol=").toInt -> p)
+        .map { p =>
+          val raw = p.getName.stripPrefix(s"$bucketCol=")
+          val b = try raw.toInt catch {
+            case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"CommitLogStats: bucket/slice column '$bucketCol' " +
+                  s"produced non-integer staging value '$raw' — NULL " +
+                  "slice values are not supported; filter or coalesce " +
+                  "them first")
+          }
+          b -> p
+        }
         .toSeq.sortBy(_._1)
       val segs = leaves.map { case (b, src) =>
         val dst = s"$table/data/${java.util.UUID.randomUUID()}"
@@ -490,24 +511,43 @@ object CommitLogStats {
     val f = fs(spark, table)
     val staging = s"$table/data/.staging-${java.util.UUID.randomUUID()}"
     val pCols = partitionCols.map(c => s"__p_$c")
+    // persist: the write pass and the stats pass MUST see the same
+    // rows — a nondeterministic source (sampled / rand-derived /
+    // shuffle-order-dependent) recomputed between the two actions
+    // would give sidecar bounds that don't cover the landed rows,
+    // and skipping would silently prune matching segments
+    val pinned = df.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val segs: Seq[String] =
       try {
         // clone the partition columns so partitionBy's column
-        // dropping leaves the originals in the data files
-        val staged = partitionCols.foldLeft(df)((d, c) =>
+        // dropping leaves the originals in the data files; sort
+        // within partitions on the stats columns so parquet row
+        // groups inside each segment stay range-tight
+        val staged = partitionCols.foldLeft(pinned)((d, c) =>
           d.withColumn(s"__p_$c", col(c)))
         staged.repartition(partitionCols.map(col): _*)
+          .sortWithinPartitions(sidecarCols.map(col): _*)
           .write.partitionBy(pCols: _*).parquet(staging)
         val aggs = statsAggExprs(sidecarCols) :+
           sum(when(partitionCols.map(col(_).isNull)
             .reduce(_ || _), 1L).otherwise(0L)).as("__p_nulls")
-        val groups = df.groupBy(partitionCols.map(col): _*)
+        val groups = pinned.groupBy(partitionCols.map(col): _*)
           .agg(aggs.head, aggs.tail: _*).collect()
         if (groups.exists(_.getAs[Long]("__p_nulls") > 0L) ||
             groups.exists(r => partitionCols.indices.exists(r.isNullAt)))
           throw new IllegalArgumentException(
             "appendPartitioned: NULL partition values are not " +
               "supported — filter or coalesce them first")
+        // empty strings share NULL's staging directory name
+        // (__HIVE_DEFAULT_PARTITION__), so the value ↔ path mapping
+        // stops being exact — refuse BEFORE any rename, same as NULL
+        if (groups.exists(r => partitionCols.indices.exists(i =>
+            r.get(i) == "")))
+          throw new IllegalArgumentException(
+            "appendPartitioned: empty-string partition values are " +
+              "not supported (they alias the NULL staging directory)" +
+              " — filter or map them first")
         groups.toSeq.map { row =>
           val leaf = partitionCols.map { c =>
             val v = row.getAs[Any](c)
@@ -530,8 +570,10 @@ object CommitLogStats {
             sidecarText(schema, sidecarCols, row))
           dst
         }
-      } finally
+      } finally {
+        pinned.unpersist()
         f.delete(new org.apache.hadoop.fs.Path(staging), true): Unit
+      }
     segs
   }
 
@@ -567,7 +609,8 @@ object CommitLogStats {
           .cast("int")).persist()
       try {
         val segs = writeBucketedSegments(spark, table, bucketed,
-          "__bucket", Seq("__rn"), statsCols).map(_._2)
+          "__bucket", Seq("__rn"), statsCols,
+          orderWithin = clusterCols.map(col)).map(_._2)
         val snap = CommitLog.Snapshot(cur.version + 1L, segs,
           cur.version, "compact", schema = cur.schema)
         if (CommitLog.tryPublish(spark, table, snap)) return snap.version

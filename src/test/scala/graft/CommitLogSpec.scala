@@ -1702,6 +1702,22 @@ class CommitLogSpec extends AnyFunSuite {
           Seq((9L, 1.5, 9.0)).toDF("id", "region", "v"), Seq("v"))
       }
       assert(eType.getMessage.contains("only STRING / integral"))
+      // empty strings alias NULL's staging directory — refuse BEFORE
+      // any segment rename, with a clear message
+      val eEmpty = intercept[IllegalArgumentException] {
+        CommitLogStats.appendPartitioned(spark, path,
+          Seq((9L, "", 9.0)).toDF("id", "region", "v"), Seq("region"))
+      }
+      assert(eEmpty.getMessage.contains("empty-string partition"))
+      // a NULL slice value refuses with a clear message, not a
+      // NumberFormatException from the staging-directory parse
+      val eSlice = intercept[IllegalArgumentException] {
+        CommitLogStats.appendSliced(spark, path,
+          Seq((Some(1), 9L), (None, 10L)).toDF("sl", "id")
+            .select(col("sl").cast("int").as("sl"), col("id")),
+          "sl", Seq("id"))
+      }
+      assert(eSlice.getMessage.contains("NULL slice"))
     } finally {
       spark.conf.unset("spark.sql.catalog.gpt")
       spark.conf.unset("spark.sql.catalog.gpt.root")
@@ -1746,32 +1762,57 @@ class CommitLogSpec extends AnyFunSuite {
     } finally CommitLog.unregisterManifestStore(t)
 
     // negative control: blind PUT (no arbitration — what a naive S3
-    // writer does). Both contenders "win" the same version; the
-    // second overwrite erases the first writer's commit.
+    // writer does). The interleaving is constructed DETERMINISTICALLY
+    // (racing threads can serialize on a loaded box and pass by
+    // luck): both writers read the same base snapshot, both publish
+    // "version 2" — the second blind PUT overwrites the first
+    // writer's commit, losing its update.
     val t2 = tmpTable()
     val blindPut = new CommitLog.ConditionalPutStore(
       (dst: String, content: Array[Byte]) => {
-        Thread.sleep(30)
         java.nio.file.Files.write(java.nio.file.Paths.get(dst), content)
         true
       })
     try {
       CommitLog.registerManifestStore(t2, blindPut)
       CommitLog.append(spark, t2, df((1L, "base", 0.0)))
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration._
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val fa = Future(CommitLog.append(spark, t2, df((2L, "a", 2.0))))
-      val fb = Future(CommitLog.append(spark, t2, df((3L, "b", 3.0))))
-      Await.result(fa, 120.seconds); Await.result(fb, 120.seconds)
+      val base = CommitLog.snapshot(spark, t2).get // both writers read v1
+      val segA = CommitLog.writeSegment(spark, t2, df((2L, "a", 2.0)))
+      val segB = CommitLog.writeSegment(spark, t2, df((3L, "b", 3.0)))
+      val wonA = CommitLog.tryPublish(spark, t2, CommitLog.Snapshot(
+        2L, base.segments :+ segA, 1L, "append"))
+      val wonB = CommitLog.tryPublish(spark, t2, CommitLog.Snapshot(
+        2L, base.segments :+ segB, 1L, "append"))
+      assert(wonA && wonB, "a blind PUT reports success for BOTH")
       val ids = CommitLog.read(spark, t2).select("id").collect()
         .map(_.getLong(0)).toSet
-      assert(!(ids.contains(2L) && ids.contains(3L)),
-        s"blind PUT should lose one writer's update, read $ids")
+      assert(ids === Set(1L, 3L),
+        s"the second blind PUT must erase writer A's commit, read $ids")
     } finally {
       CommitLog.unregisterManifestStore(t2)
       rm(t2)
     }
+
+    // registry boundary: a store registered for table X must not
+    // capture a SIBLING whose path merely shares the character prefix
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val counting = new CommitLog.ConditionalPutStore(
+      (dst: String, content: Array[Byte]) => {
+        hits.incrementAndGet()
+        val p = java.nio.file.Paths.get(dst)
+        if (java.nio.file.Files.exists(p)) false
+        else { java.nio.file.Files.write(p, content); true }
+      })
+    try {
+      CommitLog.registerManifestStore(t, counting)
+      val sibling = t + "_backup"
+      CommitLog.append(spark, sibling, df((7L, "s", 7.0)))
+      assert(hits.get() === 0,
+        s"$sibling must not route through $t's registered store")
+      CommitLog.append(spark, t, df((8L, "t", 8.0)))
+      assert(hits.get() === 1)
+      rm(sibling)
+    } finally CommitLog.unregisterManifestStore(t)
     rm(t)
   }
 
@@ -1827,6 +1868,22 @@ class CommitLogSpec extends AnyFunSuite {
           "WHEN MATCHED THEN UPDATE SET v = s.v")
       }
       assert(dup.getMessage.contains("duplicate keys"))
+
+      // three-valued logic: a NULL-evaluating update condition means
+      // the UPDATE clause is NOT taken and the row falls through to
+      // the unconditional DELETE (first-match-wins) — an unguarded
+      // `!NULL` would silently keep the row instead
+      spark.sql("INSERT INTO gdm.ns.t VALUES (20, 'nul', 20.0)")
+      Seq((java.lang.Long.valueOf(20L), "x",
+        null.asInstanceOf[java.lang.Double]))
+        .toDF("id", "name", "v").createOrReplaceTempView("gdm_nul")
+      spark.sql(
+        """MERGE INTO gdm.ns.t t USING gdm_nul s ON t.id = s.id
+          |WHEN MATCHED AND s.v > 0 THEN UPDATE SET v = s.v
+          |WHEN MATCHED THEN DELETE""".stripMargin)
+      assert(spark.sql("SELECT COUNT(*) FROM gdm.ns.t WHERE id = 20")
+        .collect()(0).getLong(0) === 0L,
+        "NULL update condition must fall through to DELETE")
 
       // unsupported shapes fail loudly, not silently wrong
       val nonEqui = intercept[UnsupportedOperationException] {
