@@ -54,13 +54,21 @@ object CommitLog {
     * DML commit ([[delete]]/[[update]]): the rows the commit removed /
     * rewrote, stamped `_change_type` — Delta's CDC-file design, which
     * makes DML versions consumable by [[changeFeed]] (a rewrite's
-    * delta is NOT derivable from segment diffs alone). */
+    * delta is NOT derivable from segment diffs alone). `dv` is the
+    * version's DELETION VECTOR: a parquet directory of
+    * (`_dv_file`, `_dv_pos`) row positions that every reader
+    * subtracts from the segment content — the merge-on-read DELETE
+    * (public Delta/Iceberg deletion-vector design): a
+    * [[deleteVectored]] commit writes O(deleted rows), rewrites ZERO
+    * segments, and the next OPTIMIZE/compact materializes the
+    * subtraction and clears the field. */
   final case class Snapshot(version: Long, segments: Seq[String],
       baseVersion: Long, op: String,
       txnApp: Option[String] = None, txnBatch: Option[Long] = None,
       changes: Option[String] = None,
       schema: Option[String] = None,
-      ts: Option[Long] = None)
+      ts: Option[Long] = None,
+      dv: Option[String] = None)
 
   private def commitsDir(table: String) = s"$table/_commits"
 
@@ -145,8 +153,9 @@ object CommitLog {
     snapshot(spark, table, asOfVersion) match {
       case Some(s) if s.segments.nonEmpty =>
         // a recorded (possibly evolved) schema pins column set AND
-        // order; segments predating an added column serve NULLs
-        readSegments(spark, s.segments, s.schema)
+        // order; segments predating an added column serve NULLs;
+        // a deletion vector (if any) is subtracted
+        readLive(spark, s)
       case Some(s) if s.schema.isDefined =>
         // a created-but-empty (or fully-deleted) table with a
         // recorded schema reads as an empty frame of that shape
@@ -193,6 +202,37 @@ object CommitLog {
       case Some(sch) => spark.read.schema(sch).parquet(segments: _*)
       case None => spark.read.parquet(segments: _*)
     }
+
+  /** The snapshot's LIVE content: its segments minus its deletion
+    * vector (if any). Every content reader — [[read]], the DML
+    * executors, compaction, the SQL/DSv2 bridge — goes through this,
+    * so a DV'd row can never resurface on any surface.
+    *
+    * 100 TB posture: the DV is applied as a BROADCAST anti-join on
+    * (file, row-position) — the scan side never shuffles; the DV side
+    * is bounded by [[deleteVectored]]'s `maxDvRows` refusal, and
+    * OPTIMIZE/compact materializes the subtraction away. Filters a
+    * caller stacks on top push down THROUGH the anti-join to the
+    * parquet scan (left-side-only predicates). */
+  private[graft] def readLive(spark: SparkSession, snap: Snapshot,
+      only: Option[Seq[String]] = None): DataFrame = {
+    val base = readSegments(spark, only.getOrElse(snap.segments),
+      snap.schema)
+    snap.dv match {
+      case None => base
+      case Some(d) =>
+        val cols = base.columns.toSeq
+        val withPos = base
+          .withColumn("__graft_dv_file", col("_metadata.file_path"))
+          .withColumn("__graft_dv_pos", col("_metadata.row_index"))
+        val dvDf = spark.read.parquet(d)
+        withPos.join(broadcast(dvDf),
+          withPos("__graft_dv_file") === dvDf("_dv_file") &&
+            withPos("__graft_dv_pos") === dvDf("_dv_pos"),
+          "left_anti")
+          .select(cols.map(col): _*)
+    }
+  }
 
   /** Write `df` as a fresh immutable segment under the table; returns
     * the segment directory path. Never visible until a manifest names
@@ -292,6 +332,23 @@ object CommitLog {
   private[graft] def tryPublish(spark: SparkSession, table: String,
       snap: Snapshot): Boolean = {
     val f = fs(spark, table)
+    // DV-carry invariant (belt-and-braces for every current and
+    // FUTURE commit path): a commit that keeps any of its base
+    // version's segments while dropping the base's deletion vector
+    // would resurrect deleted rows. Materializing ops (compact /
+    // overwrite / merge) replace the whole segment set, so they pass;
+    // RESTORE resurrects by definition and is exempt.
+    if (snap.dv.isEmpty && snap.op != "restore")
+      snapshot(spark, table, Some(snap.baseVersion)).foreach { base =>
+        if (base.dv.isDefined &&
+            snap.segments.exists(base.segments.toSet))
+          throw new IllegalStateException(
+            s"CommitLog: commit op='${snap.op}' at $table keeps " +
+              s"segments of base v${base.version} but drops its " +
+              "deletion vector — deleted rows would resurrect. Carry " +
+              "dv forward (append/DML) or replace all segments " +
+              "(compact/overwrite).")
+      }
     f.mkdirs(new org.apache.hadoop.fs.Path(commitsDir(table)))
     val stamped = snap.copy(ts = Some(System.currentTimeMillis()))
     storeFor(spark, table).createIfAbsent(
@@ -312,7 +369,7 @@ object CommitLog {
       val v = cur.fold(1L)(_.version + 1L)
       val snap = Snapshot(v, cur.fold(Seq.empty[String])(_.segments) :+ seg,
         cur.fold(0L)(_.version), "append",
-        schema = cur.flatMap(_.schema))
+        schema = cur.flatMap(_.schema), dv = cur.flatMap(_.dv))
       if (tryPublish(spark, table, snap)) return v
       attempt += 1
     }
@@ -381,7 +438,7 @@ object CommitLog {
       val v = cur.fold(1L)(_.version + 1L)
       val snap = Snapshot(v, cur.fold(Seq.empty[String])(_.segments) :+ seg,
         cur.fold(0L)(_.version), "append",
-        schema = Some(encodeSchema(merged)))
+        schema = Some(encodeSchema(merged)), dv = cur.flatMap(_.dv))
       if (tryPublish(spark, table, snap)) return v
       attempt += 1
     }
@@ -430,7 +487,7 @@ object CommitLog {
       val snap = Snapshot(v, cur.fold(Seq.empty[String])(_.segments) :+ seg,
         cur.fold(0L)(_.version), "streaming-append",
         txnApp = Some(appId), txnBatch = Some(batchId),
-        schema = cur.flatMap(_.schema))
+        schema = cur.flatMap(_.schema), dv = cur.flatMap(_.dv))
       if (tryPublish(spark, table, snap)) return Some(v)
       attempt += 1
     }
@@ -460,7 +517,7 @@ object CommitLog {
       val (merged, inserted, replaced) = cur match {
         case None => (incOne, -1L, 0L) // counted after materialize
         case Some(s) =>
-          val ex = readSegments(spark, s.segments, s.schema)
+          val ex = readLive(spark, s)
           SchemaAssert.require(incOne, ex.schema)
           val kept = ex.join(incOne.select(keys.map(col): _*), keys,
             "left_anti")
@@ -474,7 +531,7 @@ object CommitLog {
         val ins = cur match {
           case None => total
           case Some(s) =>
-            total - readSegments(spark, s.segments, s.schema).count()
+            total - readLive(spark, s).count()
         }
         val seg = writeSegment(spark, table, staged)
         val v = cur.fold(1L)(_.version + 1L)
@@ -537,7 +594,9 @@ object CommitLog {
       val touched = touchedSegments(spark, cur.segments, matched,
         cur.schema)
       if (touched.isEmpty) return (cur.version, 0L)
-      val touchedDf = readSegments(spark, touched, cur.schema)
+      // DV-applied read of the touched subset: an already-DV-deleted
+      // row can neither re-report in CDC nor resurrect in the rewrite
+      val touchedDf = readLive(spark, cur, Some(touched))
       val changeDir = s"$table/_changes/${java.util.UUID.randomUUID()}"
       touchedDf.filter(matched)
         .withColumn("_change_type", lit("delete"))
@@ -552,7 +611,7 @@ object CommitLog {
       val snap = Snapshot(cur.version + 1L,
         cur.segments.filterNot(touched.toSet) ++ keptSegs,
         cur.version, "delete", changes = Some(changeDir),
-        schema = cur.schema)
+        schema = cur.schema, dv = cur.dv)
       if (tryPublish(spark, table, snap)) return (snap.version, nDeleted)
       keptSegs.foreach(s => fs(spark, table).delete(
         new org.apache.hadoop.fs.Path(s), true): Unit)
@@ -562,6 +621,90 @@ object CommitLog {
     }
     throw new java.io.IOException(
       s"CommitLog.delete: lost the version race $maxRetries times at $table")
+  }
+
+  /** MERGE-ON-READ delete (the public Delta/Iceberg deletion-vector
+    * design): record the matching rows' (file, row-position) pairs in
+    * a deletion-vector sidecar and commit the SAME segment list with
+    * the grown DV — the commit writes O(deleted rows) and rewrites
+    * ZERO segments, versus [[delete]]'s copy-on-write rewrite of
+    * every touched segment. Readers subtract the DV (broadcast
+    * anti-join, [[readLive]]); the next OPTIMIZE / compact
+    * materializes the subtraction and clears the field.
+    *
+    * Same SQL semantics, CDC recording, OCC retry, and no-op
+    * contract as [[delete]]; already-DV-deleted rows can neither
+    * re-delete nor double-report in the change feed. The DV is a
+    * read-side broadcast, so its total size is REFUSED beyond
+    * `maxDvRows` — past that, point-delete economics are gone and
+    * the answer is [[delete]] (CoW) or OPTIMIZE first. */
+  def deleteVectored(spark: SparkSession, table: String,
+      predicate: org.apache.spark.sql.Column,
+      maxDvRows: Long = 10000000L,
+      maxRetries: Int = 20): (Long, Long) = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val cur = snapshot(spark, table).getOrElse(
+        throw new IllegalStateException(
+          s"CommitLog.deleteVectored: nothing committed at $table"))
+      if (cur.segments.isEmpty) return (cur.version, 0L)
+      val matched = coalesce(predicate, lit(false))
+      val base = readSegments(spark, cur.segments, cur.schema)
+      val dataCols = base.columns.toSeq
+      val withPos = base
+        .withColumn("__graft_dv_file", col("_metadata.file_path"))
+        .withColumn("__graft_dv_pos", col("_metadata.row_index"))
+      val live = cur.dv match {
+        case None => withPos
+        case Some(d) =>
+          val dvDf = spark.read.parquet(d)
+          withPos.join(broadcast(dvDf),
+            withPos("__graft_dv_file") === dvDf("_dv_file") &&
+              withPos("__graft_dv_pos") === dvDf("_dv_pos"),
+            "left_anti")
+      }
+      // one predicate-pushed scan; persisted so the CDC record and
+      // the DV positions are written from the SAME row set (a
+      // nondeterministic predicate cannot let them diverge)
+      val matches = live.filter(matched).persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val nDeleted = matches.count()
+        if (nDeleted == 0L) return (cur.version, 0L)
+        val priorDv = cur.dv.map(d =>
+          spark.read.parquet(d).count()).getOrElse(0L)
+        require(priorDv + nDeleted <= maxDvRows,
+          s"CommitLog.deleteVectored: deletion vector would grow to " +
+            s"${priorDv + nDeleted} rows (> maxDvRows=$maxDvRows) — " +
+            "use delete() (copy-on-write) or OPTIMIZE to materialize " +
+            "the existing vector first")
+        val changeDir = s"$table/_changes/${java.util.UUID.randomUUID()}"
+        matches.select(dataCols.map(col): _*)
+          .withColumn("_change_type", lit("delete"))
+          .write.mode(SaveMode.ErrorIfExists).parquet(changeDir)
+        val newPairs = matches.select(
+          col("__graft_dv_file").as("_dv_file"),
+          col("__graft_dv_pos").as("_dv_pos"))
+        val dvDir = s"$table/_dv/${java.util.UUID.randomUUID()}"
+        cur.dv.map(d => spark.read.parquet(d).unionByName(newPairs))
+          .getOrElse(newPairs)
+          .coalesce(1)
+          .write.mode(SaveMode.ErrorIfExists).parquet(dvDir)
+        val snap = Snapshot(cur.version + 1L, cur.segments,
+          cur.version, "delete_dv", changes = Some(changeDir),
+          schema = cur.schema, dv = Some(dvDir))
+        if (tryPublish(spark, table, snap))
+          return (snap.version, nDeleted)
+        fs(spark, table).delete(
+          new org.apache.hadoop.fs.Path(changeDir), true): Unit
+        fs(spark, table).delete(
+          new org.apache.hadoop.fs.Path(dvDir), true): Unit
+      } finally matches.unpersist()
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"CommitLog.deleteVectored: lost the version race $maxRetries " +
+        s"times at $table")
   }
 
   /** Copy-on-write UPDATE: for rows matching `predicate`, replace each
@@ -592,7 +735,7 @@ object CommitLog {
       val touched = touchedSegments(spark, cur.segments, matched,
         cur.schema)
       if (touched.isEmpty) return (cur.version, 0L)
-      val touchedDf = readSegments(spark, touched, cur.schema)
+      val touchedDf = readLive(spark, cur, Some(touched))
       def applied(onlyMatched: Boolean): DataFrame = {
         val base = if (onlyMatched) touchedDf.filter(matched) else touchedDf
         base.select(schema.fieldNames.toSeq.map { f =>
@@ -618,7 +761,7 @@ object CommitLog {
       val snap = Snapshot(cur.version + 1L,
         cur.segments.filterNot(touched.toSet) :+ newSeg,
         cur.version, "update", changes = Some(changeDir),
-        schema = cur.schema)
+        schema = cur.schema, dv = cur.dv)
       if (tryPublish(spark, table, snap)) return (snap.version, nUpdated)
       fs(spark, table).delete(
         new org.apache.hadoop.fs.Path(newSeg), true): Unit
@@ -666,7 +809,7 @@ object CommitLog {
       val v = cur.fold(1L)(_.version + 1L)
       val snap = Snapshot(v, cur.fold(Seq.empty[String])(_.segments) :+ seg,
         cur.fold(0L)(_.version), "append",
-        schema = cur.flatMap(_.schema))
+        schema = cur.flatMap(_.schema), dv = cur.flatMap(_.dv))
       if (tryPublish(spark, table, snap)) return v
       attempt += 1
     }
@@ -693,7 +836,7 @@ object CommitLog {
     require(currentVersion(spark, target).isEmpty,
       s"CommitLog.cloneTable: target $target already exists")
     val out = Snapshot(1L, snap.segments, 0L, "clone",
-      schema = snap.schema)
+      schema = snap.schema, dv = snap.dv)
     if (!tryPublish(spark, target, out)) throw new IllegalStateException(
       s"CommitLog.cloneTable: target $target was created concurrently")
     1L
@@ -719,7 +862,8 @@ object CommitLog {
           s"CommitLog.restore: nothing committed at $table"))
       if (cur.version == toVersion) return cur.version
       val snap = Snapshot(cur.version + 1L, target.segments,
-        cur.version, "restore", schema = target.schema)
+        cur.version, "restore", schema = target.schema,
+        dv = target.dv)
       if (tryPublish(spark, table, snap)) return snap.version
       attempt += 1
     }
@@ -804,7 +948,8 @@ object CommitLog {
         nonKeySrc.map(c => col(c).as(s"__src_$c")) :+
         lit(true).as("__src_matched"): _*)
       // touched segments: files holding at least one matched key
-      val all = readSegments(spark, cur.segments, cur.schema)
+      // (DV-applied: a vector-deleted row cannot match or re-insert)
+      val all = readLive(spark, cur)
       val touchedFiles = all
         .select((keys.map(col) :+ input_file_name().as("__file")): _*)
         .join(srcRenamed.select(keys.map(col): _*), keys, "left_semi")
@@ -818,7 +963,7 @@ object CommitLog {
       // the join still runs so src() references stay resolvable
       val touchedDf =
         if (touched.isEmpty) all.filter(lit(false))
-        else readSegments(spark, touched, cur.schema)
+        else readLive(spark, cur, Some(touched))
       val joined = touchedDf.join(srcRenamed, keys, "left_outer")
       val isMatched = coalesce(col("__src_matched"), lit(false))
       val delCond = isMatched &&
@@ -883,7 +1028,7 @@ object CommitLog {
       val snap = Snapshot(cur.version + 1L,
         cur.segments.filterNot(touched.toSet) ++ newSegs,
         cur.version, "merge_into", changes = Some(changeDir),
-        schema = cur.schema)
+        schema = cur.schema, dv = cur.dv)
       if (tryPublish(spark, table, snap))
         return (snap.version, nUpd, nDel, nIns)
       newSegs.foreach(s => fs(spark, table).delete(
@@ -943,7 +1088,7 @@ object CommitLog {
           else Some(spark.read.parquet(added: _*)
             .withColumn("_change_type", lit("insert"))
             .withColumn("_commit_version", lit(v)))
-        case "delete" | "update" | "merge_into" =>
+        case "delete" | "delete_dv" | "update" | "merge_into" =>
           val dir = snap.changes.getOrElse(throw new IllegalStateException(
             s"CommitLog.changeFeed: version $v of $table is a " +
               s"'${snap.op}' with no recorded change directory"))
@@ -979,7 +1124,10 @@ object CommitLog {
       val cur = snapshot(spark, table).getOrElse(
         throw new IllegalStateException(
           s"CommitLog.compact: nothing committed at $table"))
-      val df = readSegments(spark, cur.segments, cur.schema)
+      // DV-applied: compaction MATERIALIZES a deletion vector — the
+      // rewritten segment holds live rows only and the new version
+      // carries no dv field
+      val df = readLive(spark, cur)
       val n = df.count()
       val files = math.max(1L,
         (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
@@ -1100,6 +1248,16 @@ object CommitLog {
           !liveChanges.exists(_.endsWith(st.getPath.getName)))
         f.delete(st.getPath, true): Unit
     }
+    // deletion-vector sidecars of dropped versions (and of crashed
+    // deleteVectored writers) — same liveness rule
+    val liveDv = keepFloor.flatMap(v =>
+      snapshot(spark, table, Some(v)).get.dv).toSet
+    val dvDir = new org.apache.hadoop.fs.Path(s"$table/_dv")
+    if (f.exists(dvDir)) f.listStatus(dvDir).foreach { st =>
+      if (!liveDv.contains(st.getPath.toUri.getPath) &&
+          !liveDv.exists(_.endsWith(st.getPath.getName)))
+        f.delete(st.getPath, true): Unit
+    }
     dropped.foreach { v =>
       f.delete(new org.apache.hadoop.fs.Path(manifestPath(table, v)),
         false): Unit
@@ -1119,10 +1277,12 @@ object CommitLog {
     }
     val ch = s.changes.fold("")(c =>
       s""""changes":"${c.replace("\\", "\\\\").replace("\"", "\\\"")}",""")
+    val dvf = s.dv.fold("")(d =>
+      s""""dv":"${d.replace("\\", "\\\\").replace("\"", "\\\"")}",""")
     val sch = s.schema.fold("")(b64 => s""""schema":"$b64",""")
     val ts = s.ts.fold("")(t => s""""ts":$t,""")
     s"""{"version":${s.version},"baseVersion":${s.baseVersion},""" +
-      txn + ch + sch + ts +
+      txn + ch + dvf + sch + ts +
       s""""op":"${s.op}","segments":[""" + segs.mkString(",") + "]}"
   }
 
@@ -1155,6 +1315,9 @@ object CommitLog {
           .replace("\\\"", "\"").replace("\\\\", "\\")),
       schema = optField("schema")
         .map(_.stripPrefix("\"").stripSuffix("\"")),
-      ts = optField("ts").map(_.toLong))
+      ts = optField("ts").map(_.toLong),
+      dv = optField("dv")
+        .map(_.stripPrefix("\"").stripSuffix("\"")
+          .replace("\\\"", "\"").replace("\\\\", "\\")))
   }
 }

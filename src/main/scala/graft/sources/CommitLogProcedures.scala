@@ -37,7 +37,7 @@ private[sources] object CommitLogProcedures {
 
   private val names = Seq("compact", "optimize_cluster",
     "optimize_zorder", "optimize_bucket", "vacuum", "restore",
-    "clone_table")
+    "clone_table", "delete_vectored")
 
   def list: Seq[String] = names
 
@@ -99,6 +99,15 @@ private[sources] object CommitLogProcedures {
         Seq(in("source", StringType), in("target", StringType)),
         row => CommitLog.cloneTable(spark, path(str(row, 0)),
           path(str(row, 1)))))
+      // merge-on-read DELETE: records a deletion vector instead of
+      // rewriting touched segments (DELETE FROM stays copy-on-write);
+      // `where` is a SQL boolean expression over the table's columns
+      case "delete_vectored" => Some(proc("delete_vectored",
+        Seq(in("table", StringType), in("where", StringType),
+          in("max_dv_rows", LongType, Some("10000000"))),
+        row => CommitLog.deleteVectored(spark, path(str(row, 0)),
+          org.apache.spark.sql.functions.expr(str(row, 1)),
+          maxDvRows = row.getLong(2))._1))
       case _ => None
     }
   }

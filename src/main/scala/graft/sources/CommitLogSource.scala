@@ -273,7 +273,9 @@ class CommitLogTable(spark: SparkSession, path: String,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : org.apache.spark.sql.connector.read.ScanBuilder =
-    new CommitLogScanBuilder(spark, snap, pq, options)
+    if (snap.dv.isDefined)
+      new CommitLogDvScanBuilder(spark, snap, pq.schema)
+    else new CommitLogScanBuilder(spark, snap, pq, options)
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -405,6 +407,87 @@ private[sources] class CommitLogScanBuilder(spark: SparkSession,
       }
     case None => inner.build()
   }
+}
+
+/** Scan builder for a snapshot that carries a DELETION VECTOR: the
+  * stock `ParquetTable` path cannot subtract rows inside its scan, so
+  * reads bridge through Spark's public `V1Scan` hook (the same V1
+  * layering this connector already uses for writes, and the one the
+  * built-in JDBC source reads through): the returned relation
+  * executes [[CommitLog.readLive]] — parquet scan, broadcast DV
+  * anti-join, nothing else — so SQL and `format("commitlog")` reads
+  * of a DV'd table are exactly the programmatic read.
+  *
+  * Pushed filters are (a) replayed INSIDE the bridged frame, where
+  * Catalyst pushes them through the anti-join to the parquet scan,
+  * and (b) used for sidecar SEGMENT SKIPPING before any footer I/O —
+  * resolved against the snapshot's schema, same conservative
+  * `CommitLogSkipping` planner as the DV-free path (correct under a
+  * DV because subtraction only shrinks segment content; stats prune
+  * conservatively). All filters are also reported back to Spark as
+  * residual, so a shape the translator cannot replay is still
+  * applied post-scan — never a silent wrong answer. Metadata-only
+  * aggregates are NOT served (sidecar counts ignore the vector);
+  * OPTIMIZE materializes the DV and restores that tier. */
+private[sources] class CommitLogDvScanBuilder(spark: SparkSession,
+    snap: CommitLog.Snapshot, fullSchema: StructType)
+    extends org.apache.spark.sql.connector.read.ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+
+  import org.apache.spark.sql.connector.read.Scan
+  import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
+
+  private var required: StructType = fullSchema
+  private var filters: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  // every filter stays Spark's responsibility post-scan (residual);
+  // translatable ones are ALSO replayed inside the bridge for
+  // pushdown + segment skipping — double application is harmless
+  override def pushFilters(fs: Array[Filter]): Array[Filter] = {
+    filters = fs; fs
+  }
+  override def pushedFilters(): Array[Filter] = Array.empty
+
+  override def build(): Scan =
+    new org.apache.spark.sql.connector.read.V1Scan {
+      override def readSchema(): StructType = required
+      override def toV1TableScan[T <: BaseRelation with TableScan](
+          context: org.apache.spark.sql.SQLContext): T = {
+        val rel = new BaseRelation with TableScan {
+          override def sqlContext: org.apache.spark.sql.SQLContext =
+            context
+          override def schema: StructType = required
+          override def buildScan()
+              : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+            val cols = filters.flatMap(CommitLogTable.filterToColumn)
+            // sidecar skipping: resolve the replayable conjuncts
+            // against the segment schema, prune the segment list
+            val probeFrame = CommitLog.readSegments(spark,
+              snap.segments, snap.schema)
+            val conds = cols.flatMap(c =>
+              probeFrame.filter(c).queryExecution.analyzed.collect {
+                case f: org.apache.spark.sql.catalyst.plans.logical
+                  .Filter => f.condition
+              })
+            val kept = CommitLogSkipping.keptSegments(spark,
+              snap.segments, conds.toIndexedSeq)
+            val base =
+              if (kept.isEmpty)
+                CommitLog.readLive(spark, snap).filter(lit(false))
+              else CommitLog.readLive(spark, snap, Some(kept))
+            val filtered = cols.foldLeft(base)((d, c) => d.filter(c))
+            filtered
+              .select(required.fieldNames.toIndexedSeq.map(col): _*)
+              .rdd
+          }
+        }
+        rel.asInstanceOf[T]
+      }
+    }
 }
 
 object CommitLogTable {
@@ -624,7 +707,7 @@ class CommitLogStreamSource(spark: SparkSession, metadataPath: String,
           }
         case "compact" => None // content-preserving rewrite
         case "create" => None  // zero-segment schema-only commit
-        case "delete" | "update" if readChangeFeed =>
+        case "delete" | "delete_dv" | "update" if readChangeFeed =>
           val dir = snap.changes.getOrElse(throw
             new IllegalStateException(
               s"commitlog stream: version $ver of $table is a " +

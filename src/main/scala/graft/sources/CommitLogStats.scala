@@ -389,7 +389,7 @@ object CommitLogStats {
       val snap = CommitLog.Snapshot(v,
         cur.fold(Seq.empty[String])(_.segments) :+ seg,
         cur.fold(0L)(_.version), "append",
-        schema = cur.flatMap(_.schema))
+        schema = cur.flatMap(_.schema), dv = cur.flatMap(_.dv))
       if (CommitLog.tryPublish(spark, table, snap)) return v
       attempt += 1
     }
@@ -430,7 +430,7 @@ object CommitLogStats {
       val snap = CommitLog.Snapshot(v,
         cur.fold(Seq.empty[String])(_.segments) ++ segs,
         cur.fold(0L)(_.version), "append",
-        schema = cur.flatMap(_.schema))
+        schema = cur.flatMap(_.schema), dv = cur.flatMap(_.dv))
       if (CommitLog.tryPublish(spark, table, snap)) return v
       attempt += 1
     }
@@ -475,7 +475,7 @@ object CommitLogStats {
       val snap = CommitLog.Snapshot(v,
         cur.fold(Seq.empty[String])(_.segments) ++ segs,
         cur.fold(0L)(_.version), "append",
-        schema = cur.flatMap(_.schema))
+        schema = cur.flatMap(_.schema), dv = cur.flatMap(_.dv))
       if (CommitLog.tryPublish(spark, table, snap)) return v
       attempt += 1
     }
@@ -598,7 +598,7 @@ object CommitLogStats {
       val cur = CommitLog.snapshot(spark, table).getOrElse(
         throw new IllegalStateException(
           s"CommitLogStats.compactClustered: nothing committed at $table"))
-      val df = CommitLog.readSegments(spark, cur.segments, cur.schema)
+      val df = CommitLog.readLive(spark, cur)
       val ranked = graft.operators.DistributedRank.globalRowNumber(
         df, clusterCols.map(col), "__rn")
       val n = math.max(1L, ranked.count())
@@ -646,7 +646,7 @@ object CommitLogStats {
       val cur = CommitLog.snapshot(spark, table).getOrElse(
         throw new IllegalStateException(
           s"CommitLogStats.compactZOrder: nothing committed at $table"))
-      val df = CommitLog.readSegments(spark, cur.segments, cur.schema)
+      val df = CommitLog.readLive(spark, cur)
         .withColumn("__z", graft.queries.Pipeline10.zOrder(
           col(xCol), col(yCol)))
       val ranked = graft.operators.DistributedRank.globalRowNumber(
@@ -694,7 +694,7 @@ object CommitLogStats {
       val cur = CommitLog.snapshot(spark, table).getOrElse(
         throw new IllegalStateException(
           s"CommitLogStats.compactBucketed: nothing committed at $table"))
-      val df = CommitLog.readSegments(spark, cur.segments, cur.schema)
+      val df = CommitLog.readLive(spark, cur)
         .withColumn("__bucket", pmod(hash(keys.map(col): _*),
           lit(nBuckets)))
         .persist()
@@ -734,6 +734,10 @@ object CommitLogStats {
       throw new IllegalStateException(
         s"CommitLogStats.metadataAgg: no committed version at $table" +
           asOfVersion.fold("")(v => s" (asOf=$v)")))
+    // a deletion vector subtracts rows the sidecars still count —
+    // metadata answers would overcount; fall back to the scan until
+    // OPTIMIZE materializes the vector
+    if (snap.dv.isDefined) return None
     val sides = snap.segments.map(readSidecar(spark, _))
     if (sides.exists(_.isEmpty)) return None
     val stats = sides.flatten
@@ -818,7 +822,7 @@ object CommitLogStats {
     if (plan.kept.isEmpty)
       CommitLog.read(spark, table, asOfVersion).filter(lit(false))
     else
-      CommitLog.readSegments(spark, plan.kept, plan.snapshot.schema)
+      CommitLog.readLive(spark, plan.snapshot, Some(plan.kept))
         .filter(pred)
   }
 
@@ -833,7 +837,7 @@ object CommitLogStats {
     if (plan.kept.isEmpty)
       CommitLog.read(spark, table, asOfVersion).filter(lit(false))
     else
-      CommitLog.readSegments(spark, plan.kept, plan.snapshot.schema)
+      CommitLog.readLive(spark, plan.snapshot, Some(plan.kept))
         .filter(pred)
   }
 }

@@ -1951,6 +1951,179 @@ class CommitLogSpec extends AnyFunSuite {
       rm(root + "/x")
     }
   }
+
+  test("deletion vectors: deleteVectored rewrites ZERO segments, every " +
+      "read surface subtracts the vector, deletes compose and never " +
+      "double-report, and metadata aggregates refuse until OPTIMIZE") {
+    val t = tmpTable()
+    try {
+      CommitLog.append(spark, t, df((1L, "a", 1.0), (2L, "b", 2.0)))
+      CommitLog.append(spark, t, df((3L, "c", 3.0), (4L, "d", 4.0)))
+      val before = CommitLog.snapshot(spark, t).get
+      val (v1, n1) = CommitLog.deleteVectored(spark, t, col("id") === 2L)
+      assert(n1 == 1L)
+      val after = CommitLog.snapshot(spark, t).get
+      // merge-on-read: SAME segment list, vector recorded
+      assert(after.segments == before.segments)
+      assert(after.dv.isDefined && after.op == "delete_dv")
+      // programmatic read subtracts
+      assert(sortedRows(CommitLog.read(spark, t)) ==
+        Seq((1L, "a", 1.0), (3L, "c", 3.0), (4L, "d", 4.0)))
+      // DSv2 / SQL surface subtracts (V1Scan bridge), filters apply
+      val viaFormat = spark.read.format("commitlog").option("path", t)
+        .load()
+      assert(sortedRows(viaFormat) == sortedRows(CommitLog.read(spark, t)))
+      assert(viaFormat.filter(col("id") >= 3L).count() == 2L)
+      assert(viaFormat.filter(col("id") === 2L).count() == 0L)
+      // time travel: the pre-delete version still serves the row
+      assert(CommitLog.read(spark, t, Some(v1 - 1L))
+        .filter(col("id") === 2L).count() == 1L)
+      // second vectored delete composes; re-deleting id=2 is a no-op
+      // (already-vector-deleted rows cannot re-match or re-report)
+      val (v2, n2) = CommitLog.deleteVectored(spark, t,
+        col("id") === 2L || col("id") === 3L)
+      assert(v2 == v1 + 1L && n2 == 1L)
+      assert(sortedRows(CommitLog.read(spark, t)) ==
+        Seq((1L, "a", 1.0), (4L, "d", 4.0)))
+      // CDC: each vectored delete recorded its rows exactly once
+      val feed = CommitLog.changeFeed(spark, t, afterVersion = v1 - 1L)
+      assert(feed.filter(col("_change_type") === "delete")
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(2L, 3L))
+      // a matching-nothing predicate commits no version
+      val (v3, n3) = CommitLog.deleteVectored(spark, t, col("id") > 99L)
+      assert(v3 == v2 && n3 == 0L)
+      // metadata aggregates refuse under a DV (sidecar counts ignore
+      // the vector)...
+      assert(CommitLogStats.metadataAgg(spark, t, "id").isEmpty)
+      // ...and compact MATERIALIZES: dv cleared, content preserved
+      val cv = CommitLog.compact(spark, t, targetRowsPerFile = 10L)
+      val materialized = CommitLog.snapshot(spark, t).get
+      assert(materialized.version == cv && materialized.dv.isEmpty)
+      assert(sortedRows(CommitLog.read(spark, t)) ==
+        Seq((1L, "a", 1.0), (4L, "d", 4.0)))
+    } finally rm(t)
+  }
+
+  test("deletion vectors through SQL: CALL delete_vectored records a " +
+      "vector (zero segments rewritten), catalog SELECTs subtract it " +
+      "with sidecar skipping intact, and CALL compact materializes") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_dvsql_").toString
+    try {
+      spark.conf.set("spark.sql.catalog.gdv",
+        "graft.sources.CommitLogCatalog")
+      spark.conf.set("spark.sql.catalog.gdv.root", root)
+      val path = s"$root/ns/t"
+      // two range-disjoint sidecar'd segments
+      CommitLogStats.appendWithStats(spark, path,
+        (0L until 10L).map(k => (k, s"n$k")).toDF("id", "name"),
+        Seq("id"))
+      CommitLogStats.appendWithStats(spark, path,
+        (10L until 20L).map(k => (k, s"n$k")).toDF("id", "name"),
+        Seq("id"))
+      val before = CommitLog.snapshot(spark, path).get
+      val v = spark.sql("CALL gdv.system.delete_vectored(" +
+        "table => 'ns.t', where => 'id % 2 = 1')")
+        .collect()(0).getLong(0)
+      assert(v == 3L)
+      val after = CommitLog.snapshot(spark, path).get
+      assert(after.segments == before.segments && after.dv.isDefined)
+      // catalog SELECT subtracts the vector
+      assert(spark.sql("SELECT count(*) AS n FROM gdv.ns.t")
+        .collect()(0).getLong(0) == 10L)
+      assert(spark.sql(
+        "SELECT sum(id) AS s FROM gdv.ns.t WHERE id >= 10")
+        .collect()(0).getLong(0) == (10L to 18L by 2).sum)
+      // no-false-negative law on the SQL surface under a DV: a
+      // selective predicate returns exactly the live matching rows
+      assert(spark.sql("SELECT id FROM gdv.ns.t WHERE id < 5")
+        .collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 2L, 4L))
+      // CALL compact materializes; SELECT unchanged, dv cleared
+      spark.sql("CALL gdv.system.compact(table => 'ns.t')").collect()
+      assert(CommitLog.snapshot(spark, path).get.dv.isEmpty)
+      assert(spark.sql("SELECT count(*) AS n FROM gdv.ns.t")
+        .collect()(0).getLong(0) == 10L)
+    } finally rm(s"$root/ns/t")
+  }
+
+  test("deletion vectors: appends and DML carry the vector (publish " +
+      "guard refuses a drop), skipping reads subtract, clone/restore " +
+      "propagate, and vacuum sweeps dead vectors only") {
+    val t = tmpTable()
+    try {
+      CommitLogStats.appendWithStats(spark, t,
+        df((1L, "a", 1.0), (2L, "b", 2.0)), Seq("id"))
+      CommitLogStats.appendWithStats(spark, t,
+        df((10L, "j", 10.0), (11L, "k", 11.0)), Seq("id"))
+      CommitLog.deleteVectored(spark, t, col("id") === 10L)
+      val dvSnap = CommitLog.snapshot(spark, t).get
+      // append AFTER the vectored delete: dv carried, row stays dead
+      CommitLogStats.appendWithStats(spark, t, df((20L, "t", 20.0)),
+        Seq("id"))
+      assert(CommitLog.snapshot(spark, t).get.dv == dvSnap.dv)
+      // skipping read over the DV'd table subtracts
+      assert(CommitLogStats.readSkipping(spark, t, "id", 10L, 30L)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(11L, 20L))
+      // copy-on-write DML on OTHER rows neither resurrects nor
+      // re-reports the vector-deleted row
+      val (_, nDel) = CommitLog.delete(spark, t, col("id") === 11L)
+      assert(nDel == 1L)
+      assert(CommitLog.read(spark, t).filter(col("id") === 10L)
+        .count() == 0L)
+      val (_, nUpd) = CommitLog.update(spark, t,
+        col("id") >= 10L, Map("name" -> lit("z")))
+      assert(nUpd == 1L) // row 20 only; 10 is dead, 11 CoW-deleted
+      assert(CommitLog.read(spark, t).filter(col("id") === 10L)
+        .count() == 0L)
+      // the publish guard: a commit keeping base segments while
+      // dropping the base's dv refuses loudly
+      val cur = CommitLog.snapshot(spark, t).get
+      assert(cur.dv.isDefined)
+      val bad = cur.copy(version = cur.version + 1L, dv = None,
+        baseVersion = cur.version, op = "append")
+      val ex = intercept[IllegalStateException] {
+        CommitLog.tryPublish(spark, t, bad)
+      }
+      assert(ex.getMessage.contains("deletion vector"))
+      // clone carries the vector; restore to the DV'd version does too
+      val t3 = tmpTable()
+      try {
+        CommitLog.cloneTable(spark, t, t3)
+        assert(CommitLog.snapshot(spark, t3).get.dv == cur.dv)
+        assert(CommitLog.read(spark, t3).filter(col("id") === 10L)
+          .count() == 0L)
+      } finally rm(t3)
+      // restore to the pre-delete version resurrects BY DESIGN
+      // (exempt from the guard); restore back re-applies the vector
+      val preDv = dvSnap.version - 1L
+      CommitLog.restore(spark, t, preDv)
+      assert(CommitLog.read(spark, t).filter(col("id") === 10L)
+        .count() == 1L)
+      CommitLog.restore(spark, t, dvSnap.version)
+      assert(CommitLog.snapshot(spark, t).get.dv == dvSnap.dv)
+      assert(CommitLog.read(spark, t).filter(col("id") === 10L)
+        .count() == 0L)
+      // maxDvRows refusal: economics gone → loud, with the remedy
+      val exMax = intercept[IllegalArgumentException] {
+        CommitLog.deleteVectored(spark, t, col("id") === 1L,
+          maxDvRows = 1L)
+      }
+      assert(exMax.getMessage.contains("maxDvRows"))
+      // vacuum: live vectors survive (reads stay correct), vectors
+      // referenced only by dropped versions are swept
+      val dvRoot = new java.io.File(s"$t/_dv")
+      CommitLog.compact(spark, t, 10L) // materialize → dv now dead-ish
+      (1 to 3).foreach(_ =>
+        CommitLog.append(spark, t, df((30L, "x", 30.0))))
+      CommitLog.vacuum(spark, t, retainVersions = 2)
+      assert(!dvRoot.exists() || dvRoot.listFiles().isEmpty)
+      assert(CommitLog.read(spark, t).filter(col("id") === 10L)
+        .count() == 0L)
+    } finally rm(t)
+  }
 }
 
 object CommitLogSpec {
