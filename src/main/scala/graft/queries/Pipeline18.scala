@@ -719,6 +719,74 @@ object Pipeline18 {
         s.conf.unset(s"spark.sql.catalog.$cat.root")
         rmStage(s, stage)
       }
+    }),
+
+    // DELETION VECTORS end-to-end (merge-on-read DELETE): two
+    // vectored deletes — the second OVERLAPPING the first, so the
+    // no-double-delete law is in the hashed counts — rewrite ZERO
+    // segments (witness: segment list identical before/after), the
+    // SQL catalog read subtracts the vector while it is live (the
+    // V1Scan bridge), and OPTIMIZE materializes: the post-compact
+    // stock-path aggregate must equal the DV-path aggregate exactly
+    // (witness boolean), with the vector field cleared. The oracle
+    // re-derives both per-clause counts and the surviving aggregate
+    // from the predicates alone.
+    "q183_commitlog_deletion_vectors" -> ((s, dir) => {
+      val stage = stageDir("q183_dv")
+      val cat = "graftq183"
+      try {
+        s.conf.set(s"spark.sql.catalog.$cat",
+          "graft.sources.CommitLogCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", stage)
+        val tbl = s"$stage/ns/ord"
+        val o = t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+        (0 until 2).foreach { i =>
+          CommitLogStats.appendWithStats(s, tbl,
+            o.filter(pmod(col("o_orderkey"), lit(2)) === i),
+            Seq("o_orderkey"))
+        }
+        val before = CommitLog.snapshot(s, tbl).get
+        val (_, nDel1) = CommitLog.deleteVectored(s, tbl,
+          col("o_orderstatus") === "F" &&
+            pmod(col("o_orderkey"), lit(10)) === 1)
+        // %10==1 implies %5==1: the second predicate re-covers every
+        // first-delete row — none may re-report
+        val (_, nDel2) = CommitLog.deleteVectored(s, tbl,
+          pmod(col("o_orderkey"), lit(5)) === 1)
+        val after = CommitLog.snapshot(s, tbl).get
+        val rewrites =
+          if (after.segments == before.segments && after.dv.isDefined) 0
+          else 999
+        val aggSql =
+          s"""SELECT o_orderstatus, COUNT(*) AS n_rows,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+             |    AS sum_price
+             |FROM $cat.ns.ord
+             |GROUP BY o_orderstatus""".stripMargin
+        val dvRead = s.sql(aggSql).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+          .sortBy(_._1).toSeq
+        CommitLog.compact(s, tbl, targetRowsPerFile = 1000000L)
+        val postRead = s.sql(aggSql).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+          .sortBy(_._1).toSeq
+        val materialized =
+          if (dvRead == postRead &&
+            CommitLog.snapshot(s, tbl).get.dv.isEmpty) 1
+          else 0
+        s.sql(aggSql)
+          .withColumn("n_deleted_1", lit(nDel1))
+          .withColumn("n_deleted_2", lit(nDel2))
+          .withColumn("n_segment_rewrites", lit(rewrites))
+          .withColumn("dv_read_matches_compacted", lit(materialized))
+          .orderBy(col("o_orderstatus"))
+          .localCheckpoint(true)
+      } finally {
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.root")
+        rmStage(s, stage)
+      }
     })
   )
 
@@ -1080,6 +1148,31 @@ object Pipeline18 {
         |     FROM orders) AS n_segments_live
         |FROM orders
         |WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    // survivors = rows matching NEITHER delete predicate; clause
+    // counts re-derived from the predicates (the second excludes
+    // rows the first already deleted — the no-double-delete law);
+    // segment-rewrite and materialization witnesses are structural
+    // constants the engine must reproduce
+    "q183_commitlog_deletion_vectors" ->
+      """WITH d1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders
+        |  WHERE o_orderstatus = 'F' AND o_orderkey % 10 = 1),
+        |d2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders
+        |  WHERE o_orderkey % 5 = 1
+        |    AND NOT (o_orderstatus = 'F' AND o_orderkey % 10 = 1)),
+        |live AS (SELECT * FROM orders
+        |  WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 10 = 1)
+        |    AND o_orderkey % 5 <> 1)
+        |SELECT o_orderstatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price,
+        |  (SELECT n FROM d1) AS n_deleted_1,
+        |  (SELECT n FROM d2) AS n_deleted_2,
+        |  0 AS n_segment_rewrites,
+        |  1 AS dv_read_matches_compacted
+        |FROM live
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin
   )
