@@ -787,6 +787,56 @@ object Pipeline18 {
         s.conf.unset(s"spark.sql.catalog.$cat.root")
         rmStage(s, stage)
       }
+    }),
+
+    // BLOOM-SIDECAR POINT LOOKUP: the skipping tier min/max cannot
+    // prune — a hash-bucketed layout leaves every bucket spanning the
+    // full key range (witness: 8 of 8 kept before blooms) — so the
+    // bloom sidecar is what turns a key lookup into a one-segment
+    // read: backfilled in one maintenance pass, the SAME point probe
+    // keeps exactly the key's bucket, and the SQL read scans exactly
+    // one segment (fpp 1e-6 makes a false-positive extra segment
+    // effectively impossible, so the witnesses are hard constants).
+    "q184_commitlog_bloom_lookup" -> ((s, dir) => {
+      val stage = stageDir("q184_bloom")
+      val cat = "graftq184"
+      try {
+        s.conf.set(s"spark.sql.catalog.$cat",
+          "graft.sources.CommitLogCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", stage)
+        val tbl = s"$stage/ns/ord"
+        val o = t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+        CommitLog.append(s, tbl, o)
+        CommitLogStats.compactBucketed(s, tbl, Seq("o_orderkey"), 8,
+          Seq("o_orderkey"))
+        // an INTERIOR key (≤ half the max): every hash bucket's
+        // [min,max] contains it, so stats alone genuinely keep 8/8 —
+        // probing the global max would let min/max prune by accident
+        val mid = o.agg(max(col("o_orderkey"))).collect()(0)
+          .getLong(0) / 2L
+        val key = o.filter(col("o_orderkey") <= mid)
+          .agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+        val preBloom = CommitLogStats.planSkipping(s, tbl,
+          "o_orderkey", key, key).kept.size
+        CommitLogStats.attachBlooms(s, tbl, Seq("o_orderkey"))
+        val postBloom = CommitLogStats.planSkipping(s, tbl,
+          "o_orderkey", key, key).kept.size
+        val q = s.sql(
+          s"""SELECT o_orderkey, o_orderstatus,
+             |  CAST(o_totalprice AS DOUBLE) AS price
+             |FROM $cat.ns.ord WHERE o_orderkey = $key""".stripMargin)
+        val scanned = scannedSegmentCount(q)
+        q.withColumn("n_kept_minmax", lit(preBloom))
+          .withColumn("n_kept_bloom", lit(postBloom))
+          .withColumn("n_segments_scanned", lit(scanned))
+          .orderBy(col("o_orderkey"))
+          .localCheckpoint(true)
+      } finally {
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.root")
+        rmStage(s, stage)
+      }
     })
   )
 
@@ -1174,6 +1224,20 @@ object Pipeline18 {
         |  1 AS dv_read_matches_compacted
         |FROM live
         |GROUP BY o_orderstatus
-        |ORDER BY o_orderstatus""".stripMargin
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    // the looked-up row plus structural witnesses: hash layout keeps
+    // all 8 buckets on min/max alone; blooms (fpp 1e-6 → no false
+    // positive at any tested scale) cut plan and scan to exactly 1
+    "q184_commitlog_bloom_lookup" ->
+      """WITH k AS (SELECT MAX(o_orderkey) AS key FROM orders
+        |  WHERE o_orderkey <=
+        |    (SELECT MAX(o_orderkey) // 2 FROM orders))
+        |SELECT o.o_orderkey, o.o_orderstatus,
+        |  CAST(o.o_totalprice AS DOUBLE) AS price,
+        |  8 AS n_kept_minmax, 1 AS n_kept_bloom,
+        |  1 AS n_segments_scanned
+        |FROM orders o, k WHERE o.o_orderkey = k.key
+        |ORDER BY o.o_orderkey""".stripMargin
   )
 }

@@ -49,6 +49,11 @@ object CommitLogSkipping {
       strict: Boolean) extends Probe
   private final case class NullOnly(col: String) extends Probe
   private final case class NonNull(col: String) extends Probe
+  /** Equality/IN probe for BLOOM sidecars: the row must equal one of
+    * `values` — a segment whose bloom says every value is definitely
+    * absent cannot match. Range probes still apply independently. */
+  private final case class MightEq(col: String,
+      values: Seq[(String, Any)]) extends Probe
 
   /** Canonical (tag, value) for a literal's INTERNAL representation —
     * the mirror of [[CommitLogStats.encodeProbe]] for Catalyst
@@ -102,10 +107,12 @@ object CommitLogSkipping {
         encodeLiteral(l).map { case (t, v) => Lower(a.name, t, v, false) }
       case EqualTo(a: AttributeReference, l: Literal) =>
         encodeLiteral(l).toSeq.flatMap { case (t, v) =>
-          Seq(Lower(a.name, t, v, false), Upper(a.name, t, v, false)) }
+          Seq(Lower(a.name, t, v, false), Upper(a.name, t, v, false),
+            MightEq(a.name, Seq((t, v)))) }
       case EqualTo(l: Literal, a: AttributeReference) =>
         encodeLiteral(l).toSeq.flatMap { case (t, v) =>
-          Seq(Lower(a.name, t, v, false), Upper(a.name, t, v, false)) }
+          Seq(Lower(a.name, t, v, false), Upper(a.name, t, v, false),
+            MightEq(a.name, Seq((t, v)))) }
       case In(a: AttributeReference, vs)
           if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
         // null literals in the list match nothing; bounds over the
@@ -118,7 +125,9 @@ object CommitLogSkipping {
             if (CommitLogStats.cmp(tag, x, y) <= 0) x else y)
           val hi = enc.map(_._2).reduce((x, y) =>
             if (CommitLogStats.cmp(tag, x, y) >= 0) x else y)
-          Seq(Lower(a.name, tag, lo, false), Upper(a.name, tag, hi, false))
+          Seq(Lower(a.name, tag, lo, false),
+            Upper(a.name, tag, hi, false),
+            MightEq(a.name, enc.toSeq))
         }
       case IsNull(a: AttributeReference) => Seq(NullOnly(a.name))
       case IsNotNull(a: AttributeReference) => Seq(NonNull(a.name))
@@ -133,10 +142,11 @@ object CommitLogSkipping {
       exprs: Seq[Expression]): Seq[String] = {
     val probes = toProbes(exprs)
     if (probes.isEmpty) return segments
+    val (eqProbes, statProbes) = probes.partition(_.isInstanceOf[MightEq])
     segments.filter { seg =>
-      CommitLogStats.readSidecar(spark, seg) match {
+      val statsOk = CommitLogStats.readSidecar(spark, seg) match {
         case None => true
-        case Some(stats) => probes.forall { p =>
+        case Some(stats) => statProbes.forall { p =>
           stats.cols.get(p.col) match {
             case None => true
             case Some(cs) => p match {
@@ -154,9 +164,26 @@ object CommitLogSkipping {
                 })
               case NullOnly(_) => cs.nulls > 0
               case NonNull(_) => cs.min.isDefined
+              case _: MightEq => true // partitioned out above
             }
           }
         }
+      }
+      // bloom sidecars, consulted ONLY for surviving segments (cheap
+      // stats first, sketch I/O second); absent bloom → conservative
+      statsOk && eqProbes.forall {
+        case MightEq(c, values) =>
+          CommitLogStats.readBloom(spark, seg, c) match {
+            case None => true
+            case Some(bf) => values.exists {
+              case ("long", v) =>
+                bf.mightContainLong(v.asInstanceOf[Long])
+              case ("string", v) =>
+                bf.mightContainString(v.asInstanceOf[String])
+              case _ => true // bloom never built for other types
+            }
+          }
+        case _ => true
       }
     }
   }

@@ -346,6 +346,95 @@ object CommitLogStats {
       s"CommitLogStats: unsupported stats column type $other")
   }
 
+  // ---- bloom-filter sidecars ------------------------------------------
+
+  private def bloomPath(segment: String, c: String) =
+    s"$segment/_bloom_$c.bin"
+
+  private def bloomEligible(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | StringType =>
+      true
+    case _ => false
+  }
+
+  /** Build bloom-filter sidecars for `cols` on an already-written
+    * segment — the POINT-LOOKUP complement of the min/max sidecar:
+    * a hash-bucketed (or any unordered) layout leaves every segment's
+    * [min,max] spanning the whole key range, so an equality probe on
+    * a high-cardinality key prunes NOTHING from stats alone; a bloom
+    * answers "definitely absent" per segment. Integral and string
+    * columns only (the two shapes Spark's mergeable
+    * `DataFrameStatFunctions.bloomFilter` sketch hashes
+    * deterministically); loud refusal otherwise. `fpp` defaults tight
+    * (1e-6): sidecar bytes are cheap next to segment data, and a
+    * false positive costs a wasted segment scan at 100 TB. Written
+    * via temp-file + rename so a crashed writer leaves no partial
+    * sidecar (readers treat an absent bloom conservatively). */
+  private[graft] def writeBloomSidecar(spark: SparkSession,
+      segment: String, cols: Seq[String],
+      fpp: Double = 0.000001): Unit = {
+    require(cols.nonEmpty, "writeBloomSidecar: no columns")
+    val df = spark.read.parquet(segment)
+    cols.foreach { c =>
+      require(df.schema.fieldNames.contains(c),
+        s"CommitLogStats: bloom column '$c' absent from segment " +
+          s"schema ${df.schema.fieldNames.mkString("[", ", ", "]")}")
+      require(bloomEligible(df.schema(c).dataType),
+        s"CommitLogStats: bloom column '$c' has type " +
+          s"${df.schema(c).dataType} — only integral and string " +
+          "columns hash deterministically into the sketch")
+    }
+    val n = math.max(1L, df.count())
+    val f = fs(spark, segment)
+    cols.foreach { c =>
+      val bf = df.stat.bloomFilter(c, n, fpp)
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$segment/_bloom_tmp_${java.util.UUID.randomUUID()}")
+      val out = f.create(tmp, false)
+      try bf.writeTo(out) finally out.close()
+      if (!f.rename(tmp,
+          new org.apache.hadoop.fs.Path(bloomPath(segment, c)))) {
+        f.delete(tmp, false): Unit
+        throw new java.io.IOException(
+          s"CommitLogStats: bloom sidecar rename failed for " +
+            s"'$c' at $segment")
+      }
+    }
+  }
+
+  /** Load a segment's bloom sidecar for one column; None when never
+    * recorded — the skipping planner keeps the segment. */
+  private[graft] def readBloom(spark: SparkSession, segment: String,
+      c: String): Option[org.apache.spark.util.sketch.BloomFilter] = {
+    val f = fs(spark, segment)
+    val p = new org.apache.hadoop.fs.Path(bloomPath(segment, c))
+    if (!f.exists(p)) return None
+    val in = f.open(p)
+    try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+    finally in.close()
+  }
+
+  /** Backfill bloom sidecars on every CURRENT-snapshot segment that
+    * lacks one for any of `cols`. A maintenance verb in the OPTIMIZE
+    * class: one count + one sketch aggregate per missing segment
+    * (sequential here; at cluster scale the per-segment jobs are
+    * embarrassingly parallel). Segments stay immutable — a sidecar
+    * is additive metadata, and readers without it keep the segment
+    * conservatively. Returns the number of segments backfilled. */
+  def attachBlooms(spark: SparkSession, table: String,
+      cols: Seq[String], fpp: Double = 0.000001): Int = {
+    val snap = CommitLog.snapshot(spark, table).getOrElse(
+      throw new IllegalStateException(
+        s"CommitLogStats.attachBlooms: no committed version at $table"))
+    val missing = snap.segments.filter { seg =>
+      val f = fs(spark, seg)
+      cols.exists(c => !f.exists(
+        new org.apache.hadoop.fs.Path(bloomPath(seg, c))))
+    }
+    missing.foreach(writeBloomSidecar(spark, _, cols, fpp))
+    missing.size
+  }
+
   /** Load a segment's sidecar; None when the segment never recorded
     * one (a foreign or pre-stats writer) — the caller keeps it. */
   def readSidecar(spark: SparkSession, segment: String)
@@ -788,7 +877,7 @@ object CommitLogStats {
     }
     val (kept, pruned) = snap.segments.partition { seg =>
       val sidecar = readSidecar(spark, seg)
-      encoded.forall { case (statsCol, tag, loV, hiV) =>
+      val statsOk = encoded.forall { case (statsCol, tag, loV, hiV) =>
         sidecar match {
           case None => true
           case Some(stats) => stats.cols.get(statsCol) match {
@@ -803,6 +892,21 @@ object CommitLogStats {
                   cmp(cs.tag, mx, loV) >= 0 && cmp(cs.tag, mn, hiV) <= 0
                 case _ => false // all-NULL segment: no row can match
               }
+          }
+        }
+      }
+      // POINT probes (lo == hi) additionally consult the bloom
+      // sidecar — the pruner for layouts where [min,max] spans the
+      // whole key range (hash buckets); absent bloom → conservative
+      statsOk && encoded.forall { case (statsCol, tag, loV, hiV) =>
+        if (cmp(tag, loV, hiV) != 0) true
+        else readBloom(spark, seg, statsCol) match {
+          case None => true
+          case Some(bf) => tag match {
+            case "long" => bf.mightContainLong(loV.asInstanceOf[Long])
+            case "string" =>
+              bf.mightContainString(loV.asInstanceOf[String])
+            case _ => true
           }
         }
       }

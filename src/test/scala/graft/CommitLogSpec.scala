@@ -2005,6 +2005,67 @@ class CommitLogSpec extends AnyFunSuite {
     } finally rm(t)
   }
 
+  test("bloom sidecars: point lookups on a hash-bucketed layout prune " +
+      "to the key's bucket on the programmatic AND SQL surfaces, " +
+      "min/max alone prunes nothing, and absent blooms stay " +
+      "conservative") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_bloom_").toString
+    try {
+      spark.conf.set("spark.sql.catalog.gbl",
+        "graft.sources.CommitLogCatalog")
+      spark.conf.set("spark.sql.catalog.gbl.root", root)
+      val path = s"$root/ns/t"
+      CommitLog.append(spark, path,
+        (0L until 400L).map(k => (k, s"name_$k")).toDF("id", "name"))
+      // hash-bucket OPTIMIZE: every bucket spans the full id range
+      CommitLogStats.compactBucketed(spark, path, Seq("id"), 8,
+        Seq("id"))
+      // min/max keeps ALL buckets for a point probe (layout is hashed)
+      val noBloom = CommitLogStats.planSkipping(spark, path, "id",
+        123L, 123L)
+      assert(noBloom.kept.size == 8 && noBloom.pruned.isEmpty)
+      // backfill blooms (id long + name string); idempotent second run
+      assert(CommitLogStats.attachBlooms(spark, path,
+        Seq("id", "name")) == 8)
+      assert(CommitLogStats.attachBlooms(spark, path,
+        Seq("id", "name")) == 0)
+      // the point probe now prunes to the key's bucket (fpp 1e-6 →
+      // false positives effectively impossible at this size)
+      val plan = CommitLogStats.planSkipping(spark, path, "id",
+        123L, 123L)
+      assert(plan.kept.size == 1)
+      assert(CommitLogStats.readSkipping(spark, path, "id", 123L, 123L)
+        .select("name").collect().map(_.getString(0)).toSeq ==
+        Seq("name_123"))
+      // a definitely-absent key prunes EVERY bucket, result empty
+      val absent = CommitLogStats.planSkipping(spark, path, "id",
+        100123L, 100123L)
+      assert(absent.kept.isEmpty)
+      assert(CommitLogStats.readSkipping(spark, path, "id",
+        100123L, 100123L).count() == 0L)
+      // string bloom through the SQL surface: WHERE name = … scans
+      // exactly the one bucket holding the row
+      val q = spark.sql(
+        "SELECT id FROM gbl.ns.t WHERE name = 'name_77'")
+      assert(q.collect().map(_.getLong(0)).toSeq == Seq(77L))
+      assert(scannedSegments(q).size == 1)
+      // IN-list keeps the union of the listed keys' buckets but not
+      // all eight, and returns exactly the listed rows
+      val inQ = spark.sql(
+        "SELECT id FROM gbl.ns.t WHERE id IN (5, 123, 360)")
+      assert(inQ.collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(5L, 123L, 360L))
+      val inScanned = scannedSegments(inQ).size
+      assert(inScanned >= 1 && inScanned <= 3)
+      // range probes ignore blooms (no false pruning): full range
+      // still serves every row
+      assert(spark.sql("SELECT count(*) AS n FROM gbl.ns.t " +
+        "WHERE id >= 0 AND id < 400").collect()(0).getLong(0) == 400L)
+    } finally rm(s"$root/ns/t")
+  }
+
   test("deletion vectors through SQL: CALL delete_vectored records a " +
       "vector (zero segments rewritten), catalog SELECTs subtract it " +
       "with sidecar skipping intact, and CALL compact materializes") {
