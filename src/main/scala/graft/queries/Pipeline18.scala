@@ -837,6 +837,71 @@ object Pipeline18 {
         s.conf.unset(s"spark.sql.catalog.$cat.root")
         rmStage(s, stage)
       }
+    }),
+
+    // VECTORED UPDATE (merge-on-read): matched rows' old positions
+    // join the deletion vector and their updated copies land as ONE
+    // appended segment — O(matched rows) written, the original
+    // segments byte-untouched (witness: prefix-identical segment
+    // list, exactly one new segment). The SQL catalog read while the
+    // vector is live must equal the post-OPTIMIZE stock-path read
+    // exactly (witness), and the oracle re-derives the updated
+    // aggregate and match count from the predicate and SET alone.
+    "q185_commitlog_update_vectored" -> ((s, dir) => {
+      val stage = stageDir("q185_updv")
+      val cat = "graftq185"
+      try {
+        s.conf.set(s"spark.sql.catalog.$cat",
+          "graft.sources.CommitLogCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", stage)
+        val tbl = s"$stage/ns/ord"
+        val o = t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+        (0 until 2).foreach { i =>
+          CommitLogStats.appendWithStats(s, tbl,
+            o.filter(pmod(col("o_orderkey"), lit(2)) === i),
+            Seq("o_orderkey"))
+        }
+        val before = CommitLog.snapshot(s, tbl).get
+        val (_, nUpd) = CommitLog.updateVectored(s, tbl,
+          col("o_orderstatus") === "O" &&
+            pmod(col("o_orderkey"), lit(7)) === 3,
+          Map("o_totalprice" -> (col("o_totalprice") + 10000.0)))
+        val after = CommitLog.snapshot(s, tbl).get
+        val untouched =
+          if (after.segments.take(before.segments.size) ==
+              before.segments &&
+            after.segments.size == before.segments.size + 1 &&
+            after.dv.isDefined) 0
+          else 999
+        val aggSql =
+          s"""SELECT o_orderstatus, COUNT(*) AS n_rows,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+             |    AS sum_price
+             |FROM $cat.ns.ord
+             |GROUP BY o_orderstatus""".stripMargin
+        val dvRead = s.sql(aggSql).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+          .sortBy(_._1).toSeq
+        CommitLog.compact(s, tbl, targetRowsPerFile = 1000000L)
+        val postRead = s.sql(aggSql).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+          .sortBy(_._1).toSeq
+        val materialized =
+          if (dvRead == postRead &&
+            CommitLog.snapshot(s, tbl).get.dv.isEmpty) 1
+          else 0
+        s.sql(aggSql)
+          .withColumn("n_updated", lit(nUpd))
+          .withColumn("n_old_segments_rewritten", lit(untouched))
+          .withColumn("dv_read_matches_compacted", lit(materialized))
+          .orderBy(col("o_orderstatus"))
+          .localCheckpoint(true)
+      } finally {
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.root")
+        rmStage(s, stage)
+      }
     })
   )
 
@@ -1238,6 +1303,26 @@ object Pipeline18 {
         |  8 AS n_kept_minmax, 1 AS n_kept_bloom,
         |  1 AS n_segments_scanned
         |FROM orders o, k WHERE o.o_orderkey = k.key
-        |ORDER BY o.o_orderkey""".stripMargin
+        |ORDER BY o.o_orderkey""".stripMargin,
+
+    // the post-update aggregate and match count re-derived from the
+    // predicate and SET expression; segment-untouched and
+    // materialization witnesses are structural constants
+    "q185_commitlog_update_vectored" ->
+      """WITH upd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders
+        |  WHERE o_orderstatus = 'O' AND o_orderkey % 7 = 3),
+        |fin AS (SELECT o_orderstatus,
+        |  CASE WHEN o_orderstatus = 'O' AND o_orderkey % 7 = 3
+        |    THEN o_totalprice + 10000.0 ELSE o_totalprice END AS price
+        |  FROM orders)
+        |SELECT o_orderstatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(price AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price,
+        |  (SELECT n FROM upd) AS n_updated,
+        |  0 AS n_old_segments_rewritten,
+        |  1 AS dv_read_matches_compacted
+        |FROM fin
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin
   )
 }

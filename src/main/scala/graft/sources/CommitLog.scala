@@ -707,6 +707,94 @@ object CommitLog {
         s"times at $table")
   }
 
+  /** MERGE-ON-READ update: the matched rows' old positions join the
+    * deletion vector and their UPDATED copies land as one appended
+    * segment — a single `update_dv` commit writing O(matched rows),
+    * versus [[update]]'s copy-on-write rewrite of every touched
+    * segment (whose cost is the segment size, not the match count).
+    * Same SET-clause semantics (cast back to declared types, unknown
+    * columns fail fast), CDC pre/post recording, OCC retry, no-op
+    * and `maxDvRows` contracts as the vectored delete; OPTIMIZE
+    * materializes as usual. */
+  def updateVectored(spark: SparkSession, table: String,
+      predicate: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column],
+      maxDvRows: Long = 10000000L,
+      maxRetries: Int = 20): (Long, Long) = {
+    require(set.nonEmpty, "CommitLog.updateVectored: empty SET clause")
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val cur = snapshot(spark, table).getOrElse(
+        throw new IllegalStateException(
+          s"CommitLog.updateVectored: nothing committed at $table"))
+      if (cur.segments.isEmpty) return (cur.version, 0L)
+      val schema = readSegments(spark, cur.segments, cur.schema).schema
+      val unknown = set.keySet -- schema.fieldNames.toSet
+      require(unknown.isEmpty,
+        s"CommitLog.updateVectored: SET names unknown column(s) " +
+          s"${unknown.mkString(", ")} — table has " +
+          schema.fieldNames.mkString(", "))
+      val matched = coalesce(predicate, lit(false))
+      val base = readSegments(spark, cur.segments, cur.schema)
+        .withColumn("__graft_dv_file", col("_metadata.file_path"))
+        .withColumn("__graft_dv_pos", col("_metadata.row_index"))
+      val live = cur.dv match {
+        case None => base
+        case Some(d) =>
+          val dvDf = spark.read.parquet(d)
+          base.join(broadcast(dvDf),
+            base("__graft_dv_file") === dvDf("_dv_file") &&
+              base("__graft_dv_pos") === dvDf("_dv_pos"),
+            "left_anti")
+      }
+      val matches = live.filter(matched).persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val nUpdated = matches.count()
+        if (nUpdated == 0L) return (cur.version, 0L)
+        val priorDv = cur.dv.map(d =>
+          spark.read.parquet(d).count()).getOrElse(0L)
+        require(priorDv + nUpdated <= maxDvRows,
+          s"CommitLog.updateVectored: deletion vector would grow to " +
+            s"${priorDv + nUpdated} rows (> maxDvRows=$maxDvRows) — " +
+            "use update() (copy-on-write) or OPTIMIZE first")
+        val applied = matches.select(schema.fieldNames.toSeq.map { f =>
+          set.get(f) match {
+            case Some(e) => e.cast(schema(f).dataType).as(f)
+            case None => col(f)
+          }
+        }: _*)
+        val preImage = matches
+          .select(schema.fieldNames.toSeq.map(col): _*)
+        val changeDir = s"$table/_changes/${java.util.UUID.randomUUID()}"
+        preImage.withColumn("_change_type", lit("update_preimage"))
+          .unionByName(applied
+            .withColumn("_change_type", lit("update_postimage")))
+          .write.mode(SaveMode.ErrorIfExists).parquet(changeDir)
+        val newSeg = writeSegment(spark, table, applied)
+        val newPairs = matches.select(
+          col("__graft_dv_file").as("_dv_file"),
+          col("__graft_dv_pos").as("_dv_pos"))
+        val dvDir = s"$table/_dv/${java.util.UUID.randomUUID()}"
+        cur.dv.map(d => spark.read.parquet(d).unionByName(newPairs))
+          .getOrElse(newPairs)
+          .coalesce(1)
+          .write.mode(SaveMode.ErrorIfExists).parquet(dvDir)
+        val snap = Snapshot(cur.version + 1L, cur.segments :+ newSeg,
+          cur.version, "update_dv", changes = Some(changeDir),
+          schema = cur.schema, dv = Some(dvDir))
+        if (tryPublish(spark, table, snap))
+          return (snap.version, nUpdated)
+        Seq(newSeg, changeDir, dvDir).foreach(p => fs(spark, table)
+          .delete(new org.apache.hadoop.fs.Path(p), true): Unit)
+      } finally matches.unpersist()
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"CommitLog.updateVectored: lost the version race $maxRetries " +
+        s"times at $table")
+  }
+
   /** Copy-on-write UPDATE: for rows matching `predicate`, replace each
     * column in `set` (cast back to the column's declared type, so a
     * widening expression cannot silently drift the schema); all other
@@ -1088,7 +1176,8 @@ object CommitLog {
           else Some(spark.read.parquet(added: _*)
             .withColumn("_change_type", lit("insert"))
             .withColumn("_commit_version", lit(v)))
-        case "delete" | "delete_dv" | "update" | "merge_into" =>
+        case "delete" | "delete_dv" | "update" | "update_dv" |
+            "merge_into" =>
           val dir = snap.changes.getOrElse(throw new IllegalStateException(
             s"CommitLog.changeFeed: version $v of $table is a " +
               s"'${snap.op}' with no recorded change directory"))

@@ -707,7 +707,8 @@ class CommitLogStreamSource(spark: SparkSession, metadataPath: String,
           }
         case "compact" => None // content-preserving rewrite
         case "create" => None  // zero-segment schema-only commit
-        case "delete" | "delete_dv" | "update" if readChangeFeed =>
+        case "delete" | "delete_dv" | "update" | "update_dv"
+            if readChangeFeed =>
           val dir = snap.changes.getOrElse(throw
             new IllegalStateException(
               s"commitlog stream: version $ver of $table is a " +

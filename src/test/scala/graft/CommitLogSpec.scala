@@ -2109,6 +2109,59 @@ class CommitLogSpec extends AnyFunSuite {
     } finally rm(s"$root/ns/t")
   }
 
+  test("vectored UPDATE: matched rows' old positions join the vector " +
+      "and updated copies land as one appended segment — original " +
+      "segments untouched, CDC pre/post recorded, compact materializes") {
+    val t = tmpTable()
+    try {
+      CommitLog.append(spark, t, df((1L, "a", 1.0), (2L, "b", 2.0)))
+      CommitLog.append(spark, t, df((3L, "c", 3.0)))
+      val before = CommitLog.snapshot(spark, t).get
+      val (v, n) = CommitLog.updateVectored(spark, t,
+        col("id") <= 2L, Map("v" -> (col("v") * 10.0)))
+      assert(n == 2L)
+      val after = CommitLog.snapshot(spark, t).get
+      // old segments all still referenced, exactly one appended
+      assert(after.segments.take(before.segments.size) ==
+        before.segments && after.segments.size ==
+        before.segments.size + 1 && after.dv.isDefined)
+      assert(sortedRows(CommitLog.read(spark, t)) ==
+        Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 3.0)))
+      // DSv2 surface agrees; pre-update version time-travels
+      assert(sortedRows(spark.read.format("commitlog")
+        .option("path", t).load()) ==
+        sortedRows(CommitLog.read(spark, t)))
+      assert(sortedRows(CommitLog.read(spark, t, Some(v - 1L))) ==
+        Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+      // CDC: pre and post images recorded
+      val feed = CommitLog.changeFeed(spark, t, afterVersion = v - 1L)
+      assert(feed.filter(col("_change_type") === "update_preimage")
+        .select("v").collect().map(_.getDouble(0)).sorted.toSeq ==
+        Seq(1.0, 2.0))
+      assert(feed.filter(col("_change_type") === "update_postimage")
+        .select("v").collect().map(_.getDouble(0)).sorted.toSeq ==
+        Seq(10.0, 20.0))
+      // composes with a vectored delete of an UPDATED row (matches
+      // the new copy, not the dead original)
+      val (_, nDel) = CommitLog.deleteVectored(spark, t,
+        col("v") === 20.0)
+      assert(nDel == 1L)
+      assert(sortedRows(CommitLog.read(spark, t)) ==
+        Seq((1L, "a", 10.0), (3L, "c", 3.0)))
+      // compact materializes both vectors' effects
+      CommitLog.compact(spark, t, 10L)
+      assert(CommitLog.snapshot(spark, t).get.dv.isEmpty)
+      assert(sortedRows(CommitLog.read(spark, t)) ==
+        Seq((1L, "a", 10.0), (3L, "c", 3.0)))
+      // unknown SET column fails fast
+      val ex = intercept[IllegalArgumentException] {
+        CommitLog.updateVectored(spark, t, lit(true),
+          Map("nope" -> lit(1)))
+      }
+      assert(ex.getMessage.contains("nope"))
+    } finally rm(t)
+  }
+
   test("deletion vectors: appends and DML carry the vector (publish " +
       "guard refuses a drop), skipping reads subtract, clone/restore " +
       "propagate, and vacuum sweeps dead vectors only") {
