@@ -902,6 +902,50 @@ object Pipeline18 {
         s.conf.unset(s"spark.sql.catalog.$cat.root")
         rmStage(s, stage)
       }
+    }),
+
+    // CURATION AS MERGE-ON-READ DELETES: the training-data dedup
+    // story tied into the lakehouse tier — canonical doc per
+    // (lang, n_chars) group, losers removed from a commit-log
+    // documents table by [[CommitLog.deleteVectoredKeys]]: the loser
+    // set is a COMPUTED DataFrame matched by semi-join (never an
+    // isin list collected to the driver — at 100 TB the loser set is
+    // millions of keys), the commit writes O(losers), zero segments
+    // rewrite (witness), and the deletion is CDC-audited. The oracle
+    // re-derives survivors and the loser count from the grouping
+    // rule alone.
+    "q186_dedup_deletion_vectors" -> ((s, dir) => {
+      val stage = stageDir("q186_dvdedup")
+      try {
+        val tbl = s"$stage/docs"
+        val d = t(s, dir, "documents").select(col("doc_id"),
+          col("lang"), col("source"), col("n_chars"))
+        (0 until 2).foreach { i =>
+          CommitLogStats.appendWithStats(s, tbl,
+            d.filter(pmod(col("doc_id"), lit(2)) === i),
+            Seq("doc_id"))
+        }
+        val before = CommitLog.snapshot(s, tbl).get
+        val live0 = CommitLog.read(s, tbl)
+        val keeperIds = live0.groupBy(col("lang"), col("n_chars"))
+          .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+        val losers = live0.select("doc_id")
+          .join(keeperIds, Seq("doc_id"), "left_anti")
+        val (_, nDel) = CommitLog.deleteVectoredKeys(s, tbl,
+          losers, Seq("doc_id"))
+        val after = CommitLog.snapshot(s, tbl).get
+        val rewrites =
+          if (after.segments == before.segments && after.dv.isDefined) 0
+          else 999
+        CommitLog.read(s, tbl)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"))
+          .withColumn("n_deleted", lit(nDel))
+          .withColumn("n_segment_rewrites", lit(rewrites))
+          .orderBy(col("lang"))
+          .localCheckpoint(true)
+      } finally rmStage(s, stage)
     })
   )
 
@@ -1323,6 +1367,22 @@ object Pipeline18 {
         |  1 AS dv_read_matches_compacted
         |FROM fin
         |GROUP BY o_orderstatus
-        |ORDER BY o_orderstatus""".stripMargin
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    // survivors = min doc_id per (lang, n_chars); losers everyone
+    // else — the exact loser-set rule the engine computes, re-derived
+    "q186_dedup_deletion_vectors" ->
+      """WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents
+        |  GROUP BY lang, n_chars),
+        |surv AS (SELECT d.* FROM documents d
+        |  JOIN keep k ON d.doc_id = k.doc_id)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) -
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM keep) AS n_deleted,
+        |  0 AS n_segment_rewrites
+        |FROM surv
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin
   )
 }

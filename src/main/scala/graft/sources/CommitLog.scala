@@ -641,14 +641,40 @@ object CommitLog {
   def deleteVectored(spark: SparkSession, table: String,
       predicate: org.apache.spark.sql.Column,
       maxDvRows: Long = 10000000L,
+      maxRetries: Int = 20): (Long, Long) =
+    deleteVectoredBy(spark, table,
+      _.filter(coalesce(predicate, lit(false))), maxDvRows, maxRetries)
+
+  /** [[deleteVectored]] with a KEY-SET matcher: delete the rows whose
+    * `keyCols` tuple appears in `keys` — the shape curation deletes
+    * take (a computed loser set), executed as a semi-join so the key
+    * set never collects to the driver (an `isin` predicate would).
+    * Broadcast vs shuffle is AQE's choice. Duplicate keys in `keys`
+    * are harmless (semi-join semantics); rows already in the vector
+    * cannot re-match. */
+  def deleteVectoredKeys(spark: SparkSession, table: String,
+      keys: DataFrame, keyCols: Seq[String],
+      maxDvRows: Long = 10000000L,
       maxRetries: Int = 20): (Long, Long) = {
+    require(keyCols.nonEmpty, "CommitLog.deleteVectoredKeys: no keys")
+    keyCols.foreach(k => require(keys.columns.contains(k),
+      s"CommitLog.deleteVectoredKeys: key column '$k' absent from " +
+        s"the key frame (${keys.columns.mkString(", ")})"))
+    deleteVectoredBy(spark, table,
+      _.join(keys.select(keyCols.map(col): _*), keyCols.toSeq,
+        "left_semi"),
+      maxDvRows, maxRetries)
+  }
+
+  private def deleteVectoredBy(spark: SparkSession, table: String,
+      matcher: DataFrame => DataFrame,
+      maxDvRows: Long, maxRetries: Int): (Long, Long) = {
     var attempt = 0
     while (attempt < maxRetries) {
       val cur = snapshot(spark, table).getOrElse(
         throw new IllegalStateException(
           s"CommitLog.deleteVectored: nothing committed at $table"))
       if (cur.segments.isEmpty) return (cur.version, 0L)
-      val matched = coalesce(predicate, lit(false))
       val base = readSegments(spark, cur.segments, cur.schema)
       val dataCols = base.columns.toSeq
       val withPos = base
@@ -666,7 +692,7 @@ object CommitLog {
       // one predicate-pushed scan; persisted so the CDC record and
       // the DV positions are written from the SAME row set (a
       // nondeterministic predicate cannot let them diverge)
-      val matches = live.filter(matched).persist(
+      val matches = matcher(live).persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val nDeleted = matches.count()
@@ -686,9 +712,12 @@ object CommitLog {
           col("__graft_dv_file").as("_dv_file"),
           col("__graft_dv_pos").as("_dv_pos"))
         val dvDir = s"$table/_dv/${java.util.UUID.randomUUID()}"
+        // repartition, NOT coalesce: coalesce(1) would collapse the
+        // upstream predicate scan into one task; the shuffle moves
+        // only the matched positions (bounded by maxDvRows)
         cur.dv.map(d => spark.read.parquet(d).unionByName(newPairs))
           .getOrElse(newPairs)
-          .coalesce(1)
+          .repartition(1)
           .write.mode(SaveMode.ErrorIfExists).parquet(dvDir)
         val snap = Snapshot(cur.version + 1L, cur.segments,
           cur.version, "delete_dv", changes = Some(changeDir),
@@ -776,9 +805,12 @@ object CommitLog {
           col("__graft_dv_file").as("_dv_file"),
           col("__graft_dv_pos").as("_dv_pos"))
         val dvDir = s"$table/_dv/${java.util.UUID.randomUUID()}"
+        // repartition, NOT coalesce: coalesce(1) would collapse the
+        // upstream predicate scan into one task; the shuffle moves
+        // only the matched positions (bounded by maxDvRows)
         cur.dv.map(d => spark.read.parquet(d).unionByName(newPairs))
           .getOrElse(newPairs)
-          .coalesce(1)
+          .repartition(1)
           .write.mode(SaveMode.ErrorIfExists).parquet(dvDir)
         val snap = Snapshot(cur.version + 1L, cur.segments :+ newSeg,
           cur.version, "update_dv", changes = Some(changeDir),
