@@ -37,7 +37,7 @@ private[sources] object CommitLogProcedures {
 
   private val names = Seq("compact", "optimize_cluster",
     "optimize_zorder", "optimize_bucket", "vacuum", "restore",
-    "clone_table", "delete_vectored")
+    "clone_table", "delete_vectored", "update_vectored")
 
   def list: Seq[String] = names
 
@@ -108,12 +108,56 @@ private[sources] object CommitLogProcedures {
         row => CommitLog.deleteVectored(spark, path(str(row, 0)),
           org.apache.spark.sql.functions.expr(str(row, 1)),
           maxDvRows = row.getLong(2))._1))
+      // merge-on-read UPDATE (`UPDATE … SET` through the strategy
+      // stays copy-on-write); `set` is `col = expr, col2 = expr2` —
+      // split on top-level commas, each side a SQL expression
+      case "update_vectored" => Some(proc("update_vectored",
+        Seq(in("table", StringType), in("where", StringType),
+          in("set", StringType),
+          in("max_dv_rows", LongType, Some("10000000"))),
+        row => {
+          val assignments = splitTop(str(row, 2)).map { a =>
+            val i = a.indexOf('=')
+            require(i > 0, s"update_vectored: assignment '$a' is " +
+              "not 'column = expression'")
+            a.substring(0, i).trim ->
+              org.apache.spark.sql.functions.expr(a.substring(i + 1))
+          }.toMap
+          CommitLog.updateVectored(spark, path(str(row, 0)),
+            org.apache.spark.sql.functions.expr(str(row, 1)),
+            assignments, maxDvRows = row.getLong(3))._1
+        }))
       case _ => None
     }
   }
 
   private def str(row: InternalRow, i: Int): String =
     row.getUTF8String(i).toString
+
+  /** Split on commas OUTSIDE parentheses/quotes, so a SET list like
+    * `a = f(x, y), b = 'v,w'` parses as two assignments. */
+  private def splitTop(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var quote: Option[Char] = None
+    s.foreach { ch =>
+      quote match {
+        case Some(q) =>
+          cur.append(ch); if (ch == q) quote = None
+        case None => ch match {
+          case '\'' | '"' => quote = Some(ch); cur.append(ch)
+          case '(' => depth += 1; cur.append(ch)
+          case ')' => depth -= 1; cur.append(ch)
+          case ',' if depth == 0 =>
+            out += cur.result(); cur.clear()
+          case _ => cur.append(ch)
+        }
+      }
+    }
+    if (cur.nonEmpty) out += cur.result()
+    out.map(_.trim).filter(_.nonEmpty).toSeq
+  }
 
   private def in(name: String, dt: DataType,
       default: Option[String] = None): ProcedureParameter = {

@@ -2101,6 +2101,17 @@ class CommitLogSpec extends AnyFunSuite {
       // selective predicate returns exactly the live matching rows
       assert(spark.sql("SELECT id FROM gdv.ns.t WHERE id < 5")
         .collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 2L, 4L))
+      // CALL update_vectored: MoR update from SQL, commas inside the
+      // SET expression handled
+      spark.sql("CALL gdv.system.update_vectored(table => 'ns.t', " +
+        "where => 'id = 4', " +
+        "set => \"name = concat(name, '_u'), id = id + 100\")")
+        .collect()
+      assert(spark.sql(
+        "SELECT name FROM gdv.ns.t WHERE id = 104")
+        .collect().map(_.getString(0)).toSeq == Seq("n4_u"))
+      assert(spark.sql("SELECT count(*) AS n FROM gdv.ns.t")
+        .collect()(0).getLong(0) == 10L)
       // CALL compact materializes; SELECT unchanged, dv cleared
       spark.sql("CALL gdv.system.compact(table => 'ns.t')").collect()
       assert(CommitLog.snapshot(spark, path).get.dv.isEmpty)
