@@ -206,32 +206,51 @@ object CommitLog {
   /** The snapshot's LIVE content: its segments minus its deletion
     * vector (if any). Every content reader — [[read]], the DML
     * executors, compaction, the SQL/DSv2 bridge — goes through this,
-    * so a DV'd row can never resurface on any surface.
-    *
-    * 100 TB posture: the DV is applied as a BROADCAST anti-join on
-    * (file, row-position) — the scan side never shuffles; the DV side
-    * is bounded by [[deleteVectored]]'s `maxDvRows` refusal, and
-    * OPTIMIZE/compact materializes the subtraction away. Filters a
-    * caller stacks on top push down THROUGH the anti-join to the
-    * parquet scan (left-side-only predicates). */
+    * so a DV'd row can never resurface on any surface. */
   private[graft] def readLive(spark: SparkSession, snap: Snapshot,
       only: Option[Seq[String]] = None): DataFrame = {
     val base = readSegments(spark, only.getOrElse(snap.segments),
       snap.schema)
-    snap.dv match {
-      case None => base
-      case Some(d) =>
-        val cols = base.columns.toSeq
-        val withPos = base
-          .withColumn("__graft_dv_file", col("_metadata.file_path"))
-          .withColumn("__graft_dv_pos", col("_metadata.row_index"))
-        val dvDf = spark.read.parquet(d)
-        withPos.join(broadcast(dvDf),
-          withPos("__graft_dv_file") === dvDf("_dv_file") &&
-            withPos("__graft_dv_pos") === dvDf("_dv_pos"),
-          "left_anti")
-          .select(cols.map(col): _*)
-    }
+    snap.dv.fold(base)(d =>
+      subtractDv(spark, withDvPos(base), d)
+        .select(base.columns.toSeq.map(col): _*))
+  }
+
+  /** Tag a freshly-read segment frame with the (file, row-position)
+    * pair the deletion vector is keyed on. Must be applied directly
+    * on the parquet read (the `_metadata` column resolves only
+    * there). */
+  private def withDvPos(base: DataFrame): DataFrame = base
+    .withColumn("__graft_dv_file", col("_metadata.file_path"))
+    .withColumn("__graft_dv_pos", col("_metadata.row_index"))
+
+  /** Subtract a deletion vector from a position-tagged frame — the
+    * ONE implementation every surface (read, DML matchers, updates)
+    * shares, so the row sets cannot diverge.
+    *
+    * 100 TB posture: file paths are dictionary-encoded to ints on
+    * BOTH sides before the anti-join (the distinct file list is
+    * bounded by the table's file count and collected once; an
+    * unknown file maps to NULL, which matches nothing), so the
+    * broadcast hash relation holds (int, long) pairs — ~20× smaller
+    * than path strings at the `maxDvRows` bound. The scan side never
+    * shuffles; caller filters push through the anti-join to the
+    * parquet scan; OPTIMIZE materializes the subtraction away. */
+  private def subtractDv(spark: SparkSession, tagged: DataFrame,
+      dvDir: String): DataFrame = {
+    val dvRaw = spark.read.parquet(dvDir)
+    val fileIds = dvRaw.select("_dv_file").distinct()
+      .collect().map(_.getString(0)).zipWithIndex.toMap
+    val idOf = typedLit(fileIds)
+    val dvIds = dvRaw.select(
+      idOf(col("_dv_file")).as("_dv_fid"), col("_dv_pos"))
+    val withFid = tagged.withColumn("__graft_dv_fid",
+      idOf(col("__graft_dv_file")))
+    withFid.join(broadcast(dvIds),
+      withFid("__graft_dv_fid") === dvIds("_dv_fid") &&
+        withFid("__graft_dv_pos") === dvIds("_dv_pos"),
+      "left_anti")
+      .drop("__graft_dv_fid")
   }
 
   /** Write `df` as a fresh immutable segment under the table; returns
@@ -330,25 +349,29 @@ object CommitLog {
     * a concurrent writer (caller rebases and retries); any other
     * failure propagates. */
   private[graft] def tryPublish(spark: SparkSession, table: String,
-      snap: Snapshot): Boolean = {
+      snap: Snapshot, base: Option[Snapshot] = None): Boolean = {
     val f = fs(spark, table)
     // DV-carry invariant (belt-and-braces for every current and
     // FUTURE commit path): a commit that keeps any of its base
     // version's segments while dropping the base's deletion vector
     // would resurrect deleted rows. Materializing ops (compact /
     // overwrite / merge) replace the whole segment set, so they pass;
-    // RESTORE resurrects by definition and is exempt.
+    // RESTORE resurrects by definition and is exempt. Callers that
+    // hold the base snapshot pass it (`base`) so the guard costs no
+    // extra manifest read on the hot publish path.
     if (snap.dv.isEmpty && snap.op != "restore")
-      snapshot(spark, table, Some(snap.baseVersion)).foreach { base =>
-        if (base.dv.isDefined &&
-            snap.segments.exists(base.segments.toSet))
-          throw new IllegalStateException(
-            s"CommitLog: commit op='${snap.op}' at $table keeps " +
-              s"segments of base v${base.version} but drops its " +
-              "deletion vector — deleted rows would resurrect. Carry " +
-              "dv forward (append/DML) or replace all segments " +
-              "(compact/overwrite).")
-      }
+      base.filter(_.version == snap.baseVersion)
+        .orElse(snapshot(spark, table, Some(snap.baseVersion)))
+        .foreach { b =>
+          if (b.dv.isDefined &&
+              snap.segments.exists(b.segments.toSet))
+            throw new IllegalStateException(
+              s"CommitLog: commit op='${snap.op}' at $table keeps " +
+                s"segments of base v${b.version} but drops its " +
+                "deletion vector — deleted rows would resurrect. Carry " +
+                "dv forward (append/DML) or replace all segments " +
+                "(compact/overwrite).")
+        }
     f.mkdirs(new org.apache.hadoop.fs.Path(commitsDir(table)))
     val stamped = snap.copy(ts = Some(System.currentTimeMillis()))
     storeFor(spark, table).createIfAbsent(
@@ -370,7 +393,7 @@ object CommitLog {
       val snap = Snapshot(v, cur.fold(Seq.empty[String])(_.segments) :+ seg,
         cur.fold(0L)(_.version), "append",
         schema = cur.flatMap(_.schema), dv = cur.flatMap(_.dv))
-      if (tryPublish(spark, table, snap)) return v
+      if (tryPublish(spark, table, snap, cur)) return v
       attempt += 1
     }
     throw new java.io.IOException(
@@ -439,7 +462,7 @@ object CommitLog {
       val snap = Snapshot(v, cur.fold(Seq.empty[String])(_.segments) :+ seg,
         cur.fold(0L)(_.version), "append",
         schema = Some(encodeSchema(merged)), dv = cur.flatMap(_.dv))
-      if (tryPublish(spark, table, snap)) return v
+      if (tryPublish(spark, table, snap, cur)) return v
       attempt += 1
     }
     throw new java.io.IOException(
@@ -488,7 +511,7 @@ object CommitLog {
         cur.fold(0L)(_.version), "streaming-append",
         txnApp = Some(appId), txnBatch = Some(batchId),
         schema = cur.flatMap(_.schema), dv = cur.flatMap(_.dv))
-      if (tryPublish(spark, table, snap)) return Some(v)
+      if (tryPublish(spark, table, snap, cur)) return Some(v)
       attempt += 1
     }
     throw new java.io.IOException(
@@ -537,7 +560,7 @@ object CommitLog {
         val v = cur.fold(1L)(_.version + 1L)
         val snap = Snapshot(v, Seq(seg), cur.fold(0L)(_.version), "merge",
           schema = cur.flatMap(_.schema))
-        if (tryPublish(spark, table, snap)) return (v, ins, replaced)
+        if (tryPublish(spark, table, snap, cur)) return (v, ins, replaced)
         // lost the race: drop the orphaned segment (never referenced)
         // and recompute against the winner's state
         fs(spark, table).delete(new org.apache.hadoop.fs.Path(seg), true)
@@ -554,13 +577,21 @@ object CommitLog {
     * touched file — Delta's find-touched-files step, driver-held there
     * too), mapped back to their uuid-named segment dirs. Untouched
     * segments survive a DML commit byte-identical. */
-  private def touchedSegments(spark: SparkSession, segments: Seq[String],
-      matched: org.apache.spark.sql.Column,
-      schema: Option[String]): Seq[String] = {
-    val files = readSegments(spark, segments, schema).filter(matched)
-      .select(input_file_name()).distinct()
+  private def touchedSegments(spark: SparkSession, cur: Snapshot,
+      matched: org.apache.spark.sql.Column): Seq[String] = {
+    // LIVE rows only: a deletion-vector-dead row matching the
+    // predicate must not mark its segment touched — it would force a
+    // pointless rewrite and a spurious zero-row commit, breaking the
+    // "matching nothing commits NO version" contract. File identity
+    // comes from the `_metadata` tag, not input_file_name(), which
+    // refuses plans with a second source (the DV relation).
+    val withPos = withDvPos(
+      readSegments(spark, cur.segments, cur.schema))
+    val live = cur.dv.fold(withPos)(subtractDv(spark, withPos, _))
+    val files = live.filter(matched)
+      .select(col("__graft_dv_file")).distinct()
       .collect().map(_.getString(0))
-    segments.filter { seg =>
+    cur.segments.filter { seg =>
       val uuid = seg.substring(seg.lastIndexOf('/') + 1)
       files.exists(_.contains(uuid))
     }
@@ -591,8 +622,7 @@ object CommitLog {
         throw new IllegalStateException(
           s"CommitLog.delete: nothing committed at $table"))
       val matched = coalesce(predicate, lit(false))
-      val touched = touchedSegments(spark, cur.segments, matched,
-        cur.schema)
+      val touched = touchedSegments(spark, cur, matched)
       if (touched.isEmpty) return (cur.version, 0L)
       // DV-applied read of the touched subset: an already-DV-deleted
       // row can neither re-report in CDC nor resurrect in the rewrite
@@ -612,7 +642,7 @@ object CommitLog {
         cur.segments.filterNot(touched.toSet) ++ keptSegs,
         cur.version, "delete", changes = Some(changeDir),
         schema = cur.schema, dv = cur.dv)
-      if (tryPublish(spark, table, snap)) return (snap.version, nDeleted)
+      if (tryPublish(spark, table, snap, Some(cur))) return (snap.version, nDeleted)
       keptSegs.foreach(s => fs(spark, table).delete(
         new org.apache.hadoop.fs.Path(s), true): Unit)
       fs(spark, table).delete(
@@ -677,18 +707,8 @@ object CommitLog {
       if (cur.segments.isEmpty) return (cur.version, 0L)
       val base = readSegments(spark, cur.segments, cur.schema)
       val dataCols = base.columns.toSeq
-      val withPos = base
-        .withColumn("__graft_dv_file", col("_metadata.file_path"))
-        .withColumn("__graft_dv_pos", col("_metadata.row_index"))
-      val live = cur.dv match {
-        case None => withPos
-        case Some(d) =>
-          val dvDf = spark.read.parquet(d)
-          withPos.join(broadcast(dvDf),
-            withPos("__graft_dv_file") === dvDf("_dv_file") &&
-              withPos("__graft_dv_pos") === dvDf("_dv_pos"),
-            "left_anti")
-      }
+      val withPos = withDvPos(base)
+      val live = cur.dv.fold(withPos)(subtractDv(spark, withPos, _))
       // one predicate-pushed scan; persisted so the CDC record and
       // the DV positions are written from the SAME row set (a
       // nondeterministic predicate cannot let them diverge)
@@ -722,7 +742,7 @@ object CommitLog {
         val snap = Snapshot(cur.version + 1L, cur.segments,
           cur.version, "delete_dv", changes = Some(changeDir),
           schema = cur.schema, dv = Some(dvDir))
-        if (tryPublish(spark, table, snap))
+        if (tryPublish(spark, table, snap, Some(cur)))
           return (snap.version, nDeleted)
         fs(spark, table).delete(
           new org.apache.hadoop.fs.Path(changeDir), true): Unit
@@ -764,18 +784,9 @@ object CommitLog {
           s"${unknown.mkString(", ")} — table has " +
           schema.fieldNames.mkString(", "))
       val matched = coalesce(predicate, lit(false))
-      val base = readSegments(spark, cur.segments, cur.schema)
-        .withColumn("__graft_dv_file", col("_metadata.file_path"))
-        .withColumn("__graft_dv_pos", col("_metadata.row_index"))
-      val live = cur.dv match {
-        case None => base
-        case Some(d) =>
-          val dvDf = spark.read.parquet(d)
-          base.join(broadcast(dvDf),
-            base("__graft_dv_file") === dvDf("_dv_file") &&
-              base("__graft_dv_pos") === dvDf("_dv_pos"),
-            "left_anti")
-      }
+      val withPos = withDvPos(
+        readSegments(spark, cur.segments, cur.schema))
+      val live = cur.dv.fold(withPos)(subtractDv(spark, withPos, _))
       val matches = live.filter(matched).persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
@@ -815,7 +826,7 @@ object CommitLog {
         val snap = Snapshot(cur.version + 1L, cur.segments :+ newSeg,
           cur.version, "update_dv", changes = Some(changeDir),
           schema = cur.schema, dv = Some(dvDir))
-        if (tryPublish(spark, table, snap))
+        if (tryPublish(spark, table, snap, Some(cur)))
           return (snap.version, nUpdated)
         Seq(newSeg, changeDir, dvDir).foreach(p => fs(spark, table)
           .delete(new org.apache.hadoop.fs.Path(p), true): Unit)
@@ -852,8 +863,7 @@ object CommitLog {
           s"${unknown.mkString(", ")} — table has " +
           schema.fieldNames.mkString(", "))
       val matched = coalesce(predicate, lit(false))
-      val touched = touchedSegments(spark, cur.segments, matched,
-        cur.schema)
+      val touched = touchedSegments(spark, cur, matched)
       if (touched.isEmpty) return (cur.version, 0L)
       val touchedDf = readLive(spark, cur, Some(touched))
       def applied(onlyMatched: Boolean): DataFrame = {
@@ -882,7 +892,7 @@ object CommitLog {
         cur.segments.filterNot(touched.toSet) :+ newSeg,
         cur.version, "update", changes = Some(changeDir),
         schema = cur.schema, dv = cur.dv)
-      if (tryPublish(spark, table, snap)) return (snap.version, nUpdated)
+      if (tryPublish(spark, table, snap, Some(cur))) return (snap.version, nUpdated)
       fs(spark, table).delete(
         new org.apache.hadoop.fs.Path(newSeg), true): Unit
       fs(spark, table).delete(
@@ -930,7 +940,7 @@ object CommitLog {
       val snap = Snapshot(v, cur.fold(Seq.empty[String])(_.segments) :+ seg,
         cur.fold(0L)(_.version), "append",
         schema = cur.flatMap(_.schema), dv = cur.flatMap(_.dv))
-      if (tryPublish(spark, table, snap)) return v
+      if (tryPublish(spark, table, snap, cur)) return v
       attempt += 1
     }
     throw new java.io.IOException(
@@ -1068,10 +1078,18 @@ object CommitLog {
         nonKeySrc.map(c => col(c).as(s"__src_$c")) :+
         lit(true).as("__src_matched"): _*)
       // touched segments: files holding at least one matched key
-      // (DV-applied: a vector-deleted row cannot match or re-insert)
+      // (DV-applied: a vector-deleted row cannot match or re-insert;
+      // file identity from the `_metadata` tag — input_file_name()
+      // refuses multi-source plans once the DV relation joins in)
       val all = readLive(spark, cur)
-      val touchedFiles = all
-        .select((keys.map(col) :+ input_file_name().as("__file")): _*)
+      val tagged = {
+        val wp = withDvPos(readSegments(spark, cur.segments,
+          cur.schema))
+        cur.dv.fold(wp)(subtractDv(spark, wp, _))
+      }
+      val touchedFiles = tagged
+        .select((keys.map(col) :+
+          col("__graft_dv_file").as("__file")): _*)
         .join(srcRenamed.select(keys.map(col): _*), keys, "left_semi")
         .select("__file").distinct().collect().map(_.getString(0))
       val touched = cur.segments.filter { seg =>
@@ -1149,7 +1167,7 @@ object CommitLog {
         cur.segments.filterNot(touched.toSet) ++ newSegs,
         cur.version, "merge_into", changes = Some(changeDir),
         schema = cur.schema, dv = cur.dv)
-      if (tryPublish(spark, table, snap))
+      if (tryPublish(spark, table, snap, Some(cur)))
         return (snap.version, nUpd, nDel, nIns)
       newSegs.foreach(s => fs(spark, table).delete(
         new org.apache.hadoop.fs.Path(s), true): Unit)
@@ -1255,7 +1273,7 @@ object CommitLog {
       val seg = writeSegment(spark, table, df.repartition(files))
       val snap = Snapshot(cur.version + 1L, Seq(seg), cur.version,
         "compact", schema = cur.schema)
-      if (tryPublish(spark, table, snap)) return snap.version
+      if (tryPublish(spark, table, snap, Some(cur))) return snap.version
       fs(spark, table).delete(new org.apache.hadoop.fs.Path(seg), true)
       attempt += 1
     }

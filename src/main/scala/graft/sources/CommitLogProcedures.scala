@@ -141,10 +141,14 @@ private[sources] object CommitLogProcedures {
     val cur = new StringBuilder
     var depth = 0
     var quote: Option[Char] = None
+    var escaped = false
     s.foreach { ch =>
       quote match {
         case Some(q) =>
-          cur.append(ch); if (ch == q) quote = None
+          cur.append(ch)
+          if (escaped) escaped = false
+          else if (ch == '\\') escaped = true
+          else if (ch == q) quote = None
         case None => ch match {
           case '\'' | '"' => quote = Some(ch); cur.append(ch)
           case '(' => depth += 1; cur.append(ch)

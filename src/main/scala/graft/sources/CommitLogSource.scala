@@ -555,7 +555,7 @@ object CommitLogTable {
       val snap = CommitLog.Snapshot(v, Seq(seg),
         cur.fold(0L)(_.version), "overwrite",
         schema = cur.flatMap(_.schema))
-      if (CommitLog.tryPublish(spark, table, snap)) return
+      if (CommitLog.tryPublish(spark, table, snap, cur)) return
       attempt += 1
     }
     throw new java.io.IOException(
@@ -576,7 +576,7 @@ object CommitLogTable {
       val snap = CommitLog.Snapshot(v, segs,
         cur.fold(0L)(_.version), "overwrite",
         schema = cur.flatMap(_.schema))
-      if (CommitLog.tryPublish(spark, table, snap)) return
+      if (CommitLog.tryPublish(spark, table, snap, cur)) return
       attempt += 1
     }
     throw new java.io.IOException(

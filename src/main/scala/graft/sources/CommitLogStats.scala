@@ -392,8 +392,12 @@ object CommitLogStats {
         s"$segment/_bloom_tmp_${java.util.UUID.randomUUID()}")
       val out = f.create(tmp, false)
       try bf.writeTo(out) finally out.close()
-      if (!f.rename(tmp,
-          new org.apache.hadoop.fs.Path(bloomPath(segment, c)))) {
+      // rename-over-existing is false on HDFS-contract stores:
+      // remove a stale destination first (segments are immutable, so
+      // a rebuilt bloom is bit-identical anyway)
+      val dst = new org.apache.hadoop.fs.Path(bloomPath(segment, c))
+      if (f.exists(dst)) f.delete(dst, false): Unit
+      if (!f.rename(tmp, dst)) {
         f.delete(tmp, false): Unit
         throw new java.io.IOException(
           s"CommitLogStats: bloom sidecar rename failed for " +
@@ -426,12 +430,17 @@ object CommitLogStats {
     val snap = CommitLog.snapshot(spark, table).getOrElse(
       throw new IllegalStateException(
         s"CommitLogStats.attachBlooms: no committed version at $table"))
-    val missing = snap.segments.filter { seg =>
+    // per segment, build ONLY the absent columns: a partial-overlap
+    // backfill must not rescan for (or rename over) existing blooms
+    val missing = snap.segments.flatMap { seg =>
       val f = fs(spark, seg)
-      cols.exists(c => !f.exists(
+      val absent = cols.filter(c => !f.exists(
         new org.apache.hadoop.fs.Path(bloomPath(seg, c))))
+      if (absent.isEmpty) None else Some(seg -> absent)
     }
-    missing.foreach(writeBloomSidecar(spark, _, cols, fpp))
+    missing.foreach { case (seg, absent) =>
+      writeBloomSidecar(spark, seg, absent, fpp)
+    }
     missing.size
   }
 
@@ -479,7 +488,7 @@ object CommitLogStats {
         cur.fold(Seq.empty[String])(_.segments) :+ seg,
         cur.fold(0L)(_.version), "append",
         schema = cur.flatMap(_.schema), dv = cur.flatMap(_.dv))
-      if (CommitLog.tryPublish(spark, table, snap)) return v
+      if (CommitLog.tryPublish(spark, table, snap, cur)) return v
       attempt += 1
     }
     throw new java.io.IOException(
@@ -520,7 +529,7 @@ object CommitLogStats {
         cur.fold(Seq.empty[String])(_.segments) ++ segs,
         cur.fold(0L)(_.version), "append",
         schema = cur.flatMap(_.schema), dv = cur.flatMap(_.dv))
-      if (CommitLog.tryPublish(spark, table, snap)) return v
+      if (CommitLog.tryPublish(spark, table, snap, cur)) return v
       attempt += 1
     }
     throw new java.io.IOException(
@@ -565,7 +574,7 @@ object CommitLogStats {
         cur.fold(Seq.empty[String])(_.segments) ++ segs,
         cur.fold(0L)(_.version), "append",
         schema = cur.flatMap(_.schema), dv = cur.flatMap(_.dv))
-      if (CommitLog.tryPublish(spark, table, snap)) return v
+      if (CommitLog.tryPublish(spark, table, snap, cur)) return v
       attempt += 1
     }
     throw new java.io.IOException(
@@ -702,7 +711,7 @@ object CommitLogStats {
           orderWithin = clusterCols.map(col)).map(_._2)
         val snap = CommitLog.Snapshot(cur.version + 1L, segs,
           cur.version, "compact", schema = cur.schema)
-        if (CommitLog.tryPublish(spark, table, snap)) return snap.version
+        if (CommitLog.tryPublish(spark, table, snap, Some(cur))) return snap.version
         val f = fs(spark, table)
         segs.foreach(s =>
           f.delete(new org.apache.hadoop.fs.Path(s), true): Unit)
@@ -749,7 +758,7 @@ object CommitLogStats {
           "__bucket", Seq("__z", "__rn"), statsCols).map(_._2)
         val snap = CommitLog.Snapshot(cur.version + 1L, segs,
           cur.version, "compact", schema = cur.schema)
-        if (CommitLog.tryPublish(spark, table, snap)) return snap.version
+        if (CommitLog.tryPublish(spark, table, snap, Some(cur))) return snap.version
         val f = fs(spark, table)
         segs.foreach(s =>
           f.delete(new org.apache.hadoop.fs.Path(s), true): Unit)
@@ -792,7 +801,7 @@ object CommitLogStats {
           "__bucket", Seq.empty, statsCols).map(_._2)
         val snap = CommitLog.Snapshot(cur.version + 1L, segs,
           cur.version, "compact", schema = cur.schema)
-        if (CommitLog.tryPublish(spark, table, snap)) return snap.version
+        if (CommitLog.tryPublish(spark, table, snap, Some(cur))) return snap.version
         val f = fs(spark, table)
         segs.foreach(s =>
           f.delete(new org.apache.hadoop.fs.Path(s), true): Unit)

@@ -2026,7 +2026,10 @@ class CommitLogSpec extends AnyFunSuite {
       val noBloom = CommitLogStats.planSkipping(spark, path, "id",
         123L, 123L)
       assert(noBloom.kept.size == 8 && noBloom.pruned.isEmpty)
-      // backfill blooms (id long + name string); idempotent second run
+      // backfill id blooms first, then a PARTIAL-OVERLAP backfill of
+      // id+name: the second pass builds only the absent name blooms
+      // (no rename-over-existing, no rescan of id); third run no-ops
+      assert(CommitLogStats.attachBlooms(spark, path, Seq("id")) == 8)
       assert(CommitLogStats.attachBlooms(spark, path,
         Seq("id", "name")) == 8)
       assert(CommitLogStats.attachBlooms(spark, path,
@@ -2192,6 +2195,16 @@ class CommitLogSpec extends AnyFunSuite {
       assert(CommitLogStats.readSkipping(spark, t, "id", 10L, 30L)
         .select("id").collect().map(_.getLong(0)).sorted.toSeq ==
         Seq(11L, 20L))
+      // CoW DML whose only physical matches are vector-dead rows is
+      // a TRUE no-op: no version committed, nothing rewritten (the
+      // touched-segment scan runs over live rows only)
+      val vBefore = CommitLog.currentVersion(spark, t).get
+      val (vNoop, nNoop) = CommitLog.delete(spark, t,
+        col("id") === 10L)
+      assert(vNoop == vBefore && nNoop == 0L)
+      val (vNoopU, nNoopU) = CommitLog.update(spark, t,
+        col("id") === 10L, Map("name" -> lit("zz")))
+      assert(vNoopU == vBefore && nNoopU == 0L)
       // copy-on-write DML on OTHER rows neither resurrects nor
       // re-reports the vector-deleted row
       val (_, nDel) = CommitLog.delete(spark, t, col("id") === 11L)
@@ -2203,6 +2216,22 @@ class CommitLogSpec extends AnyFunSuite {
       assert(nUpd == 1L) // row 20 only; 10 is dead, 11 CoW-deleted
       assert(CommitLog.read(spark, t).filter(col("id") === 10L)
         .count() == 0L)
+      // keyed MERGE INTO under an active vector: the dead id=10 row
+      // is NOT MATCHED (inserts as a fresh row), the live id=20 row
+      // matches and updates
+      val (_, mUpd, _, mIns) = CommitLog.mergeInto(spark, t,
+        df((10L, "ghost", 0.0), (20L, "mrg", 20.0)), Seq("id"),
+        whenMatchedUpdate = Map("name" -> CommitLog.src("name")))
+      assert(mUpd == 1L && mIns == 1L)
+      val after10 = CommitLog.read(spark, t).filter(col("id") === 10L)
+        .select("name").collect().map(_.getString(0)).toSeq
+      assert(after10 == Seq("ghost"))
+      assert(CommitLog.read(spark, t).filter(col("id") === 20L)
+        .select("name").collect().map(_.getString(0)).toSeq ==
+        Seq("mrg"))
+      // remove the freshly-inserted ghost so the later id=10
+      // liveness assertions keep probing the VECTOR-dead original
+      CommitLog.delete(spark, t, col("name") === "ghost"): Unit
       // the publish guard: a commit keeping base segments while
       // dropping the base's dv refuses loudly
       val cur = CommitLog.snapshot(spark, t).get
