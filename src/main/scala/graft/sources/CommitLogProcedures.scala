@@ -37,7 +37,8 @@ private[sources] object CommitLogProcedures {
 
   private val names = Seq("compact", "optimize_cluster",
     "optimize_zorder", "optimize_bucket", "vacuum", "restore",
-    "clone_table", "delete_vectored", "update_vectored")
+    "clone_table", "delete_vectored", "update_vectored",
+    "attach_blooms")
 
   def list: Seq[String] = names
 
@@ -126,6 +127,18 @@ private[sources] object CommitLogProcedures {
           CommitLog.updateVectored(spark, path(str(row, 0)),
             org.apache.spark.sql.functions.expr(str(row, 1)),
             assignments, maxDvRows = row.getLong(3))._1
+        }))
+      // bloom-sidecar backfill (point-lookup skipping): returns the
+      // CURRENT version — the sidecars are additive metadata, no
+      // commit happens
+      case "attach_blooms" => Some(proc("attach_blooms",
+        Seq(in("table", StringType), in("columns", StringType),
+          in("fpp", DoubleType, Some("0.000001"))),
+        row => {
+          val p = path(str(row, 0))
+          CommitLogStats.attachBlooms(spark, p, cols(str(row, 1)),
+            row.getDouble(2)): Unit
+          CommitLog.currentVersion(spark, p).getOrElse(0L)
         }))
       case _ => None
     }

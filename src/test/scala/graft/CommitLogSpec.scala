@@ -2048,6 +2048,12 @@ class CommitLogSpec extends AnyFunSuite {
       assert(absent.kept.isEmpty)
       assert(CommitLogStats.readSkipping(spark, path, "id",
         100123L, 100123L).count() == 0L)
+      // CALL attach_blooms is the SQL spelling of the backfill —
+      // idempotent here since the programmatic pass just ran
+      assert(spark.sql("CALL gbl.system.attach_blooms(" +
+        "table => 'ns.t', columns => 'id,name')")
+        .collect()(0).getLong(0) ==
+        CommitLog.currentVersion(spark, path).get)
       // string bloom through the SQL surface: WHERE name = … scans
       // exactly the one bucket holding the row
       val q = spark.sql(
