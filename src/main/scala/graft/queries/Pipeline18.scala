@@ -946,6 +946,75 @@ object Pipeline18 {
           .orderBy(col("lang"))
           .localCheckpoint(true)
       } finally rmStage(s, stage)
+    }),
+
+    // INCREMENTAL OPTIMIZE: nightly maintenance must cost O(new
+    // data), not O(table) — a clustered base (4 range-disjoint
+    // segments) plus two scattered tail appends; the incremental
+    // pass rewrites ONLY the 2 tail segments (witness), keeps the
+    // base chain byte-identical, converges (second call is a
+    // version-unchanged no-op, witness), and a point probe afterward
+    // opens at most 1 kept + 1 rewritten segment (witness). Content
+    // is the full union, hash-verified.
+    "q187_commitlog_incremental_optimize" -> ((s, dir) => {
+      val stage = stageDir("q187_inc")
+      try {
+        val tbl = s"$stage/li"
+        val cluster = Seq("l_shipdate", "l_orderkey", "l_linenumber")
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"), col("l_shipdate"))
+        val base = li.filter(pmod(col("l_orderkey"), lit(5)) =!= 0)
+        CommitLog.append(s, tbl, base)
+        CommitLogStats.compactClustered(s, tbl, cluster, 4,
+          Seq("l_shipdate"))
+        val basePaths = CommitLog.snapshot(s, tbl).get.segments
+        val tail = li.filter(pmod(col("l_orderkey"), lit(5)) === 0)
+        (0 until 2).foreach { i =>
+          CommitLogStats.appendWithStats(s, tbl,
+            tail.filter(pmod(col("l_linenumber"), lit(2)) === i),
+            Seq("l_shipdate"))
+        }
+        val tailRows = tail.count()
+        val (v1, nRw, nKp) =
+          CommitLogStats.compactClusteredIncremental(s, tbl, cluster,
+            targetRowsPerSegment = math.max(1L, (tailRows + 1L) / 2L),
+            statsCols = Seq("l_shipdate"))
+        val chainIntact = {
+          val now = CommitLog.snapshot(s, tbl).get.segments
+          if (basePaths.forall(now.contains)) nKp else -1
+        }
+        val (v2, nRw2, _) =
+          CommitLogStats.compactClusteredIncremental(s, tbl, cluster,
+            math.max(1L, (tailRows + 1L) / 2L), Seq("l_shipdate"))
+        val secondNoop = if (v2 == v1 && nRw2 == 0) 1 else 0
+        // interior point probe: the latest shipdate at or below the
+        // span midpoint — 1 base segment + at most 1 tail segment
+        val bounds = li.agg(min(col("l_shipdate")),
+          max(col("l_shipdate"))).collect()(0)
+        val (lo, hi) = (
+          bounds.getAs[java.time.LocalDateTime](0),
+          bounds.getAs[java.time.LocalDateTime](1))
+        val mid = lo.plusSeconds(
+          java.time.Duration.between(lo, hi).getSeconds / 2)
+        val pd = li.filter(col("l_shipdate") <= lit(mid))
+          .agg(max(col("l_shipdate"))).collect()(0)
+          .getAs[java.time.LocalDateTime](0)
+        val probeKept = CommitLogStats.planSkipping(s, tbl,
+          "l_shipdate", pd, pd).kept.size
+        val probeLe2 = if (probeKept >= 1 && probeKept <= 2) 1 else 0
+        CommitLog.read(s, tbl)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("l_quantity").cast("decimal(30,6)"))
+              .cast("double").as("sum_qty"))
+          .withColumn("n_rewritten", lit(nRw))
+          .withColumn("n_kept_chain", lit(chainIntact))
+          .withColumn("second_call_noop", lit(secondNoop))
+          .withColumn("probe_kept_le_2", lit(probeLe2))
+          .orderBy(col("l_returnflag"))
+          .localCheckpoint(true)
+      } finally rmStage(s, stage)
     })
   )
 
@@ -1383,6 +1452,19 @@ object Pipeline18 {
         |  0 AS n_segment_rewrites
         |FROM surv
         |GROUP BY lang
-        |ORDER BY lang""".stripMargin
+        |ORDER BY lang""".stripMargin,
+
+    // full-union aggregate; the maintenance-economics witnesses are
+    // structural constants (2 tail segments rewritten, 4-segment
+    // chain kept, convergent no-op, <=2-segment point probe)
+    "q187_commitlog_incremental_optimize" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_qty,
+        |  2 AS n_rewritten, 4 AS n_kept_chain,
+        |  1 AS second_call_noop, 1 AS probe_kept_le_2
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -36,9 +36,9 @@ private[sources] object CommitLogProcedures {
   private def spark: SparkSession = SparkSession.active
 
   private val names = Seq("compact", "optimize_cluster",
-    "optimize_zorder", "optimize_bucket", "vacuum", "restore",
-    "clone_table", "delete_vectored", "update_vectored",
-    "attach_blooms")
+    "optimize_zorder", "optimize_bucket", "optimize_incremental",
+    "vacuum", "restore", "clone_table", "delete_vectored",
+    "update_vectored", "attach_blooms")
 
   def list: Seq[String] = names
 
@@ -73,6 +73,19 @@ private[sources] object CommitLogProcedures {
           val stats = if (row.isNullAt(5)) Seq(x, y) else cols(str(row, 5))
           CommitLogStats.compactZOrder(spark, path(str(row, 0)), x, y,
             cols(str(row, 3)), row.getInt(4), stats)
+        }))
+      // rewrite only the unsorted tail (O(new data) maintenance);
+      // no-op at the depth-2 steady state — returns the current
+      // version then
+      case "optimize_incremental" => Some(proc("optimize_incremental",
+        Seq(in("table", StringType), in("cluster_by", StringType),
+          in("target_rows", LongType, Some("1048576")),
+          in("stats_by", StringType, Some("NULL"))),
+        row => {
+          val cluster = cols(str(row, 1))
+          val stats = if (row.isNullAt(3)) cluster else cols(str(row, 3))
+          CommitLogStats.compactClusteredIncremental(spark,
+            path(str(row, 0)), cluster, row.getLong(2), stats)._1
         }))
       case "optimize_bucket" => Some(proc("optimize_bucket",
         Seq(in("table", StringType), in("keys", StringType),

@@ -723,6 +723,130 @@ object CommitLogStats {
         s"$maxRetries times at $table")
   }
 
+  /** INCREMENTAL clustered OPTIMIZE — rewrite only the unsorted tail,
+    * never the whole table (Delta's liquid-clustering economics: at
+    * 100 TB a full [[compactClustered]] re-shuffles everything a
+    * steady-state table has already sorted; nightly maintenance must
+    * cost O(new data)).
+    *
+    * Scheme: from the snapshot's sidecar ranges on `clusterCols.head`,
+    * pick a maximum set of pairwise-DISJOINT segments (classic
+    * interval scheduling: sort by upper bound, greedy) — those are
+    * KEPT byte-identical; everything else (overlapping segments, plus
+    * any segment with no sidecar/column — unknowable range) is read
+    * once and rewritten as range-disjoint segments of
+    * ~`targetRowsPerSegment`. The kept chain is disjoint and the
+    * rewritten output is disjoint, so after ONE pass every probe
+    * point is covered by at most TWO segments — the `maxDepth = 2`
+    * steady state, at which further calls are NO-OPS (version
+    * unchanged, nothing rewritten) until new appends raise the
+    * overlap depth again. A periodic full [[compactClustered]]
+    * remains the deep-clean that restores depth 1.
+    *
+    * Deletion vectors: the rewritten subset is read LIVE (its dead
+    * rows materialize away); kept segments still need the vector, so
+    * the commit carries it. Returns
+    * (committedVersion, segmentsRewritten, segmentsKept). */
+  def compactClusteredIncremental(spark: SparkSession, table: String,
+      clusterCols: Seq[String], targetRowsPerSegment: Long,
+      statsCols: Seq[String], maxDepth: Int = 2,
+      maxRetries: Int = 20): (Long, Int, Int) = {
+    require(clusterCols.nonEmpty, "clusterCols must be non-empty")
+    require(targetRowsPerSegment > 0, "targetRowsPerSegment must be > 0")
+    require(maxDepth >= 2,
+      "maxDepth must be >= 2 — depth 1 needs the full compactClustered")
+    val rangeCol = clusterCols.head
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val cur = CommitLog.snapshot(spark, table).getOrElse(
+        throw new IllegalStateException(
+          s"CommitLogStats.compactClusteredIncremental: nothing " +
+            s"committed at $table"))
+      // sidecar ranges; a segment without one (or without the
+      // column, or all-NULL) has an unknowable range → must rewrite
+      val ranged = cur.segments.map { seg =>
+        val r = readSidecar(spark, seg).flatMap(_.cols.get(rangeCol))
+          .flatMap(cs => (cs.min, cs.max) match {
+            case (Some(mn), Some(mx)) => Some((cs.tag, mn, mx))
+            case _ => None
+          })
+        seg -> r
+      }
+      val tags = ranged.flatMap(_._2).map(_._1).distinct
+      require(tags.size <= 1,
+        s"compactClusteredIncremental: segments disagree on " +
+          s"'$rangeCol' stats type (${tags.mkString(", ")})")
+      val opaque = ranged.collect { case (seg, None) => seg }
+      val known = ranged.collect { case (seg, Some((t, mn, mx))) =>
+        (seg, t, mn, mx) }
+      val tag = tags.headOption.getOrElse("long")
+      // steady-state check FIRST: max INTERIOR overlap depth over the
+      // known ranges — at an equal coordinate, ends count before
+      // starts (half-open sweep), because adjacent segments sharing a
+      // boundary VALUE (duplicate cluster keys straddling a split) is
+      // not reducible by any rewrite. Depth <= maxDepth and nothing
+      // opaque → no-op. This is what makes repeated calls converge:
+      // one pass leaves (old disjoint chain) ∪ (new disjoint output)
+      // = interior depth <= 2.
+      val maxD = {
+        val events = known.flatMap { case (_, _, mn, mx) =>
+          Seq((mn, 1), (mx, -1)) }
+        val sorted = events.sortWith { (a, b) =>
+          val c = cmp(tag, a._1, b._1)
+          if (c != 0) c < 0 else a._2 < b._2
+        }
+        var d = 0; var m = 0
+        sorted.foreach { e => d += e._2; m = math.max(m, d) }
+        m
+      }
+      if (opaque.isEmpty && maxD <= maxDepth)
+        return (cur.version, 0, cur.segments.size)
+      // interval scheduling: keep a maximum chain of segments with
+      // disjoint INTERIORS — boundary-value ties are allowed (>= 0),
+      // matching the half-open depth sweep: duplicate cluster keys
+      // straddling a split are not reducible, and a clustered base
+      // whose neighbors share one boundary date must stay kept
+      val chain = scala.collection.mutable.ArrayBuffer.empty[String]
+      var lastMax: Option[Any] = None
+      known.sortWith((a, b) => cmp(a._2, a._4, b._4) < 0).foreach {
+        case (seg, _, mn, mx) =>
+          if (lastMax.forall(lm => cmp(tag, mn, lm) >= 0)) {
+            chain += seg; lastMax = Some(mx)
+          }
+      }
+      val kept = chain.toSet
+      val rewrite = cur.segments.filterNot(kept)
+      if (rewrite.isEmpty)
+        return (cur.version, 0, cur.segments.size)
+      val df = CommitLog.readLive(spark, cur, Some(rewrite))
+      val ranked = graft.operators.DistributedRank.globalRowNumber(
+        df, clusterCols.map(col), "__rn")
+      val n = math.max(1L, ranked.count())
+      val nSegments = math.max(1L,
+        (n + targetRowsPerSegment - 1) / targetRowsPerSegment).toInt
+      val bucketed = ranked.withColumn("__bucket",
+        floor(((col("__rn") - 1L) * nSegments) / lit(n))
+          .cast("int")).persist()
+      try {
+        val segs = writeBucketedSegments(spark, table, bucketed,
+          "__bucket", Seq("__rn"), statsCols,
+          orderWithin = clusterCols.map(col)).map(_._2)
+        val snap = CommitLog.Snapshot(cur.version + 1L,
+          cur.segments.filter(kept) ++ segs,
+          cur.version, "compact", schema = cur.schema, dv = cur.dv)
+        if (CommitLog.tryPublish(spark, table, snap, Some(cur)))
+          return (snap.version, rewrite.size, kept.size)
+        val f = fs(spark, table)
+        segs.foreach(s =>
+          f.delete(new org.apache.hadoop.fs.Path(s), true): Unit)
+      } finally bucketed.unpersist()
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"CommitLogStats.compactClusteredIncremental: lost the version " +
+        s"race $maxRetries times at $table")
+  }
+
   /** Z-ORDER OPTIMIZE: [[compactClustered]]'s 2-D sibling — segments
     * are range-disjoint in MORTON order (bit-interleave of xCol and
     * yCol, the same exact-integer `zOrder` the q123 layout tier

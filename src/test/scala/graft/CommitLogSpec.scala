@@ -2075,6 +2075,51 @@ class CommitLogSpec extends AnyFunSuite {
     } finally rm(s"$root/ns/t")
   }
 
+  test("incremental OPTIMIZE: only the unsorted tail rewrites, the " +
+      "clustered chain is kept byte-identical, repeated calls no-op " +
+      "at the depth-2 steady state, and probes touch <= 2 segments") {
+    import spark.implicits._
+    val t = tmpTable()
+    try {
+      def rows(ids: Seq[Long]): DataFrame =
+        ids.map(k => (k, s"n$k")).toDF("id", "name")
+      CommitLog.append(spark, t, rows(0L until 400L))
+      CommitLogStats.compactClustered(spark, t, Seq("id", "name"), 4,
+        Seq("id"))
+      val base = CommitLog.snapshot(spark, t).get.segments
+      assert(base.size == 4)
+      // two scattered tail appends spanning the whole id range
+      CommitLogStats.appendWithStats(spark, t,
+        rows((0L until 600L by 6L) :+ 599L), Seq("id"))
+      CommitLogStats.appendWithStats(spark, t,
+        rows(3L until 600L by 6L), Seq("id"))
+      val (v1, nRw, nKeep) = CommitLogStats.compactClusteredIncremental(
+        spark, t, Seq("id", "name"), targetRowsPerSegment = 101L,
+        statsCols = Seq("id"))
+      assert(nRw == 2 && nKeep == 4)
+      // the clustered chain survived byte-identical (same paths)
+      val after = CommitLog.snapshot(spark, t).get
+      assert(after.version == v1 &&
+        base.forall(after.segments.contains))
+      // content preserved
+      assert(CommitLog.read(spark, t).count() == 400L + 101L + 100L)
+      // a point probe opens at most 2 segments (1 kept + 1 rewritten)
+      val plan = CommitLogStats.planSkipping(spark, t, "id", 150L, 150L)
+      assert(plan.kept.size <= 2)
+      // steady state: a second call is a NO-OP
+      val (v2, nRw2, _) = CommitLogStats.compactClusteredIncremental(
+        spark, t, Seq("id", "name"), 101L, Seq("id"))
+      assert(v2 == v1 && nRw2 == 0)
+      // a new scattered append raises the depth again → rewritten
+      CommitLogStats.appendWithStats(spark, t,
+        rows(1L until 600L by 6L), Seq("id"))
+      val (v3, nRw3, _) = CommitLogStats.compactClusteredIncremental(
+        spark, t, Seq("id", "name"), 101L, Seq("id"))
+      assert(v3 > v2 && nRw3 >= 1)
+      assert(CommitLog.read(spark, t).count() == 601L + 100L)
+    } finally rm(t)
+  }
+
   test("deletion vectors through SQL: CALL delete_vectored records a " +
       "vector (zero segments rewritten), catalog SELECTs subtract it " +
       "with sidecar skipping intact, and CALL compact materializes") {
