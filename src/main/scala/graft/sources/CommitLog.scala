@@ -1359,48 +1359,89 @@ object CommitLog {
     * floor, then the manifests below it. Run only when no reader can
     * hold a snapshot older than `retainVersions` — same contract as
     * Delta VACUUM's retention window. */
+  /** What a vacuum at `retainVersions` WOULD remove, without
+    * touching anything — the operational dry run (Delta's
+    * `VACUUM ... DRY RUN`): (unreferenced segment dirs, dead change
+    * dirs, dead deletion-vector dirs, manifest versions to drop).
+    * Orphans from crashed writers appear here too (no manifest ever
+    * references them). */
+  def vacuumPlan(spark: SparkSession, table: String,
+      retainVersions: Int = 2)
+      : (Seq[String], Seq[String], Seq[String], Seq[Long]) = {
+    val f = fs(spark, table)
+    val vs = versions(spark, table)
+    if (vs.isEmpty) return (Seq.empty, Seq.empty, Seq.empty, Seq.empty)
+    val dropped = vs.dropRight(retainVersions)
+    val keepFloor = vs.takeRight(retainVersions)
+    def dead(sub: String, live: Set[String]): Seq[String] = {
+      val dir = new org.apache.hadoop.fs.Path(s"$table/$sub")
+      if (!f.exists(dir)) Seq.empty
+      else f.listStatus(dir).toSeq.collect {
+        case st if !live.contains(st.getPath.toUri.getPath) &&
+            !live.exists(_.endsWith(st.getPath.getName)) =>
+          st.getPath.toUri.getPath
+      }
+    }
+    val keepSnaps = keepFloor.flatMap(v => snapshot(spark, table, Some(v)))
+    (dead("data", keepSnaps.flatMap(_.segments).toSet),
+      dead("_changes", keepSnaps.flatMap(_.changes).toSet),
+      dead("_dv", keepSnaps.flatMap(_.dv).toSet),
+      dropped)
+  }
+
   def vacuum(spark: SparkSession, table: String,
       retainVersions: Int = 2): Unit = {
     val f = fs(spark, table)
-    val vs = versions(spark, table)
-    if (vs.isEmpty) return
-    // even with nothing to drop, sweep orphaned segments: a writer
-    // that staged data and died before publish left garbage no
-    // manifest references
-    val dropped = vs.dropRight(retainVersions)
-    val keepFloor = vs.takeRight(retainVersions)
-    val live = keepFloor.flatMap(v =>
-      snapshot(spark, table, Some(v)).get.segments).toSet
-    val dataDir = new org.apache.hadoop.fs.Path(s"$table/data")
-    if (f.exists(dataDir)) f.listStatus(dataDir).foreach { st =>
-      if (!live.contains(st.getPath.toUri.getPath) &&
-          !live.exists(_.endsWith(st.getPath.getName)))
-        f.delete(st.getPath, true): Unit
-    }
-    // change-data records of dropped versions (and of crashed DML
-    // writers that never published) follow the same liveness rule
-    val liveChanges = keepFloor.flatMap(v =>
-      snapshot(spark, table, Some(v)).get.changes).toSet
-    val changesDir = new org.apache.hadoop.fs.Path(s"$table/_changes")
-    if (f.exists(changesDir)) f.listStatus(changesDir).foreach { st =>
-      if (!liveChanges.contains(st.getPath.toUri.getPath) &&
-          !liveChanges.exists(_.endsWith(st.getPath.getName)))
-        f.delete(st.getPath, true): Unit
-    }
-    // deletion-vector sidecars of dropped versions (and of crashed
-    // deleteVectored writers) — same liveness rule
-    val liveDv = keepFloor.flatMap(v =>
-      snapshot(spark, table, Some(v)).get.dv).toSet
-    val dvDir = new org.apache.hadoop.fs.Path(s"$table/_dv")
-    if (f.exists(dvDir)) f.listStatus(dvDir).foreach { st =>
-      if (!liveDv.contains(st.getPath.toUri.getPath) &&
-          !liveDv.exists(_.endsWith(st.getPath.getName)))
-        f.delete(st.getPath, true): Unit
-    }
+    // one plan, one sweep: segments (incl. crashed-writer orphans),
+    // change records, deletion vectors, then the dropped manifests
+    val (segs, changes, dvs, dropped) =
+      vacuumPlan(spark, table, retainVersions)
+    (segs ++ changes ++ dvs).foreach(p =>
+      f.delete(new org.apache.hadoop.fs.Path(p), true): Unit)
     dropped.foreach { v =>
       f.delete(new org.apache.hadoop.fs.Path(manifestPath(table, v)),
         false): Unit
     }
+  }
+
+  /** One-row operational summary of the CURRENT version — Delta's
+    * DESCRIBE DETAIL: version, op, segment/file/byte counts, schema
+    * width, deletion-vector state, sidecar coverage (stats + bloom),
+    * partition columns. Driver-side metadata only; no data files
+    * open. */
+  def detail(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val snap = snapshot(spark, table).getOrElse(
+      throw new IllegalStateException(
+        s"CommitLog.detail: nothing committed at $table"))
+    val f = fs(spark, table)
+    var files = 0L
+    var bytes = 0L
+    var withStats = 0
+    var withBloom = 0
+    snap.segments.foreach { seg =>
+      val p = new org.apache.hadoop.fs.Path(seg)
+      if (f.exists(p)) f.listStatus(p).foreach { st =>
+        val n = st.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) {
+          files += 1; bytes += st.getLen
+        }
+        if (n == "_stats.json") withStats += 1
+        if (n.startsWith("_bloom_") && n.endsWith(".bin"))
+          withBloom += 1
+      }
+    }
+    val dvRows = snap.dv.map(d =>
+      spark.read.parquet(d).count()).getOrElse(0L)
+    Seq((snap.version, snap.op, snap.segments.size.toLong, files,
+      bytes, snap.schema.map(b64 =>
+        decodeSchema(b64).fields.length).getOrElse(-1),
+      snap.dv.isDefined, dvRows, withStats.toLong, withBloom.toLong,
+      partitionColumns(spark, table).getOrElse(Seq.empty)
+        .mkString(",")))
+      .toDF("version", "op", "n_segments", "n_data_files",
+        "total_bytes", "n_columns", "has_deletion_vector", "dv_rows",
+        "segments_with_stats", "bloom_sidecars", "partition_columns")
   }
 
   // manifest format: one JSON object, segments one-per-line for

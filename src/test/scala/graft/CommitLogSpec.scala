@@ -1990,6 +1990,12 @@ class CommitLogSpec extends AnyFunSuite {
       assert(feed.filter(col("_change_type") === "delete")
         .select("id").collect().map(_.getLong(0)).sorted.toSeq ==
         Seq(2L, 3L))
+      // DESCRIBE DETAIL surfaces the vector state without opening
+      // data files
+      val det = CommitLog.detail(spark, t).collect()(0)
+      assert(det.getAs[Boolean]("has_deletion_vector") &&
+        det.getAs[Long]("dv_rows") == 2L &&
+        det.getAs[Long]("n_segments") == 2L)
       // a matching-nothing predicate commits no version
       val (v3, n3) = CommitLog.deleteVectored(spark, t, col("id") > 99L)
       assert(v3 == v2 && n3 == 0L)
@@ -2323,6 +2329,9 @@ class CommitLogSpec extends AnyFunSuite {
       CommitLog.compact(spark, t, 10L) // materialize → dv now dead-ish
       (1 to 3).foreach(_ =>
         CommitLog.append(spark, t, df((30L, "x", 30.0))))
+      // dry run names the dead vector (and deletes nothing)
+      val (_, _, planDv, _) = CommitLog.vacuumPlan(spark, t, 2)
+      assert(planDv.nonEmpty && dvRoot.exists())
       CommitLog.vacuum(spark, t, retainVersions = 2)
       assert(!dvRoot.exists() || dvRoot.listFiles().isEmpty)
       assert(CommitLog.read(spark, t).filter(col("id") === 10L)
