@@ -461,6 +461,13 @@ private[sources] class CommitLogDvScanBuilder(spark: SparkSession,
           override def sqlContext: org.apache.spark.sql.SQLContext =
             context
           override def schema: StructType = required
+          // the bridged frame's execution already produces
+          // InternalRows (vectorized parquet + codegen inside);
+          // declaring no-conversion hands them through directly
+          // instead of a Row round-trip per row — the documented V1
+          // contract (needConversion=false ⇒ buildScan rows are
+          // InternalRow)
+          override def needConversion: Boolean = false
           override def buildScan()
               : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
             val cols = filters.flatMap(CommitLogTable.filterToColumn)
@@ -482,7 +489,9 @@ private[sources] class CommitLogDvScanBuilder(spark: SparkSession,
             val filtered = cols.foldLeft(base)((d, c) => d.filter(c))
             filtered
               .select(required.fieldNames.toIndexedSeq.map(col): _*)
-              .rdd
+              .queryExecution.toRdd
+              .asInstanceOf[org.apache.spark.rdd
+                .RDD[org.apache.spark.sql.Row]]
           }
         }
         rel.asInstanceOf[T]
