@@ -1382,7 +1382,16 @@ object CommitLog {
           st.getPath.toUri.getPath
       }
     }
-    val keepSnaps = keepFloor.flatMap(v => snapshot(spark, table, Some(v)))
+    // LOUD on a keep-floor manifest that vanished between the listing
+    // and this read (concurrent lower-retention vacuum, flaky store):
+    // silently omitting it would classify the retained version's
+    // segments as dead and DELETE them — abort instead
+    val keepSnaps = keepFloor.map(v =>
+      snapshot(spark, table, Some(v)).getOrElse(
+        throw new IllegalStateException(
+          s"CommitLog.vacuumPlan: manifest v$v of $table vanished " +
+            "during planning (concurrent vacuum?) — aborting, " +
+            "nothing deleted")))
     (dead("data", keepSnaps.flatMap(_.segments).toSet),
       dead("_changes", keepSnaps.flatMap(_.changes).toSet),
       dead("_dv", keepSnaps.flatMap(_.dv).toSet),
@@ -1407,8 +1416,10 @@ object CommitLog {
   /** One-row operational summary of the CURRENT version — Delta's
     * DESCRIBE DETAIL: version, op, segment/file/byte counts, schema
     * width, deletion-vector state, sidecar coverage (stats + bloom),
-    * partition columns. Driver-side metadata only; no data files
-    * open. */
+    * partition columns. Metadata listings only — except `dv_rows`,
+    * which runs one small job over the vector parquet and counts the
+    * LIVE entries (those referencing a current segment; entries for
+    * rewritten-away files are stale and subtract nothing). */
   def detail(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._
     val snap = snapshot(spark, table).getOrElse(
@@ -1431,8 +1442,14 @@ object CommitLog {
           withBloom += 1
       }
     }
-    val dvRows = snap.dv.map(d =>
-      spark.read.parquet(d).count()).getOrElse(0L)
+    val dvRows = snap.dv.map { d =>
+      val uuids = snap.segments.map(s =>
+        s.substring(s.lastIndexOf('/') + 1))
+      spark.read.parquet(d)
+        .filter(uuids.map(u => col("_dv_file").contains(u))
+          .reduceOption(_ || _).getOrElse(lit(false)))
+        .count()
+    }.getOrElse(0L)
     Seq((snap.version, snap.op, snap.segments.size.toLong, files,
       bytes, snap.schema.map(b64 =>
         decodeSchema(b64).fields.length).getOrElse(-1),

@@ -756,21 +756,37 @@ object CommitLogStats {
     require(maxDepth >= 2,
       "maxDepth must be >= 2 — depth 1 needs the full compactClustered")
     val rangeCol = clusterCols.head
+    require(statsCols.contains(rangeCol),
+      s"compactClusteredIncremental: statsCols must include the lead " +
+        s"cluster column '$rangeCol' — without its sidecar every " +
+        "rewritten segment is opaque to the NEXT call, which would " +
+        "rewrite the whole table every run instead of converging")
     var attempt = 0
     while (attempt < maxRetries) {
       val cur = CommitLog.snapshot(spark, table).getOrElse(
         throw new IllegalStateException(
           s"CommitLogStats.compactClusteredIncremental: nothing " +
             s"committed at $table"))
-      // sidecar ranges; a segment without one (or without the
-      // column, or all-NULL) has an unknowable range → must rewrite
-      val ranged = cur.segments.map { seg =>
-        val r = readSidecar(spark, seg).flatMap(_.cols.get(rangeCol))
-          .flatMap(cs => (cs.min, cs.max) match {
-            case (Some(mn), Some(mx)) => Some((cs.tag, mn, mx))
-            case _ => None
-          })
-        seg -> r
+      // sidecar ranges; a segment without a sidecar or the column has
+      // an unknowable range → must rewrite. A segment whose range
+      // column is ALL NULL is its own class: invisible to range
+      // probes (IS NULL keeps it via the null count), and rewriting
+      // it would make it opaque forever (its sidecar min/max stay
+      // null) — leave such segments in place like the kept chain.
+      val sided = cur.segments.map(seg =>
+        seg -> readSidecar(spark, seg))
+      val allNull = sided.collect {
+        case (seg, Some(st)) if st.cols.get(rangeCol).exists(cs =>
+          cs.min.isEmpty && cs.nulls == st.rows && st.rows > 0) => seg
+      }.toSet
+      val ranged = sided.filterNot(s => allNull(s._1)).map {
+        case (seg, side) =>
+          val r = side.flatMap(_.cols.get(rangeCol))
+            .flatMap(cs => (cs.min, cs.max) match {
+              case (Some(mn), Some(mx)) => Some((cs.tag, mn, mx))
+              case _ => None
+            })
+          seg -> r
       }
       val tags = ranged.flatMap(_._2).map(_._1).distinct
       require(tags.size <= 1,
@@ -781,19 +797,25 @@ object CommitLogStats {
         (seg, t, mn, mx) }
       val tag = tags.headOption.getOrElse("long")
       // steady-state check FIRST: max INTERIOR overlap depth over the
-      // known ranges — at an equal coordinate, ends count before
-      // starts (half-open sweep), because adjacent segments sharing a
-      // boundary VALUE (duplicate cluster keys straddling a split) is
-      // not reducible by any rewrite. Depth <= maxDepth and nothing
-      // opaque → no-op. This is what makes repeated calls converge:
-      // one pass leaves (old disjoint chain) ∪ (new disjoint output)
-      // = interior depth <= 2.
+      // known ranges. At an equal coordinate, non-degenerate ends
+      // count before starts (half-open sweep: adjacent segments
+      // sharing one boundary VALUE — duplicate cluster keys
+      // straddling a split — is not reducible by rewriting), but a
+      // DEGENERATE [v,v] interval counts as covering v, so a stack of
+      // same-single-value segments (daily one-date appends — the
+      // canonical target workload) is depth k, not invisible.
+      // Event order at a coordinate: nondeg-end, deg-start, deg-end,
+      // nondeg-start. Depth <= maxDepth and nothing opaque → no-op;
+      // one pass leaves (kept chain) ∪ (new disjoint output) =
+      // interior depth <= 2, which is what makes calls converge.
       val maxD = {
         val events = known.flatMap { case (_, _, mn, mx) =>
-          Seq((mn, 1), (mx, -1)) }
+          if (cmp(tag, mn, mx) == 0) Seq((mn, 1, 1), (mx, -1, 2))
+          else Seq((mn, 1, 3), (mx, -1, 0))
+        }
         val sorted = events.sortWith { (a, b) =>
           val c = cmp(tag, a._1, b._1)
-          if (c != 0) c < 0 else a._2 < b._2
+          if (c != 0) c < 0 else a._3 < b._3
         }
         var d = 0; var m = 0
         sorted.foreach { e => d += e._2; m = math.max(m, d) }
@@ -802,19 +824,21 @@ object CommitLogStats {
       if (opaque.isEmpty && maxD <= maxDepth)
         return (cur.version, 0, cur.segments.size)
       // interval scheduling: keep a maximum chain of segments with
-      // disjoint INTERIORS — boundary-value ties are allowed (>= 0),
-      // matching the half-open depth sweep: duplicate cluster keys
-      // straddling a split are not reducible, and a clustered base
-      // whose neighbors share one boundary date must stay kept
+      // disjoint INTERIORS — a boundary-value tie is allowed only for
+      // a non-degenerate newcomer (matching the sweep): a [v,v]
+      // segment repeating the chain's current max is a REDUCIBLE
+      // stack member and must go to the rewrite set to be merged
       val chain = scala.collection.mutable.ArrayBuffer.empty[String]
       var lastMax: Option[Any] = None
       known.sortWith((a, b) => cmp(a._2, a._4, b._4) < 0).foreach {
         case (seg, _, mn, mx) =>
-          if (lastMax.forall(lm => cmp(tag, mn, lm) >= 0)) {
-            chain += seg; lastMax = Some(mx)
+          val admit = lastMax.forall { lm =>
+            val c = cmp(tag, mn, lm)
+            c > 0 || (c == 0 && cmp(tag, mx, mn) > 0)
           }
+          if (admit) { chain += seg; lastMax = Some(mx) }
       }
-      val kept = chain.toSet
+      val kept = chain.toSet ++ allNull
       val rewrite = cur.segments.filterNot(kept)
       if (rewrite.isEmpty)
         return (cur.version, 0, cur.segments.size)

@@ -2123,7 +2123,32 @@ class CommitLogSpec extends AnyFunSuite {
         spark, t, Seq("id", "name"), 101L, Seq("id"))
       assert(v3 > v2 && nRw3 >= 1)
       assert(CommitLog.read(spark, t).count() == 601L + 100L)
+      // stats_by omitting the lead cluster column would make every
+      // rewritten segment opaque to the NEXT call — refuse loudly
+      val ex = intercept[IllegalArgumentException] {
+        CommitLogStats.compactClusteredIncremental(spark, t,
+          Seq("id", "name"), 101L, statsCols = Seq("name"))
+      }
+      assert(ex.getMessage.contains("lead cluster column"))
     } finally rm(t)
+    // a stack of same-single-value appends (daily one-date ingest)
+    // is REDUCIBLE: the degenerate [v,v] intervals are visible to
+    // the depth sweep, the stack merges, and the table converges at
+    // the two-segment steady state
+    val t2 = tmpTable()
+    try {
+      import spark.implicits._
+      (0 until 5).foreach(i =>
+        CommitLogStats.appendWithStats(spark, t2,
+          Seq((7L, s"r$i")).toDF("id", "name"), Seq("id")))
+      val (_, rw, kp) = CommitLogStats.compactClusteredIncremental(
+        spark, t2, Seq("id", "name"), 100L, Seq("id"))
+      assert(rw == 4 && kp == 1)
+      val (_, rw2, _) = CommitLogStats.compactClusteredIncremental(
+        spark, t2, Seq("id", "name"), 100L, Seq("id"))
+      assert(rw2 == 0)
+      assert(CommitLog.read(spark, t2).count() == 5L)
+    } finally rm(t2)
   }
 
   test("deletion vectors through SQL: CALL delete_vectored records a " +
