@@ -2081,6 +2081,40 @@ class CommitLogSpec extends AnyFunSuite {
     } finally rm(s"$root/ns/t")
   }
 
+  test("DV'd reads through the no-conversion V1 bridge serve " +
+      "timestamp, date, decimal, double and boolean columns exactly") {
+    import spark.implicits._
+    val t = tmpTable()
+    try {
+      val rows = (0L until 20L).map { k =>
+        (k,
+          java.sql.Timestamp.valueOf(s"2024-01-${(k % 28) + 1} 10:30:00"),
+          java.sql.Date.valueOf(s"2024-02-${(k % 28) + 1}"),
+          BigDecimal(k * 100 + 7).setScale(2),
+          k * 1.5,
+          k % 2 == 0)
+      }.toDF("id", "ts", "d", "dec", "x", "flag")
+      CommitLog.append(spark, t, rows)
+      CommitLog.deleteVectored(spark, t, col("id") % 5L === 0L)
+      val viaBridge = spark.read.format("commitlog")
+        .option("path", t).load()
+      val expected = CommitLog.read(spark, t)
+      assert(viaBridge.count() == 16L && expected.count() == 16L)
+      // every column round-trips identically through the bridge
+      val a = viaBridge.orderBy("id").collect().map(_.toString).toSeq
+      val b = expected.orderBy("id").collect().map(_.toString).toSeq
+      assert(a == b)
+      // filtered + pruned projection on exotic types
+      assert(viaBridge.filter(col("flag") && col("dec") > 500)
+        .select("ts").collect().length ==
+        expected.filter(col("flag") && col("dec") > 500)
+          .select("ts").collect().length)
+      // aggregate over decimal through the bridge matches
+      assert(viaBridge.agg(sum("dec")).collect()(0).getDecimal(0) ==
+        expected.agg(sum("dec")).collect()(0).getDecimal(0))
+    } finally rm(t)
+  }
+
   test("incremental OPTIMIZE: only the unsorted tail rewrites, the " +
       "clustered chain is kept byte-identical, repeated calls no-op " +
       "at the depth-2 steady state, and probes touch <= 2 segments") {
