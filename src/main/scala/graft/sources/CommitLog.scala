@@ -42,7 +42,19 @@ import org.apache.spark.sql.functions._
   * The lost-update law is spec-run against a contended fake object
   * store (and a deliberately broken blind-PUT store, proving the law
   * rests on exactly this primitive) in CommitLogSpec.
-  */
+  *
+  * Known bound, stated honestly: each manifest lists the FULL
+  * segment set — self-contained (any version readable from one
+  * file, no log replay, vacuum is trivially safe) at the cost of
+  * manifest bytes scaling with segment count (~100 bytes/segment:
+  * 10k segments ≈ 1 MB per commit, fine; 1M segments ≈ 100 MB, not).
+  * The OPTIMIZE verbs are therefore also the commit-metadata bound:
+  * bucketed/clustered/incremental compaction keep segment counts in
+  * the thousands at any table size (segments are free to be large —
+  * readers split them by parquet row groups, not by segment).
+  * Tables that genuinely need unbounded segment counts need the
+  * Delta/Iceberg delta-log + checkpoint design — a format evolution
+  * deliberately not taken here while compaction holds the count. */
 object CommitLog {
 
   /** One committed table version: the segment directories whose union
