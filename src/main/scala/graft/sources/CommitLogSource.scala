@@ -162,7 +162,8 @@ class CommitLogSource extends TableProvider with DataSourceRegister
     val pq = ParquetTable(s"commitlog:$path@v${snap.version}", spark,
       options, snap.segments, snap.schema.map(CommitLog.decodeSchema),
       classOf[ParquetFileFormat])
-    new CommitLogTable(spark, path, pq, snap)
+    new CommitLogTable(spark, path, pq, snap,
+      acceptAnySchema = options.getBoolean("mergeSchema", false))
   }
 
   /** A table with no commits yet: `writeStream` probes the provider
@@ -216,7 +217,8 @@ class CommitLogSource extends TableProvider with DataSourceRegister
   * provider resolves the snapshot to serve the READ schema, the same
   * existence requirement the streaming source documents. */
 class CommitLogTable(spark: SparkSession, path: String,
-    pq: ParquetTable, snap: CommitLog.Snapshot)
+    pq: ParquetTable, snap: CommitLog.Snapshot,
+    acceptAnySchema: Boolean = false)
     extends Table
     with org.apache.spark.sql.connector.catalog.SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
@@ -268,6 +270,11 @@ class CommitLogTable(spark: SparkSession, path: String,
     val caps = new util.HashSet[TableCapability](pq.capabilities())
     caps.add(TableCapability.V1_BATCH_WRITE)
     caps.add(TableCapability.TRUNCATE)
+    // a mergeSchema write must reach the connector with its extra
+    // columns intact — Spark's output resolution would refuse the
+    // arity first; appendEvolve then does the (loud, add-only)
+    // validation. Granted ONLY when the option is set.
+    if (acceptAnySchema) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
     caps
   }
 
@@ -297,7 +304,17 @@ class CommitLogTable(spark: SparkSession, path: String,
               // per partition tuple on every write — INSERTs are
               // born prunable, no OPTIMIZE needed
               val pCols = CommitLog.partitionColumns(spark, path)
+              // Delta's option of the same name: an append carrying
+              // NEW columns evolves the recorded schema instead of
+              // refusing (add-only; the protocol's appendEvolve)
+              val mergeSchema = info.options()
+                .getBoolean("mergeSchema", false)
+              require(!mergeSchema || (pCols.isEmpty && !overwrite),
+                "commitlog write: mergeSchema supports plain appends " +
+                  "only (not overwrite or PARTITIONED BY tables)")
               (overwrite, pCols) match {
+                case (false, None) if mergeSchema =>
+                  CommitLog.appendEvolve(spark, path, data): Unit
                 case (false, None) =>
                   CommitLog.append(spark, path, data): Unit
                 case (false, Some(cols)) =>

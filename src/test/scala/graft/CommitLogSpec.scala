@@ -2081,6 +2081,64 @@ class CommitLogSpec extends AnyFunSuite {
     } finally rm(s"$root/ns/t")
   }
 
+  test("DSv2 write with mergeSchema evolves the recorded schema " +
+      "(add-only), matching appendEvolve; without it the write refuses") {
+    import spark.implicits._
+    val t = tmpTable()
+    try {
+      CommitLog.append(spark, t, Seq((1L, "a")).toDF("id", "name"))
+      val widened = Seq((2L, "b", 9.5)).toDF("id", "name", "score")
+      intercept[Exception] {
+        widened.write.format("commitlog").option("path", t)
+          .mode("append").save()
+      }
+      widened.write.format("commitlog").option("path", t)
+        .option("mergeSchema", "true").mode("append").save()
+      val out = CommitLog.read(spark, t).orderBy("id").collect()
+      assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+      // the pre-evolution row serves NULL for the added column
+      assert(out(0).isNullAt(2) && out(1).getDouble(2) == 9.5)
+    } finally rm(t)
+  }
+
+  test("concurrent vectored deletes: both land under OCC (the loser " +
+      "rebases onto the winner's vector), no deletion is lost and " +
+      "none double-reports") {
+    val t = tmpTable()
+    try {
+      CommitLog.append(spark, t,
+        df((0L until 40L).map(k => (k, s"n$k", k * 1.0)): _*))
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      def deleter(pred: org.apache.spark.sql.Column) =
+        scala.concurrent.Future {
+          gate.await(); CommitLog.deleteVectored(spark, t, pred)
+        }
+      val fa = deleter(col("id") % 10L === 3L) // 3,13,23,33
+      val fb = deleter(col("id") % 10L === 7L) // 7,17,27,37
+      gate.countDown()
+      val (_, na) = scala.concurrent.Await.result(fa,
+        scala.concurrent.duration.Duration("120s"))
+      val (_, nb) = scala.concurrent.Await.result(fb,
+        scala.concurrent.duration.Duration("120s"))
+      pool.shutdown()
+      assert(na == 4L && nb == 4L)
+      // both deletions present; versions serialized to 3
+      assert(CommitLog.currentVersion(spark, t) == Some(3L))
+      assert(CommitLog.read(spark, t).count() == 32L)
+      assert(CommitLog.read(spark, t)
+        .filter(col("id") % 10L === 3L || col("id") % 10L === 7L)
+        .count() == 0L)
+      // CDC across both versions reports each deleted row exactly once
+      val feed = CommitLog.changeFeed(spark, t, afterVersion = 1L)
+        .filter(col("_change_type") === "delete")
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(feed == Seq(3L, 7L, 13L, 17L, 23L, 27L, 33L, 37L))
+    } finally rm(t)
+  }
+
   test("DV'd reads through the no-conversion V1 bridge serve " +
       "timestamp, date, decimal, double and boolean columns exactly") {
     import spark.implicits._
