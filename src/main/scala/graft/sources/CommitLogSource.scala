@@ -138,7 +138,18 @@ class CommitLogSource extends TableProvider with DataSourceRegister
       new IllegalArgumentException(
         "commitlog source requires option 'path' (the table directory)"))
     val version = Option(options.get("versionAsOf")).map(_.toLong)
-    val tsOf = Option(options.get("timestampAsOf")).map(_.toLong)
+    // epoch millis or an ISO-ish timestamp string ('2024-01-31' /
+    // '2024-01-31 10:30:00' / with 'T') — what Delta users type
+    val tsOf = Option(options.get("timestampAsOf")).map { s =>
+      s.toLongOption.getOrElse {
+        val norm = s.trim.replace('T', ' ')
+        val withTime =
+          if (norm.contains(' ')) norm else s"$norm 00:00:00"
+        java.time.LocalDateTime
+          .parse(withTime.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      }
+    }
     require(version.isEmpty || tsOf.isEmpty,
       "commitlog: versionAsOf and timestampAsOf are mutually exclusive")
     val resolved = tsOf.map(t =>

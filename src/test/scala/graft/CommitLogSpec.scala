@@ -2081,6 +2081,25 @@ class CommitLogSpec extends AnyFunSuite {
     } finally rm(s"$root/ns/t")
   }
 
+  test("timestampAsOf accepts ISO timestamp strings as well as epoch " +
+      "millis, resolving to the same version") {
+    import spark.implicits._
+    val t = tmpTable()
+    try {
+      CommitLog.append(spark, t, Seq((1L, "a")).toDF("id", "name"))
+      val ts1 = CommitLog.snapshot(spark, t).get.ts.get
+      CommitLog.append(spark, t, Seq((2L, "b")).toDF("id", "name"))
+      def readAt(v: String) = spark.read.format("commitlog")
+        .option("path", t).option("timestampAsOf", v).load().count()
+      assert(readAt(ts1.toString) == 1L)
+      val iso = java.time.Instant.ofEpochMilli(ts1)
+        .atOffset(java.time.ZoneOffset.UTC).toLocalDateTime.toString
+      assert(readAt(iso) == 1L)
+      // a date-only cutoff BEFORE the first commit raises loudly
+      intercept[IllegalStateException] { readAt("1999-01-01") }
+    } finally rm(t)
+  }
+
   test("DSv2 write with mergeSchema evolves the recorded schema " +
       "(add-only), matching appendEvolve; without it the write refuses") {
     import spark.implicits._
