@@ -104,6 +104,19 @@ object CommitLog {
     finally out.close()
   }
 
+  /** Remove the partition marker — only legal while the table does
+    * not yet exist (existence = `_commits`): a marker without a
+    * published v1 is an orphan from a crashed or race-losing CREATE,
+    * and leaving it would make a later CREATE of the same name
+    * WITHOUT partitioning silently inherit partition columns the new
+    * table never declared. */
+  private[graft] def deletePartitionMarker(spark: SparkSession,
+      table: String): Unit = {
+    val f = fs(spark, table)
+    f.delete(new org.apache.hadoop.fs.Path(s"$table/_partition.json"),
+      false): Unit
+  }
+
   /** The recorded partition columns, if the table was created
     * partitioned. */
   def partitionColumns(spark: SparkSession,
@@ -245,9 +258,18 @@ object CommitLog {
     * bounded by the table's file count and collected once; an
     * unknown file maps to NULL, which matches nothing), so the
     * broadcast hash relation holds (int, long) pairs — ~20× smaller
-    * than path strings at the `maxDvRows` bound. The scan side never
-    * shuffles; caller filters push through the anti-join to the
-    * parquet scan; OPTIMIZE materializes the subtraction away. */
+    * than path strings. The scan side never shuffles in the
+    * broadcast regime; caller filters push through the anti-join to
+    * the parquet scan; OPTIMIZE materializes the subtraction away.
+    *
+    * The broadcast is HINTED (bypasses autoBroadcastJoinThreshold),
+    * so it is capped by row count: past
+    * `spark.graft.dv.broadcastRows` (default 1M ≈ tens of MB of
+    * hash relation) the hint is dropped and the anti-join shuffles —
+    * slower, but it cannot OOM the driver/executors the way a
+    * forced hundreds-of-MB broadcast at the maxDvRows=10M bound
+    * could. The DV row count is free: parquet count() answers from
+    * footer stats. */
   private def subtractDv(spark: SparkSession, tagged: DataFrame,
       dvDir: String): DataFrame = {
     val dvRaw = spark.read.parquet(dvDir)
@@ -258,7 +280,11 @@ object CommitLog {
       idOf(col("_dv_file")).as("_dv_fid"), col("_dv_pos"))
     val withFid = tagged.withColumn("__graft_dv_fid",
       idOf(col("__graft_dv_file")))
-    withFid.join(broadcast(dvIds),
+    val bcastCap = spark.conf.getOption("spark.graft.dv.broadcastRows")
+      .map(_.toLong).getOrElse(1000000L)
+    val dvSide =
+      if (dvRaw.count() <= bcastCap) broadcast(dvIds) else dvIds
+    withFid.join(dvSide,
       withFid("__graft_dv_fid") === dvIds("_dv_fid") &&
         withFid("__graft_dv_pos") === dvIds("_dv_pos"),
       "left_anti")

@@ -165,15 +165,32 @@ class CommitLogCatalog extends TableCatalog
       s"commitlog catalog: partition column '$c' absent from schema"))
     val path = pathOf(ident)
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    // marker first: a crash between marker and manifest leaves a
-    // table that does not exist yet (existence = _commits), and the
-    // second create attempt fails loudly on the existing marker
+    // The table does not exist here (existence = _commits), so any
+    // _partition.json on disk is either an orphan from a crashed /
+    // race-losing CREATE or an in-flight concurrent creator's. Left
+    // in place, an unpartitioned CREATE would silently inherit
+    // partition columns it never declared — remove it, remembering
+    // the content: if WE then lose the publish race the remover
+    // restores it, so a marker only stays deleted when our
+    // (unpartitioned) metadata actually won.
+    val displaced = CommitLog.partitionColumns(spark, path)
+    if (displaced.isDefined) CommitLog.deletePartitionMarker(spark, path)
+    // marker before manifest: a crash between the two leaves a table
+    // that still does not exist, and the orphan is cleared above on
+    // the next attempt
     if (partitionCols.nonEmpty)
       CommitLog.writePartitionMarker(spark, path, partitionCols)
     val snap = CommitLog.Snapshot(1L, Seq.empty, 0L, "create",
       schema = Some(CommitLog.encodeSchema(schema)))
-    if (!CommitLog.tryPublish(spark, path, snap))
+    if (!CommitLog.tryPublish(spark, path, snap)) {
+      // lost the publish race — the winner's metadata governs: our
+      // marker must not shadow a concurrent unpartitioned CREATE,
+      // and a marker we displaced belongs to the winner, so put it
+      // back.
+      CommitLog.deletePartitionMarker(spark, path)
+      displaced.foreach(CommitLog.writePartitionMarker(spark, path, _))
       throw new TableAlreadyExistsException(ident)
+    }
     loadTable(ident)
   }
 

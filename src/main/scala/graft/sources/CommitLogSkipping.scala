@@ -64,6 +64,9 @@ object CommitLogSkipping {
     l.dataType match {
       case ByteType | ShortType | IntegerType | LongType =>
         Some(("long", l.value.asInstanceOf[Number].longValue()))
+      case BooleanType =>
+        // mirrors CommitLogStats.encode: false<true ≡ 0<1
+        Some(("long", if (l.value.asInstanceOf[Boolean]) 1L else 0L))
       case FloatType | DoubleType =>
         // -0.0 normalized to 0.0 — SQL equality vs Double.compare
         // ordering (same rule as CommitLogStats.encode)

@@ -139,15 +139,21 @@ class CommitLogSource extends TableProvider with DataSourceRegister
         "commitlog source requires option 'path' (the table directory)"))
     val version = Option(options.get("versionAsOf")).map(_.toLong)
     // epoch millis or an ISO-ish timestamp string ('2024-01-31' /
-    // '2024-01-31 10:30:00' / with 'T') — what Delta users type
+    // '2024-01-31 10:30:00' / with 'T') — what Delta users type.
+    // Wall-clock strings resolve in the SESSION timezone (Delta's
+    // rule), not hardcoded UTC: a non-UTC session would otherwise
+    // silently time-travel to a different version than the same
+    // string picks in Delta.
     val tsOf = Option(options.get("timestampAsOf")).map { s =>
       s.toLongOption.getOrElse {
         val norm = s.trim.replace('T', ' ')
         val withTime =
           if (norm.contains(' ')) norm else s"$norm 00:00:00"
+        val zone = java.time.ZoneId.of(
+          spark.sessionState.conf.sessionLocalTimeZone)
         java.time.LocalDateTime
           .parse(withTime.replace(' ', 'T'))
-          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+          .atZone(zone).toInstant.toEpochMilli
       }
     }
     require(version.isEmpty || tsOf.isEmpty,

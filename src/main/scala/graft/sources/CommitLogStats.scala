@@ -80,6 +80,12 @@ object CommitLogStats {
   private def encode(dt: DataType, v: Any): (String, Any) = dt match {
     case ByteType | ShortType | IntegerType | LongType =>
       ("long", v.asInstanceOf[Number].longValue())
+    case BooleanType =>
+      // false<true ≡ 0<1 under Spark's Boolean ordering, so booleans
+      // share the "long" tag (BOOLEAN partition columns are in
+      // stagePartitioned's allowlist — without this case every INSERT
+      // into a BOOLEAN-partitioned table threw at sidecar-write time)
+      ("long", if (v.asInstanceOf[Boolean]) 1L else 0L)
     case FloatType | DoubleType =>
       ("double", normZero(v.asInstanceOf[Number].doubleValue()))
     case StringType => ("string", v.asInstanceOf[String])
@@ -107,6 +113,7 @@ object CommitLogStats {
 
   /** Map a caller-supplied probe bound onto the same canonical form. */
   private def encodeProbe(v: Any): (String, Any) = v match {
+    case b: Boolean => ("long", if (b) 1L else 0L)
     case n: Byte => ("long", n.toLong)
     case n: Short => ("long", n.toLong)
     case n: Int => ("long", n.toLong)
@@ -334,6 +341,7 @@ object CommitLogStats {
   /** A representative value per type so an all-NULL column still
     * records its tag (the probe type check stays loud). */
   private def defaultFor(dt: DataType): Any = dt match {
+    case BooleanType => false
     case ByteType | ShortType | IntegerType | LongType => 0L
     case FloatType | DoubleType => 0.0
     case StringType => ""
