@@ -676,6 +676,61 @@ object Pipeline18 {
         s.conf.unset(s"spark.sql.catalog.$cat.root")
         rmStage(s, stage)
       }
+    }),
+
+    // q167's schema evolution, driven by SQL DDL: v1 appends the
+    // 3-column even slice, `ALTER TABLE … ADD COLUMNS` commits a
+    // METADATA-ONLY evolve version (ddl_segment_delta witnesses that
+    // the DDL added zero segments), and a SQL INSERT…SELECT lands the
+    // odd slice carrying the new column. Same reader algebra as q167
+    // — v1 rows group under the NULL class, time travel to v1 keeps
+    // its own 3 columns — all through the DuckDB hash gate.
+    "q188_commitlog_sql_add_columns" -> ((s, dir) => {
+      val stage = stageDir("q188_ddl")
+      val cat = "graftq188"
+      try {
+        s.conf.set(s"spark.sql.catalog.$cat",
+          "graft.sources.CommitLogCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", stage)
+        val tbl = s"$stage/ns/o"
+        val o = t(s, dir, "orders")
+        CommitLog.append(s, tbl,
+          o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+            .select(col("o_orderkey"), col("o_custkey"),
+              col("o_totalprice")))
+        val preDdl = CommitLog.snapshot(s, tbl).get
+        s.sql(s"ALTER TABLE $cat.ns.o ADD COLUMNS " +
+          "(priority_class STRING)")
+        val postDdl = CommitLog.snapshot(s, tbl).get
+        val ddlSegDelta =
+          postDdl.segments.size - preDdl.segments.size
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+          .createOrReplaceTempView("q188_src")
+        s.sql(s"""INSERT INTO $cat.ns.o
+                 |SELECT o_orderkey, o_custkey, o_totalprice,
+                 |  substring(o_orderpriority, 1, 1)
+                 |FROM q188_src""".stripMargin)
+        val nColsV1 =
+          CommitLog.read(s, tbl, Some(preDdl.version)).columns.length
+        val nColsPostDdl = s.sql(s"SELECT * FROM $cat.ns.o")
+          .columns.length
+        s.sql(
+          s"""SELECT priority_class, COUNT(*) AS n_rows,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+             |    AS sum_price
+             |FROM $cat.ns.o
+             |GROUP BY priority_class""".stripMargin)
+          .withColumn("n_cols_v1", lit(nColsV1))
+          .withColumn("n_cols_post_ddl", lit(nColsPostDdl))
+          .withColumn("ddl_segment_delta", lit(ddlSegDelta))
+          .orderBy(col("priority_class"))
+          .localCheckpoint(true)
+      } finally {
+        s.catalog.dropTempView("q188_src"): Unit
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.root")
+        rmStage(s, stage)
+      }
     })
   )
 
@@ -1317,6 +1372,23 @@ object Pipeline18 {
          |WHERE l_shipdate >= lo AND l_shipdate <= hi
          |GROUP BY l_returnflag
          |ORDER BY l_returnflag""".stripMargin,
+
+    // q167's reader algebra (even keys predate the column → NULL
+    // class), plus the DDL witnesses: ALTER added a column (3 → 4)
+    // and ZERO segments
+    "q188_commitlog_sql_add_columns" ->
+      """SELECT
+        |  CASE WHEN o_orderkey % 2 = 1
+        |    THEN substr(o_orderpriority, 1, 1) END AS priority_class,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price,
+        |  CAST(3 AS INT) AS n_cols_v1,
+        |  CAST(4 AS INT) AS n_cols_post_ddl,
+        |  CAST(0 AS INT) AS ddl_segment_delta
+        |FROM orders
+        |GROUP BY priority_class
+        |ORDER BY priority_class""".stripMargin,
 
     "q180_commitlog_sql_metadata_agg" ->
       """SELECT COUNT(*) AS n_rows,

@@ -386,9 +386,51 @@ object CommitLog {
     * [[ManifestStore]]. Returns false when that version was taken by
     * a concurrent writer (caller rebases and retries); any other
     * failure propagates. */
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** The manifest segment-count thresholds (header §"Known bound"):
+    * warn past the soft one, refuse a GROWING commit past the hard
+    * one. Count-reducing commits (compaction, CoW rewrites) must
+    * always land — they are the way back under the bound. */
+  private[graft] def segmentBounds(spark: SparkSession): (Int, Int) = (
+    spark.conf.getOption("spark.graft.manifest.warnSegments")
+      .map(_.toInt).getOrElse(10000),
+    spark.conf.getOption("spark.graft.manifest.maxSegments")
+      .map(_.toInt).getOrElse(100000))
+
   private[graft] def tryPublish(spark: SparkSession, table: String,
       snap: Snapshot, base: Option[Snapshot] = None): Boolean = {
     val f = fs(spark, table)
+    // Manifest-size guard: each manifest lists the FULL segment set
+    // (~100 B/segment), so a table that outruns its OPTIMIZE cadence
+    // walks silently into 100 MB manifests. Economics degrade, not
+    // correctness — so the soft threshold warns on every growing
+    // commit past it, and only the hard bound refuses (naming the
+    // verb that shrinks the set). Checked only for commits that GROW
+    // the set: compaction/rewrites must always land, and the base
+    // count is read from the snapshot the caller already holds (no
+    // extra manifest I/O on the hot path; the rare base-less caller
+    // pays one read only once past the soft threshold).
+    val nSegs = snap.segments.size
+    val (warnSegs, maxSegs) = segmentBounds(spark)
+    if (nSegs > warnSegs || nSegs > maxSegs) {
+      val baseCount = base.filter(_.version == snap.baseVersion)
+        .orElse(snapshot(spark, table, Some(snap.baseVersion)))
+        .map(_.segments.size).getOrElse(0)
+      if (nSegs > baseCount) {
+        if (nSegs > maxSegs) throw new IllegalStateException(
+          s"CommitLog: commit op='${snap.op}' would list $nSegs " +
+            s"segments (> spark.graft.manifest.maxSegments=$maxSegs) " +
+            s"at $table — manifest bytes scale with segment count; " +
+            "run CommitLog.compact / CALL <cat>.system.optimize_" +
+            "compact (or a clustered/bucketed OPTIMIZE) to " +
+            "consolidate, then retry")
+        log.warn(s"CommitLog: $table now lists $nSegs segments " +
+          s"(> spark.graft.manifest.warnSegments=$warnSegs; hard " +
+          s"bound $maxSegs) — schedule an OPTIMIZE/compact before " +
+          "manifest size becomes the commit cost")
+      }
+    }
     // DV-carry invariant (belt-and-braces for every current and
     // FUTURE commit path): a commit that keeps any of its base
     // version's segments while dropping the base's deletion vector
@@ -505,6 +547,46 @@ object CommitLog {
     }
     throw new java.io.IOException(
       s"CommitLog.appendEvolve: lost the version race $maxRetries " +
+        s"times at $table")
+  }
+
+  /** METADATA-ONLY add-column evolution — the `ALTER TABLE … ADD
+    * COLUMNS` commit: a new version with the SAME segment set and the
+    * schema extended by `added` (forced nullable — every existing
+    * segment serves NULL for the new columns, exactly as a segment
+    * predating an [[appendEvolve]]'d column does). Writes zero data
+    * files; the manifest create IS the whole commit. Re-adding an
+    * existing name refuses loudly even at the same type (DDL must not
+    * silently no-op), as does a type change ([[evolveSchema]]). The
+    * OCC loop re-merges against a race winner's schema, so a
+    * concurrent evolver adding a different column and this one both
+    * land (their union). */
+  def evolveColumns(spark: SparkSession, table: String,
+      added: Seq[org.apache.spark.sql.types.StructField],
+      maxRetries: Int = 20): Long = {
+    require(added.nonEmpty, "CommitLog.evolveColumns: no columns to add")
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val cur = snapshot(spark, table).getOrElse(
+        throw new IllegalStateException(
+          s"CommitLog.evolveColumns: nothing committed at $table"))
+      val base = cur.schema.map(decodeSchema).getOrElse(
+        readSegments(spark, cur.segments, None).schema)
+      added.foreach { f =>
+        if (base.fieldNames.contains(f.name))
+          throw new IllegalStateException(
+            s"CommitLog.evolveColumns: column '${f.name}' already " +
+              s"exists at $table — ADD COLUMNS cannot re-add a column")
+      }
+      val merged = evolveSchema(base,
+        org.apache.spark.sql.types.StructType(added.toArray))
+      val snap = Snapshot(cur.version + 1L, cur.segments, cur.version,
+        "evolve", schema = Some(encodeSchema(merged)), dv = cur.dv)
+      if (tryPublish(spark, table, snap, Some(cur))) return snap.version
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"CommitLog.evolveColumns: lost the version race $maxRetries " +
         s"times at $table")
   }
 
@@ -703,9 +785,12 @@ object CommitLog {
     * Same SQL semantics, CDC recording, OCC retry, and no-op
     * contract as [[delete]]; already-DV-deleted rows can neither
     * re-delete nor double-report in the change feed. The DV is a
-    * read-side broadcast, so its total size is REFUSED beyond
-    * `maxDvRows` — past that, point-delete economics are gone and
-    * the answer is [[delete]] (CoW) or OPTIMIZE first. */
+    * read-side relation, so past `maxDvRows` total the commit
+    * AUTO-FALLS-BACK to copy-on-write of exactly the touched
+    * segments — same final state, same CDC record, one 'delete'
+    * commit — instead of refusing (point-delete economics are gone
+    * there anyway; the caller should not have to know to switch
+    * APIs). */
   def deleteVectored(spark: SparkSession, table: String,
       predicate: org.apache.spark.sql.Column,
       maxDvRows: Long = 10000000L,
@@ -757,35 +842,75 @@ object CommitLog {
         if (nDeleted == 0L) return (cur.version, 0L)
         val priorDv = cur.dv.map(d =>
           spark.read.parquet(d).count()).getOrElse(0L)
-        require(priorDv + nDeleted <= maxDvRows,
-          s"CommitLog.deleteVectored: deletion vector would grow to " +
-            s"${priorDv + nDeleted} rows (> maxDvRows=$maxDvRows) — " +
-            "use delete() (copy-on-write) or OPTIMIZE to materialize " +
-            "the existing vector first")
         val changeDir = s"$table/_changes/${java.util.UUID.randomUUID()}"
         matches.select(dataCols.map(col): _*)
           .withColumn("_change_type", lit("delete"))
           .write.mode(SaveMode.ErrorIfExists).parquet(changeDir)
-        val newPairs = matches.select(
-          col("__graft_dv_file").as("_dv_file"),
-          col("__graft_dv_pos").as("_dv_pos"))
-        val dvDir = s"$table/_dv/${java.util.UUID.randomUUID()}"
-        // repartition, NOT coalesce: coalesce(1) would collapse the
-        // upstream predicate scan into one task; the shuffle moves
-        // only the matched positions (bounded by maxDvRows)
-        cur.dv.map(d => spark.read.parquet(d).unionByName(newPairs))
-          .getOrElse(newPairs)
-          .repartition(1)
-          .write.mode(SaveMode.ErrorIfExists).parquet(dvDir)
-        val snap = Snapshot(cur.version + 1L, cur.segments,
-          cur.version, "delete_dv", changes = Some(changeDir),
-          schema = cur.schema, dv = Some(dvDir))
-        if (tryPublish(spark, table, snap, Some(cur)))
-          return (snap.version, nDeleted)
-        fs(spark, table).delete(
-          new org.apache.hadoop.fs.Path(changeDir), true): Unit
-        fs(spark, table).delete(
-          new org.apache.hadoop.fs.Path(dvDir), true): Unit
+        if (priorDv + nDeleted > maxDvRows) {
+          // Past the bound, merge-on-read economics are gone — the
+          // vector is a relation every subsequent scan subtracts.
+          // Instead of refusing (the caller would have to know to
+          // switch APIs), fall back to COPY-ON-WRITE of exactly the
+          // touched segments: same final state, same CDC record,
+          // one 'delete' commit. `matches` already carries the live
+          // matched rows WITH their (file, pos) tags, so the kept
+          // rows are one anti-join away; the touched-file list is
+          // bounded by the table's file count (collected once, the
+          // same bound as subtractDv's dictionary).
+          val touchedFiles = matches.select(col("__graft_dv_file"))
+            .distinct().collect().map(_.getString(0))
+          val touchedSegs = cur.segments.filter { seg =>
+            val u = seg.substring(seg.lastIndexOf('/') + 1)
+            touchedFiles.exists(_.contains(u))
+          }
+          val touchedTagged = withDvPos(
+            readSegments(spark, touchedSegs, cur.schema))
+          val touchedLive =
+            cur.dv.fold(touchedTagged)(subtractDv(spark, touchedTagged, _))
+          val kept = touchedLive.join(
+            matches.select(col("__graft_dv_file"),
+              col("__graft_dv_pos")),
+            Seq("__graft_dv_file", "__graft_dv_pos"), "left_anti")
+            .select(dataCols.map(col): _*)
+          val keptSegs =
+            if (kept.isEmpty) Seq.empty[String]
+            else Seq(writeSegment(spark, table, kept))
+          // the untouched segments may still owe rows to the current
+          // vector — carry it; its entries for rewritten-away files
+          // match nothing (readers dictionary by live file paths)
+          val snap = Snapshot(cur.version + 1L,
+            cur.segments.filterNot(touchedSegs.toSet) ++ keptSegs,
+            cur.version, "delete", changes = Some(changeDir),
+            schema = cur.schema, dv = cur.dv)
+          if (tryPublish(spark, table, snap, Some(cur)))
+            return (snap.version, nDeleted)
+          // lost the race: drop staged output, fall through to retry
+          keptSegs.foreach(sg => fs(spark, table).delete(
+            new org.apache.hadoop.fs.Path(sg), true): Unit)
+          fs(spark, table).delete(
+            new org.apache.hadoop.fs.Path(changeDir), true): Unit
+        } else {
+          val newPairs = matches.select(
+            col("__graft_dv_file").as("_dv_file"),
+            col("__graft_dv_pos").as("_dv_pos"))
+          val dvDir = s"$table/_dv/${java.util.UUID.randomUUID()}"
+          // repartition, NOT coalesce: coalesce(1) would collapse the
+          // upstream predicate scan into one task; the shuffle moves
+          // only the matched positions (bounded by maxDvRows)
+          cur.dv.map(d => spark.read.parquet(d).unionByName(newPairs))
+            .getOrElse(newPairs)
+            .repartition(1)
+            .write.mode(SaveMode.ErrorIfExists).parquet(dvDir)
+          val snap = Snapshot(cur.version + 1L, cur.segments,
+            cur.version, "delete_dv", changes = Some(changeDir),
+            schema = cur.schema, dv = Some(dvDir))
+          if (tryPublish(spark, table, snap, Some(cur)))
+            return (snap.version, nDeleted)
+          fs(spark, table).delete(
+            new org.apache.hadoop.fs.Path(changeDir), true): Unit
+          fs(spark, table).delete(
+            new org.apache.hadoop.fs.Path(dvDir), true): Unit
+        }
       } finally matches.unpersist()
       attempt += 1
     }
@@ -1273,8 +1398,9 @@ object CommitLog {
             .withColumn("_commit_version", lit(v)))
         case "compact" => None
         // the catalog's CREATE TABLE commit records a schema and zero
-        // segments — no content change, same class as compact
-        case "create" => None
+        // segments — no content change, same class as compact; an
+        // 'evolve' (metadata-only ADD COLUMNS) likewise changes no rows
+        case "create" | "evolve" => None
         case _ if skipRewrites => None
         case op => throw new IllegalStateException(
           s"CommitLog.changeFeed: version $v of $table is a '$op' " +
@@ -1285,7 +1411,11 @@ object CommitLog {
     if (parts.isEmpty) throw new IllegalStateException(
       s"CommitLog.changeFeed: no change-producing versions of $table " +
         s"after $afterVersion")
-    parts.reduce(_ unionByName _)
+    // a feed spanning an ADD-COLUMN evolution has pre-evolution
+    // deltas with fewer columns — they serve NULL for the added ones,
+    // exactly as the snapshot read does (Delta CDF's rule: the feed
+    // is served under the latest schema)
+    parts.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Segment-compaction commit ([[Formats.compact]] semantics): rewrite
@@ -1353,6 +1483,7 @@ object CommitLog {
           else Some(v -> spark.read.parquet(added: _*))
         case "compact" => None // content-preserving rewrite
         case "create" => None  // zero-segment schema-only commit
+        case "evolve" => None  // metadata-only ADD COLUMNS
         case _ if skipRewrites => None
         case op => throw new IllegalStateException(
           s"CommitLog.changes: version $v of $table is a '$op' rewrite" +
@@ -1488,15 +1619,21 @@ object CommitLog {
           .reduceOption(_ || _).getOrElse(lit(false)))
         .count()
     }.getOrElse(0L)
+    // distance to the manifest segment bound (the commit-time guard
+    // in tryPublish) — DESCRIBE DETAIL is where an operator sees the
+    // cliff coming before a commit warns or refuses
+    val (_, maxSegs) = segmentBounds(spark)
     Seq((snap.version, snap.op, snap.segments.size.toLong, files,
       bytes, snap.schema.map(b64 =>
         decodeSchema(b64).fields.length).getOrElse(-1),
       snap.dv.isDefined, dvRows, withStats.toLong, withBloom.toLong,
       partitionColumns(spark, table).getOrElse(Seq.empty)
-        .mkString(",")))
+        .mkString(","), maxSegs.toLong,
+      maxSegs.toLong - snap.segments.size))
       .toDF("version", "op", "n_segments", "n_data_files",
         "total_bytes", "n_columns", "has_deletion_vector", "dv_rows",
-        "segments_with_stats", "bloom_sidecars", "partition_columns")
+        "segments_with_stats", "bloom_sidecars", "partition_columns",
+        "segment_bound", "segments_to_bound")
   }
 
   // manifest format: one JSON object, segments one-per-line for

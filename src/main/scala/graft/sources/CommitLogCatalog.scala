@@ -35,9 +35,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * INTO is an `append` version and INSERT OVERWRITE an `overwrite`
   * version. CREATE TABLE commits version 1 with the schema recorded
   * and NO segments — an empty table that reads as an empty frame of
-  * its declared shape. DROP removes the directory; RENAME and ALTER
-  * are refused loudly (rename would break the clone/segment-path
-  * sharing contract; evolution goes through `appendEvolve`).
+  * its declared shape. DROP removes the directory; `ALTER TABLE …
+  * ADD COLUMNS` commits a metadata-only evolve version (old segments
+  * serve NULL); RENAME and every other ALTER refuse loudly (rename
+  * would break the clone/segment-path sharing contract; drops and
+  * retypes are rewrites, not evolutions).
   */
 class CommitLogCatalog extends TableCatalog
     with SupportsNamespaces
@@ -199,12 +201,49 @@ class CommitLogCatalog extends TableCatalog
     createTable(ident, info.schema(), info.partitions(),
       info.properties())
 
+  /** `ALTER TABLE … ADD COLUMNS` — the one table change with sound
+    * lakehouse semantics here: a METADATA-ONLY evolve commit
+    * ([[CommitLog.evolveColumns]]) extends the manifest schema, every
+    * pre-evolution segment serves NULL for the new columns, and time
+    * travel below the evolve version keeps that version's own column
+    * set. Everything else (drop / rename / retype / reposition /
+    * NOT NULL / DEFAULT) refuses loudly: each would either rewrite
+    * data or lie about what old segments can serve. */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "commitlog catalog: ALTER TABLE is not supported — add-column " +
-        "evolution goes through CommitLog.appendEvolve (recorded in " +
-        "the manifest, time-travel-correct)")
+      changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val added = changes.map {
+      case a: TableChange.AddColumn =>
+        if (a.fieldNames().length != 1)
+          throw new UnsupportedOperationException(
+            "commitlog catalog: ALTER TABLE ADD COLUMNS supports " +
+              s"top-level columns only, got nested field " +
+              s"'${a.fieldNames().mkString(".")}'")
+        if (a.position() != null)
+          throw new UnsupportedOperationException(
+            "commitlog catalog: FIRST/AFTER positioning is not " +
+              "supported — evolved columns append after the existing " +
+              "ones (the manifest-recorded order every reader pins)")
+        if (!a.isNullable)
+          throw new UnsupportedOperationException(
+            "commitlog catalog: an added column must be nullable — " +
+              "every pre-evolution segment serves NULL for it")
+        if (a.defaultValue() != null)
+          throw new UnsupportedOperationException(
+            "commitlog catalog: DEFAULT on an added column is not " +
+              "supported — pre-evolution rows read NULL, not the " +
+              "default; backfill with UPDATE instead")
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames()(0), a.dataType(), nullable = true)
+      case c =>
+        throw new UnsupportedOperationException(
+          "commitlog catalog: ALTER TABLE supports ADD COLUMNS only " +
+            s"(got ${c.getClass.getSimpleName}) — drops/renames/type " +
+            "changes need an explicit rewrite, not metadata evolution")
+    }
+    CommitLog.evolveColumns(spark, pathOf(ident), added)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val path = new org.apache.hadoop.fs.Path(pathOf(ident))

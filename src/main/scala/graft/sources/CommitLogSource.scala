@@ -750,6 +750,7 @@ class CommitLogStreamSource(spark: SparkSession, metadataPath: String,
           }
         case "compact" => None // content-preserving rewrite
         case "create" => None  // zero-segment schema-only commit
+        case "evolve" => None  // metadata-only ADD COLUMNS
         case "delete" | "delete_dv" | "update" | "update_dv"
             if readChangeFeed =>
           val dir = snap.changes.getOrElse(throw
@@ -775,7 +776,11 @@ class CommitLogStreamSource(spark: SparkSession, metadataPath: String,
               .toAttributes(schema),
             Seq.empty, isStreaming = true))
       } else {
-        val union = parts.reduce(_ unionByName _)
+        // deltas preceding an ADD-COLUMN evolution have fewer columns
+        // — they serve NULL for the added ones under the stream's
+        // (latest) schema, as the batch feed does
+        val union = parts.reduce(_.unionByName(_,
+            allowMissingColumns = true))
           .select(schema.fieldNames.toSeq.map(col): _*)
         // the plan is batch-built (stock parquet relations); re-tag it
         // streaming, as FileStreamSource does for its per-batch reads

@@ -787,7 +787,8 @@ class CommitLogSpec extends AnyFunSuite {
 
   test("SQL catalog: CREATE TABLE / INSERT INTO / SELECT / INSERT " +
       "OVERWRITE / DROP in plain SQL over commit-log tables; state " +
-      "shared with the programmatic API; ALTER/RENAME refused") {
+      "shared with the programmatic API; destructive ALTER/RENAME " +
+      "refused") {
     val root = java.nio.file.Files
       .createTempDirectory("graft_catalog_").toString
     try {
@@ -832,8 +833,10 @@ class CommitLogSpec extends AnyFunSuite {
       assert(spark.sql(
           s"SELECT id FROM gtest.ns.t TIMESTAMP AS OF '$lit'")
         .collect().map(_.getLong(0)).toSeq.sorted === Seq(1L, 2L))
+      // ADD COLUMNS is supported (own law below); destructive ALTERs
+      // refuse
       intercept[UnsupportedOperationException] {
-        spark.sql("ALTER TABLE gtest.ns.t ADD COLUMN extra STRING")
+        spark.sql("ALTER TABLE gtest.ns.t DROP COLUMN name")
       }
       // catalog listing derives from the filesystem
       assert(spark.sql("SHOW TABLES IN gtest.ns").collect()
@@ -2453,12 +2456,18 @@ class CommitLogSpec extends AnyFunSuite {
       assert(CommitLog.snapshot(spark, t).get.dv == dvSnap.dv)
       assert(CommitLog.read(spark, t).filter(col("id") === 10L)
         .count() == 0L)
-      // maxDvRows refusal: economics gone → loud, with the remedy
-      val exMax = intercept[IllegalArgumentException] {
-        CommitLog.deleteVectored(spark, t, col("id") === 1L,
-          maxDvRows = 1L)
-      }
-      assert(exMax.getMessage.contains("maxDvRows"))
+      // past maxDvRows the vectored delete AUTO-FALLS-BACK to
+      // copy-on-write: a 'delete' commit, same rows gone, vector of
+      // the untouched segments carried — not a refusal
+      val (vFb, nFb) = CommitLog.deleteVectored(spark, t,
+        col("id") === 1L, maxDvRows = 1L)
+      val fbSnap = CommitLog.snapshot(spark, t).get
+      assert(nFb == 1L && fbSnap.version == vFb &&
+        fbSnap.op == "delete" && fbSnap.dv.isDefined)
+      assert(CommitLog.read(spark, t).filter(col("id") === 1L)
+        .count() == 0L)
+      assert(CommitLog.read(spark, t).filter(col("id") === 10L)
+        .count() == 0L) // vector still applied after the fallback
       // vacuum: live vectors survive (reads stay correct), vectors
       // referenced only by dropped versions are swept
       val dvRoot = new java.io.File(s"$t/_dv")
@@ -2472,6 +2481,267 @@ class CommitLogSpec extends AnyFunSuite {
       assert(!dvRoot.exists() || dvRoot.listFiles().isEmpty)
       assert(CommitLog.read(spark, t).filter(col("id") === 10L)
         .count() == 0L)
+    } finally rm(t)
+  }
+
+  test("SQL ALTER TABLE ADD COLUMNS: metadata-only evolve commit " +
+      "(zero data files), old segments serve NULL, time travel keeps " +
+      "its own columns, and every unsound ALTER refuses loudly") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ddl_evolve_").toString
+    try {
+      spark.conf.set("spark.sql.catalog.gde",
+        "graft.sources.CommitLogCatalog")
+      spark.conf.set("spark.sql.catalog.gde.root", root)
+      val path = s"$root/ns/t"
+      spark.sql("CREATE TABLE gde.ns.t (id BIGINT, name STRING)")
+      spark.sql("INSERT INTO gde.ns.t VALUES (1, 'a'), (2, 'b')")
+      val pre = CommitLog.snapshot(spark, path).get
+      spark.sql(
+        "ALTER TABLE gde.ns.t ADD COLUMNS (score DOUBLE, tag STRING)")
+      val post = CommitLog.snapshot(spark, path).get
+      // metadata-only: SAME segment list, one new version, op 'evolve'
+      assert(post.version == pre.version + 1L &&
+        post.op == "evolve" && post.segments == pre.segments)
+      // the evolved read serves NULL for pre-evolution rows
+      val out = spark.sql(
+        "SELECT id, name, score, tag FROM gde.ns.t ORDER BY id")
+        .collect()
+      assert(out.length == 2 && out.forall(r =>
+        r.isNullAt(2) && r.isNullAt(3)))
+      // an INSERT carrying the new columns lands through plain append
+      spark.sql("INSERT INTO gde.ns.t VALUES (3, 'c', 9.5, 'x')")
+      val r3 = spark.sql("SELECT score, tag FROM gde.ns.t WHERE id = 3")
+        .collect()(0)
+      assert(r3.getDouble(0) == 9.5 && r3.getString(1) == "x")
+      // time travel below the evolve keeps that version's own columns
+      assert(CommitLog.read(spark, path, Some(pre.version))
+        .columns.toSeq == Seq("id", "name"))
+      // the evolve commit is change-free for CDC and the change feed
+      assert(CommitLog.changes(spark, path, 0L)
+        .map(_._1).toSet == Set(2L, 4L))
+      assert(CommitLog.changeFeed(spark, path, 0L)
+        .select("_commit_version").distinct().collect()
+        .map(_.getLong(0)).toSet == Set(2L, 4L))
+      // unsound ALTERs refuse loudly, naming the reason
+      def refuses(sql: String, needle: String): Unit = {
+        val e = intercept[Exception](spark.sql(sql))
+        def msgs(t: Throwable): Seq[String] =
+          Option(t).toSeq.flatMap(x =>
+            Option(x.getMessage).toSeq ++ msgs(x.getCause))
+        assert(msgs(e).exists(_.contains(needle)),
+          s"expected '$needle' in: ${msgs(e).mkString(" | ")}")
+      }
+      refuses("ALTER TABLE gde.ns.t ADD COLUMNS (score2 DOUBLE FIRST)",
+        "FIRST/AFTER")
+      refuses("ALTER TABLE gde.ns.t ADD COLUMNS (s3 DOUBLE NOT NULL)",
+        "nullable")
+      refuses("ALTER TABLE gde.ns.t DROP COLUMN name", "ADD COLUMNS only")
+      refuses("ALTER TABLE gde.ns.t RENAME COLUMN name TO nm",
+        "ADD COLUMNS only")
+      // the type change is refused by Spark's own analyzer before it
+      // can reach the catalog — equally loud
+      refuses("ALTER TABLE gde.ns.t ALTER COLUMN id TYPE INT",
+        "NOT_SUPPORTED_CHANGE_COLUMN")
+      // re-adding an existing column refuses even at the same type
+      refuses("ALTER TABLE gde.ns.t ADD COLUMNS (score DOUBLE)",
+        "already exists")
+      spark.sql("DROP TABLE gde.ns.t")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gde")
+      spark.conf.unset("spark.sql.catalog.gde.root")
+      rm(root + "/x")
+    }
+  }
+
+  test("manifest segment-count guard: a growing commit past the hard " +
+      "bound refuses naming OPTIMIZE, a count-reducing commit always " +
+      "lands, and DESCRIBE DETAIL surfaces the distance to the bound") {
+    val t = tmpTable()
+    try {
+      (1 to 4).foreach(i =>
+        CommitLog.append(spark, t, df((i.toLong, s"n$i", i * 1.0))))
+      assert(CommitLog.snapshot(spark, t).get.segments.size == 4)
+      spark.conf.set("spark.graft.manifest.maxSegments", "2")
+      try {
+        // DESCRIBE DETAIL shows the (configured) bound and distance
+        val det = CommitLog.detail(spark, t).collect()(0)
+        assert(det.getAs[Long]("segment_bound") == 2L &&
+          det.getAs[Long]("segments_to_bound") == -2L)
+        // growing 4 → 5 past the bound refuses, naming the remedy
+        val e = intercept[IllegalStateException] {
+          CommitLog.append(spark, t, df((9L, "x", 9.0)))
+        }
+        assert(e.getMessage.contains("maxSegments") &&
+          e.getMessage.contains("compact"))
+        // count-reducing commits are the way back — always land
+        CommitLog.compact(spark, t, targetRowsPerFile = 100L)
+        assert(CommitLog.snapshot(spark, t).get.segments.size == 1)
+        // and growth under the bound lands again
+        CommitLog.append(spark, t, df((9L, "x", 9.0)))
+        assert(CommitLog.read(spark, t).count() == 5L)
+      } finally spark.conf.unset("spark.graft.manifest.maxSegments")
+    } finally rm(t)
+  }
+
+  test("BOOLEAN partition columns work end-to-end: partitioned append " +
+      "lands one segment per value, the sidecar encodes false<true, " +
+      "and an equality probe prunes to the value's segment") {
+    val t = tmpTable()
+    try {
+      import spark.implicits._
+      val rows = (1L to 20L).map(k => (k, k % 3 == 0, k * 1.0))
+        .toDF("id", "flag", "v")
+      CommitLogStats.appendPartitioned(spark, t, rows,
+        partitionCols = Seq("flag"), statsCols = Seq("id"))
+      assert(CommitLog.snapshot(spark, t).get.segments.size == 2)
+      // the read round-trips every row (the ADVICE defect threw at
+      // sidecar-write time, orphaning staged segments)
+      assert(CommitLog.read(spark, t).count() == 20L)
+      val trues = CommitLog.read(spark, t).filter(col("flag"))
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(trues == (3L to 18L by 3L))
+      // boolean equality probes prune via the long-tagged sidecar
+      val plan = CommitLogStats.planSkipping(spark, t, "flag",
+        true, true)
+      assert(plan.kept.size == 1 && plan.pruned.size == 1)
+    } finally rm(t)
+  }
+
+  test("an orphan _partition.json from a crashed CREATE cannot leak " +
+      "into a later unpartitioned CREATE of the same name") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_orphan_marker_").toString
+    try {
+      spark.conf.set("spark.sql.catalog.gom",
+        "graft.sources.CommitLogCatalog")
+      spark.conf.set("spark.sql.catalog.gom.root", root)
+      val path = s"$root/ns/t"
+      // simulate the crash: marker written, manifest never published
+      CommitLog.writePartitionMarker(spark, path, Seq("name"))
+      assert(CommitLog.partitionColumns(spark, path).isDefined)
+      spark.sql("CREATE TABLE gom.ns.t (id BIGINT, name STRING)")
+      // the orphan is gone — INSERTs do NOT reroute through the
+      // partitioned writer
+      assert(CommitLog.partitionColumns(spark, path).isEmpty)
+      spark.sql("INSERT INTO gom.ns.t VALUES (1, 'a'), (2, NULL)")
+      // NULL in the would-have-been partition column lands fine
+      assert(spark.sql("SELECT * FROM gom.ns.t").count() == 2L)
+      spark.sql("DROP TABLE gom.ns.t")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gom")
+      spark.conf.unset("spark.sql.catalog.gom.root")
+      rm(root + "/x")
+    }
+  }
+
+  test("string timestampAsOf resolves in the SESSION timezone " +
+      "(Delta's rule), not hardcoded UTC") {
+    import spark.implicits._
+    val t = tmpTable()
+    val prior = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      CommitLog.append(spark, t, Seq((1L, "a")).toDF("id", "name"))
+      val ts1 = CommitLog.snapshot(spark, t).get.ts.get
+      CommitLog.append(spark, t, Seq((2L, "b")).toDF("id", "name"))
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      // ts1 rendered as Tokyo wall-clock: a UTC-hardcoded parse would
+      // read it 9h late and serve BOTH commits; the session-zone
+      // parse resolves back to exactly ts1 → version 1
+      val tokyoIso = java.time.Instant.ofEpochMilli(ts1)
+        .atZone(java.time.ZoneId.of("Asia/Tokyo"))
+        .toLocalDateTime.toString
+      val n = spark.read.format("commitlog").option("path", t)
+        .option("timestampAsOf", tokyoIso).load().count()
+      assert(n == 1L, s"expected v1 via $tokyoIso, read $n rows")
+    } finally {
+      spark.conf.set("spark.sql.session.timeZone", prior)
+      rm(t)
+    }
+  }
+
+  test("DV subtraction drops the broadcast hint past the configured " +
+      "row cap: the anti-join shuffles instead of force-broadcasting, " +
+      "results unchanged") {
+    val t = tmpTable()
+    try {
+      CommitLog.append(spark, t,
+        df((0L until 20L).map(k => (k, s"n$k", k * 1.0)): _*))
+      CommitLog.deleteVectored(spark, t, col("id") < 5L)
+      def liveIds: Seq[Long] = CommitLog.read(spark, t)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      def hasBcastAnti: Boolean = {
+        val d = CommitLog.read(spark, t)
+        d.collect()
+        planLeaves(d.queryExecution.executedPlan).exists {
+          case b: org.apache.spark.sql.execution.joins
+              .BroadcastHashJoinExec =>
+            b.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti
+          case _ => false
+        }
+      }
+      // isolate the HINT from the planner's own small-table choice:
+      // with autoBroadcast off, only the hint can broadcast
+      val priorThresh = spark.conf.get(
+        "spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        // under the cap: the hint forces the broadcast regime
+        assert(hasBcastAnti && liveIds == (5L until 20L))
+        // past the cap the hint is dropped — the anti-join shuffles
+        // (no forced hundreds-of-MB broadcast), identical result
+        spark.conf.set("spark.graft.dv.broadcastRows", "0")
+        try assert(!hasBcastAnti && liveIds == (5L until 20L))
+        finally spark.conf.unset("spark.graft.dv.broadcastRows")
+      } finally spark.conf.set(
+        "spark.sql.autoBroadcastJoinThreshold", priorThresh)
+    } finally rm(t)
+  }
+
+  test("incremental OPTIMIZE racing a foreign append: the loser " +
+      "rebases, no rows are lost, and the deletion-vector carry " +
+      "invariant holds through the interleave") {
+    val t = tmpTable()
+    try {
+      // a one-date-stacked table the incremental pass WILL rewrite,
+      // with a live deletion vector to carry through the race
+      (1 to 3).foreach { i =>
+        CommitLogStats.appendWithStats(spark, t,
+          df((1L to 10L).map(k => (k, s"s$i-$k", i * 1.0)): _*),
+          Seq("id"))
+      }
+      CommitLog.deleteVectored(spark, t, col("id") === 1L && col("v") === 1.0)
+      val preLive = CommitLog.read(spark, t).count() // 29
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val fOpt = scala.concurrent.Future {
+        gate.await()
+        CommitLogStats.compactClusteredIncremental(spark, t,
+          clusterCols = Seq("id"), targetRowsPerSegment = 15L,
+          statsCols = Seq("id"))
+      }
+      val fApp = scala.concurrent.Future {
+        gate.await()
+        CommitLogStats.appendWithStats(spark, t,
+          df((100L, "new", 100.0)), Seq("id"))
+      }
+      gate.countDown()
+      val dur = scala.concurrent.duration.Duration("120s")
+      scala.concurrent.Await.result(fOpt, dur): Unit
+      scala.concurrent.Await.result(fApp, dur): Unit
+      pool.shutdown()
+      // no segment (and no row) lost, whichever writer rebased
+      assert(CommitLog.read(spark, t).count() == preLive + 1L)
+      assert(CommitLog.read(spark, t).filter(col("id") === 100L)
+        .count() == 1L)
+      // the vectored-deleted row stays dead (dv carried or applied
+      // in the rewrite — either way it cannot resurrect)
+      assert(CommitLog.read(spark, t)
+        .filter(col("id") === 1L && col("v") === 1.0).count() == 0L)
+      // versions serialized: base(3 appends) + dv delete + 2 racers
+      assert(CommitLog.currentVersion(spark, t) == Some(6L))
     } finally rm(t)
   }
 }
