@@ -234,23 +234,38 @@ object Formats {
       java.lang.Math.floorMod(h1 + i.toLong * h2, mBits.toLong).toInt)
   }
 
+  /** The bloom index rows that admit at least one probe key,
+    * evaluated RELATIONALLY: the probe position lists ride along as
+    * one literal (bounded by the caller's key list × numHashes ints)
+    * and each file's membership test runs where its index row lives —
+    * only the surviving file names ever reach the driver. At ~1M
+    * files a driver-side Set filter over the collected index was the
+    * bottleneck; this is the same survivors-only shape as the
+    * commit-log bloom tier (`CommitLogStats.attachBlooms`). */
+  private[graft] def bloomKeepFiles(spark: SparkSession, path: String,
+      keys: Seq[Long], mBits: Int, numHashes: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val probes = keys.map(k =>
+      bloomPositions(k.toString, mBits, numHashes).toArray)
+    spark.read.parquet(path + ".bloom")
+      .filter(exists(typedLit(probes),
+        p => size(array_except(p, col("bits"))) === 0))
+      .select("file")
+  }
+
   /** Point-lookup over a [[writeBloomIndex]]ed layout: keep only the
     * files whose bloom admits at least one probe key (no false
     * negatives ⇒ exact equality with the full-scan filter), then
     * apply the exact IN predicate to the survivors. The index scan is
-    * one tiny side table; at 100 TB the win is identical in shape to
-    * [[readSkipping]] but holds on UNclustered keys. */
+    * one tiny side table, filtered distributed ([[bloomKeepFiles]]);
+    * at 100 TB the win is identical in shape to [[readSkipping]] but
+    * holds on UNclustered keys. */
   def readBloomSkipping(spark: SparkSession, path: String, keyCol: String,
       keys: Seq[Long], mBits: Int = 1 << 18, numHashes: Int = 3)
       : DataFrame = {
     import org.apache.spark.sql.functions._
-    val probes = keys.map(k =>
-      bloomPositions(k.toString, mBits, numHashes))
-    val idx = spark.read.parquet(path + ".bloom").collect()
-    val keep = idx.filter { r =>
-      val bits = r.getAs[scala.collection.Seq[Int]]("bits").toSet
-      probes.exists(_.forall(bits))
-    }.map(_.getString(0))
+    val keep = bloomKeepFiles(spark, path, keys, mBits, numHashes)
+      .collect().map(_.getString(0))
     val pred = col(keyCol).isin(keys: _*)
     if (keep.isEmpty) spark.read.parquet(path).filter(lit(false))
     else spark.read.parquet(keep.toIndexedSeq: _*).filter(pred)

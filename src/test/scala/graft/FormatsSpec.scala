@@ -198,6 +198,21 @@ class FormatsSpec extends AnyFunSuite {
       Seq(allKeys.max + 101L, allKeys.max * 3 + 7L))
     assert(absent.count() == 0)
     assert(absent.schema == spark.read.parquet(data).schema)
+
+    // the index probe is DISTRIBUTED: the membership test is a
+    // Filter in the plan over the .bloom relation (runs where the
+    // index rows live) — only surviving file names are collected,
+    // never the raw index
+    val keepDf = Formats.bloomKeepFiles(spark, data, Seq(some.head),
+      1 << 18, 3)
+    val lp = keepDf.queryExecution.optimizedPlan
+    assert(lp.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+    }.nonEmpty, s"no Filter in the index-probe plan:\n$lp")
+    assert(keepDf.inputFiles.nonEmpty &&
+      keepDf.inputFiles.forall(_.contains(".bloom")),
+      s"index probe does not scan the .bloom relation: " +
+        s"${keepDf.inputFiles.mkString(", ")}")
   }
 
   test("compact: many small files become few, data identical") {
