@@ -8,12 +8,13 @@ import org.apache.spark.sql.functions._
   * feature-extract / resize / frame-sample as per-partition batched
   * operators over `Dataset[MediaAsset]`.
   *
-  * The actual codec is STUBBED — this container has no image/audio
-  * libraries — with `FakeCodec`, a deterministic pure-arithmetic
-  * "decoder" over the payload bytes, so the Spark-side contract
-  * (schema, encoders, partitioning, batch shape, null payloads) is
-  * real and testable end-to-end. Swap `FakeCodec` for a JNI/javacpp
-  * codec in production; the operator signatures don't change.
+  * Codec tiers: `FakeCodec` is the deterministic pure-arithmetic
+  * stand-in (oracle-replayable); `ImageIoCodec` (JDK `javax.imageio`)
+  * decodes real PNG/JPEG/BMP/GIF, `WavCodec` (JDK `javax.sound`)
+  * real PCM16 WAV/AIFF/AU, and `Y4mCodec` real YUV4MPEG2 video
+  * streams per-frame — all with zero external dependencies. Swap in
+  * a JNI/javacpp codec for compressed video in production; the
+  * operator signatures don't change.
   *
   * Scale notes: binary-heavy tables want
   * `spark.sql.files.maxPartitionBytes` sized so one partition of blobs
@@ -136,6 +137,108 @@ object Multimodal {
         val frames = idx / channels
         (frames, fmt.getSampleRate.toInt, channels, feat)
       } finally in.close()
+    }
+  }
+
+  /** One decoded video frame: dimensions plus exact integer luma
+    * statistics (sum + 4-bin histogram of Y-plane values / 64). */
+  final case class VideoFrame(asset_id: Long, frame_no: Int,
+      width: Int, height: Int, luma_sum: Long, luma_hist: Array[Long])
+
+  /** Video decode seam: per-frame (width, height, lumaSum, 4-bin
+    * histogram) from a container payload. Video is per-frame shaped,
+    * so it gets its own trait rather than abusing [[Codec]]'s
+    * single-tuple contract. */
+  trait VideoCodec extends Serializable {
+    def frames(payload: Array[Byte])
+        : Iterator[(Int, Int, Long, Array[Long])]
+  }
+
+  /** REAL video decode for the YUV4MPEG2 (`.y4m`) container — the
+    * standard UNCOMPRESSED interchange format (mjpegtools/ffmpeg):
+    * one ASCII header line (`YUV4MPEG2 W<w> H<h> ... C<space>`), then
+    * per frame an ASCII `FRAME` line followed by raw planar YUV.
+    * Parsed with zero external dependencies; C420* (quarter-size
+    * chroma), C444 (full-size) and Cmono (no chroma) plane layouts.
+    * Truncated payloads and unknown magics refuse loudly — a silent
+    * partial decode would corrupt every downstream statistic.
+    * Features are exact integer luma statistics, so the path is
+    * deterministic and (on constructed payloads) oracle-replayable. */
+  object Y4mCodec extends VideoCodec {
+    def frames(payload: Array[Byte])
+        : Iterator[(Int, Int, Long, Array[Long])] = {
+      var pos = payload.indexOf('\n'.toByte)
+      require(pos > 0, "y4m: missing header line")
+      val header = new String(payload, 0, pos, "US-ASCII")
+      pos += 1
+      val toks = header.split(' ')
+      require(toks.headOption.contains("YUV4MPEG2"),
+        s"y4m: bad magic '${toks.headOption.getOrElse("")}'")
+      def param(p: Char): Option[String] =
+        toks.tail.find(_.startsWith(p.toString)).map(_.drop(1))
+      val w = param('W').map(_.toInt).getOrElse(
+        throw new IllegalArgumentException("y4m: no W (width) param"))
+      val h = param('H').map(_.toInt).getOrElse(
+        throw new IllegalArgumentException("y4m: no H (height) param"))
+      require(w > 0 && h > 0, s"y4m: bad dimensions ${w}x$h")
+      val cs = param('C').getOrElse("420")
+      val chromaBytes = cs match {
+        case c if c.startsWith("420") =>
+          require(w % 2 == 0 && h % 2 == 0,
+            s"y4m: C420 needs even dimensions, got ${w}x$h")
+          2 * (w / 2) * (h / 2)
+        case c if c.startsWith("444") => 2 * w * h
+        case c if c.startsWith("mono") => 0
+        case other => throw new IllegalArgumentException(
+          s"y4m: unsupported colourspace C$other")
+      }
+      val frameBytes = w * h + chromaBytes
+      var frameNo = 0
+      new Iterator[(Int, Int, Long, Array[Long])] {
+        def hasNext: Boolean = pos < payload.length
+        def next(): (Int, Int, Long, Array[Long]) = {
+          val nl = payload.indexOf('\n'.toByte, pos)
+          require(nl >= pos + 5 &&
+            new String(payload, pos, 5, "US-ASCII") == "FRAME",
+            s"y4m: frame $frameNo: expected FRAME marker at byte $pos")
+          val dataStart = nl + 1
+          require(dataStart + frameBytes <= payload.length,
+            s"y4m: frame $frameNo truncated (need $frameBytes bytes, " +
+              s"have ${payload.length - dataStart})")
+          var sum = 0L
+          val hist = new Array[Long](4)
+          var i = dataStart
+          val yEnd = dataStart + w * h
+          while (i < yEnd) {
+            val v = payload(i) & 0xff
+            sum += v
+            hist(math.min(3, v / 64)) += 1
+            i += 1
+          }
+          pos = dataStart + frameBytes
+          val out = (w, h, sum, hist)
+          frameNo += 1
+          out
+        }
+      }
+    }
+  }
+
+  /** Decode video payloads to one [[VideoFrame]] row per frame — the
+    * per-frame complement of [[decodeMeta]]'s one-row-per-asset shape.
+    * Map-side only (no shuffle): the payload bytes never leave their
+    * partition; only the small per-frame statistics flow downstream. */
+  def decodeVideoFrames(assets: Dataset[MediaAsset],
+      codec: VideoCodec = Y4mCodec): Dataset[VideoFrame] = {
+    import assets.sparkSession.implicits._
+    assets.flatMap { a =>
+      val payload =
+        if (a.payload == null) Array.empty[Byte] else a.payload
+      if (payload.isEmpty) Iterator.empty
+      else codec.frames(payload).zipWithIndex.map {
+        case ((w, h, sum, hist), f) =>
+          VideoFrame(a.asset_id, f, w, h, sum, hist)
+      }
     }
   }
 

@@ -161,6 +161,72 @@ class MultimodalSpec extends AnyFunSuite {
     assert(untouched.width == 100 && untouched.height == 50)
   }
 
+  test("Y4mCodec decodes real YUV4MPEG2 streams: C420/C444/mono plane " +
+      "sizes, exact luma statistics, loud refusal on truncation and " +
+      "bad magic, distributed per-frame rows") {
+    import spark.implicits._
+    def stream(cs: String, w: Int, h: Int,
+        frames: Seq[Array[Byte]]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C$cs\n"
+        .getBytes("US-ASCII"))
+      val chroma = cs match {
+        case c if c.startsWith("420") => 2 * (w / 2) * (h / 2)
+        case c if c.startsWith("444") => 2 * w * h
+        case _ => 0
+      }
+      frames.foreach { y =>
+        out.write("FRAME\n".getBytes("US-ASCII"))
+        out.write(y)
+        (0 until chroma).foreach(_ => out.write(200))
+      }
+      out.toByteArray
+    }
+    // two 4x2 C420 frames with known Y planes
+    val y0 = Array.tabulate[Byte](8)(i => (i * 10).toByte)   // 0..70
+    val y1 = Array.tabulate[Byte](8)(i => (100 + i).toByte)  // 100..107
+    val p420 = stream("420", 4, 2, Seq(y0, y1))
+    val f = Multimodal.Y4mCodec.frames(p420).toSeq
+    assert(f.map(x => (x._1, x._2)) == Seq((4, 2), (4, 2)))
+    assert(f(0)._3 == (0 until 8).map(_ * 10).sum.toLong)
+    assert(f(1)._3 == (0 until 8).map(100 + _).sum.toLong)
+    // hist bins: frame 0 values 0..70 → bins(0)=7 (0..63), bins(1)=1
+    assert(f(0)._4.toSeq == Seq(7L, 1L, 0L, 0L))
+    // frame 1 values 100..107 → all bin 1
+    assert(f(1)._4.toSeq == Seq(0L, 8L, 0L, 0L))
+    // C444 and mono change only the plane stride, not the Y stats
+    val p444 = stream("444", 4, 2, Seq(y0, y1))
+    val pmono = stream("mono", 4, 2, Seq(y0, y1))
+    assert(Multimodal.Y4mCodec.frames(p444).map(_._3).toSeq ==
+      f.map(_._3))
+    assert(Multimodal.Y4mCodec.frames(pmono).map(_._3).toSeq ==
+      f.map(_._3))
+    // truncation mid-frame refuses loudly, naming the frame
+    val cut = p420.take(p420.length - 3)
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.Y4mCodec.frames(cut).toSeq
+    }
+    assert(e.getMessage.contains("truncated"))
+    // bad magic refuses
+    intercept[IllegalArgumentException] {
+      Multimodal.Y4mCodec.frames("AVI1 whatever\n".getBytes).toSeq
+    }
+    // odd dimensions under C420 refuse (quarter chroma undefined)
+    intercept[IllegalArgumentException] {
+      Multimodal.Y4mCodec.frames(
+        stream("420", 3, 2, Seq(Array.fill[Byte](6)(1)))).toSeq
+    }
+    // the Dataset operator: one row per frame, null payload → none,
+    // map-side only
+    val assets = Seq(
+      MediaAsset(1, "video", p420),
+      MediaAsset(2, "video", null)).toDS()
+    val rows = Multimodal.decodeVideoFrames(assets).collect()
+      .sortBy(r => (r.asset_id, r.frame_no))
+    assert(rows.map(r => (r.asset_id, r.frame_no, r.luma_sum)).toSeq ==
+      Seq((1L, 0, f(0)._3), (1L, 1, f(1)._3)))
+  }
+
   test("sampleFrames strides evenly and bounds the count") {
     import spark.implicits._
     val assets = Seq(MediaAsset(7, "video", Array.fill[Byte](10000)(1))).toDS()
