@@ -860,14 +860,17 @@ object Pipeline18 {
           .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
           .sortBy(_._1).toSeq
         CommitLog.compact(s, tbl, targetRowsPerFile = 1000000L)
-        val postRead = s.sql(aggSql).collect()
+        // ONE post-compact evaluation: the checkpointed frame feeds
+        // both the comparison witness and the returned result
+        val post = s.sql(aggSql).localCheckpoint(true)
+        val postRead = post.collect()
           .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
           .sortBy(_._1).toSeq
         val materialized =
           if (dvRead == postRead &&
             CommitLog.snapshot(s, tbl).get.dv.isEmpty) 1
           else 0
-        s.sql(aggSql)
+        post
           .withColumn("n_deleted_1", lit(nDel1))
           .withColumn("n_deleted_2", lit(nDel2))
           .withColumn("n_segment_rewrites", lit(rewrites))
@@ -984,14 +987,16 @@ object Pipeline18 {
           .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
           .sortBy(_._1).toSeq
         CommitLog.compact(s, tbl, targetRowsPerFile = 1000000L)
-        val postRead = s.sql(aggSql).collect()
+        // ONE post-compact evaluation (as q183)
+        val post = s.sql(aggSql).localCheckpoint(true)
+        val postRead = post.collect()
           .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
           .sortBy(_._1).toSeq
         val materialized =
           if (dvRead == postRead &&
             CommitLog.snapshot(s, tbl).get.dv.isEmpty) 1
           else 0
-        s.sql(aggSql)
+        post
           .withColumn("n_updated", lit(nUpd))
           .withColumn("n_old_segments_rewritten", lit(untouched))
           .withColumn("dv_read_matches_compacted", lit(materialized))

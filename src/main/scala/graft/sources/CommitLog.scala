@@ -957,10 +957,12 @@ object CommitLog {
         if (nUpdated == 0L) return (cur.version, 0L)
         val priorDv = cur.dv.map(d =>
           spark.read.parquet(d).count()).getOrElse(0L)
-        require(priorDv + nUpdated <= maxDvRows,
-          s"CommitLog.updateVectored: deletion vector would grow to " +
-            s"${priorDv + nUpdated} rows (> maxDvRows=$maxDvRows) — " +
-            "use update() (copy-on-write) or OPTIMIZE first")
+        if (priorDv + nUpdated > maxDvRows)
+          // merge-on-read economics gone past the bound — ONE
+          // dispatch to the copy-on-write [[update]] (same SET
+          // semantics, same CDC pre/post recording) instead of a
+          // refusal, mirroring [[deleteVectored]]'s fallback
+          return update(spark, table, predicate, set, maxRetries)
         val applied = matches.select(schema.fieldNames.toSeq.map { f =>
           set.get(f) match {
             case Some(e) => e.cast(schema(f).dataType).as(f)

@@ -2456,6 +2456,20 @@ class CommitLogSpec extends AnyFunSuite {
       assert(CommitLog.snapshot(spark, t).get.dv == dvSnap.dv)
       assert(CommitLog.read(spark, t).filter(col("id") === 10L)
         .count() == 0L)
+      // past maxDvRows the vectored UPDATE auto-falls-back to the
+      // copy-on-write update: an 'update' commit, same SET applied,
+      // CDC pre/post recorded, vector still applied
+      val (vUFb, nUFb) = CommitLog.updateVectored(spark, t,
+        col("id") === 2L, Map("name" -> lit("fb")), maxDvRows = 1L)
+      val ufbSnap = CommitLog.snapshot(spark, t).get
+      assert(nUFb == 1L && ufbSnap.version == vUFb &&
+        ufbSnap.op == "update")
+      assert(CommitLog.read(spark, t).filter(col("id") === 2L)
+        .select("name").collect().map(_.getString(0)).toSeq ==
+        Seq("fb"))
+      assert(CommitLog.changeFeed(spark, t, vUFb - 1L)
+        .filter(col("_change_type").startsWith("update"))
+        .count() == 2L) // pre + post image
       // past maxDvRows the vectored delete AUTO-FALLS-BACK to
       // copy-on-write: a 'delete' commit, same rows gone, vector of
       // the untouched segments carried — not a refusal
