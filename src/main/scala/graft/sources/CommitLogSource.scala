@@ -102,9 +102,14 @@ class CommitLogSource extends TableProvider with DataSourceRegister
   //                        readChangeFeed, delete/update) versions —
   //                        Delta's ignoreChanges caveat
   //   maxVersionsPerTrigger admission control per micro-batch
+  //   ignoreSchemaEvolution keep serving the stream's start schema
+  //                        across a mid-stream ADD-COLUMN evolution
+  //                        (new columns dropped); default is to FAIL
+  //                        loudly at the evolving version — Delta's
+  //                        rule, a restart picks up the new schema
 
   private def streamParams(parameters: Map[String, String]):
-      (String, Long, Boolean, Boolean, Option[Long]) = {
+      (String, Long, Boolean, Boolean, Option[Long], Boolean) = {
     val path = parameters.getOrElse("path", throw
       new IllegalArgumentException(
         "commitlog stream requires option 'path' (the table directory)"))
@@ -112,13 +117,14 @@ class CommitLogSource extends TableProvider with DataSourceRegister
       parameters.get("startingVersion").map(_.toLong).getOrElse(1L),
       parameters.get("readChangeFeed").exists(_.toBoolean),
       parameters.get("skipRewrites").exists(_.toBoolean),
-      parameters.get("maxVersionsPerTrigger").map(_.toLong))
+      parameters.get("maxVersionsPerTrigger").map(_.toLong),
+      parameters.get("ignoreSchemaEvolution").exists(_.toBoolean))
   }
 
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
-    val (path, _, cdf, _, _) = streamParams(parameters)
+    val (path, _, cdf, _, _, _) = streamParams(parameters)
     (shortName(), CommitLogStreamSource.streamSchema(
       sqlContext.sparkSession, path, cdf))
   }
@@ -127,9 +133,10 @@ class CommitLogSource extends TableProvider with DataSourceRegister
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String])
       : org.apache.spark.sql.execution.streaming.Source = {
-    val (path, startingVersion, cdf, skip, maxV) = streamParams(parameters)
+    val (path, startingVersion, cdf, skip, maxV, ignoreEvo) =
+      streamParams(parameters)
     new CommitLogStreamSource(sqlContext.sparkSession, metadataPath,
-      path, startingVersion, cdf, skip, maxV)
+      path, startingVersion, cdf, skip, maxV, ignoreEvo)
   }
 
   private def resolve(options: CaseInsensitiveStringMap): CommitLogTable = {
@@ -670,13 +677,19 @@ object CommitLogStreamSource {
   * re-offering stale offsets. */
 class CommitLogStreamSource(spark: SparkSession, metadataPath: String,
     table: String, startingVersion: Long, readChangeFeed: Boolean,
-    skipRewrites: Boolean, maxVersionsPerTrigger: Option[Long])
+    skipRewrites: Boolean, maxVersionsPerTrigger: Option[Long],
+    ignoreSchemaEvolution: Boolean = false)
     extends org.apache.spark.sql.execution.streaming.Source {
 
   import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 
   override val schema: StructType =
     CommitLogStreamSource.streamSchema(spark, table, readChangeFeed)
+
+  /** The data columns pinned at stream start — the yardstick for
+    * detecting a mid-stream ADD-COLUMN evolution. */
+  private val pinnedFields: Set[String] =
+    schema.fieldNames.toSet -- Set("_change_type", "_commit_version")
 
   private val watermarkPath = new org.apache.hadoop.fs.Path(
     s"$metadataPath/graft-commitlog-watermark")
@@ -734,6 +747,22 @@ class CommitLogStreamSource(spark: SparkSession, metadataPath: String,
         "reconstructed; restart the stream from a fresh snapshot")
     val parts = vs.flatMap { ver =>
       val snap = CommitLog.snapshot(spark, table, Some(ver)).get
+      // a version whose recorded schema ADDS columns beyond the
+      // stream's start schema is a mid-stream evolution: fail loudly
+      // (Delta's rule — a restart re-resolves the wider schema)
+      // rather than silently serving the new columns' data dropped;
+      // ignoreSchemaEvolution opts into exactly that drop.
+      if (!ignoreSchemaEvolution)
+        snap.schema.map(CommitLog.decodeSchema).foreach { sch =>
+          val added = sch.fieldNames.filterNot(pinnedFields)
+          if (added.nonEmpty) throw new IllegalStateException(
+            s"commitlog stream: version $ver of $table adds " +
+              s"column(s) ${added.mkString(", ")} beyond the " +
+              "stream's start schema — restart the stream to pick " +
+              "up the evolved schema, or pass " +
+              "ignoreSchemaEvolution=true to keep the start schema " +
+              "(new columns dropped)")
+        }
       snap.op match {
         case "append" | "streaming-append" =>
           val prev = if (ver == 1L) Set.empty[String]

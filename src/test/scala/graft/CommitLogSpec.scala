@@ -2712,6 +2712,77 @@ class CommitLogSpec extends AnyFunSuite {
     } finally rm(t)
   }
 
+  test("mid-stream ADD-COLUMN evolution fails a live stream loudly " +
+      "(Delta's rule); ignoreSchemaEvolution keeps the start schema " +
+      "with new columns dropped; a restarted stream resolves the " +
+      "evolved schema") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val t = tmpTable()
+    val cpRoot = java.nio.file.Files
+      .createTempDirectory("graft_evo_stream_").toString
+    try {
+      CommitLog.append(spark, t, Seq((1L, "a")).toDF("id", "name"))
+      def startStream(name: String, ignore: Boolean) = {
+        val r = spark.readStream.format("commitlog").option("path", t)
+        (if (ignore) r.option("ignoreSchemaEvolution", "true") else r)
+          .load().writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", s"$cpRoot/$name")
+          .trigger(Trigger.ProcessingTime("200 milliseconds")).start()
+      }
+      def waitRows(name: String, n: Long): Unit = {
+        val deadline = System.currentTimeMillis() + 60000
+        while (spark.sql(s"SELECT * FROM $name").count() < n) {
+          assert(System.currentTimeMillis() < deadline,
+            s"$name never reached $n rows")
+          Thread.sleep(100)
+        }
+      }
+      // strict stream: consumes v1, then the table evolves — the
+      // next batch fails loudly naming the added column
+      val strict = startStream("evo_strict", ignore = false)
+      waitRows("evo_strict", 1L)
+      CommitLog.evolveColumns(spark, t, Seq(
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.DoubleType)))
+      CommitLog.append(spark, t,
+        Seq((2L, "b", 2.5)).toDF("id", "name", "score"))
+      val ex = intercept[
+          org.apache.spark.sql.streaming.StreamingQueryException] {
+        strict.processAllAvailable()
+      }
+      def msgs(x: Throwable): Seq[String] =
+        Option(x).toSeq.flatMap(e =>
+          Option(e.getMessage).toSeq ++ msgs(e.getCause))
+      assert(msgs(ex).exists(m => m.contains("score") &&
+        m.contains("ignoreSchemaEvolution")))
+      strict.stop()
+      // opted-in stream (fresh source, but started BEFORE a further
+      // evolution): serves its start schema (3 cols now) and keeps
+      // running when a 4th column lands — the new column is dropped
+      val tolerant = startStream("evo_tolerant", ignore = true)
+      waitRows("evo_tolerant", 2L)
+      CommitLog.evolveColumns(spark, t, Seq(
+        org.apache.spark.sql.types.StructField("tag",
+          org.apache.spark.sql.types.StringType)))
+      CommitLog.append(spark, t,
+        Seq((3L, "c", 3.5, "x")).toDF("id", "name", "score", "tag"))
+      tolerant.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT id, name, score FROM evo_tolerant ORDER BY id")
+        .collect()
+      assert(spark.table("evo_tolerant").columns.toSeq ==
+        Seq("id", "name", "score")) // start schema, no 'tag'
+      assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+      assert(rows(0).isNullAt(2) && rows(2).getDouble(2) == 3.5)
+      tolerant.stop()
+      // a restarted (fresh) stream resolves the evolved 4-col schema
+      val fresh = spark.readStream.format("commitlog")
+        .option("path", t).load()
+      assert(fresh.columns.toSeq == Seq("id", "name", "score", "tag"))
+    } finally rm(t)
+  }
+
   test("incremental OPTIMIZE racing a foreign append: the loser " +
       "rebases, no rows are lost, and the deletion-vector carry " +
       "invariant holds through the interleave") {
