@@ -754,6 +754,7 @@ object Pipeline18 {
           CommitLog.read(s, tbl, Some(preDdl.version)).columns.length
         val nColsPostDdl = s.sql(s"SELECT * FROM $cat.ns.o")
           .columns.length
+        // (q190 below exercises the TBLPROPERTIES half of ALTER)
         s.sql(
           s"""SELECT priority_class, COUNT(*) AS n_rows,
              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
@@ -767,6 +768,80 @@ object Pipeline18 {
           .localCheckpoint(true)
       } finally {
         s.catalog.dropTempView("q188_src"): Unit
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.root")
+        rmStage(s, stage)
+      }
+    }),
+
+    // PERSISTENT CHECK CONSTRAINTS via DDL (the Delta model driven
+    // through TBLPROPERTIES): SET validates EXISTING data (a
+    // too-strict constraint refuses — witness), the recorded
+    // constraint gates every later INSERT (a dirty insert refuses
+    // ATOMICALLY — version count witnesses no partial landing), and
+    // UNSET lifts the gate so the same rows then land. Final state =
+    // all three slices = raw orders, so the oracle re-derives
+    // everything from the predicate algebra alone.
+    "q190_commitlog_sql_constraints" -> ((s, dir) => {
+      val stage = stageDir("q190_cons")
+      val cat = "graftq190"
+      try {
+        s.conf.set(s"spark.sql.catalog.$cat",
+          "graft.sources.CommitLogCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", stage)
+        val tbl = s"$stage/ns/o"
+        val o = t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+        val clean = o.filter(col("o_totalprice") > 50000.0)
+        CommitLog.append(s, tbl,
+          clean.filter(pmod(col("o_orderkey"), lit(2)) === 0))
+        s.sql(s"ALTER TABLE $cat.ns.o SET TBLPROPERTIES " +
+          "('graft.constraint.price_floor' = 'o_totalprice > 50000.0')")
+        // a constraint the existing data does NOT satisfy refuses
+        val refusedSet =
+          try {
+            s.sql(s"ALTER TABLE $cat.ns.o SET TBLPROPERTIES " +
+              "('graft.constraint.too_strict' = " +
+              "'o_totalprice > 100000.0')")
+            0
+          } catch { case e: Exception
+              if e.getMessage.contains("existing row") => 1 }
+        // dirty insert refuses atomically: no version, no rows
+        o.createOrReplaceTempView("q190_src")
+        val vBefore = CommitLog.versions(s, tbl).max
+        val refusedInsert =
+          try {
+            s.sql(s"""INSERT INTO $cat.ns.o
+                     |SELECT * FROM q190_src
+                     |WHERE o_totalprice <= 50000.0""".stripMargin)
+            0
+          } catch { case _: Exception
+              if CommitLog.versions(s, tbl).max == vBefore => 1 }
+        // the clean complement passes the gate
+        s.sql(s"""INSERT INTO $cat.ns.o
+                 |SELECT * FROM q190_src
+                 |WHERE o_totalprice > 50000.0
+                 |  AND o_orderkey % 2 = 1""".stripMargin)
+        val nConstraints = CommitLog.constraints(s, tbl).size
+        // UNSET lifts the gate — the refused rows now land
+        s.sql(s"ALTER TABLE $cat.ns.o UNSET TBLPROPERTIES " +
+          "('graft.constraint.price_floor')")
+        s.sql(s"""INSERT INTO $cat.ns.o
+                 |SELECT * FROM q190_src
+                 |WHERE o_totalprice <= 50000.0""".stripMargin)
+        s.sql(
+          s"""SELECT o_orderstatus, COUNT(*) AS n_rows,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+             |    AS sum_price
+             |FROM $cat.ns.o
+             |GROUP BY o_orderstatus""".stripMargin)
+          .withColumn("refused_set", lit(refusedSet))
+          .withColumn("refused_insert", lit(refusedInsert))
+          .withColumn("n_constraints_mid", lit(nConstraints))
+          .orderBy(col("o_orderstatus"))
+          .localCheckpoint(true)
+      } finally {
+        s.catalog.dropTempView("q190_src"): Unit
         s.conf.unset(s"spark.sql.catalog.$cat")
         s.conf.unset(s"spark.sql.catalog.$cat.root")
         rmStage(s, stage)
@@ -1432,6 +1507,21 @@ object Pipeline18 {
          |WHERE l_shipdate >= lo AND l_shipdate <= hi
          |GROUP BY l_returnflag
          |ORDER BY l_returnflag""".stripMargin,
+
+    // final state = all orders (clean even + clean odd + the
+    // formerly-refused dirty slice after UNSET); witnesses hardcode
+    // the refusals the lifecycle guarantees
+    "q190_commitlog_sql_constraints" ->
+      """SELECT o_orderstatus,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price,
+        |  CAST(1 AS INT) AS refused_set,
+        |  CAST(1 AS INT) AS refused_insert,
+        |  CAST(1 AS INT) AS n_constraints_mid
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
 
     // q167's reader algebra (even keys predate the column → NULL
     // class), plus the DDL witnesses: ALTER added a column (3 → 4)

@@ -132,6 +132,141 @@ object CommitLog {
         .map(_.group(1).split(',').toSeq.filter(_.nonEmpty))
     }
   }
+  // ---- persistent CHECK constraints ------------------------------------
+
+  /** Table-level CHECK constraints (`_constraints.json`): name → SQL
+    * expression, enforced on EVERY write path ([[writeSegment]] and
+    * the partitioned stager) — the Delta constraint model, managed
+    * from SQL via `ALTER TABLE … SET/UNSET TBLPROPERTIES
+    * ('graft.constraint.<name>' = '<expr>')`. SQL-standard CHECK
+    * semantics: a row violates only when the expression is FALSE —
+    * NULL (unknown) passes (note: [[appendChecked]]'s per-call
+    * constraints predate this and treat NULL as a violation; its
+    * contract is spec-pinned and unchanged). Table-level metadata
+    * like the partition marker, not per-version state: time travel
+    * reads old DATA but the current rules gate new writes. */
+  def constraints(spark: SparkSession,
+      table: String): Map[String, String] = {
+    val f = fs(spark, table)
+    val p = new org.apache.hadoop.fs.Path(s"$table/_constraints.json")
+    if (!f.exists(p)) return Map.empty
+    val in = f.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
+      .findAllMatchIn(txt).map { m =>
+        def un(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
+        un(m.group(1)) -> un(m.group(2))
+      }.toMap
+  }
+
+  private def writeConstraints(spark: SparkSession, table: String,
+      cons: Map[String, String]): Unit = {
+    val f = fs(spark, table)
+    val p = new org.apache.hadoop.fs.Path(s"$table/_constraints.json")
+    if (cons.isEmpty) { f.delete(p, false): Unit; return }
+    def esc(s: String) =
+      s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val body = cons.toSeq.sortBy(_._1)
+      .map { case (n, e) => s""""${esc(n)}":"${esc(e)}"""" }
+      .mkString("{", ",", "}")
+    val out = f.create(p, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Add (or replace) a named CHECK constraint. Validated twice
+    * before it lands, both loudly: the expression must analyze
+    * against the current schema, and — Delta's rule — every EXISTING
+    * live row must already satisfy it (otherwise readers could never
+    * trust the invariant). */
+  def setConstraint(spark: SparkSession, table: String,
+      name: String, exprSql: String): Unit = {
+    require(name.nonEmpty && exprSql.nonEmpty,
+      "setConstraint: empty name or expression")
+    val cur = snapshot(spark, table).getOrElse(
+      throw new IllegalStateException(
+        s"CommitLog.setConstraint: nothing committed at $table"))
+    val pred = expr(exprSql)
+    if (cur.segments.nonEmpty || cur.schema.isDefined) {
+      val live = readLive(spark, cur)
+      // analysis errors (unknown column, non-boolean) surface here
+      val bad = live.filter(coalesce(pred, lit(true)) === false).count()
+      if (bad > 0L) throw new IllegalStateException(
+        s"CommitLog.setConstraint: $bad existing row(s) of $table " +
+          s"violate CHECK '$name' ($exprSql) — constraint NOT added; " +
+          "clean the data first (the Delta rule: a constraint must " +
+          "hold over existing data before it can gate new writes)")
+    }
+    writeConstraints(spark, table,
+      constraints(spark, table) + (name -> exprSql))
+  }
+
+  /** Remove a named CHECK constraint; unknown names refuse loudly
+    * (an UNSET that silently no-ops would mask a typo'd name while
+    * the real constraint keeps refusing writes). */
+  def dropConstraint(spark: SparkSession, table: String,
+      name: String): Unit = {
+    val cur = constraints(spark, table)
+    require(cur.contains(name),
+      s"CommitLog.dropConstraint: no CHECK constraint '$name' at " +
+        s"$table — have: ${cur.keys.toSeq.sorted.mkString(", ")}")
+    writeConstraints(spark, table, cur - name)
+  }
+
+  /** The first persistent-constraint violation over `df`, if any —
+    * one columnar aggregate, nothing when the table has no
+    * constraints. An evolved-away column a segment legally omits
+    * evaluates as NULL (typed from the recorded schema), which under
+    * SQL CHECK semantics passes unless the expression then resolves
+    * FALSE (e.g. `x IS NOT NULL`). */
+  private[sources] def constraintViolation(spark: SparkSession,
+      table: String, df: DataFrame): Option[String] = {
+    val cons = constraints(spark, table)
+    if (cons.isEmpty) return None
+    val have = df.columns.map(_.toLowerCase).toSet
+    val refs: Seq[String] = cons.values.toSeq.flatMap(e =>
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(e).collect {
+          case u: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedAttribute => u.name
+        }).distinct
+    val declared = snapshot(spark, table).flatMap(_.schema)
+      .map(decodeSchema)
+    val padded = refs.filterNot(r => have(r.toLowerCase))
+      .foldLeft(df)((d, c) => d.withColumn(c,
+        lit(null).cast(declared.flatMap(s =>
+          s.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType))
+          .getOrElse(org.apache.spark.sql.types.NullType))))
+    val aggs = cons.toSeq.sortBy(_._1).map { case (n, e) =>
+      // SQL CHECK semantics: NULL (unknown) passes
+      sum(when(coalesce(expr(e), lit(true)) === false, 1L)
+        .otherwise(0L)).as(n)
+    }
+    val row = padded.agg(aggs.head, aggs.tail: _*).collect()(0)
+    cons.keys.toSeq.sorted.flatMap { n =>
+      val bad = Option(row.getAs[java.lang.Long](n))
+        .map(_.longValue).getOrElse(0L)
+      if (bad > 0L) Some(s"CHECK constraint '$n' (${cons(n)}) " +
+        s"violated by $bad row(s) — nothing committed at $table")
+      else None
+    }.headOption
+  }
+
+  /** Enforce the table's persistent constraints over freshly staged
+    * segment paths, deleting them before refusing. */
+  private[sources] def enforceConstraints(spark: SparkSession,
+      table: String, stagedPaths: Seq[String]): Unit = {
+    // marker probe first: no constraints → no parquet footer reads
+    if (stagedPaths.isEmpty || constraints(spark, table).isEmpty) return
+    constraintViolation(spark, table,
+      spark.read.parquet(stagedPaths: _*)).foreach { msg =>
+      val f = fs(spark, table)
+      stagedPaths.foreach(p =>
+        f.delete(new org.apache.hadoop.fs.Path(p), true): Unit)
+      throw new IllegalStateException(s"CommitLog: $msg")
+    }
+  }
+
   private def manifestPath(table: String, v: Long) =
     f"${commitsDir(table)}/$v%020d.manifest"
 
@@ -299,6 +434,10 @@ object CommitLog {
       df: DataFrame): String = {
     val seg = s"$table/data/${java.util.UUID.randomUUID().toString}"
     df.write.mode(SaveMode.ErrorIfExists).parquet(seg)
+    // persistent CHECK constraints gate EVERY segment before any
+    // manifest can name it — one columnar scan of the new data only,
+    // nothing when the table has no constraints (one marker probe)
+    enforceConstraints(spark, table, Seq(seg))
     seg
   }
 

@@ -212,6 +212,41 @@ class CommitLogCatalog extends TableCatalog
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    // `SET/UNSET TBLPROPERTIES ('graft.constraint.<name>' = <expr>)`
+    // manages persistent CHECK constraints (the Delta model: SET
+    // validates existing data, every later write is gated); other
+    // property keys refuse — the catalog stores no free-form props,
+    // and silently accepting them would fake durability
+    val prefix = "graft.constraint."
+    val propChanges = changes.collect {
+      case sp: TableChange.SetProperty => sp
+      case rp: TableChange.RemoveProperty => rp
+    }
+    if (propChanges.nonEmpty) {
+      require(propChanges.size == changes.size,
+        "commitlog catalog: mixing TBLPROPERTIES changes with other " +
+          "ALTERs in one statement is not supported")
+      val path = pathOf(ident)
+      propChanges.foreach {
+        case sp: TableChange.SetProperty =>
+          if (!sp.property().startsWith(prefix))
+            throw new UnsupportedOperationException(
+              "commitlog catalog: only CHECK-constraint properties " +
+                s"('$prefix<name>' = '<boolean expr>') are " +
+                s"supported, got '${sp.property()}'")
+          CommitLog.setConstraint(spark, path,
+            sp.property().stripPrefix(prefix), sp.value())
+        case rp: TableChange.RemoveProperty =>
+          if (!rp.property().startsWith(prefix))
+            throw new UnsupportedOperationException(
+              "commitlog catalog: only CHECK-constraint properties " +
+                s"('$prefix<name>') can be unset, got " +
+                s"'${rp.property()}'")
+          CommitLog.dropConstraint(spark, path,
+            rp.property().stripPrefix(prefix))
+      }
+      return loadTable(ident)
+    }
     val added = changes.map {
       case a: TableChange.AddColumn =>
         if (a.fieldNames().length != 1)

@@ -282,6 +282,18 @@ class CommitLogTable(spark: SparkSession, path: String,
   override def name(): String = pq.name
   override def schema(): StructType = pq.schema
 
+  /** Persistent CHECK constraints surface as table properties
+    * (`graft.constraint.<name>` → expression), so `SHOW
+    * TBLPROPERTIES` / DESCRIBE EXTENDED show exactly what gates
+    * writes. */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    CommitLog.constraints(spark, path).foreach { case (n, e) =>
+      m.put(s"graft.constraint.$n", e)
+    }
+    m
+  }
+
   /** A table created `PARTITIONED BY` reports its identity
     * transforms (DESCRIBE shows them; writes route through the
     * partitioned writer below). */

@@ -626,6 +626,12 @@ object CommitLogStats {
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val segs: Seq[String] =
       try {
+        // the partitioned stager bypasses writeSegment, so the
+        // persistent CHECK constraints gate here — on the pinned
+        // input, BEFORE any staged directory is renamed into data/
+        CommitLog.constraintViolation(spark, table, pinned)
+          .foreach(msg =>
+            throw new IllegalStateException(s"CommitLog: $msg"))
         // clone the partition columns so partitionBy's column
         // dropping leaves the originals in the data files; sort
         // within partitions on the stats columns so parquet row

@@ -2712,6 +2712,103 @@ class CommitLogSpec extends AnyFunSuite {
     } finally rm(t)
   }
 
+  test("persistent CHECK constraints: SET validates existing data, " +
+      "every write path is gated (append, DML, partitioned stager), " +
+      "NULL passes (SQL semantics), evolved-away columns read NULL, " +
+      "UNSET lifts the gate, non-constraint properties refuse") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_constraints_").toString
+    try {
+      spark.conf.set("spark.sql.catalog.gcc",
+        "graft.sources.CommitLogCatalog")
+      spark.conf.set("spark.sql.catalog.gcc.root", root)
+      val path = s"$root/ns/t"
+      spark.sql("CREATE TABLE gcc.ns.t (id BIGINT, v DOUBLE)")
+      spark.sql("INSERT INTO gcc.ns.t VALUES (1, 5.0), (2, -1.0)")
+      // SET over data that violates → refused, nothing recorded
+      val e1 = intercept[Exception] { spark.sql(
+        "ALTER TABLE gcc.ns.t SET TBLPROPERTIES " +
+          "('graft.constraint.v_pos' = 'v > 0')") }
+      assert(e1.getMessage.contains("1 existing row"))
+      assert(CommitLog.constraints(spark, path).isEmpty)
+      // clean the data; SET lands and SHOW TBLPROPERTIES surfaces it
+      spark.sql("DELETE FROM gcc.ns.t WHERE v <= 0")
+      spark.sql("ALTER TABLE gcc.ns.t SET TBLPROPERTIES " +
+        "('graft.constraint.v_pos' = 'v > 0')")
+      assert(CommitLog.constraints(spark, path) ==
+        Map("v_pos" -> "v > 0"))
+      assert(spark.sql("SHOW TBLPROPERTIES gcc.ns.t").collect()
+        .map(r => (r.getString(0), r.getString(1))).toMap
+        .get("graft.constraint.v_pos").contains("v > 0"))
+      // clean insert lands; dirty insert refuses ATOMICALLY
+      spark.sql("INSERT INTO gcc.ns.t VALUES (3, 1.5)")
+      val vBefore = CommitLog.currentVersion(spark, path).get
+      val e2 = intercept[Exception] { spark.sql(
+        "INSERT INTO gcc.ns.t VALUES (4, 2.0), (5, -9.0)") }
+      def msgs(x: Throwable): Seq[String] =
+        Option(x).toSeq.flatMap(t =>
+          Option(t.getMessage).toSeq ++ msgs(t.getCause))
+      assert(msgs(e2).exists(m => m.contains("v_pos") &&
+        m.contains("1 row")))
+      assert(CommitLog.currentVersion(spark, path).get == vBefore)
+      // SQL CHECK semantics: NULL is unknown, not a violation
+      spark.sql("INSERT INTO gcc.ns.t VALUES (6, NULL)")
+      // an UPDATE that would break the invariant refuses (CoW path)
+      val e3 = intercept[Exception] {
+        CommitLog.update(spark, path, col("id") === 3L,
+          Map("v" -> lit(-5.0)))
+      }
+      assert(msgs(e3).exists(_.contains("v_pos")))
+      // ...and the vectored path refuses identically
+      val e3b = intercept[Exception] {
+        CommitLog.updateVectored(spark, path, col("id") === 3L,
+          Map("v" -> lit(-5.0)))
+      }
+      assert(msgs(e3b).exists(_.contains("v_pos")))
+      assert(CommitLog.read(spark, path)
+        .filter(col("id") === 3L).collect()(0).getDouble(1) == 1.5)
+      // evolved-away column: constraint on a column old segments
+      // lack reads NULL there (passes); a violating value refuses
+      spark.sql("ALTER TABLE gcc.ns.t ADD COLUMNS (score DOUBLE)")
+      spark.sql("ALTER TABLE gcc.ns.t SET TBLPROPERTIES " +
+        "('graft.constraint.score_pos' = 'score > 0')")
+      CommitLog.appendEvolve(spark, path, // omits score → NULL, passes
+        spark.range(1).select(lit(7L).as("id"), lit(1.0).as("v")))
+      val e4 = intercept[Exception] { spark.sql(
+        "INSERT INTO gcc.ns.t VALUES (8, 1.0, -2.0)") }
+      assert(msgs(e4).exists(_.contains("score_pos")))
+      // the partitioned stager is gated too (bypasses writeSegment)
+      val pt = s"$root/ns/p"
+      CommitLogStats.appendPartitioned(spark, pt,
+        df((1L, "a", 1.0)), partitionCols = Seq("name"),
+        statsCols = Seq("id"))
+      CommitLog.setConstraint(spark, pt, "v_pos", "v > 0")
+      val e5 = intercept[Exception] {
+        CommitLogStats.appendPartitioned(spark, pt,
+          df((2L, "b", -1.0)), partitionCols = Seq("name"),
+          statsCols = Seq("id"))
+      }
+      assert(msgs(e5).exists(_.contains("v_pos")))
+      assert(CommitLog.read(spark, pt).count() == 1L)
+      // UNSET lifts the gate; unknown names and foreign keys refuse
+      spark.sql("ALTER TABLE gcc.ns.t UNSET TBLPROPERTIES " +
+        "('graft.constraint.v_pos')")
+      spark.sql("INSERT INTO gcc.ns.t VALUES (9, -9.0, 1.0)")
+      assert(CommitLog.read(spark, path)
+        .filter(col("id") === 9L).count() == 1L)
+      intercept[Exception] { spark.sql(
+        "ALTER TABLE gcc.ns.t UNSET TBLPROPERTIES " +
+          "('graft.constraint.nope')") }
+      intercept[Exception] { spark.sql(
+        "ALTER TABLE gcc.ns.t SET TBLPROPERTIES ('foo' = 'bar')") }
+      spark.sql("DROP TABLE gcc.ns.t")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gcc")
+      spark.conf.unset("spark.sql.catalog.gcc.root")
+      rm(root + "/x")
+    }
+  }
+
   test("mid-stream ADD-COLUMN evolution fails a live stream loudly " +
       "(Delta's rule); ignoreSchemaEvolution keeps the start schema " +
       "with new columns dropped; a restarted stream resolves the " +
