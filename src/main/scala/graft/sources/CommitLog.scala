@@ -1273,6 +1273,11 @@ object CommitLog {
       schema = snap.schema, dv = snap.dv)
     if (!tryPublish(spark, target, out)) throw new IllegalStateException(
       s"CommitLog.cloneTable: target $target was created concurrently")
+    // invariants are table metadata and the clone's content satisfies
+    // them by construction — carry them (Delta clones carry
+    // properties); the clone can UNSET independently afterwards
+    val cons = constraints(spark, source)
+    if (cons.nonEmpty) writeConstraints(spark, target, cons)
     1L
   }
 
@@ -1770,11 +1775,12 @@ object CommitLog {
       snap.dv.isDefined, dvRows, withStats.toLong, withBloom.toLong,
       partitionColumns(spark, table).getOrElse(Seq.empty)
         .mkString(","), maxSegs.toLong,
-      maxSegs.toLong - snap.segments.size))
+      maxSegs.toLong - snap.segments.size,
+      constraints(spark, table).size.toLong))
       .toDF("version", "op", "n_segments", "n_data_files",
         "total_bytes", "n_columns", "has_deletion_vector", "dv_rows",
         "segments_with_stats", "bloom_sidecars", "partition_columns",
-        "segment_bound", "segments_to_bound")
+        "segment_bound", "segments_to_bound", "n_constraints")
   }
 
   // manifest format: one JSON object, segments one-per-line for

@@ -2801,6 +2801,15 @@ class CommitLogSpec extends AnyFunSuite {
           "('graft.constraint.nope')") }
       intercept[Exception] { spark.sql(
         "ALTER TABLE gcc.ns.t SET TBLPROPERTIES ('foo' = 'bar')") }
+      // a clone inherits the invariants (its content satisfies them
+      // by construction); DESCRIBE DETAIL surfaces the count
+      val ct = s"$root/ns/c"
+      CommitLog.cloneTable(spark, path, ct)
+      assert(CommitLog.constraints(spark, ct) ==
+        CommitLog.constraints(spark, path))
+      assert(CommitLog.detail(spark, path).collect()(0)
+        .getAs[Long]("n_constraints") ==
+        CommitLog.constraints(spark, path).size.toLong)
       spark.sql("DROP TABLE gcc.ns.t")
     } finally {
       spark.conf.unset("spark.sql.catalog.gcc")
