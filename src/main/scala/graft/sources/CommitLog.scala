@@ -144,7 +144,14 @@ object CommitLog {
     * constraints predate this and treat NULL as a violation; its
     * contract is spec-pinned and unchanged). Table-level metadata
     * like the partition marker, not per-version state: time travel
-    * reads old DATA but the current rules gate new writes. */
+    * reads old DATA but the current rules gate new writes. Known
+    * bound, stated honestly: constraint DDL itself is
+    * read-modify-write on one small file — two SIMULTANEOUS
+    * SET/UNSET statements are last-writer-wins (writes racing a SET
+    * are safe: they read the marker once, before staging). Delta
+    * serializes properties through its log; constraint DDL here is
+    * an operator action, not a hot path, so the marker keeps the
+    * protocol untouched. */
   def constraints(spark: SparkSession,
       table: String): Map[String, String] = {
     val f = fs(spark, table)
