@@ -47,7 +47,13 @@ object Pipeline13 {
       val tbl = java.nio.file.Files
         .createTempDirectory("graft_q150_").resolve("tbl").toString
       try {
-        CommitLog.merge(s, tbl, m1, keys = Seq("k"))
+        // the v1 bulk merge is cached and zero-copy cloned (clone v1
+        // serves identical content); the incremental merge under
+        // measurement runs per-run on the clone
+        val base = StagedBases.cachedBase[String]("ord_m1", dir) { b =>
+          CommitLog.merge(s, b, m1, keys = Seq("k")); b
+        }
+        CommitLog.cloneTable(s, base, tbl)
         CommitLog.merge(s, tbl, m2, keys = Seq("k"))
         // v1 read AFTER the v2 commit — time travel over immutable
         // segments; localCheckpoint detaches from the files so the
