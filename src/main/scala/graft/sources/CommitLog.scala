@@ -1628,7 +1628,7 @@ object CommitLog {
     vs.flatMap { v =>
       val snap = snapshot(spark, table, Some(v)).get
       snap.op match {
-        case "append" | "clone" =>
+        case "append" | "streaming-append" | "clone" =>
           val prev = if (v == 1L) Set.empty[String]
             else snapshot(spark, table, Some(v - 1L)).get.segments.toSet
           val added = snap.segments.filterNot(prev)

@@ -102,12 +102,19 @@ class CommitLogSpec extends AnyFunSuite {
       val tail = CommitLog.changes(spark, t, 2L)
       assert(tail.map(_._1) == Seq(4L))
       assert(sortedRows(tail.head._2) == Seq((4L, "d", 4.0)))
+      // a txn-stamped streaming append is an append for the feed —
+      // its delta flows, it does not raise as an unknown rewrite
+      CommitLog.appendTxn(spark, t, df((40L, "s", 40.0)),
+        appId = "feedapp", batchId = 1L)
+      val sTail = CommitLog.changes(spark, t, 4L)
+      assert(sTail.map(_._1) == Seq(5L) &&
+        sortedRows(sTail.head._2) == Seq((40L, "s", 40.0)))
       // merge rewrites row state → refused by default, skippable
       CommitLog.merge(spark, t, df((1L, "a2", 9.0)), Seq("id"))
       val e = intercept[IllegalStateException](
-        CommitLog.changes(spark, t, 4L))
+        CommitLog.changes(spark, t, 5L))
       assert(e.getMessage.contains("merge"))
-      assert(CommitLog.changes(spark, t, 4L, skipRewrites = true).isEmpty)
+      assert(CommitLog.changes(spark, t, 5L, skipRewrites = true).isEmpty)
       // vacuumed history below the watermark → loud, never silent skip
       CommitLog.append(spark, t, df((5L, "e", 5.0)))
       CommitLog.vacuum(spark, t, retainVersions = 1)
