@@ -776,7 +776,9 @@ class CommitLogStreamSource(spark: SparkSession, metadataPath: String,
               "(new columns dropped)")
         }
       snap.op match {
-        case "append" | "streaming-append" =>
+        // 'clone' is an insert for the feed exactly as in changeFeed:
+        // its v1 adds the source's full segment set
+        case "append" | "streaming-append" | "clone" =>
           val prev = if (ver == 1L) Set.empty[String]
             else CommitLog.snapshot(spark, table, Some(ver - 1L))
               .get.segments.toSet

@@ -2719,6 +2719,27 @@ class CommitLogSpec extends AnyFunSuite {
     } finally rm(t)
   }
 
+  test("a cloned table streams from version 1: the clone commit is an " +
+      "insert for the feed, as in the batch change feed") {
+    import org.apache.spark.sql.streaming.Trigger
+    val t = tmpTable()
+    val t2 = tmpTable()
+    try {
+      CommitLog.append(spark, t, df((1L, "a", 1.0), (2L, "b", 2.0)))
+      CommitLog.cloneTable(spark, t, t2)
+      CommitLog.append(spark, t2, df((3L, "c", 3.0)))
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_clone_stream_").toString
+      val q = spark.readStream.format("commitlog").option("path", t2)
+        .load().writeStream.format("memory").queryName("clone_stream")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$outDir/cp").start()
+      q.awaitTermination(60000)
+      assert(spark.sql("SELECT id FROM clone_stream").collect()
+        .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    } finally { rm(t); rm(t2) }
+  }
+
   test("persistent CHECK constraints: SET validates existing data, " +
       "every write path is gated (append, DML, partitioned stager), " +
       "NULL passes (SQL semantics), evolved-away columns read NULL, " +
