@@ -1301,6 +1301,32 @@ object CommitLog {
       throw new IllegalStateException(
         s"CommitLog.restore: version $toVersion of $table is vacuumed " +
           "or never existed"))
+    // restoring across an ADD-COLUMN evolution drops the added
+    // columns from the live schema — a persistent constraint still
+    // referencing one would then judge every future write against a
+    // column no writer can supply (always-NULL). Refuse, naming the
+    // way out, instead of stranding the table.
+    val cons = constraints(spark, table)
+    if (cons.nonEmpty) {
+      val restoredCols = target.schema.map(decodeSchema)
+        .map(_.fieldNames.map(_.toLowerCase).toSet)
+      restoredCols.foreach { cols =>
+        cons.foreach { case (n, e) =>
+          val refs = org.apache.spark.sql.catalyst.parser
+            .CatalystSqlParser.parseExpression(e).collect {
+              case u: org.apache.spark.sql.catalyst.analysis
+                  .UnresolvedAttribute => u.name
+            }
+          val gone = refs.filterNot(r => cols(r.toLowerCase))
+          if (gone.nonEmpty) throw new IllegalStateException(
+            s"CommitLog.restore: CHECK constraint '$n' ($e) " +
+              s"references column(s) ${gone.mkString(", ")} absent " +
+              s"from version $toVersion's schema — drop the " +
+              "constraint first (dropConstraint / UNSET " +
+              "TBLPROPERTIES), then restore")
+        }
+      }
+    }
     var attempt = 0
     while (attempt < maxRetries) {
       val cur = snapshot(spark, table).getOrElse(

@@ -2838,6 +2838,17 @@ class CommitLogSpec extends AnyFunSuite {
       assert(CommitLog.detail(spark, path).collect()(0)
         .getAs[Long]("n_constraints") ==
         CommitLog.constraints(spark, path).size.toLong)
+      // a RESTORE below the evolve would strand score_pos on a
+      // column the restored schema lacks — refused naming the
+      // constraint; after dropping it the restore lands
+      val preEvolveV = 4L // last version whose schema lacks 'score'
+      val eR = intercept[IllegalStateException] {
+        CommitLog.restore(spark, path, preEvolveV)
+      }
+      assert(eR.getMessage.contains("score_pos"))
+      CommitLog.dropConstraint(spark, path, "score_pos")
+      CommitLog.restore(spark, path, preEvolveV): Unit
+      assert(!CommitLog.read(spark, path).columns.contains("score"))
       spark.sql("DROP TABLE gcc.ns.t")
     } finally {
       spark.conf.unset("spark.sql.catalog.gcc")
