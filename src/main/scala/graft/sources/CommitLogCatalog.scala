@@ -124,11 +124,60 @@ class CommitLogCatalog extends TableCatalog
   override def tableExists(ident: Identifier): Boolean =
     CommitLog.currentVersion(spark, pathOf(ident)).nonEmpty
 
+  /** Iceberg-style METADATA TABLES: `SELECT * FROM cat.ns.t.history`
+    * / `…t.detail` resolve when `ns.t` is a commit-log table and no
+    * real table shadows the suffix (a genuine table named `history`
+    * wins — checked first). Served as a LocalScan: both surfaces are
+    * tiny driver-derived frames (one row per retained version / one
+    * row total), snapshotted at load time like any other read. */
+  private def metadataTable(parent: String, kind: String): Table = {
+    val df = kind match {
+      case "history" => CommitLog.history(spark, parent)
+      case "detail" => CommitLog.detail(spark, parent)
+    }
+    val sch = df.schema
+    val data = df.queryExecution.executedPlan.executeCollect()
+      .map(_.copy())
+    new Table
+        with org.apache.spark.sql.connector.catalog.SupportsRead {
+      override def name(): String = s"$parent#$kind"
+      override def schema(): StructType = sch
+      override def capabilities()
+          : util.Set[org.apache.spark.sql.connector.catalog
+            .TableCapability] = {
+        val s = new util.HashSet[org.apache.spark.sql.connector
+          .catalog.TableCapability]()
+        s.add(org.apache.spark.sql.connector.catalog.TableCapability
+          .BATCH_READ)
+        s
+      }
+      override def newScanBuilder(
+          options: CaseInsensitiveStringMap)
+          : org.apache.spark.sql.connector.read.ScanBuilder =
+        () => new org.apache.spark.sql.connector.read.LocalScan {
+          override def readSchema(): StructType = sch
+          override def rows(): Array[org.apache.spark.sql.catalyst
+            .InternalRow] = data.toArray
+          override def description(): String =
+            s"CommitLogMetadata($kind)"
+        }
+    }
+  }
+
   override def loadTable(ident: Identifier): Table = {
     val path = pathOf(ident)
-    val snap = CommitLog.snapshot(spark, path).getOrElse(
-      throw new NoSuchTableException(ident))
-    CommitLogTable.forSnapshot(spark, path, snap)
+    CommitLog.snapshot(spark, path) match {
+      case Some(snap) => CommitLogTable.forSnapshot(spark, path, snap)
+      case None =>
+        val kind = ident.name().toLowerCase
+        if ((kind == "history" || kind == "detail") &&
+            ident.namespace().nonEmpty) {
+          val parent = (root +: ident.namespace().toSeq).mkString("/")
+          if (CommitLog.currentVersion(spark, parent).nonEmpty)
+            return metadataTable(parent, kind)
+        }
+        throw new NoSuchTableException(ident)
+    }
   }
 
   /** SQL `VERSION AS OF <v>` — Spark routes the literal here. */

@@ -2719,6 +2719,40 @@ class CommitLogSpec extends AnyFunSuite {
     } finally rm(t)
   }
 
+  test("metadata tables: SELECT from cat.ns.t.history / .detail in " +
+      "plain SQL; a real table named 'history' shadows the suffix") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_meta_tables_").toString
+    try {
+      spark.conf.set("spark.sql.catalog.gmt",
+        "graft.sources.CommitLogCatalog")
+      spark.conf.set("spark.sql.catalog.gmt.root", root)
+      spark.sql("CREATE TABLE gmt.ns.t (id BIGINT, v DOUBLE)")
+      spark.sql("INSERT INTO gmt.ns.t VALUES (1, 1.0), (2, 2.0)")
+      spark.sql("DELETE FROM gmt.ns.t WHERE id = 1")
+      val hist = spark.sql(
+        "SELECT version, op FROM gmt.ns.t.history ORDER BY version")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(hist == Seq((1L, "create"), (2L, "append"),
+        (3L, "delete")))
+      val det = spark.sql(
+        "SELECT version, n_segments, n_constraints FROM gmt.ns.t.detail")
+        .collect()(0)
+      assert(det.getLong(0) == 3L && det.getLong(2) == 0L)
+      // a REAL table at ns.t.history wins over the metadata suffix
+      spark.sql("CREATE TABLE gmt.ns.t.history (x BIGINT)")
+      spark.sql("INSERT INTO gmt.ns.t.history VALUES (42)")
+      assert(spark.sql("SELECT x FROM gmt.ns.t.history").collect()
+        .map(_.getLong(0)).toSeq == Seq(42L))
+      spark.sql("DROP TABLE gmt.ns.t.history")
+      spark.sql("DROP TABLE gmt.ns.t")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gmt")
+      spark.conf.unset("spark.sql.catalog.gmt.root")
+      rm(root + "/x")
+    }
+  }
+
   test("a cloned table streams from version 1: the clone commit is an " +
       "insert for the feed, as in the batch change feed") {
     import org.apache.spark.sql.streaming.Trigger
