@@ -209,10 +209,63 @@ class CommitLogSource extends TableProvider with DataSourceRegister
       new IllegalArgumentException(
         "commitlog source requires option 'path' (the table directory)"))
 
+  /** BATCH change-data-feed read (Delta's batch CDF options):
+    * `spark.read.format("commitlog").option("readChangeFeed", true)
+    * .option("startingVersion", N)` serves [[CommitLog.changeFeed]]
+    * distributed through the V1 bridge — table columns +
+    * `_change_type` + `_commit_version` for every version ≥ N. */
+  private def cdfTable(options: CaseInsensitiveStringMap): Table = {
+    val spark = SparkSession.active
+    val path = pathOf(options)
+    val after = Option(options.get("startingVersion"))
+      .map(_.toLong).getOrElse(1L) - 1L
+    val skip = options.getBoolean("skipRewrites", false)
+    val df = CommitLog.changeFeed(spark, path, after, skip)
+    new Table
+        with org.apache.spark.sql.connector.catalog.SupportsRead {
+      override def name(): String = s"commitlog:$path#changes"
+      override def schema(): StructType = df.schema
+      override def capabilities()
+          : util.Set[org.apache.spark.sql.connector.catalog
+            .TableCapability] = {
+        val s = new util.HashSet[org.apache.spark.sql.connector
+          .catalog.TableCapability]()
+        s.add(org.apache.spark.sql.connector.catalog.TableCapability
+          .BATCH_READ)
+        s
+      }
+      override def newScanBuilder(o: CaseInsensitiveStringMap)
+          : org.apache.spark.sql.connector.read.ScanBuilder =
+        () => new org.apache.spark.sql.connector.read.V1Scan {
+          override def readSchema(): StructType = df.schema
+          override def toV1TableScan[T <: org.apache.spark.sql.sources
+              .BaseRelation with org.apache.spark.sql.sources
+              .TableScan](
+              context: org.apache.spark.sql.SQLContext): T = {
+            val rel = new org.apache.spark.sql.sources.BaseRelation
+                with org.apache.spark.sql.sources.TableScan {
+              override def sqlContext
+                  : org.apache.spark.sql.SQLContext = context
+              override def schema: StructType = df.schema
+              override def needConversion: Boolean = false
+              override def buildScan(): org.apache.spark.rdd
+                  .RDD[org.apache.spark.sql.Row] =
+                df.queryExecution.toRdd
+                  .asInstanceOf[org.apache.spark.rdd
+                    .RDD[org.apache.spark.sql.Row]]
+            }
+            rel.asInstanceOf[T]
+          }
+        }
+    }
+  }
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = pathOf(options)
     if (CommitLog.currentVersion(SparkSession.active, path).isEmpty)
       new StructType()
+    else if (options.getBoolean("readChangeFeed", false))
+      cdfTable(options).schema()
     else resolve(options).schema
   }
 
@@ -223,6 +276,8 @@ class CommitLogSource extends TableProvider with DataSourceRegister
     val path = pathOf(options)
     if (CommitLog.currentVersion(SparkSession.active, path).isEmpty)
       uncommitted(path, schema)
+    else if (options.getBoolean("readChangeFeed", false))
+      cdfTable(options)
     else resolve(options)
   }
 }

@@ -2753,6 +2753,40 @@ class CommitLogSpec extends AnyFunSuite {
     }
   }
 
+  test("batch change-data-feed read: format('commitlog') with " +
+      "readChangeFeed serves the recorded CDC from startingVersion, " +
+      "distributed, matching the programmatic feed exactly") {
+    val t = tmpTable()
+    try {
+      CommitLog.append(spark, t, df((1L, "a", 1.0), (2L, "b", 2.0)))
+      CommitLog.delete(spark, t, col("id") === 1L)
+      CommitLog.update(spark, t, col("id") === 2L,
+        Map("v" -> lit(22.0)))
+      def viaFormat(startingVersion: Long) = spark.read
+        .format("commitlog").option("path", t)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", startingVersion.toString).load()
+      val all = viaFormat(1L)
+        .select("id", "_change_type", "_commit_version").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(x => (x._3, x._2, x._1)).toSeq
+      assert(all == Seq(
+        (1L, "insert", 1L), (2L, "insert", 1L),
+        (1L, "delete", 2L),
+        (2L, "update_postimage", 3L), (2L, "update_preimage", 3L)))
+      // from a later starting version: only the tail
+      assert(viaFormat(3L).select("_change_type").collect()
+        .map(_.getString(0)).sorted.toSeq ==
+        Seq("update_postimage", "update_preimage"))
+      // parity with the programmatic feed
+      val prog = CommitLog.changeFeed(spark, t, 0L)
+        .select("id", "_change_type", "_commit_version").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(x => (x._3, x._2, x._1)).toSeq
+      assert(prog == all)
+    } finally rm(t)
+  }
+
   test("a cloned table streams from version 1: the clone commit is an " +
       "insert for the feed, as in the batch change feed") {
     import org.apache.spark.sql.streaming.Trigger
