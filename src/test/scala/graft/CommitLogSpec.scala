@@ -2753,6 +2753,61 @@ class CommitLogSpec extends AnyFunSuite {
     }
   }
 
+  test("constraint names and expressions with quotes/backslashes " +
+      "round-trip the marker exactly") {
+    val t = tmpTable()
+    try {
+      CommitLog.append(spark, t, df((1L, "a", 1.0)))
+      val name = "odd \"name\" with \\backslash"
+      val exprSql = "name <> 'it''s \"fine\"'"
+      CommitLog.setConstraint(spark, t, name, exprSql)
+      CommitLog.setConstraint(spark, t, "plain", "v > 0")
+      assert(CommitLog.constraints(spark, t) ==
+        Map(name -> exprSql, "plain" -> "v > 0"))
+      // the exotic-named constraint still enforces
+      val e = intercept[IllegalStateException] {
+        CommitLog.append(spark, t, df((2L, "it's \"fine\"", 2.0)))
+      }
+      assert(e.getMessage.contains("odd"))
+      CommitLog.dropConstraint(spark, t, name)
+      assert(CommitLog.constraints(spark, t) == Map("plain" -> "v > 0"))
+      CommitLog.append(spark, t, df((2L, "it's \"fine\"", 2.0)))
+      assert(CommitLog.read(spark, t).count() == 2L)
+    } finally rm(t)
+  }
+
+  test("full compact racing a vectored delete: whichever loses " +
+      "rebases — deleted rows stay dead, content is exact, versions " +
+      "serialize") {
+    val t = tmpTable()
+    try {
+      CommitLog.append(spark, t,
+        df((0L until 40L).map(k => (k, s"n$k", k * 1.0)): _*))
+      CommitLog.deleteVectored(spark, t, col("id") === 0L) // live dv
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val fc = scala.concurrent.Future {
+        gate.await(); CommitLog.compact(spark, t, targetRowsPerFile = 10L)
+      }
+      val fd = scala.concurrent.Future {
+        gate.await()
+        CommitLog.deleteVectored(spark, t, col("id") % 10L === 3L)
+      }
+      gate.countDown()
+      val dur = scala.concurrent.duration.Duration("120s")
+      scala.concurrent.Await.result(fc, dur): Unit
+      val (_, nDel) = scala.concurrent.Await.result(fd, dur)
+      pool.shutdown()
+      assert(nDel == 4L) // 3, 13, 23, 33
+      assert(CommitLog.currentVersion(spark, t) == Some(4L))
+      val ids = CommitLog.read(spark, t).select("id").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      assert(ids == (1L until 40L).filterNot(_ % 10L == 3L))
+    } finally rm(t)
+  }
+
   test("batch change-data-feed read: format('commitlog') with " +
       "readChangeFeed serves the recorded CDC from startingVersion, " +
       "distributed, matching the programmatic feed exactly") {
