@@ -16,8 +16,30 @@ private[queries] object StagedBases {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Any]()
 
+  /** Fingerprint of the fixture directory the base is built FROM:
+    * (relative path, length, mtime) of every file, folded into one
+    * hash. The driver regenerates /root/testdata between rounds — if
+    * that ever happens while this JVM lives, the key changes and the
+    * stale base is simply never hit again (the oracle reads the fresh
+    * fixture, so serving a cached base built from the old one would
+    * hash-mismatch far from the cause). Cost: one local directory
+    * walk (~dozens of files) per cachedBase call — noise next to the
+    * staging it saves. */
+  private def fingerprint(dir: String): Long = {
+    var h = 1125899906842597L
+    def mix(x: Long): Unit = { h = h * 31 + x }
+    def walk(f: java.io.File, rel: String): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles).foreach(_.sortBy(_.getName)
+          .foreach(c => walk(c, s"$rel/${c.getName}")))
+      else { mix(rel.hashCode.toLong); mix(f.length()); mix(f.lastModified()) }
+    }
+    walk(new java.io.File(dir), "")
+    h
+  }
+
   def cachedBase[T](tag: String, dir: String)(build: String => T): T =
-    cache.computeIfAbsent(s"$tag|$dir", _ => {
+    cache.computeIfAbsent(s"$tag|$dir|${fingerprint(dir)}", _ => {
       val root = java.nio.file.Files
         .createTempDirectory(s"graft_base_${tag}_").toString
       Runtime.getRuntime.addShutdownHook(new Thread(() => {

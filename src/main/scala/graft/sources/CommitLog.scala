@@ -43,18 +43,31 @@ import org.apache.spark.sql.functions._
   * store (and a deliberately broken blind-PUT store, proving the law
   * rests on exactly this primitive) in CommitLogSpec.
   *
-  * Known bound, stated honestly: each manifest lists the FULL
-  * segment set — self-contained (any version readable from one
-  * file, no log replay, vacuum is trivially safe) at the cost of
-  * manifest bytes scaling with segment count (~100 bytes/segment:
-  * 10k segments ≈ 1 MB per commit, fine; 1M segments ≈ 100 MB, not).
-  * The OPTIMIZE verbs are therefore also the commit-metadata bound:
-  * bucketed/clustered/incremental compaction keep segment counts in
-  * the thousands at any table size (segments are free to be large —
-  * readers split them by parquet row groups, not by segment).
-  * Tables that genuinely need unbounded segment counts need the
-  * Delta/Iceberg delta-log + checkpoint design — a format evolution
-  * deliberately not taken here while compaction holds the count. */
+  * Commit metadata is O(delta), not O(table) — the Delta Lake
+  * delta-log + checkpoint design (public: JSON delta actions per
+  * commit, periodic full-state checkpoint, snapshot = nearest
+  * checkpoint + tail replay): a commit's manifest records only the
+  * segments it ADDED and REMOVED relative to its parent (every
+  * other field — op, schema, dv, txn, changes — stays absolute per
+  * version, so replay touches only the segment list); every
+  * `spark.graft.manifest.checkpointInterval`-th version (default
+  * 10) the winner also writes `<v>.checkpoint`, the full
+  * self-contained state. Resolving any version reads at most
+  * interval+1 small files; a 100 TB table committing thousands of
+  * times a day pays ~100 bytes per append commit forever, with the
+  * O(segments) render amortized across the checkpoint cadence.
+  * Checkpoint writes are best-effort and idempotent (create-if-
+  * absent by the unique version winner): a crash between manifest
+  * and checkpoint merely lengthens later replays until the next
+  * cadence hit. VACUUM pins the retain floor with a checkpoint
+  * before dropping older manifests, so every retained version stays
+  * resolvable; v1 and pre-evolution manifests (the old full format)
+  * parse unchanged — a delta record is recognized by its
+  * `addSegments` field. Segment COUNT still has an economics bound
+  * (reader planning time, checkpoint bytes) — the commit-time guard
+  * warns past `warnSegments` — but it is no longer a per-commit
+  * cost cliff; the OPTIMIZE verbs remain the way to keep plans
+  * tight. */
 object CommitLog {
 
   /** One committed table version: the segment directories whose union
@@ -80,7 +93,8 @@ object CommitLog {
       changes: Option[String] = None,
       schema: Option[String] = None,
       ts: Option[Long] = None,
-      dv: Option[String] = None)
+      dv: Option[String] = None,
+      partitionBy: Option[String] = None)
 
   private def commitsDir(table: String) = s"$table/_commits"
 
@@ -104,12 +118,12 @@ object CommitLog {
     finally out.close()
   }
 
-  /** Remove the partition marker — only legal while the table does
-    * not yet exist (existence = `_commits`): a marker without a
-    * published v1 is an orphan from a crashed or race-losing CREATE,
-    * and leaving it would make a later CREATE of the same name
-    * WITHOUT partitioning silently inherit partition columns the new
-    * table never declared. */
+  /** Remove the partition marker. Two legal callers: pre-create
+    * orphan cleanup (a marker without a published v1 is debris from a
+    * crashed attempt), and the CREATE winner reconciling the
+    * derivative cache to its own v1 record immediately after
+    * publishing — never a race LOSER, whose view of the marker is by
+    * definition stale (see [[partitionColumns]]). */
   private[graft] def deletePartitionMarker(spark: SparkSession,
       table: String): Unit = {
     val f = fs(spark, table)
@@ -118,18 +132,32 @@ object CommitLog {
   }
 
   /** The recorded partition columns, if the table was created
-    * partitioned. */
+    * partitioned. Source of truth is the v1 CREATE manifest's
+    * `partitionBy` field when present (including the explicit
+    * empty value = "created unpartitioned"): the manifest create is
+    * the race-arbitrated publish, so partition metadata recorded IN
+    * it cannot be clobbered by a race-losing creator — the
+    * `_partition.json` marker is only a derivative cache (and the
+    * record for pre-catalog tables / the direct
+    * [[writePartitionMarker]] API), consulted when v1 carries no
+    * field or is vacuumed. */
   def partitionColumns(spark: SparkSession,
       table: String): Option[Seq[String]] = {
-    val f = fs(spark, table)
-    val p = new org.apache.hadoop.fs.Path(s"$table/_partition.json")
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      "\"partitionBy\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(txt)
-        .map(_.group(1).split(',').toSeq.filter(_.nonEmpty))
+    snapshot(spark, table, Some(1L)).flatMap(_.partitionBy) match {
+      case Some(rec) =>
+        val cols = rec.split(',').toSeq.filter(_.nonEmpty)
+        if (cols.isEmpty) None else Some(cols)
+      case None =>
+        val f = fs(spark, table)
+        val p = new org.apache.hadoop.fs.Path(s"$table/_partition.json")
+        if (!f.exists(p)) None
+        else {
+          val in = f.open(p)
+          val txt = try scala.io.Source
+            .fromInputStream(in, "UTF-8").mkString finally in.close()
+          "\"partitionBy\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(txt)
+            .map(_.group(1).split(',').toSeq.filter(_.nonEmpty))
+        }
     }
   }
   // ---- persistent CHECK constraints ------------------------------------
@@ -277,6 +305,27 @@ object CommitLog {
   private def manifestPath(table: String, v: Long) =
     f"${commitsDir(table)}/$v%020d.manifest"
 
+  private def checkpointPath(table: String, v: Long) =
+    f"${commitsDir(table)}/$v%020d.checkpoint"
+
+  /** Checkpoint cadence: every Nth version the publish winner also
+    * writes the full self-contained state. Smaller = cheaper reads,
+    * more O(segments) renders; 10 (Delta's default) keeps worst-case
+    * resolution at 11 small files. */
+  private[graft] def checkpointInterval(spark: SparkSession): Int = {
+    val n = spark.conf.getOption("spark.graft.manifest.checkpointInterval")
+      .map(_.toInt).getOrElse(10)
+    require(n >= 1, "spark.graft.manifest.checkpointInterval must be >= 1")
+    n
+  }
+
+  /** One parsed manifest file, BEFORE segment-list resolution:
+    * `delta` is Some((adds, removes)) for a delta record (whose
+    * `snap.segments` is an unreplayed placeholder — empty), None for
+    * a self-contained one. */
+  private final case class ManifestRecord(snap: Snapshot,
+      delta: Option[(Seq[String], Seq[String])])
+
   private def fs(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
@@ -294,21 +343,115 @@ object CommitLog {
   def currentVersion(spark: SparkSession, table: String): Option[Long] =
     versions(spark, table).lastOption
 
-  /** Load one manifest (latest when `version` is None). None when the
-    * table has no commits OR the requested version's manifest is gone
-    * (vacuumed) — the caller sees "no such version", not a raw IO
-    * error from the missing file. */
+  private def readSmallFile(spark: SparkSession,
+      path: String): Option[String] = {
+    val f = fs(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      Some(try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close())
+    }
+  }
+
+  /** The raw (possibly delta) manifest record of one version. */
+  private def readRecord(spark: SparkSession, table: String,
+      v: Long): Option[ManifestRecord] =
+    readSmallFile(spark, manifestPath(table, v))
+      .map(parseManifest(v, _))
+
+  /** The full-state checkpoint of one version, if written. */
+  private def readCheckpoint(spark: SparkSession, table: String,
+      v: Long): Option[Snapshot] =
+    readSmallFile(spark, checkpointPath(table, v))
+      .map(parseManifest(v, _)).map { r =>
+        require(r.delta.isEmpty,
+          s"CommitLog: checkpoint v$v at $table is a delta record " +
+            "— corrupt checkpoint")
+        r.snap
+      }
+
+  /** Resolve one version to its full snapshot: nearest checkpoint /
+    * self-contained manifest at or below `v`, plus replay of the
+    * delta tail — at most checkpointInterval+1 small-file reads.
+    * None when version `v` itself is gone (vacuumed); a HOLE further
+    * down the replay chain is corruption (vacuum pins the retain
+    * floor with a checkpoint before dropping) and raises loudly
+    * rather than serving a wrong segment set. */
+  private def resolve(spark: SparkSession, table: String,
+      v: Long): Option[Snapshot] = {
+    readCheckpoint(spark, table, v).orElse {
+      readRecord(spark, table, v).map { top =>
+        top.delta match {
+          case None => top.snap
+          case Some(_) =>
+            var chain = List(top)
+            var base: Snapshot = null
+            var p = v - 1L
+            while (base == null) {
+              if (p < 1L) throw new IllegalStateException(
+                s"CommitLog: delta chain of v$v at $table reaches " +
+                  "below version 1 with no checkpoint — corrupt log")
+              readCheckpoint(spark, table, p) match {
+                case Some(s) => base = s
+                case None => readRecord(spark, table, p) match {
+                  case Some(r) if r.delta.isEmpty => base = r.snap
+                  case Some(r) => chain ::= r; p -= 1L
+                  case None => throw new IllegalStateException(
+                    s"CommitLog: resolving v$v of $table needs " +
+                      s"v$p, but neither its manifest nor a " +
+                      "checkpoint survives — vacuum must pin the " +
+                      "retain floor (corrupt or externally deleted " +
+                      "log)")
+                }
+              }
+            }
+            var segs = base.segments
+            chain.foreach { r =>
+              val (adds, removes) = r.delta.get
+              val rm = removes.toSet
+              segs = segs.filterNot(rm) ++ adds
+            }
+            top.snap.copy(segments = segs)
+        }
+      }
+    }
+  }
+
+  /** Load one version's snapshot (latest when `version` is None).
+    * None when the table has no commits OR the requested version is
+    * gone (vacuumed) — the caller sees "no such version", not a raw
+    * IO error from the missing file. */
   def snapshot(spark: SparkSession, table: String,
-      version: Option[Long] = None): Option[Snapshot] = {
-    val v = version.orElse(currentVersion(spark, table))
-      .filter(ver => fs(spark, table).exists(
-        new org.apache.hadoop.fs.Path(manifestPath(table, ver))))
-    v.map { ver =>
-      val p = new org.apache.hadoop.fs.Path(manifestPath(table, ver))
-      val in = fs(spark, table).open(p)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      parseManifest(ver, txt)
+      version: Option[Long] = None): Option[Snapshot] =
+    version.orElse(currentVersion(spark, table))
+      .flatMap(resolve(spark, table, _))
+
+  /** All retained versions' snapshots, ascending, in ONE forward
+    * pass: each delta record replays against the PREVIOUS resolved
+    * snapshot, so a walk over V versions costs O(V) small-file reads
+    * instead of O(V × interval) independent resolutions — the shape
+    * history/changeFeed/time-travel walkers need. */
+  private[graft] def snapshotsAsc(spark: SparkSession,
+      table: String): Seq[Snapshot] = {
+    var prev: Option[Snapshot] = None
+    versions(spark, table).flatMap { v =>
+      val s = prev match {
+        case Some(p) if p.version == v - 1L =>
+          readRecord(spark, table, v).map { r =>
+            r.delta match {
+              case Some((adds, removes)) =>
+                val rm = removes.toSet
+                r.snap.copy(segments =
+                  p.segments.filterNot(rm) ++ adds)
+              case None => r.snap
+            }
+          }
+        case _ => resolve(spark, table, v)
+      }
+      if (s.isDefined) prev = s
+      s
     }
   }
 
@@ -344,8 +487,7 @@ object CommitLog {
     * format) are treated as unknown and skipped. */
   def snapshotAsOfTimestamp(spark: SparkSession, table: String,
       tsMillis: Long): Snapshot = {
-    val snaps = versions(spark, table)
-      .flatMap(v => snapshot(spark, table, Some(v)))
+    val snaps = snapshotsAsc(spark, table)
     val eligible = snaps.filter(_.ts.exists(_ <= tsMillis))
     eligible.lastOption.getOrElse(throw new IllegalStateException(
       s"CommitLog: no commit at or before timestamp $tsMillis at " +
@@ -410,8 +552,14 @@ object CommitLog {
     * hash relation) the hint is dropped and the anti-join shuffles —
     * slower, but it cannot OOM the driver/executors the way a
     * forced hundreds-of-MB broadcast at the maxDvRows=10M bound
-    * could. The DV row count is free: parquet count() answers from
-    * footer stats. */
+    * could. The DV row count comes from parquet footer stats and is
+    * CACHED per directory: DV dirs are immutable (every DML commit
+    * writes a fresh one), so the count is a constant of the path —
+    * without the cache every read/scan/DML of a DV-bearing table
+    * paid one extra driver job just to pick the join strategy. */
+  private val dvCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   private def subtractDv(spark: SparkSession, tagged: DataFrame,
       dvDir: String): DataFrame = {
     val dvRaw = spark.read.parquet(dvDir)
@@ -424,8 +572,10 @@ object CommitLog {
       idOf(col("__graft_dv_file")))
     val bcastCap = spark.conf.getOption("spark.graft.dv.broadcastRows")
       .map(_.toLong).getOrElse(1000000L)
+    val dvRows: Long = dvCountCache.computeIfAbsent(dvDir,
+      _ => dvRaw.count())
     val dvSide =
-      if (dvRaw.count() <= bcastCap) broadcast(dvIds) else dvIds
+      if (dvRows <= bcastCap) broadcast(dvIds) else dvIds
     withFid.join(dvSide,
       withFid("__graft_dv_fid") === dvIds("_dv_fid") &&
         withFid("__graft_dv_pos") === dvIds("_dv_pos"),
@@ -542,23 +692,26 @@ object CommitLog {
     spark.conf.getOption("spark.graft.manifest.warnSegments")
       .map(_.toInt).getOrElse(10000),
     spark.conf.getOption("spark.graft.manifest.maxSegments")
-      .map(_.toInt).getOrElse(100000))
+      .map(_.toInt).getOrElse(10000000))
 
   private[graft] def tryPublish(spark: SparkSession, table: String,
       snap: Snapshot, base: Option[Snapshot] = None): Boolean = {
     val f = fs(spark, table)
-    // Manifest-size guard: each manifest lists the FULL segment set
-    // (~100 B/segment), so a table that outruns its OPTIMIZE cadence
-    // walks silently into 100 MB manifests. Economics degrade, not
-    // correctness — so the soft threshold warns on every growing
-    // commit past it, and only the hard bound refuses (naming the
-    // verb that shrinks the set). Checked only for commits that GROW
-    // the set: compaction/rewrites must always land, and the base
-    // count is read from the snapshot the caller already holds (no
-    // extra manifest I/O on the hot path; the rare base-less caller
-    // pays one read only once past the soft threshold).
+    // Segment-count guard: commits are O(delta) bytes now, but the
+    // CHECKPOINT render and every reader's planning remain
+    // O(segments) — a table outrunning its OPTIMIZE cadence still
+    // degrades economically. The soft threshold warns on every
+    // growing commit past it; the hard bound (default 10M — a
+    // backstop against runaway loops, not a working ceiling) refuses,
+    // naming the verb that shrinks the set. Checked only for commits
+    // that GROW the set: compaction/rewrites must always land, and
+    // the base count is read from the snapshot the caller already
+    // holds (no extra manifest I/O on the hot path).
     val nSegs = snap.segments.size
     val (warnSegs, maxSegs) = segmentBounds(spark)
+    require(snap.segments.distinct.size == nSegs,
+      s"CommitLog: commit op='${snap.op}' lists a duplicate segment " +
+        s"at $table")
     if (nSegs > warnSegs || nSegs > maxSegs) {
       val baseCount = base.filter(_.version == snap.baseVersion)
         .orElse(snapshot(spark, table, Some(snap.baseVersion)))
@@ -567,14 +720,14 @@ object CommitLog {
         if (nSegs > maxSegs) throw new IllegalStateException(
           s"CommitLog: commit op='${snap.op}' would list $nSegs " +
             s"segments (> spark.graft.manifest.maxSegments=$maxSegs) " +
-            s"at $table — manifest bytes scale with segment count; " +
-            "run CommitLog.compact / CALL <cat>.system.optimize_" +
-            "compact (or a clustered/bucketed OPTIMIZE) to " +
-            "consolidate, then retry")
+            s"at $table — checkpoint bytes and reader planning " +
+            "scale with segment count; run CommitLog.compact / CALL " +
+            "<cat>.system.optimize_compact (or a clustered/bucketed " +
+            "OPTIMIZE) to consolidate, then retry")
         log.warn(s"CommitLog: $table now lists $nSegs segments " +
           s"(> spark.graft.manifest.warnSegments=$warnSegs; hard " +
-          s"bound $maxSegs) — schedule an OPTIMIZE/compact before " +
-          "manifest size becomes the commit cost")
+          s"bound $maxSegs) — schedule an OPTIMIZE/compact to keep " +
+          "checkpoint size and reader planning tight")
       }
     }
     // DV-carry invariant (belt-and-braces for every current and
@@ -600,9 +753,78 @@ object CommitLog {
         }
     f.mkdirs(new org.apache.hadoop.fs.Path(commitsDir(table)))
     val stamped = snap.copy(ts = Some(System.currentTimeMillis()))
+    // O(delta) commit bytes: render adds/removes relative to the
+    // parent (version-1) whenever the parent resolves and forward
+    // replay reproduces the EXACT segment list (order included — an
+    // op that interleaves kept and new segments falls back to the
+    // self-contained render rather than silently reordering). v1 and
+    // parentless publishes stay self-contained.
+    val body: String =
+      if (stamped.version <= 1L) renderManifest(stamped)
+      else {
+        val parent = base.filter(_.version == stamped.version - 1L)
+          .orElse(resolve(spark, table, stamped.version - 1L))
+        parent match {
+          case Some(p) =>
+            val pset = p.segments.toSet
+            val sset = stamped.segments.toSet
+            val adds = stamped.segments.filterNot(pset)
+            val removes = p.segments.filterNot(sset)
+            val replayed = {
+              val rm = removes.toSet
+              p.segments.filterNot(rm) ++ adds
+            }
+            if (replayed == stamped.segments)
+              renderDelta(stamped, adds, removes)
+            else renderManifest(stamped)
+          case None => renderManifest(stamped)
+        }
+      }
+    val won = storeFor(spark, table).createIfAbsent(
+      manifestPath(table, stamped.version), body.getBytes("UTF-8"))
+    // Checkpoint cadence: the UNIQUE winner of an interval-multiple
+    // version also writes the full state as <v>.checkpoint —
+    // idempotent (create-if-absent) and best-effort: a crash here
+    // only lengthens later replays until the next cadence hit.
+    if (won && stamped.version % checkpointInterval(spark) == 0L) {
+      try storeFor(spark, table).createIfAbsent(
+        checkpointPath(table, stamped.version),
+        renderManifest(stamped).getBytes("UTF-8")): Unit
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          log.warn(s"CommitLog: checkpoint write at " +
+            s"v${stamped.version} of $table failed (resolution " +
+            s"replays further until the next cadence): $e")
+      }
+    }
+    won
+  }
+
+  /** Force a full-state checkpoint at the CURRENT version — the
+    * operational knob (and what vacuum uses to pin its retain floor
+    * before dropping older manifests). Idempotent. Returns the
+    * checkpointed version. */
+  def checkpoint(spark: SparkSession, table: String): Long = {
+    val snap = snapshot(spark, table).getOrElse(
+      throw new IllegalStateException(
+        s"CommitLog.checkpoint: nothing committed at $table"))
     storeFor(spark, table).createIfAbsent(
-      manifestPath(table, snap.version),
-      renderManifest(stamped).getBytes("UTF-8"))
+      checkpointPath(table, snap.version),
+      renderManifest(snap).getBytes("UTF-8")): Unit
+    snap.version
+  }
+
+  /** Pin `v` with a checkpoint (resolving it first) — vacuum's
+    * retain-floor guarantee. */
+  private def ensureCheckpoint(spark: SparkSession, table: String,
+      v: Long): Unit = {
+    val snap = resolve(spark, table, v).getOrElse(
+      throw new IllegalStateException(
+        s"CommitLog.ensureCheckpoint: version $v of $table is not " +
+          "resolvable"))
+    storeFor(spark, table).createIfAbsent(
+      checkpointPath(table, v),
+      renderManifest(snap).getBytes("UTF-8")): Unit
   }
 
   /** Commit an APPEND: new segment joins the previous version's list.
@@ -646,14 +868,24 @@ object CommitLog {
     * [[Catalog]] event-time precedent); new incoming fields append
     * after the current ones, forced nullable (every pre-evolution
     * segment serves NULL for them). Incoming MAY omit existing
-    * columns — its segment serves NULL there, symmetrically. */
+    * columns — its segment serves NULL there, symmetrically.
+    *
+    * Name matching honors `spark.sql.caseSensitive` (via
+    * `caseSensitive`, default false — Spark's analyzer default):
+    * under the default, an incoming `O_TOTALPRICE` IS the existing
+    * `o_totalprice`, never a second column — committing both would
+    * make every later SELECT of the name fail ambiguous-reference,
+    * effectively bricking the table (Delta rejects the duplicate
+    * case-insensitively for the same reason). */
   private[graft] def evolveSchema(
       cur: org.apache.spark.sql.types.StructType,
-      inc: org.apache.spark.sql.types.StructType)
+      inc: org.apache.spark.sql.types.StructType,
+      caseSensitive: Boolean = false)
       : org.apache.spark.sql.types.StructType = {
-    val byName = cur.fields.map(f => f.name -> f).toMap
+    def keyOf(n: String) = if (caseSensitive) n else n.toLowerCase
+    val byName = cur.fields.map(f => keyOf(f.name) -> f).toMap
     inc.fields.foreach { f =>
-      byName.get(f.name).foreach { c =>
+      byName.get(keyOf(f.name)).foreach { c =>
         if (c.dataType != f.dataType) throw new IllegalStateException(
           s"CommitLog.appendEvolve: column '${f.name}' would change " +
             s"type ${c.dataType.simpleString} -> " +
@@ -661,10 +893,16 @@ object CommitLog {
             "rewrite, not schema evolution")
       }
     }
-    val added = inc.fields.filterNot(f => byName.contains(f.name))
+    val added = inc.fields.filterNot(f => byName.contains(keyOf(f.name)))
       .map(_.copy(nullable = true))
     org.apache.spark.sql.types.StructType(cur.fields ++ added)
   }
+
+  /** The session's analyzer case sensitivity — evolution's name
+    * matching must agree with how SELECT will later resolve the
+    * columns, or DDL can commit a schema the analyzer cannot use. */
+  private def caseSensitiveAnalysis(spark: SparkSession): Boolean =
+    spark.sessionState.conf.caseSensitiveAnalysis
 
   /** APPEND with add-column schema evolution: the committed manifest
     * records the merged schema, so every reader (snapshot, time
@@ -683,7 +921,8 @@ object CommitLog {
       val cur = snapshot(spark, table)
       val base = cur.map(s => s.schema.map(decodeSchema).getOrElse(
         readSegments(spark, s.segments, None).schema))
-      val merged = base.fold(df.schema)(b => evolveSchema(b, df.schema))
+      val merged = base.fold(df.schema)(b =>
+        evolveSchema(b, df.schema, caseSensitiveAnalysis(spark)))
       val v = cur.fold(1L)(_.version + 1L)
       val snap = Snapshot(v, cur.fold(Seq.empty[String])(_.segments) :+ seg,
         cur.fold(0L)(_.version), "append",
@@ -718,14 +957,21 @@ object CommitLog {
           s"CommitLog.evolveColumns: nothing committed at $table"))
       val base = cur.schema.map(decodeSchema).getOrElse(
         readSegments(spark, cur.segments, None).schema)
+      // duplicate probe under the ANALYZER's name resolution
+      // (spark.sql.caseSensitive, default insensitive): committing
+      // o_totalprice + O_TOTALPRICE would make every later SELECT of
+      // the name ambiguous — the table is effectively bricked. Match
+      // how reads resolve, not raw string equality.
+      val cs = caseSensitiveAnalysis(spark)
       added.foreach { f =>
-        if (base.fieldNames.contains(f.name))
+        if (base.fieldNames.exists(n =>
+            if (cs) n == f.name else n.equalsIgnoreCase(f.name)))
           throw new IllegalStateException(
             s"CommitLog.evolveColumns: column '${f.name}' already " +
               s"exists at $table — ADD COLUMNS cannot re-add a column")
       }
       val merged = evolveSchema(base,
-        org.apache.spark.sql.types.StructType(added.toArray))
+        org.apache.spark.sql.types.StructType(added.toArray), cs)
       val snap = Snapshot(cur.version + 1L, cur.segments, cur.version,
         "evolve", schema = Some(encodeSchema(merged)), dv = cur.dv)
       if (tryPublish(spark, table, snap, Some(cur))) return snap.version
@@ -745,8 +991,7 @@ object CommitLog {
     * batch-on-restart model). */
   def lastTxn(spark: SparkSession, table: String,
       appId: String): Option[Long] = {
-    val stamps = versions(spark, table)
-      .flatMap(v => snapshot(spark, table, Some(v)))
+    val stamps = snapshotsAsc(spark, table)
       .filter(_.txnApp.contains(appId)).flatMap(_.txnBatch)
     if (stamps.isEmpty) None else Some(stamps.max)
   }
@@ -1530,8 +1775,7 @@ object CommitLog {
     * design; vacuumed versions simply don't appear. */
   def history(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._
-    versions(spark, table)
-      .flatMap(v => snapshot(spark, table, Some(v)))
+    snapshotsAsc(spark, table)
       .map(s => (s.version, s.op, s.baseVersion, s.segments.size,
         s.txnApp, s.txnBatch, s.changes.isDefined,
         s.schema.map(b64 => decodeSchema(b64).fields.length), s.ts))
@@ -1557,12 +1801,16 @@ object CommitLog {
       s"CommitLog.changeFeed: versions ${expected.toSet -- vs.toSet} of " +
         s"$table are vacuumed — cannot reconstruct the feed after " +
         s"$afterVersion; start from a full snapshot read instead")
+    // one forward resolution pass over the whole retained history —
+    // O(V) small-file reads, not O(V × checkpointInterval)
+    val byVersion = snapshotsAsc(spark, table)
+      .map(s => s.version -> s).toMap
     val parts = vs.flatMap { v =>
-      val snap = snapshot(spark, table, Some(v)).get
+      val snap = byVersion(v)
       snap.op match {
         case "append" | "streaming-append" | "clone" =>
           val prev = if (v == 1L) Set.empty[String]
-            else snapshot(spark, table, Some(v - 1L)).get.segments.toSet
+            else byVersion(v - 1L).segments.toSet
           val added = snap.segments.filterNot(prev)
           if (added.isEmpty) None
           else Some(spark.read.parquet(added: _*)
@@ -1587,9 +1835,27 @@ object CommitLog {
             "to consume the derivable changes only (its updates lost)")
       }
     }
-    if (parts.isEmpty) throw new IllegalStateException(
-      s"CommitLog.changeFeed: no change-producing versions of $table " +
-        s"after $afterVersion")
+    // a range with no change-producing versions (create-only table,
+    // or a start past the last content commit) is a VALID feed — the
+    // empty one, served under the CDF schema (table columns under the
+    // latest resolvable snapshot + the two feed columns). Raising
+    // here would make every incremental consumer special-case its
+    // own catch; Delta's batch CDF likewise returns empty.
+    if (parts.isEmpty) {
+      val latest = snapshot(spark, table).getOrElse(
+        throw new IllegalStateException(
+          s"CommitLog.changeFeed: nothing committed at $table"))
+      val cols = latest.schema.map(decodeSchema).getOrElse(
+        readSegments(spark, latest.segments, None).schema)
+      val cdfSchema = org.apache.spark.sql.types.StructType(
+        cols.fields :+
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType) :+
+          org.apache.spark.sql.types.StructField("_commit_version",
+            org.apache.spark.sql.types.LongType, nullable = false))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cdfSchema)
+    }
     // a feed spanning an ADD-COLUMN evolution has pre-evolution
     // deltas with fewer columns — they serve NULL for the added ones,
     // exactly as the snapshot read does (Delta CDF's rule: the feed
@@ -1753,10 +2019,21 @@ object CommitLog {
     // change records, deletion vectors, then the dropped manifests
     val (segs, changes, dvs, dropped) =
       vacuumPlan(spark, table, retainVersions)
+    // Pin the retain floor with a full-state checkpoint BEFORE
+    // dropping anything: the floor version's (possibly delta) chain
+    // is about to lose its tail, and every retained version above it
+    // replays forward from this pin. Crash-safe ordering — a crash
+    // after the pin but mid-sweep leaves extra files, never an
+    // unresolvable version.
+    if (dropped.nonEmpty)
+      versions(spark, table).drop(dropped.size).headOption
+        .foreach(floor => ensureCheckpoint(spark, table, floor))
     (segs ++ changes ++ dvs).foreach(p =>
       f.delete(new org.apache.hadoop.fs.Path(p), true): Unit)
     dropped.foreach { v =>
       f.delete(new org.apache.hadoop.fs.Path(manifestPath(table, v)),
+        false): Unit
+      f.delete(new org.apache.hadoop.fs.Path(checkpointPath(table, v)),
         false): Unit
     }
   }
@@ -1819,9 +2096,12 @@ object CommitLog {
   // manifest format: one JSON object, segments one-per-line for
   // human-readable diffs; hand-rolled (de)serialization to keep the
   // format transparent and dependency-free
-  private def renderManifest(s: Snapshot): String = {
-    val segs = s.segments.map(p =>
-      "\"" + p.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+  private def escSeg(p: String): String =
+    "\"" + p.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  /** The absolute (version-owned) fields every record carries,
+    * whether self-contained or delta. */
+  private def renderFields(s: Snapshot): String = {
     val txn = (s.txnApp, s.txnBatch) match {
       case (Some(a), Some(b)) =>
         s""""txnApp":"$a","txnBatch":$b,"""
@@ -1833,31 +2113,60 @@ object CommitLog {
       s""""dv":"${d.replace("\\", "\\\\").replace("\"", "\\\"")}",""")
     val sch = s.schema.fold("")(b64 => s""""schema":"$b64",""")
     val ts = s.ts.fold("")(t => s""""ts":$t,""")
+    val pb = s.partitionBy.fold("")(p =>
+      s""""partitionBy":"${p.replace("\\", "\\\\")
+        .replace("\"", "\\\"")}",""")
     s"""{"version":${s.version},"baseVersion":${s.baseVersion},""" +
-      txn + ch + dvf + sch + ts +
-      s""""op":"${s.op}","segments":[""" + segs.mkString(",") + "]}"
+      txn + ch + dvf + sch + ts + pb + s""""op":"${s.op}","""
   }
 
-  private def parseManifest(version: Long, txt: String): Snapshot = {
+  private def renderManifest(s: Snapshot): String =
+    renderFields(s) + "\"segments\":[" +
+      s.segments.map(escSeg).mkString(",") + "]}"
+
+  /** A delta record: same absolute fields, segment list expressed as
+    * adds/removes relative to version-1 — O(delta) bytes. */
+  private def renderDelta(s: Snapshot, adds: Seq[String],
+      removes: Seq[String]): String =
+    renderFields(s) + "\"addSegments\":[" +
+      adds.map(escSeg).mkString(",") + "],\"removeSegments\":[" +
+      removes.map(escSeg).mkString(",") + "]}"
+
+  /** Parse either format: a self-contained record carries
+    * `"segments"`, a delta record carries `"addSegments"` +
+    * `"removeSegments"` instead (all other fields absolute). */
+  private def parseManifest(version: Long,
+      txt: String): ManifestRecord = {
     def field(name: String): String = {
       val m = ("\"" + name + "\"\\s*:\\s*(\\d+|\"[^\"]*\")").r
       m.findFirstMatchIn(txt).map(_.group(1)).getOrElse(
         throw new IllegalStateException(
           s"CommitLog: manifest v$version missing field '$name'"))
     }
-    val segs = "\"segments\"\\s*:\\s*\\[([^\\]]*)\\]".r
-      .findFirstMatchIn(txt).map(_.group(1)).getOrElse(
-        throw new IllegalStateException(
-          s"CommitLog: manifest v$version missing segments"))
-    val segList =
-      if (segs.trim.isEmpty) Seq.empty[String]
-      else segs.split(",").toSeq.map(_.trim.stripPrefix("\"")
-        .stripSuffix("\"").replace("\\\"", "\"").replace("\\\\", "\\"))
+    def segArray(name: String): Option[Seq[String]] =
+      ("\"" + name + "\"\\s*:\\s*\\[([^\\]]*)\\]").r
+        .findFirstMatchIn(txt).map(_.group(1)).map { segs =>
+          if (segs.trim.isEmpty) Seq.empty[String]
+          else segs.split(",").toSeq.map(_.trim.stripPrefix("\"")
+            .stripSuffix("\"").replace("\\\"", "\"")
+            .replace("\\\\", "\\"))
+        }
+    val full = segArray("segments")
+    val delta =
+      if (full.isDefined) None
+      else Some((
+        segArray("addSegments").getOrElse(
+          throw new IllegalStateException(
+            s"CommitLog: manifest v$version has neither segments " +
+              "nor addSegments")),
+        segArray("removeSegments").getOrElse(Seq.empty)))
+    val segList = full.getOrElse(Seq.empty)
     def optField(name: String): Option[String] = {
       val m = ("\"" + name + "\"\\s*:\\s*(\\d+|\"[^\"]*\")").r
       m.findFirstMatchIn(txt).map(_.group(1))
     }
-    Snapshot(version, segList, field("baseVersion").toLong,
+    ManifestRecord(Snapshot(version, segList,
+      field("baseVersion").toLong,
       field("op").stripPrefix("\"").stripSuffix("\""),
       txnApp = optField("txnApp")
         .map(_.stripPrefix("\"").stripSuffix("\"")),
@@ -1870,6 +2179,10 @@ object CommitLog {
       ts = optField("ts").map(_.toLong),
       dv = optField("dv")
         .map(_.stripPrefix("\"").stripSuffix("\"")
-          .replace("\\\"", "\"").replace("\\\\", "\\")))
+          .replace("\\\"", "\"").replace("\\\\", "\\")),
+      partitionBy = optField("partitionBy")
+        .map(_.stripPrefix("\"").stripSuffix("\"")
+          .replace("\\\"", "\"").replace("\\\\", "\\"))),
+      delta)
   }
 }

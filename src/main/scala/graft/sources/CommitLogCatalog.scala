@@ -216,32 +216,28 @@ class CommitLogCatalog extends TableCatalog
       s"commitlog catalog: partition column '$c' absent from schema"))
     val path = pathOf(ident)
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    // The table does not exist here (existence = _commits), so any
-    // _partition.json on disk is either an orphan from a crashed /
-    // race-losing CREATE or an in-flight concurrent creator's. Left
-    // in place, an unpartitioned CREATE would silently inherit
-    // partition columns it never declared — remove it, remembering
-    // the content: if WE then lose the publish race the remover
-    // restores it, so a marker only stays deleted when our
-    // (unpartitioned) metadata actually won.
-    val displaced = CommitLog.partitionColumns(spark, path)
-    if (displaced.isDefined) CommitLog.deletePartitionMarker(spark, path)
-    // marker before manifest: a crash between the two leaves a table
-    // that still does not exist, and the orphan is cleared above on
-    // the next attempt
+    // Partition columns ride IN the v1 manifest (`partitionBy`,
+    // explicit "" = created unpartitioned), so the atomic manifest
+    // create that arbitrates WHICH creator wins also arbitrates whose
+    // partition metadata governs — no marker choreography a race
+    // loser could corrupt (the old displace/restore dance could
+    // delete a concurrent winner's marker it never observed:
+    // winner writes marker + publishes AFTER the loser probed, loser
+    // loses and "restores" the nothing it saw). The loser below
+    // touches NOTHING on disk.
+    val snap = CommitLog.Snapshot(1L, Seq.empty, 0L, "create",
+      schema = Some(CommitLog.encodeSchema(schema)),
+      partitionBy = Some(partitionCols.mkString(",")))
+    if (!CommitLog.tryPublish(spark, path, snap))
+      throw new TableAlreadyExistsException(ident)
+    // Won: reconcile the derivative `_partition.json` cache to OUR
+    // truth — clears any orphan from a crashed pre-catalog attempt,
+    // then re-writes it only for a partitioned table. A crash inside
+    // this window is harmless: partitionColumns prefers the v1
+    // record whenever it exists.
+    CommitLog.deletePartitionMarker(spark, path)
     if (partitionCols.nonEmpty)
       CommitLog.writePartitionMarker(spark, path, partitionCols)
-    val snap = CommitLog.Snapshot(1L, Seq.empty, 0L, "create",
-      schema = Some(CommitLog.encodeSchema(schema)))
-    if (!CommitLog.tryPublish(spark, path, snap)) {
-      // lost the publish race — the winner's metadata governs: our
-      // marker must not shadow a concurrent unpartitioned CREATE,
-      // and a marker we displaced belongs to the winner, so put it
-      // back.
-      CommitLog.deletePartitionMarker(spark, path)
-      displaced.foreach(CommitLog.writePartitionMarker(spark, path, _))
-      throw new TableAlreadyExistsException(ident)
-    }
     loadTable(ident)
   }
 

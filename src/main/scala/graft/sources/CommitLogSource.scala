@@ -214,14 +214,25 @@ class CommitLogSource extends TableProvider with DataSourceRegister
     * .option("startingVersion", N)` serves [[CommitLog.changeFeed]]
     * distributed through the V1 bridge — table columns +
     * `_change_type` + `_commit_version` for every version ≥ N. */
+  /** One load = one feed build: Spark calls `inferSchema` then
+    * `getTable` on the SAME provider instance (a fresh instance per
+    * `.load()`), and each used to rebuild the whole feed — two
+    * manifest walks per read. The per-instance memo makes the second
+    * call free; instances never outlive a load, so it cannot serve a
+    * stale feed across loads. */
+  @volatile private var cdfMemo: (String, Table) = null
+
   private def cdfTable(options: CaseInsensitiveStringMap): Table = {
     val spark = SparkSession.active
     val path = pathOf(options)
     val after = Option(options.get("startingVersion"))
       .map(_.toLong).getOrElse(1L) - 1L
     val skip = options.getBoolean("skipRewrites", false)
+    val key = s"$path|$after|$skip"
+    val memo = cdfMemo
+    if (memo != null && memo._1 == key) return memo._2
     val df = CommitLog.changeFeed(spark, path, after, skip)
-    new Table
+    val built: Table = new Table
         with org.apache.spark.sql.connector.catalog.SupportsRead {
       override def name(): String = s"commitlog:$path#changes"
       override def schema(): StructType = df.schema
@@ -258,6 +269,8 @@ class CommitLogSource extends TableProvider with DataSourceRegister
           }
         }
     }
+    cdfMemo = (key, built)
+    built
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {

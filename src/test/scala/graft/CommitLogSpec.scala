@@ -2656,6 +2656,90 @@ class CommitLogSpec extends AnyFunSuite {
     }
   }
 
+  test("partition metadata is race-arbitrated by the v1 manifest: a " +
+      "partitioned CREATE's columns survive even if a stale racer " +
+      "deletes the marker, and the v1 record outranks a " +
+      "contradictory marker") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_create_race_").toString
+    try {
+      spark.conf.set("spark.sql.catalog.gcr",
+        "graft.sources.CommitLogCatalog")
+      spark.conf.set("spark.sql.catalog.gcr.root", root)
+      val path = s"$root/ns/t"
+      spark.sql("CREATE TABLE gcr.ns.t (id BIGINT, flag STRING) " +
+        "PARTITIONED BY (flag)")
+      assert(CommitLog.partitionColumns(spark, path) ===
+        Some(Seq("flag")))
+      // The ADVICE race: a CREATE loser that probed the marker before
+      // the winner wrote it would (old code) delete the winner's
+      // marker and restore nothing. Emulate the worst the loser could
+      // do — delete the marker outright — and the winner's partition
+      // columns MUST survive, because they ride in the v1 manifest,
+      // not the marker.
+      CommitLog.deletePartitionMarker(spark, path)
+      assert(CommitLog.partitionColumns(spark, path) ===
+        Some(Seq("flag")))
+      // INSERTs still route through the partitioned writer
+      spark.sql("INSERT INTO gcr.ns.t VALUES (1, 'a'), (2, 'b')")
+      assert(CommitLog.snapshot(spark, path).get.segments.size == 2)
+      // and a contradictory marker planted AFTER the fact (stale
+      // racer, confused operator) cannot override the v1 record
+      CommitLog.writePartitionMarker(spark, path, Seq("id"))
+      assert(CommitLog.partitionColumns(spark, path) ===
+        Some(Seq("flag")))
+      spark.sql("DROP TABLE gcr.ns.t")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gcr")
+      spark.conf.unset("spark.sql.catalog.gcr.root")
+      rm(root + "/x")
+    }
+  }
+
+  test("evolveColumns refuses a case-variant duplicate under the " +
+      "analyzer's default case-insensitive resolution") {
+    import spark.implicits._
+    val t = tmpTable()
+    try {
+      CommitLog.append(spark, t,
+        Seq((1L, 10.0)).toDF("id", "o_totalprice"))
+      // committing O_TOTALPRICE next to o_totalprice would make every
+      // later SELECT of the name ambiguous — the table is bricked
+      val e = intercept[IllegalStateException] {
+        CommitLog.evolveColumns(spark, t, Seq(
+          org.apache.spark.sql.types.StructField("O_TOTALPRICE",
+            org.apache.spark.sql.types.StringType)))
+      }
+      assert(e.getMessage.contains("already"))
+      // a genuinely new column still lands
+      CommitLog.evolveColumns(spark, t, Seq(
+        org.apache.spark.sql.types.StructField("note",
+          org.apache.spark.sql.types.StringType)))
+      assert(CommitLog.read(spark, t).columns.toSeq ===
+        Seq("id", "o_totalprice", "note"))
+    } finally rm(t)
+  }
+
+  test("batch changeFeed over a range with no change-producing " +
+      "versions returns an EMPTY frame under the CDF schema, not a " +
+      "raise") {
+    import spark.implicits._
+    val t = tmpTable()
+    try {
+      CommitLog.append(spark, t, Seq((1L, "a")).toDF("id", "name"))
+      val v = CommitLog.currentVersion(spark, t).get
+      val feed = CommitLog.changeFeed(spark, t, afterVersion = v)
+      assert(feed.count() == 0L)
+      assert(feed.columns.toSeq ===
+        Seq("id", "name", "_change_type", "_commit_version"))
+      // the DSv2 batch option path serves the same empty frame
+      val viaSource = spark.read.format("commitlog")
+        .option("path", t).option("readChangeFeed", "true")
+        .option("startingVersion", v + 1L).load()
+      assert(viaSource.count() == 0L)
+    } finally rm(t)
+  }
+
   test("string timestampAsOf resolves in the SESSION timezone " +
       "(Delta's rule), not hardcoded UTC") {
     import spark.implicits._
@@ -3095,6 +3179,155 @@ class CommitLogSpec extends AnyFunSuite {
         .filter(col("id") === 1L && col("v") === 1.0).count() == 0L)
       // versions serialized: base(3 appends) + dv delete + 2 racers
       assert(CommitLog.currentVersion(spark, t) == Some(6L))
+    } finally rm(t)
+  }
+
+  // ---- delta log + checkpoints (round 12) ------------------------------
+
+  private def manifestText(t: String, v: Long): String = {
+    val p = java.nio.file.Paths.get(
+      f"$t/_commits/$v%020d.manifest")
+    new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+  }
+
+  private def checkpointFile(t: String, v: Long): java.io.File =
+    new java.io.File(f"$t/_commits/$v%020d.checkpoint")
+
+  test("commits are O(delta): append manifests carry addSegments " +
+      "only, bytes stay flat as the table grows, checkpoints land " +
+      "on the interval, and every version resolves exactly") {
+    val t = tmpTable()
+    try {
+      (1 to 25).foreach(i =>
+        CommitLog.append(spark, t, df((i.toLong, s"r$i", i * 1.0))))
+      // v1 is self-contained; later appends are delta records with
+      // exactly one added segment and no removes
+      assert(manifestText(t, 1L).contains("\"segments\""))
+      Seq(2L, 13L, 25L).foreach { v =>
+        val txt = manifestText(t, v)
+        assert(txt.contains("\"addSegments\""), s"v$v not a delta")
+        assert(!txt.contains("\"segments\""), s"v$v lists full set")
+      }
+      // commit bytes do NOT grow with table size (the scale cliff the
+      // old full-list format had): v25's manifest is no bigger than
+      // v2's + slack, despite 24 more segments of state
+      val b2 = manifestText(t, 2L).length
+      val b25 = manifestText(t, 25L).length
+      assert(b25 <= b2 + 64, s"delta commit grew: v2=$b2 v25=$b25")
+      // checkpoint cadence (default interval 10): v10 and v20, and a
+      // checkpoint is the full self-contained state
+      assert(checkpointFile(t, 10L).exists())
+      assert(checkpointFile(t, 20L).exists())
+      assert(!checkpointFile(t, 15L).exists())
+      // resolution: latest, a checkpointed version, a mid-chain
+      // version (replays from the nearest checkpoint below)
+      assert(CommitLog.read(spark, t).count() == 25L)
+      assert(CommitLog.read(spark, t, Some(10L)).count() == 10L)
+      assert(CommitLog.read(spark, t, Some(17L)).count() == 17L)
+      assert(CommitLog.snapshot(spark, t, Some(17L)).get
+        .segments.size == 17)
+      // history walks the whole log through the forward resolver
+      assert(CommitLog.history(spark, t).count() == 25L)
+    } finally rm(t)
+  }
+
+  test("DML and compaction under the delta log: removes+adds round-" +
+      "trip, a compact's delta drops the whole parent set, and the " +
+      "change feed reconstructs across the chain") {
+    val t = tmpTable()
+    try {
+      (1 to 12).foreach(i =>
+        CommitLog.append(spark, t, df((i.toLong, s"r$i", i * 1.0))))
+      CommitLog.delete(spark, t, col("id") % 3 === 0)           // v13
+      CommitLog.update(spark, t, col("id") === 1L,
+        Map("v" -> lit(100.0)))                                 // v14
+      CommitLog.compact(spark, t, targetRowsPerFile = 100L)     // v15
+      val txt15 = manifestText(t, 15L)
+      assert(txt15.contains("\"addSegments\""))
+      // the compact removed every parent segment and added one
+      assert(CommitLog.snapshot(spark, t).get.segments.size == 1)
+      assert(CommitLog.read(spark, t).count() == 8L)
+      assert(CommitLog.read(spark, t)
+        .filter(col("id") === 1L).head().getDouble(2) === 100.0)
+      // time travel across the whole chain still exact
+      assert(CommitLog.read(spark, t, Some(12L)).count() == 12L)
+      assert(CommitLog.read(spark, t, Some(13L)).count() == 8L)
+      // the feed reconstructs the post-DML state
+      val feed = CommitLog.changeFeed(spark, t, afterVersion = 12L)
+      assert(feed.filter(col("_change_type") === "delete")
+        .count() == 4L)
+      assert(feed.filter(col("_change_type") === "update_postimage")
+        .count() == 1L)
+    } finally rm(t)
+  }
+
+  test("vacuum pins the retain floor with a checkpoint before " +
+      "dropping the delta tail: retained versions resolve, dropped " +
+      "ones read as gone") {
+    val t = tmpTable()
+    try {
+      (1 to 17).foreach(i =>
+        CommitLog.append(spark, t, df((i.toLong, s"r$i", i * 1.0))))
+      CommitLog.vacuum(spark, t, retainVersions = 3)
+      // floor = v15 (a mid-chain delta record): pinned by checkpoint
+      assert(checkpointFile(t, 15L).exists())
+      // retained versions resolve fully despite the dropped tail
+      assert(CommitLog.read(spark, t).count() == 17L)
+      assert(CommitLog.read(spark, t, Some(15L)).count() == 15L)
+      assert(CommitLog.read(spark, t, Some(16L)).count() == 16L)
+      // dropped versions: manifest AND any checkpoint swept
+      assert(CommitLog.snapshot(spark, t, Some(9L)).isEmpty)
+      assert(!checkpointFile(t, 10L).exists())
+      // vacuum again at deeper retention — idempotent on the pin
+      CommitLog.vacuum(spark, t, retainVersions = 2)
+      assert(CommitLog.read(spark, t).count() == 17L)
+    } finally rm(t)
+  }
+
+  test("100k+ segment lifecycle is a metadata non-event: growing " +
+      "commits stay O(delta) bytes, resolution returns the full " +
+      "set, and the checkpoint carries it — no refusal") {
+    val t = tmpTable()
+    try {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(StructField("id", LongType)))
+      // v1: real create commit (schema, no segments)
+      assert(CommitLog.tryPublish(spark, t, CommitLog.Snapshot(
+        1L, Seq.empty, 0L, "create",
+        schema = Some(CommitLog.encodeSchema(schema)))))
+      // synthetic segment paths: the protocol never opens segment
+      // files until a READ asks for rows, so the metadata lifecycle
+      // at 100k segments is exercised without writing 100k parquet
+      // jobs (the point: commit cost must not depend on table size)
+      var prev = CommitLog.snapshot(spark, t).get
+      val perCommit = 25000
+      (1 to 5).foreach { i =>
+        val adds = (1 to perCommit).map(j => s"$t/data/fake_${i}_$j")
+        val snap = CommitLog.Snapshot(prev.version + 1L,
+          prev.segments ++ adds, prev.version, "append",
+          schema = prev.schema)
+        assert(CommitLog.tryPublish(spark, t, snap, Some(prev)),
+          s"commit ${i + 1} refused")
+        prev = snap
+      }
+      val total = 5 * perCommit // 125,000 segments
+      assert(CommitLog.snapshot(spark, t).get.segments.size == total)
+      // the GROWING commit stayed O(delta): its manifest lists only
+      // its own adds (~25k), not the 125k cumulative set
+      val lastTxt = manifestText(t, 6L)
+      assert(lastTxt.contains("\"addSegments\""))
+      assert(lastTxt.length <
+        manifestText(t, 2L).length * 2,
+        "a later commit's bytes grew with table size")
+      // a mid-chain version resolves exactly
+      assert(CommitLog.snapshot(spark, t, Some(4L)).get
+        .segments.size == 3 * perCommit)
+      // a count-reducing commit (the OPTIMIZE shape) also lands
+      val compacted = CommitLog.Snapshot(prev.version + 1L,
+        Seq(s"$t/data/fake_compacted"), prev.version, "compact",
+        schema = prev.schema)
+      assert(CommitLog.tryPublish(spark, t, compacted, Some(prev)))
+      assert(CommitLog.snapshot(spark, t).get.segments.size == 1)
     } finally rm(t)
   }
 }
