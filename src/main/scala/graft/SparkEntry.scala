@@ -62,6 +62,7 @@ object SparkEntry {
       graft.queries.Pipeline16.queries,
       graft.queries.Pipeline17.queries,
       graft.queries.Pipeline18.queries,
+      graft.queries.Pipeline19.queries,
       graft.queries.StreamingReplay.queries)
     val merged = modules.reduce(_ ++ _)
     // a duplicate name across modules would silently shadow a query —
@@ -141,6 +142,7 @@ object SparkEntry {
     graft.queries.Pipeline16.oracleSql ++
     graft.queries.Pipeline17.oracleSql ++
     graft.queries.Pipeline18.oracleSql ++
+    graft.queries.Pipeline19.oracleSql ++
     graft.queries.StreamingReplay.oracleSql
 
   private def baseOracleSql: Map[String, String] = Map(

@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Catalog, CommitLog}
+
+/** Round-12 additions: the delta-log format evolution and atomic
+  * CTAS/RTAS under the oracle gate.
+  *
+  *  - q191 checkpoint lifecycle: drives one table through a
+  *    14-commit life (12 appends crossing the checkpoint cadence, a
+  *    merge-on-read vectored DELETE, a materializing compact) and
+  *    hash-checks the surviving content plus structural witnesses —
+  *    the mid-chain time travel, the checkpoint landing on the
+  *    interval, and the growing commits staying O(delta) bytes. The
+  *    oracle recomputes the same states as pure SQL over `orders`,
+  *    so the delta-manifest replay arithmetic (checkpoint + tail)
+  *    is pinned by value, not just by spec.
+  *  - q192 atomic CTAS/RTAS: `CREATE TABLE … AS SELECT` and
+  *    `REPLACE TABLE … AS SELECT` through the SQL catalog — each
+  *    exactly ONE commit — with the replaced version read back via
+  *    time travel. Pins the StagingTableCatalog path end-to-end
+  *    (stage → single publish → no create-then-insert window).
+  *
+  * Reference anchor: the reference materializes query results into
+  * SQL Server tables via `SELECT INTO`-style writes (`SELECT.py`);
+  * CTAS here is that verb with lakehouse atomicity, and the
+  * delta-log keeps its commit cost flat at any table size
+  * (SURVEY §2.1 S4's scale path).
+  */
+object Pipeline19 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Catalog.table(s, dir, name)
+
+  private def rmTree(path: String): Unit = {
+    def go(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(go)); f.delete(): Unit
+    }
+    go(new java.io.File(path))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_commitlog_checkpoint_lifecycle" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q191_").toString
+      val tbl = s"$root/tbl"
+      try {
+        // 12 append commits (one per o_orderkey residue class) cross
+        // the default checkpoint interval of 10 — every commit after
+        // v1 is an O(delta) record, v10 also lands a checkpoint
+        (0 until 12).foreach(i => CommitLog.append(s, tbl,
+          orders.filter(col("o_orderkey") % 12 === i)))
+        // v13: merge-on-read vectored delete (O(deleted) written,
+        // zero segments rewritten); v14: compact materializes the
+        // vector and collapses 12 segments to 1
+        CommitLog.deleteVectored(s, tbl, col("o_orderkey") % 7 === 0)
+        CommitLog.compact(s, tbl, targetRowsPerFile = 2000000L)
+        val live = CommitLog.read(s, tbl)
+        val v10 = CommitLog.read(s, tbl, Some(10L))
+        // structural witnesses (oracle pins them TRUE): cadence
+        // checkpoint, delta-record commits, version arithmetic
+        val ckpt10 = new java.io.File(
+          f"$tbl/_commits/${10L}%020d.checkpoint").exists()
+        val m12 = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(
+            f"$tbl/_commits/${12L}%020d.manifest")), "UTF-8")
+        val vNow = CommitLog.currentVersion(s, tbl).contains(14L)
+        val agg = live.agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast("decimal(30,6)"))
+            .cast("double").as("sum_price"))
+        val tt = v10.agg(count(lit(1)).as("v10_rows"))
+        agg.crossJoin(tt)
+          .withColumn("ckpt_on_interval", lit(ckpt10))
+          .withColumn("delta_commits",
+            lit(m12.contains("\"addSegments\"") &&
+              !m12.contains("\"segments\"")))
+          .withColumn("version_arith", lit(vNow))
+          .select(col("n_rows"), col("sum_price"), col("v10_rows"),
+            col("ckpt_on_interval"), col("delta_commits"),
+            col("version_arith"))
+          .localCheckpoint(true)
+      } finally rmTree(root)
+    }),
+
+    "q192_commitlog_ctas" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q192_").toString
+      val tblPath = s"$root/ns/cust"
+      t(s, dir, "customer").createOrReplaceTempView("q192_customer")
+      s.conf.set("spark.sql.catalog.g192",
+        "graft.sources.CommitLogCatalog")
+      s.conf.set("spark.sql.catalog.g192.root", root)
+      try {
+        // CTAS: one commit lands schema + data atomically
+        s.sql("""CREATE TABLE g192.ns.cust AS
+          SELECT c_custkey, c_nationkey, c_acctbal
+          FROM q192_customer WHERE c_acctbal > 0""")
+        // RTAS: one commit swaps content AND schema (per-nation
+        // rollup); the CTAS version stays one time travel away
+        s.sql("""REPLACE TABLE g192.ns.cust AS
+          SELECT c_nationkey,
+            COUNT(*) AS n_cust,
+            CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE)
+              AS total_bal
+          FROM q192_customer WHERE c_acctbal > 0
+          GROUP BY c_nationkey""")
+        val v2 = s.sql("SELECT * FROM g192.ns.cust")
+        val v1n = CommitLog.read(s, tblPath, Some(1L)).count()
+        v2.withColumn("v1_rows", lit(v1n))
+          .orderBy(col("c_nationkey"))
+          .localCheckpoint(true)
+      } finally {
+        s.conf.unset("spark.sql.catalog.g192")
+        s.conf.unset("spark.sql.catalog.g192.root")
+        s.catalog.dropTempView("q192_customer"): Unit
+        rmTree(root)
+      }
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q191_commitlog_checkpoint_lifecycle" ->
+      """SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |    WHERE o_orderkey % 7 <> 0) AS n_rows,
+        |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+        |      AS DOUBLE) FROM orders
+        |    WHERE o_orderkey % 7 <> 0) AS sum_price,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |    WHERE o_orderkey % 12 < 10) AS v10_rows,
+        |  TRUE AS ckpt_on_interval,
+        |  TRUE AS delta_commits,
+        |  TRUE AS version_arith""".stripMargin,
+
+    "q192_commitlog_ctas" ->
+      """SELECT c_nationkey,
+        |  COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS total_bal,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer
+        |    WHERE c_acctbal > 0) AS v1_rows
+        |FROM customer WHERE c_acctbal > 0
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin
+  )
+}

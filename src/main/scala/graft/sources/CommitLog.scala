@@ -67,7 +67,49 @@ import org.apache.spark.sql.functions._
   * (reader planning time, checkpoint bytes) — the commit-time guard
   * warns past `warnSegments` — but it is no longer a per-commit
   * cost cliff; the OPTIMIZE verbs remain the way to keep plans
-  * tight. */
+  * tight.
+  *
+  * ==Isolation contract for concurrent DML==
+  *
+  * The engine provides Delta Lake's `WriteSerializable` equivalent:
+  * every commit serializes at the version publish, readers get
+  * snapshot isolation for free (a planned read is pinned to its
+  * manifest's segment list), and a writer that loses the version
+  * race RE-DERIVES its intent against the winner's committed state
+  * before retrying. Per interleaving:
+  *
+  *  - '''append vs anything''': always both land — the loser's
+  *    retry re-lists segments; rows cannot collide (append-only).
+  *  - '''merge vs append / merge vs merge''': the loser RECOMPUTES
+  *    the key-merge against the winner's state, so the final state
+  *    equals applying both in version order; for overlapping keys
+  *    the later committer's payload governs (the PG
+  *    `ON CONFLICT` re-evaluation analog; merge-vs-merge law in
+  *    CommitLogSpec).
+  *  - '''delete/update (copy-on-write or vectored) vs any
+  *    committer''': the loser re-runs find-touched + rewrite on the
+  *    winner's state (DML lost-update laws) — a row inserted by the
+  *    interleaved winner IS visible to the retried predicate.
+  *  - '''compact/OPTIMIZE vs DML''': compaction losing to a DML
+  *    recompacts the post-DML state; a DML losing to a compaction
+  *    re-matches against the compacted segments (the
+  *    compact-vs-vectored-delete serialization law). Either order
+  *    converges to the same row set.
+  *  - '''conflicting CREATEs''' (including CTAS): exactly one v1
+  *    wins; the loser surfaces TableAlreadyExists and leaves no
+  *    on-disk effect.
+  *  - '''REFUSALS''' (no silent resolution): evolve/ADD COLUMNS of
+  *    a duplicate column name; DDL mixing; RESTORE that would
+  *    strand a CHECK constraint; vacuuming a version a change-feed
+  *    range still needs (loud gap, never a silent skip).
+  *
+  * What is NOT provided: full `Serializable` across READ-then-WRITE
+  * application logic — two clients that each read version N and
+  * then write values derived from that read serialize as commits,
+  * but their reads are not re-validated (same caveat Delta
+  * documents for WriteSerializable). Route read-modify-write
+  * through [[merge]]/[[update]] (whose recompute loops re-derive
+  * from committed state) rather than read + blind [[append]]. */
 object CommitLog {
 
   /** One committed table version: the segment directories whose union
@@ -132,18 +174,19 @@ object CommitLog {
   }
 
   /** The recorded partition columns, if the table was created
-    * partitioned. Source of truth is the v1 CREATE manifest's
-    * `partitionBy` field when present (including the explicit
-    * empty value = "created unpartitioned"): the manifest create is
-    * the race-arbitrated publish, so partition metadata recorded IN
-    * it cannot be clobbered by a race-losing creator — the
-    * `_partition.json` marker is only a derivative cache (and the
-    * record for pre-catalog tables / the direct
-    * [[writePartitionMarker]] API), consulted when v1 carries no
-    * field or is vacuumed. */
+    * partitioned. Source of truth is the CURRENT manifest's
+    * `partitionBy` field when present (recorded by the catalog's
+    * CREATE at v1, inherited by every later commit at publish,
+    * overridden by REPLACE; the explicit empty value = "explicitly
+    * unpartitioned"): the manifest create is the race-arbitrated
+    * publish, so partition metadata recorded IN it cannot be
+    * clobbered by a race-losing creator — the `_partition.json`
+    * marker is only a derivative cache (and the record for
+    * pre-catalog tables / the direct [[writePartitionMarker]] API),
+    * consulted when the manifest carries no field. */
   def partitionColumns(spark: SparkSession,
       table: String): Option[Seq[String]] = {
-    snapshot(spark, table, Some(1L)).flatMap(_.partitionBy) match {
+    snapshot(spark, table).flatMap(_.partitionBy) match {
       case Some(rec) =>
         val cols = rec.split(',').toSeq.filter(_.nonEmpty)
         if (cols.isEmpty) None else Some(cols)
@@ -589,14 +632,33 @@ object CommitLog {
     * by [[vacuum]]), never a corrupt table. */
   private[graft] def writeSegment(spark: SparkSession, table: String,
       df: DataFrame): String = {
-    val seg = s"$table/data/${java.util.UUID.randomUUID().toString}"
-    df.write.mode(SaveMode.ErrorIfExists).parquet(seg)
+    val seg = stageSegmentUnchecked(spark, table, df)
     // persistent CHECK constraints gate EVERY segment before any
     // manifest can name it — one columnar scan of the new data only,
     // nothing when the table has no constraints (one marker probe)
     enforceConstraints(spark, table, Seq(seg))
     seg
   }
+
+  /** Stage `df` as a fresh immutable segment WITHOUT the constraint
+    * gate — the CTAS/RTAS staging path, where the rules that govern
+    * the data belong to the table definition being COMMITTED, not to
+    * any pre-replace definition. Invisible until a manifest names
+    * it, exactly like [[writeSegment]]'s output. */
+  private[sources] def stageSegmentUnchecked(spark: SparkSession,
+      table: String, df: DataFrame): String = {
+    val seg = s"$table/data/${java.util.UUID.randomUUID().toString}"
+    df.write.mode(SaveMode.ErrorIfExists).parquet(seg)
+    seg
+  }
+
+  /** Drop every CHECK constraint — REPLACE TABLE semantics: the new
+    * definition starts clean (Delta's REPLACE replaces table
+    * properties wholesale; a kept constraint could also reference a
+    * column the new schema no longer has, stranding the table — the
+    * [[restore]] refusal's rationale). */
+  private[sources] def clearConstraints(spark: SparkSession,
+      table: String): Unit = writeConstraints(spark, table, Map.empty)
 
   /** SPI for the atomic create-if-absent arbitration the WHOLE
     * protocol rests on: publish `content` at `dst` iff nothing exists
@@ -752,34 +814,39 @@ object CommitLog {
                 "(compact/overwrite).")
         }
     f.mkdirs(new org.apache.hadoop.fs.Path(commitsDir(table)))
-    val stamped = snap.copy(ts = Some(System.currentTimeMillis()))
+    val parent: Option[Snapshot] =
+      if (snap.version <= 1L) None
+      else base.filter(_.version == snap.version - 1L)
+        .orElse(resolve(spark, table, snap.version - 1L))
+    // Partition metadata, once recorded, rides EVERY later manifest
+    // (absolute per record, inherited at publish): the current
+    // snapshot always answers partitionColumns without a second
+    // lookup, and REPLACE TABLE can change the spec by setting its
+    // own value ("" = explicitly unpartitioned).
+    val stamped = snap.copy(ts = Some(System.currentTimeMillis()),
+      partitionBy = snap.partitionBy
+        .orElse(parent.flatMap(_.partitionBy)))
     // O(delta) commit bytes: render adds/removes relative to the
     // parent (version-1) whenever the parent resolves and forward
     // replay reproduces the EXACT segment list (order included — an
     // op that interleaves kept and new segments falls back to the
     // self-contained render rather than silently reordering). v1 and
     // parentless publishes stay self-contained.
-    val body: String =
-      if (stamped.version <= 1L) renderManifest(stamped)
-      else {
-        val parent = base.filter(_.version == stamped.version - 1L)
-          .orElse(resolve(spark, table, stamped.version - 1L))
-        parent match {
-          case Some(p) =>
-            val pset = p.segments.toSet
-            val sset = stamped.segments.toSet
-            val adds = stamped.segments.filterNot(pset)
-            val removes = p.segments.filterNot(sset)
-            val replayed = {
-              val rm = removes.toSet
-              p.segments.filterNot(rm) ++ adds
-            }
-            if (replayed == stamped.segments)
-              renderDelta(stamped, adds, removes)
-            else renderManifest(stamped)
-          case None => renderManifest(stamped)
+    val body: String = parent match {
+      case Some(p) =>
+        val pset = p.segments.toSet
+        val sset = stamped.segments.toSet
+        val adds = stamped.segments.filterNot(pset)
+        val removes = p.segments.filterNot(sset)
+        val replayed = {
+          val rm = removes.toSet
+          p.segments.filterNot(rm) ++ adds
         }
-      }
+        if (replayed == stamped.segments)
+          renderDelta(stamped, adds, removes)
+        else renderManifest(stamped)
+      case None => renderManifest(stamped)
+    }
     val won = storeFor(spark, table).createIfAbsent(
       manifestPath(table, stamped.version), body.getBytes("UTF-8"))
     // Checkpoint cadence: the UNIQUE winner of an interval-multiple
@@ -1808,7 +1875,9 @@ object CommitLog {
     val parts = vs.flatMap { v =>
       val snap = byVersion(v)
       snap.op match {
-        case "append" | "streaming-append" | "clone" =>
+        // a CTAS v1 is an insert of its whole output, same as the
+        // first append of a created table
+        case "append" | "streaming-append" | "clone" | "ctas" =>
           val prev = if (v == 1L) Set.empty[String]
             else byVersion(v - 1L).segments.toSet
           val added = snap.segments.filterNot(prev)
@@ -1920,7 +1989,7 @@ object CommitLog {
     vs.flatMap { v =>
       val snap = snapshot(spark, table, Some(v)).get
       snap.op match {
-        case "append" | "streaming-append" | "clone" =>
+        case "append" | "streaming-append" | "clone" | "ctas" =>
           val prev = if (v == 1L) Set.empty[String]
             else snapshot(spark, table, Some(v - 1L)).get.segments.toSet
           val added = snap.segments.filterNot(prev)
@@ -2019,6 +2088,41 @@ object CommitLog {
     // change records, deletion vectors, then the dropped manifests
     val (segs, changes, dvs, dropped) =
       vacuumPlan(spark, table, retainVersions)
+    // Retention check (Delta's retentionDurationCheck analog):
+    // vacuum trusts its caller that no reader holds a dropped
+    // snapshot, so dangerously low retention refuses by default —
+    // retaining fewer than 2 versions deletes the PREVIOUS version's
+    // segments while a read planned just before this vacuum may
+    // still be executing against them. Optionally,
+    // spark.graft.vacuum.minAgeMillis adds the wall-clock form: any
+    // to-be-dropped version committed within the window refuses (the
+    // long-running-batch-reader guard). Both are overridable with
+    // spark.graft.vacuum.retentionCheck=false, the explicit
+    // "I know no reader is active" switch.
+    val checkOn = spark.conf
+      .getOption("spark.graft.vacuum.retentionCheck")
+      .forall(_.toBoolean)
+    if (checkOn && dropped.nonEmpty) {
+      require(retainVersions >= 2,
+        s"CommitLog.vacuum: retainVersions=$retainVersions would " +
+          "drop the previous version while a reader planned against " +
+          "it may still be running — retain >= 2, or set " +
+          "spark.graft.vacuum.retentionCheck=false if provably no " +
+          "reader is active")
+      spark.conf.getOption("spark.graft.vacuum.minAgeMillis")
+        .map(_.toLong).foreach { minAge =>
+        val cutoff = System.currentTimeMillis() - minAge
+        val young = dropped.flatMap(v =>
+          readRecord(spark, table, v).flatMap(_.snap.ts)
+            .filter(_ > cutoff).map(v -> _))
+        if (young.nonEmpty) throw new IllegalStateException(
+          s"CommitLog.vacuum: version(s) ${young.map(_._1).mkString(",")} " +
+            s"of $table were committed within the last ${minAge}ms " +
+            "(spark.graft.vacuum.minAgeMillis) — a long-running " +
+            "reader may still hold them; raise retainVersions, wait, " +
+            "or set spark.graft.vacuum.retentionCheck=false")
+      }
+    }
     // Pin the retain floor with a full-state checkpoint BEFORE
     // dropping anything: the floor version's (possibly delta) chain
     // is about to lose its tail, and every retained version above it

@@ -43,7 +43,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class CommitLogCatalog extends TableCatalog
     with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog
+    with StagingTableCatalog {
 
   private var catalogName: String = _
   private var initialRoot: String = _
@@ -197,13 +198,12 @@ class CommitLogCatalog extends TableCatalog
     CommitLogTable.forSnapshot(spark, path, snap)
   }
 
-  override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform],
-      properties: util.Map[String, String]): Table = {
-    // identity partition transforms only (Hive-style `PARTITIONED BY
-    // (col)`); bucket/temporal transforms go through the OPTIMIZE
-    // procedures instead
-    val partitionCols = partitions.toSeq.map { t =>
+  /** Identity partition transforms only (Hive-style `PARTITIONED BY
+    * (col)`); bucket/temporal transforms go through the OPTIMIZE
+    * procedures instead. */
+  private def identityPartitionCols(partitions: Array[Transform],
+      schema: StructType): Seq[String] = {
+    val cols = partitions.toSeq.map { t =>
       val refs = t.references()
       if (t.name() == "identity" && refs.length == 1 &&
           refs(0).fieldNames().length == 1) refs(0).fieldNames()(0)
@@ -212,8 +212,15 @@ class CommitLogCatalog extends TableCatalog
           "only identity PARTITIONED BY (col, …) is supported; use " +
           "CALL <cat>.system.optimize_* for bucket/z-order layout")
     }
-    partitionCols.foreach(c => require(schema.fieldNames.contains(c),
+    cols.foreach(c => require(schema.fieldNames.contains(c),
       s"commitlog catalog: partition column '$c' absent from schema"))
+    cols
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val partitionCols = identityPartitionCols(partitions, schema)
     val path = pathOf(ident)
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     // Partition columns ride IN the v1 manifest (`partitionBy`,
@@ -245,6 +252,44 @@ class CommitLogCatalog extends TableCatalog
       info: TableInfo): Table =
     createTable(ident, info.schema(), info.partitions(),
       info.properties())
+
+  // ---- atomic CTAS / RTAS (StagingTableCatalog) -----------------------
+  //
+  // `CREATE TABLE … AS SELECT` without staging is two commits
+  // (CREATE, then INSERT) with a table-exists-but-empty window a
+  // failed write strands forever. Staged, the SELECT's output lands
+  // as invisible segments first and the CREATE manifest publish —
+  // the protocol's one atomic arbitration point — is the LAST step:
+  // either v1 names the data or nothing exists (Delta/Iceberg both
+  // stage CTAS this way). REPLACE TABLE … AS SELECT is the same
+  // shape at version N+1: one `replace` commit swaps content, schema
+  // AND partition spec together; the pre-replace versions stay time
+  // travel-able, and CHECK constraints reset with the definition.
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    new StagedCommitLogTable(spark, pathOf(ident), ident, schema,
+      identityPartitionCols(partitions, schema),
+      replace = false, orCreate = false)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new StagedCommitLogTable(spark, pathOf(ident), ident, schema,
+      identityPartitionCols(partitions, schema),
+      replace = true, orCreate = false)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier,
+      schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable =
+    new StagedCommitLogTable(spark, pathOf(ident), ident, schema,
+      identityPartitionCols(partitions, schema),
+      replace = true, orCreate = true)
 
   /** `ALTER TABLE … ADD COLUMNS` — the one table change with sound
     * lakehouse semantics here: a METADATA-ONLY evolve commit
@@ -404,6 +449,131 @@ class CommitLogCatalog extends TableCatalog
         s"commitlog catalog: namespace ${namespace.mkString(".")} is " +
           "not empty — use CASCADE")
     else fs.delete(p, true)
+  }
+}
+
+/** The CTAS/RTAS staging handle: Spark writes the SELECT's output
+  * through the V1 bridge into INVISIBLE staged segments (never named
+  * by any manifest yet), then calls [[commitStagedChanges]] — one
+  * manifest publish that either lands data + schema + partition spec
+  * together or leaves the table untouched. [[abortStagedChanges]]
+  * (write failure) deletes the staged segments; a crash that skips
+  * even that leaves only unreferenced garbage for vacuum, never a
+  * half-created table. */
+private[sources] class StagedCommitLogTable(spark: SparkSession,
+    path: String, ident: Identifier, declaredSchema: StructType,
+    partitionCols: Seq[String], replace: Boolean, orCreate: Boolean)
+    extends StagedTable
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  import org.apache.spark.sql.connector.catalog.TableCapability
+
+  private val staged =
+    new java.util.concurrent.CopyOnWriteArrayList[String]()
+
+  override def name(): String = s"commitlog:$path (staged)"
+  override def schema(): StructType = declaredSchema
+  override def partitioning()
+      : Array[Transform] = partitionCols
+    .map(c => org.apache.spark.sql.connector.expressions
+      .Expressions.identity(c)).toArray
+  override def capabilities(): util.Set[TableCapability] = {
+    val s = new util.HashSet[TableCapability]()
+    s.add(TableCapability.V1_BATCH_WRITE)
+    s.add(TableCapability.TRUNCATE)
+    s
+  }
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      // RTAS arrives as a truncate+append of the staged table; the
+      // staged segment set IS the replacement, so truncate is a no-op
+      override def truncate()
+          : org.apache.spark.sql.connector.write.WriteBuilder = this
+      override def build()
+          : org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
+              // unchecked staging: CHECK constraints (if any) belong
+              // to the definition being REPLACED, not the one being
+              // committed — they reset below
+              val segs =
+                if (partitionCols.nonEmpty)
+                  CommitLogStats.stagePartitioned(spark, path, data,
+                    partitionCols, enforce = false)
+                else Seq(CommitLog.stageSegmentUnchecked(spark, path,
+                  data))
+              segs.foreach(staged.add(_))
+            }
+        }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    import scala.jdk.CollectionConverters._
+    val segs = staged.iterator().asScala.toSeq
+    val schemaB64 = CommitLog.encodeSchema(declaredSchema)
+    val pb = Some(partitionCols.mkString(","))
+    var attempt = 0
+    while (attempt < 20) {
+      CommitLog.snapshot(spark, path) match {
+        case None =>
+          if (replace && !orCreate) {
+            abortStagedChanges()
+            throw new NoSuchTableException(ident)
+          }
+          val snap = CommitLog.Snapshot(1L, segs, 0L, "ctas",
+            schema = Some(schemaB64), partitionBy = pb)
+          if (CommitLog.tryPublish(spark, path, snap)) {
+            reconcileMarker(); return
+          }
+          // lost v1 to a concurrent creator: CREATE fails loudly,
+          // CREATE OR REPLACE retries as a replace of the winner
+          if (!replace) {
+            abortStagedChanges()
+            throw new TableAlreadyExistsException(ident)
+          }
+        case Some(cur) =>
+          if (!replace) {
+            abortStagedChanges()
+            throw new TableAlreadyExistsException(ident)
+          }
+          val snap = CommitLog.Snapshot(cur.version + 1L, segs,
+            cur.version, "replace", schema = Some(schemaB64),
+            partitionBy = pb)
+          if (CommitLog.tryPublish(spark, path, snap, Some(cur))) {
+            // the new definition starts clean: constraints reset
+            // (they could reference columns the new schema dropped)
+            CommitLog.clearConstraints(spark, path)
+            reconcileMarker(); return
+          }
+      }
+      attempt += 1
+    }
+    abortStagedChanges()
+    throw new java.io.IOException(
+      s"commitlog CTAS/RTAS: lost the version race 20 times at $path")
+  }
+
+  /** Post-publish, reconcile the derivative `_partition.json` cache
+    * to the committed spec (the manifest record governs either way —
+    * see [[CommitLog.partitionColumns]]). */
+  private def reconcileMarker(): Unit = {
+    CommitLog.deletePartitionMarker(spark, path)
+    if (partitionCols.nonEmpty)
+      CommitLog.writePartitionMarker(spark, path, partitionCols)
+  }
+
+  override def abortStagedChanges(): Unit = {
+    import scala.jdk.CollectionConverters._
+    val f = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    staged.iterator().asScala.foreach(s =>
+      f.delete(new org.apache.hadoop.fs.Path(s), true): Unit)
   }
 }
 

@@ -846,7 +846,7 @@ class CommitLogStreamSource(spark: SparkSession, metadataPath: String,
       snap.op match {
         // 'clone' is an insert for the feed exactly as in changeFeed:
         // its v1 adds the source's full segment set
-        case "append" | "streaming-append" | "clone" =>
+        case "append" | "streaming-append" | "clone" | "ctas" =>
           val prev = if (ver == 1L) Set.empty[String]
             else CommitLog.snapshot(spark, table, Some(ver - 1L))
               .get.segments.toSet

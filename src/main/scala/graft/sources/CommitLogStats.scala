@@ -597,7 +597,8 @@ object CommitLogStats {
     * an `overwrite` version over the same staged set). */
   private[sources] def stagePartitioned(spark: SparkSession,
       table: String, df: DataFrame, partitionCols: Seq[String],
-      statsCols: Seq[String] = Seq.empty): Seq[String] = {
+      statsCols: Seq[String] = Seq.empty,
+      enforce: Boolean = true): Seq[String] = {
     require(partitionCols.nonEmpty, "partitionCols must be non-empty")
     val schema = df.schema
     partitionCols.foreach { c =>
@@ -629,9 +630,12 @@ object CommitLogStats {
         // the partitioned stager bypasses writeSegment, so the
         // persistent CHECK constraints gate here — on the pinned
         // input, BEFORE any staged directory is renamed into data/
-        CommitLog.constraintViolation(spark, table, pinned)
-          .foreach(msg =>
-            throw new IllegalStateException(s"CommitLog: $msg"))
+        // (skipped by CTAS/RTAS staging, whose rules belong to the
+        // table definition being committed, not the replaced one)
+        if (enforce)
+          CommitLog.constraintViolation(spark, table, pinned)
+            .foreach(msg =>
+              throw new IllegalStateException(s"CommitLog: $msg"))
         // clone the partition columns so partitionBy's column
         // dropping leaves the originals in the data files; sort
         // within partitions on the stats columns so parquet row

@@ -37,6 +37,16 @@ class CommitLogSpec extends AnyFunSuite {
     rows.toDF("id", "name", "v")
   }
 
+
+  /** Retention-check override for the retain-1 lifecycle tests —
+    * each proves post-vacuum state, so no concurrent reader exists
+    * by construction (the guard itself is pinned in its own test). */
+  private def withRetentionCheckOff[A](body: => A): A = {
+    spark.conf.set("spark.graft.vacuum.retentionCheck", "false")
+    try body
+    finally spark.conf.unset("spark.graft.vacuum.retentionCheck")
+  }
+
   private def sortedRows(d: DataFrame): Seq[(Long, String, Double)] =
     d.select(col("id"), col("name"), col("v")).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
@@ -117,7 +127,8 @@ class CommitLogSpec extends AnyFunSuite {
       assert(CommitLog.changes(spark, t, 5L, skipRewrites = true).isEmpty)
       // vacuumed history below the watermark → loud, never silent skip
       CommitLog.append(spark, t, df((5L, "e", 5.0)))
-      CommitLog.vacuum(spark, t, retainVersions = 1)
+      withRetentionCheckOff {
+        CommitLog.vacuum(spark, t, retainVersions = 1) }
       val g = intercept[IllegalStateException](
         CommitLog.changes(spark, t, 1L))
       assert(g.getMessage.contains("vacuumed"))
@@ -290,7 +301,8 @@ class CommitLogSpec extends AnyFunSuite {
       CommitLog.merge(spark, t, df((1L, "b", 2.0)), keys = Seq("id"))
       CommitLog.merge(spark, t, df((1L, "c", 3.0)), keys = Seq("id"))
       val cur = sortedRows(CommitLog.read(spark, t))
-      CommitLog.vacuum(spark, t, retainVersions = 1)
+      withRetentionCheckOff {
+        CommitLog.vacuum(spark, t, retainVersions = 1) }
       assert(CommitLog.versions(spark, t) === Seq(3L))
       assert(sortedRows(CommitLog.read(spark, t)) === cur)
       // the dropped versions' segments are physically gone
@@ -310,7 +322,8 @@ class CommitLogSpec extends AnyFunSuite {
       CommitLog.writeSegment(spark, t, df((9L, "ghost", 9.0)))
       assert(sortedRows(CommitLog.read(spark, t)) ===
         Seq((1L, "a", 1.0)))
-      CommitLog.vacuum(spark, t, retainVersions = 1)
+      withRetentionCheckOff {
+        CommitLog.vacuum(spark, t, retainVersions = 1) }
       assert(new java.io.File(s"$t/data").listFiles.length === 1)
       assert(sortedRows(CommitLog.read(spark, t)) ===
         Seq((1L, "a", 1.0)))
@@ -503,7 +516,8 @@ class CommitLogSpec extends AnyFunSuite {
         Map("v" -> lit(30.0)))                        // v4 + changes
       val chDir = new java.io.File(s"$t/_changes")
       assert(chDir.listFiles.count(_.isDirectory) === 2)
-      CommitLog.vacuum(spark, t, retainVersions = 1)
+      withRetentionCheckOff {
+        CommitLog.vacuum(spark, t, retainVersions = 1) }
       // v2's delete record is unreferenced by the retained floor → gone;
       // v4's update record survives (referenced by the live manifest)
       assert(chDir.listFiles.count(_.isDirectory) === 1)
@@ -627,6 +641,93 @@ class CommitLogSpec extends AnyFunSuite {
       assert(sortedRows(CommitLog.read(spark, t)) ===
         Seq((2L, "b", 2.0), (3L, "c", 3.0)))
     } finally rm(t)
+  }
+
+  test("vacuum retention check: retain < 2 refuses by default, the " +
+      "min-age window refuses dropping fresh versions, and the " +
+      "explicit override allows both") {
+    val t = tmpTable()
+    try {
+      (1 to 4).foreach(i =>
+        CommitLog.append(spark, t, df((i.toLong, s"r$i", i * 1.0))))
+      // dangerously low retention refuses (a reader planned against
+      // the previous version may still be running)
+      val e = intercept[IllegalArgumentException] {
+        CommitLog.vacuum(spark, t, retainVersions = 1)
+      }
+      assert(e.getMessage.contains("retentionCheck"))
+      assert(CommitLog.read(spark, t, Some(3L)).count() === 3L)
+      // wall-clock window: versions committed inside minAgeMillis
+      // refuse to drop even at retain >= 2
+      spark.conf.set("spark.graft.vacuum.minAgeMillis", "3600000")
+      try {
+        val e2 = intercept[IllegalStateException] {
+          CommitLog.vacuum(spark, t, retainVersions = 2)
+        }
+        assert(e2.getMessage.contains("minAgeMillis"))
+        assert(CommitLog.read(spark, t, Some(1L)).count() === 1L)
+      } finally spark.conf.unset("spark.graft.vacuum.minAgeMillis")
+      // the explicit override is the "no reader is active" switch
+      withRetentionCheckOff {
+        CommitLog.vacuum(spark, t, retainVersions = 1)
+      }
+      assert(CommitLog.snapshot(spark, t, Some(3L)).isEmpty)
+      assert(CommitLog.read(spark, t).count() === 4L)
+    } finally rm(t)
+  }
+
+  test("MERGE-vs-MERGE law: concurrent merges with OVERLAPPING key " +
+      "sets serialize — each writer's disjoint keys survive, the " +
+      "overlap carries the later committer's payload, no row lost") {
+    // deterministic serialization first: B commits between A's
+    // world-view and A's merge — A recomputes against B's state
+    val t = tmpTable()
+    try {
+      CommitLog.append(spark, t,
+        df((1L, "base", 0.0), (2L, "base", 0.0)))
+      val (vB, _, _) = CommitLog.merge(spark, t,
+        df((2L, "B", 2.0), (3L, "B", 3.0)), keys = Seq("id"))
+      val (vA, _, _) = CommitLog.merge(spark, t,
+        df((1L, "A", 1.0), (3L, "A", 30.0)), keys = Seq("id"))
+      assert(vB === 2L && vA === 3L)
+      // serialization order B → A: overlap key 3 carries A (later);
+      // B's disjoint key 2 survives A's merge untouched
+      assert(sortedRows(CommitLog.read(spark, t)) === Seq(
+        (1L, "A", 1.0), (2L, "B", 2.0), (3L, "A", 30.0)))
+    } finally rm(t)
+
+    // then the REAL race: two merges in flight simultaneously — one
+    // loses the version publish and must recompute; the committed
+    // outcome must equal applying them in version order
+    val t2 = tmpTable()
+    try {
+      CommitLog.append(spark, t2, df((1L, "base", 0.0)))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      import scala.concurrent.{ExecutionContext, Future, Await}
+      import scala.concurrent.duration._
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutor(pool)
+      val fX = Future(CommitLog.merge(spark, t2,
+        df((5L, "X", 5.0), (9L, "X", 9.0)), keys = Seq("id")))
+      val fY = Future(CommitLog.merge(spark, t2,
+        df((7L, "Y", 7.0), (9L, "Y", 99.0)), keys = Seq("id")))
+      val (vX, _, _) = Await.result(fX, 120.seconds)
+      val (vY, _, _) = Await.result(fY, 120.seconds)
+      pool.shutdown()
+      // both landed, on distinct serialized versions
+      assert(Set(vX, vY) === Set(2L, 3L))
+      val rows = sortedRows(CommitLog.read(spark, t2))
+      // disjoint keys from BOTH writers survive — nothing lost
+      assert(rows.map(_._1) === Seq(1L, 5L, 7L, 9L))
+      assert(rows.collect { case (5L, n, _) => n } === Seq("X"))
+      assert(rows.collect { case (7L, n, _) => n } === Seq("Y"))
+      // the overlap (key 9) carries the LATER committer's payload —
+      // the WriteSerializable outcome: state == merges applied in
+      // version order
+      val laterIsX = vX > vY
+      assert(rows.collect { case (9L, n, _) => n } ===
+        Seq(if (laterIsX) "X" else "Y"))
+    } finally rm(t2)
   }
 
   // ---- segment-level stats skipping (CommitLogStats) -----------------
@@ -1064,7 +1165,8 @@ class CommitLogSpec extends AnyFunSuite {
       assert(CommitLog.versions(spark, t) === Seq(1L))
       assert(sortedRows(CommitLog.read(spark, t)) === Seq((1L, "a", 1.0)))
       // the refused segment is unreferenced garbage: vacuum removes it
-      CommitLog.vacuum(spark, t, retainVersions = 1)
+      withRetentionCheckOff {
+        CommitLog.vacuum(spark, t, retainVersions = 1) }
       assert(sortedRows(CommitLog.read(spark, t)) === Seq((1L, "a", 1.0)))
       // NULL predicate result = violation (SQL CHECK accepts only TRUE)
       import spark.implicits._
@@ -3282,6 +3384,85 @@ class CommitLogSpec extends AnyFunSuite {
       CommitLog.vacuum(spark, t, retainVersions = 2)
       assert(CommitLog.read(spark, t).count() == 17L)
     } finally rm(t)
+  }
+
+  test("atomic CTAS/RTAS: CREATE TABLE AS SELECT is ONE commit, " +
+      "REPLACE swaps content+schema+partitioning in one version, " +
+      "and a failed CTAS leaves no table behind") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ctas_").toString
+    try {
+      spark.conf.set("spark.sql.catalog.gct",
+        "graft.sources.CommitLogCatalog")
+      spark.conf.set("spark.sql.catalog.gct.root", root)
+      val path = s"$root/ns/t"
+      spark.sql("CREATE TABLE gct.ns.t AS " +
+        "SELECT * FROM VALUES (1, 'a'), (2, 'b') AS v(id, name)")
+      // exactly ONE commit: v1 carries schema AND data together
+      assert(CommitLog.currentVersion(spark, path) === Some(1L))
+      assert(CommitLog.snapshot(spark, path).get.op === "ctas")
+      assert(spark.sql("SELECT * FROM gct.ns.t").count() === 2L)
+      // the feed serves the CTAS output as inserts
+      assert(CommitLog.changeFeed(spark, path, 0L)
+        .filter(col("_change_type") === "insert").count() === 2L)
+      // a second CTAS of the same name refuses
+      intercept[Exception] {
+        spark.sql("CREATE TABLE gct.ns.t AS SELECT 1 AS x")
+      }
+      assert(CommitLog.currentVersion(spark, path) === Some(1L))
+      // RTAS: new content AND new schema in one 'replace' commit;
+      // the old version stays one time travel away
+      spark.sql("REPLACE TABLE gct.ns.t AS " +
+        "SELECT * FROM VALUES (10L, 1.5), (20L, 2.5), (30L, 3.5) " +
+        "AS v(k, score)")
+      assert(CommitLog.currentVersion(spark, path) === Some(2L))
+      assert(CommitLog.snapshot(spark, path).get.op === "replace")
+      assert(spark.sql("SELECT * FROM gct.ns.t").columns.toSeq ===
+        Seq("k", "score"))
+      assert(spark.sql("SELECT * FROM gct.ns.t").count() === 3L)
+      assert(CommitLog.read(spark, path, Some(1L))
+        .columns.toSeq === Seq("id", "name"))
+      // CREATE OR REPLACE on an existing table = another replace
+      spark.sql("CREATE OR REPLACE TABLE gct.ns.t AS " +
+        "SELECT 99L AS k, 9.9 AS score")
+      assert(CommitLog.currentVersion(spark, path) === Some(3L))
+      assert(spark.sql("SELECT k FROM gct.ns.t").head().getLong(0)
+        === 99L)
+      // partitioned CTAS: born prunable, spec recorded; a later
+      // unpartitioned REPLACE clears the spec
+      val p2 = s"$root/ns/p"
+      spark.sql("CREATE TABLE gct.ns.p PARTITIONED BY (name) AS " +
+        "SELECT * FROM VALUES (1, 'x'), (2, 'y'), (3, 'x') " +
+        "AS v(id, name)")
+      assert(CommitLog.partitionColumns(spark, p2) ===
+        Some(Seq("name")))
+      assert(CommitLog.snapshot(spark, p2).get.segments.size === 2)
+      assert(spark.sql("SELECT * FROM gct.ns.p").count() === 3L)
+      spark.sql("REPLACE TABLE gct.ns.p AS SELECT 1 AS only")
+      assert(CommitLog.partitionColumns(spark, p2).isEmpty)
+      // REPLACE of a table that does not exist refuses; CREATE OR
+      // REPLACE creates it
+      intercept[Exception] {
+        spark.sql("REPLACE TABLE gct.ns.nope AS SELECT 1 AS x")
+      }
+      spark.sql("CREATE OR REPLACE TABLE gct.ns.fresh AS " +
+        "SELECT 7 AS x")
+      assert(spark.sql("SELECT x FROM gct.ns.fresh").head().getInt(0)
+        === 7)
+      // atomicity under write failure: the SELECT dies mid-write →
+      // NO table exists afterwards (no create-then-stranded-empty)
+      intercept[Exception] {
+        spark.sql("CREATE TABLE gct.ns.bad AS " +
+          "SELECT assert_true(id > 5) AS chk, id FROM " +
+          "VALUES (1), (9) AS v(id)")
+      }
+      assert(CommitLog.currentVersion(spark, s"$root/ns/bad").isEmpty)
+      spark.sql("DROP TABLE gct.ns.t")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gct")
+      spark.conf.unset("spark.sql.catalog.gct.root")
+      rm(root + "/x")
+    }
   }
 
   test("100k+ segment lifecycle is a metadata non-event: growing " +
