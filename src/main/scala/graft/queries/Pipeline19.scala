@@ -88,6 +88,47 @@ object Pipeline19 {
       } finally rmTree(root)
     }),
 
+    "q193_commitlog_column_mapping" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q193_").toString
+      val tbl = s"$root/ns/c"
+      t(s, dir, "customer").createOrReplaceTempView("q193_customer")
+      s.conf.set("spark.sql.catalog.g193",
+        "graft.sources.CommitLogCatalog")
+      s.conf.set("spark.sql.catalog.g193.root", root)
+      try {
+        s.sql("""CREATE TABLE g193.ns.c AS
+          SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment
+          FROM q193_customer""")
+        // metadata-only DDL chain: rename + drop, zero rewrites
+        s.sql("ALTER TABLE g193.ns.c RENAME COLUMN c_acctbal " +
+          "TO balance")
+        s.sql("ALTER TABLE g193.ns.c DROP COLUMN c_mktsegment")
+        // post-DDL write mixes physical-name ages in one table
+        s.sql("""INSERT INTO g193.ns.c
+          SELECT c_custkey + 1000000, c_nationkey,
+            CAST(c_acctbal AS DOUBLE) FROM q193_customer
+          WHERE c_nationkey < 3""")
+        // served under the LATEST names; the rename is transparent
+        // to the values, the dropped column is gone everywhere
+        s.sql("""SELECT c_nationkey,
+            COUNT(*) AS n,
+            CAST(SUM(CAST(balance AS DECIMAL(30,6))) AS DOUBLE)
+              AS total_balance
+          FROM g193.ns.c GROUP BY c_nationkey""")
+          .withColumn("v1_cols",
+            lit(CommitLog.read(s, tbl, Some(1L)).columns.length
+              .toLong))
+          .orderBy(col("c_nationkey"))
+          .localCheckpoint(true)
+      } finally {
+        s.conf.unset("spark.sql.catalog.g193")
+        s.conf.unset("spark.sql.catalog.g193.root")
+        s.catalog.dropTempView("q193_customer"): Unit
+        rmTree(root)
+      }
+    }),
+
     "q192_commitlog_ctas" -> ((s, dir) => {
       val root = java.nio.file.Files
         .createTempDirectory("graft_q192_").toString
@@ -137,6 +178,23 @@ object Pipeline19 {
         |  TRUE AS ckpt_on_interval,
         |  TRUE AS delta_commits,
         |  TRUE AS version_arith""".stripMargin,
+
+    "q193_commitlog_column_mapping" ->
+      """WITH unioned AS (
+        |  SELECT c_custkey, c_nationkey, c_acctbal AS balance
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_nationkey,
+        |    CAST(c_acctbal AS DOUBLE)
+        |  FROM customer WHERE c_nationkey < 3)
+        |SELECT c_nationkey,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(balance AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS total_balance,
+        |  CAST(4 AS BIGINT) AS v1_cols
+        |FROM unioned
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
 
     "q192_commitlog_ctas" ->
       """SELECT c_nationkey,

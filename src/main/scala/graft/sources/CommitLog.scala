@@ -136,9 +136,69 @@ object CommitLog {
       schema: Option[String] = None,
       ts: Option[Long] = None,
       dv: Option[String] = None,
-      partitionBy: Option[String] = None)
+      partitionBy: Option[String] = None,
+      mapping: Option[String] = None)
 
   private def commitsDir(table: String) = s"$table/_commits"
+
+  // ---- column mapping (RENAME / DROP COLUMN) ---------------------------
+  //
+  // Delta Lake's column-mapping design ("name" mode), carried in the
+  // schema the manifest already records: each StructField MAY hold a
+  // physical name in its metadata (`graft.physical`); absent, the
+  // physical name IS the logical name. RENAME is then a metadata-only
+  // commit that changes the logical name and pins the physical one;
+  // DROP removes the field from the recorded schema (old segments
+  // keep the bytes, no reader ever requests them); re-ADDing a name
+  // on a mapped table assigns a FRESH physical name (col-<uuid>), so
+  // dropped data can never resurrect under a reused name. Readers
+  // request the PHYSICAL schema from parquet and serve logical names
+  // on top; writers rename logical → physical before the file write.
+  // Physical names are stable across any number of renames — that
+  // invariance is what makes time travel, CDF and mixed-age segment
+  // sets line up without rewrites.
+
+  private[sources] val PhysicalKey = "graft.physical"
+
+  private[sources] def physicalName(
+      f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysicalKey))
+      f.metadata.getString(PhysicalKey)
+    else f.name
+
+  /** True when every logical name equals its physical name — the
+    * fast path every pre-mapping table takes (bit-identical behavior
+    * to the pre-mapping code). */
+  private[sources] def isIdentityMapping(
+      s: org.apache.spark.sql.types.StructType): Boolean =
+    s.fields.forall(f => physicalName(f) == f.name)
+
+  private def toPhysicalSchema(
+      s: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      s.fields.map(f => f.copy(name = physicalName(f))))
+
+  /** Rename logical → physical on the columns the mapping renames;
+    * extra columns (CDC stamps, staging tags) pass through. No-op on
+    * identity mappings. */
+  private[sources] def toPhysicalFrame(df: DataFrame,
+      sch: org.apache.spark.sql.types.StructType): DataFrame =
+    sch.fields.filter(f => physicalName(f) != f.name)
+      .foldLeft(df)((d, f) =>
+        if (d.columns.contains(f.name))
+          d.withColumnRenamed(f.name, physicalName(f))
+        else d)
+
+  /** Rename physical → logical for every mapped column present —
+    * the read-side inverse of [[toPhysicalFrame]]. */
+  private[sources] def fromPhysicalFrame(df: DataFrame,
+      sch: org.apache.spark.sql.types.StructType): DataFrame =
+    sch.fields.filter(f => physicalName(f) != f.name)
+      .foldLeft(df)((d, f) =>
+        if (d.columns.contains(physicalName(f)))
+          d.withColumnRenamed(physicalName(f), f.name)
+        else d)
 
   /** Table-level partition-column marker (`_partition.json`): written
     * once at `CREATE TABLE … PARTITIONED BY` and immutable thereafter
@@ -336,8 +396,17 @@ object CommitLog {
       table: String, stagedPaths: Seq[String]): Unit = {
     // marker probe first: no constraints → no parquet footer reads
     if (stagedPaths.isEmpty || constraints(spark, table).isEmpty) return
-    constraintViolation(spark, table,
-      spark.read.parquet(stagedPaths: _*)).foreach { msg =>
+    // constraints are written against LOGICAL names — on a mapped
+    // table the staged bytes carry physical names, so restore the
+    // logical view before evaluating (identity tables read inferred,
+    // exactly as before)
+    val staged = snapshot(spark, table).flatMap(_.schema)
+      .map(decodeSchema).filterNot(isIdentityMapping) match {
+      case Some(sch) =>
+        fromPhysicalFrame(spark.read.parquet(stagedPaths: _*), sch)
+      case None => spark.read.parquet(stagedPaths: _*)
+    }
+    constraintViolation(spark, table, staged).foreach { msg =>
       val f = fs(spark, table)
       stagedPaths.foreach(p =>
         f.delete(new org.apache.hadoop.fs.Path(p), true): Unit)
@@ -551,6 +620,14 @@ object CommitLog {
   private[graft] def readSegments(spark: SparkSession,
       segments: Seq[String], schema: Option[String]): DataFrame =
     schema.map(decodeSchema) match {
+      case Some(sch) if !isIdentityMapping(sch) =>
+        // column mapping: parquet serves the PHYSICAL schema (the
+        // names in the files, stable across renames); the projection
+        // restores logical names — pruning pushes through it
+        val phys = toPhysicalSchema(sch)
+        spark.read.schema(phys).parquet(segments: _*)
+          .select(sch.fields.map(f =>
+            col(s"`${physicalName(f)}`").as(f.name, f.metadata)): _*)
       case Some(sch) => spark.read.schema(sch).parquet(segments: _*)
       case None => spark.read.parquet(segments: _*)
     }
@@ -632,7 +709,13 @@ object CommitLog {
     * by [[vacuum]]), never a corrupt table. */
   private[graft] def writeSegment(spark: SparkSession, table: String,
       df: DataFrame): String = {
-    val seg = stageSegmentUnchecked(spark, table, df)
+    // column mapping: file bytes store PHYSICAL names (identity → the
+    // rename fold is a no-op and no manifest read happens beyond the
+    // one below, which callers' OCC loops do anyway)
+    val mapped = snapshot(spark, table).flatMap(_.schema)
+      .map(decodeSchema).filterNot(isIdentityMapping)
+      .map(sch => toPhysicalFrame(df, sch)).getOrElse(df)
+    val seg = stageSegmentUnchecked(spark, table, mapped)
     // persistent CHECK constraints gate EVERY segment before any
     // manifest can name it — one columnar scan of the new data only,
     // nothing when the table has no constraints (one marker probe)
@@ -825,7 +908,8 @@ object CommitLog {
     // own value ("" = explicitly unpartitioned).
     val stamped = snap.copy(ts = Some(System.currentTimeMillis()),
       partitionBy = snap.partitionBy
-        .orElse(parent.flatMap(_.partitionBy)))
+        .orElse(parent.flatMap(_.partitionBy)),
+      mapping = snap.mapping.orElse(parent.flatMap(_.mapping)))
     // O(delta) commit bytes: render adds/removes relative to the
     // parent (version-1) whenever the parent resolves and forward
     // replay reproduces the EXACT segment list (order included — an
@@ -1037,8 +1121,20 @@ object CommitLog {
             s"CommitLog.evolveColumns: column '${f.name}' already " +
               s"exists at $table — ADD COLUMNS cannot re-add a column")
       }
+      // column mapping active → a (re-)added name gets a FRESH
+      // physical name, so a column dropped earlier can never serve
+      // its old bytes under the reused name
+      val mappingActive =
+        cur.mapping.isDefined || !isIdentityMapping(base)
+      val stampedAdds =
+        if (!mappingActive) added
+        else added.map(f => f.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString(PhysicalKey,
+              s"col-${java.util.UUID.randomUUID()}").build()))
       val merged = evolveSchema(base,
-        org.apache.spark.sql.types.StructType(added.toArray), cs)
+        org.apache.spark.sql.types.StructType(stampedAdds.toArray), cs)
       val snap = Snapshot(cur.version + 1L, cur.segments, cur.version,
         "evolve", schema = Some(encodeSchema(merged)), dv = cur.dv)
       if (tryPublish(spark, table, snap, Some(cur))) return snap.version
@@ -1047,6 +1143,131 @@ object CommitLog {
     throw new java.io.IOException(
       s"CommitLog.evolveColumns: lost the version race $maxRetries " +
         s"times at $table")
+  }
+
+  /** `ALTER TABLE … RENAME COLUMN` — a METADATA-ONLY commit under
+    * column mapping: the field keeps its PHYSICAL name (pinned into
+    * the field metadata on first rename), only the logical name
+    * changes, so zero segments rewrite and every older version time
+    * travels under its own names. Refusals, each naming the way out:
+    * unknown column; target name already taken (analyzer-aware
+    * case matching); a partition column (the partitioned layout is
+    * name-coupled — repartition via OPTIMIZE into a new table); a
+    * column a CHECK constraint references (drop the constraint
+    * first, re-add under the new name); a table with no recorded
+    * schema (nothing to rename against). */
+  def renameColumn(spark: SparkSession, table: String, from: String,
+      to: String, maxRetries: Int = 20): Long = {
+    val cs = caseSensitiveAnalysis(spark)
+    def same(a: String, b: String) =
+      if (cs) a == b else a.equalsIgnoreCase(b)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val cur = snapshot(spark, table).getOrElse(
+        throw new IllegalStateException(
+          s"CommitLog.renameColumn: nothing committed at $table"))
+      val base = cur.schema.map(decodeSchema).getOrElse(
+        throw new IllegalStateException(
+          s"CommitLog.renameColumn: $table has no recorded schema — " +
+            "only catalog-created / schema-recorded tables support " +
+            "column mapping"))
+      mappingDdlGuards(spark, table, "renameColumn", from, base)
+      if (!base.fieldNames.exists(same(_, from)))
+        throw new IllegalStateException(
+          s"CommitLog.renameColumn: no column '$from' at $table")
+      if (base.fieldNames.exists(same(_, to)))
+        throw new IllegalStateException(
+          s"CommitLog.renameColumn: column '$to' already exists at " +
+            s"$table")
+      val renamed = org.apache.spark.sql.types.StructType(
+        base.fields.map { f =>
+          if (!same(f.name, from)) f
+          else f.copy(name = to, metadata =
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putString(PhysicalKey, physicalName(f)).build())
+        })
+      val snap = Snapshot(cur.version + 1L, cur.segments, cur.version,
+        "rename_column", schema = Some(encodeSchema(renamed)),
+        dv = cur.dv, mapping = Some("name"))
+      if (tryPublish(spark, table, snap, Some(cur))) return snap.version
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"CommitLog.renameColumn: lost the version race $maxRetries " +
+        s"times at $table")
+  }
+
+  /** `ALTER TABLE … DROP COLUMN` — a METADATA-ONLY commit under
+    * column mapping: the field leaves the recorded schema, its bytes
+    * stay in the old segments (readers never request them; vacuum of
+    * pre-drop versions eventually reclaims), and the table enters
+    * mapping mode so a later re-ADD of the same name maps to a fresh
+    * physical column instead of resurrecting the dropped data. Same
+    * refusal set as [[renameColumn]], plus dropping the last column. */
+  def dropColumn(spark: SparkSession, table: String, name: String,
+      maxRetries: Int = 20): Long = {
+    val cs = caseSensitiveAnalysis(spark)
+    def same(a: String, b: String) =
+      if (cs) a == b else a.equalsIgnoreCase(b)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val cur = snapshot(spark, table).getOrElse(
+        throw new IllegalStateException(
+          s"CommitLog.dropColumn: nothing committed at $table"))
+      val base = cur.schema.map(decodeSchema).getOrElse(
+        throw new IllegalStateException(
+          s"CommitLog.dropColumn: $table has no recorded schema — " +
+            "only catalog-created / schema-recorded tables support " +
+            "column mapping"))
+      mappingDdlGuards(spark, table, "dropColumn", name, base)
+      if (!base.fieldNames.exists(same(_, name)))
+        throw new IllegalStateException(
+          s"CommitLog.dropColumn: no column '$name' at $table")
+      if (base.fields.length == 1)
+        throw new IllegalStateException(
+          s"CommitLog.dropColumn: cannot drop the only column of " +
+            s"$table — DROP TABLE instead")
+      val remaining = org.apache.spark.sql.types.StructType(
+        base.fields.filterNot(f => same(f.name, name)))
+      val snap = Snapshot(cur.version + 1L, cur.segments, cur.version,
+        "drop_column", schema = Some(encodeSchema(remaining)),
+        dv = cur.dv, mapping = Some("name"))
+      if (tryPublish(spark, table, snap, Some(cur))) return snap.version
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"CommitLog.dropColumn: lost the version race $maxRetries " +
+        s"times at $table")
+  }
+
+  /** The rename/drop refusals shared by both verbs: partition
+    * columns (layout is name-coupled) and constraint-referenced
+    * columns (the gate would silently stop seeing them — the
+    * [[restore]] stranding rationale). */
+  private def mappingDdlGuards(spark: SparkSession, table: String,
+      verb: String, column: String,
+      base: org.apache.spark.sql.types.StructType): Unit = {
+    partitionColumns(spark, table).foreach { pCols =>
+      if (pCols.exists(_.equalsIgnoreCase(column)))
+        throw new IllegalStateException(
+          s"CommitLog.$verb: '$column' is a PARTITION column of " +
+            s"$table — the partitioned directory layout is " +
+            "name-coupled; rewrite into a new table (CTAS / " +
+            "optimize) instead")
+    }
+    constraints(spark, table).foreach { case (n, e) =>
+      val refs = org.apache.spark.sql.catalyst.parser
+        .CatalystSqlParser.parseExpression(e).collect {
+          case u: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedAttribute => u.name
+        }
+      if (refs.exists(_.equalsIgnoreCase(column)))
+        throw new IllegalStateException(
+          s"CommitLog.$verb: CHECK constraint '$n' ($e) references " +
+            s"'$column' — drop the constraint first (UNSET " +
+            "TBLPROPERTIES), then retry")
+    }
   }
 
   /** Highest micro-batch id ever committed by `appId`, from the txn
@@ -1149,6 +1370,14 @@ object CommitLog {
       s"CommitLog.merge: lost the version race $maxRetries times at $table")
   }
 
+
+  /** CDC records store PHYSICAL column names on a mapped table (the
+    * time-invariant names, so one current mapping serves the whole
+    * feed); identity mappings make this the identity function. */
+  private def changePhysical(cur: Snapshot)(df: DataFrame): DataFrame =
+    cur.schema.map(decodeSchema).filterNot(isIdentityMapping)
+      .fold(df)(toPhysicalFrame(df, _))
+
   /** Segment directories that contain at least one row matching
     * `matched`: ONE predicate-pushed scan of the whole table collecting
     * only the distinct FILE paths with a match (bounded: one row per
@@ -1208,6 +1437,7 @@ object CommitLog {
       val changeDir = s"$table/_changes/${java.util.UUID.randomUUID()}"
       touchedDf.filter(matched)
         .withColumn("_change_type", lit("delete"))
+        .transform(changePhysical(cur))
         .write.mode(SaveMode.ErrorIfExists).parquet(changeDir)
       val nDeleted = spark.read.parquet(changeDir).count()
       val kept = touchedDf.filter(!matched)
@@ -1303,7 +1533,8 @@ object CommitLog {
         val changeDir = s"$table/_changes/${java.util.UUID.randomUUID()}"
         matches.select(dataCols.map(col): _*)
           .withColumn("_change_type", lit("delete"))
-          .write.mode(SaveMode.ErrorIfExists).parquet(changeDir)
+          .transform(changePhysical(cur))
+        .write.mode(SaveMode.ErrorIfExists).parquet(changeDir)
         if (priorDv + nDeleted > maxDvRows) {
           // Past the bound, merge-on-read economics are gone — the
           // vector is a relation every subsequent scan subtracts.
@@ -1433,7 +1664,8 @@ object CommitLog {
         preImage.withColumn("_change_type", lit("update_preimage"))
           .unionByName(applied
             .withColumn("_change_type", lit("update_postimage")))
-          .write.mode(SaveMode.ErrorIfExists).parquet(changeDir)
+          .transform(changePhysical(cur))
+        .write.mode(SaveMode.ErrorIfExists).parquet(changeDir)
         val newSeg = writeSegment(spark, table, applied)
         val newPairs = matches.select(
           col("__graft_dv_file").as("_dv_file"),
@@ -1507,6 +1739,7 @@ object CommitLog {
         .withColumn("_change_type", lit("update_preimage"))
         .unionByName(applied(onlyMatched = true)
           .withColumn("_change_type", lit("update_postimage")))
+        .transform(changePhysical(cur))
         .write.mode(SaveMode.ErrorIfExists).parquet(changeDir)
       val nUpdated = spark.read.parquet(changeDir)
         .filter(col("_change_type") === "update_preimage").count()
@@ -1802,6 +2035,7 @@ object CommitLog {
         lit("insert"))).getOrElse(deletedRows.filter(lit(false)))
       deletedRows.unionByName(preRows).unionByName(postRows)
         .unionByName(insRows)
+        .transform(changePhysical(cur))
         .write.mode(SaveMode.ErrorIfExists).parquet(changeDir)
       val byType = spark.read.parquet(changeDir)
         .groupBy(col("_change_type")).agg(count(lit(1)).as("n"))
@@ -1872,6 +2106,18 @@ object CommitLog {
     // O(V) small-file reads, not O(V × checkpointInterval)
     val byVersion = snapshotsAsc(spark, table)
       .map(s => s.version -> s).toMap
+    // Delta CDF's rule: the feed is served under the LATEST schema.
+    // On a column-mapped table that also means mapping physical file
+    // names (stable across renames, so one mapping covers every
+    // version's files) back to the latest logical names; identity
+    // tables keep the inferred-read fast path bit-for-bit.
+    val latestMapped = vs.lastOption.flatMap(v => byVersion(v).schema)
+      .map(decodeSchema).filterNot(isIdentityMapping)
+    def readAdded(added: Seq[String]): DataFrame = latestMapped match {
+      case Some(sch) => readSegments(spark, added,
+        Some(encodeSchema(sch)))
+      case None => spark.read.parquet(added: _*)
+    }
     val parts = vs.flatMap { v =>
       val snap = byVersion(v)
       snap.op match {
@@ -1882,7 +2128,7 @@ object CommitLog {
             else byVersion(v - 1L).segments.toSet
           val added = snap.segments.filterNot(prev)
           if (added.isEmpty) None
-          else Some(spark.read.parquet(added: _*)
+          else Some(readAdded(added)
             .withColumn("_change_type", lit("insert"))
             .withColumn("_commit_version", lit(v)))
         case "delete" | "delete_dv" | "update" | "update_dv" |
@@ -1890,13 +2136,15 @@ object CommitLog {
           val dir = snap.changes.getOrElse(throw new IllegalStateException(
             s"CommitLog.changeFeed: version $v of $table is a " +
               s"'${snap.op}' with no recorded change directory"))
-          Some(spark.read.parquet(dir)
+          val raw = spark.read.parquet(dir)
+          Some(latestMapped.fold(raw)(fromPhysicalFrame(raw, _))
             .withColumn("_commit_version", lit(v)))
         case "compact" => None
         // the catalog's CREATE TABLE commit records a schema and zero
         // segments — no content change, same class as compact; an
         // 'evolve' (metadata-only ADD COLUMNS) likewise changes no rows
-        case "create" | "evolve" => None
+        case "create" | "evolve" | "rename_column" |
+            "drop_column" => None
         case _ if skipRewrites => None
         case op => throw new IllegalStateException(
           s"CommitLog.changeFeed: version $v of $table is a '$op' " +
@@ -1997,7 +2245,8 @@ object CommitLog {
           else Some(v -> spark.read.parquet(added: _*))
         case "compact" => None // content-preserving rewrite
         case "create" => None  // zero-segment schema-only commit
-        case "evolve" => None  // metadata-only ADD COLUMNS
+        case "evolve" | "rename_column" | "drop_column" =>
+          None // metadata-only schema commits
         case _ if skipRewrites => None
         case op => throw new IllegalStateException(
           s"CommitLog.changes: version $v of $table is a '$op' rewrite" +
@@ -2220,8 +2469,9 @@ object CommitLog {
     val pb = s.partitionBy.fold("")(p =>
       s""""partitionBy":"${p.replace("\\", "\\\\")
         .replace("\"", "\\\"")}",""")
+    val mp = s.mapping.fold("")(m => s""""mapping":"$m",""")
     s"""{"version":${s.version},"baseVersion":${s.baseVersion},""" +
-      txn + ch + dvf + sch + ts + pb + s""""op":"${s.op}","""
+      txn + ch + dvf + sch + ts + pb + mp + s""""op":"${s.op}","""
   }
 
   private def renderManifest(s: Snapshot): String =
@@ -2286,7 +2536,9 @@ object CommitLog {
           .replace("\\\"", "\"").replace("\\\\", "\\")),
       partitionBy = optField("partitionBy")
         .map(_.stripPrefix("\"").stripSuffix("\"")
-          .replace("\\\"", "\"").replace("\\\\", "\\"))),
+          .replace("\\\"", "\"").replace("\\\\", "\\")),
+      mapping = optField("mapping")
+        .map(_.stripPrefix("\"").stripSuffix("\""))),
       delta)
   }
 }

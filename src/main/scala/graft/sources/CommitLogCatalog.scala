@@ -291,14 +291,24 @@ class CommitLogCatalog extends TableCatalog
       identityPartitionCols(partitions, schema),
       replace = true, orCreate = true)
 
-  /** `ALTER TABLE … ADD COLUMNS` — the one table change with sound
-    * lakehouse semantics here: a METADATA-ONLY evolve commit
-    * ([[CommitLog.evolveColumns]]) extends the manifest schema, every
-    * pre-evolution segment serves NULL for the new columns, and time
-    * travel below the evolve version keeps that version's own column
-    * set. Everything else (drop / rename / retype / reposition /
-    * NOT NULL / DEFAULT) refuses loudly: each would either rewrite
-    * data or lie about what old segments can serve. */
+  /** The METADATA-ONLY table changes — each one manifest commit,
+    * zero data rewritten, time travel below the change keeping that
+    * version's own column set:
+    *
+    *  - `ADD COLUMNS` ([[CommitLog.evolveColumns]]): extends the
+    *    recorded schema; pre-evolution segments serve NULL;
+    *  - `RENAME COLUMN` ([[CommitLog.renameColumn]]): column
+    *    mapping — the physical name pins into the field metadata,
+    *    only the logical name changes;
+    *  - `DROP COLUMN` ([[CommitLog.dropColumn]]): the field leaves
+    *    the schema, its bytes stay unrequested in old segments, and
+    *    a re-ADD of the name maps to a fresh physical column;
+    *  - `SET/UNSET TBLPROPERTIES ('graft.constraint.…')`: CHECK
+    *    constraint management.
+    *
+    * Everything else (retype / reposition / NOT NULL / DEFAULT)
+    * refuses loudly: each would either rewrite data or lie about
+    * what old segments can serve. */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
@@ -337,6 +347,35 @@ class CommitLogCatalog extends TableCatalog
       }
       return loadTable(ident)
     }
+    // RENAME / DROP COLUMN: metadata-only commits under column
+    // mapping ([[CommitLog.renameColumn]]/[[CommitLog.dropColumn]] —
+    // physical names pinned in the recorded schema, zero rewrites)
+    val mappingDdl = changes.collect {
+      case r: TableChange.RenameColumn => r
+      case d: TableChange.DeleteColumn => d
+    }
+    if (mappingDdl.nonEmpty) {
+      require(mappingDdl.size == changes.size,
+        "commitlog catalog: mixing RENAME/DROP COLUMN with other " +
+          "ALTERs in one statement is not supported")
+      val path = pathOf(ident)
+      mappingDdl.foreach {
+        case r: TableChange.RenameColumn =>
+          if (r.fieldNames().length != 1)
+            throw new UnsupportedOperationException(
+              "commitlog catalog: RENAME COLUMN supports top-level " +
+                s"columns only, got '${r.fieldNames().mkString(".")}'")
+          CommitLog.renameColumn(spark, path, r.fieldNames()(0),
+            r.newName()): Unit
+        case d: TableChange.DeleteColumn =>
+          if (d.fieldNames().length != 1)
+            throw new UnsupportedOperationException(
+              "commitlog catalog: DROP COLUMN supports top-level " +
+                s"columns only, got '${d.fieldNames().mkString(".")}'")
+          CommitLog.dropColumn(spark, path, d.fieldNames()(0)): Unit
+      }
+      return loadTable(ident)
+    }
     val added = changes.map {
       case a: TableChange.AddColumn =>
         if (a.fieldNames().length != 1)
@@ -362,9 +401,11 @@ class CommitLogCatalog extends TableCatalog
           a.fieldNames()(0), a.dataType(), nullable = true)
       case c =>
         throw new UnsupportedOperationException(
-          "commitlog catalog: ALTER TABLE supports ADD COLUMNS only " +
-            s"(got ${c.getClass.getSimpleName}) — drops/renames/type " +
-            "changes need an explicit rewrite, not metadata evolution")
+          "commitlog catalog: ALTER TABLE supports ADD COLUMNS, " +
+            "RENAME COLUMN and DROP COLUMN " +
+            s"(got ${c.getClass.getSimpleName}) — type changes and " +
+            "repositioning need an explicit rewrite, not metadata " +
+            "evolution")
     }
     CommitLog.evolveColumns(spark, pathOf(ident), added)
     loadTable(ident)

@@ -383,10 +383,23 @@ class CommitLogTable(spark: SparkSession, path: String,
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : org.apache.spark.sql.connector.read.ScanBuilder =
-    if (snap.dv.isDefined)
+      : org.apache.spark.sql.connector.read.ScanBuilder = {
+    // Column-mapped tables (any field with a physical name ≠ its
+    // logical name) serve scans through the protocol reader, which
+    // requests the PHYSICAL schema from parquet and restores logical
+    // names — the ParquetTable fast path would silently read NULLs
+    // for every renamed column. The bridge costs pushdown (plan-time
+    // segment skipping / aggregate pushdown don't apply); column
+    // pruning still pushes through the rename projection.
+    val mapped = snap.schema.map(CommitLog.decodeSchema)
+      .exists(s => !CommitLog.isIdentityMapping(s))
+    if (mapped)
+      new CommitLogMappedScanBuilder(
+        () => CommitLog.readLive(spark, snap))
+    else if (snap.dv.isDefined)
       new CommitLogDvScanBuilder(spark, snap, pq.schema)
     else new CommitLogScanBuilder(spark, snap, pq, options)
+  }
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -610,6 +623,63 @@ private[sources] class CommitLogDvScanBuilder(spark: SparkSession,
             val filtered = cols.foldLeft(base)((d, c) => d.filter(c))
             filtered
               .select(required.fieldNames.toIndexedSeq.map(col): _*)
+              .queryExecution.toRdd
+              .asInstanceOf[org.apache.spark.rdd
+                .RDD[org.apache.spark.sql.Row]]
+          }
+        }
+        rel.asInstanceOf[T]
+      }
+    }
+}
+
+/** Scan bridge for COLUMN-MAPPED tables: serves the protocol
+  * reader's frame ([[CommitLog.readLive]] — physical parquet schema
+  * + logical rename projection + deletion-vector subtraction), with
+  * column pruning and translatable filters replayed on the logical
+  * frame. Catalyst pushes both through the rename projection into
+  * the parquet scan; what this path gives up vs the ParquetTable
+  * fast path is plan-time sidecar pruning and aggregate pushdown —
+  * correctness-neutral (less skipping, never wrong rows). */
+private[sources] class CommitLogMappedScanBuilder(
+    frame: () => org.apache.spark.sql.DataFrame)
+    extends org.apache.spark.sql.connector.read.ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+
+  import org.apache.spark.sql.connector.read.Scan
+  import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
+
+  private lazy val full = frame()
+  private var required: StructType = null
+  private var filters: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(fs: Array[Filter]): Array[Filter] = {
+    filters = fs; fs // all residual; translatable ones replayed too
+  }
+  override def pushedFilters(): Array[Filter] = Array.empty
+
+  override def build(): Scan =
+    new org.apache.spark.sql.connector.read.V1Scan {
+      private def outSchema: StructType =
+        Option(required).getOrElse(full.schema)
+      override def readSchema(): StructType = outSchema
+      override def toV1TableScan[T <: BaseRelation with TableScan](
+          context: org.apache.spark.sql.SQLContext): T = {
+        val rel = new BaseRelation with TableScan {
+          override def sqlContext: org.apache.spark.sql.SQLContext =
+            context
+          override def schema: StructType = outSchema
+          override def needConversion: Boolean = false
+          override def buildScan()
+              : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+            val cols = filters.flatMap(CommitLogTable.filterToColumn)
+            val filtered = cols.foldLeft(full)((d, c) => d.filter(c))
+            filtered
+              .select(outSchema.fieldNames.toIndexedSeq.map(col): _*)
               .queryExecution.toRdd
               .asInstanceOf[org.apache.spark.rdd
                 .RDD[org.apache.spark.sql.Row]]
@@ -853,7 +923,13 @@ class CommitLogStreamSource(spark: SparkSession, metadataPath: String,
           val added = snap.segments.filterNot(prev)
           if (added.isEmpty) None
           else {
-            val d = spark.read.parquet(added: _*)
+            // column-mapped tables read under the version's mapping
+            // (physical file names → logical); identity tables keep
+            // the inferred-read fast path unchanged
+            val d = if (snap.schema.map(CommitLog.decodeSchema)
+                .exists(s => !CommitLog.isIdentityMapping(s)))
+              CommitLog.readSegments(spark, added, snap.schema)
+            else spark.read.parquet(added: _*)
             Some(if (readChangeFeed)
               d.withColumn("_change_type", lit("insert"))
                 .withColumn("_commit_version", lit(ver))
@@ -861,15 +937,19 @@ class CommitLogStreamSource(spark: SparkSession, metadataPath: String,
           }
         case "compact" => None // content-preserving rewrite
         case "create" => None  // zero-segment schema-only commit
-        case "evolve" => None  // metadata-only ADD COLUMNS
+        case "evolve" | "rename_column" | "drop_column" =>
+          None // metadata-only schema commits
         case "delete" | "delete_dv" | "update" | "update_dv"
             if readChangeFeed =>
           val dir = snap.changes.getOrElse(throw
             new IllegalStateException(
               s"commitlog stream: version $ver of $table is a " +
                 s"'${snap.op}' with no recorded change directory"))
-          Some(spark.read.parquet(dir)
-            .withColumn("_commit_version", lit(ver)))
+          val raw = spark.read.parquet(dir)
+          val mapped = snap.schema.map(CommitLog.decodeSchema)
+            .filter(s => !CommitLog.isIdentityMapping(s))
+            .fold(raw)(CommitLog.fromPhysicalFrame(raw, _))
+          Some(mapped.withColumn("_commit_version", lit(ver)))
         case _ if skipRewrites => None
         case op => throw new IllegalStateException(
           s"commitlog stream: version $ver of $table is a '$op' " +

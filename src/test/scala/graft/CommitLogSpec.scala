@@ -3386,6 +3386,167 @@ class CommitLogSpec extends AnyFunSuite {
     } finally rm(t)
   }
 
+  test("column mapping: RENAME COLUMN is metadata-only — data " +
+      "serves under the new name on every surface, writes land " +
+      "physical, time travel keeps per-version names") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_colmap_").toString
+    try {
+      spark.conf.set("spark.sql.catalog.gcm",
+        "graft.sources.CommitLogCatalog")
+      spark.conf.set("spark.sql.catalog.gcm.root", root)
+      val path = s"$root/ns/t"
+      spark.sql("CREATE TABLE gcm.ns.t (id BIGINT, v DOUBLE)")
+      spark.sql("INSERT INTO gcm.ns.t VALUES (1, 1.5), (2, 2.5)")
+      val segsBefore = CommitLog.snapshot(spark, path).get.segments
+      spark.sql("ALTER TABLE gcm.ns.t RENAME COLUMN v TO score")
+      // metadata-only: same segment set, one new version
+      assert(CommitLog.snapshot(spark, path).get.segments ===
+        segsBefore)
+      assert(CommitLog.snapshot(spark, path).get.op ===
+        "rename_column")
+      // the renamed column serves the ORIGINAL data (a naive
+      // logical-schema read would serve NULLs) — SQL surface
+      assert(spark.sql(
+        "SELECT score FROM gcm.ns.t WHERE id = 1").head()
+        .getDouble(0) === 1.5)
+      // programmatic surface + filter on the renamed name
+      assert(CommitLog.read(spark, path).columns.toSeq ===
+        Seq("id", "score"))
+      assert(CommitLog.read(spark, path)
+        .filter(col("score") > 2.0).count() === 1L)
+      // writes after the rename land under the stable physical name:
+      // mixed-age segments serve one uniform logical view
+      spark.sql("INSERT INTO gcm.ns.t VALUES (3, 3.5)")
+      assert(CommitLog.read(spark, path)
+        .agg(sum(col("score"))).head().getDouble(0) === 7.5)
+      // time travel below the rename keeps that version's own name
+      assert(CommitLog.read(spark, path, Some(2L))
+        .columns.toSeq === Seq("id", "v"))
+      assert(CommitLog.read(spark, path, Some(2L))
+        .agg(sum(col("v"))).head().getDouble(0) === 4.0)
+      // DML through the renamed name (rewrite maps back to physical)
+      CommitLog.update(spark, path, col("id") === 2L,
+        Map("score" -> lit(20.5)))
+      assert(CommitLog.read(spark, path)
+        .filter(col("id") === 2L).head().getAs[Double]("score")
+        === 20.5)
+      // the change feed serves LATEST logical names across the
+      // rename boundary — including pre-rename inserts and the
+      // post-rename update images
+      val feed = CommitLog.changeFeed(spark, path, 0L)
+      assert(feed.columns.contains("score") &&
+        !feed.columns.contains("v"))
+      assert(feed.filter(col("_change_type") === "insert")
+        .count() === 3L)
+      assert(feed.filter(col("_change_type") === "update_postimage")
+        .head().getAs[Double]("score") === 20.5)
+      spark.sql("DROP TABLE gcm.ns.t")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gcm")
+      spark.conf.unset("spark.sql.catalog.gcm.root")
+      rm(root + "/x")
+    }
+  }
+
+  test("column mapping: DROP COLUMN removes the field without " +
+      "rewrites, and re-ADDing the name maps to a FRESH physical " +
+      "column — dropped bytes can never resurrect") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_colmap2_").toString
+    try {
+      spark.conf.set("spark.sql.catalog.gcd",
+        "graft.sources.CommitLogCatalog")
+      spark.conf.set("spark.sql.catalog.gcd.root", root)
+      val path = s"$root/ns/t"
+      spark.sql(
+        "CREATE TABLE gcd.ns.t (id BIGINT, note STRING, v DOUBLE)")
+      spark.sql(
+        "INSERT INTO gcd.ns.t VALUES (1, 'secret', 1.0), " +
+          "(2, 'hidden', 2.0)")
+      val segsBefore = CommitLog.snapshot(spark, path).get.segments
+      spark.sql("ALTER TABLE gcd.ns.t DROP COLUMN note")
+      assert(CommitLog.snapshot(spark, path).get.segments ===
+        segsBefore)
+      assert(CommitLog.read(spark, path).columns.toSeq ===
+        Seq("id", "v"))
+      // time travel below the drop still serves the old column
+      assert(CommitLog.read(spark, path, Some(2L))
+        .filter(col("id") === 1L).head().getAs[String]("note")
+        === "secret")
+      // re-ADD the dropped name: fresh physical column → NULLs for
+      // the old rows, NOT the dropped bytes
+      spark.sql("ALTER TABLE gcd.ns.t ADD COLUMNS (note STRING)")
+      val back = CommitLog.read(spark, path)
+      assert(back.filter(col("note").isNotNull).count() === 0L)
+      spark.sql("INSERT INTO gcd.ns.t VALUES (3, 30.0, 'fresh')")
+      assert(CommitLog.read(spark, path)
+        .filter(col("note") === "fresh").count() === 1L)
+      assert(CommitLog.read(spark, path)
+        .filter(col("id") === 1L).head().isNullAt(2))
+      spark.sql("DROP TABLE gcd.ns.t")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gcd")
+      spark.conf.unset("spark.sql.catalog.gcd.root")
+      rm(root + "/x")
+    }
+  }
+
+  test("column mapping refusals and the DV interplay: partition / " +
+      "constraint columns refuse rename+drop; a deletion vector " +
+      "survives a rename") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_colmap3_").toString
+    try {
+      spark.conf.set("spark.sql.catalog.gcr2",
+        "graft.sources.CommitLogCatalog")
+      spark.conf.set("spark.sql.catalog.gcr2.root", root)
+      val path = s"$root/ns/p"
+      spark.sql("CREATE TABLE gcr2.ns.p (id BIGINT, region STRING) " +
+        "PARTITIONED BY (region)")
+      spark.sql("INSERT INTO gcr2.ns.p VALUES (1, 'na'), (2, 'eu')")
+      // partition column: name-coupled layout → refuse
+      val e1 = intercept[Exception] {
+        spark.sql("ALTER TABLE gcr2.ns.p RENAME COLUMN region TO r")
+      }
+      assert(e1.getMessage.contains("PARTITION"))
+      // constraint-referenced column → refuse, naming the way out
+      spark.sql("ALTER TABLE gcr2.ns.p SET TBLPROPERTIES " +
+        "('graft.constraint.pos' = 'id > 0')")
+      val e2 = intercept[Exception] {
+        spark.sql("ALTER TABLE gcr2.ns.p DROP COLUMN id")
+      }
+      assert(e2.getMessage.contains("constraint"))
+      // duplicate target name → refuse
+      val e3 = intercept[Exception] {
+        spark.sql("ALTER TABLE gcr2.ns.p RENAME COLUMN id TO region")
+      }
+      assert(e3.getMessage.contains("already"))
+      // DV + mapping: vectored-delete, rename, then read — the
+      // position-keyed vector subtracts correctly under the mapping
+      val t2 = s"$root/ns/d"
+      spark.sql("CREATE TABLE gcr2.ns.d (id BIGINT, v DOUBLE)")
+      spark.sql(
+        "INSERT INTO gcr2.ns.d VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+      CommitLog.deleteVectored(spark, t2, col("id") === 2L)
+      spark.sql("ALTER TABLE gcr2.ns.d RENAME COLUMN v TO w")
+      assert(CommitLog.read(spark, t2).count() === 2L)
+      assert(CommitLog.read(spark, t2)
+        .agg(sum(col("w"))).head().getDouble(0) === 4.0)
+      assert(spark.sql("SELECT w FROM gcr2.ns.d WHERE id = 3")
+        .head().getDouble(0) === 3.0)
+      // and a post-rename vectored delete works through the new name
+      CommitLog.deleteVectored(spark, t2, col("w") === 1.0)
+      assert(CommitLog.read(spark, t2).count() === 1L)
+      spark.sql("DROP TABLE gcr2.ns.p")
+      spark.sql("DROP TABLE gcr2.ns.d")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gcr2")
+      spark.conf.unset("spark.sql.catalog.gcr2.root")
+      rm(root + "/x")
+    }
+  }
+
   test("atomic CTAS/RTAS: CREATE TABLE AS SELECT is ONE commit, " +
       "REPLACE swaps content+schema+partitioning in one version, " +
       "and a failed CTAS leaves no table behind") {
