@@ -93,7 +93,28 @@ object Bench {
       .mkString("{", ",", "}")
     val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2._1).sum
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","n_runs":$Runs,"queries":$qs,"load":$loads,"load_start":$loadStart,"load_end":${loadAvg1m()},"failed":$fj,"sf":"$sfDir"}"""
+    // Medians of record (MEDIANS.json, regenerated each round from
+    // the quiet full-suite run — BASELINE §17): when present, the
+    // artifact carries each query's ratio vs its recorded quiet
+    // median plus the suite-level median ratio, so outlier triage
+    // never depends on which BASELINE table a reader scrapes.
+    val record: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("MEDIANS.json")), "UTF-8")
+        "\"(q[^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    val ratios = results.flatMap { case (k, (v, _)) =>
+      record.get(k).filter(_ > 0.0)
+        .map(r => k -> (math.rint(v / r * 100) / 100))
+    }
+    val ratioJson = ratios.map { case (k, r) => "\"" + k + "\":" + r }
+      .mkString("{", ",", "}")
+    val medianRatio =
+      if (ratios.isEmpty) -1.0
+      else ratios.map(_._2).sorted.apply(ratios.size / 2)
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","n_runs":$Runs,"queries":$qs,"load":$loads,"ratio_vs_record":$ratioJson,"median_ratio":$medianRatio,"load_start":$loadStart,"load_end":${loadAvg1m()},"failed":$fj,"sf":"$sfDir"}"""
     println(full)
     // The per-query line grows with the suite and a tail-capture of the
     // process output can truncate its FRONT (losing the total). Emit a
@@ -102,7 +123,7 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (full + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(_) => () }
-    println(s"""{"metric":"bench_summary","value":$total,"unit":"sec","n":${results.size},"n_failed":${failed.size},"n_runs":$Runs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"bench_summary","value":$total,"unit":"sec","n":${results.size},"n_failed":${failed.size},"n_runs":$Runs,"median_ratio":$medianRatio,"sf":"$sfDir"}""")
     spark.stop()
   }
 

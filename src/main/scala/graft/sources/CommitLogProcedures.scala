@@ -38,7 +38,7 @@ private[sources] object CommitLogProcedures {
   private val names = Seq("compact", "optimize_cluster",
     "optimize_zorder", "optimize_bucket", "optimize_incremental",
     "vacuum", "restore", "clone_table", "delete_vectored",
-    "update_vectored", "attach_blooms")
+    "update_vectored", "attach_blooms", "checkpoint")
 
   def list: Seq[String] = names
 
@@ -105,6 +105,12 @@ private[sources] object CommitLogProcedures {
           CommitLog.vacuum(spark, p, retainVersions = row.getInt(1))
           CommitLog.currentVersion(spark, p).getOrElse(0L)
         }))
+      // force a full-state checkpoint at the current version — the
+      // operational knob for read-heavy tables between cadence hits
+      // (resolution then reads ONE file until the next commit)
+      case "checkpoint" => Some(proc("checkpoint",
+        Seq(in("table", StringType)),
+        row => CommitLog.checkpoint(spark, path(str(row, 0)))))
       case "restore" => Some(proc("restore",
         Seq(in("table", StringType), in("version", LongType)),
         row => CommitLog.restore(spark, path(str(row, 0)),

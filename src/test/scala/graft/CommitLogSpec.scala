@@ -643,6 +643,32 @@ class CommitLogSpec extends AnyFunSuite {
     } finally rm(t)
   }
 
+  test("CALL system.checkpoint forces a full-state pin at the " +
+      "current version; resolution then reads one file") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ckpt_proc_").toString
+    try {
+      spark.conf.set("spark.sql.catalog.gcp",
+        "graft.sources.CommitLogCatalog")
+      spark.conf.set("spark.sql.catalog.gcp.root", root)
+      val path = s"$root/ns/t"
+      spark.sql("CREATE TABLE gcp.ns.t (id BIGINT)")
+      (1 to 3).foreach(i =>
+        spark.sql(s"INSERT INTO gcp.ns.t VALUES ($i)"))
+      // v4 is mid-cadence (interval 10) — no checkpoint yet
+      assert(!checkpointFile(path, 4L).exists())
+      val v = spark.sql("CALL gcp.system.checkpoint(table => 'ns.t')")
+        .head().getLong(0)
+      assert(v === 4L && checkpointFile(path, 4L).exists())
+      assert(CommitLog.read(spark, path).count() === 3L)
+      spark.sql("DROP TABLE gcp.ns.t")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gcp")
+      spark.conf.unset("spark.sql.catalog.gcp.root")
+      rm(root + "/x")
+    }
+  }
+
   test("vacuum retention check: retain < 2 refuses by default, the " +
       "min-age window refuses dropping fresh versions, and the " +
       "explicit override allows both") {
@@ -895,8 +921,8 @@ class CommitLogSpec extends AnyFunSuite {
 
   test("SQL catalog: CREATE TABLE / INSERT INTO / SELECT / INSERT " +
       "OVERWRITE / DROP in plain SQL over commit-log tables; state " +
-      "shared with the programmatic API; destructive ALTER/RENAME " +
-      "refused") {
+      "shared with the programmatic API; retype ALTER and table " +
+      "RENAME refused") {
     val root = java.nio.file.Files
       .createTempDirectory("graft_catalog_").toString
     try {
@@ -941,10 +967,11 @@ class CommitLogSpec extends AnyFunSuite {
       assert(spark.sql(
           s"SELECT id FROM gtest.ns.t TIMESTAMP AS OF '$lit'")
         .collect().map(_.getLong(0)).toSeq.sorted === Seq(1L, 2L))
-      // ADD COLUMNS is supported (own law below); destructive ALTERs
-      // refuse
+      // ADD COLUMNS / RENAME / DROP are supported (own laws);
+      // retype stays refused — it would lie about what old
+      // segments can serve
       intercept[UnsupportedOperationException] {
-        spark.sql("ALTER TABLE gtest.ns.t DROP COLUMN name")
+        spark.sql("ALTER TABLE gtest.ns.t ALTER COLUMN id TYPE STRING")
       }
       // catalog listing derives from the filesystem
       assert(spark.sql("SHOW TABLES IN gtest.ns").collect()
@@ -2659,9 +2686,8 @@ class CommitLogSpec extends AnyFunSuite {
         "FIRST/AFTER")
       refuses("ALTER TABLE gde.ns.t ADD COLUMNS (s3 DOUBLE NOT NULL)",
         "nullable")
-      refuses("ALTER TABLE gde.ns.t DROP COLUMN name", "ADD COLUMNS only")
-      refuses("ALTER TABLE gde.ns.t RENAME COLUMN name TO nm",
-        "ADD COLUMNS only")
+      // DROP/RENAME are now sound (column mapping, own laws) — the
+      // remaining unsound shapes still refuse:
       // the type change is refused by Spark's own analyzer before it
       // can reach the catalog — equally loud
       refuses("ALTER TABLE gde.ns.t ALTER COLUMN id TYPE INT",
