@@ -1166,11 +1166,16 @@ object CommitLog {
       val cur = snapshot(spark, table).getOrElse(
         throw new IllegalStateException(
           s"CommitLog.renameColumn: nothing committed at $table"))
-      val base = cur.schema.map(decodeSchema).getOrElse(
-        throw new IllegalStateException(
-          s"CommitLog.renameColumn: $table has no recorded schema — " +
-            "only catalog-created / schema-recorded tables support " +
-            "column mapping"))
+      // a plain-API table (no recorded schema yet) infers its current
+      // schema from the segments and RECORDS it with this commit —
+      // the appendEvolve precedent; an empty schemaless table has
+      // nothing to rename against
+      val base = cur.schema.map(decodeSchema).getOrElse {
+        if (cur.segments.isEmpty) throw new IllegalStateException(
+          s"CommitLog.renameColumn: $table has no recorded schema and " +
+            "no segments — nothing to alter")
+        readSegments(spark, cur.segments, None).schema
+      }
       mappingDdlGuards(spark, table, "renameColumn", from, base)
       if (!base.fieldNames.exists(same(_, from)))
         throw new IllegalStateException(
@@ -1215,11 +1220,16 @@ object CommitLog {
       val cur = snapshot(spark, table).getOrElse(
         throw new IllegalStateException(
           s"CommitLog.dropColumn: nothing committed at $table"))
-      val base = cur.schema.map(decodeSchema).getOrElse(
-        throw new IllegalStateException(
-          s"CommitLog.dropColumn: $table has no recorded schema — " +
-            "only catalog-created / schema-recorded tables support " +
-            "column mapping"))
+      // a plain-API table (no recorded schema yet) infers its current
+      // schema from the segments and RECORDS it with this commit —
+      // the appendEvolve precedent; an empty schemaless table has
+      // nothing to rename against
+      val base = cur.schema.map(decodeSchema).getOrElse {
+        if (cur.segments.isEmpty) throw new IllegalStateException(
+          s"CommitLog.dropColumn: $table has no recorded schema and " +
+            "no segments — nothing to alter")
+        readSegments(spark, cur.segments, None).schema
+      }
       mappingDdlGuards(spark, table, "dropColumn", name, base)
       if (!base.fieldNames.exists(same(_, name)))
         throw new IllegalStateException(

@@ -1050,12 +1050,28 @@ object CommitLogStats {
         s"CommitLogStats: probe bounds disagree on type ($loTag vs $hiTag)")
       (c, loTag, loV, hiV)
     }
+    // Column mapping: sidecars are keyed by their WRITE-TIME column
+    // name, so on a renamed column a segment's stats may sit under
+    // the old logical (= physical) name. A rename never changes the
+    // VALUES, so bounds under any alias describe the same data —
+    // look the probe column up under every alias {probe, logical,
+    // physical}. Identity tables: the alias set is just the probe.
+    val aliasOf: Map[String, Seq[String]] = {
+      val recorded = snap.schema.map(CommitLog.decodeSchema)
+      probes.map(_._1).distinct.map { c =>
+        val extra = recorded.toSeq.flatMap(_.fields
+          .find(_.name.equalsIgnoreCase(c)).toSeq
+          .flatMap(f => Seq(f.name, CommitLog.physicalName(f))))
+        c -> (c +: extra).distinct
+      }.toMap
+    }
     val (kept, pruned) = snap.segments.partition { seg =>
       val sidecar = readSidecar(spark, seg)
       val statsOk = encoded.forall { case (statsCol, tag, loV, hiV) =>
         sidecar match {
           case None => true
-          case Some(stats) => stats.cols.get(statsCol) match {
+          case Some(stats) => aliasOf(statsCol)
+              .flatMap(stats.cols.get).headOption match {
             case None => true
             case Some(cs) =>
               if (cs.tag != tag) throw new IllegalStateException(

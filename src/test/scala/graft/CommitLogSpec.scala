@@ -3573,6 +3573,31 @@ class CommitLogSpec extends AnyFunSuite {
     }
   }
 
+  test("stats skipping survives a column rename: pre-rename sidecars " +
+      "keep pruning under the NEW logical name (alias lookup), and " +
+      "the no-false-negative law holds across the boundary") {
+    val t = tmpTable()
+    try {
+      // three sidecar'd appends with disjoint v-ranges, then rename
+      CommitLogStats.appendWithStats(spark, t,
+        df((1L, "a", 1.0), (2L, "b", 5.0)), Seq("v"))
+      CommitLogStats.appendWithStats(spark, t,
+        df((3L, "c", 10.0), (4L, "d", 15.0)), Seq("v"))
+      CommitLogStats.appendWithStats(spark, t,
+        df((5L, "e", 20.0), (6L, "f", 25.0)), Seq("v"))
+      CommitLog.renameColumn(spark, t, "v", "score")
+      // the probe under the NEW name still prunes via the old-name
+      // sidecars (values unchanged by a rename)
+      val plan = CommitLogStats.planSkipping(spark, t, "score",
+        10.0, 15.0)
+      assert(plan.kept.size === 1 && plan.pruned.size === 2)
+      // and the skipped read equals the full filtered read
+      val skipped = CommitLogStats.readSkipping(spark, t, "score",
+        10.0, 15.0).select("id").collect().map(_.getLong(0)).sorted
+      assert(skipped.toSeq === Seq(3L, 4L))
+    } finally rm(t)
+  }
+
   test("atomic CTAS/RTAS: CREATE TABLE AS SELECT is ONE commit, " +
       "REPLACE swaps content+schema+partitioning in one version, " +
       "and a failed CTAS leaves no table behind") {
