@@ -181,24 +181,29 @@ object CommitLog {
 
   /** Rename logical → physical on the columns the mapping renames;
     * extra columns (CDC stamps, staging tags) pass through. No-op on
-    * identity mappings. */
+    * identity mappings. ONE simultaneous projection, never pairwise
+    * renames: a legal rename chain can SWAP two names (a→c, b→a,
+    * c→b), and sequential withColumnRenamed would first collide on
+    * a duplicate and then rename the wrong column — silent value
+    * swap or a duplicate-column refusal on a table produced by
+    * legal DDL. */
   private[sources] def toPhysicalFrame(df: DataFrame,
       sch: org.apache.spark.sql.types.StructType): DataFrame =
-    sch.fields.filter(f => physicalName(f) != f.name)
-      .foldLeft(df)((d, f) =>
-        if (d.columns.contains(f.name))
-          d.withColumnRenamed(f.name, physicalName(f))
-        else d)
+    renameSimultaneous(df,
+      sch.fields.map(f => f.name -> physicalName(f)).toMap)
 
   /** Rename physical → logical for every mapped column present —
     * the read-side inverse of [[toPhysicalFrame]]. */
   private[sources] def fromPhysicalFrame(df: DataFrame,
       sch: org.apache.spark.sql.types.StructType): DataFrame =
-    sch.fields.filter(f => physicalName(f) != f.name)
-      .foldLeft(df)((d, f) =>
-        if (d.columns.contains(physicalName(f)))
-          d.withColumnRenamed(physicalName(f), f.name)
-        else d)
+    renameSimultaneous(df,
+      sch.fields.map(f => physicalName(f) -> f.name).toMap)
+
+  private def renameSimultaneous(df: DataFrame,
+      m: Map[String, String]): DataFrame =
+    if (df.columns.forall(c => m.getOrElse(c, c) == c)) df
+    else df.select(df.columns.toSeq.map(c =>
+      col(s"`$c`").as(m.getOrElse(c, c))): _*)
 
   /** Table-level partition-column marker (`_partition.json`): written
     * once at `CREATE TABLE … PARTITIONED BY` and immutable thereafter
@@ -540,6 +545,43 @@ object CommitLog {
     version.orElse(currentVersion(spark, table))
       .flatMap(resolve(spark, table, _))
 
+  /** Resolve the contiguous version range [fromV, toV] in ONE
+    * forward pass: resolve(fromV) once, then one record read per
+    * later version — the shape the streaming source's per-batch
+    * range and [[changes]] need (full-history snapshotsAsc would
+    * read the WHOLE log for a one-version micro-batch; independent
+    * resolution would pay checkpointInterval reads per version).
+    * Empty when fromV itself is unresolvable (vacuumed). */
+  private[sources] def snapshotsRange(spark: SparkSession,
+      table: String, fromV: Long, toV: Long): Seq[Snapshot] = {
+    if (toV < fromV) return Seq.empty
+    resolve(spark, table, fromV) match {
+      case None => Seq.empty
+      case Some(f0) =>
+        val buf = scala.collection.mutable.ArrayBuffer(f0)
+        var prev = f0
+        var v = fromV + 1L
+        while (v <= toV) {
+          readRecord(spark, table, v) match {
+            case Some(r) =>
+              val s = r.delta match {
+                case Some((adds, removes)) =>
+                  val rm = removes.toSet
+                  r.snap.copy(segments =
+                    prev.segments.filterNot(rm) ++ adds)
+                case None => r.snap
+              }
+              buf += s; prev = s
+            case None => throw new IllegalStateException(
+              s"CommitLog: version $v of $table vanished while " +
+                s"resolving range [$fromV,$toV] (concurrent vacuum?)")
+          }
+          v += 1L
+        }
+        buf.toSeq
+    }
+  }
+
   /** All retained versions' snapshots, ascending, in ONE forward
     * pass: each delta record replays against the PREVIOUS resolved
     * snapshot, so a walk over V versions costs O(V) small-file reads
@@ -692,6 +734,10 @@ object CommitLog {
       idOf(col("__graft_dv_file")))
     val bcastCap = spark.conf.getOption("spark.graft.dv.broadcastRows")
       .map(_.toLong).getOrElse(1000000L)
+    // bounded: a long-lived driver doing frequent vectored DML mints
+    // a fresh immutable DV dir per commit — reset the memo past 4096
+    // entries (it rebuilds from footer stats) rather than leak
+    if (dvCountCache.size() > 4096) dvCountCache.clear()
     val dvRows: Long = dvCountCache.computeIfAbsent(dvDir,
       _ => dvRaw.count())
     val dvSide =
@@ -1072,6 +1118,30 @@ object CommitLog {
       val cur = snapshot(spark, table)
       val base = cur.map(s => s.schema.map(decodeSchema).getOrElse(
         readSegments(spark, s.segments, None).schema))
+      // Mapping-active tables refuse NEW columns on this path: the
+      // merged field would get physical = logical, so a column
+      // DROPped earlier and re-added here would serve its old bytes
+      // from pre-drop segments (resurrection), and the segment below
+      // was written before any fresh physical name could be chosen.
+      // ALTER TABLE ADD COLUMNS (which stamps col-<uuid>) + a plain
+      // append is the sound two-step.
+      base.filter(b =>
+        cur.exists(_.mapping.isDefined) || !isIdentityMapping(b))
+        .foreach { b =>
+          val cs0 = caseSensitiveAnalysis(spark)
+          val known = b.fieldNames
+          val fresh = df.schema.fieldNames.filterNot(n =>
+            known.exists(k => if (cs0) k == n else k.equalsIgnoreCase(n)))
+          if (fresh.nonEmpty) {
+            fs(spark, table).delete(
+              new org.apache.hadoop.fs.Path(seg), true): Unit
+            throw new IllegalStateException(
+              s"CommitLog.appendEvolve: table $table uses column " +
+                s"mapping — new column(s) ${fresh.mkString(", ")} " +
+                "need an explicit physical name; run ALTER TABLE … " +
+                "ADD COLUMNS first, then append")
+          }
+        }
       val merged = base.fold(df.schema)(b =>
         evolveSchema(b, df.schema, caseSensitiveAnalysis(spark)))
       val v = cur.fold(1L)(_.version + 1L)
@@ -2116,17 +2186,35 @@ object CommitLog {
     // O(V) small-file reads, not O(V × checkpointInterval)
     val byVersion = snapshotsAsc(spark, table)
       .map(s => s.version -> s).toMap
-    // Delta CDF's rule: the feed is served under the LATEST schema.
-    // On a column-mapped table that also means mapping physical file
-    // names (stable across renames, so one mapping covers every
-    // version's files) back to the latest logical names; identity
-    // tables keep the inferred-read fast path bit-for-bit.
-    val latestMapped = vs.lastOption.flatMap(v => byVersion(v).schema)
-      .map(decodeSchema).filterNot(isIdentityMapping)
-    def readAdded(added: Seq[String]): DataFrame = latestMapped match {
+    // Delta CDF's rule: the feed is served under the LATEST schema —
+    // whenever one is recorded, NOT just when its mapping is
+    // non-identity: after a DROP COLUMN the mapping can return to
+    // identity while pre-drop files still hold the dropped bytes, and
+    // an inferred read would leak that column back into the feed.
+    // Pinning also maps physical file names (stable across renames,
+    // so one mapping covers every version's files) to the latest
+    // logical names; schema-less tables keep the inferred fast path.
+    val latestSchema = vs.lastOption.flatMap(v => byVersion(v).schema)
+      .map(decodeSchema)
+    def readAdded(added: Seq[String]): DataFrame = latestSchema match {
       case Some(sch) => readSegments(spark, added,
         Some(encodeSchema(sch)))
       case None => spark.read.parquet(added: _*)
+    }
+    // change RECORDS project onto the latest column set too: columns
+    // dropped since the record was written leave the feed, columns
+    // added since serve typed NULLs (plus the record's feed stamps)
+    def readChanges(dir: String): DataFrame = {
+      val raw = spark.read.parquet(dir)
+      latestSchema match {
+        case Some(sch) =>
+          val logical = fromPhysicalFrame(raw, sch)
+          val dataCols = sch.fields.toSeq.map(f =>
+            if (logical.columns.contains(f.name)) col(s"`${f.name}`")
+            else lit(null).cast(f.dataType).as(f.name))
+          logical.select(dataCols :+ col("_change_type"): _*)
+        case None => raw
+      }
     }
     val parts = vs.flatMap { v =>
       val snap = byVersion(v)
@@ -2146,9 +2234,7 @@ object CommitLog {
           val dir = snap.changes.getOrElse(throw new IllegalStateException(
             s"CommitLog.changeFeed: version $v of $table is a " +
               s"'${snap.op}' with no recorded change directory"))
-          val raw = spark.read.parquet(dir)
-          Some(latestMapped.fold(raw)(fromPhysicalFrame(raw, _))
-            .withColumn("_commit_version", lit(v)))
+          Some(readChanges(dir).withColumn("_commit_version", lit(v)))
         case "compact" => None
         // the catalog's CREATE TABLE commit records a schema and zero
         // segments — no content change, same class as compact; an
@@ -2244,15 +2330,21 @@ object CommitLog {
       s"CommitLog.changes: versions ${expected.toSet -- vs.toSet} of " +
         s"$table are vacuumed — cannot reconstruct the feed after " +
         s"$afterVersion; start from a full snapshot read instead")
+    // one forward pass over the consumed range (O(range) reads)
+    val byVersion = snapshotsRange(spark, table,
+      math.max(1L, afterVersion), vs.lastOption.getOrElse(0L))
+      .map(s => s.version -> s).toMap
     vs.flatMap { v =>
-      val snap = snapshot(spark, table, Some(v)).get
+      val snap = byVersion(v)
       snap.op match {
         case "append" | "streaming-append" | "clone" | "ctas" =>
           val prev = if (v == 1L) Set.empty[String]
-            else snapshot(spark, table, Some(v - 1L)).get.segments.toSet
+            else byVersion(v - 1L).segments.toSet
           val added = snap.segments.filterNot(prev)
           if (added.isEmpty) None
-          else Some(v -> spark.read.parquet(added: _*))
+          else Some(v -> (if (snap.schema.isDefined)
+            readSegments(spark, added, snap.schema)
+          else spark.read.parquet(added: _*)))
         case "compact" => None // content-preserving rewrite
         case "create" => None  // zero-segment schema-only commit
         case "evolve" | "rename_column" | "drop_column" =>

@@ -895,8 +895,13 @@ class CommitLogStreamSource(spark: SparkSession, metadataPath: String,
       s"commitlog stream: versions ${expected.toSet -- vs.toSet} of " +
         s"$table are vacuumed — the feed after $after cannot be " +
         "reconstructed; restart the stream from a fresh snapshot")
+    // one forward pass over the replayed range: resolve(after) once
+    // plus one record read per version — NOT one full resolution per
+    // version (checkpointInterval+1 reads each) on the hot path
+    val byVersion = CommitLog.snapshotsRange(spark, table,
+      math.max(1L, after), endV).map(x => x.version -> x).toMap
     val parts = vs.flatMap { ver =>
-      val snap = CommitLog.snapshot(spark, table, Some(ver)).get
+      val snap = byVersion(ver)
       // a version whose recorded schema ADDS columns beyond the
       // stream's start schema is a mid-stream evolution: fail loudly
       // (Delta's rule — a restart re-resolves the wider schema)
@@ -918,8 +923,7 @@ class CommitLogStreamSource(spark: SparkSession, metadataPath: String,
         // its v1 adds the source's full segment set
         case "append" | "streaming-append" | "clone" | "ctas" =>
           val prev = if (ver == 1L) Set.empty[String]
-            else CommitLog.snapshot(spark, table, Some(ver - 1L))
-              .get.segments.toSet
+            else byVersion(ver - 1L).segments.toSet
           val added = snap.segments.filterNot(prev)
           if (added.isEmpty) None
           else {

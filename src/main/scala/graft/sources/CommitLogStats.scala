@@ -642,8 +642,19 @@ object CommitLogStats {
         // groups inside each segment stay range-tight
         val staged = partitionCols.foldLeft(pinned)((d, c) =>
           d.withColumn(s"__p_$c", col(c)))
-        staged.repartition(partitionCols.map(col): _*)
+        // column mapping: the FILE bytes store physical names, same
+        // as writeSegment's path (partition columns are rename-
+        // refused, so the __p_ clones and directory names are
+        // untouched; the projection preserves the within-partition
+        // sort). Without this, a renamed column's data written
+        // through the partitioned path would be invisible to the
+        // physical-schema reader — silent NULLs.
+        val mapped = CommitLog.snapshot(spark, table)
+          .flatMap(_.schema).map(CommitLog.decodeSchema)
+          .filterNot(CommitLog.isIdentityMapping)
+        val sorted = staged.repartition(partitionCols.map(col): _*)
           .sortWithinPartitions(sidecarCols.map(col): _*)
+        mapped.fold(sorted)(CommitLog.toPhysicalFrame(sorted, _))
           .write.partitionBy(pCols: _*).parquet(staging)
         val aggs = statsAggExprs(sidecarCols) :+
           sum(when(partitionCols.map(col(_).isNull)
@@ -1056,12 +1067,25 @@ object CommitLogStats {
     // VALUES, so bounds under any alias describe the same data —
     // look the probe column up under every alias {probe, logical,
     // physical}. Identity tables: the alias set is just the probe.
+    // An alias is dropped when it COLLIDES with a different field's
+    // logical name: after rename a→b + re-ADD of a fresh 'a', probe
+    // b's physical alias 'a' would otherwise read the NEW column's
+    // sidecar bounds and prune against the wrong data. Collision →
+    // only the probe's own name matches (safe degradation: less
+    // pruning, never wrong rows).
     val aliasOf: Map[String, Seq[String]] = {
       val recorded = snap.schema.map(CommitLog.decodeSchema)
+      val logicalNames = recorded.toSeq
+        .flatMap(_.fieldNames).map(_.toLowerCase).toSet
       probes.map(_._1).distinct.map { c =>
         val extra = recorded.toSeq.flatMap(_.fields
           .find(_.name.equalsIgnoreCase(c)).toSeq
-          .flatMap(f => Seq(f.name, CommitLog.physicalName(f))))
+          .flatMap { f =>
+            val phys = CommitLog.physicalName(f)
+            Seq(f.name) ++ (if (phys.equalsIgnoreCase(f.name) ||
+                !logicalNames(phys.toLowerCase)) Seq(phys)
+              else Seq.empty)
+          })
         c -> (c +: extra).distinct
       }.toMap
     }

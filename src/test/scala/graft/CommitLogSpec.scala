@@ -3573,6 +3573,121 @@ class CommitLogSpec extends AnyFunSuite {
     }
   }
 
+  test("column mapping under a name SWAP: a legal rename rotation " +
+      "(a→c, b→a, c→b) keeps every value under its own column on " +
+      "write and read — no pairwise-rename collision") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_swap_").toString
+    try {
+      spark.conf.set("spark.sql.catalog.gsw",
+        "graft.sources.CommitLogCatalog")
+      spark.conf.set("spark.sql.catalog.gsw.root", root)
+      spark.sql("CREATE TABLE gsw.ns.t (a BIGINT, b STRING)")
+      spark.sql("INSERT INTO gsw.ns.t VALUES (1, 'one'), (2, 'two')")
+      spark.sql("ALTER TABLE gsw.ns.t RENAME COLUMN a TO c")
+      spark.sql("ALTER TABLE gsw.ns.t RENAME COLUMN b TO a")
+      spark.sql("ALTER TABLE gsw.ns.t RENAME COLUMN c TO b")
+      // schema is now (b: BIGINT ← physical a, a: STRING ← physical b)
+      assert(spark.sql("SELECT b, a FROM gsw.ns.t WHERE b = 1")
+        .head().getString(1) === "one")
+      // a write through the swapped mapping round-trips (the old
+      // pairwise rename either collided or silently swapped values)
+      spark.sql("INSERT INTO gsw.ns.t VALUES (3, 'three')")
+      assert(spark.sql("SELECT a FROM gsw.ns.t WHERE b = 3")
+        .head().getString(0) === "three")
+      assert(spark.sql("SELECT sum(b) FROM gsw.ns.t")
+        .head().getLong(0) === 6L)
+      // DML + CDC through the swap
+      CommitLog.update(spark, s"$root/ns/t", col("b") === 2L,
+        Map("a" -> lit("TWO")))
+      assert(CommitLog.changeFeed(spark, s"$root/ns/t", 0L)
+        .filter(col("_change_type") === "update_postimage")
+        .head().getAs[String]("a") === "TWO")
+      spark.sql("DROP TABLE gsw.ns.t")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gsw")
+      spark.conf.unset("spark.sql.catalog.gsw.root")
+      rm(root + "/x")
+    }
+  }
+
+  test("review fixes: partitioned writes map to physical names; the " +
+      "feed never leaks a dropped column; mergeSchema appends refuse " +
+      "new columns on mapped tables; skipping aliases drop on " +
+      "collision with a re-added name") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_rvw_").toString
+    try {
+      spark.conf.set("spark.sql.catalog.grv",
+        "graft.sources.CommitLogCatalog")
+      spark.conf.set("spark.sql.catalog.grv.root", root)
+      // (1) PARTITIONED table + rename of a non-partition column:
+      // the partitioned INSERT path must land PHYSICAL names or the
+      // renamed column reads NULL
+      spark.sql("CREATE TABLE grv.ns.p (id BIGINT, amt DOUBLE, " +
+        "region STRING) PARTITIONED BY (region)")
+      spark.sql("INSERT INTO grv.ns.p VALUES (1, 1.5, 'na')")
+      spark.sql("ALTER TABLE grv.ns.p RENAME COLUMN amt TO total")
+      spark.sql("INSERT INTO grv.ns.p VALUES (2, 2.5, 'eu')")
+      val rows = spark.sql(
+        "SELECT id, total FROM grv.ns.p ORDER BY id").collect()
+      assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+        Seq((1L, 1.5), (2L, 2.5)))
+      // (2) DROP COLUMN: the change feed serves the LATEST schema —
+      // the dropped column must NOT reappear from pre-drop files
+      val t2 = s"$root/ns/d"
+      spark.sql("CREATE TABLE grv.ns.d (id BIGINT, note STRING)")
+      spark.sql("INSERT INTO grv.ns.d VALUES (1, 'secret')")
+      spark.sql("ALTER TABLE grv.ns.d DROP COLUMN note")
+      spark.sql("ALTER TABLE grv.ns.d ADD COLUMNS (v DOUBLE)")
+      spark.sql("INSERT INTO grv.ns.d VALUES (2, 2.0)")
+      CommitLog.delete(spark, t2, col("id") === 1L)
+      val feed = CommitLog.changeFeed(spark, t2, 0L)
+      assert(!feed.columns.contains("note"),
+        s"dropped column leaked into the feed: ${feed.columns.toSeq}")
+      assert(feed.columns.contains("v"))
+      assert(feed.filter(col("_change_type") === "delete")
+        .count() === 1L)
+      // (3) mergeSchema appends cannot mint columns on a mapped
+      // table (a re-added name would resurrect dropped bytes)
+      import spark.implicits._
+      val e = intercept[IllegalStateException] {
+        CommitLog.appendEvolve(spark, t2,
+          Seq((9L, 9.0, "back")).toDF("id", "v", "note"))
+      }
+      assert(e.getMessage.contains("ADD COLUMNS"))
+      // ...and the refused write left no schema change
+      assert(!CommitLog.read(spark, t2).columns.contains("note"))
+      // (4) skipping alias collision: rename v→score, re-ADD a fresh
+      // 'v', then probe score — the physical alias 'v' now names a
+      // DIFFERENT column, so it must NOT prune (never wrong rows)
+      val t3 = tmpTable()
+      try {
+        CommitLogStats.appendWithStats(spark, t3,
+          df((1L, "a", 1.0), (2L, "b", 5.0)), Seq("v"))
+        CommitLog.renameColumn(spark, t3, "v", "score")
+        CommitLog.evolveColumns(spark, t3, Seq(
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.DoubleType)))
+        val plan = CommitLogStats.planSkipping(spark, t3, "score",
+          100.0, 200.0)
+        // without the collision rule the old sidecar (keyed 'v')
+        // would answer for 'score' here — correct but fragile; with
+        // a fresh-'v' sidecar it would prune WRONGLY. The rule drops
+        // the alias entirely: no pruning, correct rows.
+        assert(plan.pruned.isEmpty)
+        assert(CommitLogStats.readSkipping(spark, t3, "score",
+          1.0, 5.0).count() === 2L)
+      } finally rm(t3)
+      spark.sql("DROP TABLE grv.ns.p")
+      spark.sql("DROP TABLE grv.ns.d")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.grv")
+      spark.conf.unset("spark.sql.catalog.grv.root")
+      rm(root + "/x")
+    }
+  }
+
   test("stats skipping survives a column rename: pre-rename sidecars " +
       "keep pruning under the NEW logical name (alias lookup), and " +
       "the no-false-negative law holds across the boundary") {
