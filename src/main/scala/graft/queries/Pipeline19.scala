@@ -129,6 +129,39 @@ object Pipeline19 {
       }
     }),
 
+    "q194_commitlog_vacuum_lifecycle" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q194_").toString
+      val tbl = s"$root/tbl"
+      try {
+        // 8 appends, then vacuum at retain=3: the floor (v6) must be
+        // pinned by a checkpoint before the delta tail drops, and
+        // every retained version must stay exactly resolvable
+        (0 until 8).foreach(i => CommitLog.append(s, tbl,
+          orders.filter(col("o_orderkey") % 8 === i)))
+        // the retention check is ON (retain 3 ≥ 2, no minAge set) —
+        // this is the default-guarded path, not an override
+        CommitLog.vacuum(s, tbl, retainVersions = 3)
+        val floorPinned = new java.io.File(
+          f"$tbl/_commits/${6L}%020d.checkpoint").exists()
+        val droppedGone = CommitLog.snapshot(s, tbl, Some(3L)).isEmpty
+        val latest = CommitLog.read(s, tbl)
+        val floor = CommitLog.read(s, tbl, Some(6L))
+        latest.agg(
+            count(lit(1)).as("n_rows"),
+            sum(col("o_totalprice").cast("decimal(30,6)"))
+              .cast("double").as("sum_price"))
+          .crossJoin(floor.agg(count(lit(1)).as("floor_rows")))
+          .withColumn("floor_pinned", lit(floorPinned))
+          .withColumn("dropped_gone", lit(droppedGone))
+          .select(col("n_rows"), col("sum_price"), col("floor_rows"),
+            col("floor_pinned"), col("dropped_gone"))
+          .localCheckpoint(true)
+      } finally rmTree(root)
+    }),
+
     "q192_commitlog_ctas" -> ((s, dir) => {
       val root = java.nio.file.Files
         .createTempDirectory("graft_q192_").toString
@@ -195,6 +228,16 @@ object Pipeline19 {
         |FROM unioned
         |GROUP BY c_nationkey
         |ORDER BY c_nationkey""".stripMargin,
+
+    "q194_commitlog_vacuum_lifecycle" ->
+      """SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows,
+        |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+        |      AS DOUBLE) FROM orders) AS sum_price,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |    WHERE o_orderkey % 8 < 6) AS floor_rows,
+        |  TRUE AS floor_pinned,
+        |  TRUE AS dropped_gone""".stripMargin,
 
     "q192_commitlog_ctas" ->
       """SELECT c_nationkey,

@@ -142,15 +142,22 @@ object CommitLogSkipping {
     * conjuncts. Sidecar-less or column-less segments are always
     * kept; all-NULL columns fail range and IS NOT NULL probes. */
   def keptSegments(spark: SparkSession, segments: Seq[String],
-      exprs: Seq[Expression]): Seq[String] = {
+      exprs: Seq[Expression],
+      aliases: Map[String, Seq[String]] = Map.empty): Seq[String] = {
     val probes = toProbes(exprs)
     if (probes.isEmpty) return segments
+    // `aliases`: sidecars are keyed by write-time column names, so a
+    // probe on a RENAMED column looks up its whole alias set
+    // ({logical, physical}, collision-filtered by the caller) — a
+    // rename never changes values, so bounds under any alias
+    // describe the same data
+    def names(c: String): Seq[String] = aliases.getOrElse(c, Seq(c))
     val (eqProbes, statProbes) = probes.partition(_.isInstanceOf[MightEq])
     segments.filter { seg =>
       val statsOk = CommitLogStats.readSidecar(spark, seg) match {
         case None => true
         case Some(stats) => statProbes.forall { p =>
-          stats.cols.get(p.col) match {
+          names(p.col).flatMap(stats.cols.get).headOption match {
             case None => true
             case Some(cs) => p match {
               case Lower(_, tag, v, strict) =>
@@ -176,7 +183,8 @@ object CommitLogSkipping {
       // stats first, sketch I/O second); absent bloom → conservative
       statsOk && eqProbes.forall {
         case MightEq(c, values) =>
-          CommitLogStats.readBloom(spark, seg, c) match {
+          names(c).flatMap(a => CommitLogStats.readBloom(spark, seg, a))
+              .headOption match {
             case None => true
             case Some(bf) => values.exists {
               case ("long", v) =>

@@ -394,8 +394,7 @@ class CommitLogTable(spark: SparkSession, path: String,
     val mapped = snap.schema.map(CommitLog.decodeSchema)
       .exists(s => !CommitLog.isIdentityMapping(s))
     if (mapped)
-      new CommitLogMappedScanBuilder(
-        () => CommitLog.readLive(spark, snap))
+      new CommitLogMappedScanBuilder(spark, snap)
     else if (snap.dv.isDefined)
       new CommitLogDvScanBuilder(spark, snap, pq.schema)
     else new CommitLogScanBuilder(spark, snap, pq, options)
@@ -637,12 +636,14 @@ private[sources] class CommitLogDvScanBuilder(spark: SparkSession,
   * reader's frame ([[CommitLog.readLive]] — physical parquet schema
   * + logical rename projection + deletion-vector subtraction), with
   * column pruning and translatable filters replayed on the logical
-  * frame. Catalyst pushes both through the rename projection into
-  * the parquet scan; what this path gives up vs the ParquetTable
-  * fast path is plan-time sidecar pruning and aggregate pushdown —
-  * correctness-neutral (less skipping, never wrong rows). */
-private[sources] class CommitLogMappedScanBuilder(
-    frame: () => org.apache.spark.sql.DataFrame)
+  * frame (Catalyst pushes both through the rename projection into
+  * the parquet scan) AND the plan-time sidecar tier: pushed
+  * conjuncts prune the SEGMENT LIST via alias-aware sidecar lookups
+  * ([[CommitLogStats.skippingAliases]] — renamed columns keep their
+  * pre-rename stats) before any footer I/O. What remains given up
+  * vs the ParquetTable fast path is aggregate pushdown. */
+private[sources] class CommitLogMappedScanBuilder(spark: SparkSession,
+    snap: CommitLog.Snapshot)
     extends org.apache.spark.sql.connector.read.ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
@@ -650,7 +651,7 @@ private[sources] class CommitLogMappedScanBuilder(
   import org.apache.spark.sql.connector.read.Scan
   import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
 
-  private lazy val full = frame()
+  private lazy val full = CommitLog.readLive(spark, snap)
   private var required: StructType = null
   private var filters: Array[Filter] = Array.empty
 
@@ -677,9 +678,29 @@ private[sources] class CommitLogMappedScanBuilder(
           override def buildScan()
               : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
             val cols = filters.flatMap(CommitLogTable.filterToColumn)
-            val filtered = cols.foldLeft(full)((d, c) => d.filter(c))
+            // sidecar segment pruning under the LOGICAL names, with
+            // renamed columns resolved through their alias sets
+            val probeFrame = CommitLog.readSegments(spark,
+              snap.segments, snap.schema)
+            val conds = cols.flatMap(c =>
+              probeFrame.filter(c).queryExecution.analyzed.collect {
+                case f: org.apache.spark.sql.catalyst.plans.logical
+                  .Filter => f.condition
+              })
+            val names = conds.flatMap(_.collect {
+              case a: org.apache.spark.sql.catalyst.expressions
+                .AttributeReference => a.name
+            }).distinct
+            val kept = CommitLogSkipping.keptSegments(spark,
+              snap.segments, conds.toIndexedSeq,
+              CommitLogStats.skippingAliases(snap.schema, names))
+            val base =
+              if (kept.isEmpty) full.filter(lit(false))
+              else CommitLog.readLive(spark, snap, Some(kept))
+            val filtered = cols.foldLeft(base)((d, c) => d.filter(c))
             filtered
-              .select(outSchema.fieldNames.toIndexedSeq.map(col): _*)
+              .select(outSchema.fieldNames.toIndexedSeq
+                .map(c => col(s"`$c`")): _*)
               .queryExecution.toRdd
               .asInstanceOf[org.apache.spark.rdd
                 .RDD[org.apache.spark.sql.Row]]

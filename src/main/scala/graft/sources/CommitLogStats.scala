@@ -1033,6 +1033,34 @@ object CommitLogStats {
 
   // ---- skipping reads --------------------------------------------------
 
+  /** Sidecar-lookup alias sets for a probe column list: sidecars are
+    * keyed by their WRITE-TIME names, so a probe on a renamed column
+    * carries {probe, logical, physical} (values are rename-invariant,
+    * so bounds under any alias describe the same data). An alias is
+    * DROPPED when it collides with a different field's logical name —
+    * after rename a→b + re-ADD of a fresh 'a', probe b's physical
+    * alias 'a' would otherwise read the NEW column's sidecar bounds
+    * and prune against the wrong data. Collision → only the probe's
+    * own name matches (safe degradation: less pruning, never wrong
+    * rows). */
+  private[sources] def skippingAliases(snapSchema: Option[String],
+      cols: Seq[String]): Map[String, Seq[String]] = {
+    val recorded = snapSchema.map(CommitLog.decodeSchema)
+    val logicalNames = recorded.toSeq
+      .flatMap(_.fieldNames).map(_.toLowerCase).toSet
+    cols.distinct.map { c =>
+      val extra = recorded.toSeq.flatMap(_.fields
+        .find(_.name.equalsIgnoreCase(c)).toSeq
+        .flatMap { f =>
+          val phys = CommitLog.physicalName(f)
+          Seq(f.name) ++ (if (phys.equalsIgnoreCase(f.name) ||
+              !logicalNames(phys.toLowerCase)) Seq(phys)
+            else Seq.empty)
+        })
+      c -> (c +: extra).distinct
+    }.toMap
+  }
+
   /** Decide, for ONE pinned snapshot, which segments a closed probe
     * range [lo, hi] on `statsCol` can touch. Conservative on every
     * gap (no sidecar / column absent → kept); all-NULL column →
@@ -1067,28 +1095,8 @@ object CommitLogStats {
     // VALUES, so bounds under any alias describe the same data —
     // look the probe column up under every alias {probe, logical,
     // physical}. Identity tables: the alias set is just the probe.
-    // An alias is dropped when it COLLIDES with a different field's
-    // logical name: after rename a→b + re-ADD of a fresh 'a', probe
-    // b's physical alias 'a' would otherwise read the NEW column's
-    // sidecar bounds and prune against the wrong data. Collision →
-    // only the probe's own name matches (safe degradation: less
-    // pruning, never wrong rows).
-    val aliasOf: Map[String, Seq[String]] = {
-      val recorded = snap.schema.map(CommitLog.decodeSchema)
-      val logicalNames = recorded.toSeq
-        .flatMap(_.fieldNames).map(_.toLowerCase).toSet
-      probes.map(_._1).distinct.map { c =>
-        val extra = recorded.toSeq.flatMap(_.fields
-          .find(_.name.equalsIgnoreCase(c)).toSeq
-          .flatMap { f =>
-            val phys = CommitLog.physicalName(f)
-            Seq(f.name) ++ (if (phys.equalsIgnoreCase(f.name) ||
-                !logicalNames(phys.toLowerCase)) Seq(phys)
-              else Seq.empty)
-          })
-        c -> (c +: extra).distinct
-      }.toMap
-    }
+    val aliasOf: Map[String, Seq[String]] =
+      skippingAliases(snap.schema, probes.map(_._1).distinct)
     val (kept, pruned) = snap.segments.partition { seg =>
       val sidecar = readSidecar(spark, seg)
       val statsOk = encoded.forall { case (statsCol, tag, loV, hiV) =>

@@ -3688,6 +3688,34 @@ class CommitLogSpec extends AnyFunSuite {
     }
   }
 
+  test("the mapped-table SQL scan keeps plan-time segment skipping: " +
+      "a range probe on a RENAMED sidecar'd column returns exactly " +
+      "the filtered rows (alias-aware pruning, never wrong rows)") {
+    val t = tmpTable()
+    try {
+      CommitLogStats.appendWithStats(spark, t,
+        df((1L, "a", 1.0), (2L, "b", 5.0)), Seq("v"))
+      CommitLogStats.appendWithStats(spark, t,
+        df((3L, "c", 10.0), (4L, "d", 15.0)), Seq("v"))
+      CommitLogStats.appendWithStats(spark, t,
+        df((5L, "e", 20.0), (6L, "f", 25.0)), Seq("v"))
+      CommitLog.renameColumn(spark, t, "v", "score")
+      // the DSv2 surface (format reader — what SQL resolves to)
+      // filters on the NEW name; results must equal the full filter
+      val viaFormat = spark.read.format("commitlog")
+        .option("path", t).load()
+        .filter(col("score") >= 10.0 && col("score") <= 15.0)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(viaFormat === Seq(3L, 4L))
+      // and a probe with no matching range returns empty, not wrong
+      assert(spark.read.format("commitlog").option("path", t).load()
+        .filter(col("score") > 100.0).count() === 0L)
+      // sanity: unrenamed column probes prune as before
+      assert(spark.read.format("commitlog").option("path", t).load()
+        .filter(col("id") === 5L).count() === 1L)
+    } finally rm(t)
+  }
+
   test("stats skipping survives a column rename: pre-rename sidecars " +
       "keep pruning under the NEW logical name (alias lookup), and " +
       "the no-false-negative law holds across the boundary") {
