@@ -195,6 +195,123 @@ object Pipeline19 {
         s.catalog.dropTempView("q192_customer"): Unit
         rmTree(root)
       }
+    }),
+
+    // VERSIONED CHECK constraints (round 13): SET/UNSET are OCC
+    // commits riding the manifest, so the rules time-travel with the
+    // data — a RESTORE below the UNSET resurrects the constraint
+    // along with the content it governed, and the resurrected rule
+    // gates writes again. Witnesses: the pre-drop refusal (atomic —
+    // no version landed), the post-restore refusal (the rule came
+    // back via time travel, not via any side file), and the final
+    // constraint count. Final content = exactly the clean slices,
+    // so the oracle re-derives everything from predicate algebra.
+    "q195_commitlog_versioned_constraints" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q195_").toString
+      val tbl = s"$root/tbl"
+      try {
+        val o = t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+        val clean = o.filter(col("o_totalprice") > 50000.0)
+        val dirty = o.filter(col("o_totalprice") <= 50000.0)
+        CommitLog.append(s, tbl,
+          clean.filter(pmod(col("o_orderkey"), lit(2)) === 0))
+        CommitLog.setConstraint(s, tbl, "price_floor",
+          "o_totalprice > 50000.0"): Unit
+        val vGate = CommitLog.currentVersion(s, tbl).get
+        val refusedPre =
+          try { CommitLog.append(s, tbl, dirty); false }
+          catch { case _: IllegalStateException =>
+            CommitLog.currentVersion(s, tbl).get == vGate }
+        CommitLog.append(s, tbl,
+          clean.filter(pmod(col("o_orderkey"), lit(2)) === 1))
+        val vClean = CommitLog.currentVersion(s, tbl).get
+        // UNSET lifts the gate — the dirty slice lands...
+        CommitLog.dropConstraint(s, tbl, "price_floor"): Unit
+        CommitLog.append(s, tbl, dirty)
+        // ...and RESTORE to the gated era rolls BOTH the content and
+        // the rule back (constraints are versioned metadata)
+        CommitLog.restore(s, tbl, vClean): Unit
+        val consBack = CommitLog.constraints(s, tbl)
+          .contains("price_floor")
+        val vAfter = CommitLog.currentVersion(s, tbl).get
+        val refusedPost =
+          try { CommitLog.append(s, tbl, dirty); false }
+          catch { case _: IllegalStateException =>
+            CommitLog.currentVersion(s, tbl).get == vAfter }
+        CommitLog.read(s, tbl)
+          .groupBy(col("o_orderstatus")).agg(
+            count(lit(1)).as("n_rows"),
+            sum(col("o_totalprice").cast("decimal(30,6)"))
+              .cast("double").as("sum_price"))
+          .withColumn("refused_pre", lit(refusedPre))
+          .withColumn("constraint_restored", lit(consBack))
+          .withColumn("refused_post_restore", lit(refusedPost))
+          .withColumn("n_constraints_final",
+            lit(CommitLog.constraints(s, tbl).size))
+          .orderBy(col("o_orderstatus"))
+          .localCheckpoint(true)
+      } finally rmTree(root)
+    }),
+
+    // METADATA-ONLY type widening (round 13): INT→LONG and
+    // FLOAT→DOUBLE commits touch zero segments; the pinned-schema
+    // scan up-converts the old files' INT32/FLOAT pages, so one
+    // table serves pre- and post-widen segments as a single uniform
+    // type — including values only the WIDE type can hold. The
+    // oracle rebuilds the mixed union in DuckDB with explicit casts.
+    // Witnesses: segments untouched by the widen commits, the
+    // pre-widen version time-traveling with its own NARROW types,
+    // and a narrowing attempt refused.
+    "q196_commitlog_type_widening" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q196_").toString
+      val tbl = s"$root/tbl"
+      try {
+        val li = t(s, dir, "lineitem")
+        def slice(par: Int): DataFrame = li
+          .filter(pmod(col("l_orderkey"), lit(2)) === par)
+          .select(
+            (col("l_orderkey") % 100000).cast("int").as("key_small"),
+            col("l_quantity").cast("float").as("qty"),
+            col("l_returnflag").as("flag"))
+        CommitLog.appendEvolve(s, tbl, slice(0))
+        val preV = CommitLog.currentVersion(s, tbl).get
+        val segsBefore = CommitLog.snapshot(s, tbl).get.segments
+        CommitLog.widenColumn(s, tbl, "key_small",
+          org.apache.spark.sql.types.LongType): Unit
+        CommitLog.widenColumn(s, tbl, "qty",
+          org.apache.spark.sql.types.DoubleType): Unit
+        val segsUntouched =
+          CommitLog.snapshot(s, tbl).get.segments == segsBefore
+        // post-widen slice carries values only LONG can hold
+        CommitLog.append(s, tbl, slice(1).select(
+          (col("key_small").cast("bigint") + 10000000000L)
+            .as("key_small"),
+          col("qty").cast("double").as("qty"), col("flag")))
+        val preSchema = CommitLog.read(s, tbl, Some(preV)).schema
+        val preNarrow =
+          preSchema("key_small").dataType ==
+            org.apache.spark.sql.types.IntegerType &&
+          preSchema("qty").dataType ==
+            org.apache.spark.sql.types.FloatType
+        val narrowRefused =
+          try { CommitLog.widenColumn(s, tbl, "key_small",
+            org.apache.spark.sql.types.IntegerType): Unit; false }
+          catch { case _: IllegalStateException => true }
+        CommitLog.read(s, tbl)
+          .groupBy(col("flag")).agg(
+            count(lit(1)).as("n_rows"),
+            sum(col("key_small")).cast("bigint").as("sum_key"),
+            sum(col("qty").cast("decimal(30,6)")).cast("double")
+              .as("sum_qty"))
+          .withColumn("segs_untouched", lit(segsUntouched))
+          .withColumn("pre_widen_narrow", lit(preNarrow))
+          .withColumn("narrow_refused", lit(narrowRefused))
+          .orderBy(col("flag"))
+          .localCheckpoint(true)
+      } finally rmTree(root)
     })
   )
 
@@ -248,6 +365,41 @@ object Pipeline19 {
         |    WHERE c_acctbal > 0) AS v1_rows
         |FROM customer WHERE c_acctbal > 0
         |GROUP BY c_nationkey
-        |ORDER BY c_nationkey""".stripMargin
+        |ORDER BY c_nationkey""".stripMargin,
+
+    "q195_commitlog_versioned_constraints" ->
+      """SELECT o_orderstatus,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price,
+        |  TRUE AS refused_pre,
+        |  TRUE AS constraint_restored,
+        |  TRUE AS refused_post_restore,
+        |  CAST(1 AS INT) AS n_constraints_final
+        |FROM orders WHERE o_totalprice > 50000.0
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "q196_commitlog_type_widening" ->
+      """WITH unioned AS (
+        |  SELECT CAST(l_orderkey % 100000 AS INTEGER) AS key_small,
+        |    CAST(l_quantity AS REAL) AS qty, l_returnflag AS flag
+        |  FROM lineitem WHERE l_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT CAST(l_orderkey % 100000 AS BIGINT) + 10000000000
+        |      AS key_small,
+        |    CAST(CAST(l_quantity AS REAL) AS DOUBLE) AS qty,
+        |    l_returnflag AS flag
+        |  FROM lineitem WHERE l_orderkey % 2 = 1)
+        |SELECT flag,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(key_small AS BIGINT)) AS BIGINT) AS sum_key,
+        |  CAST(SUM(CAST(qty AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+        |  TRUE AS segs_untouched,
+        |  TRUE AS pre_widen_narrow,
+        |  TRUE AS narrow_refused
+        |FROM unioned
+        |GROUP BY flag
+        |ORDER BY flag""".stripMargin
   )
 }

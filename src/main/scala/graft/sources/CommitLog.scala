@@ -137,7 +137,8 @@ object CommitLog {
       ts: Option[Long] = None,
       dv: Option[String] = None,
       partitionBy: Option[String] = None,
-      mapping: Option[String] = None)
+      mapping: Option[String] = None,
+      constraints: Option[String] = None)
 
   private def commitsDir(table: String) = s"$table/_commits"
 
@@ -270,25 +271,72 @@ object CommitLog {
   }
   // ---- persistent CHECK constraints ------------------------------------
 
-  /** Table-level CHECK constraints (`_constraints.json`): name → SQL
-    * expression, enforced on EVERY write path ([[writeSegment]] and
-    * the partitioned stager) — the Delta constraint model, managed
-    * from SQL via `ALTER TABLE … SET/UNSET TBLPROPERTIES
+  /** Table-level CHECK constraints: name → SQL expression, enforced
+    * on EVERY write path ([[writeSegment]] and the partitioned
+    * stager) — the Delta constraint model, managed from SQL via
+    * `ALTER TABLE … SET/UNSET TBLPROPERTIES
     * ('graft.constraint.<name>' = '<expr>')`. SQL-standard CHECK
     * semantics: a row violates only when the expression is FALSE —
     * NULL (unknown) passes (note: [[appendChecked]]'s per-call
     * constraints predate this and treat NULL as a violation; its
-    * contract is spec-pinned and unchanged). Table-level metadata
-    * like the partition marker, not per-version state: time travel
-    * reads old DATA but the current rules gate new writes. Known
-    * bound, stated honestly: constraint DDL itself is
-    * read-modify-write on one small file — two SIMULTANEOUS
-    * SET/UNSET statements are last-writer-wins (writes racing a SET
-    * are safe: they read the marker once, before staging). Delta
-    * serializes properties through its log; constraint DDL here is
-    * an operator action, not a hot path, so the marker keeps the
-    * protocol untouched. */
+    * contract is spec-pinned and unchanged).
+    *
+    * Constraints are VERSIONED table metadata carried in every
+    * manifest record (the `constraints` field, inherited at publish
+    * like `partitionBy`/`mapping` — Delta carries constraints in its
+    * log the same way): SET/UNSET are OCC commits (two simultaneous
+    * statements serialize through the version race — no lost
+    * update), RTAS resets them atomically IN the replace commit (a
+    * crash can never strand the old definition's rules on the new
+    * schema), and [[restore]] serves the target version's OWN set —
+    * constraints time-travel with the data they governed.
+    *
+    * Legacy fallback: tables written before this hardening kept the
+    * rules in a mutable `_constraints.json` side file; when the
+    * current manifest carries NO constraints field, that file is
+    * still honored, and the next SET/UNSET absorbs it into the log
+    * (then deletes it). */
   def constraints(spark: SparkSession,
+      table: String): Map[String, String] =
+    constraintsOf(spark, table, snapshot(spark, table))
+
+  /** The effective constraint set of one resolved snapshot —
+    * callers already holding it avoid a second manifest resolution. */
+  private[sources] def constraintsOf(spark: SparkSession,
+      table: String, snap: Option[Snapshot]): Map[String, String] =
+    snap.flatMap(_.constraints) match {
+      case Some(b64) => decodeConstraints(b64)
+      case None => legacyConstraintsFile(spark, table)
+    }
+
+  /** base64 of the flat sorted name→expr JSON map — regex-safe
+    * inside the manifest exactly like [[encodeSchema]]. The EMPTY
+    * map encodes non-empty ("e30=" = "{}"), so "explicitly none"
+    * (RTAS reset, last UNSET) is distinct from "no constraint
+    * commit yet" (inherit at publish; legacy-file fallback at
+    * read). */
+  private[sources] def encodeConstraints(
+      cons: Map[String, String]): String = {
+    def esc(s: String) =
+      s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val body = cons.toSeq.sortBy(_._1)
+      .map { case (n, e) => s""""${esc(n)}":"${esc(e)}"""" }
+      .mkString("{", ",", "}")
+    java.util.Base64.getEncoder.encodeToString(body.getBytes("UTF-8"))
+  }
+
+  private[sources] def decodeConstraints(
+      b64: String): Map[String, String] = {
+    val txt = new String(
+      java.util.Base64.getDecoder.decode(b64), "UTF-8")
+    "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
+      .findAllMatchIn(txt).map { m =>
+        def un(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
+        un(m.group(1)) -> un(m.group(2))
+      }.toMap
+  }
+
+  private def legacyConstraintsFile(spark: SparkSession,
       table: String): Map[String, String] = {
     val f = fs(spark, table)
     val p = new org.apache.hadoop.fs.Path(s"$table/_constraints.json")
@@ -303,58 +351,86 @@ object CommitLog {
       }.toMap
   }
 
-  private def writeConstraints(spark: SparkSession, table: String,
-      cons: Map[String, String]): Unit = {
-    val f = fs(spark, table)
-    val p = new org.apache.hadoop.fs.Path(s"$table/_constraints.json")
-    if (cons.isEmpty) { f.delete(p, false): Unit; return }
-    def esc(s: String) =
-      s.replace("\\", "\\\\").replace("\"", "\\\"")
-    val body = cons.toSeq.sortBy(_._1)
-      .map { case (n, e) => s""""${esc(n)}":"${esc(e)}"""" }
-      .mkString("{", ",", "}")
-    val out = f.create(p, true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
+  private def deleteLegacyConstraintsFile(spark: SparkSession,
+      table: String): Unit =
+    fs(spark, table).delete(
+      new org.apache.hadoop.fs.Path(s"$table/_constraints.json"),
+      false): Unit
+
+  /** Publish a constraint-set change as a metadata-only OCC commit:
+    * same segments/schema/dv as the base, new absolute constraint
+    * value. The legacy side file (if any) is deleted AFTER the
+    * publish wins — by then the manifest carries the absolute truth,
+    * so a crash between the two just leaves an ignored stale file. */
+  private def commitConstraints(spark: SparkSession, table: String,
+      op: String, maxRetries: Int)(
+      next: (Snapshot, Map[String, String]) => Map[String, String])
+      : Long = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val cur = snapshot(spark, table).getOrElse(
+        throw new IllegalStateException(
+          s"CommitLog.$op: nothing committed at $table"))
+      val cons = next(cur, constraintsOf(spark, table, Some(cur)))
+      val snap = Snapshot(cur.version + 1L, cur.segments, cur.version,
+        op, schema = cur.schema, dv = cur.dv,
+        constraints = Some(encodeConstraints(cons)))
+      if (tryPublish(spark, table, snap, Some(cur))) {
+        deleteLegacyConstraintsFile(spark, table)
+        return snap.version
+      }
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"CommitLog.$op: lost the version race $maxRetries times at " +
+        s"$table")
   }
 
-  /** Add (or replace) a named CHECK constraint. Validated twice
-    * before it lands, both loudly: the expression must analyze
-    * against the current schema, and — Delta's rule — every EXISTING
-    * live row must already satisfy it (otherwise readers could never
-    * trust the invariant). */
+  /** Add (or replace) a named CHECK constraint, as an OCC commit
+    * (`op = "set_constraint"`). Validated twice before it lands,
+    * both loudly: the expression must analyze against the current
+    * schema, and — Delta's rule — every EXISTING live row must
+    * already satisfy it (otherwise readers could never trust the
+    * invariant). The existing-data check re-runs on every retry, so
+    * a concurrent append of violating rows cannot slip under the
+    * constraint. Returns the committed version. */
   def setConstraint(spark: SparkSession, table: String,
-      name: String, exprSql: String): Unit = {
+      name: String, exprSql: String, maxRetries: Int = 20): Long = {
     require(name.nonEmpty && exprSql.nonEmpty,
       "setConstraint: empty name or expression")
-    val cur = snapshot(spark, table).getOrElse(
-      throw new IllegalStateException(
-        s"CommitLog.setConstraint: nothing committed at $table"))
-    val pred = expr(exprSql)
-    if (cur.segments.nonEmpty || cur.schema.isDefined) {
-      val live = readLive(spark, cur)
-      // analysis errors (unknown column, non-boolean) surface here
-      val bad = live.filter(coalesce(pred, lit(true)) === false).count()
-      if (bad > 0L) throw new IllegalStateException(
-        s"CommitLog.setConstraint: $bad existing row(s) of $table " +
-          s"violate CHECK '$name' ($exprSql) — constraint NOT added; " +
-          "clean the data first (the Delta rule: a constraint must " +
-          "hold over existing data before it can gate new writes)")
+    commitConstraints(spark, table, "set_constraint", maxRetries) {
+      (cur, cons) =>
+        val pred = expr(exprSql)
+        if (cur.segments.nonEmpty || cur.schema.isDefined) {
+          val live = readLive(spark, cur)
+          // analysis errors (unknown column, non-boolean) surface here
+          val bad =
+            live.filter(coalesce(pred, lit(true)) === false).count()
+          if (bad > 0L) throw new IllegalStateException(
+            s"CommitLog.setConstraint: $bad existing row(s) of " +
+              s"$table violate CHECK '$name' ($exprSql) — constraint " +
+              "NOT added; clean the data first (the Delta rule: a " +
+              "constraint must hold over existing data before it " +
+              "can gate new writes)")
+        }
+        cons + (name -> exprSql)
     }
-    writeConstraints(spark, table,
-      constraints(spark, table) + (name -> exprSql))
   }
 
-  /** Remove a named CHECK constraint; unknown names refuse loudly
-    * (an UNSET that silently no-ops would mask a typo'd name while
-    * the real constraint keeps refusing writes). */
+  /** Remove a named CHECK constraint (`op = "drop_constraint"`);
+    * unknown names refuse loudly (an UNSET that silently no-ops
+    * would mask a typo'd name while the real constraint keeps
+    * refusing writes). Returns the committed version. */
   def dropConstraint(spark: SparkSession, table: String,
-      name: String): Unit = {
-    val cur = constraints(spark, table)
-    require(cur.contains(name),
-      s"CommitLog.dropConstraint: no CHECK constraint '$name' at " +
-        s"$table — have: ${cur.keys.toSeq.sorted.mkString(", ")}")
-    writeConstraints(spark, table, cur - name)
-  }
+      name: String, maxRetries: Int = 20): Long =
+    commitConstraints(spark, table, "drop_constraint", maxRetries) {
+      (_, cons) =>
+        require(cons.contains(name),
+          s"CommitLog.dropConstraint: no CHECK constraint '$name' " +
+            s"at $table — have: " +
+            cons.keys.toSeq.sorted.mkString(", "))
+        cons - name
+    }
 
   /** The first persistent-constraint violation over `df`, if any —
     * one columnar aggregate, nothing when the table has no
@@ -363,8 +439,9 @@ object CommitLog {
     * SQL CHECK semantics passes unless the expression then resolves
     * FALSE (e.g. `x IS NOT NULL`). */
   private[sources] def constraintViolation(spark: SparkSession,
-      table: String, df: DataFrame): Option[String] = {
-    val cons = constraints(spark, table)
+      table: String, df: DataFrame,
+      snap: Option[Snapshot]): Option[String] = {
+    val cons = constraintsOf(spark, table, snap)
     if (cons.isEmpty) return None
     val have = df.columns.map(_.toLowerCase).toSet
     val refs: Seq[String] = cons.values.toSeq.flatMap(e =>
@@ -373,7 +450,7 @@ object CommitLog {
           case u: org.apache.spark.sql.catalyst.analysis
               .UnresolvedAttribute => u.name
         }).distinct
-    val declared = snapshot(spark, table).flatMap(_.schema)
+    val declared = snap.flatMap(_.schema)
       .map(decodeSchema)
     val padded = refs.filterNot(r => have(r.toLowerCase))
       .foldLeft(df)((d, c) => d.withColumn(c,
@@ -396,22 +473,26 @@ object CommitLog {
   }
 
   /** Enforce the table's persistent constraints over freshly staged
-    * segment paths, deleting them before refusing. */
+    * segment paths, deleting them before refusing. `snap` is the
+    * caller's already-resolved snapshot (no extra manifest I/O on
+    * the write hot path). */
   private[sources] def enforceConstraints(spark: SparkSession,
-      table: String, stagedPaths: Seq[String]): Unit = {
-    // marker probe first: no constraints → no parquet footer reads
-    if (stagedPaths.isEmpty || constraints(spark, table).isEmpty) return
+      table: String, stagedPaths: Seq[String],
+      snap: Option[Snapshot]): Unit = {
+    // constraint probe first: no constraints → no parquet footer reads
+    if (stagedPaths.isEmpty ||
+      constraintsOf(spark, table, snap).isEmpty) return
     // constraints are written against LOGICAL names — on a mapped
     // table the staged bytes carry physical names, so restore the
     // logical view before evaluating (identity tables read inferred,
     // exactly as before)
-    val staged = snapshot(spark, table).flatMap(_.schema)
+    val staged = snap.flatMap(_.schema)
       .map(decodeSchema).filterNot(isIdentityMapping) match {
       case Some(sch) =>
         fromPhysicalFrame(spark.read.parquet(stagedPaths: _*), sch)
       case None => spark.read.parquet(stagedPaths: _*)
     }
-    constraintViolation(spark, table, staged).foreach { msg =>
+    constraintViolation(spark, table, staged, snap).foreach { msg =>
       val f = fs(spark, table)
       stagedPaths.foreach(p =>
         f.delete(new org.apache.hadoop.fs.Path(p), true): Unit)
@@ -756,16 +837,17 @@ object CommitLog {
   private[graft] def writeSegment(spark: SparkSession, table: String,
       df: DataFrame): String = {
     // column mapping: file bytes store PHYSICAL names (identity → the
-    // rename fold is a no-op and no manifest read happens beyond the
-    // one below, which callers' OCC loops do anyway)
-    val mapped = snapshot(spark, table).flatMap(_.schema)
+    // rename fold is a no-op); ONE snapshot resolution serves the
+    // mapping AND the constraint gate below
+    val cur = snapshot(spark, table)
+    val mapped = cur.flatMap(_.schema)
       .map(decodeSchema).filterNot(isIdentityMapping)
       .map(sch => toPhysicalFrame(df, sch)).getOrElse(df)
     val seg = stageSegmentUnchecked(spark, table, mapped)
     // persistent CHECK constraints gate EVERY segment before any
     // manifest can name it — one columnar scan of the new data only,
-    // nothing when the table has no constraints (one marker probe)
-    enforceConstraints(spark, table, Seq(seg))
+    // nothing when the table has no constraints (one field probe)
+    enforceConstraints(spark, table, Seq(seg), cur)
     seg
   }
 
@@ -781,13 +863,14 @@ object CommitLog {
     seg
   }
 
-  /** Drop every CHECK constraint — REPLACE TABLE semantics: the new
-    * definition starts clean (Delta's REPLACE replaces table
-    * properties wholesale; a kept constraint could also reference a
-    * column the new schema no longer has, stranding the table — the
-    * [[restore]] refusal's rationale). */
+  /** Delete the LEGACY `_constraints.json` side file — a derivative
+    * cache cleanup only: since constraints ride the manifest, the
+    * atomic reset is the replace commit's own explicit-empty
+    * `constraints` field, and this file (when present at all) is
+    * ignored wherever that field exists. Crash-safe by construction:
+    * losing this delete leaves a stale file no reader consults. */
   private[sources] def clearConstraints(spark: SparkSession,
-      table: String): Unit = writeConstraints(spark, table, Map.empty)
+      table: String): Unit = deleteLegacyConstraintsFile(spark, table)
 
   /** SPI for the atomic create-if-absent arbitration the WHOLE
     * protocol rests on: publish `content` at `dst` iff nothing exists
@@ -955,7 +1038,13 @@ object CommitLog {
     val stamped = snap.copy(ts = Some(System.currentTimeMillis()),
       partitionBy = snap.partitionBy
         .orElse(parent.flatMap(_.partitionBy)),
-      mapping = snap.mapping.orElse(parent.flatMap(_.mapping)))
+      mapping = snap.mapping.orElse(parent.flatMap(_.mapping)),
+      // CHECK constraints are versioned table metadata (Delta's
+      // model): absolute per record, inherited at publish exactly
+      // like the partition spec — constraint DDL commits its own
+      // value, everything else carries the parent's forward
+      constraints = snap.constraints
+        .orElse(parent.flatMap(_.constraints)))
     // O(delta) commit bytes: render adds/removes relative to the
     // parent (version-1) whenever the parent resolves and forward
     // replay reproduces the EXACT segment list (order included — an
@@ -1318,6 +1407,89 @@ object CommitLog {
     }
     throw new java.io.IOException(
       s"CommitLog.dropColumn: lost the version race $maxRetries " +
+        s"times at $table")
+  }
+
+  /** The provably-safe METADATA-ONLY type promotions (Delta type
+    * widening / Iceberg V2 type promotion): every value of `from`
+    * is exactly representable in `to`, AND the parquet readers
+    * up-convert the old file bytes at scan (Spark 4.x widening
+    * promotions in both vectorized and parquet-mr paths), AND the
+    * stats sidecar tag is invariant (integrals share "long", floats
+    * share "double", decimals compare exactly) so recorded
+    * min/max/bloom metadata stays valid. Deliberately EXCLUDED:
+    * int→double (representable, but it flips the sidecar tag
+    * long→double, invalidating recorded stats — rewrite instead)
+    * and every narrowing. Decimal follows Delta's rule: scale may
+    * grow only if the integer-digit capacity (precision − scale)
+    * does not shrink. */
+  private[sources] def isSafeWiden(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (a, b) if a == b => false
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (d1: DecimalType, d2: DecimalType) =>
+        d2.scale >= d1.scale &&
+          d2.precision - d2.scale >= d1.precision - d1.scale &&
+          (d2.precision > d1.precision || d2.scale > d1.scale)
+      case _ => false
+    }
+  }
+
+  /** `ALTER TABLE … ALTER COLUMN <name> TYPE <to>` — METADATA-ONLY
+    * type widening for the [[isSafeWiden]] promotions: the commit
+    * (`op = "widen_column"`) records the widened schema and touches
+    * ZERO segments; readers pin the recorded schema and the parquet
+    * scan up-converts old-file bytes (INT32 pages under a LONG
+    * column, etc.), so mixed-age segment sets serve one uniform
+    * type. Older versions time-travel under their own narrower
+    * schema. Without this, a long-lived table whose key outgrows
+    * INT faces a full rewrite. Unsafe changes refuse loudly, naming
+    * the safe set. */
+  def widenColumn(spark: SparkSession, table: String, name: String,
+      to: org.apache.spark.sql.types.DataType,
+      maxRetries: Int = 20): Long = {
+    val cs = caseSensitiveAnalysis(spark)
+    def same(a: String, b: String) =
+      if (cs) a == b else a.equalsIgnoreCase(b)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val cur = snapshot(spark, table).getOrElse(
+        throw new IllegalStateException(
+          s"CommitLog.widenColumn: nothing committed at $table"))
+      val base = cur.schema.map(decodeSchema).getOrElse {
+        if (cur.segments.isEmpty) throw new IllegalStateException(
+          s"CommitLog.widenColumn: $table has no recorded schema " +
+            "and no segments — nothing to alter")
+        readSegments(spark, cur.segments, None).schema
+      }
+      val f = base.fields.find(x => same(x.name, name)).getOrElse(
+        throw new IllegalStateException(
+          s"CommitLog.widenColumn: no column '$name' at $table"))
+      if (!isSafeWiden(f.dataType, to))
+        throw new IllegalStateException(
+          s"CommitLog.widenColumn: ${f.dataType.simpleString} → " +
+            s"${to.simpleString} on '$name' is not a metadata-only " +
+            "widening — safe: BYTE→SHORT→INT→LONG, FLOAT→DOUBLE, " +
+            "DECIMAL(p,s)→DECIMAL(p',s') with p'−s' ≥ p−s and " +
+            "s' ≥ s; anything else (narrowing, int→double, type " +
+            "family change) is a rewrite — CTAS into a new table")
+      val widened = org.apache.spark.sql.types.StructType(
+        base.fields.map(x =>
+          if (same(x.name, name)) x.copy(dataType = to) else x))
+      val snap = Snapshot(cur.version + 1L, cur.segments, cur.version,
+        "widen_column", schema = Some(encodeSchema(widened)),
+        dv = cur.dv)
+      if (tryPublish(spark, table, snap, Some(cur))) return snap.version
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"CommitLog.widenColumn: lost the version race $maxRetries " +
         s"times at $table")
   }
 
@@ -1901,15 +2073,17 @@ object CommitLog {
           asOfVersion.fold("")(v => s" (asOf=$v)")))
     require(currentVersion(spark, target).isEmpty,
       s"CommitLog.cloneTable: target $target already exists")
+    // invariants are table metadata and the clone's content satisfies
+    // them by construction — they ride the clone's v1 commit itself
+    // (Delta clones carry properties); the clone can UNSET
+    // independently afterwards. Sourced effective set: versioned
+    // field when present, legacy side file otherwise.
     val out = Snapshot(1L, snap.segments, 0L, "clone",
-      schema = snap.schema, dv = snap.dv)
+      schema = snap.schema, dv = snap.dv,
+      constraints = Some(encodeConstraints(
+        constraintsOf(spark, source, Some(snap)))))
     if (!tryPublish(spark, target, out)) throw new IllegalStateException(
       s"CommitLog.cloneTable: target $target was created concurrently")
-    // invariants are table metadata and the clone's content satisfies
-    // them by construction — carry them (Delta clones carry
-    // properties); the clone can UNSET independently afterwards
-    val cons = constraints(spark, source)
-    if (cons.nonEmpty) writeConstraints(spark, target, cons)
     1L
   }
 
@@ -1926,12 +2100,19 @@ object CommitLog {
       throw new IllegalStateException(
         s"CommitLog.restore: version $toVersion of $table is vacuumed " +
           "or never existed"))
-    // restoring across an ADD-COLUMN evolution drops the added
-    // columns from the live schema — a persistent constraint still
-    // referencing one would then judge every future write against a
-    // column no writer can supply (always-NULL). Refuse, naming the
-    // way out, instead of stranding the table.
-    val cons = constraints(spark, table)
+    // Constraints are VERSIONED metadata: the restore commit serves
+    // the TARGET version's own set below, so rules referencing
+    // columns the target lacks simply roll back with the schema —
+    // no stranding possible. The refusal survives ONLY for the
+    // legacy side-file era (current chain carries no constraints
+    // field): those rules are unversioned, so restoring across an
+    // evolution they reference would strand the table exactly as
+    // before.
+    val curHasVersioned =
+      snapshot(spark, table).exists(_.constraints.isDefined)
+    val cons =
+      if (curHasVersioned) Map.empty[String, String]
+      else legacyConstraintsFile(spark, table)
     if (cons.nonEmpty) {
       val restoredCols = target.schema.map(decodeSchema)
         .map(_.fieldNames.map(_.toLowerCase).toSet)
@@ -1958,9 +2139,19 @@ object CommitLog {
         throw new IllegalStateException(
           s"CommitLog.restore: nothing committed at $table"))
       if (cur.version == toVersion) return cur.version
+      // the target's own constraint set rides the restore commit
+      // (explicit-empty when the target predates constraints), so
+      // time travel governs rules exactly as it governs data; on a
+      // pure-legacy table the field stays absent and the side file
+      // keeps governing (the guard above already vetted it)
+      val restoredCons: Option[String] =
+        if (cur.constraints.isDefined)
+          Some(target.constraints.getOrElse(
+            encodeConstraints(Map.empty)))
+        else None
       val snap = Snapshot(cur.version + 1L, target.segments,
         cur.version, "restore", schema = target.schema,
-        dv = target.dv)
+        dv = target.dv, constraints = restoredCons)
       if (tryPublish(spark, table, snap)) return snap.version
       attempt += 1
     }
@@ -2240,7 +2431,9 @@ object CommitLog {
         // segments — no content change, same class as compact; an
         // 'evolve' (metadata-only ADD COLUMNS) likewise changes no rows
         case "create" | "evolve" | "rename_column" |
-            "drop_column" => None
+            "drop_column" | "widen_column" |
+            "set_constraint" | "drop_constraint" =>
+          None
         case _ if skipRewrites => None
         case op => throw new IllegalStateException(
           s"CommitLog.changeFeed: version $v of $table is a '$op' " +
@@ -2331,9 +2524,21 @@ object CommitLog {
         s"$table are vacuumed — cannot reconstruct the feed after " +
         s"$afterVersion; start from a full snapshot read instead")
     // one forward pass over the consumed range (O(range) reads)
+    val fromV = math.max(1L, afterVersion)
     val byVersion = snapshotsRange(spark, table,
-      math.max(1L, afterVersion), vs.lastOption.getOrElse(0L))
+      fromV, vs.lastOption.getOrElse(0L))
       .map(s => s.version -> s).toMap
+    // the range check above validates versions AFTER afterVersion;
+    // the replay BASE (afterVersion itself) must also still resolve —
+    // a vacuum whose retain floor is exactly afterVersion+1 leaves
+    // the tail intact but the base gone, and byVersion lookups below
+    // would otherwise throw a bare NoSuchElementException
+    if (vs.nonEmpty && !byVersion.contains(fromV))
+      throw new IllegalStateException(
+        s"CommitLog.changes: version $fromV of $table (the feed's " +
+          s"replay base after $afterVersion) is vacuumed — cannot " +
+          "reconstruct the feed; start from a full snapshot read " +
+          "instead")
     vs.flatMap { v =>
       val snap = byVersion(v)
       snap.op match {
@@ -2347,8 +2552,9 @@ object CommitLog {
           else spark.read.parquet(added: _*)))
         case "compact" => None // content-preserving rewrite
         case "create" => None  // zero-segment schema-only commit
-        case "evolve" | "rename_column" | "drop_column" =>
-          None // metadata-only schema commits
+        case "evolve" | "rename_column" | "drop_column" |
+            "widen_column" | "set_constraint" | "drop_constraint" =>
+          None // metadata-only schema/constraint commits
         case _ if skipRewrites => None
         case op => throw new IllegalStateException(
           s"CommitLog.changes: version $v of $table is a '$op' rewrite" +
@@ -2572,8 +2778,9 @@ object CommitLog {
       s""""partitionBy":"${p.replace("\\", "\\\\")
         .replace("\"", "\\\"")}",""")
     val mp = s.mapping.fold("")(m => s""""mapping":"$m",""")
+    val cn = s.constraints.fold("")(c => s""""constraints":"$c",""")
     s"""{"version":${s.version},"baseVersion":${s.baseVersion},""" +
-      txn + ch + dvf + sch + ts + pb + mp + s""""op":"${s.op}","""
+      txn + ch + dvf + sch + ts + pb + mp + cn + s""""op":"${s.op}","""
   }
 
   private def renderManifest(s: Snapshot): String =
@@ -2640,6 +2847,8 @@ object CommitLog {
         .map(_.stripPrefix("\"").stripSuffix("\"")
           .replace("\\\"", "\"").replace("\\\\", "\\")),
       mapping = optField("mapping")
+        .map(_.stripPrefix("\"").stripSuffix("\"")),
+      constraints = optField("constraints")
         .map(_.stripPrefix("\"").stripSuffix("\""))),
       delta)
   }

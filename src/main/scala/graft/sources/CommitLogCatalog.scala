@@ -234,7 +234,8 @@ class CommitLogCatalog extends TableCatalog
     // touches NOTHING on disk.
     val snap = CommitLog.Snapshot(1L, Seq.empty, 0L, "create",
       schema = Some(CommitLog.encodeSchema(schema)),
-      partitionBy = Some(partitionCols.mkString(",")))
+      partitionBy = Some(partitionCols.mkString(",")),
+      constraints = Some(CommitLog.encodeConstraints(Map.empty)))
     if (!CommitLog.tryPublish(spark, path, snap))
       throw new TableAlreadyExistsException(ident)
     // Won: reconcile the derivative `_partition.json` cache to OUR
@@ -347,17 +348,19 @@ class CommitLogCatalog extends TableCatalog
       }
       return loadTable(ident)
     }
-    // RENAME / DROP COLUMN: metadata-only commits under column
-    // mapping ([[CommitLog.renameColumn]]/[[CommitLog.dropColumn]] —
-    // physical names pinned in the recorded schema, zero rewrites)
+    // RENAME / DROP COLUMN / ALTER COLUMN TYPE: metadata-only
+    // commits ([[CommitLog.renameColumn]]/[[CommitLog.dropColumn]]
+    // under column mapping, [[CommitLog.widenColumn]] for the safe
+    // type promotions — zero rewrites in all three)
     val mappingDdl = changes.collect {
       case r: TableChange.RenameColumn => r
       case d: TableChange.DeleteColumn => d
+      case u: TableChange.UpdateColumnType => u
     }
     if (mappingDdl.nonEmpty) {
       require(mappingDdl.size == changes.size,
-        "commitlog catalog: mixing RENAME/DROP COLUMN with other " +
-          "ALTERs in one statement is not supported")
+        "commitlog catalog: mixing RENAME/DROP/ALTER COLUMN with " +
+          "other ALTERs in one statement is not supported")
       val path = pathOf(ident)
       mappingDdl.foreach {
         case r: TableChange.RenameColumn =>
@@ -373,6 +376,14 @@ class CommitLogCatalog extends TableCatalog
               "commitlog catalog: DROP COLUMN supports top-level " +
                 s"columns only, got '${d.fieldNames().mkString(".")}'")
           CommitLog.dropColumn(spark, path, d.fieldNames()(0)): Unit
+        case u: TableChange.UpdateColumnType =>
+          if (u.fieldNames().length != 1)
+            throw new UnsupportedOperationException(
+              "commitlog catalog: ALTER COLUMN TYPE supports " +
+                "top-level columns only, got " +
+                s"'${u.fieldNames().mkString(".")}'")
+          CommitLog.widenColumn(spark, path, u.fieldNames()(0),
+            u.newDataType()): Unit
       }
       return loadTable(ident)
     }
@@ -402,9 +413,9 @@ class CommitLogCatalog extends TableCatalog
       case c =>
         throw new UnsupportedOperationException(
           "commitlog catalog: ALTER TABLE supports ADD COLUMNS, " +
-            "RENAME COLUMN and DROP COLUMN " +
-            s"(got ${c.getClass.getSimpleName}) — type changes and " +
-            "repositioning need an explicit rewrite, not metadata " +
+            "RENAME COLUMN, DROP COLUMN and the safe ALTER COLUMN " +
+            s"TYPE widenings (got ${c.getClass.getSimpleName}) — " +
+            "anything else needs an explicit rewrite, not metadata " +
             "evolution")
     }
     CommitLog.evolveColumns(spark, pathOf(ident), added)
@@ -568,7 +579,9 @@ private[sources] class StagedCommitLogTable(spark: SparkSession,
             throw new NoSuchTableException(ident)
           }
           val snap = CommitLog.Snapshot(1L, segs, 0L, "ctas",
-            schema = Some(schemaB64), partitionBy = pb)
+            schema = Some(schemaB64), partitionBy = pb,
+            constraints =
+              Some(CommitLog.encodeConstraints(Map.empty)))
           if (CommitLog.tryPublish(spark, path, snap)) {
             reconcileMarker(); return
           }
@@ -583,12 +596,19 @@ private[sources] class StagedCommitLogTable(spark: SparkSession,
             abortStagedChanges()
             throw new TableAlreadyExistsException(ident)
           }
+          // the new definition starts clean: the replace commit
+          // ITSELF records the explicit-empty constraint set (a kept
+          // rule could reference columns the new schema dropped) —
+          // atomic with the publish, so no crash window can strand
+          // the old definition's rules on the new schema
           val snap = CommitLog.Snapshot(cur.version + 1L, segs,
             cur.version, "replace", schema = Some(schemaB64),
-            partitionBy = pb)
+            partitionBy = pb,
+            constraints =
+              Some(CommitLog.encodeConstraints(Map.empty)))
           if (CommitLog.tryPublish(spark, path, snap, Some(cur))) {
-            // the new definition starts clean: constraints reset
-            // (they could reference columns the new schema dropped)
+            // legacy side-file cleanup only (ignored once the field
+            // exists); losing this to a crash changes nothing
             CommitLog.clearConstraints(spark, path)
             reconcileMarker(); return
           }

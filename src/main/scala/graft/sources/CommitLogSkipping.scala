@@ -143,21 +143,24 @@ object CommitLogSkipping {
     * kept; all-NULL columns fail range and IS NOT NULL probes. */
   def keptSegments(spark: SparkSession, segments: Seq[String],
       exprs: Seq[Expression],
-      aliases: Map[String, Seq[String]] = Map.empty): Seq[String] = {
+      keys: Map[String, CommitLogStats.ProbeKeys] = Map.empty)
+      : Seq[String] = {
     val probes = toProbes(exprs)
     if (probes.isEmpty) return segments
-    // `aliases`: sidecars are keyed by write-time column names, so a
-    // probe on a RENAMED column looks up its whole alias set
-    // ({logical, physical}, collision-filtered by the caller) — a
-    // rename never changes values, so bounds under any alias
+    // `keys`: era-correct sidecar lookup sets per probe column
+    // ([[CommitLogStats.skippingKeys]] — physical name for marker
+    // sidecars, hazard-filtered write-time aliases for legacy ones);
+    // a rename never changes values, so bounds under a trusted key
     // describe the same data
-    def names(c: String): Seq[String] = aliases.getOrElse(c, Seq(c))
+    def keysOf(c: String): CommitLogStats.ProbeKeys =
+      keys.getOrElse(c, CommitLogStats.ProbeKeys(None, Seq(c)))
     val (eqProbes, statProbes) = probes.partition(_.isInstanceOf[MightEq])
     segments.filter { seg =>
-      val statsOk = CommitLogStats.readSidecar(spark, seg) match {
+      val sidecar = CommitLogStats.readSidecar(spark, seg)
+      val statsOk = sidecar match {
         case None => true
         case Some(stats) => statProbes.forall { p =>
-          names(p.col).flatMap(stats.cols.get).headOption match {
+          CommitLogStats.lookupStats(stats, keysOf(p.col)) match {
             case None => true
             case Some(cs) => p match {
               case Lower(_, tag, v, strict) =>
@@ -183,7 +186,9 @@ object CommitLogSkipping {
       // stats first, sketch I/O second); absent bloom → conservative
       statsOk && eqProbes.forall {
         case MightEq(c, values) =>
-          names(c).flatMap(a => CommitLogStats.readBloom(spark, seg, a))
+          CommitLogStats.bloomNames(keysOf(c),
+              sidecar.exists(_.physicalKeys))
+            .flatMap(a => CommitLogStats.readBloom(spark, seg, a))
               .headOption match {
             case None => true
             case Some(bf) => values.exists {

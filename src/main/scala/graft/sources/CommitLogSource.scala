@@ -228,7 +228,13 @@ class CommitLogSource extends TableProvider with DataSourceRegister
     val after = Option(options.get("startingVersion"))
       .map(_.toLong).getOrElse(1L) - 1L
     val skip = options.getBoolean("skipRewrites", false)
-    val key = s"$path|$after|$skip"
+    // the key carries the CURRENT table version (one directory
+    // listing): the memo's correctness must not rest on Spark's
+    // one-provider-instance-per-load behavior — if an instance were
+    // ever reused across loads, a stale version set would otherwise
+    // be served with no staleness signal
+    val curV = CommitLog.currentVersion(spark, path).getOrElse(0L)
+    val key = s"$path|$after|$skip|$curV"
     val memo = cdfMemo
     if (memo != null && memo._1 == key) return memo._2
     val df = CommitLog.changeFeed(spark, path, after, skip)
@@ -639,7 +645,7 @@ private[sources] class CommitLogDvScanBuilder(spark: SparkSession,
   * frame (Catalyst pushes both through the rename projection into
   * the parquet scan) AND the plan-time sidecar tier: pushed
   * conjuncts prune the SEGMENT LIST via alias-aware sidecar lookups
-  * ([[CommitLogStats.skippingAliases]] — renamed columns keep their
+  * ([[CommitLogStats.skippingKeys]] — renamed columns keep their
   * pre-rename stats) before any footer I/O. What remains given up
   * vs the ParquetTable fast path is aggregate pushdown. */
 private[sources] class CommitLogMappedScanBuilder(spark: SparkSession,
@@ -693,7 +699,7 @@ private[sources] class CommitLogMappedScanBuilder(spark: SparkSession,
             }).distinct
             val kept = CommitLogSkipping.keptSegments(spark,
               snap.segments, conds.toIndexedSeq,
-              CommitLogStats.skippingAliases(snap.schema, names))
+              CommitLogStats.skippingKeys(snap.schema, names))
             val base =
               if (kept.isEmpty) full.filter(lit(false))
               else CommitLog.readLive(spark, snap, Some(kept))
@@ -862,6 +868,14 @@ class CommitLogStreamSource(spark: SparkSession, metadataPath: String,
   private val pinnedFields: Set[String] =
     schema.fieldNames.toSet -- Set("_change_type", "_commit_version")
 
+  /** name → type at stream start, for detecting mid-stream
+    * RENAME/DROP (removed names) and type widening — the
+    * NON-ADDITIVE schema changes no option can absorb. */
+  private val pinnedTypes
+      : Map[String, org.apache.spark.sql.types.DataType] =
+    schema.fields.filter(f => pinnedFields(f.name))
+      .map(f => f.name -> f.dataType).toMap
+
   private val watermarkPath = new org.apache.hadoop.fs.Path(
     s"$metadataPath/graft-commitlog-watermark")
   private def fs = watermarkPath.getFileSystem(
@@ -919,17 +933,54 @@ class CommitLogStreamSource(spark: SparkSession, metadataPath: String,
     // one forward pass over the replayed range: resolve(after) once
     // plus one record read per version — NOT one full resolution per
     // version (checkpointInterval+1 reads each) on the hot path
+    val fromV = math.max(1L, after)
     val byVersion = CommitLog.snapshotsRange(spark, table,
-      math.max(1L, after), endV).map(x => x.version -> x).toMap
+      fromV, endV).map(x => x.version -> x).toMap
+    // the gap check above covers versions after `after`; the replay
+    // BASE must also resolve (vacuum retain floor = after+1 leaves
+    // the tail intact but the base gone) — raise the curated restart
+    // error, not a bare NoSuchElementException from byVersion below
+    if (vs.nonEmpty && !byVersion.contains(fromV))
+      throw new IllegalStateException(
+        s"commitlog stream: version $fromV of $table (the replay " +
+          s"base after $after) is vacuumed — the feed cannot be " +
+          "reconstructed; restart the stream from a fresh snapshot")
     val parts = vs.flatMap { ver =>
       val snap = byVersion(ver)
-      // a version whose recorded schema ADDS columns beyond the
-      // stream's start schema is a mid-stream evolution: fail loudly
-      // (Delta's rule — a restart re-resolves the wider schema)
-      // rather than silently serving the new columns' data dropped;
-      // ignoreSchemaEvolution opts into exactly that drop.
-      if (!ignoreSchemaEvolution)
-        snap.schema.map(CommitLog.decodeSchema).foreach { sch =>
+      // Mid-stream schema changes, Delta's rules:
+      //  - NON-ADDITIVE (rename/drop: names REMOVED; widen: a
+      //    pinned column's TYPE changed) ALWAYS fails loudly — no
+      //    option absorbs it, because serving under the start
+      //    schema would misname renamed data, resurrect dropped
+      //    bytes, or mistype widened values; a restart re-resolves
+      //    the new schema.
+      //  - ADDITIVE (names added) fails by default; the documented
+      //    ignoreSchemaEvolution opt-in keeps the start schema with
+      //    the new columns dropped.
+      snap.schema.map(CommitLog.decodeSchema).foreach { sch =>
+        val removed = pinnedFields --
+          sch.fieldNames.toSet
+        if (removed.nonEmpty) throw new IllegalStateException(
+          s"commitlog stream: version $ver of $table renames or " +
+            s"drops column(s) ${removed.toSeq.sorted.mkString(", ")} " +
+            "relative to the stream's schema — a non-additive " +
+            "schema change; restart the stream from a fresh " +
+            "checkpoint with startingVersion at or after the " +
+            "schema-change commit (ignoreSchemaEvolution does not " +
+            "apply)")
+        val retyped = sch.fields.filter(f =>
+          pinnedTypes.get(f.name).exists(_ != f.dataType))
+        if (retyped.nonEmpty) throw new IllegalStateException(
+          s"commitlog stream: version $ver of $table changes the " +
+            s"type of column(s) " +
+            retyped.map(f => s"${f.name} (→ ${f.dataType.simpleString})")
+              .mkString(", ") +
+            " relative to the stream's schema — a non-additive " +
+            "schema change; restart the stream from a fresh " +
+            "checkpoint with startingVersion at or after the " +
+            "schema-change commit (ignoreSchemaEvolution does not " +
+            "apply)")
+        if (!ignoreSchemaEvolution) {
           val added = sch.fieldNames.filterNot(pinnedFields)
           if (added.nonEmpty) throw new IllegalStateException(
             s"commitlog stream: version $ver of $table adds " +
@@ -939,6 +990,7 @@ class CommitLogStreamSource(spark: SparkSession, metadataPath: String,
               "ignoreSchemaEvolution=true to keep the start schema " +
               "(new columns dropped)")
         }
+      }
       snap.op match {
         // 'clone' is an insert for the feed exactly as in changeFeed:
         // its v1 adds the source's full segment set
@@ -962,8 +1014,9 @@ class CommitLogStreamSource(spark: SparkSession, metadataPath: String,
           }
         case "compact" => None // content-preserving rewrite
         case "create" => None  // zero-segment schema-only commit
-        case "evolve" | "rename_column" | "drop_column" =>
-          None // metadata-only schema commits
+        case "evolve" | "rename_column" | "drop_column" |
+            "widen_column" | "set_constraint" | "drop_constraint" =>
+          None // metadata-only schema/constraint commits
         case "delete" | "delete_dv" | "update" | "update_dv"
             if readChangeFeed =>
           val dir = snap.changes.getOrElse(throw

@@ -54,7 +54,23 @@ object CommitLogStats {
   final case class ColStats(tag: String, min: Option[Any],
       max: Option[Any], nulls: Long)
 
-  final case class SegmentStats(rows: Long, cols: Map[String, ColStats])
+  /** `physicalKeys`: sidecars written since the column-mapping key
+    * hardening carry `"keys":"physical"` — every entry of `cols` is
+    * keyed by the column's STABLE physical name (for identity tables
+    * that IS the column name, so the marker is always truthful).
+    * Legacy sidecars (no marker) are keyed by their write-time
+    * LOGICAL names, which DDL can reuse for a different column —
+    * readers must consult them only under the hazard-filtered alias
+    * rules of [[skippingKeys]]. */
+  final case class SegmentStats(rows: Long, cols: Map[String, ColStats],
+      physicalKeys: Boolean = false)
+
+  /** Sidecar lookup keys for ONE probe column: `physical` is the
+    * recorded field's stable physical name (None when the probe
+    * resolves to no recorded field); `legacy` is the hazard-filtered
+    * alias list for marker-less sidecars. */
+  final case class ProbeKeys(physical: Option[String],
+      legacy: Seq[String])
 
   /** Which segments a probe kept vs pruned, for one pinned snapshot. */
   final case class SkipPlan(snapshot: CommitLog.Snapshot,
@@ -217,9 +233,16 @@ object CommitLogStats {
       count(lit(1)).as("__rows")
 
   /** Render one sidecar's JSON from an aggregate row (the output of
-    * [[statsAggExprs]], possibly with extra grouping columns). */
+    * [[statsAggExprs]], possibly with extra grouping columns).
+    * Entries are keyed by `keyOf(column)` — every writer passes the
+    * column's PHYSICAL name (identity on unmapped tables), and the
+    * `"keys":"physical"` marker records that fact so readers can
+    * trust the key unconditionally ([[SegmentStats.physicalKeys]]);
+    * write-time LOGICAL keys (the legacy format) are reused by
+    * rename/drop DDL and need alias hazard-filtering instead. */
   private def sidecarText(schema: StructType, statsCols: Seq[String],
-      row: org.apache.spark.sql.Row): String = {
+      row: org.apache.spark.sql.Row,
+      keyOf: String => String = identity): String = {
     val entries = statsCols.map { c =>
       val dt = schema(c).dataType
       val mn = row.getAs[Any](s"__min_$c")
@@ -233,10 +256,23 @@ object CommitLogStats {
           val (_, emx) = encode(dt, mx)
           (t1, s""""min":${jsonValue(t1, emn)},"max":${jsonValue(t1, emx)}""")
         }
-      s""""${c}":{"t":"$tag",$body,"nulls":$nulls}"""
+      s""""${keyOf(c)}":{"t":"$tag",$body,"nulls":$nulls}"""
     }
     val rows = row.getAs[Long]("__rows")
-    s"""{"rows":$rows,"cols":{${entries.mkString(",")}}}"""
+    s"""{"rows":$rows,"keys":"physical",""" +
+      s""""cols":{${entries.mkString(",")}}}"""
+  }
+
+  /** logical → physical key mapping from a table's CURRENT recorded
+    * schema (identity for unmapped tables and for columns absent
+    * from the record — synthetic stats columns keep their names). */
+  private def physicalKeyFn(spark: SparkSession,
+      table: String): String => String = {
+    val recorded = CommitLog.snapshot(spark, table)
+      .flatMap(_.schema).map(CommitLog.decodeSchema)
+    (c: String) => recorded
+      .flatMap(_.fields.find(_.name.equalsIgnoreCase(c)))
+      .map(CommitLog.physicalName).getOrElse(c)
   }
 
   private def writeSidecarText(spark: SparkSession, segment: String,
@@ -259,14 +295,19 @@ object CommitLogStats {
 
   /** Compute and persist `_stats.json` for an already-written segment.
     * One aggregate job over the segment; the sidecar lands before the
-    * caller publishes any manifest naming the segment. */
+    * caller publishes any manifest naming the segment. `keyOf` maps
+    * the caller's LOGICAL stats columns to the PHYSICAL names the
+    * file bytes (and the sidecar keys) carry — identity on unmapped
+    * tables. */
   private[graft] def writeSidecar(spark: SparkSession, segment: String,
-      statsCols: Seq[String]): Unit = {
+      statsCols: Seq[String],
+      keyOf: String => String = identity): Unit = {
     val df = spark.read.parquet(segment)
-    requireStatsCols(df.schema, statsCols)
-    val aggs = statsAggExprs(statsCols)
+    val physCols = statsCols.map(keyOf)
+    requireStatsCols(df.schema, physCols)
+    val aggs = statsAggExprs(physCols)
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    writeSidecarText(spark, segment, sidecarText(df.schema, statsCols, row))
+    writeSidecarText(spark, segment, sidecarText(df.schema, physCols, row))
   }
 
   /** Land a bucketed relation as one segment PER BUCKET in a constant
@@ -301,9 +342,22 @@ object CommitLogStats {
       val orderCols =
         if (orderWithin.nonEmpty) orderWithin
         else statsCols.filter(landedSchema.fieldNames.contains).map(col)
-      clean.repartition(col(bucketCol))
+      // column mapping: the FILE bytes store physical names, same as
+      // writeSegment / stagePartitioned (the rename projection passes
+      // the synthetic bucket/rank columns through and preserves the
+      // within-partition sort). Without this, an OPTIMIZE/compact of
+      // a mapped table would land LOGICAL-named files the physical-
+      // schema reader serves as silent NULLs.
+      val mapSchema = CommitLog.snapshot(spark, table)
+        .flatMap(_.schema).map(CommitLog.decodeSchema)
+        .filterNot(CommitLog.isIdentityMapping)
+      val sorted = clean.repartition(col(bucketCol))
         .sortWithinPartitions(col(bucketCol) +: orderCols: _*)
+      mapSchema.fold(sorted)(CommitLog.toPhysicalFrame(sorted, _))
         .write.partitionBy(bucketCol).parquet(staging)
+      val keyOf: String => String = c => mapSchema
+        .flatMap(_.fields.find(_.name.equalsIgnoreCase(c)))
+        .map(CommitLog.physicalName).getOrElse(c)
       val leaves = f.listStatus(new org.apache.hadoop.fs.Path(staging))
         .map(_.getPath).filter(_.getName.startsWith(s"$bucketCol="))
         .map { p =>
@@ -332,7 +386,7 @@ object CommitLogStats {
         .map(r => r.getAs[Int](bucketCol) -> r).toMap
       segs.foreach { case (b, seg) =>
         writeSidecarText(spark, seg,
-          sidecarText(landedSchema, statsCols, statRows(b)))
+          sidecarText(landedSchema, statsCols, statRows(b), keyOf))
       }
       segs
     } finally f.delete(new org.apache.hadoop.fs.Path(staging), true): Unit
@@ -438,11 +492,15 @@ object CommitLogStats {
     val snap = CommitLog.snapshot(spark, table).getOrElse(
       throw new IllegalStateException(
         s"CommitLogStats.attachBlooms: no committed version at $table"))
+    // bloom files are keyed by PHYSICAL name, same as the file bytes
+    // they index (identity on unmapped tables)
+    val keyOf = physicalKeyFn(spark, table)
+    val physCols = cols.map(keyOf)
     // per segment, build ONLY the absent columns: a partial-overlap
     // backfill must not rescan for (or rename over) existing blooms
     val missing = snap.segments.flatMap { seg =>
       val f = fs(spark, seg)
-      val absent = cols.filter(c => !f.exists(
+      val absent = physCols.filter(c => !f.exists(
         new org.apache.hadoop.fs.Path(bloomPath(seg, c))))
       if (absent.isEmpty) None else Some(seg -> absent)
     }
@@ -476,7 +534,8 @@ object CommitLogStats {
         else Some(parseValue(tag, m.group(4)))
       m.group(1) -> ColStats(tag, mn, mx, m.group(5).toLong)
     }.toMap
-    Some(SegmentStats(rows, cols))
+    Some(SegmentStats(rows, cols,
+      physicalKeys = txt.contains("\"keys\":\"physical\"")))
   }
 
   // ---- stats-carrying commits -----------------------------------------
@@ -487,7 +546,9 @@ object CommitLogStats {
   def appendWithStats(spark: SparkSession, table: String, df: DataFrame,
       statsCols: Seq[String], maxRetries: Int = 20): Long = {
     val seg = CommitLog.writeSegment(spark, table, df)
-    writeSidecar(spark, seg, statsCols)
+    // the segment's file bytes carry physical names (writeSegment's
+    // mapping fold); the sidecar keys must match them
+    writeSidecar(spark, seg, statsCols, physicalKeyFn(spark, table))
     var attempt = 0
     while (attempt < maxRetries) {
       val cur = CommitLog.snapshot(spark, table)
@@ -625,6 +686,12 @@ object CommitLogStats {
     // and skipping would silently prune matching segments
     val pinned = df.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE snapshot resolution serves the constraint gate AND the
+    // column-mapping decision below (None for CTAS/RTAS staging,
+    // which must see neither the replaced table's rules nor its
+    // mapping)
+    val curSnap =
+      if (enforce) CommitLog.snapshot(spark, table) else None
     val segs: Seq[String] =
       try {
         // the partitioned stager bypasses writeSegment, so the
@@ -633,7 +700,7 @@ object CommitLogStats {
         // (skipped by CTAS/RTAS staging, whose rules belong to the
         // table definition being committed, not the replaced one)
         if (enforce)
-          CommitLog.constraintViolation(spark, table, pinned)
+          CommitLog.constraintViolation(spark, table, pinned, curSnap)
             .foreach(msg =>
               throw new IllegalStateException(s"CommitLog: $msg"))
         // clone the partition columns so partitionBy's column
@@ -648,8 +715,14 @@ object CommitLogStats {
         // untouched; the projection preserves the within-partition
         // sort). Without this, a renamed column's data written
         // through the partitioned path would be invisible to the
-        // physical-schema reader — silent NULLs.
-        val mapped = CommitLog.snapshot(spark, table)
+        // physical-schema reader — silent NULLs. CTAS/RTAS staging
+        // (enforce=false) must NOT apply the PRE-replace table's
+        // mapping: the staged commit records the declared
+        // identity-mapped schema, so files written under the old
+        // physical names would serve silent NULLs after the replace
+        // (stageSegmentUnchecked, the unpartitioned twin, already
+        // skips it).
+        val mapped = curSnap
           .flatMap(_.schema).map(CommitLog.decodeSchema)
           .filterNot(CommitLog.isIdentityMapping)
         val sorted = staged.repartition(partitionCols.map(col): _*)
@@ -693,8 +766,14 @@ object CommitLogStats {
           if (!f.rename(src, new org.apache.hadoop.fs.Path(dst)))
             throw new java.io.IOException(
               s"appendPartitioned: failed to move $src to $dst")
+          // sidecar keys match the file bytes: physical names (the
+          // partition columns themselves are rename-refused, so
+          // their keys are always their own names)
+          val keyOf: String => String = c => mapped
+            .flatMap(_.fields.find(_.name.equalsIgnoreCase(c)))
+            .map(CommitLog.physicalName).getOrElse(c)
           writeSidecarText(spark, dst,
-            sidecarText(schema, sidecarCols, row))
+            sidecarText(schema, sidecarCols, row, keyOf))
           dst
         }
       } finally {
@@ -1016,9 +1095,13 @@ object CommitLogStats {
     val sides = snap.segments.map(readSidecar(spark, _))
     if (sides.exists(_.isEmpty)) return None
     val stats = sides.flatten
-    if (stats.exists(!_.cols.contains(statsCol))) return None
+    // era-correct key lookup (renamed columns resolve through their
+    // physical name); ANY segment without a trusted key → fall back
+    val keys = skippingKeys(snap.schema, Seq(statsCol))(statsCol)
+    val looked = stats.map(lookupStats(_, keys))
+    if (looked.exists(_.isEmpty)) return None
     val rows = stats.map(_.rows).sum
-    val cols = stats.map(_.cols(statsCol))
+    val cols = looked.flatten
     val tags = cols.map(_.tag).distinct
     require(tags.size <= 1,
       s"CommitLogStats.metadataAgg: segments disagree on '$statsCol' " +
@@ -1033,33 +1116,79 @@ object CommitLogStats {
 
   // ---- skipping reads --------------------------------------------------
 
-  /** Sidecar-lookup alias sets for a probe column list: sidecars are
-    * keyed by their WRITE-TIME names, so a probe on a renamed column
-    * carries {probe, logical, physical} (values are rename-invariant,
-    * so bounds under any alias describe the same data). An alias is
-    * DROPPED when it collides with a different field's logical name —
-    * after rename a→b + re-ADD of a fresh 'a', probe b's physical
-    * alias 'a' would otherwise read the NEW column's sidecar bounds
-    * and prune against the wrong data. Collision → only the probe's
-    * own name matches (safe degradation: less pruning, never wrong
-    * rows). */
-  private[sources] def skippingAliases(snapSchema: Option[String],
-      cols: Seq[String]): Map[String, Seq[String]] = {
+  /** Sidecar-lookup keys for a probe column list. Two sidecar eras,
+    * two trust models:
+    *
+    *  - MARKER sidecars (`"keys":"physical"`, everything written
+    *    since the key hardening): keyed by the column's STABLE
+    *    physical name — `physical` matches exactly, no aliasing
+    *    needed (physical names are never reused: a re-ADD mints a
+    *    fresh `col-<uuid>`).
+    *  - LEGACY sidecars (no marker): keyed by their WRITE-TIME
+    *    logical names, which rename/drop DDL can REUSE for a
+    *    different column — after `RENAME a TO b; RENAME c TO a` (or
+    *    `DROP a; RENAME c TO a`), key 'a' in a pre-DDL sidecar
+    *    describes the OLD column's data, and a probe on the new 'a'
+    *    consulting it would prune against the wrong bounds —
+    *    silently missing rows. The `legacy` list therefore keeps a
+    *    name only when the current schema proves it unambiguous:
+    *    the field's own name only when it EQUALS its physical name
+    *    (a name renamed-into can always be a stale key), its
+    *    physical name only when no OTHER field logically owns it,
+    *    and both dropped when they collide with another field's
+    *    name on either side. Collision → fewer aliases → less
+    *    pruning, never wrong rows. */
+  private[sources] def skippingKeys(snapSchema: Option[String],
+      cols: Seq[String]): Map[String, ProbeKeys] = {
     val recorded = snapSchema.map(CommitLog.decodeSchema)
-    val logicalNames = recorded.toSeq
-      .flatMap(_.fieldNames).map(_.toLowerCase).toSet
     cols.distinct.map { c =>
-      val extra = recorded.toSeq.flatMap(_.fields
-        .find(_.name.equalsIgnoreCase(c)).toSeq
-        .flatMap { f =>
+      recorded.flatMap(s =>
+        s.fields.find(_.name.equalsIgnoreCase(c)).map(f => (s, f)))
+        match {
+        case None =>
+          // no recorded field: schema-less table or synthetic probe
+          // column — the probe's own name is the only key either era
+          // could carry
+          c -> ProbeKeys(None, Seq(c))
+        case Some((s, f)) =>
           val phys = CommitLog.physicalName(f)
-          Seq(f.name) ++ (if (phys.equalsIgnoreCase(f.name) ||
-              !logicalNames(phys.toLowerCase)) Seq(phys)
-            else Seq.empty)
-        })
-      c -> (c +: extra).distinct
+          val others = s.fields.filterNot(_ eq f)
+          val otherLogical =
+            others.map(_.name.toLowerCase).toSet
+          val otherPhysical =
+            others.map(CommitLog.physicalName(_).toLowerCase).toSet
+          val hazard = otherLogical ++ otherPhysical
+          val identity = phys.equalsIgnoreCase(f.name)
+          val legacy =
+            (if (identity)
+              Seq(c, f.name).distinct.filterNot(n => hazard(n.toLowerCase))
+            else Seq.empty) ++
+            (if (!hazard(phys.toLowerCase)) Seq(phys) else Seq.empty)
+          c -> ProbeKeys(Some(phys), legacy.distinct)
+      }
     }.toMap
   }
+
+  /** Look one probe's stats up in one sidecar under the era-correct
+    * key set ([[skippingKeys]]). */
+  private[sources] def lookupStats(stats: SegmentStats,
+      keys: ProbeKeys): Option[ColStats] =
+    if (stats.physicalKeys)
+      keys.physical.fold(
+        keys.legacy.flatMap(stats.cols.get).headOption)(stats.cols.get)
+    else keys.legacy.flatMap(stats.cols.get).headOption
+
+  /** Bloom-file lookup names. Bloom files carry no era marker of
+    * their own, so the segment's STATS marker stands in: a segment
+    * whose `_stats.json` says physical keys was written post-
+    * hardening, and any bloom on it is too (blooms land with or
+    * after the sidecar — [[attachBlooms]] backfills, never
+    * predates) — the physical name is then trusted. Otherwise only
+    * the hazard-filtered legacy set is safe. */
+  private[sources] def bloomNames(keys: ProbeKeys,
+      physicalEra: Boolean): Seq[String] =
+    if (physicalEra) (keys.physical.toSeq ++ keys.legacy).distinct
+    else keys.legacy
 
   /** Decide, for ONE pinned snapshot, which segments a closed probe
     * range [lo, hi] on `statsCol` can touch. Conservative on every
@@ -1089,21 +1218,20 @@ object CommitLogStats {
         s"CommitLogStats: probe bounds disagree on type ($loTag vs $hiTag)")
       (c, loTag, loV, hiV)
     }
-    // Column mapping: sidecars are keyed by their WRITE-TIME column
-    // name, so on a renamed column a segment's stats may sit under
-    // the old logical (= physical) name. A rename never changes the
-    // VALUES, so bounds under any alias describe the same data —
-    // look the probe column up under every alias {probe, logical,
-    // physical}. Identity tables: the alias set is just the probe.
-    val aliasOf: Map[String, Seq[String]] =
-      skippingAliases(snap.schema, probes.map(_._1).distinct)
+    // Column mapping: sidecar keys are era-dependent (physical for
+    // marker sidecars, hazard-filtered write-time aliases for legacy
+    // ones — [[skippingKeys]]); a rename never changes the VALUES,
+    // so bounds under a trusted key describe the same data.
+    // Identity tables: the key set is just the probe.
+    val keysOf: Map[String, ProbeKeys] =
+      skippingKeys(snap.schema, probes.map(_._1).distinct)
     val (kept, pruned) = snap.segments.partition { seg =>
       val sidecar = readSidecar(spark, seg)
       val statsOk = encoded.forall { case (statsCol, tag, loV, hiV) =>
         sidecar match {
           case None => true
-          case Some(stats) => aliasOf(statsCol)
-              .flatMap(stats.cols.get).headOption match {
+          case Some(stats) =>
+            lookupStats(stats, keysOf(statsCol)) match {
             case None => true
             case Some(cs) =>
               if (cs.tag != tag) throw new IllegalStateException(
@@ -1123,7 +1251,9 @@ object CommitLogStats {
       // whole key range (hash buckets); absent bloom → conservative
       statsOk && encoded.forall { case (statsCol, tag, loV, hiV) =>
         if (cmp(tag, loV, hiV) != 0) true
-        else readBloom(spark, seg, statsCol) match {
+        else bloomNames(keysOf(statsCol),
+            sidecar.exists(_.physicalKeys))
+          .flatMap(readBloom(spark, seg, _)).headOption match {
           case None => true
           case Some(bf) => tag match {
             case "long" => bf.mightContainLong(loV.asInstanceOf[Long])

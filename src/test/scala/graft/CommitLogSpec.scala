@@ -967,12 +967,13 @@ class CommitLogSpec extends AnyFunSuite {
       assert(spark.sql(
           s"SELECT id FROM gtest.ns.t TIMESTAMP AS OF '$lit'")
         .collect().map(_.getLong(0)).toSeq.sorted === Seq(1L, 2L))
-      // ADD COLUMNS / RENAME / DROP are supported (own laws);
-      // retype stays refused — it would lie about what old
-      // segments can serve
-      intercept[UnsupportedOperationException] {
+      // ADD COLUMNS / RENAME / DROP / safe widening are supported
+      // (own laws); an UNSAFE retype stays refused — it would lie
+      // about what old segments can serve
+      val eRt = intercept[IllegalStateException] {
         spark.sql("ALTER TABLE gtest.ns.t ALTER COLUMN id TYPE STRING")
       }
+      assert(eRt.getMessage.contains("not a metadata-only widening"))
       // catalog listing derives from the filesystem
       assert(spark.sql("SHOW TABLES IN gtest.ns").collect()
         .map(_.getString(1)).toSeq === Seq("t"))
@@ -3173,17 +3174,22 @@ class CommitLogSpec extends AnyFunSuite {
       assert(CommitLog.detail(spark, path).collect()(0)
         .getAs[Long]("n_constraints") ==
         CommitLog.constraints(spark, path).size.toLong)
-      // a RESTORE below the evolve would strand score_pos on a
-      // column the restored schema lacks — refused naming the
-      // constraint; after dropping it the restore lands
-      val preEvolveV = 4L // last version whose schema lacks 'score'
-      val eR = intercept[IllegalStateException] {
-        CommitLog.restore(spark, path, preEvolveV)
-      }
-      assert(eR.getMessage.contains("score_pos"))
-      CommitLog.dropConstraint(spark, path, "score_pos")
+      // RESTORE below the evolve: constraints are VERSIONED metadata
+      // — the restore serves the target version's OWN set, so
+      // score_pos (set after the evolve) rolls back WITH the schema
+      // instead of stranding the table (the stranding refusal
+      // survives only for pre-versioning legacy side files)
+      val preEvolveV = CommitLog.snapshotsAsc(spark, path)
+        .find(_.op == "evolve").get.version - 1L
+      assert(CommitLog.constraints(spark, path).contains("score_pos"))
       CommitLog.restore(spark, path, preEvolveV): Unit
       assert(!CommitLog.read(spark, path).columns.contains("score"))
+      assert(!CommitLog.constraints(spark, path).contains("score_pos"))
+      // v_pos predates preEvolveV → it still governs after restore
+      assert(CommitLog.constraints(spark, path).contains("v_pos"))
+      val eG = intercept[Exception] { spark.sql(
+        "INSERT INTO gcc.ns.t VALUES (10, -1.0)") }
+      assert(msgs(eG).exists(_.contains("v_pos")))
       spark.sql("DROP TABLE gcc.ns.t")
     } finally {
       spark.conf.unset("spark.sql.catalog.gcc")
@@ -3659,8 +3665,11 @@ class CommitLogSpec extends AnyFunSuite {
       // ...and the refused write left no schema change
       assert(!CommitLog.read(spark, t2).columns.contains("note"))
       // (4) skipping alias collision: rename v→score, re-ADD a fresh
-      // 'v', then probe score — the physical alias 'v' now names a
-      // DIFFERENT column, so it must NOT prune (never wrong rows)
+      // 'v', then probe score. The sidecar is MARKER-era (physical
+      // keys): key 'v' is score's stable physical name and can never
+      // mean the fresh 'v' (whose physical is col-<uuid>), so the
+      // probe both PRUNES correctly on score and refuses to consult
+      // the old sidecar for the new 'v'.
       val t3 = tmpTable()
       try {
         CommitLogStats.appendWithStats(spark, t3,
@@ -3671,13 +3680,17 @@ class CommitLogSpec extends AnyFunSuite {
             org.apache.spark.sql.types.DoubleType)))
         val plan = CommitLogStats.planSkipping(spark, t3, "score",
           100.0, 200.0)
-        // without the collision rule the old sidecar (keyed 'v')
-        // would answer for 'score' here — correct but fragile; with
-        // a fresh-'v' sidecar it would prune WRONGLY. The rule drops
-        // the alias entirely: no pruning, correct rows.
-        assert(plan.pruned.isEmpty)
+        // physical-keyed sidecar: the no-match probe prunes the one
+        // segment (bounds [1,5] cannot hold 100..200 of score)
+        assert(plan.pruned.size === 1 && plan.kept.isEmpty)
         assert(CommitLogStats.readSkipping(spark, t3, "score",
           1.0, 5.0).count() === 2L)
+        // the fresh 'v' (physical col-<uuid>) must NOT read the old
+        // sidecar's key 'v': its probe keeps the segment (no trusted
+        // key) instead of wrongly pruning/keeping via stale bounds
+        val freshPlan = CommitLogStats.planSkipping(spark, t3, "v",
+          100.0, 200.0)
+        assert(freshPlan.pruned.isEmpty)
       } finally rm(t3)
       spark.sql("DROP TABLE grv.ns.p")
       spark.sql("DROP TABLE grv.ns.d")
@@ -3864,6 +3877,465 @@ class CommitLogSpec extends AnyFunSuite {
         schema = prev.schema)
       assert(CommitLog.tryPublish(spark, t, compacted, Some(prev)))
       assert(CommitLog.snapshot(spark, t).get.segments.size == 1)
+    } finally rm(t)
+  }
+
+  test("legacy sidecar name-reuse hazard: after RENAME a→b + " +
+      "RENAME c→a, a probe on the NEW 'a' must not read the OLD " +
+      "column's stale 'a' key — kept conservatively, rows exact") {
+    val t = tmpTable()
+    try {
+      import spark.implicits._
+      // columns a (1..5) and c (100..200): one sidecar'd segment
+      val rows = Seq((1L, 100.0), (2L, 120.0), (3L, 150.0),
+        (4L, 180.0), (5L, 200.0))
+      CommitLogStats.appendWithStats(spark, t,
+        rows.toDF("a", "c"), Seq("a", "c"))
+      val seg = CommitLog.snapshot(spark, t).get.segments.head
+      // rewrite the sidecar in the LEGACY format (write-time LOGICAL
+      // keys, no "keys":"physical" marker) — what pre-hardening code
+      // left on disk
+      val legacy = """{"rows":5,"cols":{""" +
+        """"a":{"t":"long","min":1,"max":5,"nulls":0},""" +
+        """"c":{"t":"double","min":100.0,"max":200.0,"nulls":0}}}"""
+      // through the Hadoop FS so the checksum sidecar stays valid
+      val sp = new org.apache.hadoop.fs.Path(s"$seg/_stats.json")
+      val hfs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = hfs.create(sp, true)
+      try out.write(legacy.getBytes("UTF-8")) finally out.close()
+      // legal DDL reusing the name: a→b, then c→a
+      CommitLog.renameColumn(spark, t, "a", "b")
+      CommitLog.renameColumn(spark, t, "c", "a")
+      // probe the NEW 'a' (values 100..200) on a range only the OLD
+      // 'a' could satisfy-check: the stale key must not prune — the
+      // trusted key is the field's physical name 'c'
+      val plan = CommitLogStats.planSkipping(spark, t, "a",
+        140.0, 160.0)
+      assert(plan.kept.size === 1,
+        "stale legacy key 'a' pruned the segment that HOLDS a=150")
+      assert(CommitLogStats.readSkipping(spark, t, "a", 140.0, 160.0)
+        .select("b").collect().map(_.getLong(0)).toSeq === Seq(3L))
+      // and the physical key still prunes when nothing matches
+      assert(CommitLogStats.planSkipping(spark, t, "a", 300.0, 400.0)
+        .pruned.size === 1)
+      // probe on 'b' (physical 'a' — hazardous: 'a' is now another
+      // field's logical name): no trusted legacy key → conservative
+      assert(CommitLogStats.planSkipping(spark, t, "b", 100.0, 200.0)
+        .kept.size === 1)
+    } finally rm(t)
+  }
+
+  test("OPTIMIZE on a column-mapped table lands PHYSICAL-named " +
+      "files: values survive compactClustered after a rename, and " +
+      "skipping still prunes on the new name") {
+    val t = tmpTable()
+    try {
+      CommitLogStats.appendWithStats(spark, t,
+        df((1L, "a", 1.0), (2L, "b", 5.0)), Seq("v"))
+      CommitLogStats.appendWithStats(spark, t,
+        df((3L, "c", 10.0), (4L, "d", 15.0)), Seq("v"))
+      CommitLog.renameColumn(spark, t, "v", "score")
+      // the clustered rewrite must write physical file names ('v'),
+      // or the mapped reader serves silent NULLs for score
+      CommitLogStats.compactClustered(spark, t,
+        clusterCols = Seq("score", "id"), nSegments = 2,
+        statsCols = Seq("score"))
+      val got = CommitLog.read(spark, t)
+        .select("id", "score").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+      assert(got === Seq((1L, 1.0), (2L, 5.0), (3L, 10.0),
+        (4L, 15.0)), "compacted mapped table lost column values")
+      // the rewritten sidecars key physically → pruning works
+      val plan = CommitLogStats.planSkipping(spark, t, "score",
+        10.0, 15.0)
+      assert(plan.pruned.nonEmpty)
+      assert(CommitLogStats.readSkipping(spark, t, "score",
+        10.0, 15.0).count() === 2L)
+    } finally rm(t)
+  }
+
+  test("partitioned RTAS over a column-mapped table: the staged " +
+      "files carry the DECLARED schema's names, not the replaced " +
+      "mapping — values survive the replace") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_rtas_map_").toString
+    try {
+      spark.conf.set("spark.sql.catalog.grm",
+        "graft.sources.CommitLogCatalog")
+      spark.conf.set("spark.sql.catalog.grm.root", root)
+      val path = s"$root/ns/t"
+      spark.sql("CREATE TABLE grm.ns.t AS SELECT * FROM VALUES " +
+        "(1, 'x', 1.5), (2, 'y', 2.5) AS v(id, name, v)")
+      // make the PRE-replace table column-mapped
+      spark.sql("ALTER TABLE grm.ns.t RENAME COLUMN v TO score")
+      // partitioned RTAS: staging must NOT apply the old mapping
+      spark.sql("REPLACE TABLE grm.ns.t PARTITIONED BY (bucket) AS " +
+        "SELECT * FROM VALUES (10, 'p', 1), (20, 'q', 1), " +
+        "(30, 'r', 2) AS v(id, score, bucket)")
+      val got = spark.sql(
+        "SELECT id, score, bucket FROM grm.ns.t ORDER BY id")
+        .collect().map(r => (r.getInt(0), r.getString(1),
+          r.getInt(2))).toSeq
+      assert(got === Seq((10, "p", 1), (20, "q", 1),
+        (30, "r", 2)),
+        "RTAS staging applied the replaced table's mapping — " +
+          "columns served as NULL")
+      spark.sql("DROP TABLE grm.ns.t")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.grm")
+      spark.conf.unset("spark.sql.catalog.grm.root")
+      rm(root + "/x")
+    }
+  }
+
+  test("changes(): a vacuumed replay BASE raises the curated " +
+      "feed-reconstruction error, not a bare lookup failure") {
+    val t = tmpTable()
+    try {
+      (1 to 4).foreach(i =>
+        CommitLog.append(spark, t, df((i.toLong, s"n$i", i * 1.0))))
+      withRetentionCheckOff {
+        CommitLog.vacuum(spark, t, retainVersions = 2) }
+      // versions 3,4 retained; afterVersion=2 has a contiguous tail
+      // but the BASE (v2) is gone — must raise the curated error
+      val e = intercept[IllegalStateException] {
+        CommitLog.changes(spark, t, afterVersion = 2L)
+      }
+      assert(e.getMessage.contains("replay base") &&
+        e.getMessage.contains("vacuumed"))
+      // the fully-retained feed still serves
+      assert(CommitLog.changes(spark, t, afterVersion = 3L).size === 1)
+    } finally rm(t)
+  }
+
+  test("type widening: INT→LONG / FLOAT→DOUBLE / DECIMAL growth are " +
+      "metadata-only commits; mixed-age segments serve one uniform " +
+      "type, stats skipping stays valid, narrowing refuses, time " +
+      "travel serves the old type") {
+    import org.apache.spark.sql.types._
+    val t = tmpTable()
+    try {
+      import spark.implicits._
+      def mk(ids: Seq[Int], vs: Seq[Float]): DataFrame =
+        ids.zip(vs).toDF("id", "v")
+          .select(col("id").cast("int").as("id"),
+            col("v").cast("float").as("v"))
+      // two INT/FLOAT segments with stats, then widen both columns
+      CommitLogStats.appendWithStats(spark, t,
+        mk(Seq(1, 2), Seq(1.5f, 2.5f)), Seq("id"))
+      CommitLogStats.appendWithStats(spark, t,
+        mk(Seq(10, 20), Seq(10.5f, 20.5f)), Seq("id"))
+      // record the schema (plain appends infer) — widen needs it;
+      // appendEvolve with same shape records without adding
+      CommitLog.appendEvolve(spark, t, mk(Seq(30), Seq(30.5f)))
+      val preWidenV = CommitLog.currentVersion(spark, t).get
+      val segsBefore = CommitLog.snapshot(spark, t).get.segments.toSet
+      CommitLog.widenColumn(spark, t, "id", LongType)
+      CommitLog.widenColumn(spark, t, "v", DoubleType)
+      // METADATA-ONLY: zero segments touched
+      assert(CommitLog.snapshot(spark, t).get.segments.toSet ===
+        segsBefore)
+      // old INT/FLOAT bytes serve as LONG/DOUBLE...
+      val sch = CommitLog.read(spark, t).schema
+      assert(sch("id").dataType === LongType &&
+        sch("v").dataType === DoubleType)
+      // ...and a post-widen append lands genuinely-long values in
+      // the SAME table: mixed-age segments, one uniform type
+      CommitLog.append(spark, t, Seq((1L << 40, 99.25))
+        .toDF("id", "v"))
+      val all = CommitLog.read(spark, t).select("id", "v").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+      assert(all === Seq((1L, 1.5), (2L, 2.5), (10L, 10.5),
+        (20L, 20.5), (30L, 30.5), (1L << 40, 99.25)))
+      // stats skipping stays valid across the widen (integral tags
+      // are all "long"): a LONG probe prunes the pre-widen sidecars
+      val plan = CommitLogStats.planSkipping(spark, t, "id", 10L, 20L)
+      assert(plan.pruned.nonEmpty)
+      assert(CommitLogStats.readSkipping(spark, t, "id", 10L, 20L)
+        .count() === 2L)
+      // time travel: the pre-widen version serves the NARROW type
+      assert(CommitLog.read(spark, t, Some(preWidenV))
+        .schema("id").dataType === IntegerType)
+      // narrowing / tag-flipping / cross-family changes refuse
+      for (bad <- Seq("id" -> IntegerType, "v" -> FloatType,
+          "id" -> DoubleType, "v" -> StringType)) {
+        val e = intercept[IllegalStateException] {
+          CommitLog.widenColumn(spark, t, bad._1, bad._2)
+        }
+        assert(e.getMessage.contains("not a metadata-only widening"))
+      }
+      // decimal: precision growth with non-shrinking integer digits
+      val td = tmpTable()
+      try {
+        val d = Seq("12.34", "56.78")
+          .toDF("s").select(col("s").cast("decimal(5,2)").as("m"))
+        CommitLog.appendEvolve(spark, td, d)
+        CommitLog.widenColumn(spark, td, "m", DecimalType(12, 4))
+        assert(CommitLog.read(spark, td).schema("m").dataType ===
+          DecimalType(12, 4))
+        assert(CommitLog.read(spark, td).agg(
+          sum(col("m"))).collect()(0).getDecimal(0)
+          .compareTo(new java.math.BigDecimal("69.12")) === 0)
+        // shrinking integer capacity refuses: (12,4)→(12,6) loses
+        // integer digits
+        intercept[IllegalStateException] {
+          CommitLog.widenColumn(spark, td, "m", DecimalType(12, 6))
+        }
+      } finally rm(td)
+      // SQL surface: ALTER COLUMN TYPE through the catalog
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_widen_sql_").toString
+      try {
+        spark.conf.set("spark.sql.catalog.gwd",
+          "graft.sources.CommitLogCatalog")
+        spark.conf.set("spark.sql.catalog.gwd.root", root)
+        spark.sql("CREATE TABLE gwd.ns.t (id INT, v FLOAT)")
+        spark.sql("INSERT INTO gwd.ns.t VALUES (7, 7.5)")
+        spark.sql("ALTER TABLE gwd.ns.t ALTER COLUMN id TYPE BIGINT")
+        spark.sql(s"INSERT INTO gwd.ns.t VALUES (${1L << 41}, 8.5)")
+        assert(spark.sql("SELECT SUM(id) FROM gwd.ns.t").collect()(0)
+          .getLong(0) === 7L + (1L << 41))
+        spark.sql("DROP TABLE gwd.ns.t")
+      } finally {
+        spark.conf.unset("spark.sql.catalog.gwd")
+        spark.conf.unset("spark.sql.catalog.gwd.root")
+        rm(root + "/x")
+      }
+    } finally rm(t)
+  }
+
+  test("mid-stream RENAME/DROP/WIDEN fails a LIVE stream loudly " +
+      "with the non-additive error — even under " +
+      "ignoreSchemaEvolution (which absorbs ADDs only); a fresh " +
+      "restart serves the new schema") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val cpRoot = java.nio.file.Files
+      .createTempDirectory("graft_nonadd_stream_").toString
+    def msgs(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(th =>
+        Option(th.getMessage).toSeq ++ msgs(th.getCause))
+    def run(name: String, ddl: String => Unit,
+        expectMsg: String, postRow: DataFrame): Unit = {
+      val t = tmpTable()
+      try {
+        // recorded schema from the start (appendEvolve)
+        CommitLog.appendEvolve(spark, t,
+          Seq((1, "a")).toDF("id", "name")
+            .select(col("id").cast("int").as("id"), col("name")))
+        // live stream, evolution-tolerant option ON — the
+        // non-additive guard must fire anyway
+        val q = spark.readStream.format("commitlog").option("path", t)
+          .option("ignoreSchemaEvolution", "true")
+          .load().writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", s"$cpRoot/$name")
+          .trigger(Trigger.ProcessingTime("200 milliseconds")).start()
+        val deadline = System.currentTimeMillis() + 60000
+        while (spark.sql(s"SELECT * FROM $name").count() < 1L) {
+          assert(System.currentTimeMillis() < deadline,
+            s"$name never consumed v1")
+          Thread.sleep(100)
+        }
+        // the table changes non-additively WHILE the stream runs
+        ddl(t)
+        val e = intercept[
+            org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.processAllAvailable()
+        }
+        assert(msgs(e).exists(m => m.contains(expectMsg) &&
+          m.contains("non-additive")), s"$name: wrong error: $e")
+        q.stop()
+        // the documented restart: a FRESH checkpoint with
+        // startingVersion at or after the schema-change commit
+        // serves the post-DDL schema (replaying pre-DDL versions
+        // under the new pinned schema would trip the same guard
+        // from the other side — by design)
+        val vData = CommitLog.append(spark, t, postRow)
+        val q3 = spark.readStream.format("commitlog")
+          .option("path", t).option("startingVersion", vData.toString)
+          .load().writeStream.format("memory").queryName(s"${name}3")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$cpRoot/${name}_fresh")
+          .start()
+        q3.awaitTermination(60000)
+        assert(spark.sql(s"SELECT * FROM ${name}3").count() === 1L)
+      } finally rm(t)
+    }
+    run("ns_rename",
+      t => CommitLog.renameColumn(spark, t, "name", "label"): Unit,
+      "renames or drops",
+      Seq((2, "b")).toDF("id", "label")
+        .select(col("id").cast("int").as("id"), col("label")))
+    run("ns_drop",
+      t => CommitLog.dropColumn(spark, t, "name"): Unit,
+      "renames or drops",
+      Seq(3).toDF("id").select(col("id").cast("int").as("id")))
+    run("ns_widen",
+      t => CommitLog.widenColumn(spark, t, "id",
+        org.apache.spark.sql.types.LongType): Unit,
+      "changes the type",
+      Seq((1L << 40, "w")).toDF("id", "name"))
+  }
+
+  test("missing-cadence-checkpoint tolerance: a crash between the " +
+      "manifest create and the cadence checkpoint write (the " +
+      "publish winner writes them in that order) only lengthens " +
+      "replay — resolve, time travel and vacuum all stay exact, " +
+      "and vacuum re-pins its floor") {
+    val t = tmpTable()
+    try {
+      // 12 appends → v10 gets the cadence checkpoint (interval 10)
+      (1 to 12).foreach(i =>
+        CommitLog.append(spark, t, df((i.toLong, s"n$i", i * 1.0))))
+      val cp10 = new java.io.File(f"$t/_commits/${10L}%020d.checkpoint")
+      assert(cp10.exists(), "cadence checkpoint at v10 missing")
+      val before = sortedRows(CommitLog.read(spark, t))
+      val beforeV5 = sortedRows(CommitLog.read(spark, t, Some(5L)))
+      // simulate the crash: the manifest landed, the checkpoint never
+      // did (tryPublish writes manifest THEN checkpoint, best-effort)
+      assert(cp10.delete())
+      val crc10 = new java.io.File(
+        f"$t/_commits/.${10L}%020d.checkpoint.crc")
+      if (crc10.exists()) crc10.delete(): Unit
+      // every resolution replays further (down to self-contained v1)
+      // but stays EXACT
+      assert(sortedRows(CommitLog.read(spark, t)) === before)
+      assert(sortedRows(CommitLog.read(spark, t, Some(5L))) ===
+        beforeV5)
+      assert(CommitLog.snapshot(spark, t, Some(10L)).get
+        .segments.size === 10)
+      // vacuum must not assume the cadence pin exists: it re-pins
+      // its retain floor (v10) with ensureCheckpoint before dropping
+      CommitLog.vacuum(spark, t, retainVersions = 3)
+      assert(cp10.exists(), "vacuum did not re-pin its retain floor")
+      assert(CommitLog.versions(spark, t) === Seq(10L, 11L, 12L))
+      assert(sortedRows(CommitLog.read(spark, t)) === before)
+      assert(sortedRows(CommitLog.read(spark, t, Some(10L))).size
+        === 10)
+      // dropped versions are gone, not wrong
+      assert(CommitLog.snapshot(spark, t, Some(5L)).isEmpty)
+    } finally rm(t)
+  }
+
+  test("constraints are VERSIONED: concurrent setConstraint calls " +
+      "both land (no lost update), the feed treats constraint " +
+      "commits as metadata-only, and a stale legacy side file is " +
+      "ignored once the manifest field exists") {
+    val t = tmpTable()
+    try {
+      CommitLog.append(spark, t, df((1L, "a", 1.0), (2L, "b", 2.0)))
+      // (1) REAL-THREAD race: two writers set DIFFERENT constraints;
+      // OCC serializes them — both present, versions distinct
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val f1 = scala.concurrent.Future {
+        gate.await(); CommitLog.setConstraint(spark, t, "v_pos", "v > 0")
+      }
+      val f2 = scala.concurrent.Future {
+        gate.await(); CommitLog.setConstraint(spark, t, "id_pos", "id > 0")
+      }
+      gate.countDown()
+      val vs = Seq(f1, f2).map(f =>
+        scala.concurrent.Await.result(f,
+          scala.concurrent.duration.Duration(60, "s")))
+      pool.shutdown()
+      assert(vs.toSet.size === 2, "constraint commits did not serialize")
+      assert(CommitLog.constraints(spark, t) ==
+        Map("v_pos" -> "v > 0", "id_pos" -> "id > 0"),
+        "a concurrent setConstraint lost its update")
+      // (2) metadata-only for the feeds: changes()/changeFeed skip
+      // the two constraint versions without raising
+      assert(CommitLog.changes(spark, t, 0L).map(_._1) === Seq(1L))
+      assert(CommitLog.changeFeed(spark, t, 0L)
+        .select("_commit_version").distinct().collect()
+        .map(_.getLong(0)).toSeq === Seq(1L))
+      // (3) a stale legacy `_constraints.json` (the crashed-RTAS
+      // world) is IGNORED once the manifest field exists: the gate
+      // is exactly the versioned set
+      val sp = new org.apache.hadoop.fs.Path(s"$t/_constraints.json")
+      val hfs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = hfs.create(sp, true)
+      try out.write("""{"ghost":"v > 1000"}""".getBytes("UTF-8"))
+      finally out.close()
+      assert(!CommitLog.constraints(spark, t).contains("ghost"))
+      // rows violating ONLY the ghost rule land fine
+      CommitLog.append(spark, t, df((3L, "c", 3.0)))
+      assert(CommitLog.read(spark, t).count() === 3L)
+      // (4) history records the constraint ops
+      val ops = CommitLog.history(spark, t).select("op").collect()
+        .map(_.getString(0)).toSet
+      assert(ops.contains("set_constraint"))
+      // (5) UNSET commits too; versions strictly grow
+      CommitLog.dropConstraint(spark, t, "id_pos")
+      assert(CommitLog.constraints(spark, t) ==
+        Map("v_pos" -> "v > 0"))
+    } finally rm(t)
+  }
+
+  test("legacy side-file constraints: honored while no manifest " +
+      "field exists, absorbed into the log by the first SET, and " +
+      "the file is deleted") {
+    val t = tmpTable()
+    try {
+      CommitLog.append(spark, t, df((1L, "a", 1.0)))
+      // simulate a pre-versioning table: hand-written side file
+      val sp = new org.apache.hadoop.fs.Path(s"$t/_constraints.json")
+      val hfs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = hfs.create(sp, true)
+      try out.write("""{"v_pos":"v > 0"}""".getBytes("UTF-8"))
+      finally out.close()
+      // the legacy rule governs reads AND gates writes
+      assert(CommitLog.constraints(spark, t) == Map("v_pos" -> "v > 0"))
+      intercept[IllegalStateException] {
+        CommitLog.append(spark, t, df((2L, "bad", -2.0)))
+      }
+      // first SET absorbs the file into a versioned commit
+      CommitLog.setConstraint(spark, t, "id_pos", "id > 0")
+      assert(CommitLog.constraints(spark, t) ==
+        Map("v_pos" -> "v > 0", "id_pos" -> "id > 0"))
+      assert(!hfs.exists(sp), "legacy file not absorbed+deleted")
+      // both rules now gate from the manifest
+      intercept[IllegalStateException] {
+        CommitLog.append(spark, t, df((-3L, "bad", 3.0)))
+      }
+    } finally rm(t)
+  }
+
+  test("streaming source: a vacuumed replay BASE fails the stream " +
+      "with the curated restart error; the retained floor streams") {
+    val t = tmpTable()
+    try {
+      import org.apache.spark.sql.streaming.Trigger
+      (1 to 4).foreach(i =>
+        CommitLog.append(spark, t, df((i.toLong, s"n$i", i * 1.0))))
+      withRetentionCheckOff {
+        CommitLog.vacuum(spark, t, retainVersions = 2) }
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_vb_out_").toString
+      // startingVersion=3 needs v2's segment set as the delta base —
+      // vacuumed → curated error, not a bare NoSuchElementException
+      val q = spark.readStream.format("commitlog").option("path", t)
+        .option("startingVersion", "3").load()
+        .writeStream.format("memory").queryName("gvb_bad")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$outDir/cp1").start()
+      val e = intercept[
+          org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.awaitTermination(60000): Unit
+      }
+      assert(e.getMessage.contains("replay base") ||
+        Option(e.getCause).exists(_.getMessage.contains("replay base")))
+      // startingVersion=4 resolves against the pinned floor (v3)
+      val q2 = spark.readStream.format("commitlog").option("path", t)
+        .option("startingVersion", "4").load()
+        .writeStream.format("memory").queryName("gvb_ok")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$outDir/cp2").start()
+      q2.awaitTermination(60000)
+      assert(spark.sql("SELECT id FROM gvb_ok").collect()
+        .map(_.getLong(0)).toSeq === Seq(4L))
     } finally rm(t)
   }
 }
