@@ -1282,7 +1282,11 @@ object CommitLog {
       }
       // column mapping active → a (re-)added name gets a FRESH
       // physical name, so a column dropped earlier can never serve
-      // its old bytes under the reused name
+      // its old bytes under the reused name. The UUID is minted
+      // INSIDE the retry loop: a race loser re-stamps, so the
+      // physical name is nondeterministic across retries — harmless
+      // (only the WINNER's stamp is ever published; nothing outside
+      // this attempt observed the loser's), just not stable.
       val mappingActive =
         cur.mapping.isDefined || !isIdentityMapping(base)
       val stampedAdds =

@@ -948,39 +948,30 @@ class CommitLogStreamSource(spark: SparkSession, metadataPath: String,
     val parts = vs.flatMap { ver =>
       val snap = byVersion(ver)
       // Mid-stream schema changes, Delta's rules:
-      //  - NON-ADDITIVE (rename/drop: names REMOVED; widen: a
-      //    pinned column's TYPE changed) ALWAYS fails loudly — no
-      //    option absorbs it, because serving under the start
+      //  - NON-ADDITIVE (rename_column / drop_column / widen_column
+      //    commits in the streamed range) ALWAYS fails loudly — no
+      //    option absorbs it, because serving under the stream's
       //    schema would misname renamed data, resurrect dropped
-      //    bytes, or mistype widened values; a restart re-resolves
-      //    the new schema.
-      //  - ADDITIVE (names added) fails by default; the documented
-      //    ignoreSchemaEvolution opt-in keeps the start schema with
-      //    the new columns dropped.
-      snap.schema.map(CommitLog.decodeSchema).foreach { sch =>
-        val removed = pinnedFields --
-          sch.fieldNames.toSet
-        if (removed.nonEmpty) throw new IllegalStateException(
-          s"commitlog stream: version $ver of $table renames or " +
-            s"drops column(s) ${removed.toSeq.sorted.mkString(", ")} " +
-            "relative to the stream's schema — a non-additive " +
-            "schema change; restart the stream from a fresh " +
-            "checkpoint with startingVersion at or after the " +
-            "schema-change commit (ignoreSchemaEvolution does not " +
-            "apply)")
-        val retyped = sch.fields.filter(f =>
-          pinnedTypes.get(f.name).exists(_ != f.dataType))
-        if (retyped.nonEmpty) throw new IllegalStateException(
-          s"commitlog stream: version $ver of $table changes the " +
-            s"type of column(s) " +
-            retyped.map(f => s"${f.name} (→ ${f.dataType.simpleString})")
-              .mkString(", ") +
-            " relative to the stream's schema — a non-additive " +
-            "schema change; restart the stream from a fresh " +
-            "checkpoint with startingVersion at or after the " +
-            "schema-change commit (ignoreSchemaEvolution does not " +
-            "apply)")
-        if (!ignoreSchemaEvolution) {
+      //    bytes, or mistype widened values. Detected by OP, not by
+      //    comparing names against the pinned schema: a name-diff
+      //    cannot tell "this version predates a later ADD" (fine —
+      //    old segments serve NULL) from "this version dropped a
+      //    column" (not fine), and would wrongly fail any fresh
+      //    stream replaying history across an old evolution.
+      //  - ADDITIVE (an evolve ADDS names beyond the pinned set)
+      //    fails by default; the documented ignoreSchemaEvolution
+      //    opt-in keeps the stream schema with the new columns
+      //    dropped.
+      if (snap.op == "rename_column" || snap.op == "drop_column" ||
+          snap.op == "widen_column") throw new IllegalStateException(
+        s"commitlog stream: version $ver of $table is a " +
+          s"'${snap.op}' commit — a non-additive schema change the " +
+          "stream cannot serve under its pinned schema; restart " +
+          "the stream from a fresh checkpoint with startingVersion " +
+          "at or after this version (ignoreSchemaEvolution does " +
+          "not apply)")
+      if (!ignoreSchemaEvolution)
+        snap.schema.map(CommitLog.decodeSchema).foreach { sch =>
           val added = sch.fieldNames.filterNot(pinnedFields)
           if (added.nonEmpty) throw new IllegalStateException(
             s"commitlog stream: version $ver of $table adds " +
@@ -990,7 +981,6 @@ class CommitLogStreamSource(spark: SparkSession, metadataPath: String,
               "ignoreSchemaEvolution=true to keep the start schema " +
               "(new columns dropped)")
         }
-      }
       snap.op match {
         // 'clone' is an insert for the feed exactly as in changeFeed:
         // its v1 adds the source's full segment set

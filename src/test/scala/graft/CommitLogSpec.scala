@@ -4163,18 +4163,42 @@ class CommitLogSpec extends AnyFunSuite {
     }
     run("ns_rename",
       t => CommitLog.renameColumn(spark, t, "name", "label"): Unit,
-      "renames or drops",
+      "'rename_column' commit",
       Seq((2, "b")).toDF("id", "label")
         .select(col("id").cast("int").as("id"), col("label")))
     run("ns_drop",
       t => CommitLog.dropColumn(spark, t, "name"): Unit,
-      "renames or drops",
+      "'drop_column' commit",
       Seq(3).toDF("id").select(col("id").cast("int").as("id")))
     run("ns_widen",
       t => CommitLog.widenColumn(spark, t, "id",
         org.apache.spark.sql.types.LongType): Unit,
-      "changes the type",
+      "'widen_column' commit",
       Seq((1L << 40, "w")).toDF("id", "name"))
+    // regression pin: versions that merely PREDATE a later
+    // ADD-COLUMN evolution are NOT non-additive — a fresh stream
+    // replaying full history across an old evolve must serve the
+    // old deltas NULL-padded under the latest schema, not trip the
+    // rename/drop guard (a name-diff cannot tell the two apart;
+    // the op-based guard can)
+    val t2 = tmpTable()
+    try {
+      CommitLog.appendEvolve(spark, t2, Seq((1, "a")).toDF("id", "name"))
+      CommitLog.evolveColumns(spark, t2, Seq(
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.DoubleType)))
+      CommitLog.appendEvolve(spark, t2,
+        Seq((2, "b", 2.5)).toDF("id", "name", "score"))
+      val qh = spark.readStream.format("commitlog").option("path", t2)
+        .load().writeStream.format("memory").queryName("nonadd_hist")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$cpRoot/hist").start()
+      qh.awaitTermination(60000)
+      val rows = spark.sql(
+        "SELECT id, score FROM nonadd_hist ORDER BY id").collect()
+      assert(rows.map(_.getInt(0)).toSeq === Seq(1, 2))
+      assert(rows(0).isNullAt(1) && rows(1).getDouble(1) === 2.5)
+    } finally rm(t2)
   }
 
   test("missing-cadence-checkpoint tolerance: a crash between the " +
