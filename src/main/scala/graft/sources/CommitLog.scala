@@ -8,6 +8,12 @@ import org.apache.spark.sql.functions._
   * directory sinks ([[graft.operators.IdempotentInsert.mergeIntoParquet]],
   * [[Formats.compact]]) lack.
   *
+  * ON-DISK FORMAT: FORMAT.md at the repo root is the NORMATIVE
+  * protocol specification (manifest/delta/checkpoint grammar, sidecar
+  * formats and key eras, DV/CDC layouts, metadata inheritance,
+  * atomic-publish requirements, conformance checklist); on conflict
+  * with any scaladoc here, FORMAT.md wins.
+  *
   * The reference gets write-write safety for free from its database:
   * `INSERT … ON CONFLICT DO NOTHING` serializes at the PG row lock
   * (`SELECT.py:214-218`). The lakehouse analog (public design shared
@@ -290,6 +296,16 @@ object CommitLog {
     * crash can never strand the old definition's rules on the new
     * schema), and [[restore]] serves the target version's OWN set —
     * constraints time-travel with the data they governed.
+    *
+    * Known bound, stated honestly (the pre-versioning design had
+    * the same window): a data write gates against the snapshot it
+    * STAGED under; if it loses the version race to a concurrent
+    * SET, its retry publishes without re-gating — one-directional,
+    * because the SET side revalidates ALL existing rows per ITS
+    * retry, so whichever of the two lands second enforces the
+    * invariant when the SET is the later one. Delta closes the
+    * remaining direction with transaction conflict checking;
+    * constraint DDL here is an operator action, not a hot path.
     *
     * Legacy fallback: tables written before this hardening kept the
     * rules in a mutable `_constraints.json` side file; when the

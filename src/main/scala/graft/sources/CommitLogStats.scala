@@ -881,15 +881,21 @@ object CommitLogStats {
       // probes (IS NULL keeps it via the null count), and rewriting
       // it would make it opaque forever (its sidecar min/max stay
       // null) — leave such segments in place like the kept chain.
+      // era-correct sidecar lookup (physical keys on mapped tables;
+      // hazard-filtered legacy aliases otherwise) — raw logical-name
+      // lookups would classify every renamed-column sidecar as
+      // opaque (full rewrite) and could mis-range via a stale
+      // reused-name key
+      val rangeKeys = skippingKeys(cur.schema, Seq(rangeCol))(rangeCol)
       val sided = cur.segments.map(seg =>
         seg -> readSidecar(spark, seg))
       val allNull = sided.collect {
-        case (seg, Some(st)) if st.cols.get(rangeCol).exists(cs =>
+        case (seg, Some(st)) if lookupStats(st, rangeKeys).exists(cs =>
           cs.min.isEmpty && cs.nulls == st.rows && st.rows > 0) => seg
       }.toSet
       val ranged = sided.filterNot(s => allNull(s._1)).map {
         case (seg, side) =>
-          val r = side.flatMap(_.cols.get(rangeCol))
+          val r = side.flatMap(lookupStats(_, rangeKeys))
             .flatMap(cs => (cs.min, cs.max) match {
               case (Some(mn), Some(mx)) => Some((cs.tag, mn, mx))
               case _ => None
