@@ -146,7 +146,7 @@ object CommitLog {
       mapping: Option[String] = None,
       constraints: Option[String] = None)
 
-  private def commitsDir(table: String) = s"$table/_commits"
+  private[sources] def commitsDir(table: String) = s"$table/_commits"
 
   // ---- column mapping (RENAME / DROP COLUMN) ---------------------------
   //
@@ -297,15 +297,16 @@ object CommitLog {
     * schema), and [[restore]] serves the target version's OWN set —
     * constraints time-travel with the data they governed.
     *
-    * Known bound, stated honestly (the pre-versioning design had
-    * the same window): a data write gates against the snapshot it
-    * STAGED under; if it loses the version race to a concurrent
-    * SET, its retry publishes without re-gating — one-directional,
-    * because the SET side revalidates ALL existing rows per ITS
-    * retry, so whichever of the two lands second enforces the
-    * invariant when the SET is the later one. Delta closes the
-    * remaining direction with transaction conflict checking;
-    * constraint DDL here is an operator action, not a hot path.
+    * Gate-vs-SET serializability (both directions closed): the SET
+    * side revalidates ALL existing rows per ITS retry, and the data
+    * side re-gates whenever its retry observes a constraint set
+    * different from the one it staged under
+    * ([[regateOnConstraintChange]] in every append-family loop; the
+    * DML rewrites re-stage through [[writeSegment]] per retry, which
+    * re-gates inherently) — the lakehouse analog of Delta's
+    * metadata-conflict check, spec-pinned with a deterministic
+    * store-seam interleave. So whichever commit lands second, the
+    * invariant holds over the union.
     *
     * Legacy fallback: tables written before this hardening kept the
     * rules in a mutable `_constraints.json` side file; when the
@@ -516,11 +517,64 @@ object CommitLog {
     }
   }
 
-  private def manifestPath(table: String, v: Long) =
+  private[sources] def manifestPath(table: String, v: Long) =
     f"${commitsDir(table)}/$v%020d.manifest"
 
-  private def checkpointPath(table: String, v: Long) =
+  private[sources] def checkpointPath(table: String, v: Long) =
     f"${commitsDir(table)}/$v%020d.checkpoint"
+
+  private[sources] def checkpointPartPath(table: String, v: Long,
+      k: Int, n: Int) =
+    f"${commitsDir(table)}/$v%020d.checkpoint.part-$k-of-$n"
+
+  /** Segments per checkpoint part file. A checkpoint is O(segments)
+    * bytes; past this threshold it shards into
+    * `<v>.checkpoint.part-<k>-of-<n>` slices with the `<v>.checkpoint`
+    * MARKER written LAST as the atomic visibility point (FORMAT.md
+    * §2.4) — no single control file ever exceeds ~part-size entries,
+    * retiring the one-file-O(table) bound at extreme segment counts.
+    * Default 1M ≈ low-hundreds of MB per part at typical path
+    * lengths; tests shrink it to exercise the sharding. */
+  private[graft] def checkpointPartSegments(spark: SparkSession): Int = {
+    val n = spark.conf
+      .getOption("spark.graft.manifest.checkpointPartSegments")
+      .map(_.toInt).getOrElse(1000000)
+    require(n >= 1,
+      "spark.graft.manifest.checkpointPartSegments must be >= 1")
+    n
+  }
+
+  /** Write `snap`'s full-state checkpoint — single-file below the
+    * part threshold, sharded parts + marker above it. Idempotent
+    * (create-if-absent throughout); a crash before the MARKER leaves
+    * only invisible part files (resolution just replays further, and
+    * a later attempt re-creates idempotently). */
+  private def writeCheckpointFiles(spark: SparkSession, table: String,
+      snap: Snapshot): Unit = {
+    val store = storeFor(spark, table)
+    val per = checkpointPartSegments(spark)
+    if (snap.segments.size <= per) {
+      store.createIfAbsent(checkpointPath(table, snap.version),
+        renderManifest(snap).getBytes("UTF-8")): Unit
+    } else {
+      val slices = snap.segments.grouped(per).toSeq
+      val n = slices.size
+      slices.zipWithIndex.foreach { case (sl, i) =>
+        val body = s"""{"version":${snap.version},"part":${i + 1},""" +
+          "\"segments\":[" + sl.map(escSeg).mkString(",") + "]}"
+        store.createIfAbsent(
+          checkpointPartPath(table, snap.version, i + 1, n),
+          body.getBytes("UTF-8")): Unit
+      }
+      // marker LAST: fields are authoritative here, segment slices
+      // concatenate from the parts in order. Deliberately NO
+      // "segments" key — a parts-unaware reader fails loud instead
+      // of serving an empty table.
+      store.createIfAbsent(checkpointPath(table, snap.version),
+        (renderFields(snap) + s""""checkpointParts":$n}""")
+          .getBytes("UTF-8")): Unit
+    }
+  }
 
   /** Checkpoint cadence: every Nth version the publish winner also
     * writes the full self-contained state. Smaller = cheaper reads,
@@ -537,10 +591,10 @@ object CommitLog {
     * `delta` is Some((adds, removes)) for a delta record (whose
     * `snap.segments` is an unreplayed placeholder — empty), None for
     * a self-contained one. */
-  private final case class ManifestRecord(snap: Snapshot,
+  private[sources] final case class ManifestRecord(snap: Snapshot,
       delta: Option[(Seq[String], Seq[String])])
 
-  private def fs(spark: SparkSession, path: String) =
+  private[sources] def fs(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
 
@@ -557,7 +611,7 @@ object CommitLog {
   def currentVersion(spark: SparkSession, table: String): Option[Long] =
     versions(spark, table).lastOption
 
-  private def readSmallFile(spark: SparkSession,
+  private[sources] def readSmallFile(spark: SparkSession,
       path: String): Option[String] = {
     val f = fs(spark, path)
     val p = new org.apache.hadoop.fs.Path(path)
@@ -570,21 +624,44 @@ object CommitLog {
   }
 
   /** The raw (possibly delta) manifest record of one version. */
-  private def readRecord(spark: SparkSession, table: String,
+  private[sources] def readRecord(spark: SparkSession, table: String,
       v: Long): Option[ManifestRecord] =
     readSmallFile(spark, manifestPath(table, v))
       .map(parseManifest(v, _))
 
-  /** The full-state checkpoint of one version, if written. */
-  private def readCheckpoint(spark: SparkSession, table: String,
+  /** The full-state checkpoint of one version, if written. A marker
+    * carrying `checkpointParts` concatenates its part files' segment
+    * slices in order; a declared-but-missing part is corruption
+    * (the marker is written AFTER all parts) and raises loudly. */
+  private[sources] def readCheckpoint(spark: SparkSession, table: String,
       v: Long): Option[Snapshot] =
-    readSmallFile(spark, checkpointPath(table, v))
-      .map(parseManifest(v, _)).map { r =>
-        require(r.delta.isEmpty,
-          s"CommitLog: checkpoint v$v at $table is a delta record " +
-            "— corrupt checkpoint")
-        r.snap
+    readSmallFile(spark, checkpointPath(table, v)).map { txt =>
+      "\"checkpointParts\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt)
+        .map(_.group(1).toInt) match {
+        case None =>
+          val r = parseManifest(v, txt)
+          require(r.delta.isEmpty,
+            s"CommitLog: checkpoint v$v at $table is a delta record " +
+              "— corrupt checkpoint")
+          r.snap
+        case Some(n) =>
+          val marker = parseManifest(v, txt, allowNoSegments = true)
+          val segs = (1 to n).flatMap { k =>
+            val part = readSmallFile(spark,
+              checkpointPartPath(table, v, k, n)).getOrElse(
+              throw new IllegalStateException(
+                s"CommitLog: checkpoint v$v of $table declares $n " +
+                  s"part(s) but part $k is missing — corrupt " +
+                  "multi-part checkpoint (the marker is written " +
+                  "after every part)"))
+            parseSegArray("segments", part).getOrElse(
+              throw new IllegalStateException(
+                s"CommitLog: checkpoint part $k of v$v at $table " +
+                  "carries no segments array — corrupt part file"))
+          }
+          marker.snap.copy(segments = segs)
       }
+    }
 
   /** Resolve one version to its full snapshot: nearest checkpoint /
     * self-contained manifest at or below `v`, plus replay of the
@@ -851,7 +928,16 @@ object CommitLog {
     * it, so a crashed writer leaves only unreferenced garbage (removed
     * by [[vacuum]]), never a corrupt table. */
   private[graft] def writeSegment(spark: SparkSession, table: String,
-      df: DataFrame): String = {
+      df: DataFrame): String =
+    writeSegmentGated(spark, table, df)._1
+
+  /** [[writeSegment]] plus the CHECK-constraint set the gate ran
+    * against — append-family OCC loops compare it to the re-read
+    * snapshot's set on every retry ([[regateOnConstraintChange]]),
+    * so a constraint committed by a concurrent SET between staging
+    * and publish cannot be slipped under. */
+  private[sources] def writeSegmentGated(spark: SparkSession,
+      table: String, df: DataFrame): (String, Map[String, String]) = {
     // column mapping: file bytes store PHYSICAL names (identity → the
     // rename fold is a no-op); ONE snapshot resolution serves the
     // mapping AND the constraint gate below
@@ -864,7 +950,26 @@ object CommitLog {
     // manifest can name it — one columnar scan of the new data only,
     // nothing when the table has no constraints (one field probe)
     enforceConstraints(spark, table, Seq(seg), cur)
-    seg
+    (seg, constraintsOf(spark, table, cur))
+  }
+
+  /** Close the gate-vs-SET race at the publish boundary: when the
+    * effective constraint set at retry time DIFFERS from the set the
+    * staged segments were gated against (a concurrent SET/UNSET won
+    * an earlier version race), re-run the gate over exactly the
+    * segments this commit adds — refusal deletes them and raises,
+    * same atomicity as the staging gate. Constraint sets are decoded
+    * from the already-resolved snapshot, so the no-change fast path
+    * costs zero extra I/O. Returns the set now in force (the loop's
+    * next yardstick). */
+  private[sources] def regateOnConstraintChange(spark: SparkSession,
+      table: String, newSegs: Seq[String],
+      gated: Map[String, String], cur: Option[Snapshot])
+      : Map[String, String] = {
+    val now = constraintsOf(spark, table, cur)
+    if (now != gated && newSegs.nonEmpty)
+      enforceConstraints(spark, table, newSegs, cur)
+    now
   }
 
   /** Stage `df` as a fresh immutable segment WITHOUT the constraint
@@ -1089,9 +1194,7 @@ object CommitLog {
     // idempotent (create-if-absent) and best-effort: a crash here
     // only lengthens later replays until the next cadence hit.
     if (won && stamped.version % checkpointInterval(spark) == 0L) {
-      try storeFor(spark, table).createIfAbsent(
-        checkpointPath(table, stamped.version),
-        renderManifest(stamped).getBytes("UTF-8")): Unit
+      try writeCheckpointFiles(spark, table, stamped)
       catch {
         case scala.util.control.NonFatal(e) =>
           log.warn(s"CommitLog: checkpoint write at " +
@@ -1110,9 +1213,7 @@ object CommitLog {
     val snap = snapshot(spark, table).getOrElse(
       throw new IllegalStateException(
         s"CommitLog.checkpoint: nothing committed at $table"))
-    storeFor(spark, table).createIfAbsent(
-      checkpointPath(table, snap.version),
-      renderManifest(snap).getBytes("UTF-8")): Unit
+    writeCheckpointFiles(spark, table, snap)
     snap.version
   }
 
@@ -1124,9 +1225,7 @@ object CommitLog {
       throw new IllegalStateException(
         s"CommitLog.ensureCheckpoint: version $v of $table is not " +
           "resolvable"))
-    storeFor(spark, table).createIfAbsent(
-      checkpointPath(table, v),
-      renderManifest(snap).getBytes("UTF-8")): Unit
+    writeCheckpointFiles(spark, table, snap)
   }
 
   /** Commit an APPEND: new segment joins the previous version's list.
@@ -1135,10 +1234,12 @@ object CommitLog {
     * writers' segments. Returns the committed version. */
   def append(spark: SparkSession, table: String, df: DataFrame,
       maxRetries: Int = 20): Long = {
-    val seg = writeSegment(spark, table, df)
+    val (seg, gated0) = writeSegmentGated(spark, table, df)
+    var gated = gated0
     var attempt = 0
     while (attempt < maxRetries) {
       val cur = snapshot(spark, table)
+      gated = regateOnConstraintChange(spark, table, Seq(seg), gated, cur)
       val v = cur.fold(1L)(_.version + 1L)
       val snap = Snapshot(v, cur.fold(Seq.empty[String])(_.segments) :+ seg,
         cur.fold(0L)(_.version), "append",
@@ -1567,7 +1668,8 @@ object CommitLog {
   def appendTxn(spark: SparkSession, table: String, df: DataFrame,
       appId: String, batchId: Long, maxRetries: Int = 20): Option[Long] = {
     if (lastTxn(spark, table, appId).exists(_ >= batchId)) return None
-    val seg = writeSegment(spark, table, df)
+    val (seg, gated0) = writeSegmentGated(spark, table, df)
+    var gated = gated0
     var attempt = 0
     while (attempt < maxRetries) {
       if (lastTxn(spark, table, appId).exists(_ >= batchId)) {
@@ -1577,6 +1679,7 @@ object CommitLog {
         return None
       }
       val cur = snapshot(spark, table)
+      gated = regateOnConstraintChange(spark, table, Seq(seg), gated, cur)
       val v = cur.fold(1L)(_.version + 1L)
       val snap = Snapshot(v, cur.fold(Seq.empty[String])(_.segments) :+ seg,
         cur.fold(0L)(_.version), "streaming-append",
@@ -2717,6 +2820,20 @@ object CommitLog {
       f.delete(new org.apache.hadoop.fs.Path(checkpointPath(table, v)),
         false): Unit
     }
+    // multi-part checkpoints of dropped versions: one listing of
+    // _commits/, prefix-matched (part files are invisible without
+    // their marker, so this is pure space reclamation)
+    if (dropped.nonEmpty) {
+      val cd = new org.apache.hadoop.fs.Path(commitsDir(table))
+      if (f.exists(cd)) {
+        val prefixes = dropped.map(v => f"$v%020d.checkpoint.part-")
+        f.listStatus(cd).foreach { st =>
+          val nm = st.getPath.getName
+          if (prefixes.exists(nm.startsWith))
+            f.delete(st.getPath, false): Unit
+        }
+      }
+    }
   }
 
   /** One-row operational summary of the CURRENT version — Delta's
@@ -2815,11 +2932,27 @@ object CommitLog {
       adds.map(escSeg).mkString(",") + "],\"removeSegments\":[" +
       removes.map(escSeg).mkString(",") + "]}"
 
+  /** Parse a `"name":[...]` segment-path array out of a control
+    * file's text (shared by the manifest parser and the multi-part
+    * checkpoint reader). */
+  private def parseSegArray(name: String,
+      txt: String): Option[Seq[String]] =
+    ("\"" + name + "\"\\s*:\\s*\\[([^\\]]*)\\]").r
+      .findFirstMatchIn(txt).map(_.group(1)).map { segs =>
+        if (segs.trim.isEmpty) Seq.empty[String]
+        else segs.split(",").toSeq.map(_.trim.stripPrefix("\"")
+          .stripSuffix("\"").replace("\\\"", "\"")
+          .replace("\\\\", "\\"))
+      }
+
   /** Parse either format: a self-contained record carries
     * `"segments"`, a delta record carries `"addSegments"` +
-    * `"removeSegments"` instead (all other fields absolute). */
-  private def parseManifest(version: Long,
-      txt: String): ManifestRecord = {
+    * `"removeSegments"` instead (all other fields absolute).
+    * `allowNoSegments` is the multi-part checkpoint MARKER case
+    * (fields only; the caller concatenates part slices) — plain
+    * manifests must carry one of the two shapes or fail loud. */
+  private def parseManifest(version: Long, txt: String,
+      allowNoSegments: Boolean = false): ManifestRecord = {
     def field(name: String): String = {
       val m = ("\"" + name + "\"\\s*:\\s*(\\d+|\"[^\"]*\")").r
       m.findFirstMatchIn(txt).map(_.group(1)).getOrElse(
@@ -2827,16 +2960,10 @@ object CommitLog {
           s"CommitLog: manifest v$version missing field '$name'"))
     }
     def segArray(name: String): Option[Seq[String]] =
-      ("\"" + name + "\"\\s*:\\s*\\[([^\\]]*)\\]").r
-        .findFirstMatchIn(txt).map(_.group(1)).map { segs =>
-          if (segs.trim.isEmpty) Seq.empty[String]
-          else segs.split(",").toSeq.map(_.trim.stripPrefix("\"")
-            .stripSuffix("\"").replace("\\\"", "\"")
-            .replace("\\\\", "\\"))
-        }
+      parseSegArray(name, txt)
     val full = segArray("segments")
     val delta =
-      if (full.isDefined) None
+      if (full.isDefined || allowNoSegments) None
       else Some((
         segArray("addSegments").getOrElse(
           throw new IllegalStateException(

@@ -545,13 +545,16 @@ object CommitLogStats {
     * first manifest names the segment. */
   def appendWithStats(spark: SparkSession, table: String, df: DataFrame,
       statsCols: Seq[String], maxRetries: Int = 20): Long = {
-    val seg = CommitLog.writeSegment(spark, table, df)
+    val (seg, gated0) = CommitLog.writeSegmentGated(spark, table, df)
+    var gated = gated0
     // the segment's file bytes carry physical names (writeSegment's
     // mapping fold); the sidecar keys must match them
     writeSidecar(spark, seg, statsCols, physicalKeyFn(spark, table))
     var attempt = 0
     while (attempt < maxRetries) {
       val cur = CommitLog.snapshot(spark, table)
+      gated = CommitLog.regateOnConstraintChange(spark, table,
+        Seq(seg), gated, cur)
       val v = cur.fold(1L)(_.version + 1L)
       val snap = CommitLog.Snapshot(v,
         cur.fold(Seq.empty[String])(_.segments) :+ seg,
@@ -586,13 +589,27 @@ object CommitLogStats {
         s"${df.schema(sliceCol).dataType}) — cast the slice expression")
     val persisted = df.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the sliced stager bypasses writeSegment, so the persistent
+    // CHECK constraints gate HERE — on the pinned input (minus the
+    // synthetic slice column, which never lands), BEFORE any staged
+    // directory is renamed into data/ (this path previously had NO
+    // gate: a constraint-bearing table could take violating rows
+    // through the sliced ingest)
+    val curSnap = CommitLog.snapshot(spark, table)
+    var gated = CommitLog.constraintsOf(spark, table, curSnap)
     val segs =
-      try writeBucketedSegments(spark, table, persisted, sliceCol,
-        Seq.empty, statsCols).map(_._2)
-      finally persisted.unpersist()
+      try {
+        CommitLog.constraintViolation(spark, table,
+          persisted.drop(sliceCol), curSnap).foreach(msg =>
+            throw new IllegalStateException(s"CommitLog: $msg"))
+        writeBucketedSegments(spark, table, persisted, sliceCol,
+          Seq.empty, statsCols).map(_._2)
+      } finally persisted.unpersist()
     var attempt = 0
     while (attempt < maxRetries) {
       val cur = CommitLog.snapshot(spark, table)
+      gated = CommitLog.regateOnConstraintChange(spark, table,
+        segs, gated, cur)
       val v = cur.fold(1L)(_.version + 1L)
       val snap = CommitLog.Snapshot(v,
         cur.fold(Seq.empty[String])(_.segments) ++ segs,
@@ -633,11 +650,14 @@ object CommitLogStats {
       df: DataFrame, partitionCols: Seq[String],
       statsCols: Seq[String] = Seq.empty,
       maxRetries: Int = 20): Long = {
-    val segs = stagePartitioned(spark, table, df, partitionCols,
-      statsCols)
+    val (segs, gated0) = stagePartitionedGated(spark, table, df,
+      partitionCols, statsCols)
+    var gated = gated0
     var attempt = 0
     while (attempt < maxRetries) {
       val cur = CommitLog.snapshot(spark, table)
+      gated = CommitLog.regateOnConstraintChange(spark, table,
+        segs, gated, cur)
       val v = cur.fold(1L)(_.version + 1L)
       val snap = CommitLog.Snapshot(v,
         cur.fold(Seq.empty[String])(_.segments) ++ segs,
@@ -659,7 +679,17 @@ object CommitLogStats {
   private[sources] def stagePartitioned(spark: SparkSession,
       table: String, df: DataFrame, partitionCols: Seq[String],
       statsCols: Seq[String] = Seq.empty,
-      enforce: Boolean = true): Seq[String] = {
+      enforce: Boolean = true): Seq[String] =
+    stagePartitionedGated(spark, table, df, partitionCols, statsCols,
+      enforce)._1
+
+  /** [[stagePartitioned]] plus the constraint set the gate ran
+    * against (empty for `enforce=false` CTAS/RTAS staging) — the
+    * committing loop's re-gate yardstick. */
+  private[sources] def stagePartitionedGated(spark: SparkSession,
+      table: String, df: DataFrame, partitionCols: Seq[String],
+      statsCols: Seq[String] = Seq.empty,
+      enforce: Boolean = true): (Seq[String], Map[String, String]) = {
     require(partitionCols.nonEmpty, "partitionCols must be non-empty")
     val schema = df.schema
     partitionCols.foreach { c =>
@@ -780,7 +810,9 @@ object CommitLogStats {
         pinned.unpersist()
         f.delete(new org.apache.hadoop.fs.Path(staging), true): Unit
       }
-    segs
+    (segs,
+      if (enforce) CommitLog.constraintsOf(spark, table, curSnap)
+      else Map.empty)
   }
 
   /** OPTIMIZE for skippability: rewrite the CURRENT snapshot as

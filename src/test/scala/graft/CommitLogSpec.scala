@@ -4298,6 +4298,148 @@ class CommitLogSpec extends AnyFunSuite {
     } finally rm(t)
   }
 
+  test("multi-part checkpoints: past the part threshold the " +
+      "checkpoint shards into part files + an atomic marker; " +
+      "resolution concatenates exactly, vacuum pins and sweeps " +
+      "parts, a declared-but-missing part raises loudly") {
+    val t = tmpTable()
+    spark.conf.set("spark.graft.manifest.checkpointPartSegments", "3")
+    try {
+      (1 to 8).foreach(i =>
+        CommitLog.append(spark, t, df((i.toLong, s"n$i", i * 1.0))))
+      val before = sortedRows(CommitLog.read(spark, t))
+      assert(CommitLog.checkpoint(spark, t) === 8L)
+      def cfile(name: String) = new java.io.File(s"$t/_commits/$name")
+      // 8 segments at part size 3 → parts 1..3 + the marker
+      assert(cfile(f"${8L}%020d.checkpoint").exists())
+      (1 to 3).foreach(k => assert(
+        cfile(f"${8L}%020d.checkpoint.part-$k-of-3").exists(),
+        s"part $k missing"))
+      // the marker deliberately carries NO segments array (a
+      // parts-unaware reader must fail loud, never serve empty)
+      val marker = new String(java.nio.file.Files.readAllBytes(
+        cfile(f"${8L}%020d.checkpoint").toPath), "UTF-8")
+      assert(marker.contains("\"checkpointParts\":3") &&
+        !marker.contains("\"segments\""))
+      // resolution goes THROUGH the sharded checkpoint (it is
+      // preferred over the manifest chain) and is exact
+      assert(CommitLog.snapshot(spark, t, Some(8L)).get
+        .segments.size === 8)
+      assert(sortedRows(CommitLog.read(spark, t)) === before)
+      // vacuum pins its floor with a (sharded) checkpoint and the
+      // retained versions stay exact; dropped versions' parts sweep
+      CommitLog.vacuum(spark, t, retainVersions = 3)
+      assert(CommitLog.versions(spark, t) === Seq(6L, 7L, 8L))
+      assert(cfile(f"${6L}%020d.checkpoint").exists())
+      assert(cfile(f"${6L}%020d.checkpoint.part-1-of-2").exists())
+      assert(sortedRows(CommitLog.read(spark, t)) === before)
+      assert(sortedRows(CommitLog.read(spark, t, Some(6L))).size === 6)
+      // corrupting a declared part fails LOUD at resolution
+      val part2 = cfile(f"${8L}%020d.checkpoint.part-2-of-3")
+      assert(part2.delete())
+      val crc = cfile(f".${8L}%020d.checkpoint.part-2-of-3.crc")
+      if (crc.exists()) crc.delete(): Unit
+      val e = intercept[IllegalStateException] {
+        CommitLog.snapshot(spark, t, Some(8L))
+      }
+      assert(e.getMessage.contains("part 2 is missing"))
+    } finally {
+      spark.conf.unset("spark.graft.manifest.checkpointPartSegments")
+      rm(t)
+    }
+  }
+
+  test("gate-vs-SET race closes at the publish boundary: an append " +
+      "staged BEFORE a constraint existed, losing its version race " +
+      "to the SET, re-gates on retry and refuses — no violating row " +
+      "ever lands") {
+    val t = tmpTable()
+    try {
+      CommitLog.append(spark, t, df((1L, "a", 5.0)))
+      // deterministic interleave via the ManifestStore seam: the
+      // violating append stages (gate sees NO constraints), then its
+      // v2 publish is intercepted — a setConstraint wins v2 instead —
+      // and the append's retry must re-gate against the new rule
+      val inNested = new ThreadLocal[Boolean] {
+        override def initialValue(): Boolean = false
+      }
+      @volatile var intercepted = false
+      val real = new CommitLog.ConditionalPutStore((dst, content) => {
+        // default-store behavior via the filesystem primitive
+        val p = java.nio.file.Paths.get(
+          new java.net.URI("file://" + dst).getPath)
+        try {
+          val tmp = java.nio.file.Files.createTempFile(
+            p.getParent, ".tmp-", "")
+          java.nio.file.Files.write(tmp, content)
+          try { java.nio.file.Files.createLink(p, tmp); true }
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+          } finally java.nio.file.Files.deleteIfExists(tmp): Unit
+        } catch { case _: java.nio.file.NoSuchFileException => false }
+      })
+      val store = new CommitLog.ManifestStore {
+        override def createIfAbsent(dst: String,
+            content: Array[Byte]): Boolean = {
+          if (!intercepted && !inNested.get() &&
+              dst.endsWith("00000000000000000002.manifest")) {
+            intercepted = true
+            inNested.set(true)
+            try CommitLog.setConstraint(spark, t, "v_pos", "v > 0"): Unit
+            finally inNested.set(false)
+            false // the data append lost v2 to the SET
+          } else real.createIfAbsent(dst, content)
+        }
+      }
+      CommitLog.registerManifestStore(t, store)
+      try {
+        val e = intercept[IllegalStateException] {
+          CommitLog.append(spark, t, df((2L, "bad", -2.0)))
+        }
+        assert(e.getMessage.contains("v_pos"))
+      } finally CommitLog.unregisterManifestStore(t)
+      assert(intercepted, "the interleave never happened")
+      // the SET's version is the only new commit; content is clean
+      assert(CommitLog.versions(spark, t) === Seq(1L, 2L))
+      assert(CommitLog.snapshot(spark, t).get.op === "set_constraint")
+      assert(sortedRows(CommitLog.read(spark, t)) ===
+        Seq((1L, "a", 5.0)))
+      // the refused segment was deleted at the re-gate (atomic
+      // refusal): only v1's segment remains under data/
+      val dataDir = new java.io.File(s"$t/data")
+      assert(Option(dataDir.listFiles).toSeq.flatten
+        .count(_.isDirectory) === 1)
+    } finally rm(t)
+  }
+
+  test("appendSliced is constraint-gated (previously the one " +
+      "ungated ingest path): a violating sliced append refuses " +
+      "atomically, a clean one lands") {
+    val t = tmpTable()
+    try {
+      import spark.implicits._
+      def frame(vs: Seq[Double]): DataFrame =
+        vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+          .toDF("id", "v")
+          .withColumn("slice", (col("id") % 2).cast("int"))
+      CommitLog.append(spark, t,
+        frame(Seq(1.0, 2.0)).drop("slice"))
+      CommitLog.setConstraint(spark, t, "v_pos", "v > 0"): Unit
+      val vBefore = CommitLog.versions(spark, t)
+      val e = intercept[IllegalStateException] {
+        CommitLogStats.appendSliced(spark, t,
+          frame(Seq(3.0, -4.0)), "slice", Seq("id"))
+      }
+      assert(e.getMessage.contains("v_pos"))
+      assert(CommitLog.versions(spark, t) === vBefore)
+      assert(CommitLog.read(spark, t).count() === 2L)
+      // clean sliced append passes the gate and lands per-slice
+      CommitLogStats.appendSliced(spark, t,
+        frame(Seq(5.0, 6.0)), "slice", Seq("id"))
+      assert(CommitLog.read(spark, t).count() === 4L)
+    } finally rm(t)
+  }
+
   test("legacy side-file constraints: honored while no manifest " +
       "field exists, absorbed into the log by the first SET, and " +
       "the file is deleted") {
