@@ -312,6 +312,62 @@ object Pipeline19 {
           .orderBy(col("flag"))
           .localCheckpoint(true)
       } finally rmTree(root)
+    }),
+
+    // fsck (round 13): the executable form of FORMAT.md §8 — a
+    // healthy table reports ZERO findings, spec-tolerated debris
+    // (crashed writers' orphan/staging dirs) classifies as INFO with
+    // zero errors, and real storage loss (a referenced segment gone)
+    // is a counted ERROR. Content agg is materialized BEFORE the
+    // induced corruption; the oracle pins the finding counts as
+    // literals because each is fully determined by the spec.
+    "q197_commitlog_fsck" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q197_").toString
+      val tbl = s"$root/tbl"
+      try {
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        (0 until 6).foreach(i => CommitLog.append(s, tbl,
+          o.filter(col("o_orderkey") % 6 === i)))
+        // eager: the segment nuked below must not be re-read
+        val content = CommitLog.read(s, tbl).agg(
+            count(lit(1)).as("n_rows"),
+            sum(col("o_totalprice").cast("decimal(30,6)"))
+              .cast("double").as("sum_price"))
+          .localCheckpoint(true)
+        val clean = graft.sources.CommitLogFsck.fsckSummary(s, tbl)
+          .head()
+        val cleanOk = clean.getLong(0) == 0L &&
+          clean.getLong(1) == 0L && clean.getLong(2) == 0L &&
+          clean.getBoolean(3)
+        // crashed-writer debris: an unreferenced segment dir and a
+        // staging dir — INFO by spec, reads unaffected
+        val orphan = new java.io.File(s"$tbl/data/00000000-orphan")
+        orphan.mkdirs(): Unit
+        java.nio.file.Files.write(
+          new java.io.File(orphan, "part-0.parquet").toPath,
+          Array[Byte](1, 2, 3)): Unit
+        new java.io.File(s"$tbl/data/.staging-crash").mkdirs(): Unit
+        val debris = graft.sources.CommitLogFsck.fsck(s, tbl)
+          .groupBy(col("level")).count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        // storage loss: one referenced segment vanishes — exactly
+        // one ERROR from the distributed existence pass
+        val victim = new java.io.File(
+          CommitLog.snapshot(s, tbl).get.segments.head)
+        rmTree(victim.toString)
+        val broken = graft.sources.CommitLogFsck.fsckSummary(s, tbl)
+          .head().getLong(0)
+        content
+          .withColumn("clean_ok", lit(cleanOk))
+          .withColumn("debris_infos",
+            lit(debris.getOrElse("INFO", 0L)))
+          .withColumn("debris_errors",
+            lit(debris.getOrElse("ERROR", 0L)))
+          .withColumn("broken_errors", lit(broken))
+          .localCheckpoint(true)
+      } finally rmTree(root)
     })
   )
 
@@ -400,6 +456,16 @@ object Pipeline19 {
         |  TRUE AS narrow_refused
         |FROM unioned
         |GROUP BY flag
-        |ORDER BY flag""".stripMargin
+        |ORDER BY flag""".stripMargin,
+
+    "q197_commitlog_fsck" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price,
+        |  TRUE AS clean_ok,
+        |  CAST(2 AS BIGINT) AS debris_infos,
+        |  CAST(0 AS BIGINT) AS debris_errors,
+        |  CAST(1 AS BIGINT) AS broken_errors
+        |FROM orders""".stripMargin
   )
 }

@@ -2951,7 +2951,7 @@ object CommitLog {
     * `allowNoSegments` is the multi-part checkpoint MARKER case
     * (fields only; the caller concatenates part slices) — plain
     * manifests must carry one of the two shapes or fail loud. */
-  private def parseManifest(version: Long, txt: String,
+  private[sources] def parseManifest(version: Long, txt: String,
       allowNoSegments: Boolean = false): ManifestRecord = {
     def field(name: String): String = {
       val m = ("\"" + name + "\"\\s*:\\s*(\\d+|\"[^\"]*\")").r

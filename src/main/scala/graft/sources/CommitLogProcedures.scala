@@ -38,7 +38,7 @@ private[sources] object CommitLogProcedures {
   private val names = Seq("compact", "optimize_cluster",
     "optimize_zorder", "optimize_bucket", "optimize_incremental",
     "vacuum", "restore", "clone_table", "delete_vectored",
-    "update_vectored", "attach_blooms", "checkpoint")
+    "update_vectored", "attach_blooms", "checkpoint", "fsck")
 
   def list: Seq[String] = names
 
@@ -111,6 +111,17 @@ private[sources] object CommitLogProcedures {
       case "checkpoint" => Some(proc("checkpoint",
         Seq(in("table", StringType)),
         row => CommitLog.checkpoint(spark, path(str(row, 0)))))
+      // validate the table tree against the on-disk spec (FORMAT.md
+      // §8) — findings as rows, zero rows = fully conformant. deep
+      // runs the distributed per-segment pass (existence, data
+      // files, sidecar grammar); the CALL surface collects at most
+      // 10k findings (an incident dump, not a data path — use
+      // CommitLogFsck.fsck directly for an unbounded DataFrame)
+      case "fsck" => Some(procFindings("fsck",
+        Seq(in("table", StringType),
+          in("deep", BooleanType, Some("true"))),
+        row => CommitLogFsck.fsck(spark, path(str(row, 0)),
+          deep = row.getBoolean(1))))
       case "restore" => Some(proc("restore",
         Seq(in("table", StringType), in("version", LongType)),
         row => CommitLog.restore(spark, path(str(row, 0)),
@@ -201,6 +212,54 @@ private[sources] object CommitLogProcedures {
     default.foreach(b.defaultValue)
     b.build()
   }
+
+  /** Multi-row `(level, code, object, detail)` result through a
+    * LocalScan — the diagnostic-procedure shape ([[CommitLogFsck]]).
+    * Capped at 10k rows: CALL results land on the driver by design
+    * (LocalScan), so a catastrophically broken tree reports its
+    * first 10k findings instead of OOMing the session. */
+  private def procFindings(procName: String,
+      params: Seq[ProcedureParameter],
+      body: InternalRow => org.apache.spark.sql.DataFrame)
+      : UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String =
+        s"commitlog diagnostic procedure $procName"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = procName
+          override def description(): String =
+            s"commitlog diagnostic procedure $procName"
+          override def parameters(): Array[ProcedureParameter] =
+            params.toArray
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow)
+              : java.util.Iterator[Scan] = {
+            val findings = body(input).limit(10000).collect()
+            val scan: Scan = new LocalScan {
+              override def readSchema(): StructType = StructType(Seq(
+                StructField("level", StringType, nullable = false),
+                StructField("code", StringType, nullable = false),
+                StructField("object", StringType, nullable = false),
+                StructField("detail", StringType, nullable = false)))
+              override def rows(): Array[InternalRow] =
+                findings.map(r => InternalRow(
+                  org.apache.spark.unsafe.types.UTF8String
+                    .fromString(r.getString(0)),
+                  org.apache.spark.unsafe.types.UTF8String
+                    .fromString(r.getString(1)),
+                  org.apache.spark.unsafe.types.UTF8String
+                    .fromString(r.getString(2)),
+                  org.apache.spark.unsafe.types.UTF8String
+                    .fromString(r.getString(3))))
+              override def description(): String =
+                s"CommitLogProcedureResult($procName)"
+            }
+            Collections.singletonList(scan).iterator()
+          }
+        }
+    }
 
   /** One-row `(version BIGINT)` result through a LocalScan — the
     * procedure's committed version, so `CALL` composes in SQL. */

@@ -1,0 +1,195 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{CommitLog, CommitLogFsck}
+
+/** The on-disk conformance validator (FORMAT.md §8): a clean table
+  * reports nothing, spec-tolerated debris classifies as INFO, and
+  * every corruption class an incident could leave behind surfaces as
+  * a targeted ERROR — fsck sweeps the whole tree and never throws,
+  * unlike the readers' first-hit loud guards. */
+class CommitLogFsckSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmpTable(): String =
+    java.nio.file.Files.createTempDirectory("graft_fsck_")
+      .resolve("tbl").toString
+
+  private def rm(path: String): Unit = {
+    def go(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(go)); f.delete(): Unit
+    }
+    go(new java.io.File(path).getParentFile)
+  }
+
+  private def df(rows: (Long, String, Double)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("id", "name", "v")
+  }
+
+  private def codes(f: DataFrame): Map[String, String] =
+    f.collect().map(r => r.getString(1) -> r.getString(0)).toMap
+
+  private def manifestFile(t: String, v: Long) =
+    new java.io.File(f"$t/_commits/$v%020d.manifest")
+
+  /** Rewrite a control file in place (incident simulation — the
+    * engine itself never mutates published files). */
+  private def rewrite(f: java.io.File, fn: String => String): Unit = {
+    val txt = new String(
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    java.nio.file.Files.write(f.toPath, fn(txt).getBytes("UTF-8")): Unit
+  }
+
+  test("a clean healthy table reports ZERO findings — through the " +
+      "API, the summary, and CALL system.fsck") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_fsck_clean_").toString
+    try {
+      spark.conf.set("spark.sql.catalog.gfk",
+        "graft.sources.CommitLogCatalog")
+      spark.conf.set("spark.sql.catalog.gfk.root", root)
+      spark.sql("CREATE TABLE gfk.ns.t (id BIGINT, name STRING, " +
+        "v DOUBLE)")
+      val path = s"$root/ns/t"
+      // cross the checkpoint cadence, add a DV and a constraint —
+      // every control-file species present, all healthy
+      (1 to 10).foreach(i => spark.sql(
+        s"INSERT INTO gfk.ns.t VALUES ($i, 'n$i', $i.5)"))
+      CommitLog.deleteVectored(spark, path, col("id") === 3L): Unit
+      CommitLog.setConstraint(spark, path, "v_pos", "v > 0"): Unit
+      assert(CommitLogFsck.fsck(spark, path).count() === 0L)
+      val sm = CommitLogFsck.fsckSummary(spark, path).head()
+      assert((sm.getLong(0), sm.getLong(1), sm.getLong(2),
+        sm.getBoolean(3)) === (0L, 0L, 0L, true))
+      assert(spark.sql(
+        "CALL gfk.system.fsck(table => 'ns.t')").count() === 0L)
+      spark.sql("DROP TABLE gfk.ns.t")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gfk")
+      spark.conf.unset("spark.sql.catalog.gfk.root")
+      rm(root + "/x")
+    }
+  }
+
+  test("spec-tolerated debris classifies as INFO, never ERROR: " +
+      "orphan segment, staging dir, cadence gap, orphan checkpoint " +
+      "part, stale legacy constraints file") {
+    val t = tmpTable()
+    try {
+      (1 to 12).foreach(i =>
+        CommitLog.append(spark, t, df((i.toLong, s"n$i", i * 1.0))))
+      CommitLog.setConstraint(spark, t, "v_pos", "v > 0"): Unit
+      // orphan segment (crashed writer's published-but-unreferenced
+      // dir) + staging debris + a dead legacy side file
+      val orphan = new java.io.File(s"$t/data/deadbeef-orphan")
+      assert(orphan.mkdirs())
+      java.nio.file.Files.write(
+        new java.io.File(orphan, "part-0.parquet").toPath,
+        Array[Byte](1, 2, 3))
+      assert(new java.io.File(s"$t/data/.staging-zzz").mkdirs())
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$t/_constraints.json"),
+        """{"old":"v > 0"}""".getBytes("UTF-8"))
+      // cadence gap: the crash-between-manifest-and-checkpoint shape
+      assert(new java.io.File(
+        f"$t/_commits/${10L}%020d.checkpoint").delete())
+      // a part file whose marker never landed (crashed sharded write)
+      java.nio.file.Files.write(java.nio.file.Paths.get(
+        f"$t/_commits/${12L}%020d.checkpoint.part-1-of-2"),
+        """{"version":12,"part":1,"segments":[]}""".getBytes("UTF-8"))
+      val f = CommitLogFsck.fsck(spark, t)
+      val byCode = codes(f)
+      assert(byCode("orphan_segment") === "INFO")
+      assert(byCode("staging_debris") === "INFO")
+      assert(byCode("cadence_gap") === "INFO")
+      assert(byCode("orphan_checkpoint_part") === "INFO")
+      assert(byCode("stale_constraints_file") === "INFO")
+      assert(f.filter(col("level") =!= "INFO").count() === 0L)
+      // and the table still reads perfectly — debris is harmless
+      assert(CommitLog.read(spark, t).count() === 12L)
+    } finally rm(t)
+  }
+
+  test("storage corruption surfaces as targeted ERRORs: missing " +
+      "segment, missing deletion vector, checkpoint/replay " +
+      "disagreement, chain hole") {
+    val t = tmpTable()
+    try {
+      (1 to 12).foreach(i =>
+        CommitLog.append(spark, t, df((i.toLong, s"n$i", i * 1.0))))
+      CommitLog.deleteVectored(spark, t, col("id") === 5L): Unit
+      val snap = CommitLog.snapshot(spark, t).get
+      // 1. a checkpoint that disagrees with manifest replay (a
+      //    non-conforming second writer rendered the wrong state) —
+      //    while the manifest chain is INTACT, so fsck has an
+      //    independent replay to compare against
+      rewrite(new java.io.File(f"$t/_commits/${10L}%020d.checkpoint"),
+        _.replaceFirst("\"segments\":\\[[^\\]]*\\]",
+          "\"segments\":[]"))
+      assert(codes(CommitLogFsck.fsck(spark, t, deep = false))
+        .get("checkpoint_mismatch") === Some("ERROR"))
+      // 2. a referenced segment vanishes (deep, distributed check)
+      val seg0 = new java.io.File(snap.segments.head)
+      def nuke(d: java.io.File): Unit = {
+        Option(d.listFiles).foreach(_.foreach(nuke)); d.delete(): Unit
+      }
+      nuke(seg0)
+      // 3. the deletion vector vanishes
+      nuke(new java.io.File(snap.dv.get))
+      // 4. a mid-chain manifest vanishes (partial sweep / bit rot) —
+      //    versions above it re-anchor through the (corrupt-but-
+      //    parseable) checkpoint, so the hole itself is the finding
+      assert(manifestFile(t, 6L).delete())
+      val byCode = codes(CommitLogFsck.fsck(spark, t))
+      assert(byCode("segment_missing") === "ERROR")
+      assert(byCode("dv_missing") === "ERROR")
+      assert(byCode("chain_hole") === "ERROR")
+      // v7..v9 sit between the hole and the v10 pin: unresolvable
+      assert(byCode("unresolvable") === "ERROR")
+      // shallow mode skips the distributed pass but still sees the
+      // metadata-level damage
+      val shallow = codes(CommitLogFsck.fsck(spark, t, deep = false))
+      assert(!shallow.contains("segment_missing"))
+      assert(shallow.contains("chain_hole"))
+    } finally rm(t)
+  }
+
+  test("metadata rot surfaces as targeted ERRORs: version/filename " +
+      "mismatch, a dropped deletion-vector field (rows would " +
+      "resurrect), an unparseable CHECK expression") {
+    val t = tmpTable()
+    try {
+      CommitLog.append(spark, t, df((1L, "a", 1.0), (2L, "b", 2.0)))
+      CommitLog.deleteVectored(spark, t, col("id") === 1L): Unit
+      CommitLog.append(spark, t, df((3L, "c", 3.0)))
+      CommitLog.setConstraint(spark, t, "v_pos", "v > 0"): Unit
+      // v3 carried v2's vector forward (publisher guard) — simulate
+      // a non-conforming writer that dropped the field
+      rewrite(manifestFile(t, 3L),
+        _.replaceFirst("\"dv\":\"[^\"]*\",", ""))
+      // v2 lies about its own version
+      rewrite(manifestFile(t, 2L),
+        _.replaceFirst("\"version\":2", "\"version\":9"))
+      // the latest record's constraints decode to a non-SQL rule
+      val badCons = java.util.Base64.getEncoder.encodeToString(
+        """{"bad":"((( not sql"}""".getBytes("UTF-8"))
+      rewrite(manifestFile(t, 4L),
+        _.replaceFirst("\"constraints\":\"[^\"]*\"",
+          s""""constraints":"$badCons""""))
+      val byCode = codes(CommitLogFsck.fsck(spark, t))
+      assert(byCode("dv_dropped") === "ERROR")
+      assert(byCode("version_mismatch") === "ERROR")
+      assert(byCode("constraint_unparseable") === "ERROR")
+    } finally rm(t)
+  }
+}
