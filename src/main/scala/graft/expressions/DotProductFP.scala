@@ -100,6 +100,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     // SQL UPDATE / MERGE INTO over commit-log tables (graft.plans)
     ext.injectPlannerStrategy(_ => graft.plans.CommitLogDmlStrategy)
+    // erases the stats-relay holder ([[graft.plans.ScanStatsRelay]]);
+    // the RULE itself cannot be injected here — no extensions hook
+    // runs after V2 pushdown — so it rides extraOptimizations in
+    // [[GraftExtensions.register]] (Engine calls both)
+    ext.injectPlannerStrategy(_ => graft.plans.ScanStatsStrategy)
     // table-valued CDC / audit surface (Delta's table_changes parity)
     ext.injectTableFunction(GraftExtensions.tableChanges)
     ext.injectTableFunction(GraftExtensions.tableHistory)
@@ -204,6 +209,16 @@ object GraftExtensions {
         .contains(graft.plans.MvRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.MvRewrite
+    // statistics relay for wrapped V1Scan bridges (DV'd / mapped
+    // commit-log scans) — AFTER MvRewrite, so MV matching sees the
+    // un-hidden relation on the batch's first pass; must run
+    // post-pushdown, hence extraOptimizations and not an extensions
+    // injection ([[graft.plans.RelayV1ScanStatistics]] scaladoc)
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.RelayV1ScanStatistics))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.RelayV1ScanStatistics
     // check the PLANNER's assembled strategy list, not just
     // experimental.extraStrategies: a session built withExtensions
     // already carries the strategy via customPlannerStrategies, and
@@ -218,5 +233,10 @@ object GraftExtensions {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+
           graft.plans.CommitLogDmlStrategy
+    if (!spark.sessionState.planner.strategies
+        .contains(graft.plans.ScanStatsStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+
+          graft.plans.ScanStatsStrategy
   }
 }

@@ -896,6 +896,30 @@ object CommitLog {
   private val dvCountCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  /** Data bytes of published segments, memoized per-JVM — sound
+    * because segments are IMMUTABLE once a manifest names them (only
+    * `_`-prefixed sidecars may be attached later, and those are
+    * excluded here). Feeds the scan bridges' size statistics so
+    * Catalyst can pick a static broadcast for small DV'd / mapped
+    * tables instead of always paying the shuffle and hoping AQE
+    * converts it at runtime. */
+  private val segBytesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private[sources] def segmentsSizeBytes(spark: SparkSession,
+      segments: Seq[String]): Long =
+    segments.map { seg =>
+      segBytesCache.computeIfAbsent(seg, s => {
+        val p = new org.apache.hadoop.fs.Path(s)
+        val f = fs(spark, s)
+        if (!f.exists(p)) 0L
+        else f.listStatus(p).filter { st =>
+          val n = st.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }.map(_.getLen).sum
+      }).longValue
+    }.sum
+
   private def subtractDv(spark: SparkSession, tagged: DataFrame,
       dvDir: String): DataFrame = {
     val dvRaw = spark.read.parquet(dvDir)
@@ -2272,9 +2296,22 @@ object CommitLog {
           Some(target.constraints.getOrElse(
             encodeConstraints(Map.empty)))
         else None
+      // the partition spec time-travels exactly like constraints:
+      // a restore ACROSS a replace that changed the spec must serve
+      // the target's own value, or the rolled-back layout (segments
+      // partitioned the old way) would sit under the NEW spec —
+      // later partitioned inserts would then mix layouts, or refuse
+      // on a column the restored schema lacks. Same legacy guard:
+      // when the ancestry never recorded the field, stay absent so
+      // the `_partition.json` marker era keeps governing.
+      val restoredPb: Option[String] =
+        if (cur.partitionBy.isDefined)
+          Some(target.partitionBy.getOrElse(""))
+        else None
       val snap = Snapshot(cur.version + 1L, target.segments,
         cur.version, "restore", schema = target.schema,
-        dv = target.dv, constraints = restoredCons)
+        dv = target.dv, constraints = restoredCons,
+        partitionBy = restoredPb)
       if (tryPublish(spark, table, snap)) return snap.version
       attempt += 1
     }

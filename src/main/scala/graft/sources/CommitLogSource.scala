@@ -592,8 +592,20 @@ private[sources] class CommitLogDvScanBuilder(spark: SparkSession,
   override def pushedFilters(): Array[Filter] = Array.empty
 
   override def build(): Scan =
-    new org.apache.spark.sql.connector.read.V1Scan {
+    new org.apache.spark.sql.connector.read.V1Scan
+        with org.apache.spark.sql.connector.read
+          .SupportsReportStatistics {
       override def readSchema(): StructType = required
+      // size statistics from the pinned segments' immutable data
+      // bytes (memoized listings) — without this the bridge reports
+      // UNKNOWN and a small DV'd dimension NEVER statically
+      // broadcasts: every join pays the shuffle and hopes AQE
+      // converts at runtime. Slight overestimate under a DV
+      // (subtracted rows still count) — conservative is correct for
+      // a broadcast decision.
+      override def estimateStatistics()
+          : org.apache.spark.sql.connector.read.Statistics =
+        CommitLogTable.segmentStatistics(spark, snap)
       override def toV1TableScan[T <: BaseRelation with TableScan](
           context: org.apache.spark.sql.SQLContext): T = {
         val rel = new BaseRelation with TableScan {
@@ -670,10 +682,17 @@ private[sources] class CommitLogMappedScanBuilder(spark: SparkSession,
   override def pushedFilters(): Array[Filter] = Array.empty
 
   override def build(): Scan =
-    new org.apache.spark.sql.connector.read.V1Scan {
+    new org.apache.spark.sql.connector.read.V1Scan
+        with org.apache.spark.sql.connector.read
+          .SupportsReportStatistics {
       private def outSchema: StructType =
         Option(required).getOrElse(full.schema)
       override def readSchema(): StructType = outSchema
+      // same statistics bridge as the DV path: a renamed-but-small
+      // dimension must stay statically broadcastable
+      override def estimateStatistics()
+          : org.apache.spark.sql.connector.read.Statistics =
+        CommitLogTable.segmentStatistics(spark, snap)
       override def toV1TableScan[T <: BaseRelation with TableScan](
           context: org.apache.spark.sql.SQLContext): T = {
         val rel = new BaseRelation with TableScan {
@@ -718,6 +737,30 @@ private[sources] class CommitLogMappedScanBuilder(spark: SparkSession,
 }
 
 object CommitLogTable {
+
+  /** Size statistics of a pinned snapshot for the scan bridges:
+    * immutable-segment data bytes (memoized listings in
+    * [[CommitLog.segmentsSizeBytes]]) scaled by the standard
+    * `spark.sql.sources.fileCompressionFactor` — the same estimate
+    * Spark's own file relations report, so the broadcast threshold
+    * means the same thing on every path. Row count is left unknown:
+    * size is what the join strategy consumes, and an exact count
+    * would cost a sidecar read per segment at every plan. */
+  private[sources] def segmentStatistics(spark: SparkSession,
+      snap: CommitLog.Snapshot)
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val factor = spark.conf
+      .get("spark.sql.sources.fileCompressionFactor", "1.0").toDouble
+    val bytes = math.max(1L,
+      (CommitLog.segmentsSizeBytes(spark, snap.segments) * factor)
+        .toLong)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
 
   /** V1 Filter → Column, for the filter shapes SQL DELETE produces.
     * None = untranslatable → `canDeleteWhere` refuses and Spark

@@ -3988,6 +3988,85 @@ class CommitLogSpec extends AnyFunSuite {
     }
   }
 
+  test("restore serves the TARGET version's own partition spec: " +
+      "rolling back across a replace that changed PARTITIONED BY " +
+      "restores the old spec with the old layout, and later " +
+      "partitioned inserts follow it") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_restore_pb_").toString
+    try {
+      spark.conf.set("spark.sql.catalog.grp",
+        "graft.sources.CommitLogCatalog")
+      spark.conf.set("spark.sql.catalog.grp.root", root)
+      val path = s"$root/ns/t"
+      spark.sql("CREATE TABLE grp.ns.t (region STRING, x BIGINT) " +
+        "PARTITIONED BY (region)")
+      spark.sql("INSERT INTO grp.ns.t VALUES ('eu', 1), ('us', 2)")
+      val vRegion = CommitLog.currentVersion(spark, path).get
+      assert(CommitLog.partitionColumns(spark, path) ===
+        Some(Seq("region")))
+      // replace changes the spec — the new record owns it
+      spark.sql("REPLACE TABLE grp.ns.t PARTITIONED BY (day) AS " +
+        "SELECT * FROM VALUES ('d1', 10L), ('d2', 20L) " +
+        "AS v(day, x)")
+      assert(CommitLog.partitionColumns(spark, path) ===
+        Some(Seq("day")))
+      // restore ACROSS the replace: data, schema AND spec roll back
+      CommitLog.restore(spark, path, vRegion): Unit
+      assert(CommitLog.partitionColumns(spark, path) ===
+        Some(Seq("region")),
+        "restore left the replaced definition's partition spec " +
+          "governing the rolled-back layout")
+      assert(spark.sql("SELECT region, x FROM grp.ns.t ORDER BY x")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+        Seq(("eu", 1L), ("us", 2L)))
+      // and the restored spec governs new writes
+      spark.sql("INSERT INTO grp.ns.t VALUES ('ap', 3)")
+      assert(spark.sql("SELECT count(*) FROM grp.ns.t").head()
+        .getLong(0) === 3L)
+      spark.sql("DROP TABLE grp.ns.t")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.grp")
+      spark.conf.unset("spark.sql.catalog.grp.root")
+      rm(root + "/x")
+    }
+  }
+
+  test("scan bridges report size statistics: small DV'd and " +
+      "column-mapped tables STATICALLY broadcast in joins (no AQE " +
+      "rescue needed)") {
+    val t = tmpTable()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // the stats relay rides the live-session hook (see
+    // ScanStatsRelay scaladoc: no extensions point runs post-pushdown)
+    graft.expressions.GraftExtensions.register(spark)
+    try {
+      CommitLog.append(spark, t,
+        df((1 to 50).map(i => (i.toLong, s"n$i", i * 1.0)): _*))
+      CommitLog.deleteVectored(spark, t, col("id") === 7L): Unit
+      // big probe side: range stats (8 bytes/row) sit far above the
+      // broadcast threshold, so only the commit-log side qualifies
+      val big = spark.range(5000000L).toDF("id")
+      def bhj(d: DataFrame): Boolean =
+        d.queryExecution.executedPlan.toString
+          .contains("BroadcastHashJoin")
+      val dvd = spark.read.format("commitlog").load(t)
+      assert(bhj(big.join(dvd, "id")),
+        "DV'd table did not statically broadcast — the V1Scan " +
+          "bridge is reporting unknown size")
+      assert(big.join(dvd, "id").count() === 49L)
+      // mapped path: rename routes reads through the mapped bridge
+      CommitLog.renameColumn(spark, t, "v", "score"): Unit
+      val mapped = spark.read.format("commitlog").load(t)
+      assert(bhj(big.join(mapped, "id")),
+        "column-mapped table did not statically broadcast")
+      assert(big.join(mapped, "id").count() === 49L)
+    } finally {
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      rm(t)
+    }
+  }
+
   test("changes(): a vacuumed replay BASE raises the curated " +
       "feed-reconstruction error, not a bare lookup failure") {
     val t = tmpTable()
