@@ -368,6 +368,54 @@ object Pipeline19 {
           .withColumn("broken_errors", lit(broken))
           .localCheckpoint(true)
       } finally rmTree(root)
+    }),
+
+    // PARTITION EVOLUTION (round 13, Iceberg's capability): half of
+    // orders lands partitioned by o_orderstatus, the spec evolves in
+    // ONE metadata-only commit (segments untouched — witnessed), and
+    // the other half lands partitioned by o_orderpriority. The
+    // mixed-layout set reads as one table (the oracle recomputes the
+    // union from orders), and sidecar pruning still works across
+    // eras: a point probe on the NEW spec column prunes exactly the
+    // other 4 priority segments (TPC-H has 5 priorities) while
+    // conservatively keeping the old-era segments whose sidecars
+    // never recorded that column.
+    "q198_commitlog_partition_evolution" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q198_").toString
+      val tbl = s"$root/tbl"
+      try {
+        val o = t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderstatus"), col("o_orderpriority"),
+          col("o_totalprice"))
+        graft.sources.CommitLogStats.appendPartitioned(s, tbl,
+          o.filter(pmod(col("o_orderkey"), lit(2)) === 0),
+          Seq("o_orderstatus"))
+        val segsPre = CommitLog.snapshot(s, tbl).get.segments
+        val vSpec = CommitLog.setPartitionSpec(s, tbl,
+          Seq("o_orderpriority"))
+        val metadataOnly =
+          CommitLog.snapshot(s, tbl, Some(vSpec)).get
+            .segments == segsPre
+        val specEvolved = CommitLog.partitionColumns(s, tbl)
+          .contains(Seq("o_orderpriority"))
+        graft.sources.CommitLogStats.appendPartitioned(s, tbl,
+          o.filter(pmod(col("o_orderkey"), lit(2)) === 1),
+          Seq("o_orderpriority"))
+        val prunedCnt = graft.sources.CommitLogStats.planSkipping(
+          s, tbl, "o_orderpriority", "1-URGENT", "1-URGENT")
+          .pruned.size.toLong
+        CommitLog.read(s, tbl)
+          .groupBy(col("o_orderstatus")).agg(
+            count(lit(1)).as("n_rows"),
+            sum(col("o_totalprice").cast("decimal(30,6)"))
+              .cast("double").as("sum_price"))
+          .withColumn("metadata_only", lit(metadataOnly))
+          .withColumn("spec_evolved", lit(specEvolved))
+          .withColumn("pruned_cnt", lit(prunedCnt))
+          .orderBy(col("o_orderstatus"))
+          .localCheckpoint(true)
+      } finally rmTree(root)
     })
   )
 
@@ -466,6 +514,18 @@ object Pipeline19 {
         |  CAST(2 AS BIGINT) AS debris_infos,
         |  CAST(0 AS BIGINT) AS debris_errors,
         |  CAST(1 AS BIGINT) AS broken_errors
-        |FROM orders""".stripMargin
+        |FROM orders""".stripMargin,
+
+    "q198_commitlog_partition_evolution" ->
+      """SELECT o_orderstatus,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price,
+        |  TRUE AS metadata_only,
+        |  TRUE AS spec_evolved,
+        |  CAST(4 AS BIGINT) AS pruned_cnt
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin
   )
 }

@@ -275,6 +275,75 @@ object CommitLog {
         }
     }
   }
+  /** PARTITION EVOLUTION (Iceberg's design, which Delta lacks —
+    * Delta cannot change partitioning without a full rewrite): a
+    * METADATA-ONLY commit (`op = "set_partition_spec"`) re-records
+    * `partitionBy` going forward; zero segments move. This is cheap
+    * HERE because the read path has no Hive directory semantics:
+    * partition pruning IS sidecar pruning (FORMAT.md §4.3), so a
+    * segment set mixing layouts — old segments bucketed by the old
+    * spec, new ones by the new — reads and prunes correctly with no
+    * special casing. Later catalog INSERTs consult
+    * [[partitionColumns]] and land under the new spec; RESTORE
+    * across the evolution serves the target's own spec (the same
+    * time-travel rule constraints and schema follow); RENAME/DROP
+    * guards track the CURRENT spec, so old-spec columns become
+    * renameable once evolved away. `cols` empty = explicitly
+    * unpartitioned. Partition-column allowlist matches the stager:
+    * STRING / integral / BOOLEAN. */
+  def setPartitionSpec(spark: SparkSession, table: String,
+      cols: Seq[String], maxRetries: Int = 20): Long = {
+    require(cols.forall(c => c.nonEmpty && !c.contains(",")),
+      "setPartitionSpec: partition columns must be non-empty and " +
+        "comma-free")
+    val cs = caseSensitiveAnalysis(spark)
+    def same(a: String, b: String) =
+      if (cs) a == b else a.equalsIgnoreCase(b)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val cur = snapshot(spark, table).getOrElse(
+        throw new IllegalStateException(
+          s"CommitLog.setPartitionSpec: nothing committed at $table"))
+      val base = cur.schema.map(decodeSchema).getOrElse {
+        if (cur.segments.isEmpty) throw new IllegalStateException(
+          s"CommitLog.setPartitionSpec: $table has no recorded " +
+            "schema and no segments — nothing to partition")
+        readSegments(spark, cur.segments, None).schema
+      }
+      cols.foreach { c =>
+        import org.apache.spark.sql.types._
+        val f = base.fields.find(x => same(x.name, c)).getOrElse(
+          throw new IllegalStateException(
+            s"CommitLog.setPartitionSpec: no column '$c' at $table"))
+        f.dataType match {
+          case StringType | ByteType | ShortType | IntegerType |
+               LongType | BooleanType => ()
+          case other => throw new IllegalStateException(
+            s"CommitLog.setPartitionSpec: '$c' is ${other.simpleString}" +
+              " — partition columns must be STRING, integral or " +
+              "BOOLEAN (the stager's allowlist)")
+        }
+      }
+      val snap = Snapshot(cur.version + 1L, cur.segments, cur.version,
+        "set_partition_spec", schema = cur.schema, dv = cur.dv,
+        partitionBy = Some(cols.mkString(",")))
+      if (tryPublish(spark, table, snap, Some(cur))) {
+        // the manifest field now governs forever; the marker is a
+        // dead derivative cache — reconcile it best-effort (losing
+        // this to a crash changes nothing: the field wins)
+        try {
+          deletePartitionMarker(spark, table)
+          if (cols.nonEmpty) writePartitionMarker(spark, table, cols)
+        } catch { case scala.util.control.NonFatal(_) => () }
+        return snap.version
+      }
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"CommitLog.setPartitionSpec: lost the version race " +
+        s"$maxRetries times at $table")
+  }
+
   // ---- persistent CHECK constraints ------------------------------------
 
   /** Table-level CHECK constraints: name → SQL expression, enforced
@@ -2592,7 +2661,8 @@ object CommitLog {
         // 'evolve' (metadata-only ADD COLUMNS) likewise changes no rows
         case "create" | "evolve" | "rename_column" |
             "drop_column" | "widen_column" |
-            "set_constraint" | "drop_constraint" =>
+            "set_constraint" | "drop_constraint" |
+            "set_partition_spec" =>
           None
         case _ if skipRewrites => None
         case op => throw new IllegalStateException(
@@ -2713,8 +2783,9 @@ object CommitLog {
         case "compact" => None // content-preserving rewrite
         case "create" => None  // zero-segment schema-only commit
         case "evolve" | "rename_column" | "drop_column" |
-            "widen_column" | "set_constraint" | "drop_constraint" =>
-          None // metadata-only schema/constraint commits
+            "widen_column" | "set_constraint" | "drop_constraint" |
+            "set_partition_spec" =>
+          None // metadata-only schema/constraint/spec commits
         case _ if skipRewrites => None
         case op => throw new IllegalStateException(
           s"CommitLog.changes: version $v of $table is a '$op' rewrite" +

@@ -38,7 +38,8 @@ private[sources] object CommitLogProcedures {
   private val names = Seq("compact", "optimize_cluster",
     "optimize_zorder", "optimize_bucket", "optimize_incremental",
     "vacuum", "restore", "clone_table", "delete_vectored",
-    "update_vectored", "attach_blooms", "checkpoint", "fsck")
+    "update_vectored", "attach_blooms", "checkpoint", "fsck",
+    "set_partition_spec")
 
   def list: Seq[String] = names
 
@@ -122,6 +123,13 @@ private[sources] object CommitLogProcedures {
           in("deep", BooleanType, Some("true"))),
         row => CommitLogFsck.fsck(spark, path(str(row, 0)),
           deep = row.getBoolean(1))))
+      // partition evolution (Iceberg's capability, metadata-only
+      // here because partition pruning is sidecar pruning): rewrites
+      // the recorded spec going forward; '' = unpartitioned
+      case "set_partition_spec" => Some(proc("set_partition_spec",
+        Seq(in("table", StringType), in("partition_by", StringType)),
+        row => CommitLog.setPartitionSpec(spark, path(str(row, 0)),
+          cols(str(row, 1)))))
       case "restore" => Some(proc("restore",
         Seq(in("table", StringType), in("version", LongType)),
         row => CommitLog.restore(spark, path(str(row, 0)),

@@ -1048,8 +1048,9 @@ class CommitLogStreamSource(spark: SparkSession, metadataPath: String,
         case "compact" => None // content-preserving rewrite
         case "create" => None  // zero-segment schema-only commit
         case "evolve" | "rename_column" | "drop_column" |
-            "widen_column" | "set_constraint" | "drop_constraint" =>
-          None // metadata-only schema/constraint commits
+            "widen_column" | "set_constraint" | "drop_constraint" |
+            "set_partition_spec" =>
+          None // metadata-only schema/constraint/spec commits
         case "delete" | "delete_dv" | "update" | "update_dv"
             if readChangeFeed =>
           val dir = snap.changes.getOrElse(throw

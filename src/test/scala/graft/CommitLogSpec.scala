@@ -4032,6 +4032,75 @@ class CommitLogSpec extends AnyFunSuite {
     }
   }
 
+  test("partition evolution: set_partition_spec re-records the " +
+      "spec as a metadata-only commit; mixed-layout segment sets " +
+      "read and prune correctly; the change feed crosses it; " +
+      "restore rolls the spec back; guards refuse") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_part_evo_").toString
+    try {
+      spark.conf.set("spark.sql.catalog.gpe",
+        "graft.sources.CommitLogCatalog")
+      spark.conf.set("spark.sql.catalog.gpe.root", root)
+      val path = s"$root/ns/t"
+      spark.sql("CREATE TABLE gpe.ns.t (region STRING, day STRING, " +
+        "x BIGINT, price DOUBLE) PARTITIONED BY (region)")
+      spark.sql("INSERT INTO gpe.ns.t VALUES " +
+        "('eu', 'd1', 1, 1.5), ('us', 'd1', 2, 2.5)")
+      val vPre = CommitLog.currentVersion(spark, path).get
+      val segsPre = CommitLog.snapshot(spark, path).get.segments
+      // evolve the spec through the CALL surface
+      val vSpec = spark.sql("CALL gpe.system.set_partition_spec(" +
+        "table => 'ns.t', partition_by => 'day')").head().getLong(0)
+      val specSnap = CommitLog.snapshot(spark, path, Some(vSpec)).get
+      assert(specSnap.op === "set_partition_spec")
+      assert(specSnap.segments === segsPre,
+        "partition evolution moved segments — it must be metadata-only")
+      assert(CommitLog.partitionColumns(spark, path) ===
+        Some(Seq("day")))
+      // new writes land under the NEW spec (one segment per day)
+      spark.sql("INSERT INTO gpe.ns.t VALUES " +
+        "('ap', 'd2', 3, 3.5), ('eu', 'd3', 4, 4.5)")
+      assert(spark.sql("SELECT count(*) FROM gpe.ns.t").head()
+        .getLong(0) === 4L)
+      // the change feed crosses the spec commit (it serves nothing),
+      // delivering exactly the two INSERTs' rows
+      assert(CommitLog.changes(spark, path, afterVersion = 0L)
+        .map(_._2.count()).sum === 4L)
+      // mixed layouts prune: a day probe prunes the OTHER day's new
+      // segment and conservatively keeps the old-spec segments
+      val plan = graft.sources.CommitLogStats.planSkipping(
+        spark, path, "day", "d2", "d2")
+      assert(plan.pruned.size === 1,
+        s"expected exactly the d3 segment pruned, got ${plan.pruned}")
+      assert(graft.sources.CommitLogStats.readSkipping(
+        spark, path, "day", "d2", "d2").count() === 1L)
+      // restore ACROSS the evolution: the target's own spec returns
+      CommitLog.restore(spark, path, vPre): Unit
+      assert(CommitLog.partitionColumns(spark, path) ===
+        Some(Seq("region")))
+      assert(spark.sql("SELECT count(*) FROM gpe.ns.t").head()
+        .getLong(0) === 2L)
+      // guards: unknown column / non-partitionable type refuse
+      val e1 = intercept[IllegalStateException] {
+        CommitLog.setPartitionSpec(spark, path, Seq("nope"))
+      }
+      assert(e1.getMessage.contains("no column"))
+      val e2 = intercept[IllegalStateException] {
+        CommitLog.setPartitionSpec(spark, path, Seq("price"))
+      }
+      assert(e2.getMessage.contains("STRING, integral or BOOLEAN"))
+      // explicit-empty spec = evolve to unpartitioned
+      CommitLog.setPartitionSpec(spark, path, Seq.empty): Unit
+      assert(CommitLog.partitionColumns(spark, path).isEmpty)
+      spark.sql("DROP TABLE gpe.ns.t")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gpe")
+      spark.conf.unset("spark.sql.catalog.gpe.root")
+      rm(root + "/x")
+    }
+  }
+
   test("scan bridges report size statistics: small DV'd and " +
       "column-mapped tables STATICALLY broadcast in joins (no AQE " +
       "rescue needed)") {
