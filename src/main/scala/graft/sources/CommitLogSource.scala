@@ -68,9 +68,6 @@ class CommitLogSource extends TableProvider with DataSourceRegister
           "identity that makes crash-replayed batches recognizable"))
     require(outputMode == org.apache.spark.sql.streaming.OutputMode
       .Append(), s"commitlog sink: Append mode only, got $outputMode")
-    require(partitionColumns.isEmpty,
-      "commitlog sink: partitionBy is not supported — cluster with " +
-        "compactClustered/compactZOrder/compactBucketed")
     new org.apache.spark.sql.execution.streaming.Sink {
       override def addBatch(batchId: Long, data: DataFrame): Unit = {
         // the incoming frame carries a streaming-tagged plan; re-wrap
@@ -79,7 +76,15 @@ class CommitLogSource extends TableProvider with DataSourceRegister
         val rows = data.queryExecution.toRdd.map(_.copy())
         val batchDf = org.apache.spark.sql.GraftColumnBridge
           .ofInternalRows(spark, data.schema, rows)
-        CommitLog.appendTxn(spark, path, batchDf, appId, batchId): Unit
+        // .partitionBy(cols) lands each micro-batch as one sidecar'd
+        // segment per partition tuple (born prunable) in the same
+        // ONE txn-stamped version — Delta's partitioned streaming
+        // write, on the exactly-once protocol append
+        if (partitionColumns.nonEmpty)
+          CommitLogStats.appendPartitionedTxn(spark, path, batchDf,
+            partitionColumns, appId, batchId): Unit
+        else
+          CommitLog.appendTxn(spark, path, batchDf, appId, batchId): Unit
       }
       override def toString: String = s"CommitLogSink[$path]"
     }

@@ -671,6 +671,49 @@ object CommitLogStats {
         s"$maxRetries times at $table")
   }
 
+  /** [[appendPartitioned]] with [[CommitLog.appendTxn]]'s
+    * exactly-once idempotent-writer stamp — the partitioned
+    * streaming-sink path: each micro-batch lands one segment per
+    * partition tuple (born prunable, min=max sidecars) in ONE
+    * txn-stamped version; a crash-replayed or concurrently-raced
+    * batch is recognized by its (appId, batchId) and dropped with
+    * its staged segments. Returns None when skipped. */
+  def appendPartitionedTxn(spark: SparkSession, table: String,
+      df: DataFrame, partitionCols: Seq[String], appId: String,
+      batchId: Long, statsCols: Seq[String] = Seq.empty,
+      maxRetries: Int = 20): Option[Long] = {
+    if (CommitLog.lastTxn(spark, table, appId).exists(_ >= batchId))
+      return None
+    val (segs, gated0) = stagePartitionedGated(spark, table, df,
+      partitionCols, statsCols)
+    var gated = gated0
+    var attempt = 0
+    while (attempt < maxRetries) {
+      if (CommitLog.lastTxn(spark, table, appId).exists(_ >= batchId)) {
+        // a concurrent replica of the same query won the race with
+        // this very batch: drop the orphaned segments, report skipped
+        val f = fs(spark, table)
+        segs.foreach(s =>
+          f.delete(new org.apache.hadoop.fs.Path(s), true): Unit)
+        return None
+      }
+      val cur = CommitLog.snapshot(spark, table)
+      gated = CommitLog.regateOnConstraintChange(spark, table,
+        segs, gated, cur)
+      val v = cur.fold(1L)(_.version + 1L)
+      val snap = CommitLog.Snapshot(v,
+        cur.fold(Seq.empty[String])(_.segments) ++ segs,
+        cur.fold(0L)(_.version), "streaming-append",
+        txnApp = Some(appId), txnBatch = Some(batchId),
+        schema = cur.flatMap(_.schema), dv = cur.flatMap(_.dv))
+      if (CommitLog.tryPublish(spark, table, snap, cur)) return Some(v)
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"CommitLogStats.appendPartitionedTxn: lost the version race " +
+        s"$maxRetries times at $table")
+  }
+
   /** [[appendPartitioned]]'s staging step alone: land `df` as one
     * sidecar'd segment per partition tuple and return the segment
     * list WITHOUT publishing — the caller commits them in its own

@@ -1032,6 +1032,55 @@ class CommitLogSpec extends AnyFunSuite {
     } finally { rm(t); rm(ckpt + "/x") }
   }
 
+  test("writeStream.format(commitlog).partitionBy: each micro-batch " +
+      "lands one sidecar'd segment per partition tuple in ONE " +
+      "txn-stamped version — born prunable, exactly-once on replay") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t = tmpTable()
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_part_sink_").toString
+    try {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+        spark.sqlContext
+      import spark.implicits._
+      val mem = MemoryStream[(String, Long)](301, spark, None)
+      val q = mem.toDF().toDF("region", "x")
+        .writeStream.format("commitlog")
+        .partitionBy("region")
+        .option("path", t).option("txnAppId", "psink")
+        .option("checkpointLocation", ckpt).start()
+      try {
+        mem.addData(("eu", 1L), ("us", 2L)); q.processAllAvailable()
+        mem.addData(("eu", 3L)); q.processAllAvailable()
+      } finally q.stop()
+      // two batches = two versions; batch 1 landed TWO segments (one
+      // per region) inside its one version
+      assert(CommitLog.versions(spark, t) === Seq(1L, 2L))
+      assert(CommitLog.snapshot(spark, t, Some(1L)).get
+        .segments.size === 2)
+      assert(CommitLog.history(spark, t).select("op").collect()
+        .map(_.getString(0)).distinct.toSeq === Seq("streaming-append"))
+      assert(CommitLog.read(spark, t).select(col("x"))
+        .collect().map(_.getLong(0)).toSeq.sorted === Seq(1L, 2L, 3L))
+      // born prunable: a region point probe prunes the other
+      // region's segments via the min=max sidecars
+      val plan = graft.sources.CommitLogStats.planSkipping(
+        spark, t, "region", "us", "us")
+      assert(plan.kept.size === 1 && plan.pruned.size === 2)
+      // crash-replay of the last batch is a no-op AND leaves no
+      // orphaned segments behind
+      val lastBatch = CommitLog.lastTxn(spark, t, "psink").get
+      val dataDirs = Option(new java.io.File(s"$t/data").listFiles)
+        .toSeq.flatten.count(_.isDirectory)
+      assert(graft.sources.CommitLogStats.appendPartitionedTxn(spark,
+        t, Seq(("eu", 3L)).toDF("region", "x"), Seq("region"),
+        "psink", lastBatch) === None)
+      assert(Option(new java.io.File(s"$t/data").listFiles)
+        .toSeq.flatten.count(_.isDirectory) === dataDirs,
+        "replayed batch left orphaned staged segments")
+    } finally { rm(t); rm(ckpt + "/x") }
+  }
+
   test("connector scan optimizations are stock: MIN/MAX/COUNT push " +
       "into the parquet footers when enabled (no row decode)") {
     val t = tmpTable()
