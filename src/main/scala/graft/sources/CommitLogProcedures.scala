@@ -39,7 +39,7 @@ private[sources] object CommitLogProcedures {
     "optimize_zorder", "optimize_bucket", "optimize_incremental",
     "vacuum", "restore", "clone_table", "delete_vectored",
     "update_vectored", "attach_blooms", "checkpoint", "fsck",
-    "set_partition_spec")
+    "set_partition_spec", "maintenance_plan")
 
   def list: Seq[String] = names
 
@@ -121,8 +121,18 @@ private[sources] object CommitLogProcedures {
       case "fsck" => Some(procFindings("fsck",
         Seq(in("table", StringType),
           in("deep", BooleanType, Some("true"))),
+        Seq("level", "code", "object", "detail"),
         row => CommitLogFsck.fsck(spark, path(str(row, 0)),
           deep = row.getBoolean(1))))
+      // the maintenance advisor: what to run on this table, as
+      // (action, reason, command) rows — empty = healthy. Thresholds
+      // ride the defaults; schedulers needing different ones call
+      // CommitLogMaintenance.maintenancePlan directly.
+      case "maintenance_plan" => Some(procFindings("maintenance_plan",
+        Seq(in("table", StringType)),
+        Seq("action", "reason", "command"),
+        row => CommitLogMaintenance.maintenancePlan(spark,
+          path(str(row, 0)))))
       // partition evolution (Iceberg's capability, metadata-only
       // here because partition pruning is sidecar pruning): rewrites
       // the recorded spec going forward; '' = unpartitioned
@@ -221,13 +231,14 @@ private[sources] object CommitLogProcedures {
     b.build()
   }
 
-  /** Multi-row `(level, code, object, detail)` result through a
-    * LocalScan — the diagnostic-procedure shape ([[CommitLogFsck]]).
-    * Capped at 10k rows: CALL results land on the driver by design
-    * (LocalScan), so a catastrophically broken tree reports its
-    * first 10k findings instead of OOMing the session. */
+  /** Multi-row all-string result through a LocalScan — the
+    * diagnostic-procedure shape ([[CommitLogFsck]] findings,
+    * [[CommitLogMaintenance]] recommendations). Capped at 10k rows:
+    * CALL results land on the driver by design (LocalScan), so a
+    * catastrophically broken tree reports its first 10k findings
+    * instead of OOMing the session. */
   private def procFindings(procName: String,
-      params: Seq[ProcedureParameter],
+      params: Seq[ProcedureParameter], outCols: Seq[String],
       body: InternalRow => org.apache.spark.sql.DataFrame)
       : UnboundProcedure =
     new UnboundProcedure {
@@ -246,21 +257,14 @@ private[sources] object CommitLogProcedures {
               : java.util.Iterator[Scan] = {
             val findings = body(input).limit(10000).collect()
             val scan: Scan = new LocalScan {
-              override def readSchema(): StructType = StructType(Seq(
-                StructField("level", StringType, nullable = false),
-                StructField("code", StringType, nullable = false),
-                StructField("object", StringType, nullable = false),
-                StructField("detail", StringType, nullable = false)))
+              override def readSchema(): StructType = StructType(
+                outCols.map(c =>
+                  StructField(c, StringType, nullable = false)))
               override def rows(): Array[InternalRow] =
                 findings.map(r => InternalRow(
-                  org.apache.spark.unsafe.types.UTF8String
-                    .fromString(r.getString(0)),
-                  org.apache.spark.unsafe.types.UTF8String
-                    .fromString(r.getString(1)),
-                  org.apache.spark.unsafe.types.UTF8String
-                    .fromString(r.getString(2)),
-                  org.apache.spark.unsafe.types.UTF8String
-                    .fromString(r.getString(3))))
+                  outCols.indices.map(i =>
+                    org.apache.spark.unsafe.types.UTF8String
+                      .fromString(r.getString(i))): _*))
               override def description(): String =
                 s"CommitLogProcedureResult($procName)"
             }
