@@ -898,6 +898,20 @@ object CommitLog {
     read(spark, table,
       Some(snapshotAsOfTimestamp(spark, table, tsMillis).version))
 
+  /** `startingTimestamp` resolution (Delta's CDF rule, the MIRROR of
+    * [[snapshotAsOfTimestamp]]): the EARLIEST retained version whose
+    * commit wall-time is ≥ `tsMillis` — "give me every change since
+    * this instant". None when the timestamp postdates every retained
+    * commit (batch CDF raises on that — typo'd-date protection;
+    * the streaming source starts past the current version instead,
+    * serving only future commits — both Delta's behaviors). One
+    * record read per version, early-exit. */
+  def versionAtOrAfterTimestamp(spark: SparkSession, table: String,
+      tsMillis: Long): Option[Long] =
+    versions(spark, table).iterator
+      .map(v => v -> readRecord(spark, table, v).flatMap(_.snap.ts))
+      .collectFirst { case (v, Some(ts)) if ts >= tsMillis => v }
+
   /** Read a segment list under an optionally-pinned (possibly evolved)
     * schema: segments written before a column was added serve NULLs
     * for it, and column set/order is stable regardless of which file

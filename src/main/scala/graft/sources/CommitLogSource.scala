@@ -118,8 +118,27 @@ class CommitLogSource extends TableProvider with DataSourceRegister
     val path = parameters.getOrElse("path", throw
       new IllegalArgumentException(
         "commitlog stream requires option 'path' (the table directory)"))
+    val startV = parameters.get("startingVersion").map(_.toLong)
+    // startingTimestamp for streams (Delta's rule): start at the
+    // earliest version committed at or after the instant; an instant
+    // past every retained commit means "serve only FUTURE commits"
+    // (start past the current version), never an error — a stream
+    // waits by nature
+    val startTs = parameters.get("startingTimestamp")
+      .map(CommitLogTable.parseTsMillis(SparkSession.active, _))
+    require(startV.isEmpty || startTs.isEmpty,
+      "commitlog stream: startingVersion and startingTimestamp are " +
+        "mutually exclusive")
+    val starting = startTs match {
+      case Some(ts) =>
+        val spark = SparkSession.active
+        CommitLog.versionAtOrAfterTimestamp(spark, path, ts)
+          .getOrElse(
+            CommitLog.currentVersion(spark, path).getOrElse(0L) + 1L)
+      case None => startV.getOrElse(1L)
+    }
     (path,
-      parameters.get("startingVersion").map(_.toLong).getOrElse(1L),
+      starting,
       parameters.get("readChangeFeed").exists(_.toBoolean),
       parameters.get("skipRewrites").exists(_.toBoolean),
       parameters.get("maxVersionsPerTrigger").map(_.toLong),
@@ -156,18 +175,8 @@ class CommitLogSource extends TableProvider with DataSourceRegister
     // rule), not hardcoded UTC: a non-UTC session would otherwise
     // silently time-travel to a different version than the same
     // string picks in Delta.
-    val tsOf = Option(options.get("timestampAsOf")).map { s =>
-      s.toLongOption.getOrElse {
-        val norm = s.trim.replace('T', ' ')
-        val withTime =
-          if (norm.contains(' ')) norm else s"$norm 00:00:00"
-        val zone = java.time.ZoneId.of(
-          spark.sessionState.conf.sessionLocalTimeZone)
-        java.time.LocalDateTime
-          .parse(withTime.replace(' ', 'T'))
-          .atZone(zone).toInstant.toEpochMilli
-      }
-    }
+    val tsOf = Option(options.get("timestampAsOf"))
+      .map(CommitLogTable.parseTsMillis(spark, _))
     require(version.isEmpty || tsOf.isEmpty,
       "commitlog: versionAsOf and timestampAsOf are mutually exclusive")
     val resolved = tsOf.map(t =>
@@ -230,8 +239,25 @@ class CommitLogSource extends TableProvider with DataSourceRegister
   private def cdfTable(options: CaseInsensitiveStringMap): Table = {
     val spark = SparkSession.active
     val path = pathOf(options)
-    val after = Option(options.get("startingVersion"))
-      .map(_.toLong).getOrElse(1L) - 1L
+    val startV = Option(options.get("startingVersion")).map(_.toLong)
+    // startingTimestamp (Delta's second CDF knob): the feed begins
+    // at the EARLIEST version committed at or after the instant; a
+    // timestamp past every retained commit raises (typo'd-date
+    // protection, mirroring timestampAsOf's pre-history rule)
+    val startTs = Option(options.get("startingTimestamp"))
+      .map(CommitLogTable.parseTsMillis(spark, _))
+    require(startV.isEmpty || startTs.isEmpty,
+      "commitlog CDF: startingVersion and startingTimestamp are " +
+        "mutually exclusive")
+    val after = startTs match {
+      case Some(ts) =>
+        CommitLog.versionAtOrAfterTimestamp(spark, path, ts)
+          .getOrElse(throw new IllegalStateException(
+            s"commitlog CDF: startingTimestamp $ts is after every " +
+              s"retained commit of $path — nothing to serve (use " +
+              "the streaming source to wait for future commits)")) - 1L
+      case None => startV.getOrElse(1L) - 1L
+    }
     val skip = options.getBoolean("skipRewrites", false)
     // the key carries the CURRENT table version (one directory
     // listing): the memo's correctness must not rest on Spark's
@@ -742,6 +768,26 @@ private[sources] class CommitLogMappedScanBuilder(spark: SparkSession,
 }
 
 object CommitLogTable {
+
+  /** Timestamp option parsing shared by `timestampAsOf`,
+    * `startingTimestamp` (batch CDF and stream): epoch millis or an
+    * ISO-ish string ('2024-01-31' / '2024-01-31 10:30:00' / with
+    * 'T') — what Delta users type. Wall-clock strings resolve in the
+    * SESSION timezone (Delta's rule), not hardcoded UTC: a non-UTC
+    * session would otherwise silently resolve to a different version
+    * than the same string picks in Delta. */
+  private[sources] def parseTsMillis(spark: SparkSession,
+      s: String): Long =
+    s.toLongOption.getOrElse {
+      val norm = s.trim.replace('T', ' ')
+      val withTime =
+        if (norm.contains(' ')) norm else s"$norm 00:00:00"
+      val zone = java.time.ZoneId.of(
+        spark.sessionState.conf.sessionLocalTimeZone)
+      java.time.LocalDateTime
+        .parse(withTime.replace(' ', 'T'))
+        .atZone(zone).toInstant.toEpochMilli
+    }
 
   /** Size statistics of a pinned snapshot for the scan bridges:
     * immutable-segment data bytes (memoized listings in

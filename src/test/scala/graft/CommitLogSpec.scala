@@ -1081,6 +1081,81 @@ class CommitLogSpec extends AnyFunSuite {
     } finally { rm(t); rm(ckpt + "/x") }
   }
 
+  test("startingTimestamp: batch CDF begins at the earliest commit " +
+      "at-or-after the instant (mirror of timestampAsOf); past-end " +
+      "raises; the stream starts there too, or waits for FUTURE " +
+      "commits when past end") {
+    val t = tmpTable()
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_start_ts_").toString
+    try {
+      CommitLog.append(spark, t, df((1L, "a", 1.0)))
+      Thread.sleep(5L)
+      val cut = System.currentTimeMillis()
+      Thread.sleep(5L)
+      CommitLog.append(spark, t, df((2L, "b", 2.0)))
+      CommitLog.append(spark, t, df((3L, "c", 3.0)))
+      // batch CDF from the cut: versions 2 and 3 only
+      val feed = spark.read.format("commitlog")
+        .option("path", t).option("readChangeFeed", "true")
+        .option("startingTimestamp", cut.toString).load()
+      assert(feed.select(col("id")).collect().map(_.getLong(0))
+        .toSeq.sorted === Seq(2L, 3L))
+      // both knobs at once refuse
+      val e1 = intercept[Exception] {
+        spark.read.format("commitlog").option("path", t)
+          .option("readChangeFeed", "true")
+          .option("startingVersion", "2")
+          .option("startingTimestamp", cut.toString).load()
+      }
+      assert(e1.getMessage.contains("mutually exclusive"))
+      // a timestamp past every commit raises for BATCH (typo guard)
+      val e2 = intercept[Exception] {
+        spark.read.format("commitlog").option("path", t)
+          .option("readChangeFeed", "true")
+          .option("startingTimestamp",
+            (System.currentTimeMillis() + 3600000L).toString)
+          .load().collect()
+      }
+      assert(e2.getMessage.contains("after every retained commit"))
+      // the STREAM from a past-end instant waits and serves only
+      // FUTURE commits; from the cut it serves v2+
+      val rows = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = spark.readStream.format("commitlog")
+        .option("path", t)
+        .option("startingTimestamp", cut.toString).load()
+        .writeStream.foreachBatch {
+          (b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+            rows ++= b.select(col("id")).collect()
+              .map(_.getLong(0)): Unit
+        }
+        .option("checkpointLocation", ckpt).start()
+      try {
+        q.processAllAvailable()
+        assert(rows.sorted.toSeq === Seq(2L, 3L))
+      } finally q.stop()
+      val rows2 = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q2 = spark.readStream.format("commitlog")
+        .option("path", t)
+        .option("startingTimestamp",
+          (System.currentTimeMillis() + 5L).toString).load()
+        .writeStream.foreachBatch {
+          (b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+            rows2 ++= b.select(col("id")).collect()
+              .map(_.getLong(0)): Unit
+        }
+        .option("checkpointLocation", ckpt + "B").start()
+      try {
+        q2.processAllAvailable()
+        assert(rows2.isEmpty, "past-end stream served history")
+        Thread.sleep(10L)
+        CommitLog.append(spark, t, df((4L, "d", 4.0)))
+        q2.processAllAvailable()
+        assert(rows2.sorted.toSeq === Seq(4L))
+      } finally q2.stop()
+    } finally { rm(t); rm(ckpt + "/x") }
+  }
+
   test("connector scan optimizations are stock: MIN/MAX/COUNT push " +
       "into the parquet footers when enabled (no row decode)") {
     val t = tmpTable()
