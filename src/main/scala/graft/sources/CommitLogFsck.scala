@@ -239,9 +239,29 @@ object CommitLogFsck {
       }
       cur.constraints.foreach { b64 =>
         try {
+          val liveCols = cur.schema.map(CommitLog.decodeSchema)
+            .map(_.fieldNames.map(_.toLowerCase).toSet)
           CommitLog.decodeConstraints(b64).foreach { case (nm, ex) =>
-            try { spark.sessionState.sqlParser.parseExpression(ex): Unit }
-            catch {
+            try {
+              val parsed =
+                spark.sessionState.sqlParser.parseExpression(ex)
+              // a rule referencing a column the schema lost (only a
+              // non-conforming writer can produce this — the DDL
+              // guards refuse it) wedges EVERY write's gate at
+              // analysis until an UNSET
+              liveCols.foreach { cols =>
+                val gone = parsed.collect {
+                  case u: org.apache.spark.sql.catalyst.analysis
+                      .UnresolvedAttribute => u.name
+                }.filterNot(r => cols(r.toLowerCase))
+                if (gone.nonEmpty) local += err(
+                  "constraint_unresolvable", nm,
+                  s"CHECK expression '$ex' references column(s) " +
+                    s"${gone.mkString(", ")} absent from the " +
+                    "recorded schema — every write's gate fails " +
+                    "analysis until UNSET")
+              }
+            } catch {
               case scala.util.control.NonFatal(e) => local += err(
                 "constraint_unparseable", nm,
                 s"CHECK expression '$ex' does not parse — every " +

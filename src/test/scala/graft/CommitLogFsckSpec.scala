@@ -169,7 +169,10 @@ class CommitLogFsckSpec extends AnyFunSuite {
       "resurrect), an unparseable CHECK expression") {
     val t = tmpTable()
     try {
-      CommitLog.append(spark, t, df((1L, "a", 1.0), (2L, "b", 2.0)))
+      // appendEvolve records the schema — the unresolvable-constraint
+      // check compares against the RECORDED column set
+      CommitLog.appendEvolve(spark, t,
+        df((1L, "a", 1.0), (2L, "b", 2.0))): Unit
       CommitLog.deleteVectored(spark, t, col("id") === 1L): Unit
       CommitLog.append(spark, t, df((3L, "c", 3.0)))
       CommitLog.setConstraint(spark, t, "v_pos", "v > 0"): Unit
@@ -180,9 +183,12 @@ class CommitLogFsckSpec extends AnyFunSuite {
       // v2 lies about its own version
       rewrite(manifestFile(t, 2L),
         _.replaceFirst("\"version\":2", "\"version\":9"))
-      // the latest record's constraints decode to a non-SQL rule
+      // the latest record's constraints decode to a non-SQL rule AND
+      // a rule over a column the schema never had (only a
+      // non-conforming writer can produce either)
       val badCons = java.util.Base64.getEncoder.encodeToString(
-        """{"bad":"((( not sql"}""".getBytes("UTF-8"))
+        """{"bad":"((( not sql","ghost":"nope_col > 0"}"""
+          .getBytes("UTF-8"))
       rewrite(manifestFile(t, 4L),
         _.replaceFirst("\"constraints\":\"[^\"]*\"",
           s""""constraints":"$badCons""""))
@@ -190,6 +196,7 @@ class CommitLogFsckSpec extends AnyFunSuite {
       assert(byCode("dv_dropped") === "ERROR")
       assert(byCode("version_mismatch") === "ERROR")
       assert(byCode("constraint_unparseable") === "ERROR")
+      assert(byCode("constraint_unresolvable") === "ERROR")
     } finally rm(t)
   }
 }
