@@ -416,6 +416,53 @@ object Pipeline19 {
           .orderBy(col("o_orderstatus"))
           .localCheckpoint(true)
       } finally rmTree(root)
+    }),
+
+    // MAINTENANCE ADVISOR (round 13): a healthy table recommends
+    // nothing; then three degradations are induced — twelve
+    // small-average segments (the small-files problem), a missing
+    // cadence checkpoint (crash shape: resolution replays the whole
+    // tail), and a crashed writer's orphan dir — and the advisor
+    // must recommend EXACTLY compact + checkpoint + vacuum, each a
+    // runnable CALL. Every signal is deterministic, so the oracle
+    // pins the action multiset as literals alongside the content agg.
+    "q199_commitlog_maintenance" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q199_").toString
+      val tbl = s"$root/tbl"
+      try {
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        (0 until 12).foreach(i =>
+          graft.sources.CommitLogStats.appendWithStats(s, tbl,
+            o.filter(col("o_orderkey") % 12 === i),
+            statsCols = Seq("o_orderkey")))
+        // healthy at the default thresholds EXCEPT small segments —
+        // suppress that first to witness the clean bill
+        val healthy = graft.sources.CommitLogMaintenance
+          .maintenancePlan(s, tbl, smallSegmentRows = 1L).count()
+        // degrade: cadence gap + crashed-writer debris (the twelve
+        // sf-scale segments already average far below the 1M-row
+        // small-file default)
+        new java.io.File(
+          f"$tbl/_commits/${10L}%020d.checkpoint").delete(): Unit
+        val orphan = new java.io.File(s"$tbl/data/00000000-orphan")
+        orphan.mkdirs(): Unit
+        java.nio.file.Files.write(
+          new java.io.File(orphan, "part-0.parquet").toPath,
+          Array[Byte](1)): Unit
+        val actions = graft.sources.CommitLogMaintenance
+          .maintenancePlan(s, tbl)
+          .select(col("action")).collect().map(_.getString(0))
+          .sorted.mkString(",")
+        CommitLog.read(s, tbl).agg(
+            count(lit(1)).as("n_rows"),
+            sum(col("o_totalprice").cast("decimal(30,6)"))
+              .cast("double").as("sum_price"))
+          .withColumn("healthy_recs", lit(healthy))
+          .withColumn("degraded_actions", lit(actions))
+          .localCheckpoint(true)
+      } finally rmTree(root)
     })
   )
 
@@ -526,6 +573,14 @@ object Pipeline19 {
         |  CAST(4 AS BIGINT) AS pruned_cnt
         |FROM orders
         |GROUP BY o_orderstatus
-        |ORDER BY o_orderstatus""".stripMargin
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "q199_commitlog_maintenance" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price,
+        |  CAST(0 AS BIGINT) AS healthy_recs,
+        |  'checkpoint,compact,vacuum' AS degraded_actions
+        |FROM orders""".stripMargin
   )
 }
