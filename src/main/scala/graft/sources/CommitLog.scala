@@ -2609,8 +2609,25 @@ object CommitLog {
     * lost). Vacuumed history below the start raises, never silently
     * skips. */
   def changeFeed(spark: SparkSession, table: String, afterVersion: Long,
-      skipRewrites: Boolean = false): DataFrame = {
-    val vs = versions(spark, table).filter(_ > afterVersion)
+      skipRewrites: Boolean = false,
+      toVersion: Option[Long] = None): DataFrame = {
+    val vsAll = versions(spark, table).filter(_ > afterVersion)
+    // an ending bound (Delta's endingVersion) makes the feed a
+    // REPRODUCIBLE range — the same (start, end] forever, immune to
+    // commits landing while the job runs. Degenerate or future
+    // bounds refuse loudly (a bound past the current version is a
+    // typo'd pin, not a wait — the streaming source waits).
+    toVersion.foreach { tv =>
+      require(tv > afterVersion,
+        s"CommitLog.changeFeed: endingVersion $tv must be at or " +
+          s"after startingVersion ${afterVersion + 1L}")
+      val cur = vsAll.lastOption.getOrElse(afterVersion)
+      if (tv > cur) throw new IllegalStateException(
+        s"CommitLog.changeFeed: endingVersion $tv exceeds the " +
+          s"current version $cur of $table — a bounded feed pins " +
+          "committed history only")
+    }
+    val vs = toVersion.fold(vsAll)(tv => vsAll.filter(_ <= tv))
     val expected = (afterVersion + 1L) to vs.lastOption.getOrElse(afterVersion)
     if (vs != expected) throw new IllegalStateException(
       s"CommitLog.changeFeed: versions ${expected.toSet -- vs.toSet} of " +

@@ -258,6 +258,22 @@ class CommitLogSource extends TableProvider with DataSourceRegister
               "the streaming source to wait for future commits)")) - 1L
       case None => startV.getOrElse(1L) - 1L
     }
+    // ending bounds (Delta's endingVersion/endingTimestamp): the
+    // feed becomes a reproducible pinned range. endingTimestamp
+    // resolves at-or-BEFORE (the mirror of startingTimestamp's
+    // at-or-after — the range is the commits inside the instant
+    // window)
+    val endV = Option(options.get("endingVersion")).map(_.toLong)
+    val endTs = Option(options.get("endingTimestamp"))
+      .map(CommitLogTable.parseTsMillis(spark, _))
+    require(endV.isEmpty || endTs.isEmpty,
+      "commitlog CDF: endingVersion and endingTimestamp are " +
+        "mutually exclusive")
+    val to = endTs match {
+      case Some(ts) => Some(
+        CommitLog.snapshotAsOfTimestamp(spark, path, ts).version)
+      case None => endV
+    }
     val skip = options.getBoolean("skipRewrites", false)
     // the key carries the CURRENT table version (one directory
     // listing): the memo's correctness must not rest on Spark's
@@ -265,10 +281,11 @@ class CommitLogSource extends TableProvider with DataSourceRegister
     // ever reused across loads, a stale version set would otherwise
     // be served with no staleness signal
     val curV = CommitLog.currentVersion(spark, path).getOrElse(0L)
-    val key = s"$path|$after|$skip|$curV"
+    val key = s"$path|$after|$skip|$curV|${to.getOrElse(-1L)}"
     val memo = cdfMemo
     if (memo != null && memo._1 == key) return memo._2
-    val df = CommitLog.changeFeed(spark, path, after, skip)
+    val df = CommitLog.changeFeed(spark, path, after, skip,
+      toVersion = to)
     val built: Table = new Table
         with org.apache.spark.sql.connector.catalog.SupportsRead {
       override def name(): String = s"commitlog:$path#changes"

@@ -1156,6 +1156,50 @@ class CommitLogSpec extends AnyFunSuite {
     } finally { rm(t); rm(ckpt + "/x") }
   }
 
+  test("endingVersion / endingTimestamp: the batch change feed pins " +
+      "a reproducible (start, end] range; degenerate and future " +
+      "bounds refuse loudly") {
+    val t = tmpTable()
+    try {
+      CommitLog.append(spark, t, df((1L, "a", 1.0)))
+      CommitLog.append(spark, t, df((2L, "b", 2.0)))
+      Thread.sleep(5L)
+      val cut = System.currentTimeMillis()
+      Thread.sleep(5L)
+      CommitLog.append(spark, t, df((3L, "c", 3.0)))
+      CommitLog.append(spark, t, df((4L, "d", 4.0)))
+      def feed(opts: (String, String)*): DataFrame = {
+        val r = spark.read.format("commitlog")
+          .option("path", t).option("readChangeFeed", "true")
+        opts.foldLeft(r) { case (x, (k, v)) => x.option(k, v) }.load()
+      }
+      // (v1, v3]: versions 2 and 3 only — later commits invisible
+      assert(feed("startingVersion" -> "2", "endingVersion" -> "3")
+        .select(col("id")).collect().map(_.getLong(0)).toSeq.sorted ===
+        Seq(2L, 3L))
+      // endingTimestamp: at-or-before the cut = v2 (the mirror rule)
+      assert(feed("endingTimestamp" -> cut.toString)
+        .select(col("id")).collect().map(_.getLong(0)).toSeq.sorted ===
+        Seq(1L, 2L))
+      // a bound past the current version is a typo'd pin, not a wait
+      val e1 = intercept[Exception] {
+        feed("endingVersion" -> "9").collect()
+      }
+      assert(e1.getMessage.contains("exceeds the current version"))
+      // end before start refuses
+      val e2 = intercept[Exception] {
+        feed("startingVersion" -> "3", "endingVersion" -> "2").collect()
+      }
+      assert(e2.getMessage.contains("must be at or after"))
+      // both ending knobs refuse
+      val e3 = intercept[Exception] {
+        feed("endingVersion" -> "2",
+          "endingTimestamp" -> cut.toString).collect()
+      }
+      assert(e3.getMessage.contains("mutually exclusive"))
+    } finally rm(t)
+  }
+
   test("connector scan optimizations are stock: MIN/MAX/COUNT push " +
       "into the parquet footers when enabled (no row decode)") {
     val t = tmpTable()
