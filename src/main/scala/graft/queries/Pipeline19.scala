@@ -463,6 +463,62 @@ object Pipeline19 {
           .withColumn("degraded_actions", lit(actions))
           .localCheckpoint(true)
       } finally rmTree(root)
+    }),
+
+    // GENERATED COLUMNS (round 13, Delta's design): a table created
+    // with GENERATED ALWAYS AS and PARTITIONED BY the generated
+    // column. Even keys land through the programmatic partitioned
+    // append OMITTING the column (the engine computes it); odd keys
+    // land through SQL INSERT PROVIDING it (validated); a
+    // mismatching provided value refuses atomically. Even keys fill
+    // buckets {0,2} and odd keys {1,3}, so a point probe on one
+    // bucket prunes exactly 3 of the 4 segments. The oracle
+    // re-derives the per-bucket content from o_orderkey % 4.
+    "q200_commitlog_generated_columns" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q200_").toString
+      val tblPath = s"$root/ns/o"
+      t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_totalprice"))
+        .createOrReplaceTempView("q200_orders")
+      s.conf.set("spark.sql.catalog.g200",
+        "graft.sources.CommitLogCatalog")
+      s.conf.set("spark.sql.catalog.g200.root", root)
+      try {
+        s.sql("""CREATE TABLE g200.ns.o (o_orderkey BIGINT,
+          o_totalprice DOUBLE,
+          bucket BIGINT GENERATED ALWAYS AS (o_orderkey % 4))
+          PARTITIONED BY (bucket)""")
+        graft.sources.CommitLogStats.appendPartitioned(s, tblPath,
+          s.table("q200_orders")
+            .filter(pmod(col("o_orderkey"), lit(2)) === 0),
+          Seq("bucket"))
+        s.sql("""INSERT INTO g200.ns.o
+          SELECT o_orderkey, o_totalprice, o_orderkey % 4
+          FROM q200_orders WHERE o_orderkey % 2 = 1""")
+        val vNow = CommitLog.currentVersion(s, tblPath).get
+        val refused =
+          try { s.sql(
+            "INSERT INTO g200.ns.o VALUES (2, 1.0, 3)"): Unit; false }
+          catch { case _: Exception =>
+            CommitLog.currentVersion(s, tblPath).get == vNow }
+        val prunedCnt = graft.sources.CommitLogStats.planSkipping(
+          s, tblPath, "bucket", 2L, 2L).pruned.size.toLong
+        s.sql("SELECT * FROM g200.ns.o")
+          .groupBy(col("bucket")).agg(
+            count(lit(1)).as("n_rows"),
+            sum(col("o_totalprice").cast("decimal(30,6)"))
+              .cast("double").as("sum_price"))
+          .withColumn("refused_mismatch", lit(refused))
+          .withColumn("pruned_cnt", lit(prunedCnt))
+          .orderBy(col("bucket"))
+          .localCheckpoint(true)
+      } finally {
+        s.conf.unset("spark.sql.catalog.g200")
+        s.conf.unset("spark.sql.catalog.g200.root")
+        s.catalog.dropTempView("q200_orders"): Unit
+        rmTree(root)
+      }
     })
   )
 
@@ -581,6 +637,17 @@ object Pipeline19 {
         |    AS sum_price,
         |  CAST(0 AS BIGINT) AS healthy_recs,
         |  'checkpoint,compact,vacuum' AS degraded_actions
-        |FROM orders""".stripMargin
+        |FROM orders""".stripMargin,
+
+    "q200_commitlog_generated_columns" ->
+      """SELECT CAST(o_orderkey % 4 AS BIGINT) AS bucket,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price,
+        |  TRUE AS refused_mismatch,
+        |  CAST(3 AS BIGINT) AS pruned_cnt
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin
   )
 }

@@ -167,6 +167,49 @@ object CommitLog {
 
   private[sources] val PhysicalKey = "graft.physical"
 
+  /** GENERATED ALWAYS AS (Delta's generated columns): Spark records
+    * the generation expression in the field metadata under this key
+    * (`GeneratedColumn.GENERATION_EXPRESSION_METADATA_KEY`) when the
+    * catalog declares SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS —
+    * Spark itself verifies the expression (deterministic, correct
+    * type, no self/other-generated references) at CREATE. The
+    * protocol's side of the contract:
+    *  - a write MISSING the column computes it
+    *    ([[computeGenerated]] — every gated path: append family,
+    *    DML rewrites, partitioned/sliced stagers), so partitioning
+    *    by a generated column works and programmatic appends may
+    *    omit it;
+    *  - a write PROVIDING the column is VALIDATED against the
+    *    expression inside the same single-scan gate the CHECK
+    *    constraints use ([[constraintViolation]]) — Delta's rule:
+    *    a mismatching value refuses atomically (SQL INSERT must
+    *    provide all columns, so it is always the validated case);
+    *  - RENAME/DROP of a column a generation expression reads
+    *    refuses ([[mappingDdlGuards]]), like constraints. */
+  private[sources] val GeneratedKey = "GENERATION_EXPRESSION"
+
+  private[sources] def generatedColumns(
+      schema: Option[org.apache.spark.sql.types.StructType])
+      : Seq[org.apache.spark.sql.types.StructField] =
+    schema.map(_.fields.toSeq.filter(_.metadata
+      .contains(GeneratedKey))).getOrElse(Seq.empty)
+
+  /** Add any generated column the frame omits, computed from its
+    * recorded expression (cast to the declared type). Present
+    * columns pass through — the gate validates them. */
+  private[sources] def computeGenerated(df: DataFrame,
+      schema: Option[org.apache.spark.sql.types.StructType])
+      : DataFrame = {
+    val gens = generatedColumns(schema)
+    if (gens.isEmpty) return df
+    val have = df.columns.map(_.toLowerCase).toSet
+    gens.foldLeft(df) { (d, f) =>
+      if (have(f.name.toLowerCase)) d
+      else d.withColumn(f.name,
+        expr(f.metadata.getString(GeneratedKey)).cast(f.dataType))
+    }
+  }
+
   private[sources] def physicalName(
       f: org.apache.spark.sql.types.StructField): String =
     if (f.metadata.contains(PhysicalKey))
@@ -528,9 +571,16 @@ object CommitLog {
       table: String, df: DataFrame,
       snap: Option[Snapshot]): Option[String] = {
     val cons = constraintsOf(spark, table, snap)
-    if (cons.isEmpty) return None
+    // generated-column validation rides the SAME single aggregate:
+    // a provided value must equal its expression (null-safe — a
+    // legitimately NULL source makes both sides NULL). Delta's rule;
+    // zero extra scans over the constraint gate.
+    val gens = generatedColumns(snap.flatMap(_.schema).map(decodeSchema))
+      .filter(f => df.columns.exists(_.equalsIgnoreCase(f.name)))
+    if (cons.isEmpty && gens.isEmpty) return None
     val have = df.columns.map(_.toLowerCase).toSet
-    val refs: Seq[String] = cons.values.toSeq.flatMap(e =>
+    val refs: Seq[String] = (cons.values.toSeq ++
+      gens.map(_.metadata.getString(GeneratedKey))).flatMap(e =>
       org.apache.spark.sql.catalyst.parser.CatalystSqlParser
         .parseExpression(e).collect {
           case u: org.apache.spark.sql.catalyst.analysis
@@ -547,6 +597,10 @@ object CommitLog {
       // SQL CHECK semantics: NULL (unknown) passes
       sum(when(coalesce(expr(e), lit(true)) === false, 1L)
         .otherwise(0L)).as(n)
+    } ++ gens.sortBy(_.name).map { f =>
+      sum(when(!(col(f.name) <=>
+          expr(f.metadata.getString(GeneratedKey)).cast(f.dataType)),
+        1L).otherwise(0L)).as(s"__gen_${f.name}")
     }
     val row = padded.agg(aggs.head, aggs.tail: _*).collect()(0)
     cons.keys.toSeq.sorted.flatMap { n =>
@@ -555,7 +609,16 @@ object CommitLog {
       if (bad > 0L) Some(s"CHECK constraint '$n' (${cons(n)}) " +
         s"violated by $bad row(s) — nothing committed at $table")
       else None
-    }.headOption
+    }.headOption.orElse(gens.sortBy(_.name).flatMap { f =>
+      val bad = Option(row.getAs[java.lang.Long](s"__gen_${f.name}"))
+        .map(_.longValue).getOrElse(0L)
+      if (bad > 0L) Some(s"generated column '${f.name}' " +
+        s"(GENERATED ALWAYS AS ${f.metadata.getString(GeneratedKey)}) " +
+        s"receives $bad mismatching provided value(s) — omit the " +
+        s"column to have it computed, or provide matching values; " +
+        s"nothing committed at $table")
+      else None
+    }.headOption)
   }
 
   /** Enforce the table's persistent constraints over freshly staged
@@ -565,9 +628,13 @@ object CommitLog {
   private[sources] def enforceConstraints(spark: SparkSession,
       table: String, stagedPaths: Seq[String],
       snap: Option[Snapshot]): Unit = {
-    // constraint probe first: no constraints → no parquet footer reads
+    // constraint probe first: no constraints AND no generated
+    // columns → no parquet footer reads (both probes are
+    // zero-I/O — field lookups on the already-resolved snapshot)
     if (stagedPaths.isEmpty ||
-      constraintsOf(spark, table, snap).isEmpty) return
+      (constraintsOf(spark, table, snap).isEmpty &&
+        generatedColumns(snap.flatMap(_.schema)
+          .map(decodeSchema)).isEmpty)) return
     // constraints are written against LOGICAL names — on a mapped
     // table the staged bytes carry physical names, so restore the
     // logical view before evaluating (identity tables read inferred,
@@ -1049,9 +1116,14 @@ object CommitLog {
     // rename fold is a no-op); ONE snapshot resolution serves the
     // mapping AND the constraint gate below
     val cur = snapshot(spark, table)
+    // GENERATED ALWAYS AS: a frame omitting a generated column gets
+    // it computed here (so every gated path — appends, DML rewrites,
+    // evolve — lands it); provided values are validated by the gate
+    val withGen = computeGenerated(df,
+      cur.flatMap(_.schema).map(decodeSchema))
     val mapped = cur.flatMap(_.schema)
       .map(decodeSchema).filterNot(isIdentityMapping)
-      .map(sch => toPhysicalFrame(df, sch)).getOrElse(df)
+      .map(sch => toPhysicalFrame(withGen, sch)).getOrElse(withGen)
     val seg = stageSegmentUnchecked(spark, table, mapped)
     // persistent CHECK constraints gate EVERY segment before any
     // manifest can name it — one columnar scan of the new data only,
@@ -1747,6 +1819,24 @@ object CommitLog {
           s"CommitLog.$verb: CHECK constraint '$n' ($e) references " +
             s"'$column' — drop the constraint first (UNSET " +
             "TBLPROPERTIES), then retry")
+    }
+    // generation expressions read source columns by name exactly
+    // like constraints do — renaming or dropping a source would make
+    // every later write's compute/validate fail analysis
+    generatedColumns(Some(base)).foreach { gf =>
+      val ex = gf.metadata.getString(GeneratedKey)
+      val refs = org.apache.spark.sql.catalyst.parser
+        .CatalystSqlParser.parseExpression(ex).collect {
+          case u: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedAttribute => u.name
+        }
+      if (refs.exists(_.equalsIgnoreCase(column)) ||
+          gf.name.equalsIgnoreCase(column))
+        throw new IllegalStateException(
+          s"CommitLog.$verb: generated column '${gf.name}' " +
+            s"(GENERATED ALWAYS AS $ex) depends on '$column' — " +
+            "generated columns and their sources are name-coupled; " +
+            "rewrite into a new table (CTAS) instead")
     }
   }
 

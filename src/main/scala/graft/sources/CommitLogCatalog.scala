@@ -49,6 +49,19 @@ class CommitLogCatalog extends TableCatalog
   private var catalogName: String = _
   private var initialRoot: String = _
 
+  /** GENERATED ALWAYS AS in CREATE TABLE: declaring the capability
+    * makes Spark verify each generation expression (deterministic,
+    * type-correct, no references to other generated columns) and
+    * hand it to [[createTable]] inside the field metadata
+    * (`GENERATION_EXPRESSION`), which the manifest schema records
+    * verbatim — the write-side compute/validate contract lives in
+    * [[CommitLog.computeGenerated]] / the constraint gate. */
+  override def capabilities(): util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+
   private def spark: SparkSession = SparkSession.active
 
   /** Spark caches catalog INSTANCES by name per session, so a user
@@ -250,9 +263,25 @@ class CommitLogCatalog extends TableCatalog
   }
 
   override def createTable(ident: Identifier,
-      info: TableInfo): Table =
-    createTable(ident, info.schema(), info.partitions(),
-      info.properties())
+      info: TableInfo): Table = {
+    // GENERATED ALWAYS AS arrives on the v2 Column objects, NOT in
+    // info.schema() (Spark's Column→StructField conversion drops
+    // it) — fold each generation expression back into the field
+    // metadata so the manifest schema records it and the write-side
+    // compute/validate contract sees it
+    val byName = info.columns().map(c => c.name() -> c).toMap
+    val schema = StructType(info.schema().fields.map { f =>
+      byName.get(f.name).flatMap(c =>
+          Option(c.generationExpression())) match {
+        case Some(genExpr) => f.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString(CommitLog.GeneratedKey, genExpr).build())
+        case None => f
+      }
+    })
+    createTable(ident, schema, info.partitions(), info.properties())
+  }
 
   // ---- atomic CTAS / RTAS (StagingTableCatalog) -----------------------
   //

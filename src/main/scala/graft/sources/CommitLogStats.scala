@@ -587,15 +587,16 @@ object CommitLogStats {
     require(df.schema(sliceCol).dataType == IntegerType,
       s"appendSliced: slice column '$sliceCol' must be INT (got " +
         s"${df.schema(sliceCol).dataType}) — cast the slice expression")
-    val persisted = df.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the sliced stager bypasses writeSegment, so the persistent
-    // CHECK constraints gate HERE — on the pinned input (minus the
-    // synthetic slice column, which never lands), BEFORE any staged
-    // directory is renamed into data/ (this path previously had NO
-    // gate: a constraint-bearing table could take violating rows
-    // through the sliced ingest)
+    // the sliced stager bypasses writeSegment, so generated columns
+    // compute HERE and the persistent CHECK constraints gate HERE —
+    // on the pinned input (minus the synthetic slice column, which
+    // never lands), BEFORE any staged directory is renamed into
+    // data/ (this path previously had NO gate: a constraint-bearing
+    // table could take violating rows through the sliced ingest)
     val curSnap = CommitLog.snapshot(spark, table)
+    val persisted = CommitLog.computeGenerated(df,
+      curSnap.flatMap(_.schema).map(CommitLog.decodeSchema)).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var gated = CommitLog.constraintsOf(spark, table, curSnap)
     val segs =
       try {
@@ -734,7 +735,16 @@ object CommitLogStats {
       statsCols: Seq[String] = Seq.empty,
       enforce: Boolean = true): (Seq[String], Map[String, String]) = {
     require(partitionCols.nonEmpty, "partitionCols must be non-empty")
-    val schema = df.schema
+    // GENERATED ALWAYS AS, before the partition-column checks: the
+    // Delta-common pattern PARTITIONED BY a generated column works
+    // with the frame omitting it (computed here); ONE resolution
+    // serves generation, mapping and the gate. CTAS/RTAS staging
+    // (enforce=false) writes the DECLARED schema — Spark computes.
+    val curSnap0 =
+      if (enforce) CommitLog.snapshot(spark, table) else None
+    val df0 = CommitLog.computeGenerated(df,
+      curSnap0.flatMap(_.schema).map(CommitLog.decodeSchema))
+    val schema = df0.schema
     partitionCols.foreach { c =>
       require(schema.fieldNames.contains(c),
         s"appendPartitioned: partition column '$c' absent from schema")
@@ -757,14 +767,13 @@ object CommitLogStats {
     // shuffle-order-dependent) recomputed between the two actions
     // would give sidecar bounds that don't cover the landed rows,
     // and skipping would silently prune matching segments
-    val pinned = df.persist(
+    val pinned = df0.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // ONE snapshot resolution serves the constraint gate AND the
+    // the entry resolution serves the constraint gate AND the
     // column-mapping decision below (None for CTAS/RTAS staging,
     // which must see neither the replaced table's rules nor its
     // mapping)
-    val curSnap =
-      if (enforce) CommitLog.snapshot(spark, table) else None
+    val curSnap = curSnap0
     val segs: Seq[String] =
       try {
         // the partitioned stager bypasses writeSegment, so the

@@ -1200,6 +1200,60 @@ class CommitLogSpec extends AnyFunSuite {
     } finally rm(t)
   }
 
+  test("GENERATED ALWAYS AS: created through the catalog, omitted " +
+      "columns compute on every write path (including PARTITIONED " +
+      "BY a generated column), provided values validate atomically, " +
+      "and source-column DDL refuses") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_gencol_").toString
+    try {
+      spark.conf.set("spark.sql.catalog.ggc",
+        "graft.sources.CommitLogCatalog")
+      spark.conf.set("spark.sql.catalog.ggc.root", root)
+      val path = s"$root/ns/t"
+      spark.sql("CREATE TABLE ggc.ns.t (ts BIGINT, " +
+        "day BIGINT GENERATED ALWAYS AS (ts % 7)) " +
+        "PARTITIONED BY (day)")
+      // SQL INSERT provides all columns — matching values land
+      spark.sql("INSERT INTO ggc.ns.t VALUES (10, 3), (14, 0)")
+      assert(spark.sql("SELECT count(*) FROM ggc.ns.t").head()
+        .getLong(0) === 2L)
+      // a mismatching provided value refuses atomically
+      val vBefore = CommitLog.versions(spark, path)
+      val e1 = intercept[Exception] {
+        spark.sql("INSERT INTO ggc.ns.t VALUES (10, 5)")
+      }
+      assert(e1.getMessage.contains("mismatching provided value"))
+      assert(CommitLog.versions(spark, path) === vBefore)
+      // programmatic writes may OMIT the column — computed, and the
+      // partitioned stager lands one segment per computed tuple
+      import spark.implicits._
+      graft.sources.CommitLogStats.appendPartitioned(spark, path,
+        Seq(21L, 22L).toDF("ts"), Seq("day"))
+      val got = spark.sql("SELECT ts, day FROM ggc.ns.t ORDER BY ts")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got === Seq((10L, 3L), (14L, 0L), (21L, 0L), (22L, 1L)))
+      // born prunable on the generated column
+      val plan = graft.sources.CommitLogStats.planSkipping(
+        spark, path, "day", 3L, 3L)
+      assert(plan.pruned.nonEmpty)
+      // the plain gated path computes too
+      CommitLog.append(spark, path, Seq(30L).toDF("ts"))
+      assert(spark.sql("SELECT day FROM ggc.ns.t WHERE ts = 30")
+        .head().getLong(0) === 2L)
+      // DDL on the source or the generated column itself refuses
+      val e2 = intercept[IllegalStateException] {
+        CommitLog.renameColumn(spark, path, "ts", "event_ts")
+      }
+      assert(e2.getMessage.contains("GENERATED ALWAYS AS"))
+      spark.sql("DROP TABLE ggc.ns.t")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.ggc")
+      spark.conf.unset("spark.sql.catalog.ggc.root")
+      rm(root + "/x")
+    }
+  }
+
   test("connector scan optimizations are stock: MIN/MAX/COUNT push " +
       "into the parquet footers when enabled (no row decode)") {
     val t = tmpTable()
