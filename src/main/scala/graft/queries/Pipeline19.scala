@@ -519,6 +519,61 @@ object Pipeline19 {
         s.catalog.dropTempView("q200_orders"): Unit
         rmTree(root)
       }
+    }),
+
+    // CLONE lifecycle (round 13, Delta's CLONE design): a source
+    // table built from orders is SHALLOW-cloned (zero-copy manifest
+    // reference — the 100 TB dev-branch pattern) and DEEP-cloned
+    // (executor-side byte copy + DV path remap). The shallow clone
+    // takes a DELETE of the odd keys and an extra even-key segment;
+    // the deep clone is taken AFTER a vectored delete of keys
+    // divisible by 5, so its copy must carry the remapped deletion
+    // vector. The source must end bit-identical to where it started
+    // — one row per table proves source isolation, clone divergence
+    // and DV carry through the hash gate; the oracle re-derives all
+    // three contents from orders arithmetic.
+    "q201_commitlog_clone" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q201_").toString
+      val src = s"$root/src"; val sh = s"$root/sh"; val dp = s"$root/dp"
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      try {
+        CommitLog.append(s, src, orders)
+        // vectored delete of keys % 5 == 0: the source now carries a
+        // DV both clones must honor
+        CommitLog.deleteVectored(s, src,
+          pmod(col("o_orderkey"), lit(5)) === 0)
+        val srcV = CommitLog.currentVersion(s, src).get
+        CommitLog.cloneTable(s, src, sh) // shallow
+        CommitLog.cloneTable(s, src, dp, shallow = false) // deep
+        // zero-copy witness, taken BEFORE the divergence delete
+        // rewrites segments under the clone's own root: the fresh
+        // shallow clone owns no data files, only source references
+        val shallowZeroCopy = !new java.io.File(s"$sh/data").exists() &&
+          CommitLog.snapshot(s, sh).get.segments.forall(
+            _.startsWith(src))
+        // diverge the shallow clone: drop the odd keys
+        CommitLog.delete(s, sh, pmod(col("o_orderkey"), lit(2)) === 1)
+        // the deep clone's bytes are its own: a source-side DELETE
+        // after the deep copy must not leak into it
+        CommitLog.delete(s, src, pmod(col("o_orderkey"), lit(3)) === 0)
+        val restoredSrc = CommitLog.restore(s, src, srcV)
+        def agg(tbl: String, kind: String): DataFrame =
+          CommitLog.read(s, tbl).agg(
+            count(lit(1)).as("n_rows"),
+            sum(col("o_totalprice").cast("decimal(30,6)"))
+              .cast("double").as("sum_price"))
+            .withColumn("kind", lit(kind))
+        agg(src, "source").unionByName(agg(sh, "shallow"))
+          .unionByName(agg(dp, "deep"))
+          .withColumn("shallow_zero_copy", lit(shallowZeroCopy))
+          .withColumn("src_restored_version", lit(restoredSrc > srcV))
+          .select(col("kind"), col("n_rows"), col("sum_price"),
+            col("shallow_zero_copy"), col("src_restored_version"))
+          .orderBy(col("kind"))
+          .localCheckpoint(true)
+      } finally rmTree(root)
     })
   )
 
@@ -648,6 +703,25 @@ object Pipeline19 {
         |  CAST(3 AS BIGINT) AS pruned_cnt
         |FROM orders
         |GROUP BY 1
-        |ORDER BY 1""".stripMargin
+        |ORDER BY 1""".stripMargin,
+
+    "q201_commitlog_clone" ->
+      """SELECT * FROM (
+        |  SELECT 'deep' AS kind, COUNT(*) AS n_rows,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |      AS sum_price,
+        |    TRUE AS shallow_zero_copy, TRUE AS src_restored_version
+        |  FROM orders WHERE o_orderkey % 5 <> 0
+        |  UNION ALL
+        |  SELECT 'shallow', COUNT(*),
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE),
+        |    TRUE, TRUE
+        |  FROM orders WHERE o_orderkey % 5 <> 0 AND o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT 'source', COUNT(*),
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE),
+        |    TRUE, TRUE
+        |  FROM orders WHERE o_orderkey % 5 <> 0
+        |) ORDER BY kind""".stripMargin
   )
 }

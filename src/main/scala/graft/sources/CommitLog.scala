@@ -210,6 +210,49 @@ object CommitLog {
     }
   }
 
+  /** Recompute generated columns over the POST-image of a DML
+    * rewrite (Delta's rule: updating a generation SOURCE propagates
+    * into the generated value automatically). Generation expressions
+    * are deterministic (Spark verifies at CREATE), so recomputing
+    * untouched rows is the identity — one projection, no per-row
+    * branch, column order preserved. `only` restricts the recompute
+    * to a subset (merge-INSERT computes omitted columns but leaves
+    * provided ones for the gate to validate). */
+  private[sources] def recomputeGenerated(df: DataFrame,
+      schema: Option[org.apache.spark.sql.types.StructType],
+      only: Option[Set[String]] = None): DataFrame = {
+    val gens = generatedColumns(schema).filter(f =>
+      only.forall(_.exists(_.equalsIgnoreCase(f.name))))
+    if (gens.isEmpty) return df
+    val byName = gens.map(f => f.name.toLowerCase -> f).toMap
+    df.select(df.columns.toSeq.map { c =>
+      byName.get(c.toLowerCase) match {
+        case Some(f) => expr(f.metadata.getString(GeneratedKey))
+          .cast(f.dataType).as(c)
+        case None => col(c)
+      }
+    }: _*)
+  }
+
+  /** GENERATED ALWAYS AS columns cannot be SET directly: their value
+    * is the expression, always — update the sources and the engine
+    * recomputes ([[recomputeGenerated]]). Fails fast naming the
+    * column, before any scan or staging I/O. */
+  private[sources] def refuseGeneratedSet(op: String,
+      setNames: Iterable[String],
+      schema: Option[org.apache.spark.sql.types.StructType]): Unit = {
+    val gens = generatedColumns(schema)
+    setNames.find(s => gens.exists(_.name.equalsIgnoreCase(s)))
+      .foreach { g =>
+        val f = gens.find(_.name.equalsIgnoreCase(g)).get
+        throw new IllegalArgumentException(
+          s"CommitLog.$op: '$g' is GENERATED ALWAYS AS " +
+            s"(${f.metadata.getString(GeneratedKey)}) — its value is " +
+            "computed from the expression; update the source " +
+            "column(s) instead")
+      }
+  }
+
   private[sources] def physicalName(
       f: org.apache.spark.sql.types.StructField): String =
     if (f.metadata.contains(PhysicalKey))
@@ -2207,6 +2250,8 @@ object CommitLog {
         s"CommitLog.updateVectored: SET names unknown column(s) " +
           s"${unknown.mkString(", ")} — table has " +
           schema.fieldNames.mkString(", "))
+      val logical = cur.schema.map(decodeSchema)
+      refuseGeneratedSet("updateVectored", set.keys, logical)
       val matched = coalesce(predicate, lit(false))
       val withPos = withDvPos(
         readSegments(spark, cur.segments, cur.schema))
@@ -2224,12 +2269,15 @@ object CommitLog {
           // semantics, same CDC pre/post recording) instead of a
           // refusal, mirroring [[deleteVectored]]'s fallback
           return update(spark, table, predicate, set, maxRetries)
-        val applied = matches.select(schema.fieldNames.toSeq.map { f =>
-          set.get(f) match {
-            case Some(e) => e.cast(schema(f).dataType).as(f)
-            case None => col(f)
-          }
-        }: _*)
+        // post-image recompute: a SET touching a generation source
+        // propagates into the generated column (Delta's rule)
+        val applied = recomputeGenerated(
+          matches.select(schema.fieldNames.toSeq.map { f =>
+            set.get(f) match {
+              case Some(e) => e.cast(schema(f).dataType).as(f)
+              case None => col(f)
+            }
+          }: _*), logical)
         val preImage = matches
           .select(schema.fieldNames.toSeq.map(col): _*)
         val changeDir = s"$table/_changes/${java.util.UUID.randomUUID()}"
@@ -2289,13 +2337,18 @@ object CommitLog {
         s"CommitLog.update: SET names unknown column(s) " +
           s"${unknown.mkString(", ")} — table has " +
           schema.fieldNames.mkString(", "))
+      val logical = cur.schema.map(decodeSchema)
+      refuseGeneratedSet("update", set.keys, logical)
       val matched = coalesce(predicate, lit(false))
       val touched = touchedSegments(spark, cur, matched)
       if (touched.isEmpty) return (cur.version, 0L)
       val touchedDf = readLive(spark, cur, Some(touched))
+      // generated columns recompute over the POST-image so a SET
+      // touching a generation source propagates (Delta's rule); the
+      // recompute is the identity on unmatched rows
       def applied(onlyMatched: Boolean): DataFrame = {
         val base = if (onlyMatched) touchedDf.filter(matched) else touchedDf
-        base.select(schema.fieldNames.toSeq.map { f =>
+        recomputeGenerated(base.select(schema.fieldNames.toSeq.map { f =>
           set.get(f) match {
             case Some(e) if onlyMatched =>
               e.cast(schema(f).dataType).as(f)
@@ -2304,7 +2357,7 @@ object CommitLog {
                 .otherwise(col(f)).as(f)
             case None => col(f)
           }
-        }: _*)
+        }: _*), logical)
       }
       val changeDir = s"$table/_changes/${java.util.UUID.randomUUID()}"
       touchedDf.filter(matched)
@@ -2386,20 +2439,34 @@ object CommitLog {
     * references — retain source history across the clone's lifetime,
     * or compact the clone to self-owned segments first. */
   def cloneTable(spark: SparkSession, source: String, target: String,
-      asOfVersion: Option[Long] = None): Long = {
+      asOfVersion: Option[Long] = None,
+      shallow: Boolean = true): Long = {
     val snap = snapshot(spark, source, asOfVersion).getOrElse(
       throw new IllegalStateException(
         s"CommitLog.cloneTable: no committed version at $source" +
           asOfVersion.fold("")(v => s" (asOf=$v)")))
     require(currentVersion(spark, target).isEmpty,
       s"CommitLog.cloneTable: target $target already exists")
+    // deep mode (Delta's CLONE ... DEEP): segment dirs (with their
+    // sidecars) byte-copy under the target on EXECUTORS and the DV
+    // rewrites with remapped file paths — fully source-independent
+    // afterwards; see [[CommitLogClone.deepCopy]] for the shape
+    val (segs, dv) =
+      if (shallow) (snap.segments, snap.dv)
+      else CommitLogClone.deepCopy(spark, snap, target)
     // invariants are table metadata and the clone's content satisfies
     // them by construction — they ride the clone's v1 commit itself
     // (Delta clones carry properties); the clone can UNSET
     // independently afterwards. Sourced effective set: versioned
-    // field when present, legacy side file otherwise.
-    val out = Snapshot(1L, snap.segments, 0L, "clone",
-      schema = snap.schema, dv = snap.dv,
+    // field when present, legacy side file otherwise. Partition spec
+    // and column-mapping marker carry too (v1 has no parent for
+    // tryPublish to inherit them from).
+    val out = Snapshot(1L, segs, 0L,
+      if (shallow) "clone" else "clone_deep",
+      schema = snap.schema, dv = dv,
+      partitionBy = snap.partitionBy
+        .orElse(partitionColumns(spark, source).map(_.mkString(","))),
+      mapping = snap.mapping,
       constraints = Some(encodeConstraints(
         constraintsOf(spark, source, Some(snap)))))
     if (!tryPublish(spark, target, out)) throw new IllegalStateException(
@@ -2564,6 +2631,8 @@ object CommitLog {
       require(unknownSet.isEmpty,
         s"CommitLog.mergeInto: SET names unknown column(s) " +
           unknownSet.mkString(", "))
+      val logical = cur.schema.map(decodeSchema)
+      refuseGeneratedSet("mergeInto", whenMatchedUpdate.keys, logical)
       val nonKeySrc = source.columns.filterNot(keys.contains).toSeq
       val srcRenamed = source.select(keys.map(col) ++
         nonKeySrc.map(c => col(c).as(s"__src_$c")) :+
@@ -2601,13 +2670,19 @@ object CommitLog {
         lit(whenMatchedUpdate.nonEmpty) &&
         coalesce(whenMatchedUpdateCondition.getOrElse(lit(true)),
           lit(false))
-      def project(df: DataFrame, updated: Boolean): DataFrame =
-        df.select(schema.fieldNames.toSeq.map { f =>
+      def project(df: DataFrame, updated: Boolean): DataFrame = {
+        val sel = df.select(schema.fieldNames.toSeq.map { f =>
           whenMatchedUpdate.get(f) match {
             case Some(e) if updated => e.cast(schema(f).dataType).as(f)
             case _ => col(f)
           }
         }: _*)
+        // updated rows recompute generated columns over the
+        // POST-image (a SET touching a generation source propagates
+        // — Delta's rule); pass-through rows keep their gate-proven
+        // values byte-identical
+        if (updated) recomputeGenerated(sel, logical) else sel
+      }
       // inserts check NOT-MATCHED against the WHOLE table, not just
       // touched segments
       val inserts =
@@ -2619,11 +2694,22 @@ object CommitLog {
           val anti = source
             .filter(whenNotMatchedInsertCondition.getOrElse(lit(true)))
             .join(all.select(keys.map(col): _*), keys, "left_anti")
-          val projected = anti.select(schema.fieldNames.toSeq.map { f =>
+          val projected0 = anti.select(schema.fieldNames.toSeq.map { f =>
             if (anti.columns.contains(f))
               col(f).cast(schema(f).dataType).as(f)
             else lit(null).cast(schema(f).dataType).as(f)
           }: _*)
+          // a source OMITTING a generated column gets it COMPUTED
+          // (not NULL-filled — NULL would refuse at the gate); a
+          // source PROVIDING it passes through for the gate to
+          // validate, the same contract as plain INSERT
+          val omittedGens = generatedColumns(logical).map(_.name)
+            .filterNot(g => anti.columns.exists(_.equalsIgnoreCase(g)))
+            .toSet
+          val projected =
+            if (omittedGens.isEmpty) projected0
+            else recomputeGenerated(projected0, logical,
+              only = Some(omittedGens))
           if (projected.isEmpty) None else Some(projected)
         }
       if (touched.isEmpty && inserts.isEmpty)

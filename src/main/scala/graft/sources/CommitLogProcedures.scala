@@ -144,10 +144,14 @@ private[sources] object CommitLogProcedures {
         Seq(in("table", StringType), in("version", LongType)),
         row => CommitLog.restore(spark, path(str(row, 0)),
           row.getLong(1))))
+      // shallow (default) = zero-copy manifest reference; deep
+      // copies segment bytes + sidecars on executors and rewrites
+      // the DV with remapped paths — see CommitLogClone
       case "clone_table" => Some(proc("clone_table",
-        Seq(in("source", StringType), in("target", StringType)),
+        Seq(in("source", StringType), in("target", StringType),
+          in("shallow", BooleanType, Some("true"))),
         row => CommitLog.cloneTable(spark, path(str(row, 0)),
-          path(str(row, 1)))))
+          path(str(row, 1)), shallow = row.getBoolean(2))))
       // merge-on-read DELETE: records a deletion vector instead of
       // rewriting touched segments (DELETE FROM stays copy-on-write);
       // `where` is a SQL boolean expression over the table's columns

@@ -1254,6 +1254,163 @@ class CommitLogSpec extends AnyFunSuite {
     }
   }
 
+  test("GENERATED ALWAYS AS under DML: updating a generation SOURCE " +
+      "recomputes the column (CoW, vectored and MERGE); SET naming " +
+      "the generated column refuses; merge-INSERT computes omitted " +
+      "columns") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_gendml_").toString
+    try {
+      spark.conf.set("spark.sql.catalog.ggd",
+        "graft.sources.CommitLogCatalog")
+      spark.conf.set("spark.sql.catalog.ggd.root", root)
+      val path = s"$root/ns/t"
+      spark.sql("CREATE TABLE ggd.ns.t (ts BIGINT, " +
+        "day BIGINT GENERATED ALWAYS AS (ts % 7))")
+      spark.sql("INSERT INTO ggd.ns.t VALUES (10, 3), (14, 0), (21, 0)")
+      import spark.implicits._
+      def dayOf(ts: Long): Long = spark.sql(
+        s"SELECT day FROM ggd.ns.t WHERE ts = $ts").head().getLong(0)
+      // copy-on-write UPDATE of the source → day recomputes (10→12:
+      // 3→5); without the recompute the stale value would refuse at
+      // the gate
+      CommitLog.update(spark, path, col("ts") === 10L,
+        Map("ts" -> lit(12L)))
+      assert(dayOf(12L) === 5L)
+      // the CDC postimage carries the RECOMPUTED value
+      val post = CommitLog.changeFeed(spark, path, 0L)
+        .filter(col("_change_type") === "update_postimage")
+        .select(col("ts"), col("day")).head()
+      assert((post.getLong(0), post.getLong(1)) === ((12L, 5L)))
+      // merge-on-read vectored UPDATE recomputes too (14→15: 0→1)
+      CommitLog.updateVectored(spark, path, col("ts") === 14L,
+        Map("ts" -> lit(15L)))
+      assert(dayOf(15L) === 1L)
+      // SET naming the generated column refuses on every DML path,
+      // before any staging I/O
+      for (refused <- Seq(
+        intercept[IllegalArgumentException] {
+          CommitLog.update(spark, path, lit(true),
+            Map("day" -> lit(9L)))
+        },
+        intercept[IllegalArgumentException] {
+          CommitLog.updateVectored(spark, path, lit(true),
+            Map("day" -> lit(9L)))
+        },
+        intercept[IllegalArgumentException] {
+          CommitLog.mergeInto(spark, path,
+            Seq(12L).toDF("ts"), Seq("ts"),
+            whenMatchedUpdate = Map("day" -> lit(9L)))
+        })) assert(refused.getMessage.contains("GENERATED ALWAYS AS"))
+      // MERGE: matched update of the source recomputes (12→13:
+      // 5→6); NOT-MATCHED insert OMITTING day computes it (100→2)
+      val source = Seq((12L, 13L), (100L, 100L))
+        .toDF("ts", "new_ts")
+      val (_, nUpd, _, nIns) = CommitLog.mergeInto(spark, path,
+        source, Seq("ts"),
+        whenMatchedUpdate = Map("ts" -> CommitLog.src("new_ts")))
+      assert((nUpd, nIns) === ((1L, 1L)))
+      assert(dayOf(13L) === 6L)
+      assert(dayOf(100L) === 2L)
+      // the invariant holds table-wide after the DML storm
+      assert(spark.sql(
+        "SELECT count(*) FROM ggd.ns.t WHERE day != ts % 7")
+        .head().getLong(0) === 0L)
+      spark.sql("DROP TABLE ggd.ns.t")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.ggd")
+      spark.conf.unset("spark.sql.catalog.ggd.root")
+      rm(root + "/x")
+    }
+  }
+
+  test("CLONE: shallow references the source snapshot zero-copy and " +
+      "diverges independently; deep copies bytes (sidecars included); " +
+      "the clone's vacuum never touches source files; history does " +
+      "not carry") {
+    val src = tmpTable(); val sh = tmpTable(); val dp = tmpTable()
+    try {
+      // stats-bearing writes so the deep copy's sidecar carry is
+      // observable
+      graft.sources.CommitLogStats.appendWithStats(spark, src,
+        df((1L, "a", 1.0), (2L, "b", 2.0)), Seq("id"))
+      graft.sources.CommitLogStats.appendWithStats(spark, src,
+        df((3L, "c", 3.0)), Seq("id"))
+      // a DV rides along: delete id=2 merge-on-read at the source
+      CommitLog.deleteVectored(spark, src, col("id") === 2L)
+      val srcV = CommitLog.currentVersion(spark, src).get
+
+      // ---- shallow: zero-copy, then diverge ----------------------
+      CommitLog.cloneTable(spark, src, sh)
+      assert(sortedRows(CommitLog.read(spark, sh)) ===
+        Seq((1L, "a", 1.0), (3L, "c", 3.0)))
+      // the clone starts a FRESH history at v1 (op=clone)
+      val h = CommitLog.history(spark, sh).collect()
+      assert(h.length === 1 && h(0).getString(1) === "clone")
+      // zero-copy: the clone's data/ holds NOTHING yet
+      assert(!new java.io.File(s"$sh/data").exists())
+      // diverge: writes + deletes on the clone leave the source alone
+      CommitLog.append(spark, sh, df((9L, "z", 9.0)))
+      CommitLog.delete(spark, sh, col("id") === 1L)
+      assert(sortedRows(CommitLog.read(spark, sh)) ===
+        Seq((3L, "c", 3.0), (9L, "z", 9.0)))
+      assert(sortedRows(CommitLog.read(spark, src)) ===
+        Seq((1L, "a", 1.0), (3L, "c", 3.0)))
+      assert(CommitLog.currentVersion(spark, src).get === srcV)
+      // the clone's vacuum sweeps only ITS root: every source
+      // segment file survives a full-history clone vacuum
+      val srcFiles = CommitLog.snapshot(spark, src).get.segments
+      withRetentionCheckOff {
+        CommitLog.vacuum(spark, sh, retainVersions = 1)
+      }
+      srcFiles.foreach(p => assert(new java.io.File(p).exists(),
+        s"clone vacuum deleted source segment $p"))
+      assert(sortedRows(CommitLog.read(spark, src)) ===
+        Seq((1L, "a", 1.0), (3L, "c", 3.0)))
+
+      // ---- clone-from-the-past: asOfVersion branches history ----
+      val past = tmpTable()
+      CommitLog.cloneTable(spark, src, past, asOfVersion = Some(1L))
+      assert(sortedRows(CommitLog.read(spark, past)) ===
+        Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+      rm(past)
+
+      // ---- deep: independent bytes, skipping survives ------------
+      CommitLog.cloneTable(spark, src, dp, shallow = false)
+      assert(sortedRows(CommitLog.read(spark, dp)) ===
+        Seq((1L, "a", 1.0), (3L, "c", 3.0)))
+      val dpSnap = CommitLog.snapshot(spark, dp).get
+      assert(dpSnap.segments.forall(_.startsWith(dp)),
+        "deep clone still references source paths")
+      // the copied sidecars keep stats skipping live on the clone
+      assert(dpSnap.segments.forall(p =>
+        new java.io.File(s"$p/_stats.json").exists()),
+        "deep clone lost the _stats.json sidecars")
+      val dpH = CommitLog.history(spark, dp).collect()
+      assert(dpH.length === 1 && dpH(0).getString(1) === "clone_deep")
+      // deep clone diverges from the source at the byte level: a
+      // source DML after the deep clone leaves the clone untouched
+      CommitLog.delete(spark, src, col("id") === 3L)
+      assert(sortedRows(CommitLog.read(spark, dp)) ===
+        Seq((1L, "a", 1.0), (3L, "c", 3.0)))
+      // a clone into a non-empty table refuses
+      intercept[IllegalArgumentException] {
+        CommitLog.cloneTable(spark, src, dp)
+      }
+
+      // ---- metadata carry: the partition spec rides the clone ----
+      val psrc = tmpTable(); val pcl = tmpTable()
+      try {
+        CommitLog.append(spark, psrc, df((1L, "a", 1.0), (2L, "b", 2.0)))
+        CommitLog.setPartitionSpec(spark, psrc, Seq("name"))
+        CommitLog.cloneTable(spark, psrc, pcl)
+        assert(CommitLog.partitionColumns(spark, pcl) ===
+          Some(Seq("name")),
+          "clone dropped the source's partition spec")
+      } finally { rm(psrc); rm(pcl) }
+    } finally { rm(src); rm(sh); rm(dp) }
+  }
+
   test("connector scan optimizations are stock: MIN/MAX/COUNT push " +
       "into the parquet footers when enabled (no row decode)") {
     val t = tmpTable()
