@@ -574,6 +574,55 @@ object Pipeline19 {
           .orderBy(col("kind"))
           .localCheckpoint(true)
       } finally rmTree(root)
+    }),
+
+    // IDENTITY columns (round 13, Delta's identity design): a table
+    // with GENERATED ALWAYS AS IDENTITY takes the orders payload in
+    // THREE appends (by o_orderkey % 3) with the id column omitted —
+    // the engine allocates distributed, shuffle-free, advancing the
+    // manifest-versioned high-water mark across commits. Which row
+    // gets which id is partition-order-dependent by design (Delta
+    // semantics: unique + monotone per commit, not assignment-
+    // deterministic), so the oracle pins the order-independent
+    // facts: every row got exactly one id, ids are dense here
+    // (single-writer: min=1, max=n), the payload round-trips, and
+    // an explicit id refuses.
+    "q202_commitlog_identity" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q202_").toString
+      val tblPath = s"$root/ns/o"
+      s.conf.set("spark.sql.catalog.g202",
+        "graft.sources.CommitLogCatalog")
+      s.conf.set("spark.sql.catalog.g202.root", root)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      try {
+        s.sql("""CREATE TABLE g202.ns.o (
+          id BIGINT GENERATED ALWAYS AS IDENTITY,
+          o_orderkey BIGINT, o_totalprice DOUBLE)""")
+        (0 until 3).foreach(i => CommitLog.append(s, tblPath,
+          orders.filter(pmod(col("o_orderkey"), lit(3)) === i)))
+        val vNow = CommitLog.currentVersion(s, tblPath).get
+        val refused =
+          try { s.sql(
+            "INSERT INTO g202.ns.o VALUES (1, 1, 1.0)"): Unit; false }
+          catch { case _: Exception =>
+            CommitLog.currentVersion(s, tblPath).get == vNow }
+        s.sql("SELECT * FROM g202.ns.o").agg(
+            count(lit(1)).as("n_rows"),
+            countDistinct(col("id")).as("n_ids"),
+            min(col("id")).as("min_id"),
+            max(col("id")).as("max_id"),
+            countDistinct(col("o_orderkey")).as("n_keys"),
+            sum(col("o_totalprice").cast("decimal(30,6)"))
+              .cast("double").as("sum_price"))
+          .withColumn("refused_explicit", lit(refused))
+          .localCheckpoint(true)
+      } finally {
+        s.conf.unset("spark.sql.catalog.g202")
+        s.conf.unset("spark.sql.catalog.g202.root")
+        rmTree(root)
+      }
     })
   )
 
@@ -722,6 +771,17 @@ object Pipeline19 {
         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE),
         |    TRUE, TRUE
         |  FROM orders WHERE o_orderkey % 5 <> 0
-        |) ORDER BY kind""".stripMargin
+        |) ORDER BY kind""".stripMargin,
+
+    "q202_commitlog_identity" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  COUNT(*) AS n_ids,
+        |  CAST(1 AS BIGINT) AS min_id,
+        |  COUNT(*) AS max_id,
+        |  COUNT(DISTINCT o_orderkey) AS n_keys,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price,
+        |  TRUE AS refused_explicit
+        |FROM orders""".stripMargin
   )
 }

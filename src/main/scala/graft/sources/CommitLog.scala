@@ -144,7 +144,14 @@ object CommitLog {
       dv: Option[String] = None,
       partitionBy: Option[String] = None,
       mapping: Option[String] = None,
-      constraints: Option[String] = None)
+      constraints: Option[String] = None,
+      // identity-column high-water marks ("col=hwm;col2=hwm", names
+      // base64 like constraint names): the largest (per step sign)
+      // value ever ALLOCATED OR SEEN for each identity column —
+      // versioned exactly like constraints (absolute per record,
+      // inherited at publish), so allocation is OCC-serialized and
+      // time travel reads the era's own mark
+      identity: Option[String] = None)
 
   private[sources] def commitsDir(table: String) = s"$table/_commits"
 
@@ -236,8 +243,10 @@ object CommitLog {
 
   /** GENERATED ALWAYS AS columns cannot be SET directly: their value
     * is the expression, always — update the sources and the engine
-    * recomputes ([[recomputeGenerated]]). Fails fast naming the
-    * column, before any scan or staging I/O. */
+    * recomputes ([[recomputeGenerated]]). ALWAYS-identity columns
+    * cannot be SET either (there is no expression to re-satisfy — the
+    * value is an allocation; BY DEFAULT identity updates freely).
+    * Fails fast naming the column, before any scan or staging I/O. */
   private[sources] def refuseGeneratedSet(op: String,
       setNames: Iterable[String],
       schema: Option[org.apache.spark.sql.types.StructType]): Unit = {
@@ -251,6 +260,143 @@ object CommitLog {
             "computed from the expression; update the source " +
             "column(s) instead")
       }
+    val always = identityFields(schema)
+      .filterNot(_.metadata.getBoolean(IdentityExplicitKey))
+    setNames.find(s => always.exists(_.name.equalsIgnoreCase(s)))
+      .foreach { g =>
+        throw new IllegalArgumentException(
+          s"CommitLog.$op: '$g' is GENERATED ALWAYS AS IDENTITY — " +
+            "allocated values are immutable; declare the column " +
+            "GENERATED BY DEFAULT AS IDENTITY if updates are needed")
+      }
+  }
+
+  // ---- identity columns (GENERATED { ALWAYS | BY DEFAULT } AS IDENTITY)
+  //
+  // Delta's identity-column design re-derived for the commit
+  // protocol. Spark records (start, step, allowExplicitInsert) in the
+  // field metadata under these keys when the catalog declares
+  // SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS. Allocation is
+  // distributed and shuffle-free: one combined stats job over the
+  // pinned input computes per-partition row counts (prefix-summed on
+  // the driver — bounded by the partition count) plus the provided
+  // columns' null/extent facts, then each row's value is
+  //   hwm + step * (partition_offset + row_in_partition + 1)
+  // from `monotonically_increasing_id()`'s in-partition counter — no
+  // window, no sort, no shuffle. The high-water mark rides the
+  // manifest ([[Snapshot.identity]]) so allocation serializes under
+  // the same OCC as everything else: a LOST publish race deletes the
+  // staged bytes and REALLOCATES against the winner's mark (Delta's
+  // documented semantics — values are unique and monotone per step
+  // sign, NOT consecutive; gaps are normal).
+  //
+  // ALWAYS: providing non-NULL values refuses; NULLs (or omitting
+  // the column) allocate. BY DEFAULT: provided values pass through,
+  // NULLs allocate, and the mark auto-advances past provided values
+  // (Delta needs a manual ALTER TABLE ... SYNC IDENTITY for that —
+  // here the extent facts ride the same stats job, so the sync is
+  // free and future allocations can never collide).
+
+  private[sources] val IdentityStartKey = "identity.start"
+  private[sources] val IdentityStepKey = "identity.step"
+  private[sources] val IdentityExplicitKey = "identity.allowExplicitInsert"
+
+  private[sources] def identityFields(
+      schema: Option[org.apache.spark.sql.types.StructType])
+      : Seq[org.apache.spark.sql.types.StructField] =
+    schema.map(_.fields.toSeq.filter(_.metadata
+      .contains(IdentityStartKey))).getOrElse(Seq.empty)
+
+  private[sources] def decodeIdentity(
+      enc: Option[String]): Map[String, Long] =
+    enc.map(decodeConstraints(_).map { case (k, v) =>
+      k -> v.toLong }).getOrElse(Map.empty)
+
+  /** Facts about the incoming frame an allocation needs, computed in
+    * ONE job over the pinned input and reusable across OCC retries:
+    * total rows, per-partition offsets, and per-provided-column
+    * (nonNullCount, min, max). */
+  private[sources] final case class IdentityStats(n: Long,
+      offsets: Map[Int, Long],
+      provided: Map[String, (Long, Option[Long], Option[Long])])
+
+  private[sources] def identityStats(pinned: DataFrame,
+      fields: Seq[org.apache.spark.sql.types.StructField])
+      : IdentityStats = {
+    val have = fields.filter(f =>
+      pinned.columns.exists(_.equalsIgnoreCase(f.name)))
+    val aggs = count(lit(1)).as("__n") +: have.flatMap(f => Seq(
+      count(col(f.name)).as(s"__nn_${f.name}"),
+      min(col(f.name)).cast("long").as(s"__mn_${f.name}"),
+      max(col(f.name)).cast("long").as(s"__mx_${f.name}")))
+    val rows = pinned.groupBy(spark_partition_id().as("__p"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    val counts = rows.map(r => r.getInt(0) -> r.getLong(1)).toSeq
+      .sortBy(_._1)
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (p, c)) =>
+      (p, acc + c) }.init.map(_._2).zip(counts.map(_._1))
+      .map { case (off, p) => p -> off }.toMap
+    val provided = have.map { f =>
+      val nn = rows.map(_.getAs[Long](s"__nn_${f.name}")).sum
+      def ext(pre: String, pick: Seq[Long] => Long): Option[Long] = {
+        val vs = rows.flatMap(r => Option(
+          r.getAs[java.lang.Long](s"$pre${f.name}")).map(_.longValue))
+        if (vs.isEmpty) None else Some(pick(vs.toSeq))
+      }
+      f.name -> ((nn, ext("__mn_", _.min), ext("__mx_", _.max)))
+    }.toMap
+    IdentityStats(rows.map(_.getAs[Long]("__n")).sum, offsets, provided)
+  }
+
+  /** Materialize identity values onto `pinned` against the CURRENT
+    * high-water marks and return (frame, new encoded marks). Called
+    * inside the append OCC loop — a retry reallocates. */
+  private[sources] def applyIdentity(pinned: DataFrame,
+      fields: Seq[org.apache.spark.sql.types.StructField],
+      hwms: Map[String, Long],
+      stats: IdentityStats): (DataFrame, Map[String, Long]) = {
+    if (fields.isEmpty) return (pinned, hwms)
+    // shared shuffle-free row index over the pinned partitioning
+    val offMap: org.apache.spark.sql.Column = typedLit(stats.offsets)
+    val rowIdx = offMap(spark_partition_id()) +
+      (monotonically_increasing_id()
+        .bitwiseAND(lit((1L << 33) - 1L)))
+    var out = pinned
+    var marks = hwms
+    fields.foreach { f =>
+      val start = f.metadata.getLong(IdentityStartKey)
+      val step = f.metadata.getLong(IdentityStepKey)
+      require(step != 0L,
+        s"CommitLog: identity column '${f.name}' has step 0")
+      val hwm = marks.getOrElse(f.name, start - step)
+      val candidate = (lit(hwm) + (rowIdx + 1L) * step)
+        .cast(f.dataType)
+      val allocatedTo = hwm + step * stats.n
+      def ahead(a: Long, b: Long): Long =
+        if (step > 0L) math.max(a, b) else math.min(a, b)
+      stats.provided.get(f.name) match {
+        case None =>
+          // column omitted: every row allocates
+          out = out.withColumn(f.name, candidate)
+          marks += f.name -> allocatedTo
+        case Some((nonNull, mn, mx)) =>
+          val explicit = f.metadata.getBoolean(IdentityExplicitKey)
+          if (!explicit && nonNull > 0L)
+            throw new IllegalArgumentException(
+              s"CommitLog: '${f.name}' is GENERATED ALWAYS AS " +
+                s"IDENTITY — explicit values are not accepted ($nonNull " +
+                "non-NULL provided); omit the column (or write NULLs) " +
+                "to have values allocated, or declare it GENERATED BY " +
+                "DEFAULT AS IDENTITY")
+          // NULLs allocate; provided values pass through and the
+          // mark advances past their extent (auto-SYNC IDENTITY)
+          out = out.withColumn(f.name,
+            coalesce(col(f.name).cast(f.dataType), candidate))
+          val extent = (if (step > 0L) mx else mn).getOrElse(hwm)
+          marks += f.name -> ahead(ahead(allocatedTo, extent), hwm)
+      }
+    }
+    (out, marks)
   }
 
   private[sources] def physicalName(
@@ -1159,6 +1305,19 @@ object CommitLog {
     // rename fold is a no-op); ONE snapshot resolution serves the
     // mapping AND the constraint gate below
     val cur = snapshot(spark, table)
+    // identity columns allocate ONLY on [[appendIdentity]] (which
+    // lands them in the frame before this point) — any other gated
+    // path omitting one would silently serve NULL ids; refuse loud
+    identityFields(cur.flatMap(_.schema).map(decodeSchema))
+      .find(f => !df.columns.exists(_.equalsIgnoreCase(f.name)))
+      .foreach { f =>
+        throw new IllegalArgumentException(
+          s"CommitLog: frame omits identity column '${f.name}' of " +
+            s"$table — this write path does not allocate; use " +
+            "CommitLog.append (INSERT), or provide values" +
+            (if (f.metadata.getBoolean(IdentityExplicitKey)) ""
+             else " (NULLs allocate on the append path)"))
+      }
     // GENERATED ALWAYS AS: a frame omitting a generated column gets
     // it computed here (so every gated path — appends, DML rewrites,
     // evolve — lands it); provided values are validated by the gate
@@ -1387,7 +1546,11 @@ object CommitLog {
       // like the partition spec — constraint DDL commits its own
       // value, everything else carries the parent's forward
       constraints = snap.constraints
-        .orElse(parent.flatMap(_.constraints)))
+        .orElse(parent.flatMap(_.constraints)),
+      // identity high-water marks: same inheritance rule — an
+      // allocating append commits its own advanced value, everything
+      // else carries the parent's forward
+      identity = snap.identity.orElse(parent.flatMap(_.identity)))
     // O(delta) commit bytes: render adds/removes relative to the
     // parent (version-1) whenever the parent resolves and forward
     // replay reproduces the EXACT segment list (order included — an
@@ -1456,6 +1619,14 @@ object CommitLog {
     * writers' segments. Returns the committed version. */
   def append(spark: SparkSession, table: String, df: DataFrame,
       maxRetries: Int = 20): Long = {
+    // identity tables take the allocating loop (stage-inside-retry:
+    // a lost race reallocates against the winner's high-water mark);
+    // everything else keeps the stage-once fast path
+    val pre = snapshot(spark, table)
+    val idFields = identityFields(pre.flatMap(_.schema).map(decodeSchema))
+    if (idFields.nonEmpty)
+      return appendIdentity(spark, table, df, idFields, maxRetries,
+        "append", None).get
     val (seg, gated0) = writeSegmentGated(spark, table, df)
     var gated = gated0
     var attempt = 0
@@ -1471,6 +1642,61 @@ object CommitLog {
     }
     throw new java.io.IOException(
       s"CommitLog.append: lost the version race $maxRetries times at $table")
+  }
+
+  /** The identity-allocating append: values are minted against the
+    * snapshot the publish races on, so the high-water mark advances
+    * under the SAME OCC as the segment list — two concurrent
+    * appenders can never allocate overlapping ids (the loser's
+    * staged bytes are deleted and it reallocates; gaps are normal,
+    * Delta's documented identity semantics). The input pins once and
+    * its stats job runs once — only the cheap projection re-stages
+    * on a retry. */
+  private def appendIdentity(spark: SparkSession, table: String,
+      df: DataFrame,
+      idFields: Seq[org.apache.spark.sql.types.StructField],
+      maxRetries: Int, op: String,
+      txn: Option[(String, Long)]): Option[Long] = {
+    val pinned = df.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val stats = identityStats(pinned, idFields)
+      var attempt = 0
+      while (attempt < maxRetries) {
+        // exactly-once streaming: re-check the batch watermark every
+        // retry (a concurrent replica may have won with this batch)
+        if (txn.exists { case (appId, batchId) =>
+            lastTxn(spark, table, appId).exists(_ >= batchId) })
+          return None
+        val cur = snapshot(spark, table)
+        // the identity column SET must be the one the stats were
+        // computed for — a concurrent schema change mid-append is
+        // a caller coordination bug, not something to paper over
+        val nowFields = identityFields(
+          cur.flatMap(_.schema).map(decodeSchema))
+        require(nowFields.map(_.name) == idFields.map(_.name),
+          s"CommitLog.append: identity columns of $table changed " +
+            "concurrently — retry the append")
+        val (dfId, marks) = applyIdentity(pinned, nowFields,
+          decodeIdentity(cur.flatMap(_.identity)), stats)
+        val (seg, _) = writeSegmentGated(spark, table, dfId)
+        val v = cur.fold(1L)(_.version + 1L)
+        val snap = Snapshot(v,
+          cur.fold(Seq.empty[String])(_.segments) :+ seg,
+          cur.fold(0L)(_.version), op,
+          txnApp = txn.map(_._1), txnBatch = txn.map(_._2),
+          schema = cur.flatMap(_.schema), dv = cur.flatMap(_.dv),
+          identity = Some(encodeConstraints(
+            marks.map { case (k, x) => k -> x.toString })))
+        if (tryPublish(spark, table, snap, cur)) return Some(v)
+        fs(spark, table).delete(
+          new org.apache.hadoop.fs.Path(seg), true): Unit
+        attempt += 1
+      }
+      throw new java.io.IOException(
+        s"CommitLog.append: lost the version race $maxRetries times " +
+          s"at $table")
+    } finally pinned.unpersist(): Unit
   }
 
   // ---- schema evolution ------------------------------------------------
@@ -1881,6 +2107,16 @@ object CommitLog {
             "generated columns and their sources are name-coupled; " +
             "rewrite into a new table (CTAS) instead")
     }
+    // the identity high-water mark keys on the LOGICAL column name
+    // ([[Snapshot.identity]]) — a rename would orphan the mark and
+    // restart allocation from `start`, silently minting duplicates
+    identityFields(Some(base)).foreach { f =>
+      if (f.name.equalsIgnoreCase(column))
+        throw new IllegalStateException(
+          s"CommitLog.$verb: '${f.name}' is an IDENTITY column — its " +
+            "high-water mark is name-keyed; rewrite into a new " +
+            "table (CTAS) instead")
+    }
   }
 
   /** Highest micro-batch id ever committed by `appId`, from the txn
@@ -1908,6 +2144,14 @@ object CommitLog {
   def appendTxn(spark: SparkSession, table: String, df: DataFrame,
       appId: String, batchId: Long, maxRetries: Int = 20): Option[Long] = {
     if (lastTxn(spark, table, appId).exists(_ >= batchId)) return None
+    // identity tables allocate surrogate keys per micro-batch under
+    // the same exactly-once stamps (the streaming-ingest use case)
+    val preI = snapshot(spark, table)
+    val idFields = identityFields(
+      preI.flatMap(_.schema).map(decodeSchema))
+    if (idFields.nonEmpty)
+      return appendIdentity(spark, table, df, idFields, maxRetries,
+        "streaming-append", Some((appId, batchId)))
     val (seg, gated0) = writeSegmentGated(spark, table, df)
     var gated = gated0
     var attempt = 0
@@ -2467,6 +2711,10 @@ object CommitLog {
       partitionBy = snap.partitionBy
         .orElse(partitionColumns(spark, source).map(_.mkString(","))),
       mapping = snap.mapping,
+      // identity high-water marks carry: allocation on the clone
+      // continues where the source's mark stood (ids stay unique
+      // within the clone's own lineage)
+      identity = snap.identity,
       constraints = Some(encodeConstraints(
         constraintsOf(spark, source, Some(snap)))))
     if (!tryPublish(spark, target, out)) throw new IllegalStateException(
@@ -2694,6 +2942,18 @@ object CommitLog {
           val anti = source
             .filter(whenNotMatchedInsertCondition.getOrElse(lit(true)))
             .join(all.select(keys.map(col): _*), keys, "left_anti")
+          // MERGE does not allocate identity values — a source
+          // omitting an identity column would NULL-fill it silently;
+          // refuse and point at the allocating path
+          identityFields(logical).find(f =>
+              !anti.columns.exists(_.equalsIgnoreCase(f.name)))
+            .foreach { f =>
+              throw new IllegalArgumentException(
+                s"CommitLog.mergeInto: source omits identity column " +
+                  s"'${f.name}' of $table — MERGE inserts do not " +
+                  "allocate; provide values, or insert new rows via " +
+                  "CommitLog.append (NULLs allocate there)")
+            }
           val projected0 = anti.select(schema.fieldNames.toSeq.map { f =>
             if (anti.columns.contains(f))
               col(f).cast(schema(f).dataType).as(f)
@@ -3231,8 +3491,10 @@ object CommitLog {
         .replace("\"", "\\\"")}",""")
     val mp = s.mapping.fold("")(m => s""""mapping":"$m",""")
     val cn = s.constraints.fold("")(c => s""""constraints":"$c",""")
+    val idn = s.identity.fold("")(i => s""""identity":"$i",""")
     s"""{"version":${s.version},"baseVersion":${s.baseVersion},""" +
-      txn + ch + dvf + sch + ts + pb + mp + cn + s""""op":"${s.op}","""
+      txn + ch + dvf + sch + ts + pb + mp + cn + idn +
+      s""""op":"${s.op}","""
   }
 
   private def renderManifest(s: Snapshot): String =
@@ -3311,6 +3573,8 @@ object CommitLog {
       mapping = optField("mapping")
         .map(_.stripPrefix("\"").stripSuffix("\"")),
       constraints = optField("constraints")
+        .map(_.stripPrefix("\"").stripSuffix("\"")),
+      identity = optField("identity")
         .map(_.stripPrefix("\"").stripSuffix("\""))),
       delta)
   }

@@ -60,7 +60,9 @@ class CommitLogCatalog extends TableCatalog
       org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
     java.util.EnumSet.of(
       org.apache.spark.sql.connector.catalog.TableCatalogCapability
-        .SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+        .SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   private def spark: SparkSession = SparkSession.active
 
@@ -271,14 +273,26 @@ class CommitLogCatalog extends TableCatalog
     // compute/validate contract sees it
     val byName = info.columns().map(c => c.name() -> c).toMap
     val schema = StructType(info.schema().fields.map { f =>
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+      var touched = false
       byName.get(f.name).flatMap(c =>
-          Option(c.generationExpression())) match {
-        case Some(genExpr) => f.copy(metadata =
-          new org.apache.spark.sql.types.MetadataBuilder()
-            .withMetadata(f.metadata)
-            .putString(CommitLog.GeneratedKey, genExpr).build())
-        case None => f
+          Option(c.generationExpression())).foreach { genExpr =>
+        mb.putString(CommitLog.GeneratedKey, genExpr); touched = true
       }
+      // GENERATED ... AS IDENTITY arrives the same way: fold
+      // (start, step, allowExplicitInsert) into the field metadata
+      // so the manifest schema records it and the allocating append
+      // ([[CommitLog.appendIdentity]]) sees it
+      byName.get(f.name).flatMap(c =>
+          Option(c.identityColumnSpec())).foreach { idSpec =>
+        mb.putLong(CommitLog.IdentityStartKey, idSpec.getStart)
+        mb.putLong(CommitLog.IdentityStepKey, idSpec.getStep)
+        mb.putBoolean(CommitLog.IdentityExplicitKey,
+          idSpec.isAllowExplicitInsert)
+        touched = true
+      }
+      if (touched) f.copy(metadata = mb.build()) else f
     })
     createTable(ident, schema, info.partitions(), info.properties())
   }

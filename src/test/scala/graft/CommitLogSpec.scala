@@ -1411,6 +1411,134 @@ class CommitLogSpec extends AnyFunSuite {
     } finally { rm(src); rm(sh); rm(dp) }
   }
 
+  test("IDENTITY columns: ALWAYS allocates (start/step respected, " +
+      "NULLs allocate, explicit values refuse); BY DEFAULT passes " +
+      "values through and auto-syncs the high-water mark; the mark " +
+      "rides the manifest; non-allocating paths refuse omission") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ident_").toString
+    try {
+      spark.conf.set("spark.sql.catalog.gid",
+        "graft.sources.CommitLogCatalog")
+      spark.conf.set("spark.sql.catalog.gid.root", root)
+      val path = s"$root/ns/t"
+      spark.sql("CREATE TABLE gid.ns.t (id BIGINT GENERATED ALWAYS " +
+        "AS IDENTITY (START WITH 10 INCREMENT BY 2), name STRING)")
+      import spark.implicits._
+      // programmatic append omitting the column: 10, 12, 14
+      CommitLog.append(spark, path, Seq("a", "b", "c").toDF("name"))
+      def ids(): Seq[Long] = spark.sql(
+        "SELECT id FROM gid.ns.t ORDER BY id").collect()
+        .map(_.getLong(0)).toSeq
+      assert(ids() === Seq(10L, 12L, 14L))
+      // a second append continues from the committed mark
+      CommitLog.append(spark, path, Seq("d").toDF("name"))
+      assert(ids() === Seq(10L, 12L, 14L, 16L))
+      // NULLs allocate (the SQL INSERT shape); explicit values refuse
+      spark.sql("INSERT INTO gid.ns.t VALUES (NULL, 'e')")
+      assert(ids() === Seq(10L, 12L, 14L, 16L, 18L))
+      val e1 = intercept[Exception] {
+        CommitLog.append(spark, path,
+          Seq((99L, "z")).toDF("id", "name"))
+      }
+      assert(e1.getMessage.contains("GENERATED ALWAYS AS IDENTITY"))
+      // UPDATE SET on an ALWAYS identity refuses; BY DEFAULT would not
+      val e2 = intercept[IllegalArgumentException] {
+        CommitLog.update(spark, path, lit(true), Map("id" -> lit(0L)))
+      }
+      assert(e2.getMessage.contains("IDENTITY"))
+      // MERGE inserts do not allocate — omission refuses loudly
+      val e3 = intercept[IllegalArgumentException] {
+        CommitLog.mergeInto(spark, path, Seq("q").toDF("name"),
+          Seq("name"))
+      }
+      assert(e3.getMessage.contains("identity column"))
+      // non-allocating gated paths refuse omission instead of
+      // silently landing NULL ids
+      val e4 = intercept[IllegalArgumentException] {
+        graft.sources.CommitLogStats.appendWithStats(spark, path,
+          Seq("x").toDF("name"), Seq("name"))
+      }
+      assert(e4.getMessage.contains("does not allocate"))
+      // the mark is VERSIONED: time travel reads the era's own ids
+      assert(CommitLog.read(spark, path, asOfVersion = Some(2L))
+        .count() === 3L)
+      // rename of an identity column refuses (name-keyed mark)
+      val e5 = intercept[IllegalStateException] {
+        CommitLog.renameColumn(spark, path, "id", "pk")
+      }
+      assert(e5.getMessage.contains("IDENTITY"))
+
+      // ---- BY DEFAULT: explicit values pass, the mark auto-syncs --
+      spark.sql("CREATE TABLE gid.ns.d (id BIGINT GENERATED BY " +
+        "DEFAULT AS IDENTITY, name STRING)")
+      val dPath = s"$root/ns/d"
+      CommitLog.append(spark, dPath,
+        Seq((100L, "x")).toDF("id", "name"))
+      // next allocation jumps past the provided extent — no manual
+      // SYNC IDENTITY needed
+      CommitLog.append(spark, dPath, Seq("y").toDF("name"))
+      val dIds = spark.sql("SELECT id FROM gid.ns.d ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(dIds === Seq(100L, 101L))
+      // mixed NULL/provided in one frame: NULLs allocate, provided
+      // pass through
+      CommitLog.append(spark, dPath, Seq(
+        (Some(500L), "p"), (None, "q")).toDF("id", "name"))
+      val dIds2 = spark.sql("SELECT id FROM gid.ns.d ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(dIds2.length === 4 && dIds2.contains(500L) &&
+        dIds2.distinct.length === 4)
+      // and the mark synced past 500
+      CommitLog.append(spark, dPath, Seq("r").toDF("name"))
+      val dMax = spark.sql("SELECT max(id) FROM gid.ns.d").head()
+        .getLong(0)
+      assert(dMax > 500L)
+      spark.sql("DROP TABLE gid.ns.t")
+      spark.sql("DROP TABLE gid.ns.d")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gid")
+      spark.conf.unset("spark.sql.catalog.gid.root")
+      rm(root + "/x")
+    }
+  }
+
+  test("IDENTITY concurrency law: racing appenders never allocate " +
+      "overlapping ids — the loser reallocates against the winner's " +
+      "high-water mark") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_identrace_").toString
+    try {
+      spark.conf.set("spark.sql.catalog.gir",
+        "graft.sources.CommitLogCatalog")
+      spark.conf.set("spark.sql.catalog.gir.root", root)
+      val path = s"$root/ns/t"
+      spark.sql("CREATE TABLE gir.ns.t (id BIGINT GENERATED ALWAYS " +
+        "AS IDENTITY, name STRING)")
+      import spark.implicits._
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      try {
+        val futures = (0 until 4).map { w =>
+          pool.submit(new java.util.concurrent.Callable[Long] {
+            override def call(): Long = CommitLog.append(spark, path,
+              Seq.tabulate(25)(i => s"w$w-$i").toDF("name"))
+          })
+        }
+        futures.foreach(_.get())
+      } finally pool.shutdown()
+      val allIds = spark.sql("SELECT id FROM gir.ns.t").collect()
+        .map(_.getLong(0)).toSeq
+      assert(allIds.length === 100, s"expected 100 rows, ${allIds.length}")
+      assert(allIds.distinct.length === 100,
+        "concurrent appends allocated duplicate identity values")
+      spark.sql("DROP TABLE gir.ns.t")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gir")
+      spark.conf.unset("spark.sql.catalog.gir.root")
+      rm(root + "/x")
+    }
+  }
+
   test("connector scan optimizations are stock: MIN/MAX/COUNT push " +
       "into the parquet footers when enabled (no row decode)") {
     val t = tmpTable()
