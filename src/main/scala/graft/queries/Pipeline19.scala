@@ -623,6 +623,52 @@ object Pipeline19 {
         s.conf.unset("spark.sql.catalog.g202.root")
         rmTree(root)
       }
+    }),
+
+    // Column DEFAULT values (round 13, SUPPORT_COLUMN_DEFAULT_VALUE):
+    // even keys land through SQL INSERT ... SELECT with the tier
+    // column omitted (Spark's analyzer fills the declared default);
+    // odd keys land through the programmatic append with the column
+    // omitted (the ENGINE fills — the analyzer never sees that
+    // frame); keys divisible by 7 land with an explicit NULL tier,
+    // which must STAY NULL (a default is an absence rule, not a
+    // coalesce). The per-tier aggregate is fully derivable from
+    // orders arithmetic in DuckDB.
+    "q203_commitlog_column_defaults" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q203_").toString
+      val tblPath = s"$root/ns/o"
+      s.conf.set("spark.sql.catalog.g203",
+        "graft.sources.CommitLogCatalog")
+      s.conf.set("spark.sql.catalog.g203.root", root)
+      t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_totalprice"))
+        .createOrReplaceTempView("q203_orders")
+      try {
+        s.sql("""CREATE TABLE g203.ns.o (o_orderkey BIGINT,
+          o_totalprice DOUBLE, tier STRING DEFAULT 'standard')""")
+        s.sql("""INSERT INTO g203.ns.o (o_orderkey, o_totalprice)
+          SELECT o_orderkey, o_totalprice FROM q203_orders
+          WHERE o_orderkey % 2 = 0 AND o_orderkey % 7 <> 0""")
+        CommitLog.append(s, tblPath, s.table("q203_orders")
+          .filter(pmod(col("o_orderkey"), lit(2)) === 1 &&
+            pmod(col("o_orderkey"), lit(7)) =!= 0))
+        s.sql("""INSERT INTO g203.ns.o
+          SELECT o_orderkey, o_totalprice, NULL FROM q203_orders
+          WHERE o_orderkey % 7 = 0""")
+        s.sql("SELECT * FROM g203.ns.o")
+          .groupBy(coalesce(col("tier"), lit("(none)")).as("tier"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_totalprice").cast("decimal(30,6)"))
+              .cast("double").as("sum_price"))
+          .orderBy(col("tier"))
+          .localCheckpoint(true)
+      } finally {
+        s.conf.unset("spark.sql.catalog.g203")
+        s.conf.unset("spark.sql.catalog.g203.root")
+        s.catalog.dropTempView("q203_orders"): Unit
+        rmTree(root)
+      }
     })
   )
 
@@ -782,6 +828,16 @@ object Pipeline19 {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
         |    AS sum_price,
         |  TRUE AS refused_explicit
-        |FROM orders""".stripMargin
+        |FROM orders""".stripMargin,
+
+    "q203_commitlog_column_defaults" ->
+      """SELECT CASE WHEN o_orderkey % 7 = 0 THEN '(none)'
+        |    ELSE 'standard' END AS tier,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin
   )
 }

@@ -217,6 +217,30 @@ object CommitLog {
     }
   }
 
+  /** Column DEFAULT values (SUPPORT_COLUMN_DEFAULT_VALUE): Spark
+    * records `CURRENT_DEFAULT` in the field metadata and its analyzer
+    * fills SQL INSERT forms (omitted columns and the DEFAULT keyword)
+    * before the write reaches the connector — this helper covers the
+    * PROGRAMMATIC appends, which bypass the analyzer: a frame
+    * omitting a defaulted column gets it filled. Provided values
+    * (including explicit NULLs) pass through untouched — a default
+    * is an absence rule, not a NULL-coalesce. Old segments predating
+    * an added column still read NULL (write-time-only defaults,
+    * Delta's model), so `EXISTS_DEFAULT` is recorded but not served. */
+  private[sources] def computeDefaults(df: DataFrame,
+      schema: Option[org.apache.spark.sql.types.StructType])
+      : DataFrame = {
+    val defs = schema.map(_.fields.toSeq.filter(_.metadata
+      .contains("CURRENT_DEFAULT"))).getOrElse(Seq.empty)
+    if (defs.isEmpty) return df
+    val have = df.columns.map(_.toLowerCase).toSet
+    defs.foldLeft(df) { (d, f) =>
+      if (have(f.name.toLowerCase)) d
+      else d.withColumn(f.name,
+        expr(f.metadata.getString("CURRENT_DEFAULT")).cast(f.dataType))
+    }
+  }
+
   /** Recompute generated columns over the POST-image of a DML
     * rewrite (Delta's rule: updating a generation SOURCE propagates
     * into the generated value automatically). Generation expressions
@@ -1320,8 +1344,11 @@ object CommitLog {
       }
     // GENERATED ALWAYS AS: a frame omitting a generated column gets
     // it computed here (so every gated path — appends, DML rewrites,
-    // evolve — lands it); provided values are validated by the gate
-    val withGen = computeGenerated(df,
+    // evolve — lands it); provided values are validated by the gate.
+    // Column DEFAULTs fill first (a generation expression may read a
+    // defaulted source), then generation computes over the result.
+    val withGen = computeGenerated(
+      computeDefaults(df, cur.flatMap(_.schema).map(decodeSchema)),
       cur.flatMap(_.schema).map(decodeSchema))
     val mapped = cur.flatMap(_.schema)
       .map(decodeSchema).filterNot(isIdentityMapping)

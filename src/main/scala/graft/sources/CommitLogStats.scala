@@ -594,7 +594,9 @@ object CommitLogStats {
     // data/ (this path previously had NO gate: a constraint-bearing
     // table could take violating rows through the sliced ingest)
     val curSnap = CommitLog.snapshot(spark, table)
-    val persisted = CommitLog.computeGenerated(df,
+    val persisted = CommitLog.computeGenerated(
+      CommitLog.computeDefaults(df,
+        curSnap.flatMap(_.schema).map(CommitLog.decodeSchema)),
       curSnap.flatMap(_.schema).map(CommitLog.decodeSchema)).persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var gated = CommitLog.constraintsOf(spark, table, curSnap)
@@ -742,7 +744,9 @@ object CommitLogStats {
     // (enforce=false) writes the DECLARED schema — Spark computes.
     val curSnap0 =
       if (enforce) CommitLog.snapshot(spark, table) else None
-    val df0 = CommitLog.computeGenerated(df,
+    val df0 = CommitLog.computeGenerated(
+      CommitLog.computeDefaults(df,
+        curSnap0.flatMap(_.schema).map(CommitLog.decodeSchema)),
       curSnap0.flatMap(_.schema).map(CommitLog.decodeSchema))
     val schema = df0.schema
     partitionCols.foreach { c =>

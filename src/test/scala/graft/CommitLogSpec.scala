@@ -1539,6 +1539,51 @@ class CommitLogSpec extends AnyFunSuite {
     }
   }
 
+  test("column DEFAULT values: SQL INSERT fills omitted columns and " +
+      "the DEFAULT keyword (analyzer-side); programmatic appends " +
+      "fill omissions engine-side; explicit NULL stays NULL; ADD " +
+      "COLUMN DEFAULT refuses") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_defaults_").toString
+    try {
+      spark.conf.set("spark.sql.catalog.gdf",
+        "graft.sources.CommitLogCatalog")
+      spark.conf.set("spark.sql.catalog.gdf.root", root)
+      val path = s"$root/ns/t"
+      spark.sql("CREATE TABLE gdf.ns.t (a BIGINT, " +
+        "b STRING DEFAULT 'pending', c BIGINT DEFAULT 42)")
+      // the DEFAULT keyword and the omitted-column form both fill
+      spark.sql("INSERT INTO gdf.ns.t VALUES (1, DEFAULT, DEFAULT)")
+      spark.sql("INSERT INTO gdf.ns.t (a) VALUES (2)")
+      // explicit NULL is a VALUE, not an absence — stays NULL
+      spark.sql("INSERT INTO gdf.ns.t VALUES (3, NULL, NULL)")
+      // programmatic append omitting defaulted columns fills them
+      import spark.implicits._
+      CommitLog.append(spark, path, Seq(4L).toDF("a"))
+      val got = spark.sql(
+        "SELECT a, b, c FROM gdf.ns.t ORDER BY a").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)),
+          Option(r.get(2)))).toSeq
+      assert(got === Seq(
+        (1L, Some("pending"), Some(42L)),
+        (2L, Some("pending"), Some(42L)),
+        (3L, None, None),
+        (4L, Some("pending"), Some(42L))))
+      // write-time-only defaults: ADD COLUMN DEFAULT refuses (old
+      // rows would read NULL, not the default — no silent skew)
+      val e = intercept[Exception] {
+        spark.sql("ALTER TABLE gdf.ns.t ADD COLUMN d STRING " +
+          "DEFAULT 'x'")
+      }
+      assert(e.getMessage.contains("DEFAULT on an added column"))
+      spark.sql("DROP TABLE gdf.ns.t")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gdf")
+      spark.conf.unset("spark.sql.catalog.gdf.root")
+      rm(root + "/x")
+    }
+  }
+
   test("connector scan optimizations are stock: MIN/MAX/COUNT push " +
       "into the parquet footers when enabled (no row decode)") {
     val t = tmpTable()
