@@ -669,6 +669,72 @@ object Pipeline19 {
         s.catalog.dropTempView("q203_orders"): Unit
         rmTree(root)
       }
+    }),
+
+    // Native CHECK constraint DDL (round 13, SUPPORT_TABLE_CONSTRAINT
+    // — Delta's ADD CONSTRAINT semantics under Spark's first-class
+    // SQL): the constraint rides the CREATE's own v1 commit, a
+    // violating INSERT refuses atomically, ALTER ADD validates all
+    // existing rows before committing (a violated candidate refuses
+    // and gates nothing), DROP CONSTRAINT lifts the gate so the
+    // previously-refused rows land. The final content is pure orders
+    // arithmetic: all rows except the negated-price half-open band
+    // land exactly once.
+    "q204_commitlog_constraint_ddl" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q204_").toString
+      s.conf.set("spark.sql.catalog.g204",
+        "graft.sources.CommitLogCatalog")
+      s.conf.set("spark.sql.catalog.g204.root", root)
+      t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_totalprice"))
+        .createOrReplaceTempView("q204_orders")
+      try {
+        s.sql("""CREATE TABLE g204.ns.o (o_orderkey BIGINT,
+          o_totalprice DOUBLE,
+          CONSTRAINT price_pos CHECK (o_totalprice > 0))""")
+        s.sql("""INSERT INTO g204.ns.o SELECT o_orderkey,
+          o_totalprice FROM q204_orders WHERE o_orderkey % 2 = 0""")
+        // a violating INSERT refuses atomically (negated prices)
+        val refusedInsert =
+          try { s.sql("""INSERT INTO g204.ns.o SELECT o_orderkey,
+            -o_totalprice FROM q204_orders
+            WHERE o_orderkey % 2 = 1"""): Unit; false }
+          catch { case e: Exception => e.getMessage.contains("price_pos") }
+        // ALTER ADD validating existing rows: this one FAILS (even
+        // keys exist) and must gate nothing
+        val refusedAdd =
+          try { s.sql("""ALTER TABLE g204.ns.o ADD CONSTRAINT odd_only
+            CHECK (o_orderkey % 2 = 1)"""): Unit; false }
+          catch { case e: Exception =>
+            e.getMessage.toLowerCase.contains("violat") }
+        // this one holds on all existing rows and commits — then
+        // blocks the odd half...
+        s.sql("""ALTER TABLE g204.ns.o ADD CONSTRAINT even_only
+          CHECK (o_orderkey % 2 = 0)""")
+        val blockedByAdd =
+          try { s.sql("""INSERT INTO g204.ns.o SELECT o_orderkey,
+            o_totalprice FROM q204_orders
+            WHERE o_orderkey % 2 = 1"""): Unit; false }
+          catch { case e: Exception => e.getMessage.contains("even_only") }
+        // ...until DROP lifts the gate and the odd half lands
+        s.sql("ALTER TABLE g204.ns.o DROP CONSTRAINT even_only")
+        s.sql("""INSERT INTO g204.ns.o SELECT o_orderkey,
+          o_totalprice FROM q204_orders WHERE o_orderkey % 2 = 1""")
+        s.sql("SELECT * FROM g204.ns.o").agg(
+            count(lit(1)).as("n_rows"),
+            sum(col("o_totalprice").cast("decimal(30,6)"))
+              .cast("double").as("sum_price"))
+          .withColumn("refused_insert", lit(refusedInsert))
+          .withColumn("refused_add", lit(refusedAdd))
+          .withColumn("blocked_by_add", lit(blockedByAdd))
+          .localCheckpoint(true)
+      } finally {
+        s.conf.unset("spark.sql.catalog.g204")
+        s.conf.unset("spark.sql.catalog.g204.root")
+        s.catalog.dropTempView("q204_orders"): Unit
+        rmTree(root)
+      }
     })
   )
 
@@ -838,6 +904,15 @@ object Pipeline19 {
         |    AS sum_price
         |FROM orders
         |GROUP BY 1
-        |ORDER BY 1""".stripMargin
+        |ORDER BY 1""".stripMargin,
+
+    "q204_commitlog_constraint_ddl" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price,
+        |  TRUE AS refused_insert,
+        |  TRUE AS refused_add,
+        |  TRUE AS blocked_by_add
+        |FROM orders""".stripMargin
   )
 }

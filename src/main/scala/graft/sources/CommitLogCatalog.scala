@@ -64,7 +64,9 @@ class CommitLogCatalog extends TableCatalog
       org.apache.spark.sql.connector.catalog.TableCatalogCapability
         .SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS,
       org.apache.spark.sql.connector.catalog.TableCatalogCapability
-        .SUPPORT_COLUMN_DEFAULT_VALUE)
+        .SUPPORT_COLUMN_DEFAULT_VALUE,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_TABLE_CONSTRAINT)
 
   private def spark: SparkSession = SparkSession.active
 
@@ -236,7 +238,13 @@ class CommitLogCatalog extends TableCatalog
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: util.Map[String, String]): Table = {
+      properties: util.Map[String, String]): Table =
+    createTableImpl(ident, schema, partitions, properties, Map.empty)
+
+  private def createTableImpl(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String],
+      checkConstraints: Map[String, String]): Table = {
     val partitionCols = identityPartitionCols(partitions, schema)
     val path = pathOf(ident)
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
@@ -249,10 +257,25 @@ class CommitLogCatalog extends TableCatalog
     // winner writes marker + publishes AFTER the loser probed, loser
     // loses and "restores" the nothing it saw). The loser below
     // touches NOTHING on disk.
+    // CREATE-time CHECK constraints validate nothing (the table is
+    // empty) but must parse as boolean expressions over the declared
+    // columns — a typo'd column name should fail the CREATE, not the
+    // first INSERT
+    checkConstraints.foreach { case (n, e) =>
+      val refs = org.apache.spark.sql.catalyst.parser
+        .CatalystSqlParser.parseExpression(e).collect {
+          case u: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedAttribute => u.name
+        }
+      refs.find(r => !schema.fieldNames.exists(_.equalsIgnoreCase(r)))
+        .foreach(r => throw new IllegalArgumentException(
+          s"commitlog catalog: CHECK constraint '$n' ($e) references " +
+            s"unknown column '$r'"))
+    }
     val snap = CommitLog.Snapshot(1L, Seq.empty, 0L, "create",
       schema = Some(CommitLog.encodeSchema(schema)),
       partitionBy = Some(partitionCols.mkString(",")),
-      constraints = Some(CommitLog.encodeConstraints(Map.empty)))
+      constraints = Some(CommitLog.encodeConstraints(checkConstraints)))
     if (!CommitLog.tryPublish(spark, path, snap))
       throw new TableAlreadyExistsException(ident)
     // Won: reconcile the derivative `_partition.json` cache to OUR
@@ -296,7 +319,36 @@ class CommitLogCatalog extends TableCatalog
       }
       if (touched) f.copy(metadata = mb.build()) else f
     })
-    createTable(ident, schema, info.partitions(), info.properties())
+    // native CHECK constraints (SUPPORT_TABLE_CONSTRAINT): CREATE
+    // TABLE ... CONSTRAINT c CHECK (expr) rides the SAME v1 commit as
+    // the schema — no create-then-alter window where ungated writes
+    // could land. Only enforced CHECK is accepted: this engine
+    // actually gates writes, so recording an informational
+    // PRIMARY KEY/UNIQUE/FK (or a NOT ENFORCED check) would fake a
+    // guarantee nobody checks.
+    val cons = info.constraints().map(checkConstraintOf).toMap
+    createTableImpl(ident, schema, info.partitions(),
+      info.properties(), cons)
+  }
+
+  private def checkConstraintOf(
+      c: org.apache.spark.sql.connector.catalog.constraints.Constraint)
+      : (String, String) = c match {
+    case chk: org.apache.spark.sql.connector.catalog.constraints.Check
+        if chk.enforced() =>
+      chk.name() -> chk.predicateSql()
+    case chk: org.apache.spark.sql.connector.catalog.constraints.Check =>
+      throw new UnsupportedOperationException(
+        s"commitlog catalog: CHECK constraint '${chk.name()}' is NOT " +
+          "ENFORCED — this engine gates every write, so an unenforced " +
+          "check would be recorded but meaningless; declare it " +
+          "ENFORCED (the default)")
+    case other =>
+      throw new UnsupportedOperationException(
+        s"commitlog catalog: constraint '${other.name()}' " +
+          s"(${other.getClass.getSimpleName}) is informational-only — " +
+          "the engine cannot enforce PRIMARY KEY/UNIQUE/FOREIGN KEY " +
+          "on a distributed append log; only CHECK is supported")
   }
 
   // ---- atomic CTAS / RTAS (StagingTableCatalog) -----------------------
@@ -390,6 +442,37 @@ class CommitLogCatalog extends TableCatalog
                 s"'${rp.property()}'")
           CommitLog.dropConstraint(spark, path,
             rp.property().stripPrefix(prefix))
+      }
+      return loadTable(ident)
+    }
+    // native constraint DDL (SUPPORT_TABLE_CONSTRAINT): ALTER TABLE
+    // ADD CONSTRAINT validates ALL existing rows then commits
+    // (CommitLog.setConstraint's contract — Delta's ADD CONSTRAINT
+    // behavior); DROP CONSTRAINT is a metadata-only commit. Both ride
+    // the versioned constraints field under OCC.
+    val consChanges = changes.collect {
+      case a: TableChange.AddConstraint => a: TableChange
+      case d: TableChange.DropConstraint => d: TableChange
+    }
+    if (consChanges.nonEmpty) {
+      require(consChanges.size == changes.size,
+        "commitlog catalog: mixing constraint DDL with other ALTERs " +
+          "in one statement is not supported")
+      val path = pathOf(ident)
+      consChanges.foreach {
+        case a: TableChange.AddConstraint =>
+          val (n, e) = checkConstraintOf(a.constraint())
+          CommitLog.setConstraint(spark, path, n, e): Unit
+        case d: TableChange.DropConstraint =>
+          val have = CommitLog.constraints(spark, path)
+          if (have.contains(d.name()))
+            CommitLog.dropConstraint(spark, path, d.name()): Unit
+          else if (!d.ifExists())
+            throw new IllegalArgumentException(
+              s"commitlog catalog: no CHECK constraint '${d.name()}' " +
+                s"on ${ident.toString} — have: " +
+                have.keys.toSeq.sorted.mkString(", "))
+        case _ => ()
       }
       return loadTable(ident)
     }

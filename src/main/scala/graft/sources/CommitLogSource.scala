@@ -377,6 +377,22 @@ class CommitLogTable(spark: SparkSession, path: String,
     * MERGE INTO through. */
   private[graft] def tablePath: String = path
 
+  /** Report the effective CHECK constraints (SUPPORT_TABLE_CONSTRAINT)
+    * from the snapshot this table instance is PINNED to — enforced
+    * and valid by construction (ADD CONSTRAINT validates all rows
+    * before committing; every write is gated after). */
+  override def constraints(): Array[
+      org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    CommitLog.constraintsOf(spark, path, Some(snap)).toSeq.sortBy(_._1)
+      .map { case (n, e) =>
+        org.apache.spark.sql.connector.catalog.constraints.Constraint
+          .check(n).predicateSql(e).enforced(true)
+          .validationStatus(org.apache.spark.sql.connector.catalog
+            .constraints.Constraint.ValidationStatus.VALID)
+          .build(): org.apache.spark.sql.connector.catalog
+            .constraints.Constraint
+      }.toArray
+
   /** SQL `DELETE FROM … WHERE …`: translated filters feed the
     * copy-on-write [[CommitLog.delete]] — only touched segments
     * rewrite, the deletion is CDC-recorded, prior versions stay

@@ -1584,6 +1584,73 @@ class CommitLogSpec extends AnyFunSuite {
     }
   }
 
+  test("native CHECK constraint DDL: CREATE TABLE ... CONSTRAINT " +
+      "CHECK rides the v1 commit, ALTER ADD validates existing rows, " +
+      "DROP lifts the gate, the table reports its constraints, " +
+      "non-CHECK kinds refuse") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_natcons_").toString
+    try {
+      spark.conf.set("spark.sql.catalog.gnc",
+        "graft.sources.CommitLogCatalog")
+      spark.conf.set("spark.sql.catalog.gnc.root", root)
+      val path = s"$root/ns/t"
+      // CREATE-time constraint: gated from the very first write
+      spark.sql("CREATE TABLE gnc.ns.t (a BIGINT, b STRING, " +
+        "CONSTRAINT a_pos CHECK (a > 0))")
+      spark.sql("INSERT INTO gnc.ns.t VALUES (1, 'x')")
+      val e1 = intercept[Exception] {
+        spark.sql("INSERT INTO gnc.ns.t VALUES (-1, 'y')")
+      }
+      assert(e1.getMessage.contains("a_pos"))
+      // a typo'd column fails the CREATE, not the first INSERT
+      val e2 = intercept[Exception] {
+        spark.sql("CREATE TABLE gnc.ns.bad (a BIGINT, " +
+          "CONSTRAINT oops CHECK (nosuch > 0))")
+      }
+      assert(e2.getMessage.contains("nosuch"))
+      // ALTER ADD validates ALL existing rows first
+      val e3 = intercept[Exception] {
+        spark.sql("ALTER TABLE gnc.ns.t ADD CONSTRAINT b_is_z " +
+          "CHECK (b = 'z')")
+      }
+      assert(e3.getMessage.toLowerCase.contains("violat"))
+      spark.sql("ALTER TABLE gnc.ns.t ADD CONSTRAINT b_short " +
+        "CHECK (length(b) <= 3)")
+      val e4 = intercept[Exception] {
+        spark.sql("INSERT INTO gnc.ns.t VALUES (2, 'toolong')")
+      }
+      assert(e4.getMessage.contains("b_short"))
+      // the loaded table REPORTS its constraints (DESCRIBE surface)
+      val cat = spark.sessionState.catalogManager.catalog("gnc")
+        .asInstanceOf[graft.sources.CommitLogCatalog]
+      val tbl = cat.loadTable(org.apache.spark.sql.connector.catalog
+        .Identifier.of(Array("ns"), "t"))
+      assert(tbl.constraints().map(_.name()).toSeq.sorted ===
+        Seq("a_pos", "b_short"))
+      // DROP lifts the gate; IF EXISTS tolerates absence; bare
+      // DROP of a missing name refuses
+      spark.sql("ALTER TABLE gnc.ns.t DROP CONSTRAINT b_short")
+      spark.sql("INSERT INTO gnc.ns.t VALUES (3, 'toolong')")
+      spark.sql("ALTER TABLE gnc.ns.t DROP CONSTRAINT IF EXISTS nope")
+      val e5 = intercept[Exception] {
+        spark.sql("ALTER TABLE gnc.ns.t DROP CONSTRAINT nope")
+      }
+      assert(e5.getMessage.contains("nope"))
+      // informational kinds refuse loudly — nothing fake-durable
+      val e6 = intercept[Exception] {
+        spark.sql("CREATE TABLE gnc.ns.pk (a BIGINT, " +
+          "CONSTRAINT p PRIMARY KEY (a))")
+      }
+      assert(e6.getMessage.contains("informational"))
+      spark.sql("DROP TABLE gnc.ns.t")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gnc")
+      spark.conf.unset("spark.sql.catalog.gnc.root")
+      rm(root + "/x")
+    }
+  }
+
   test("connector scan optimizations are stock: MIN/MAX/COUNT push " +
       "into the parquet footers when enabled (no row decode)") {
     val t = tmpTable()
@@ -3664,8 +3731,15 @@ class CommitLogSpec extends AnyFunSuite {
       def msgs(x: Throwable): Seq[String] =
         Option(x).toSeq.flatMap(t =>
           Option(t.getMessage).toSeq ++ msgs(t.getCause))
+      // two equivalent refusal shapes: Spark's own inline
+      // CheckInvariant (since the catalog reports constraints under
+      // SUPPORT_TABLE_CONSTRAINT, the analyzer enforces them per-row
+      // DURING the write) or the engine's staged-segment gate ("N
+      // row(s)") on paths the analyzer never sees — either way the
+      // violating INSERT commits nothing
       assert(msgs(e2).exists(m => m.contains("v_pos") &&
-        m.contains("1 row")))
+        (m.contains("1 row") ||
+          m.contains("CHECK_CONSTRAINT_VIOLATION"))))
       assert(CommitLog.currentVersion(spark, path).get == vBefore)
       // SQL CHECK semantics: NULL is unknown, not a violation
       spark.sql("INSERT INTO gcc.ns.t VALUES (6, NULL)")
