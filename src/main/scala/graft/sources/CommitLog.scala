@@ -396,6 +396,21 @@ object CommitLog {
       val candidate = (lit(hwm) + (rowIdx + 1L) * step)
         .cast(f.dataType)
       val allocatedTo = hwm + step * stats.n
+      // a narrow identity type crossing its range would WRAP through
+      // the cast — silent duplicates; refuse with the fix named
+      import org.apache.spark.sql.types.{IntegerType, ShortType}
+      val bound: Option[(Long, Long)] = f.dataType match {
+        case IntegerType => Some((Int.MinValue.toLong, Int.MaxValue.toLong))
+        case ShortType => Some((Short.MinValue.toLong, Short.MaxValue.toLong))
+        case _ => None
+      }
+      bound.foreach { case (lo, hi) =>
+        if (allocatedTo > hi || allocatedTo < lo)
+          throw new IllegalStateException(
+            s"CommitLog: identity column '${f.name}' would cross its " +
+              s"${f.dataType.simpleString} range (mark $allocatedTo) — " +
+              "widen the column (ALTER COLUMN TYPE BIGINT) first")
+      }
       def ahead(a: Long, b: Long): Long =
         if (step > 0L) math.max(a, b) else math.min(a, b)
       stats.provided.get(f.name) match {
@@ -790,7 +805,14 @@ object CommitLog {
     // zero extra scans over the constraint gate.
     val gens = generatedColumns(snap.flatMap(_.schema).map(decodeSchema))
       .filter(f => df.columns.exists(_.equalsIgnoreCase(f.name)))
-    if (cons.isEmpty && gens.isEmpty) return None
+    // declared NOT NULL rides the same aggregate too (Delta enforces
+    // nullability write-side): a NULL landing under a non-nullable
+    // recorded schema is SILENT CORRUPTION — Spark's optimizer
+    // legally folds `x IS NULL` to false on a non-nullable column,
+    // so the bad rows wouldn't even be findable afterwards
+    val nonNull = nonNullableFields(snap)
+      .filter(f => df.columns.exists(_.equalsIgnoreCase(f.name)))
+    if (cons.isEmpty && gens.isEmpty && nonNull.isEmpty) return None
     val have = df.columns.map(_.toLowerCase).toSet
     val refs: Seq[String] = (cons.values.toSeq ++
       gens.map(_.metadata.getString(GeneratedKey))).flatMap(e =>
@@ -814,6 +836,9 @@ object CommitLog {
       sum(when(!(col(f.name) <=>
           expr(f.metadata.getString(GeneratedKey)).cast(f.dataType)),
         1L).otherwise(0L)).as(s"__gen_${f.name}")
+    } ++ nonNull.sortBy(_.name).map { f =>
+      sum(when(col(f.name).isNull, 1L).otherwise(0L))
+        .as(s"__nul_${f.name}")
     }
     val row = padded.agg(aggs.head, aggs.tail: _*).collect()(0)
     cons.keys.toSeq.sorted.flatMap { n =>
@@ -831,8 +856,25 @@ object CommitLog {
         s"column to have it computed, or provide matching values; " +
         s"nothing committed at $table")
       else None
+    }.headOption).orElse(nonNull.sortBy(_.name).flatMap { f =>
+      val bad = Option(row.getAs[java.lang.Long](s"__nul_${f.name}"))
+        .map(_.longValue).getOrElse(0L)
+      if (bad > 0L) Some(s"NOT NULL column '${f.name}' receives " +
+        s"$bad NULL value(s) — nothing committed at $table")
+      else None
     }.headOption)
   }
+
+  /** Declared non-nullable fields of the recorded schema — the
+    * write-side nullability contract. Identity columns are excluded:
+    * their frames legitimately carry NULLs pre-allocation, and the
+    * allocator fills every one. */
+  private[sources] def nonNullableFields(
+      snap: Option[Snapshot])
+      : Seq[org.apache.spark.sql.types.StructField] =
+    snap.flatMap(_.schema).map(decodeSchema).map(_.fields.toSeq
+      .filter(f => !f.nullable &&
+        !f.metadata.contains(IdentityStartKey))).getOrElse(Seq.empty)
 
   /** Enforce the table's persistent constraints over freshly staged
     * segment paths, deleting them before refusing. `snap` is the
@@ -841,13 +883,14 @@ object CommitLog {
   private[sources] def enforceConstraints(spark: SparkSession,
       table: String, stagedPaths: Seq[String],
       snap: Option[Snapshot]): Unit = {
-    // constraint probe first: no constraints AND no generated
-    // columns → no parquet footer reads (both probes are
-    // zero-I/O — field lookups on the already-resolved snapshot)
+    // constraint probe first: no constraints, no generated columns
+    // AND no declared NOT NULL → no parquet footer reads (all three
+    // probes are zero-I/O — field lookups on the resolved snapshot)
     if (stagedPaths.isEmpty ||
       (constraintsOf(spark, table, snap).isEmpty &&
         generatedColumns(snap.flatMap(_.schema)
-          .map(decodeSchema)).isEmpty)) return
+          .map(decodeSchema)).isEmpty &&
+        nonNullableFields(snap).isEmpty)) return
     // constraints are written against LOGICAL names — on a mapped
     // table the staged bytes carry physical names, so restore the
     // logical view before evaluating (identity tables read inferred,
@@ -1350,6 +1393,18 @@ object CommitLog {
     val withGen = computeGenerated(
       computeDefaults(df, cur.flatMap(_.schema).map(decodeSchema)),
       cur.flatMap(_.schema).map(decodeSchema))
+    // declared NOT NULL: omitting the column entirely would serve
+    // NULL for every new row — the same corruption the gate refuses
+    // value-wise, caught here before any bytes stage (defaults and
+    // generation above may have just filled it — that's fine)
+    nonNullableFields(cur)
+      .find(f => !withGen.columns.exists(_.equalsIgnoreCase(f.name)))
+      .foreach { f =>
+        throw new IllegalArgumentException(
+          s"CommitLog: frame omits NOT NULL column '${f.name}' of " +
+            s"$table — new rows would read NULL under a non-nullable " +
+            "schema; provide the column")
+      }
     val mapped = cur.flatMap(_.schema)
       .map(decodeSchema).filterNot(isIdentityMapping)
       .map(sch => toPhysicalFrame(withGen, sch)).getOrElse(withGen)

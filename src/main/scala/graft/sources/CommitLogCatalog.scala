@@ -326,7 +326,9 @@ class CommitLogCatalog extends TableCatalog
     // actually gates writes, so recording an informational
     // PRIMARY KEY/UNIQUE/FK (or a NOT ENFORCED check) would fake a
     // guarantee nobody checks.
-    val cons = info.constraints().map(checkConstraintOf).toMap
+    val cons = Option(info.constraints())
+      .getOrElse(Array.empty[org.apache.spark.sql.connector.catalog
+        .constraints.Constraint]).map(checkConstraintOf).toMap
     createTableImpl(ident, schema, info.partitions(),
       info.properties(), cons)
   }

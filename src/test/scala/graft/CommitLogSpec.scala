@@ -1651,6 +1651,51 @@ class CommitLogSpec extends AnyFunSuite {
     }
   }
 
+  test("declared NOT NULL is write-side enforced: programmatic NULL " +
+      "values refuse in the gate, omission refuses before staging, " +
+      "SQL INSERT refuses analyzer-side, nullable columns stay free") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_notnull_").toString
+    try {
+      spark.conf.set("spark.sql.catalog.gnn",
+        "graft.sources.CommitLogCatalog")
+      spark.conf.set("spark.sql.catalog.gnn.root", root)
+      val path = s"$root/ns/t"
+      spark.sql("CREATE TABLE gnn.ns.t (a BIGINT NOT NULL, b STRING)")
+      import spark.implicits._
+      CommitLog.append(spark, path, Seq((1L, "x")).toDF("a", "b"))
+      val vBefore = CommitLog.currentVersion(spark, path).get
+      // a programmatic NULL under the non-nullable schema refuses in
+      // the gate (Spark's analyzer never sees this frame; without
+      // the gate the NULL would land and `a IS NULL` would be
+      // optimizer-folded to false — unfindable corruption)
+      val e1 = intercept[IllegalStateException] {
+        CommitLog.append(spark, path,
+          Seq((Some(2L), "y"), (None, "z")).toDF("a", "b"))
+      }
+      assert(e1.getMessage.contains("NOT NULL column 'a'"))
+      // omission refuses BEFORE staging (every new row would be NULL)
+      val e2 = intercept[IllegalArgumentException] {
+        CommitLog.append(spark, path, Seq("w").toDF("b"))
+      }
+      assert(e2.getMessage.contains("omits NOT NULL column"))
+      // SQL INSERT refuses analyzer-side (Spark's own contract)
+      intercept[Exception] {
+        spark.sql("INSERT INTO gnn.ns.t VALUES (NULL, 'v')")
+      }
+      assert(CommitLog.currentVersion(spark, path).get === vBefore)
+      // the nullable column keeps SQL freedom
+      spark.sql("INSERT INTO gnn.ns.t VALUES (3, NULL)")
+      assert(spark.sql("SELECT count(*) FROM gnn.ns.t").head()
+        .getLong(0) === 2L)
+      spark.sql("DROP TABLE gnn.ns.t")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gnn")
+      spark.conf.unset("spark.sql.catalog.gnn.root")
+      rm(root + "/x")
+    }
+  }
+
   test("connector scan optimizations are stock: MIN/MAX/COUNT push " +
       "into the parquet footers when enabled (no row decode)") {
     val t = tmpTable()
