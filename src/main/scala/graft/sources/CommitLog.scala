@@ -151,7 +151,31 @@ object CommitLog {
       // versioned exactly like constraints (absolute per record,
       // inherited at publish), so allocation is OCC-serialized and
       // time travel reads the era's own mark
-      identity: Option[String] = None)
+      identity: Option[String] = None,
+      // minimum reader protocol this record requires (FORMAT.md §2.4,
+      // Delta's reader-version design): a reader that understands
+      // less than this number must REFUSE the table rather than
+      // silently ignore fields whose absence changes row content
+      // (e.g. skipping an unknown deletion-vector successor would
+      // resurrect deleted rows). Absent = 1 (the pre-protocol era).
+      protocol: Option[Int] = None)
+
+  /** Highest reader protocol this engine understands (FORMAT.md
+    * §2.4). History: 1 = base format; 2 = deletion vectors + column
+    * mapping (fields whose absence from a reader's model CHANGES ROW
+    * CONTENT — an older reader must refuse, not serve). Write-side
+    * features (constraints, identity marks, generated/default column
+    * metadata) do NOT raise the reader requirement: ignoring them
+    * yields correct rows, just an unguarded writer — and writers are
+    * always this engine. */
+  private[sources] val SupportedProtocol: Int = 2
+
+  /** The reader protocol `snap` actually requires. */
+  private[sources] def requiredProtocol(snap: Snapshot): Int = {
+    val mapped = snap.mapping.contains("name") ||
+      snap.schema.map(decodeSchema).exists(s => !isIdentityMapping(s))
+    if (snap.dv.isDefined || mapped) 2 else 1
+  }
 
   private[sources] def commitsDir(table: String) = s"$table/_commits"
 
@@ -1633,6 +1657,13 @@ object CommitLog {
       // allocating append commits its own advanced value, everything
       // else carries the parent's forward
       identity = snap.identity.orElse(parent.flatMap(_.identity)))
+    // reader-protocol stamp (FORMAT.md §2.4): recorded only when the
+    // record needs more than the base protocol, so pre-feature tables
+    // stay byte-identical to the pre-protocol era
+    val stampedP = {
+      val need = requiredProtocol(stamped)
+      if (need > 1) stamped.copy(protocol = Some(need)) else stamped
+    }
     // O(delta) commit bytes: render adds/removes relative to the
     // parent (version-1) whenever the parent resolves and forward
     // replay reproduces the EXACT segment list (order included — an
@@ -1642,30 +1673,30 @@ object CommitLog {
     val body: String = parent match {
       case Some(p) =>
         val pset = p.segments.toSet
-        val sset = stamped.segments.toSet
-        val adds = stamped.segments.filterNot(pset)
+        val sset = stampedP.segments.toSet
+        val adds = stampedP.segments.filterNot(pset)
         val removes = p.segments.filterNot(sset)
         val replayed = {
           val rm = removes.toSet
           p.segments.filterNot(rm) ++ adds
         }
-        if (replayed == stamped.segments)
-          renderDelta(stamped, adds, removes)
-        else renderManifest(stamped)
-      case None => renderManifest(stamped)
+        if (replayed == stampedP.segments)
+          renderDelta(stampedP, adds, removes)
+        else renderManifest(stampedP)
+      case None => renderManifest(stampedP)
     }
     val won = storeFor(spark, table).createIfAbsent(
-      manifestPath(table, stamped.version), body.getBytes("UTF-8"))
+      manifestPath(table, stampedP.version), body.getBytes("UTF-8"))
     // Checkpoint cadence: the UNIQUE winner of an interval-multiple
     // version also writes the full state as <v>.checkpoint —
     // idempotent (create-if-absent) and best-effort: a crash here
     // only lengthens later replays until the next cadence hit.
-    if (won && stamped.version % checkpointInterval(spark) == 0L) {
-      try writeCheckpointFiles(spark, table, stamped)
+    if (won && stampedP.version % checkpointInterval(spark) == 0L) {
+      try writeCheckpointFiles(spark, table, stampedP)
       catch {
         case scala.util.control.NonFatal(e) =>
           log.warn(s"CommitLog: checkpoint write at " +
-            s"v${stamped.version} of $table failed (resolution " +
+            s"v${stampedP.version} of $table failed (resolution " +
             s"replays further until the next cadence): $e")
       }
     }
@@ -3469,8 +3500,32 @@ object CommitLog {
     if (dropped.nonEmpty)
       versions(spark, table).drop(dropped.size).headOption
         .foreach(floor => ensureCheckpoint(spark, table, floor))
-    (segs ++ changes ++ dvs).foreach(p =>
-      f.delete(new org.apache.hadoop.fs.Path(p), true): Unit)
+    // the sweep itself runs on EXECUTORS past a small threshold: a
+    // 100 TB table under aggressive retention can drop hundreds of
+    // thousands of segment dirs, and a driver-side delete loop of
+    // per-object round trips would take hours — the same distributed
+    // shape Delta's vacuum uses. Below the threshold the driver loop
+    // is cheaper than a job.
+    val dead = segs ++ changes ++ dvs
+    if (dead.size <= 64)
+      dead.foreach(p =>
+        f.delete(new org.apache.hadoop.fs.Path(p), true): Unit)
+    else {
+      val confB = spark.sparkContext.broadcast(
+        new org.apache.spark.util.SerializableConfiguration(
+          spark.sparkContext.hadoopConfiguration))
+      spark.createDataset(dead)(
+        org.apache.spark.sql.Encoders.STRING)
+        .repartition(math.min(dead.size,
+          spark.sparkContext.defaultParallelism).max(1))
+        .foreachPartition { (it: Iterator[String]) =>
+          val conf = confB.value.value
+          it.foreach { p =>
+            val hp = new org.apache.hadoop.fs.Path(p)
+            hp.getFileSystem(conf).delete(hp, true): Unit
+          }
+        }
+    }
     dropped.foreach { v =>
       f.delete(new org.apache.hadoop.fs.Path(manifestPath(table, v)),
         false): Unit
@@ -3574,8 +3629,9 @@ object CommitLog {
     val mp = s.mapping.fold("")(m => s""""mapping":"$m",""")
     val cn = s.constraints.fold("")(c => s""""constraints":"$c",""")
     val idn = s.identity.fold("")(i => s""""identity":"$i",""")
+    val pr = s.protocol.fold("")(p => s""""protocol":$p,""")
     s"""{"version":${s.version},"baseVersion":${s.baseVersion},""" +
-      txn + ch + dvf + sch + ts + pb + mp + cn + idn +
+      txn + ch + dvf + sch + ts + pb + mp + cn + idn + pr +
       s""""op":"${s.op}","""
   }
 
@@ -3657,7 +3713,23 @@ object CommitLog {
       constraints = optField("constraints")
         .map(_.stripPrefix("\"").stripSuffix("\"")),
       identity = optField("identity")
-        .map(_.stripPrefix("\"").stripSuffix("\""))),
+        .map(_.stripPrefix("\"").stripSuffix("\"")),
+      protocol = {
+        val p = optField("protocol").map(_.toInt)
+        // the forward-compatibility guard, enforced AT PARSE so no
+        // surface (read, DML, stream, fsck-driven repair) can act on
+        // state it does not understand: a record written by a future
+        // protocol may carry fields whose absence from this reader's
+        // model CHANGES ROW CONTENT — refuse, never serve
+        p.filter(_ > SupportedProtocol).foreach { need =>
+          throw new IllegalStateException(
+            s"CommitLog: manifest v$version requires reader " +
+              s"protocol $need but this engine supports " +
+              s"$SupportedProtocol — upgrade the reader; refusing " +
+              "rather than silently mis-serving the table")
+        }
+        p
+      }),
       delta)
   }
 }

@@ -1696,6 +1696,70 @@ class CommitLogSpec extends AnyFunSuite {
     }
   }
 
+  test("reader protocol: feature-bearing manifests stamp their " +
+      "requirement, a future protocol refuses at parse (never " +
+      "mis-serves), legacy absent reads as protocol 1") {
+    val t = tmpTable()
+    try {
+      // a plain append needs only the base protocol — no stamp, so
+      // pre-feature tables stay byte-compatible with the
+      // pre-protocol era
+      CommitLog.append(spark, t, df((1L, "a", 1.0), (2L, "b", 2.0)))
+      val m1 = scala.io.Source.fromFile(
+        s"$t/_commits/${"%020d".format(1)}.manifest").mkString
+      assert(!m1.contains("protocol"))
+      // a deletion vector CHANGES ROW CONTENT for readers — its
+      // manifest requires protocol 2
+      CommitLog.deleteVectored(spark, t, col("id") === 2L)
+      val m2 = scala.io.Source.fromFile(
+        s"$t/_commits/${"%020d".format(2)}.manifest").mkString
+      assert(m2.contains("\"protocol\":2"))
+      assert(sortedRows(CommitLog.read(spark, t)) ===
+        Seq((1L, "a", 1.0)))
+      // forge a future-protocol manifest: EVERY surface must refuse
+      // at parse rather than serve rows it cannot interpret
+      val forged = new java.io.File(
+        s"$t/_commits/${"%020d".format(3)}.manifest")
+      val w = new java.io.FileWriter(forged)
+      w.write("""{"version":3,"baseVersion":2,"protocol":99,""" +
+        """"op":"append","segments":[]}""")
+      w.close()
+      val e = intercept[IllegalStateException] {
+        CommitLog.read(spark, t).collect()
+      }
+      assert(e.getMessage.contains("requires reader protocol 99"))
+      // time travel BELOW the future record still serves (the old
+      // manifests are fully understood)
+      assert(sortedRows(CommitLog.read(spark, t,
+        asOfVersion = Some(1L))) ===
+        Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    } finally rm(t)
+  }
+
+  test("vacuum sweeps large dead sets on executors: 70 dropped " +
+      "segments (past the driver-loop threshold) all delete, " +
+      "retained state intact") {
+    val t = tmpTable()
+    try {
+      import spark.implicits._
+      (1 to 70).foreach(i =>
+        CommitLog.append(spark, t, Seq((i.toLong, s"r$i", i * 1.0))
+          .toDF("id", "name", "v")))
+      CommitLog.compact(spark, t, targetRowsPerFile = 1000L)
+      val deadBefore = CommitLog.vacuumPlan(spark, t,
+        retainVersions = 1)._1.size
+      assert(deadBefore === 70, s"expected 70 dead segments, $deadBefore")
+      withRetentionCheckOff {
+        CommitLog.vacuum(spark, t, retainVersions = 1)
+      }
+      val dataDirs = Option(new java.io.File(s"$t/data").listFiles)
+        .map(_.length).getOrElse(0)
+      assert(dataDirs === 1,
+        s"expected only the compacted segment to survive, $dataDirs")
+      assert(CommitLog.read(spark, t).count() === 70L)
+    } finally rm(t)
+  }
+
   test("connector scan optimizations are stock: MIN/MAX/COUNT push " +
       "into the parquet footers when enabled (no row decode)") {
     val t = tmpTable()
