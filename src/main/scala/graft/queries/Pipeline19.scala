@@ -735,6 +735,82 @@ object Pipeline19 {
         s.catalog.dropTempView("q204_orders"): Unit
         rmTree(root)
       }
+    }),
+
+    // GOVERNED INGEST flagship (round 13): one table composing the
+    // round's whole declarative-DDL tier — an ALWAYS-identity
+    // surrogate key, a NOT NULL business key, a DEFAULT'd tier, a
+    // GENERATED bucket and a CHECK constraint. Even keys ingest
+    // programmatically OMITTING everything the engine can supply
+    // (identity allocates, default fills, generated computes); odd
+    // keys ingest through SQL with NULL ids (allocate) and an
+    // explicit tier; a violating price refuses at the constraint, a
+    // NULL business key refuses at the NOT NULL gate; a copy-on-write
+    // UPDATE shifts some business keys and the generated bucket
+    // RECOMPUTES over the post-image. Every surviving row is pure
+    // orders arithmetic; surrogate-key uniqueness is pinned by
+    // n_ids == n_rows per bucket through the hash gate.
+    "q205_commitlog_governed_ingest" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q205_").toString
+      val tblPath = s"$root/ns/o"
+      s.conf.set("spark.sql.catalog.g205",
+        "graft.sources.CommitLogCatalog")
+      s.conf.set("spark.sql.catalog.g205.root", root)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      orders.createOrReplaceTempView("q205_orders")
+      try {
+        s.sql("""CREATE TABLE g205.ns.o (
+          row_id BIGINT GENERATED ALWAYS AS IDENTITY,
+          o_orderkey BIGINT NOT NULL,
+          o_totalprice DOUBLE,
+          tier STRING DEFAULT 'standard',
+          bucket BIGINT GENERATED ALWAYS AS (o_orderkey % 4),
+          CONSTRAINT price_pos CHECK (o_totalprice > 0))""")
+        // programmatic ingest: engine supplies id/tier/bucket
+        CommitLog.append(s, tblPath,
+          orders.filter(pmod(col("o_orderkey"), lit(2)) === 0))
+        // SQL ingest: NULL ids allocate, explicit tier, bucket given
+        s.sql("""INSERT INTO g205.ns.o
+          SELECT NULL, o_orderkey, o_totalprice, 'gold',
+            o_orderkey % 4
+          FROM q205_orders WHERE o_orderkey % 2 = 1""")
+        val vNow = CommitLog.currentVersion(s, tblPath).get
+        val refusedPrice =
+          try { s.sql("""INSERT INTO g205.ns.o VALUES
+            (NULL, 2, -5.0, 'x', 2)"""): Unit; false }
+          catch { case _: Exception =>
+            CommitLog.currentVersion(s, tblPath).get == vNow }
+        val refusedNull =
+          try { CommitLog.append(s, tblPath,
+            s.range(1).select(lit(null).cast("bigint")
+              .as("o_orderkey"), lit(1.0).as("o_totalprice"))): Unit
+            false }
+          catch { case _: Exception =>
+            CommitLog.currentVersion(s, tblPath).get == vNow }
+        // the generated bucket recomputes over the UPDATE post-image
+        CommitLog.update(s, tblPath,
+          pmod(col("o_orderkey"), lit(10)) === 3,
+          Map("o_orderkey" -> (col("o_orderkey") + 1)))
+        s.sql("SELECT * FROM g205.ns.o")
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("row_id")).as("n_ids"),
+            sum(col("o_totalprice").cast("decimal(30,6)"))
+              .cast("double").as("sum_price"),
+            sum(when(col("tier") === "gold", 1L).otherwise(0L))
+              .as("n_gold"))
+          .withColumn("refused_price", lit(refusedPrice))
+          .withColumn("refused_null", lit(refusedNull))
+          .orderBy(col("bucket"))
+          .localCheckpoint(true)
+      } finally {
+        s.conf.unset("spark.sql.catalog.g205")
+        s.conf.unset("spark.sql.catalog.g205.root")
+        s.catalog.dropTempView("q205_orders"): Unit
+        rmTree(root)
+      }
     })
   )
 
@@ -913,6 +989,22 @@ object Pipeline19 {
         |  TRUE AS refused_insert,
         |  TRUE AS refused_add,
         |  TRUE AS blocked_by_add
-        |FROM orders""".stripMargin
+        |FROM orders""".stripMargin,
+
+    "q205_commitlog_governed_ingest" ->
+      """SELECT CAST(CASE WHEN o_orderkey % 10 = 3
+        |    THEN (o_orderkey + 1) % 4
+        |    ELSE o_orderkey % 4 END AS BIGINT) AS bucket,
+        |  COUNT(*) AS n_rows,
+        |  COUNT(*) AS n_ids,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price,
+        |  CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_gold,
+        |  TRUE AS refused_price,
+        |  TRUE AS refused_null
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin
   )
 }
