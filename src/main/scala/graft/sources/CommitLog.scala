@@ -1744,7 +1744,10 @@ object CommitLog {
     var gated = gated0
     var attempt = 0
     while (attempt < maxRetries) {
-      val cur = snapshot(spark, table)
+      // first iteration reuses the identity-probe resolution (the
+      // common uncontended append pays no extra manifest I/O for the
+      // probe); retries re-resolve as before
+      val cur = if (attempt == 0) pre else snapshot(spark, table)
       gated = regateOnConstraintChange(spark, table, Seq(seg), gated, cur)
       val v = cur.fold(1L)(_.version + 1L)
       val snap = Snapshot(v, cur.fold(Seq.empty[String])(_.segments) :+ seg,
@@ -2275,7 +2278,9 @@ object CommitLog {
         fs(spark, table).delete(new org.apache.hadoop.fs.Path(seg), true)
         return None
       }
-      val cur = snapshot(spark, table)
+      // first iteration reuses the identity-probe resolution (same
+      // rationale as append: a stale base can never WIN the publish)
+      val cur = if (attempt == 0) preI else snapshot(spark, table)
       gated = regateOnConstraintChange(spark, table, Seq(seg), gated, cur)
       val v = cur.fold(1L)(_.version + 1L)
       val snap = Snapshot(v, cur.fold(Seq.empty[String])(_.segments) :+ seg,
