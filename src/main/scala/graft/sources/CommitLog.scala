@@ -355,7 +355,7 @@ object CommitLog {
     schema.map(_.fields.toSeq.filter(_.metadata
       .contains(IdentityStartKey))).getOrElse(Seq.empty)
 
-  private[sources] def decodeIdentity(
+  private[graft] def decodeIdentity(
       enc: Option[String]): Map[String, Long] =
     enc.map(decodeConstraints(_).map { case (k, v) =>
       k -> v.toLong }).getOrElse(Map.empty)

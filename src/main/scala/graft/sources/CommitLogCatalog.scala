@@ -735,6 +735,13 @@ private[sources] class StagedCommitLogTable(spark: SparkSession,
             cur.version, "replace", schema = Some(schemaB64),
             partitionBy = pb,
             constraints =
+              Some(CommitLog.encodeConstraints(Map.empty)),
+            // identity high-water marks reset the same way: without
+            // the explicit-empty field the publish would INHERIT the
+            // replaced table's marks, and a re-declared identity
+            // column would start allocating from the dead table's
+            // mark instead of its declared START
+            identity =
               Some(CommitLog.encodeConstraints(Map.empty)))
           if (CommitLog.tryPublish(spark, path, snap, Some(cur))) {
             // legacy side-file cleanup only (ignored once the field

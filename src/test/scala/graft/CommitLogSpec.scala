@@ -1760,6 +1760,35 @@ class CommitLogSpec extends AnyFunSuite {
     } finally rm(t)
   }
 
+  test("RTAS resets identity marks: the replace commit records the " +
+      "explicit-empty mark set — allocation on the new definition " +
+      "cannot continue from the dead table's high-water mark") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_identrtas_").toString
+    try {
+      spark.conf.set("spark.sql.catalog.gri",
+        "graft.sources.CommitLogCatalog")
+      spark.conf.set("spark.sql.catalog.gri.root", root)
+      val path = s"$root/ns/t"
+      spark.sql("CREATE TABLE gri.ns.t (id BIGINT GENERATED ALWAYS " +
+        "AS IDENTITY, name STRING)")
+      import spark.implicits._
+      CommitLog.append(spark, path, Seq("a", "b", "c").toDF("name"))
+      assert(CommitLog.decodeIdentity(
+        CommitLog.snapshot(spark, path).get.identity) ===
+        Map("id" -> 3L))
+      // REPLACE: one atomic commit; the old marks must NOT inherit
+      spark.sql("REPLACE TABLE gri.ns.t AS SELECT 5 AS x")
+      assert(CommitLog.decodeIdentity(
+        CommitLog.snapshot(spark, path).get.identity) === Map.empty)
+      spark.sql("DROP TABLE gri.ns.t")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gri")
+      spark.conf.unset("spark.sql.catalog.gri.root")
+      rm(root + "/x")
+    }
+  }
+
   test("connector scan optimizations are stock: MIN/MAX/COUNT push " +
       "into the parquet footers when enabled (no row decode)") {
     val t = tmpTable()
