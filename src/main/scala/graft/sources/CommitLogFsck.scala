@@ -119,7 +119,23 @@ object CommitLogFsck {
           if (!hasFull && !hasDelta) local += err(
             "no_shape", vName,
             "record carries neither segments nor addSegments")
-          try {
+          // reader protocol (§2.4): a record requiring more than this
+          // engine supports gets a DEDICATED finding (the parse guard
+          // would throw — fsck reports, never throws) and is skipped
+          // from replay (its content is uninterpretable by design)
+          val futureProtocol =
+            "\"protocol\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt)
+              .map(_.group(1).toInt)
+              .filter(_ > CommitLog.SupportedProtocol)
+          futureProtocol.foreach { p =>
+            local += err("protocol_unsupported", vName,
+              s"record requires reader protocol $p (this engine " +
+                s"supports ${CommitLog.SupportedProtocol}) — every " +
+                "read surface refuses the table at or above this " +
+                "version; upgrade the engine or RESTORE below it")
+            prev = None
+          }
+          if (futureProtocol.isEmpty) try {
             val r = CommitLog.parseManifest(v, txt)
             if (r.snap.baseVersion >= v) local += warn(
               "base_not_below", vName,

@@ -199,4 +199,24 @@ class CommitLogFsckSpec extends AnyFunSuite {
       assert(byCode("constraint_unresolvable") === "ERROR")
     } finally rm(t)
   }
+
+  test("a future reader protocol is a FINDING, not a throw: fsck " +
+      "reports protocol_unsupported where every read surface refuses") {
+    val t = tmpTable()
+    try {
+      CommitLog.append(spark, t, df((1L, "a", 1.0)))
+      val forged = manifestFile(t, 2L)
+      java.nio.file.Files.write(forged.toPath,
+        ("""{"version":2,"baseVersion":1,"protocol":99,""" +
+          """"op":"append","segments":[]}""").getBytes("UTF-8")): Unit
+      // the read surface refuses loudly...
+      intercept[IllegalStateException] {
+        CommitLog.read(spark, t).collect()
+      }
+      // ...fsck REPORTS instead (its contract: findings, not throws)
+      val byCode = codes(CommitLogFsck.fsck(spark, t))
+      assert(byCode.get("protocol_unsupported").contains("ERROR"),
+        s"findings: $byCode")
+    } finally rm(t)
+  }
 }
