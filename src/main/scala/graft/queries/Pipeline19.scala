@@ -811,6 +811,42 @@ object Pipeline19 {
         s.catalog.dropTempView("q205_orders"): Unit
         rmTree(root)
       }
+    }),
+
+    // CONVERT TO COMMITLOG (round 13, Delta's CONVERT TO DELTA): an
+    // existing plain-parquet directory is adopted ZERO-COPY — the v1
+    // manifest references it in place (one schema inference + one
+    // manifest create, a rewrite never happens at any source size),
+    // with the stats backfill making the converted table born
+    // prunable. A copy-on-write DELETE then lands its rewrite under
+    // the TABLE root while the source bytes stay byte-identical —
+    // the adoption is reversible until the first OPTIMIZE. Witnesses:
+    // the source still reads as plain parquet with ALL rows, the
+    // converted table serves the post-DML subset, and the conversion
+    // appears in the change feed as the initial insert.
+    "q206_commitlog_convert_parquet" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q206_").toString
+      val src = s"$root/plain"; val tbl = s"$root/tbl"
+      try {
+        t(s, dir, "orders").select(col("o_orderkey"),
+            col("o_totalprice"))
+          .write.parquet(src)
+        CommitLog.convertParquet(s, src, tbl,
+          statsCols = Seq("o_orderkey"))
+        CommitLog.delete(s, tbl,
+          pmod(col("o_orderkey"), lit(3)) === 0)
+        val srcRows = s.read.parquet(src).count()
+        val feedInserts = CommitLog.changeFeed(s, tbl, 0L)
+          .filter(col("_change_type") === "insert").count()
+        CommitLog.read(s, tbl).agg(
+            count(lit(1)).as("n_rows"),
+            sum(col("o_totalprice").cast("decimal(30,6)"))
+              .cast("double").as("sum_price"))
+          .withColumn("src_rows", lit(srcRows))
+          .withColumn("feed_inserts", lit(feedInserts))
+          .localCheckpoint(true)
+      } finally rmTree(root)
     })
   )
 
@@ -1005,6 +1041,17 @@ object Pipeline19 {
         |  TRUE AS refused_null
         |FROM orders
         |GROUP BY 1
-        |ORDER BY 1""".stripMargin
+        |ORDER BY 1""".stripMargin,
+
+    "q206_commitlog_convert_parquet" ->
+      """SELECT
+        |  CAST(SUM(CASE WHEN o_orderkey % 3 <> 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN o_orderkey % 3 <> 0
+        |    THEN CAST(o_totalprice AS DECIMAL(30,6)) END) AS DOUBLE)
+        |    AS sum_price,
+        |  COUNT(*) AS src_rows,
+        |  COUNT(*) AS feed_inserts
+        |FROM orders""".stripMargin
   )
 }

@@ -2840,6 +2840,53 @@ object CommitLog {
     1L
   }
 
+  /** CONVERT an existing plain-parquet directory (or single file)
+    * into a commit-log table ZERO-COPY — Delta's CONVERT TO DELTA,
+    * adapted to external-segment references: the new table's v1
+    * manifest names the source in place as ONE segment (the same
+    * capability shallow CLONE exercises), so adoption costs one
+    * schema inference plus one manifest create — never a rewrite, at
+    * any source size. The source files are not moved or modified,
+    * with one opt-in exception: a non-empty `statsCols` backfills a
+    * `_stats.json` sidecar INSIDE a directory source so the converted
+    * table is born prunable (additive — plain-parquet readers ignore
+    * underscore files, the `_SUCCESS` convention).
+    *
+    * After conversion every lakehouse verb works: DML rewrites land
+    * under the TABLE's root and drop the external reference; the
+    * source is never a vacuum candidate (vacuum sweeps only the
+    * table's own `data/`). Caveat, same as shallow clones: deleting
+    * the source afterwards breaks versions that still reference it —
+    * `fsck` flags them (`segment_missing`). Run
+    * `CALL system.optimize_compact` to rewrite the data under the
+    * table root and cut the tie. */
+  def convertParquet(spark: SparkSession, source: String,
+      table: String, statsCols: Seq[String] = Seq.empty): Long = {
+    require(currentVersion(spark, table).isEmpty,
+      s"CommitLog.convertParquet: $table already has commits")
+    val norm = source.stripSuffix("/")
+    require(!norm.startsWith(table + "/") && norm != table &&
+      !table.startsWith(norm + "/"),
+      s"CommitLog.convertParquet: source $source and table $table " +
+        "must not nest — the manifest tree and the data tree would " +
+        "shadow each other")
+    val schema = spark.read.parquet(norm).schema
+    if (statsCols.nonEmpty) {
+      val p = new org.apache.hadoop.fs.Path(norm)
+      require(p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(p).isDirectory,
+        "CommitLog.convertParquet: the stats backfill writes a " +
+          "sidecar INSIDE the source — directory sources only")
+      CommitLogStats.writeSidecar(spark, norm, statsCols)
+    }
+    val snap = Snapshot(1L, Seq(norm), 0L, "convert",
+      schema = Some(encodeSchema(schema)))
+    if (!tryPublish(spark, table, snap, None))
+      throw new IllegalStateException(
+        s"CommitLog.convertParquet: $table was created concurrently")
+    1L
+  }
+
   /** RESTORE (Delta RESTORE TABLE ... TO VERSION): roll the table
     * back to `toVersion`'s content as a NEW commit referencing that
     * version's segments — history is preserved (the bad commits stay
@@ -3226,7 +3273,8 @@ object CommitLog {
       snap.op match {
         // a CTAS v1 is an insert of its whole output, same as the
         // first append of a created table
-        case "append" | "streaming-append" | "clone" | "ctas" =>
+        case "append" | "streaming-append" | "clone" | "clone_deep" |
+            "convert" | "ctas" =>
           val prev = if (v == 1L) Set.empty[String]
             else byVersion(v - 1L).segments.toSet
           val added = snap.segments.filterNot(prev)
@@ -3357,7 +3405,8 @@ object CommitLog {
     vs.flatMap { v =>
       val snap = byVersion(v)
       snap.op match {
-        case "append" | "streaming-append" | "clone" | "ctas" =>
+        case "append" | "streaming-append" | "clone" | "clone_deep" |
+            "convert" | "ctas" =>
           val prev = if (v == 1L) Set.empty[String]
             else byVersion(v - 1L).segments.toSet
           val added = snap.segments.filterNot(prev)

@@ -144,6 +144,14 @@ private[sources] object CommitLogProcedures {
         Seq(in("table", StringType), in("version", LongType)),
         row => CommitLog.restore(spark, path(str(row, 0)),
           row.getLong(1))))
+      // zero-copy adoption of an existing plain-parquet directory:
+      // the v1 manifest references the source in place; stats_columns
+      // optionally backfills a sidecar so the table is born prunable
+      case "convert_parquet" => Some(proc("convert_parquet",
+        Seq(in("source", StringType), in("table", StringType),
+          in("stats_columns", StringType, Some("''"))),
+        row => CommitLog.convertParquet(spark, str(row, 0),
+          path(str(row, 1)), cols(str(row, 2)))))
       // shallow (default) = zero-copy manifest reference; deep
       // copies segment bytes + sidecars on executors and rewrites
       // the DV with remapped paths — see CommitLogClone

@@ -1111,7 +1111,8 @@ class CommitLogStreamSource(spark: SparkSession, metadataPath: String,
       snap.op match {
         // 'clone' is an insert for the feed exactly as in changeFeed:
         // its v1 adds the source's full segment set
-        case "append" | "streaming-append" | "clone" | "ctas" =>
+        case "append" | "streaming-append" | "clone" | "clone_deep" |
+            "convert" | "ctas" =>
           val prev = if (ver == 1L) Set.empty[String]
             else byVersion(ver - 1L).segments.toSet
           val added = snap.segments.filterNot(prev)

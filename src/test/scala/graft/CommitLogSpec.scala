@@ -1789,6 +1789,46 @@ class CommitLogSpec extends AnyFunSuite {
     }
   }
 
+  test("CONVERT from plain parquet: zero-copy adoption (v1 references " +
+      "the source in place), stats backfill makes it born prunable, " +
+      "DML lands under the table root and the source stays intact") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_convert_").toString
+    val src = s"$root/plain"
+    val t = s"$root/tbl"
+    try {
+      df((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+        .write.parquet(src)
+      assert(CommitLog.convertParquet(spark, src, t,
+        statsCols = Seq("id")) === 1L)
+      // zero-copy: the only segment IS the source directory
+      val snap = CommitLog.snapshot(spark, t).get
+      assert(snap.segments === Seq(src) && snap.op === "convert")
+      assert(sortedRows(CommitLog.read(spark, t)) ===
+        Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+      // born prunable: the backfilled sidecar lives in the source
+      assert(new java.io.File(s"$src/_stats.json").exists())
+      // the change feed serves the conversion as the initial insert
+      assert(CommitLog.changeFeed(spark, t, 0L)
+        .filter(col("_change_type") === "insert").count() === 3L)
+      // DML rewrites land under the TABLE root; the source bytes are
+      // untouched and still read as plain parquet with original rows
+      CommitLog.delete(spark, t, col("id") === 2L)
+      assert(sortedRows(CommitLog.read(spark, t)) ===
+        Seq((1L, "a", 1.0), (3L, "c", 3.0)))
+      assert(CommitLog.snapshot(spark, t).get.segments
+        .forall(_.startsWith(t)), "rewrite referenced outside the root")
+      assert(spark.read.parquet(src).count() === 3L)
+      // refusals: nesting and existing tables
+      intercept[IllegalArgumentException] {
+        CommitLog.convertParquet(spark, s"$t/data", t)
+      }
+      intercept[IllegalArgumentException] {
+        CommitLog.convertParquet(spark, src, t)
+      }
+    } finally rm(src)
+  }
+
   test("connector scan optimizations are stock: MIN/MAX/COUNT push " +
       "into the parquet footers when enabled (no row decode)") {
     val t = tmpTable()
