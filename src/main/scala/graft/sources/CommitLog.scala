@@ -2859,7 +2859,14 @@ object CommitLog {
     * the source afterwards breaks versions that still reference it —
     * `fsck` flags them (`segment_missing`). Run
     * `CALL system.optimize_compact` to rewrite the data under the
-    * table root and cut the tie. */
+    * table root and cut the tie.
+    *
+    * Hive-partitioned sources (`key=value/` subtrees) convert as-is:
+    * the whole tree is the one referenced segment, and Spark's
+    * partition discovery recovers the partition columns at every
+    * read (they ride the inferred schema the manifest records). DML
+    * granularity is then the whole tree until the first rewrite —
+    * acceptable for adoption, OPTIMIZE re-segments. */
   def convertParquet(spark: SparkSession, source: String,
       table: String, statsCols: Seq[String] = Seq.empty): Long = {
     require(currentVersion(spark, table).isEmpty,
