@@ -2894,6 +2894,77 @@ object CommitLog {
     1L
   }
 
+  /** ALTER COLUMN … SET/DROP DEFAULT — a METADATA-ONLY commit (op
+    * `set_default`) updating the field's `CURRENT_DEFAULT`. Safe
+    * where ADD COLUMN DEFAULT is not: defaults are write-time-only
+    * here, so changing one never re-interprets existing rows — it
+    * governs FUTURE omissions exclusively (Spark's own
+    * CURRENT_DEFAULT vs EXISTS_DEFAULT split). The default must be a
+    * constant expression (no column references — there is no row to
+    * read at fill time) that casts to the column's type; both are
+    * validated before the commit. Identity and generated columns
+    * refuse (their omission semantics are allocation/computation,
+    * not a default). */
+  def setColumnDefault(spark: SparkSession, table: String,
+      column: String, default: Option[String],
+      maxRetries: Int = 20): Long = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val cur = snapshot(spark, table).getOrElse(
+        throw new IllegalStateException(
+          s"CommitLog.setColumnDefault: nothing committed at $table"))
+      val base = cur.schema.map(decodeSchema).getOrElse(
+        throw new IllegalStateException(
+          s"CommitLog.setColumnDefault: $table has no recorded " +
+            "schema — only catalog/evolved tables carry one"))
+      val f = base.fields.find(_.name.equalsIgnoreCase(column))
+        .getOrElse(throw new IllegalArgumentException(
+          s"CommitLog.setColumnDefault: no column '$column' at " +
+            s"$table — have ${base.fieldNames.mkString(", ")}"))
+      require(!f.metadata.contains(IdentityStartKey),
+        s"CommitLog.setColumnDefault: '$column' is an IDENTITY " +
+          "column — omissions allocate, a default cannot apply")
+      require(!f.metadata.contains(GeneratedKey),
+        s"CommitLog.setColumnDefault: '$column' is GENERATED ALWAYS " +
+          "AS — omissions compute, a default cannot apply")
+      default.foreach { sql =>
+        val refs = org.apache.spark.sql.catalyst.parser
+          .CatalystSqlParser.parseExpression(sql).collect {
+            case u: org.apache.spark.sql.catalyst.analysis
+                .UnresolvedAttribute => u.name
+          }
+        require(refs.isEmpty,
+          s"CommitLog.setColumnDefault: default ($sql) references " +
+            s"column(s) ${refs.mkString(", ")} — a default fills " +
+            "ABSENT values, there is no row to read; constants only")
+        // evaluate once so an unknown function or an uncastable
+        // value fails the DDL, not the first INSERT
+        spark.range(1).select(expr(sql).cast(f.dataType)).collect()
+        : Unit
+      }
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+      default match {
+        case Some(sql) => mb.putString("CURRENT_DEFAULT", sql): Unit
+        case None => mb.remove("CURRENT_DEFAULT"): Unit
+      }
+      val updated = org.apache.spark.sql.types.StructType(
+        base.fields.map(x =>
+          if (x.name.equalsIgnoreCase(column))
+            x.copy(metadata = mb.build())
+          else x))
+      val snap = Snapshot(cur.version + 1L, cur.segments,
+        cur.version, "set_default",
+        schema = Some(encodeSchema(updated)), dv = cur.dv)
+      if (tryPublish(spark, table, snap, Some(cur)))
+        return snap.version
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"CommitLog.setColumnDefault: lost the version race " +
+        s"$maxRetries times at $table")
+  }
+
   /** RESTORE (Delta RESTORE TABLE ... TO VERSION): roll the table
     * back to `toVersion`'s content as a NEW commit referencing that
     * version's segments — history is preserved (the bad commits stay
@@ -3302,7 +3373,7 @@ object CommitLog {
         case "create" | "evolve" | "rename_column" |
             "drop_column" | "widen_column" |
             "set_constraint" | "drop_constraint" |
-            "set_partition_spec" =>
+            "set_partition_spec" | "set_default" =>
           None
         case _ if skipRewrites => None
         case op => throw new IllegalStateException(
@@ -3425,7 +3496,7 @@ object CommitLog {
         case "create" => None  // zero-segment schema-only commit
         case "evolve" | "rename_column" | "drop_column" |
             "widen_column" | "set_constraint" | "drop_constraint" |
-            "set_partition_spec" =>
+            "set_partition_spec" | "set_default" =>
           None // metadata-only schema/constraint/spec commits
         case _ if skipRewrites => None
         case op => throw new IllegalStateException(

@@ -478,6 +478,29 @@ class CommitLogCatalog extends TableCatalog
       }
       return loadTable(ident)
     }
+    // ALTER COLUMN … SET/DROP DEFAULT: a metadata-only commit —
+    // safe where ADD COLUMN DEFAULT is not, because defaults are
+    // write-time-only (future omissions, never existing rows)
+    val defChanges = changes.collect {
+      case u: TableChange.UpdateColumnDefaultValue => u
+    }
+    if (defChanges.nonEmpty) {
+      require(defChanges.size == changes.size,
+        "commitlog catalog: mixing SET/DROP DEFAULT with other " +
+          "ALTERs in one statement is not supported")
+      val path = pathOf(ident)
+      defChanges.foreach { u =>
+        if (u.fieldNames().length != 1)
+          throw new UnsupportedOperationException(
+            "commitlog catalog: SET/DROP DEFAULT supports top-level " +
+              s"columns only, got '${u.fieldNames().mkString(".")}'")
+        val sql = Option(u.newDefaultValue()).map(_.trim)
+          .filter(_.nonEmpty)
+        CommitLog.setColumnDefault(spark, path, u.fieldNames()(0),
+          sql): Unit
+      }
+      return loadTable(ident)
+    }
     // RENAME / DROP COLUMN / ALTER COLUMN TYPE: metadata-only
     // commits ([[CommitLog.renameColumn]]/[[CommitLog.dropColumn]]
     // under column mapping, [[CommitLog.widenColumn]] for the safe

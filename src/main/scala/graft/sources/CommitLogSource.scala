@@ -1134,7 +1134,7 @@ class CommitLogStreamSource(spark: SparkSession, metadataPath: String,
         case "create" => None  // zero-segment schema-only commit
         case "evolve" | "rename_column" | "drop_column" |
             "widen_column" | "set_constraint" | "drop_constraint" |
-            "set_partition_spec" =>
+            "set_partition_spec" | "set_default" =>
           None // metadata-only schema/constraint/spec commits
         case "delete" | "delete_dv" | "update" | "update_dv"
             if readChangeFeed =>

@@ -1829,6 +1829,54 @@ class CommitLogSpec extends AnyFunSuite {
     } finally rm(src)
   }
 
+  test("ALTER COLUMN SET/DROP DEFAULT: metadata-only commit, future " +
+      "omissions fill the NEW default, existing rows untouched, " +
+      "non-constant or typo'd defaults refuse at the DDL") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_setdef_").toString
+    try {
+      spark.conf.set("spark.sql.catalog.gsd",
+        "graft.sources.CommitLogCatalog")
+      spark.conf.set("spark.sql.catalog.gsd.root", root)
+      val path = s"$root/ns/t"
+      spark.sql("CREATE TABLE gsd.ns.t (a BIGINT, " +
+        "b STRING DEFAULT 'old')")
+      spark.sql("INSERT INTO gsd.ns.t (a) VALUES (1)")
+      // SET DEFAULT: one metadata-only commit; segments unchanged
+      val segsBefore = CommitLog.snapshot(spark, path).get.segments
+      spark.sql("ALTER TABLE gsd.ns.t ALTER COLUMN b SET DEFAULT 'new'")
+      val snap = CommitLog.snapshot(spark, path).get
+      assert(snap.op === "set_default" &&
+        snap.segments === segsBefore)
+      // future omissions fill the NEW default on BOTH write paths;
+      // the pre-DDL row keeps its materialized value
+      spark.sql("INSERT INTO gsd.ns.t (a) VALUES (2)")
+      import spark.implicits._
+      CommitLog.append(spark, path, Seq(3L).toDF("a"))
+      val got = spark.sql("SELECT a, b FROM gsd.ns.t ORDER BY a")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got === Seq((1L, "old"), (2L, "new"), (3L, "new")))
+      // DROP DEFAULT: omissions revert to NULL
+      spark.sql("ALTER TABLE gsd.ns.t ALTER COLUMN b DROP DEFAULT")
+      spark.sql("INSERT INTO gsd.ns.t (a) VALUES (4)")
+      assert(spark.sql("SELECT b FROM gsd.ns.t WHERE a = 4")
+        .head().isNullAt(0))
+      // refusals: column-referencing and unknown-column defaults
+      val e1 = intercept[Exception] {
+        CommitLog.setColumnDefault(spark, path, "b", Some("a || 'x'"))
+      }
+      assert(e1.getMessage.contains("constants only"))
+      intercept[IllegalArgumentException] {
+        CommitLog.setColumnDefault(spark, path, "nosuch", Some("'x'"))
+      }
+      spark.sql("DROP TABLE gsd.ns.t")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gsd")
+      spark.conf.unset("spark.sql.catalog.gsd.root")
+      rm(root + "/x")
+    }
+  }
+
   test("connector scan optimizations are stock: MIN/MAX/COUNT push " +
       "into the parquet footers when enabled (no row decode)") {
     val t = tmpTable()
