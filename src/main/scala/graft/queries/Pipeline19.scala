@@ -847,6 +847,49 @@ object Pipeline19 {
           .withColumn("feed_inserts", lit(feedInserts))
           .localCheckpoint(true)
       } finally rmTree(root)
+    }),
+
+    // BOUNDED change feed (round 13, Delta's endingVersion): four
+    // append commits land one o_orderkey % 4 residue class each;
+    // the feed pinned to (v1, v3] serves EXACTLY residues 1 and 2 —
+    // reproducible forever, immune to the later v4 commit — and the
+    // past-end/degenerate bounds refuse loudly (witnessed). The
+    // oracle re-derives the bounded window from residue arithmetic.
+    "q207_commitlog_bounded_feed" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q207_").toString
+      val tbl = s"$root/tbl"
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      try {
+        (0 until 4).foreach(i => CommitLog.append(s, tbl,
+          orders.filter(pmod(col("o_orderkey"), lit(4)) === i)))
+        def feed(opts: (String, String)*) = {
+          val r = s.read.format("commitlog")
+            .option("path", tbl).option("readChangeFeed", "true")
+          opts.foldLeft(r) { case (x, (k, v)) => x.option(k, v) }
+            .load()
+        }
+        val bounded = feed("startingVersion" -> "2",
+          "endingVersion" -> "3")
+        val refusedFuture =
+          try { feed("endingVersion" -> "9").collect(): Unit; false }
+          catch { case e: Exception =>
+            e.getMessage.contains("exceeds the current version") }
+        val refusedInverted =
+          try { feed("startingVersion" -> "3",
+            "endingVersion" -> "2").collect(): Unit; false }
+          catch { case e: Exception =>
+            e.getMessage.contains("must be at or after") }
+        bounded.groupBy(col("_commit_version").as("commit_version"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_totalprice").cast("decimal(30,6)"))
+              .cast("double").as("sum_price"))
+          .withColumn("refused_future", lit(refusedFuture))
+          .withColumn("refused_inverted", lit(refusedInverted))
+          .orderBy(col("commit_version"))
+          .localCheckpoint(true)
+      } finally rmTree(root)
     })
   )
 
@@ -1052,6 +1095,18 @@ object Pipeline19 {
         |    AS sum_price,
         |  COUNT(*) AS src_rows,
         |  COUNT(*) AS feed_inserts
-        |FROM orders""".stripMargin
+        |FROM orders""".stripMargin,
+
+    "q207_commitlog_bounded_feed" ->
+      """SELECT CAST(o_orderkey % 4 + 1 AS BIGINT) AS commit_version,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price,
+        |  TRUE AS refused_future,
+        |  TRUE AS refused_inverted
+        |FROM orders
+        |WHERE o_orderkey % 4 IN (1, 2)
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin
   )
 }
