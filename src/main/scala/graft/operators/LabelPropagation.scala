@@ -40,10 +40,23 @@ object LabelPropagation {
 
   /** Run `iters` synchronous rounds over `edges(srcCol, dstCol)`.
     * Returns (node, lbl). Nodes = every endpoint of `edges`; isolated
-    * nodes (absent from edges) are out of scope, as in the paper. */
+    * nodes (absent from edges) are out of scope, as in the paper.
+    *
+    * @param checkpointInterval every this-many rounds the label
+    *        relation is eagerly local-checkpointed, truncating
+    *        lineage — the same cadence [[PageRank.run]] has, for the
+    *        same reason: each round appends a join + two aggregations
+    *        to ONE logical plan, so analyzer/optimizer time and
+    *        driver plan memory grow per round; production community
+    *        detection runs tens of rounds. Labels are one row per
+    *        node, so each truncation is cheap, and checkpointing is a
+    *        materialization boundary, not a semantic one — values
+    *        are unchanged at any cadence (LawsSpec). */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int): DataFrame = {
+      iters: Int, checkpointInterval: Int = 8): DataFrame = {
     require(iters >= 1, s"LabelPropagation: iters must be >= 1, got $iters")
+    require(checkpointInterval >= 1,
+      s"LabelPropagation: checkpointInterval must be >= 1")
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -51,12 +64,14 @@ object LabelPropagation {
       val nodes = e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct()
       var labels = nodes.withColumn("lbl", col("node"))
-      for (_ <- 1 to iters) {
+      for (it <- 1 to iters) {
         labels = e.join(labels, e("src") === labels("node"))
           .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
           .groupBy(col("dst"))
           .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("m"))
           .select(col("dst").as("node"), (-col("m.neg")).as("lbl"))
+        if (it % checkpointInterval == 0 && it < iters)
+          labels = labels.localCheckpoint(eager = true)
       }
       // materialize before unpersisting the edge cache the plan feeds on
       labels.localCheckpoint(eager = true)

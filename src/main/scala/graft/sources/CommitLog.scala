@@ -462,6 +462,86 @@ object CommitLog {
     (out, marks)
   }
 
+  private[sources] def encodeIdentityMarks(m: Map[String, Long]): String =
+    encodeConstraints(m.map { case (k, x) => k -> x.toString })
+
+  /** Omission gate for staging paths that bypass
+    * [[writeSegmentGated]] (the sliced/partitioned stagers): a frame
+    * omitting an identity or declared NOT NULL column would land
+    * silently and read back NULL — the corruption the gated paths
+    * refuse loudly. Same refusals, run on the pinned input BEFORE any
+    * staged directory is renamed into data/. */
+  private[sources] def gateStagedOmissions(op: String, table: String,
+      df: DataFrame, cur: Option[Snapshot]): Unit = {
+    val logical = cur.flatMap(_.schema).map(decodeSchema)
+    identityFields(logical)
+      .find(f => !df.columns.exists(_.equalsIgnoreCase(f.name)))
+      .foreach { f =>
+        throw new IllegalArgumentException(
+          s"CommitLog.$op: frame omits identity column '${f.name}' " +
+            s"of $table — this write path does not allocate; use " +
+            "CommitLog.append (NULLs allocate there), or provide " +
+            "values")
+      }
+    nonNullableFields(cur)
+      .find(f => !df.columns.exists(_.equalsIgnoreCase(f.name)))
+      .foreach { f =>
+        throw new IllegalArgumentException(
+          s"CommitLog.$op: frame omits NOT NULL column '${f.name}' " +
+            s"of $table — new rows would read NULL under a " +
+            "non-nullable schema; provide the column")
+      }
+  }
+
+  /** Value rules for identity columns on NON-ALLOCATING staging
+    * paths, plus their provided extents for the mark auto-SYNC:
+    * GENERATED ALWAYS refuses any explicit value (only the append
+    * path may mint ids); BY DEFAULT refuses NULLs (nothing here
+    * allocates — a NULL would land and read back NULL forever).
+    * One [[identityStats]] job over the pinned input; empty when the
+    * table has no identity columns. */
+  private[sources] def stagedIdentityExtents(op: String, table: String,
+      pinned: DataFrame, cur: Option[Snapshot])
+      : Seq[(org.apache.spark.sql.types.StructField,
+        Option[Long], Option[Long])] = {
+    val idFs = identityFields(cur.flatMap(_.schema).map(decodeSchema))
+    if (idFs.isEmpty) return Seq.empty
+    val stats = identityStats(pinned, idFs)
+    idFs.map { f =>
+      // omission is refused by gateStagedOmissions before this runs
+      val (nonNull, mn, mx) = stats.provided(f.name)
+      if (!f.metadata.getBoolean(IdentityExplicitKey) && nonNull > 0L)
+        throw new IllegalArgumentException(
+          s"CommitLog.$op: '${f.name}' is GENERATED ALWAYS AS " +
+            s"IDENTITY — explicit values are not accepted ($nonNull " +
+            "non-NULL provided); insert these rows via " +
+            "CommitLog.append (NULLs allocate there)")
+      if (nonNull < stats.n)
+        throw new IllegalArgumentException(
+          s"CommitLog.$op: identity column '${f.name}' carries " +
+            s"${stats.n - nonNull} NULL value(s) — this write path " +
+            "does not allocate; use CommitLog.append (NULLs allocate " +
+            "there), or provide values")
+      (f, mn, mx)
+    }
+  }
+
+  /** Fold provided identity extents into the high-water marks (the
+    * auto-SYNC the append path gives provided values) — marks only
+    * ever advance per step sign, so re-folding against a retry's
+    * fresher snapshot is safe without re-staging. */
+  private[sources] def syncMarks(hwms: Map[String, Long],
+      extents: Seq[(org.apache.spark.sql.types.StructField,
+        Option[Long], Option[Long])]): Map[String, Long] =
+    extents.foldLeft(hwms) { case (m, (f, mn, mx)) =>
+      val step = f.metadata.getLong(IdentityStepKey)
+      val start = f.metadata.getLong(IdentityStartKey)
+      val hwm = m.getOrElse(f.name, start - step)
+      val ext = if (step > 0L) mx else mn
+      m + (f.name -> ext.fold(hwm)(e =>
+        if (step > 0L) math.max(hwm, e) else math.min(hwm, e)))
+    }
+
   private[sources] def physicalName(
       f: org.apache.spark.sql.types.StructField): String =
     if (f.metadata.contains(PhysicalKey))
@@ -2872,8 +2952,19 @@ object CommitLog {
     require(currentVersion(spark, table).isEmpty,
       s"CommitLog.convertParquet: $table already has commits")
     val norm = source.stripSuffix("/")
-    require(!norm.startsWith(table + "/") && norm != table &&
-      !table.startsWith(norm + "/"),
+    // nesting guard on FULLY-QUALIFIED paths, not raw strings: a
+    // scheme-qualified or non-normalized alias of the same location
+    // (file:/x vs /x, doubled separators) would escape a raw prefix
+    // check and the manifest tree and data tree would shadow each
+    // other anyway
+    def qualified(p: String): String = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(hp).toString.stripSuffix("/")
+    }
+    val (qs, qt) = (qualified(norm), qualified(table))
+    require(!qs.startsWith(qt + "/") && qs != qt &&
+      !qt.startsWith(qs + "/"),
       s"CommitLog.convertParquet: source $source and table $table " +
         "must not nest — the manifest tree and the data tree would " +
         "shadow each other")
@@ -3070,6 +3161,13 @@ object CommitLog {
     *    missing columns NULL, extra source columns ignored), if
     *    `whenNotMatchedInsert`
     *
+    * Identity columns: inserts ALLOCATE like the append path (the
+    * source may omit the column or write NULLs; GENERATED ALWAYS
+    * refuses explicit values; BY DEFAULT passes values through), and
+    * the commit advances the manifest high-water marks — both for
+    * allocated/provided insert values and for BY DEFAULT ids written
+    * by SET — so later appends can never re-mint a merged id.
+    *
     * Clause order is Delta's: a matched row tests DELETE first, then
     * UPDATE, else survives unchanged. A source with DUPLICATE keys
     * refuses loudly (a matched target row's outcome would be
@@ -3110,6 +3208,12 @@ object CommitLog {
         "nondeterministic; deduplicate the source first")
     var attempt = 0
     while (attempt < maxRetries) {
+      // frames persisted inside this attempt (identity allocation
+      // pins its insert candidates); released before the next attempt
+      // or return — a lost OCC race reallocates against fresh marks
+      val pins = scala.collection.mutable.ArrayBuffer
+        .empty[DataFrame]
+      try {
       val cur = snapshot(spark, table).getOrElse(
         throw new IllegalStateException(
           s"CommitLog.mergeInto: nothing committed at $table"))
@@ -3176,26 +3280,35 @@ object CommitLog {
       }
       // inserts check NOT-MATCHED against the WHOLE table, not just
       // touched segments
+      val idFs = identityFields(logical)
+      var idMarks: Option[Map[String, Long]] = None
       val inserts =
         if (!whenNotMatchedInsert) None
         else {
           // WHEN NOT MATCHED [AND cond]: the condition gates inserts
           // only (evaluated over source columns), never the matched
           // clauses — SQL MERGE semantics
-          val anti = source
+          val anti0 = source
             .filter(whenNotMatchedInsertCondition.getOrElse(lit(true)))
             .join(all.select(keys.map(col): _*), keys, "left_anti")
-          // MERGE does not allocate identity values — a source
-          // omitting an identity column would NULL-fill it silently;
-          // refuse and point at the allocating path
-          identityFields(logical).find(f =>
-              !anti.columns.exists(_.equalsIgnoreCase(f.name)))
-            .foreach { f =>
-              throw new IllegalArgumentException(
-                s"CommitLog.mergeInto: source omits identity column " +
-                  s"'${f.name}' of $table — MERGE inserts do not " +
-                  "allocate; provide values, or insert new rows via " +
-                  "CommitLog.append (NULLs allocate there)")
+          // identity tables: MERGE inserts ALLOCATE exactly like the
+          // append path (omission/NULLs allocate; GENERATED ALWAYS
+          // refuses explicit values; BY DEFAULT passes values through
+          // and auto-SYNCs the mark past their extent) — and the
+          // committed snapshot carries the advanced high-water marks
+          // under the merge's own OCC, so a subsequent append can
+          // never re-mint an id this merge inserted
+          val anti =
+            if (idFs.isEmpty) anti0
+            else {
+              val pinned = anti0.persist(
+                org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              pins += pinned
+              val st = identityStats(pinned, idFs)
+              val (withIds, marks) = applyIdentity(pinned, idFs,
+                decodeIdentity(cur.identity), st)
+              idMarks = Some(marks)
+              withIds
             }
           val projected0 = anti.select(schema.fieldNames.toSeq.map { f =>
             if (anti.columns.contains(f))
@@ -3244,10 +3357,37 @@ object CommitLog {
       val newSegs =
         if (newRows.isEmpty) Seq.empty[String]
         else Seq(writeSegment(spark, table, newRows))
+      // BY DEFAULT identity columns touched by SET (ALWAYS refuses at
+      // refuseGeneratedSet): fold the post-image extent into the
+      // marks — the same auto-SYNC the append path gives provided
+      // values — so a later allocation cannot collide with an id an
+      // update just wrote
+      val updatedIdFs = idFs.filter(f =>
+        whenMatchedUpdate.keys.exists(_.equalsIgnoreCase(f.name)))
+      if (updatedIdFs.nonEmpty && touched.nonEmpty) {
+        val aggs = updatedIdFs.flatMap(f => Seq(
+          min(col(f.name)).cast("long").as(s"__mn_${f.name}"),
+          max(col(f.name)).cast("long").as(s"__mx_${f.name}")))
+        val r = project(joined.filter(updCond), updated = true)
+          .agg(aggs.head, aggs.tail: _*).collect()(0)
+        val base = idMarks.getOrElse(decodeIdentity(cur.identity))
+        idMarks = Some(updatedIdFs.foldLeft(base) { (m, f) =>
+          val step = f.metadata.getLong(IdentityStepKey)
+          val start = f.metadata.getLong(IdentityStartKey)
+          val hwm = m.getOrElse(f.name, start - step)
+          val ext = Option(r.getAs[java.lang.Long](
+            if (step > 0L) s"__mx_${f.name}" else s"__mn_${f.name}"))
+            .map(_.longValue)
+          m + (f.name -> ext.fold(hwm)(e =>
+            if (step > 0L) math.max(hwm, e) else math.min(hwm, e)))
+        })
+      }
       val snap = Snapshot(cur.version + 1L,
         cur.segments.filterNot(touched.toSet) ++ newSegs,
         cur.version, "merge_into", changes = Some(changeDir),
-        schema = cur.schema, dv = cur.dv)
+        schema = cur.schema, dv = cur.dv,
+        identity = idMarks.map(m => encodeConstraints(
+          m.map { case (k, x) => k -> x.toString })))
       if (tryPublish(spark, table, snap, Some(cur)))
         return (snap.version, nUpd, nDel, nIns)
       newSegs.foreach(s => fs(spark, table).delete(
@@ -3255,6 +3395,7 @@ object CommitLog {
       fs(spark, table).delete(
         new org.apache.hadoop.fs.Path(changeDir), true): Unit
       attempt += 1
+      } finally pins.foreach(_.unpersist(): Unit)
     }
     throw new java.io.IOException(
       s"CommitLog.mergeInto: lost the version race $maxRetries times " +

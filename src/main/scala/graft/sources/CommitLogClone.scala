@@ -76,21 +76,37 @@ private[sources] object CommitLogClone {
     copyAll(segPairs)
     val dv = s.dv.map { d =>
       val to = s"$dst/_dv/${tail(d)}"
-      // remap keyed by segment uuid (the file path's second-to-last
-      // component) → O(1) per DV row, O(segments) map — the same
-      // order the driver already holds in the manifest. File paths
-      // carry a scheme prefix (file:/…) the manifest paths lack;
-      // replacing the scheme-less substring keeps it intact. A UDF
-      // is fine here: a bounded one-shot maintenance job, not a
-      // query hot path.
-      val byUuid: Map[String, (String, String)] =
-        segPairs.map { case (f, t) => tail(f) -> (f, t) }.toMap
+      // Remap by SEGMENT-ROOT prefix, not by the file's parent
+      // component: a segment adopted via convertParquet can be a
+      // nested tree (Hive-partitioned `seg/year=2024/part-*.parquet`),
+      // where the parent component is the leaf dir, not the segment
+      // uuid — the old parent-keyed lookup would miss, keep the
+      // SOURCE path, subtract nothing, and deleted rows would
+      // resurrect in the clone. Fast path stays O(path-depth) per DV
+      // row: try each component (deepest first) against a
+      // tail-component map, then CONFIRM containment of the full
+      // segment root (`from + "/"` — file paths carry a scheme
+      // prefix the manifest paths lack, so contains, not prefix);
+      // ties (two segments sharing a tail) resolve to the longest
+      // matching root. A DV row matching NO cloned segment refuses
+      // loudly — keeping it un-remapped would silently resurrect
+      // rows. A UDF is fine here: a bounded one-shot maintenance
+      // job, not a query hot path.
+      val byTail: Map[String, Seq[(String, String)]] =
+        segPairs.groupBy { case (f, _) => tail(f) }
       val remap = org.apache.spark.sql.functions.udf { (p: String) =>
         val comps = p.split('/')
-        (if (comps.length < 2) None
-         else byUuid.get(comps(comps.length - 2))) match {
-          case Some((from, t2)) => p.replace(from, t2)
-          case None => p
+        val hits = comps.indices.reverseIterator.flatMap(i =>
+          byTail.getOrElse(comps(i), Nil)
+            .filter { case (from, _) => p.contains(from + "/") })
+          .toSeq
+        hits.sortBy { case (from, _) => -from.length }.headOption match {
+          case Some((from, t2)) => p.replace(from + "/", t2 + "/")
+          case None => throw new IllegalStateException(
+            s"CommitLogClone: deletion-vector row references $p, " +
+              "which is under none of the cloned segments — the " +
+              "clone cannot remap it (OPTIMIZE the source to " +
+              "materialize the vector, then re-clone)")
         }
       }
       spark.read.parquet(d)

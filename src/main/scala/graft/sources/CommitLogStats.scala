@@ -600,13 +600,22 @@ object CommitLogStats {
       curSnap.flatMap(_.schema).map(CommitLog.decodeSchema)).persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var gated = CommitLog.constraintsOf(spark, table, curSnap)
-    val segs =
+    val (segs, idExtents) =
       try {
+        // same omission/identity refusals as writeSegmentGated — this
+        // stager bypasses it, and an omitted identity/NOT NULL column
+        // (or a NULL in a non-allocating identity column) would land
+        // silently and read back NULL (the slice column never lands,
+        // so it is excluded from the probe)
+        CommitLog.gateStagedOmissions("appendSliced", table,
+          persisted.drop(sliceCol), curSnap)
+        val ext = CommitLog.stagedIdentityExtents("appendSliced",
+          table, persisted, curSnap)
         CommitLog.constraintViolation(spark, table,
           persisted.drop(sliceCol), curSnap).foreach(msg =>
             throw new IllegalStateException(s"CommitLog: $msg"))
-        writeBucketedSegments(spark, table, persisted, sliceCol,
-          Seq.empty, statsCols).map(_._2)
+        (writeBucketedSegments(spark, table, persisted, sliceCol,
+          Seq.empty, statsCols).map(_._2), ext)
       } finally persisted.unpersist()
     var attempt = 0
     while (attempt < maxRetries) {
@@ -617,7 +626,14 @@ object CommitLogStats {
       val snap = CommitLog.Snapshot(v,
         cur.fold(Seq.empty[String])(_.segments) ++ segs,
         cur.fold(0L)(_.version), "append",
-        schema = cur.flatMap(_.schema), dv = cur.flatMap(_.dv))
+        schema = cur.flatMap(_.schema), dv = cur.flatMap(_.dv),
+        // provided BY DEFAULT identity values auto-SYNC the marks
+        // (re-folded per retry against the fresh snapshot — safe,
+        // marks only advance)
+        identity = if (idExtents.isEmpty) None
+          else Some(CommitLog.encodeIdentityMarks(CommitLog.syncMarks(
+            CommitLog.decodeIdentity(cur.flatMap(_.identity)),
+            idExtents))))
       if (CommitLog.tryPublish(spark, table, snap, cur)) return v
       attempt += 1
     }
@@ -653,8 +669,8 @@ object CommitLogStats {
       df: DataFrame, partitionCols: Seq[String],
       statsCols: Seq[String] = Seq.empty,
       maxRetries: Int = 20): Long = {
-    val (segs, gated0) = stagePartitionedGated(spark, table, df,
-      partitionCols, statsCols)
+    val (segs, gated0, idExtents) = stagePartitionedGated(spark, table,
+      df, partitionCols, statsCols)
     var gated = gated0
     var attempt = 0
     while (attempt < maxRetries) {
@@ -665,7 +681,11 @@ object CommitLogStats {
       val snap = CommitLog.Snapshot(v,
         cur.fold(Seq.empty[String])(_.segments) ++ segs,
         cur.fold(0L)(_.version), "append",
-        schema = cur.flatMap(_.schema), dv = cur.flatMap(_.dv))
+        schema = cur.flatMap(_.schema), dv = cur.flatMap(_.dv),
+        identity = if (idExtents.isEmpty) None
+          else Some(CommitLog.encodeIdentityMarks(CommitLog.syncMarks(
+            CommitLog.decodeIdentity(cur.flatMap(_.identity)),
+            idExtents))))
       if (CommitLog.tryPublish(spark, table, snap, cur)) return v
       attempt += 1
     }
@@ -687,8 +707,8 @@ object CommitLogStats {
       maxRetries: Int = 20): Option[Long] = {
     if (CommitLog.lastTxn(spark, table, appId).exists(_ >= batchId))
       return None
-    val (segs, gated0) = stagePartitionedGated(spark, table, df,
-      partitionCols, statsCols)
+    val (segs, gated0, idExtents) = stagePartitionedGated(spark, table,
+      df, partitionCols, statsCols)
     var gated = gated0
     var attempt = 0
     while (attempt < maxRetries) {
@@ -708,7 +728,11 @@ object CommitLogStats {
         cur.fold(Seq.empty[String])(_.segments) ++ segs,
         cur.fold(0L)(_.version), "streaming-append",
         txnApp = Some(appId), txnBatch = Some(batchId),
-        schema = cur.flatMap(_.schema), dv = cur.flatMap(_.dv))
+        schema = cur.flatMap(_.schema), dv = cur.flatMap(_.dv),
+        identity = if (idExtents.isEmpty) None
+          else Some(CommitLog.encodeIdentityMarks(CommitLog.syncMarks(
+            CommitLog.decodeIdentity(cur.flatMap(_.identity)),
+            idExtents))))
       if (CommitLog.tryPublish(spark, table, snap, cur)) return Some(v)
       attempt += 1
     }
@@ -731,11 +755,14 @@ object CommitLogStats {
 
   /** [[stagePartitioned]] plus the constraint set the gate ran
     * against (empty for `enforce=false` CTAS/RTAS staging) — the
-    * committing loop's re-gate yardstick. */
+    * committing loop's re-gate yardstick — plus the provided
+    * identity extents for the committing loop's mark auto-SYNC. */
   private[sources] def stagePartitionedGated(spark: SparkSession,
       table: String, df: DataFrame, partitionCols: Seq[String],
       statsCols: Seq[String] = Seq.empty,
-      enforce: Boolean = true): (Seq[String], Map[String, String]) = {
+      enforce: Boolean = true): (Seq[String], Map[String, String],
+        Seq[(org.apache.spark.sql.types.StructField,
+          Option[Long], Option[Long])]) = {
     require(partitionCols.nonEmpty, "partitionCols must be non-empty")
     // GENERATED ALWAYS AS, before the partition-column checks: the
     // Delta-common pattern PARTITIONED BY a generated column works
@@ -778,13 +805,23 @@ object CommitLogStats {
     // which must see neither the replaced table's rules nor its
     // mapping)
     val curSnap = curSnap0
-    val segs: Seq[String] =
+    val (segs: Seq[String], idExtents) =
       try {
         // the partitioned stager bypasses writeSegment, so the
         // persistent CHECK constraints gate here — on the pinned
         // input, BEFORE any staged directory is renamed into data/
         // (skipped by CTAS/RTAS staging, whose rules belong to the
-        // table definition being committed, not the replaced one)
+        // table definition being committed, not the replaced one).
+        // Same for writeSegmentGated's omission/identity refusals:
+        // an omitted identity/NOT NULL column (or a NULL in a
+        // non-allocating identity column) would land silently and
+        // read back NULL.
+        val ext = if (enforce) {
+          CommitLog.gateStagedOmissions("appendPartitioned", table,
+            pinned, curSnap)
+          CommitLog.stagedIdentityExtents("appendPartitioned", table,
+            pinned, curSnap)
+        } else Seq.empty
         if (enforce)
           CommitLog.constraintViolation(spark, table, pinned, curSnap)
             .foreach(msg =>
@@ -834,7 +871,7 @@ object CommitLogStats {
             "appendPartitioned: empty-string partition values are " +
               "not supported (they alias the NULL staging directory)" +
               " — filter or map them first")
-        groups.toSeq.map { row =>
+        (groups.toSeq.map { row =>
           val leaf = partitionCols.map { c =>
             val v = row.getAs[Any](c)
             val s = v match {
@@ -861,14 +898,15 @@ object CommitLogStats {
           writeSidecarText(spark, dst,
             sidecarText(schema, sidecarCols, row, keyOf))
           dst
-        }
+        }, ext)
       } finally {
         pinned.unpersist()
         f.delete(new org.apache.hadoop.fs.Path(staging), true): Unit
       }
     (segs,
       if (enforce) CommitLog.constraintsOf(spark, table, curSnap)
-      else Map.empty)
+      else Map.empty,
+      idExtents)
   }
 
   /** OPTIMIZE for skippability: rewrite the CURRENT snapshot as

@@ -1447,12 +1447,23 @@ class CommitLogSpec extends AnyFunSuite {
         CommitLog.update(spark, path, lit(true), Map("id" -> lit(0L)))
       }
       assert(e2.getMessage.contains("IDENTITY"))
-      // MERGE inserts do not allocate — omission refuses loudly
+      // MERGE inserts ALLOCATE like the append path: omission mints
+      // the next id and the commit advances the manifest mark under
+      // the merge's own OCC
+      CommitLog.mergeInto(spark, path, Seq("q").toDF("name"),
+        Seq("name"))
+      assert(ids() === Seq(10L, 12L, 14L, 16L, 18L, 20L))
+      // ...and a subsequent append continues PAST the merged id
+      // (previously the merge never advanced the mark — this append
+      // would have re-minted 20 as a silent duplicate)
+      CommitLog.append(spark, path, Seq("s").toDF("name"))
+      assert(ids() === Seq(10L, 12L, 14L, 16L, 18L, 20L, 22L))
+      // explicit values on an ALWAYS identity refuse in MERGE too
       val e3 = intercept[IllegalArgumentException] {
-        CommitLog.mergeInto(spark, path, Seq("q").toDF("name"),
-          Seq("name"))
+        CommitLog.mergeInto(spark, path,
+          Seq((99L, "zz")).toDF("id", "name"), Seq("name"))
       }
-      assert(e3.getMessage.contains("identity column"))
+      assert(e3.getMessage.contains("GENERATED ALWAYS"))
       // non-allocating gated paths refuse omission instead of
       // silently landing NULL ids
       val e4 = intercept[IllegalArgumentException] {
@@ -1494,6 +1505,27 @@ class CommitLogSpec extends AnyFunSuite {
       val dMax = spark.sql("SELECT max(id) FROM gid.ns.d").head()
         .getLong(0)
       assert(dMax > 500L)
+      // MERGE with explicit BY DEFAULT ids: values pass through and
+      // the merge commit itself advances the mark (previously the
+      // mark went stale and the next append minted a duplicate)
+      CommitLog.mergeInto(spark, dPath,
+        Seq((900L, "m")).toDF("id", "name"), Seq("name"))
+      CommitLog.append(spark, dPath, Seq("n").toDF("name"))
+      val dIds3 = spark.sql("SELECT id FROM gid.ns.d ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(dIds3.contains(900L) && dIds3.max > 900L &&
+        dIds3.distinct.length === dIds3.length)
+      // SET on a BY DEFAULT identity folds the post-image into the
+      // mark (auto-SYNC): a later append cannot re-mint the updated id
+      CommitLog.mergeInto(spark, dPath,
+        Seq(("m", 5000L)).toDF("name", "newid"), Seq("name"),
+        whenMatchedUpdate = Map("id" -> CommitLog.src("newid")),
+        whenNotMatchedInsert = false)
+      CommitLog.append(spark, dPath, Seq("o").toDF("name"))
+      val dIds4 = spark.sql("SELECT id FROM gid.ns.d ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(dIds4.contains(5000L) && dIds4.max > 5000L &&
+        dIds4.distinct.length === dIds4.length)
       spark.sql("DROP TABLE gid.ns.t")
       spark.sql("DROP TABLE gid.ns.d")
     } finally {
@@ -5502,6 +5534,139 @@ class CommitLogSpec extends AnyFunSuite {
       q2.awaitTermination(60000)
       assert(spark.sql("SELECT id FROM gvb_ok").collect()
         .map(_.getLong(0)).toSeq === Seq(4L))
+    } finally rm(t)
+  }
+
+  test("sliced/partitioned stagers run the writeSegmentGated " +
+      "omission/identity refusals: omitted identity or NOT NULL " +
+      "columns refuse (previously landed silently and read back " +
+      "NULL); NULL identity values refuse (no allocation here); " +
+      "provided BY DEFAULT ids auto-SYNC the mark in the commit") {
+    import spark.implicits._
+    import graft.sources.CommitLogStats
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_gatestage_").toString
+    try {
+      spark.conf.set("spark.sql.catalog.gst",
+        "graft.sources.CommitLogCatalog")
+      spark.conf.set("spark.sql.catalog.gst.root", root)
+      val path = s"$root/ns/t"
+      spark.sql("CREATE TABLE gst.ns.t (id BIGINT GENERATED BY " +
+        "DEFAULT AS IDENTITY, name STRING NOT NULL, region STRING, " +
+        "v DOUBLE)")
+      // omitted identity column refuses on the partitioned stager
+      val e1 = intercept[IllegalArgumentException] {
+        CommitLogStats.appendPartitioned(spark, path,
+          Seq(("a", "us", 1.0)).toDF("name", "region", "v"),
+          Seq("region"))
+      }
+      assert(e1.getMessage.contains("identity column") &&
+        e1.getMessage.contains("does not allocate"))
+      // NULL identity values refuse (this path cannot allocate)
+      val e2 = intercept[IllegalArgumentException] {
+        CommitLogStats.appendPartitioned(spark, path,
+          Seq((None: Option[Long], "a", "us", 1.0),
+            (Some(7L), "b", "us", 2.0))
+            .toDF("id", "name", "region", "v"), Seq("region"))
+      }
+      assert(e2.getMessage.contains("NULL value(s)"))
+      // omitted NOT NULL column refuses
+      val e3 = intercept[IllegalArgumentException] {
+        CommitLogStats.appendPartitioned(spark, path,
+          Seq((7L, "us", 1.0)).toDF("id", "region", "v"),
+          Seq("region"))
+      }
+      assert(e3.getMessage.contains("NOT NULL column 'name'"))
+      // nothing landed through the refusals
+      assert(CommitLog.read(spark, path).count() === 0L)
+      // a valid partitioned append with explicit BY DEFAULT ids
+      // advances the mark: the next allocating append continues past
+      CommitLogStats.appendPartitioned(spark, path,
+        Seq((100L, "a", "us", 1.0), (101L, "b", "eu", 2.0))
+          .toDF("id", "name", "region", "v"), Seq("region"))
+      CommitLog.append(spark, path,
+        Seq(("c", "ap", 3.0)).toDF("name", "region", "v"))
+      val ids = spark.sql("SELECT id FROM gst.ns.t ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids.take(2) === Seq(100L, 101L) && ids(2) > 101L &&
+        ids.distinct.length === 3)
+      // the sliced stager refuses the same shapes
+      val e4 = intercept[IllegalArgumentException] {
+        CommitLogStats.appendSliced(spark, path,
+          Seq((1, 9L, "us", 9.0)).toDF("sl", "id", "region", "v"),
+          "sl", Seq("id"))
+      }
+      assert(e4.getMessage.contains("NOT NULL column 'name'"))
+      // ALWAYS identity: explicit values refuse on these paths too
+      spark.sql("CREATE TABLE gst.ns.a (id BIGINT GENERATED ALWAYS " +
+        "AS IDENTITY, region STRING)")
+      val e5 = intercept[IllegalArgumentException] {
+        CommitLogStats.appendPartitioned(spark, s"$root/ns/a",
+          Seq((1L, "us")).toDF("id", "region"), Seq("region"))
+      }
+      assert(e5.getMessage.contains("GENERATED ALWAYS"))
+      spark.sql("DROP TABLE gst.ns.t")
+      spark.sql("DROP TABLE gst.ns.a")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gst")
+      spark.conf.unset("spark.sql.catalog.gst.root")
+      rm(root + "/x")
+    }
+  }
+
+  test("deep CLONE remaps deletion-vector rows under NESTED segment " +
+      "layouts (a Hive-partitioned tree adopted via convertParquet): " +
+      "the clone subtracts exactly the source's deleted rows — " +
+      "previously the parent-component remap missed and deleted rows " +
+      "resurrected") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_dvclone_").toString
+    val src = s"$root/plain"
+    val t = s"$root/tbl"
+    val dp = s"$root/deep"
+    try {
+      Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0))
+        .toDF("id", "name", "v")
+        .write.partitionBy("name").parquet(src)
+      CommitLog.convertParquet(spark, src, t)
+      // merge-on-read delete: the DV keys rows by FILE PATH inside
+      // the nested tree (…/plain/name=a/part-*.parquet)
+      CommitLog.deleteVectored(spark, t, col("id") === 2L)
+      assert(CommitLog.read(spark, t).count() === 2L)
+      CommitLog.cloneTable(spark, t, dp, shallow = false)
+      // the deep clone's vector must subtract the same row — not
+      // keep un-remapped source paths that subtract nothing
+      val got = CommitLog.read(spark, dp)
+        .select("id").collect().map(_.getLong(0)).toSeq.sorted
+      assert(got === Seq(1L, 3L),
+        s"deep clone resurrected a DV-deleted row: $got")
+      // every remapped DV row points under the CLONE's root
+      val dvPath = CommitLog.snapshot(spark, dp).get.dv.get
+      val dvFiles = spark.read.parquet(dvPath)
+        .select("_dv_file").collect().map(_.getString(0))
+      assert(dvFiles.nonEmpty && dvFiles.forall(_.contains(dp)),
+        s"DV rows still reference source paths: ${dvFiles.toSeq}")
+    } finally rm(src)
+  }
+
+  test("convertParquet nesting guard qualifies paths: a scheme " +
+      "alias of the table root (file:/x vs /x) cannot smuggle a " +
+      "nested source past the check") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_convalias_").toString
+    val t = s"$root/tbl"
+    try {
+      Seq((1L, "a")).toDF("id", "name").write.parquet(s"$t/data/seed")
+      val e = intercept[IllegalArgumentException] {
+        CommitLog.convertParquet(spark, s"file:$t/data/seed", t)
+      }
+      assert(e.getMessage.contains("must not nest"))
+      val e2 = intercept[IllegalArgumentException] {
+        CommitLog.convertParquet(spark, s"file:$root", t)
+      }
+      assert(e2.getMessage.contains("must not nest"))
     } finally rm(t)
   }
 }

@@ -66,4 +66,26 @@ class LineageCadenceSpec extends AnyFunSuite {
     assert(deep === rows(3))
     assert(deep.size === 8, "hop h reaches exactly node h on a chain")
   }
+
+  test("label propagation: 9 rounds bit-identical across checkpoint " +
+      "intervals") {
+    // Like PageRank, the plan grows linearly per round (labels
+    // referenced once), so an effectively-untruncated run is a safe
+    // comparator; the law pins the cadence as value-neutral.
+    import spark.implicits._
+    val cliqueA = for (a <- 0L to 3L; b <- 0L to 3L if a != b)
+      yield (a, b)
+    val cliqueB = for (a <- 10L to 13L; b <- 10L to 13L if a != b)
+      yield (a, b)
+    val edges = (cliqueA ++ cliqueB ++ Seq((3L, 10L), (10L, 3L)))
+      .toDF("src", "dst")
+    def rows(interval: Int) =
+      graft.operators.LabelPropagation.run(edges, "src", "dst",
+          iters = 9, checkpointInterval = interval)
+        .orderBy("node").collect().toSeq
+    val got = rows(3)
+    assert(got === rows(100),
+      "cadence must not change a single label")
+    assert(got.size === 8, "two 4-cliques = 8 labeled nodes")
+  }
 }
