@@ -890,6 +890,70 @@ object Pipeline19 {
           .orderBy(col("commit_version"))
           .localCheckpoint(true)
       } finally rmTree(root)
+    }),
+
+    // SELECTIVE OVERWRITE (round 14, Delta's replaceWhere): a
+    // partitioned orders table takes a date-fenced-style incremental
+    // reload of ONE slice (o_orderstatus='P' re-delivered minus its
+    // odd keys) as a single atomic op=replace_where commit — the
+    // reference's delete-slice-then-append pattern (SELECT.py:56,97)
+    // without the two-commit missing-slice window. Witnessed: the
+    // untouched partitions keep their exact segment paths (the
+    // sidecar tier bounded the rewrite), an out-of-slice incoming
+    // row refuses, the SAME reload re-run is idempotent, and the CDC
+    // record classifies the commit as deletes + inserts. The oracle
+    // re-derives the final state and the CDC counts from orders.
+    "q208_commitlog_replace_where" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q208_").toString
+      val tbl = s"$root/tbl"
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      try {
+        graft.sources.CommitLogStats.appendPartitioned(s, tbl,
+          orders, Seq("o_orderstatus"))
+        val pre = CommitLog.snapshot(s, tbl).get.segments.toSet
+        val reload = orders
+          .filter(col("o_orderstatus") === "P" &&
+            pmod(col("o_orderkey"), lit(2)) === 0)
+        val (v, nDel, nIns) = CommitLog.overwriteWhere(s, tbl,
+          reload, col("o_orderstatus") === "P")
+        val post = CommitLog.snapshot(s, tbl).get
+        val untouchedKept = post.op == "replace_where" &&
+          (pre & post.segments.toSet).size == pre.size - 1
+        val refusedOutside =
+          try { CommitLog.overwriteWhere(s, tbl,
+            orders.filter(col("o_orderstatus") === "F").limit(1),
+            col("o_orderstatus") === "P"): Unit; false }
+          catch { case e: IllegalArgumentException =>
+            e.getMessage.contains("do not satisfy") }
+        // idempotence: the crash-retried reload lands the same state
+        val (v2, nDel2, nIns2) = CommitLog.overwriteWhere(s, tbl,
+          reload, col("o_orderstatus") === "P")
+        val idempotent = v2 == v + 1L && nDel2 == nIns &&
+          nIns2 == nIns
+        // CDC at the FIRST reload version: deletes = the old slice,
+        // inserts = the re-delivered slice
+        val byType = CommitLog.changeFeed(s, tbl, v - 1L,
+            toVersion = Some(v))
+          .groupBy(col("_change_type")).count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        CommitLog.read(s, tbl)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_totalprice").cast("decimal(30,6)"))
+              .cast("double").as("sum_price"))
+          .withColumn("untouched_kept", lit(untouchedKept))
+          .withColumn("refused_outside", lit(refusedOutside))
+          .withColumn("idempotent_rerun", lit(idempotent))
+          .withColumn("cdc_deletes",
+            lit(byType.getOrElse("delete", 0L)))
+          .withColumn("cdc_inserts",
+            lit(byType.getOrElse("insert", 0L)))
+          .orderBy(col("o_orderstatus"))
+          .localCheckpoint(true)
+      } finally rmTree(root)
     })
   )
 
@@ -1107,6 +1171,24 @@ object Pipeline19 {
         |FROM orders
         |WHERE o_orderkey % 4 IN (1, 2)
         |GROUP BY 1
-        |ORDER BY 1""".stripMargin
+        |ORDER BY 1""".stripMargin,
+
+    "q208_commitlog_replace_where" ->
+      """SELECT o_orderstatus,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price,
+        |  TRUE AS untouched_kept,
+        |  TRUE AS refused_outside,
+        |  TRUE AS idempotent_rerun,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |    WHERE o_orderstatus = 'P') AS cdc_deletes,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |    WHERE o_orderstatus = 'P' AND o_orderkey % 2 = 0)
+        |    AS cdc_inserts
+        |FROM orders
+        |WHERE o_orderstatus <> 'P' OR o_orderkey % 2 = 0
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin
   )
 }

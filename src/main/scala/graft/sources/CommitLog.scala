@@ -2442,20 +2442,26 @@ object CommitLog {
     * too), mapped back to their uuid-named segment dirs. Untouched
     * segments survive a DML commit byte-identical. */
   private def touchedSegments(spark: SparkSession, cur: Snapshot,
-      matched: org.apache.spark.sql.Column): Seq[String] = {
+      matched: org.apache.spark.sql.Column,
+      among: Option[Seq[String]] = None): Seq[String] = {
     // LIVE rows only: a deletion-vector-dead row matching the
     // predicate must not mark its segment touched — it would force a
     // pointless rewrite and a spurious zero-row commit, breaking the
     // "matching nothing commits NO version" contract. File identity
     // comes from the `_metadata` tag, not input_file_name(), which
     // refuses plans with a second source (the DV relation).
+    // `among` restricts the probe to a sidecar-pruned candidate list
+    // (replaceWhere's partition-bounded rewrite) — the untouched bulk
+    // is then never even probed.
+    val candidates = among.getOrElse(cur.segments)
+    if (candidates.isEmpty) return Seq.empty
     val withPos = withDvPos(
-      readSegments(spark, cur.segments, cur.schema))
+      readSegments(spark, candidates, cur.schema))
     val live = cur.dv.fold(withPos)(subtractDv(spark, withPos, _))
     val files = live.filter(matched)
       .select(col("__graft_dv_file")).distinct()
       .collect().map(_.getString(0))
-    cur.segments.filter { seg =>
+    candidates.filter { seg =>
       val uuid = seg.substring(seg.lastIndexOf('/') + 1)
       files.exists(_.contains(uuid))
     }
@@ -2516,6 +2522,163 @@ object CommitLog {
     }
     throw new java.io.IOException(
       s"CommitLog.delete: lost the version race $maxRetries times at $table")
+  }
+
+  /** SELECTIVE OVERWRITE — Delta's `replaceWhere` / filtered INSERT
+    * OVERWRITE: atomically replace EXACTLY the rows matching
+    * `predicate` with `df`, as ONE `op = "replace_where"` commit.
+    * The idiomatic lakehouse form of a date-fenced incremental reload
+    * (the reference's pipelines delete a date slice then re-append it
+    * — SELECT.py:56,97; done that way here it would be TWO commits
+    * with a missing-slice window a crash can strand): re-running the
+    * same slice reload is idempotent — same predicate, same
+    * replacement rows, same final state.
+    *
+    * Rules (Delta's):
+    *  - every INCOMING row must satisfy the predicate — a row outside
+    *    the slice would silently widen the overwrite; refused before
+    *    any manifest names the data;
+    *  - only segments that can hold matching rows rewrite
+    *    (copy-on-write; the candidate list is SIDECAR-PRUNED first,
+    *    so on a partitioned/sliced layout the probe never even opens
+    *    the untouched partitions);
+    *  - the incoming rows take the FULL append gate (defaults,
+    *    generated columns, CHECK constraints, NOT NULL, identity
+    *    rules + mark auto-SYNC) and land partition-split on a
+    *    PARTITIONED BY table (born prunable);
+    *  - CDC: replaced rows record as 'delete', new rows as 'insert',
+    *    in the commit's change directory — [[changeFeed]] and the
+    *    streaming source replay it like any DML.
+    *
+    * Returns (version, rowsDeleted, rowsInserted); a no-op (predicate
+    * matches nothing AND `df` is empty) commits NO version. */
+  def overwriteWhere(spark: SparkSession, table: String, df: DataFrame,
+      predicate: org.apache.spark.sql.Column,
+      maxRetries: Int = 20): (Long, Long, Long) = {
+    val pre = snapshot(spark, table).getOrElse(
+      throw new IllegalStateException(
+        s"CommitLog.overwriteWhere: nothing committed at $table"))
+    val logical = pre.schema.map(decodeSchema)
+    // defaults + generated columns compute BEFORE the predicate
+    // check: a slice predicate on a generated column (the common
+    // PARTITIONED BY date-part shape) must see the computed values
+    val pinned = computeGenerated(computeDefaults(df, logical), logical)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val matched = coalesce(predicate, lit(false))
+      // Delta's replaceWhere rule: all-or-nothing on the slice
+      val outside = pinned.filter(!matched).limit(1).collect()
+      if (outside.nonEmpty) throw new IllegalArgumentException(
+        s"CommitLog.overwriteWhere: incoming row(s) do not satisfy " +
+          s"the predicate (e.g. ${outside(0)}) — a replaceWhere may " +
+          "only write rows INSIDE the slice it replaces; widen the " +
+          "predicate or filter the input")
+      val nNew = pinned.count()
+      val pCols = partitionColumns(spark, table).getOrElse(Seq.empty)
+      // stage the replacement ONCE (content is snapshot-independent);
+      // a lost race re-publishes the same staged bytes
+      val (newSegs, gated0, idExtents) =
+        if (nNew == 0L)
+          (Seq.empty[String], constraintsOf(spark, table, Some(pre)),
+            Seq.empty[(org.apache.spark.sql.types.StructField,
+              Option[Long], Option[Long])])
+        else if (pCols.nonEmpty)
+          CommitLogStats.stagePartitionedGated(spark, table, pinned,
+            pCols)
+        else {
+          gateStagedOmissions("overwriteWhere", table, pinned,
+            Some(pre))
+          val ext = stagedIdentityExtents("overwriteWhere", table,
+            pinned, Some(pre))
+          val (seg, g) = writeSegmentGated(spark, table, pinned)
+          (Seq(seg), g, ext)
+        }
+      var gated = gated0
+      var attempt = 0
+      while (attempt < maxRetries) {
+        val cur = snapshot(spark, table).getOrElse(pre)
+        gated = regateOnConstraintChange(spark, table, newSegs, gated,
+          Some(cur))
+        // sidecar tier first: prune the candidate segment list by the
+        // predicate's range/point conjuncts before any probe I/O —
+        // the partition-bounded rewrite on partitioned/sliced layouts
+        val candidates =
+          if (cur.segments.isEmpty) Seq.empty[String]
+          else {
+            val probe = readSegments(spark, cur.segments, cur.schema)
+            val conds = probe.filter(matched).queryExecution.analyzed
+              .collect {
+                case f: org.apache.spark.sql.catalyst.plans.logical
+                  .Filter => f.condition
+              }
+            val names = conds.flatMap(_.collect {
+              case a: org.apache.spark.sql.catalyst.expressions
+                .AttributeReference => a.name
+            }).distinct
+            CommitLogSkipping.keptSegments(spark, cur.segments,
+              conds.toIndexedSeq,
+              CommitLogStats.skippingKeys(cur.schema, names))
+          }
+        val touched = touchedSegments(spark, cur, matched,
+          Some(candidates))
+        if (touched.isEmpty && newSegs.isEmpty)
+          return (cur.version, 0L, 0L)
+        val touchedDf =
+          if (touched.isEmpty) None
+          else Some(readLive(spark, cur, Some(touched)))
+        // CDC record: replaced rows as 'delete', new rows as 'insert'
+        // — both projected onto the table's column set (an input
+        // legally omitting a nullable column serves typed NULL)
+        val outCols: Seq[org.apache.spark.sql.types.StructField] =
+          logical.map(_.fields.toSeq).getOrElse(
+            touchedDf.map(_.schema.fields.toSeq)
+              .getOrElse(pinned.schema.fields.toSeq))
+        def project(d: DataFrame): DataFrame =
+          d.select(outCols.map(f =>
+            (if (d.columns.exists(_.equalsIgnoreCase(f.name)))
+              col(s"`${f.name}`").cast(f.dataType)
+            else lit(null).cast(f.dataType)).as(f.name)): _*)
+        val changeDir = s"$table/_changes/${java.util.UUID.randomUUID()}"
+        val delRows = touchedDf.map(t => project(t.filter(matched))
+            .withColumn("_change_type", lit("delete")))
+        val insRows =
+          if (nNew == 0L) None
+          else Some(project(pinned)
+            .withColumn("_change_type", lit("insert")))
+        (delRows ++ insRows).reduce(_.unionByName(_))
+          .transform(changePhysical(cur))
+          .write.mode(SaveMode.ErrorIfExists).parquet(changeDir)
+        val byType = spark.read.parquet(changeDir)
+          .groupBy(col("_change_type")).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val nDel = byType.getOrElse("delete", 0L)
+        val nIns = byType.getOrElse("insert", 0L)
+        // copy-on-write: survivors of the touched segments re-land
+        val kept = touchedDf.map(_.filter(!matched))
+        val keptSegs = kept match {
+          case Some(k) if !k.isEmpty =>
+            Seq(writeSegment(spark, table, k))
+          case _ => Seq.empty[String]
+        }
+        val snap = Snapshot(cur.version + 1L,
+          cur.segments.filterNot(touched.toSet) ++ keptSegs ++ newSegs,
+          cur.version, "replace_where", changes = Some(changeDir),
+          schema = cur.schema, dv = cur.dv,
+          identity = if (idExtents.isEmpty) None
+            else Some(encodeIdentityMarks(syncMarks(
+              decodeIdentity(cur.identity), idExtents))))
+        if (tryPublish(spark, table, snap, Some(cur)))
+          return (snap.version, nDel, nIns)
+        keptSegs.foreach(s => fs(spark, table).delete(
+          new org.apache.hadoop.fs.Path(s), true): Unit)
+        fs(spark, table).delete(
+          new org.apache.hadoop.fs.Path(changeDir), true): Unit
+        attempt += 1
+      }
+      throw new java.io.IOException(
+        s"CommitLog.overwriteWhere: lost the version race " +
+          s"$maxRetries times at $table")
+    } finally pinned.unpersist(): Unit
   }
 
   /** MERGE-ON-READ delete (the public Delta/Iceberg deletion-vector
@@ -3502,7 +3665,7 @@ object CommitLog {
             .withColumn("_change_type", lit("insert"))
             .withColumn("_commit_version", lit(v)))
         case "delete" | "delete_dv" | "update" | "update_dv" |
-            "merge_into" =>
+            "merge_into" | "replace_where" =>
           val dir = snap.changes.getOrElse(throw new IllegalStateException(
             s"CommitLog.changeFeed: version $v of $table is a " +
               s"'${snap.op}' with no recorded change directory"))

@@ -444,6 +444,9 @@ class CommitLogTable(spark: SparkSession, path: String,
     val caps = new util.HashSet[TableCapability](pq.capabilities())
     caps.add(TableCapability.V1_BATCH_WRITE)
     caps.add(TableCapability.TRUNCATE)
+    // filtered overwrite (replaceWhere): one atomic replace_where
+    // commit via CommitLog.overwriteWhere
+    caps.add(TableCapability.OVERWRITE_BY_FILTER)
     // a mergeSchema write must reach the connector with its extra
     // columns intact — Spark's output resolution would refuse the
     // arity first; appendEvolve then does the (loud, add-only)
@@ -474,11 +477,30 @@ class CommitLogTable(spark: SparkSession, path: String,
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new org.apache.spark.sql.connector.write.WriteBuilder
-      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      with org.apache.spark.sql.connector.write.SupportsOverwrite {
       private var overwrite = false
+      private var overwriteFilters
+          : Option[Array[org.apache.spark.sql.sources.Filter]] = None
       override def truncate()
           : org.apache.spark.sql.connector.write.WriteBuilder = {
         overwrite = true; this
+      }
+      // filtered overwrite (DataFrameWriterV2.overwrite(cond) / SQL
+      // INSERT OVERWRITE with a predicate): admit exactly the filter
+      // shapes the translator covers — Spark reports anything fancier
+      // as unsupported instead of this connector guessing
+      override def canOverwrite(
+          filters: Array[org.apache.spark.sql.sources.Filter])
+          : Boolean =
+        filters.forall(f => CommitLogTable.filterToColumn(f).isDefined)
+      override def overwrite(
+          filters: Array[org.apache.spark.sql.sources.Filter])
+          : org.apache.spark.sql.connector.write.WriteBuilder = {
+        if (filters.forall(
+            _ == org.apache.spark.sql.sources.AlwaysTrue()))
+          overwrite = true
+        else overwriteFilters = Some(filters)
+        this
       }
       override def build()
           : org.apache.spark.sql.connector.write.Write =
@@ -495,22 +517,43 @@ class CommitLogTable(spark: SparkSession, path: String,
               // refusing (add-only; the protocol's appendEvolve)
               val mergeSchema = info.options()
                 .getBoolean("mergeSchema", false)
-              require(!mergeSchema || (pCols.isEmpty && !overwrite),
+              // Delta's replaceWhere OPTION on a mode("overwrite")
+              // V1 write: the SQL-string form of the filtered
+              // overwrite
+              val replaceWhere = Option(
+                info.options().get("replaceWhere")).map(_.trim)
+                .filter(_.nonEmpty)
+              require(!mergeSchema || (pCols.isEmpty && !overwrite &&
+                overwriteFilters.isEmpty && replaceWhere.isEmpty),
                 "commitlog write: mergeSchema supports plain appends " +
                   "only (not overwrite or PARTITIONED BY tables)")
-              (overwrite, pCols) match {
-                case (false, None) if mergeSchema =>
-                  CommitLog.appendEvolve(spark, path, data): Unit
-                case (false, None) =>
-                  CommitLog.append(spark, path, data): Unit
-                case (false, Some(cols)) =>
-                  CommitLogStats.appendPartitioned(spark, path, data,
-                    cols): Unit
-                case (true, None) =>
-                  CommitLogTable.overwrite(spark, path, data)
-                case (true, Some(cols)) =>
-                  CommitLogTable.overwritePartitioned(spark, path,
-                    data, cols)
+              require(replaceWhere.isEmpty || overwrite,
+                "commitlog write: replaceWhere requires " +
+                  "mode(\"overwrite\") — an append cannot replace")
+              overwriteFilters match {
+                case Some(fs) =>
+                  val pred = fs
+                    .flatMap(CommitLogTable.filterToColumn)
+                    .reduceOption(_ && _).getOrElse(lit(true))
+                  CommitLog.overwriteWhere(spark, path, data, pred)
+                  : Unit
+                case None => (overwrite, replaceWhere, pCols) match {
+                  case (true, Some(sql), _) =>
+                    CommitLog.overwriteWhere(spark, path, data,
+                      expr(sql)): Unit
+                  case (false, _, None) if mergeSchema =>
+                    CommitLog.appendEvolve(spark, path, data): Unit
+                  case (false, _, None) =>
+                    CommitLog.append(spark, path, data): Unit
+                  case (false, _, Some(cols)) =>
+                    CommitLogStats.appendPartitioned(spark, path, data,
+                      cols): Unit
+                  case (true, None, None) =>
+                    CommitLogTable.overwrite(spark, path, data)
+                  case (true, None, Some(cols)) =>
+                    CommitLogTable.overwritePartitioned(spark, path,
+                      data, cols)
+                }
               }
             }
         }
@@ -1136,8 +1179,8 @@ class CommitLogStreamSource(spark: SparkSession, metadataPath: String,
             "widen_column" | "set_constraint" | "drop_constraint" |
             "set_partition_spec" | "set_default" =>
           None // metadata-only schema/constraint/spec commits
-        case "delete" | "delete_dv" | "update" | "update_dv"
-            if readChangeFeed =>
+        case "delete" | "delete_dv" | "update" | "update_dv" |
+            "replace_where" if readChangeFeed =>
           val dir = snap.changes.getOrElse(throw
             new IllegalStateException(
               s"commitlog stream: version $ver of $table is a " +

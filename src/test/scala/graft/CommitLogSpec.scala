@@ -5650,6 +5650,99 @@ class CommitLogSpec extends AnyFunSuite {
     } finally rm(src)
   }
 
+  test("replaceWhere (selective overwrite): ONE atomic replace_where " +
+      "commit swaps exactly the matching slice — untouched partition " +
+      "segments stay byte-identical, out-of-slice rows refuse, the " +
+      "reload is idempotent, CDC replays delete+insert, and the DSv2 " +
+      "filtered-overwrite + replaceWhere-option surfaces route " +
+      "through it") {
+    import spark.implicits._
+    import graft.sources.CommitLogStats
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_rw_").toString
+    try {
+      spark.conf.set("spark.sql.catalog.grw",
+        "graft.sources.CommitLogCatalog")
+      spark.conf.set("spark.sql.catalog.grw.root", root)
+      val path = s"$root/ns/t"
+      spark.sql("CREATE TABLE grw.ns.t (id BIGINT, day STRING, " +
+        "v DOUBLE) PARTITIONED BY (day)")
+      CommitLogStats.appendPartitioned(spark, path, Seq(
+        (1L, "d1", 1.0), (2L, "d1", 2.0), (3L, "d2", 3.0),
+        (4L, "d3", 4.0)).toDF("id", "day", "v"), Seq("day"))
+      val preSegs = CommitLog.snapshot(spark, path).get.segments.toSet
+      // the date-fenced incremental reload, done right: replace the
+      // d1 slice atomically
+      val (v, nDel, nIns) = CommitLog.overwriteWhere(spark, path,
+        Seq((10L, "d1", 10.0), (11L, "d1", 11.0), (12L, "d1", 12.0))
+          .toDF("id", "day", "v"), col("day") === "d1")
+      assert(nDel === 2L && nIns === 3L)
+      assert(CommitLog.snapshot(spark, path).get.op === "replace_where")
+      assert(spark.sql("SELECT id FROM grw.ns.t ORDER BY id").collect()
+        .map(_.getLong(0)).toSeq === Seq(3L, 4L, 10L, 11L, 12L))
+      // untouched partitions (d2, d3) keep their exact segment paths
+      val postSegs = CommitLog.snapshot(spark, path).get.segments.toSet
+      assert((preSegs & postSegs).size === 2,
+        "replaceWhere rewrote an untouched partition")
+      // out-of-slice incoming rows refuse BEFORE anything commits
+      val e = intercept[IllegalArgumentException] {
+        CommitLog.overwriteWhere(spark, path,
+          Seq((99L, "d9", 9.0)).toDF("id", "day", "v"),
+          col("day") === "d1")
+      }
+      assert(e.getMessage.contains("do not satisfy"))
+      assert(CommitLog.currentVersion(spark, path).get === v)
+      // idempotent: re-running the same slice reload gives the same
+      // final state (a crash-retry of the incremental job is safe)
+      CommitLog.overwriteWhere(spark, path,
+        Seq((10L, "d1", 10.0), (11L, "d1", 11.0), (12L, "d1", 12.0))
+          .toDF("id", "day", "v"), col("day") === "d1")
+      assert(spark.sql("SELECT id FROM grw.ns.t ORDER BY id").collect()
+        .map(_.getLong(0)).toSeq === Seq(3L, 4L, 10L, 11L, 12L))
+      // CDC: the replace_where version replays as deletes + inserts
+      val feed = CommitLog.changeFeed(spark, path, v - 1L,
+        toVersion = Some(v))
+      val byType = feed.groupBy("_change_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byType === Map("delete" -> 2L, "insert" -> 3L))
+      // time travel below the replace still serves the old slice
+      assert(CommitLog.read(spark, path, asOfVersion = Some(v - 1L))
+        .filter(col("day") === "d1").count() === 2L)
+      // DSv2 filtered overwrite (DataFrameWriterV2.overwrite(cond))
+      Seq((20L, "d2", 20.0)).toDF("id", "day", "v")
+        .writeTo("grw.ns.t").overwrite(col("day") === "d2")
+      assert(CommitLog.snapshot(spark, path).get.op === "replace_where")
+      assert(spark.sql("SELECT id FROM grw.ns.t WHERE day='d2'")
+        .collect().map(_.getLong(0)).toSeq === Seq(20L))
+      // the replaceWhere OPTION on a V1 overwrite write (Delta's)
+      Seq((30L, "d3", 30.0)).toDF("id", "day", "v")
+        .write.format("commitlog").option("path", path)
+        .option("replaceWhere", "day = 'd3'").mode("overwrite").save()
+      assert(spark.sql("SELECT id FROM grw.ns.t ORDER BY id").collect()
+        .map(_.getLong(0)).toSeq === Seq(10L, 11L, 12L, 20L, 30L))
+      // replaceWhere option without overwrite mode refuses
+      val e2 = intercept[Exception] {
+        Seq((31L, "d3", 31.0)).toDF("id", "day", "v")
+          .write.format("commitlog").option("path", path)
+          .option("replaceWhere", "day = 'd3'").mode("append").save()
+      }
+      assert(e2.getMessage.contains("replaceWhere") ||
+        Option(e2.getCause).exists(
+          _.getMessage.contains("replaceWhere")))
+      // no-op contract: nothing matches + empty input = no version
+      val vNow = CommitLog.currentVersion(spark, path).get
+      CommitLog.overwriteWhere(spark, path,
+        Seq.empty[(Long, String, Double)].toDF("id", "day", "v"),
+        col("day") === "d9")
+      assert(CommitLog.currentVersion(spark, path).get === vNow)
+      spark.sql("DROP TABLE grw.ns.t")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.grw")
+      spark.conf.unset("spark.sql.catalog.grw.root")
+      rm(root + "/x")
+    }
+  }
+
   test("convertParquet nesting guard qualifies paths: a scheme " +
       "alias of the table root (file:/x vs /x) cannot smuggle a " +
       "nested source past the check") {
