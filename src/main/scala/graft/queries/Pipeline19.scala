@@ -954,6 +954,52 @@ object Pipeline19 {
           .orderBy(col("o_orderstatus"))
           .localCheckpoint(true)
       } finally rmTree(root)
+    }),
+
+    // FSCK REPAIR (round 14, Delta's FSCK REPAIR TABLE): four
+    // residue-class appends land one segment each; the residue-3
+    // segment's BYTES are destroyed (storage incident), so every
+    // read fails — then CALL system.fsck_repair drops the dead
+    // reference in ONE op=fsck_repair commit and the table serves
+    // exactly the surviving residues. Witnessed: dry_run reports the
+    // same action without committing, the repair commit's op, and a
+    // second repair finding nothing. The oracle re-derives the
+    // survivors from residue arithmetic.
+    "q209_commitlog_fsck_repair" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q209_").toString
+      val tbl = s"$root/tbl"
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      try {
+        (0 until 4).foreach(i => CommitLog.append(s, tbl,
+          orders.filter(pmod(col("o_orderkey"), lit(4)) === i)))
+        val cur = CommitLog.snapshot(s, tbl).get
+        val lost = cur.segments.last // the residue-3 append
+        rmTree(lost)
+        val dry = graft.sources.CommitLogFsck.repair(s, tbl,
+          dryRun = true).collect()
+        val dryReported = dry.length == 1 &&
+          dry(0).getString(0) == "drop_segment_ref" &&
+          CommitLog.currentVersion(s, tbl).contains(4L)
+        val acts = graft.sources.CommitLogFsck.repair(s, tbl).collect()
+        val post = CommitLog.snapshot(s, tbl).get
+        val repaired = acts.length == 1 && post.version == 5L &&
+          post.op == "fsck_repair" &&
+          post.segments.toSet == cur.segments.toSet - lost
+        val idempotent =
+          graft.sources.CommitLogFsck.repair(s, tbl).collect().isEmpty
+        CommitLog.read(s, tbl)
+          .groupBy(pmod(col("o_orderkey"), lit(4)).as("residue"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_totalprice").cast("decimal(30,6)"))
+              .cast("double").as("sum_price"))
+          .withColumn("dry_reported", lit(dryReported))
+          .withColumn("repaired", lit(repaired))
+          .withColumn("idempotent", lit(idempotent))
+          .orderBy(col("residue"))
+          .localCheckpoint(true)
+      } finally rmTree(root)
     })
   )
 
@@ -1189,6 +1235,19 @@ object Pipeline19 {
         |FROM orders
         |WHERE o_orderstatus <> 'P' OR o_orderkey % 2 = 0
         |GROUP BY o_orderstatus
-        |ORDER BY o_orderstatus""".stripMargin
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "q209_commitlog_fsck_repair" ->
+      """SELECT CAST(o_orderkey % 4 AS BIGINT) AS residue,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price,
+        |  TRUE AS dry_reported,
+        |  TRUE AS repaired,
+        |  TRUE AS idempotent
+        |FROM orders
+        |WHERE o_orderkey % 4 <> 3
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin
   )
 }

@@ -1700,7 +1700,10 @@ object CommitLog {
     // RESTORE resurrects by definition and is exempt. Callers that
     // hold the base snapshot pass it (`base`) so the guard costs no
     // extra manifest read on the hot publish path.
-    if (snap.dv.isEmpty && snap.op != "restore")
+    // fsck_repair is the second exemption: it drops a MISSING vector
+    // by design (documented resurrect — nothing left to subtract)
+    if (snap.dv.isEmpty && snap.op != "restore" &&
+        snap.op != "fsck_repair")
       base.filter(_.version == snap.baseVersion)
         .orElse(snapshot(spark, table, Some(snap.baseVersion)))
         .foreach { b =>

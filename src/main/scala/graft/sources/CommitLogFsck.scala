@@ -440,6 +440,108 @@ object CommitLogFsck {
     localDf.unionAll(deepDf)
   }
 
+  /** Finding codes [[repair]] can resolve by dropping references
+    * from the CURRENT snapshot. Everything else ERROR-level refuses:
+    * protocol/schema/log corruption is not reference-droppable — a
+    * repair commit could only paper over it. */
+  private val Droppable = Set("segment_missing", "dv_missing")
+
+  /** FSCK REPAIR (Delta's FSCK REPAIR TABLE): turn [[fsck]]'s
+    * storage-loss findings into ONE transactional commit
+    * (`op = "fsck_repair"`) that drops the CURRENT version's
+    * references to storage that no longer exists — never touching a
+    * single live byte:
+    *
+    *  - a referenced segment directory that is GONE leaves the
+    *    segment list (its rows are lost to storage, not to the
+    *    repair; every read of the table currently fails — afterwards
+    *    reads serve exactly the SURVIVING rows);
+    *  - a referenced deletion vector that is GONE drops from the
+    *    record — the rows it subtracted come back (there is nothing
+    *    left to subtract with; the alternative, dropping every
+    *    segment the vector might have covered, destroys the table).
+    *    The trade is explicit in the returned action rows.
+    *
+    * REFUSES when the shallow conformance pass reports any
+    * ERROR-level finding outside those classes
+    * (`protocol_unsupported`, schema/constraint/log corruption …):
+    * those are not reference-droppable, and a repair that "succeeds"
+    * over them would legitimize a broken log. Historical versions
+    * are untouched — time travel to them keeps failing until vacuum
+    * retires them (a new commit cannot rewrite immutable history).
+    *
+    * The repair is a REWRITE with no change record: change feeds
+    * crossing it raise (skipRewrites consumes appends only), exactly
+    * like merge — CDC cannot represent storage loss.
+    *
+    * Returns `(action, object, detail)` rows — empty = nothing to
+    * repair, no commit. `dryRun = true` reports the same rows
+    * without committing. */
+  def repair(spark: SparkSession, table: String,
+      dryRun: Boolean = false, maxRetries: Int = 20): DataFrame = {
+    import spark.implicits._
+    val shallow = fsck(spark, table, deep = false)
+      .filter(org.apache.spark.sql.functions.col("level") === "ERROR")
+      .collect()
+    val blocking = shallow.filterNot(r => Droppable(r.getString(1)))
+    if (blocking.nonEmpty) throw new IllegalStateException(
+      "CommitLogFsck.repair: table has ERROR findings that are not " +
+        "reference-droppable — " +
+        blocking.map(r => s"${r.getString(1)}(${r.getString(2)})")
+          .distinct.mkString(", ") +
+        "; repair only drops references to missing storage. Fix the " +
+        "log (upgrade the engine / RESTORE / UNSET the constraint) " +
+        "first.")
+    val f = CommitLog.fs(spark, table)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val cur = CommitLog.snapshot(spark, table).getOrElse(
+        throw new IllegalStateException(
+          s"CommitLogFsck.repair: nothing committed at $table"))
+      // distributed existence sweep over the CURRENT references —
+      // the same executor-side stat pass the deep fsck runs
+      val confB = spark.sparkContext.broadcast(
+        new org.apache.spark.util.SerializableConfiguration(
+          spark.sparkContext.hadoopConfiguration))
+      val missingSegs =
+        if (cur.segments.isEmpty) Seq.empty[String]
+        else spark.createDataset(cur.segments)(
+            org.apache.spark.sql.Encoders.STRING)
+          .repartition(math.min(cur.segments.size,
+            spark.sparkContext.defaultParallelism).max(1))
+          .mapPartitions { it =>
+            val conf = confB.value.value
+            it.filter { seg =>
+              val p = new org.apache.hadoop.fs.Path(seg)
+              !p.getFileSystem(conf).exists(p)
+            }
+          }(org.apache.spark.sql.Encoders.STRING).collect().toSeq
+      val dvMissing = cur.dv.filterNot(d =>
+        f.exists(new org.apache.hadoop.fs.Path(d)))
+      val actions =
+        missingSegs.map(s => ("drop_segment_ref", s,
+          "segment directory is gone — its rows are lost to " +
+            "storage; the reference leaves the table so reads " +
+            "serve the surviving rows")) ++
+        dvMissing.map(d => ("drop_dv_ref", d,
+          "deletion vector is gone — rows it subtracted return " +
+            "(nothing left to subtract with); re-delete if the " +
+            "deletions must hold")).toSeq
+      if (actions.isEmpty || dryRun)
+        return actions.toDF("action", "object", "detail")
+      val snap = CommitLog.Snapshot(cur.version + 1L,
+        cur.segments.filterNot(missingSegs.toSet),
+        cur.version, "fsck_repair", schema = cur.schema,
+        dv = if (dvMissing.isDefined) None else cur.dv)
+      if (CommitLog.tryPublish(spark, table, snap, Some(cur)))
+        return actions.toDF("action", "object", "detail")
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"CommitLogFsck.repair: lost the version race $maxRetries " +
+        s"times at $table")
+  }
+
   /** One-row rollup of [[fsck]] — `(errors, warnings, infos, clean)`
     * for dashboards and the q-gate witnesses. */
   def fsckSummary(spark: SparkSession, table: String,

@@ -39,7 +39,7 @@ private[sources] object CommitLogProcedures {
     "optimize_zorder", "optimize_bucket", "optimize_incremental",
     "vacuum", "restore", "clone_table", "delete_vectored",
     "update_vectored", "attach_blooms", "checkpoint", "fsck",
-    "set_partition_spec", "maintenance_plan")
+    "fsck_repair", "set_partition_spec", "maintenance_plan")
 
   def list: Seq[String] = names
 
@@ -124,6 +124,16 @@ private[sources] object CommitLogProcedures {
         Seq("level", "code", "object", "detail"),
         row => CommitLogFsck.fsck(spark, path(str(row, 0)),
           deep = row.getBoolean(1))))
+      // FSCK REPAIR: one transactional commit dropping the current
+      // version's references to missing segments/DVs (never touching
+      // live data); refuses on non-reference-droppable corruption.
+      // dry_run reports the would-be actions without committing.
+      case "fsck_repair" => Some(procFindings("fsck_repair",
+        Seq(in("table", StringType),
+          in("dry_run", BooleanType, Some("false"))),
+        Seq("action", "object", "detail"),
+        row => CommitLogFsck.repair(spark, path(str(row, 0)),
+          dryRun = row.getBoolean(1))))
       // the maintenance advisor: what to run on this table, as
       // (action, reason, command) rows — empty = healthy. Thresholds
       // ride the defaults; schedulers needing different ones call

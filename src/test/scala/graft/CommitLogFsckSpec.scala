@@ -219,4 +219,137 @@ class CommitLogFsckSpec extends AnyFunSuite {
         s"findings: $byCode")
     } finally rm(t)
   }
+
+  test("FSCK REPAIR: one transactional commit drops references to " +
+      "missing segments — the repaired table serves exactly the " +
+      "surviving rows; dry_run commits nothing; a clean table is a " +
+      "no-op; live data is never touched") {
+    val t = tmpTable()
+    try {
+      CommitLog.append(spark, t, df((1L, "a", 1.0)))
+      CommitLog.append(spark, t, df((2L, "b", 2.0)))
+      CommitLog.append(spark, t, df((3L, "c", 3.0)))
+      // clean table: no actions, NO commit
+      assert(CommitLogFsck.repair(spark, t).count() === 0L)
+      assert(CommitLog.currentVersion(spark, t).get === 3L)
+      // incident: the v2 segment's bytes are lost
+      val cur = CommitLog.snapshot(spark, t).get
+      val lost = cur.segments(1)
+      def rmTree(p: String): Unit = {
+        def go(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(go)); f.delete(): Unit
+        }
+        go(new java.io.File(p))
+      }
+      rmTree(lost)
+      // reads now fail...
+      intercept[Exception] { CommitLog.read(spark, t).collect() }
+      // ...dry_run reports the drop and commits NOTHING
+      val dry = CommitLogFsck.repair(spark, t, dryRun = true).collect()
+      assert(dry.length === 1 &&
+        dry(0).getString(0) === "drop_segment_ref" &&
+        dry(0).getString(1) === lost)
+      assert(CommitLog.currentVersion(spark, t).get === 3L)
+      // the repair: ONE fsck_repair commit, surviving rows only
+      val acts = CommitLogFsck.repair(spark, t).collect()
+      assert(acts.length === 1 &&
+        acts(0).getString(0) === "drop_segment_ref")
+      val post = CommitLog.snapshot(spark, t).get
+      assert(post.version === 4L && post.op === "fsck_repair")
+      assert(CommitLog.read(spark, t).select("id").collect()
+        .map(_.getLong(0)).toSeq.sorted === Seq(1L, 3L))
+      // live data untouched: the surviving segments are the SAME dirs
+      assert(post.segments.toSet ===
+        cur.segments.toSet - lost)
+      // idempotent: a second repair finds nothing
+      assert(CommitLogFsck.repair(spark, t).count() === 0L)
+      // deep fsck on the repaired table: no current-version
+      // segment_missing remains (the retained HISTORY still names the
+      // lost segment — time travel to it fails until vacuum)
+      val remaining = CommitLogFsck.fsck(spark, t).collect()
+        .filter(r => r.getString(1) == "segment_missing")
+      assert(remaining.forall(_.getString(3).contains("time travel")),
+        s"current-version reference survived: ${remaining.toSeq}")
+    } finally rm(t)
+  }
+
+  test("FSCK REPAIR: a missing deletion vector drops from the record " +
+      "(subtracted rows return — documented trade), and " +
+      "non-reference-droppable corruption REFUSES the repair") {
+    val t = tmpTable()
+    try {
+      CommitLog.append(spark, t, df((1L, "a", 1.0), (2L, "b", 2.0)))
+      CommitLog.deleteVectored(spark, t, col("id") === 2L)
+      assert(CommitLog.read(spark, t).count() === 1L)
+      val dv = CommitLog.snapshot(spark, t).get.dv.get
+      def rmTree(p: String): Unit = {
+        def go(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(go)); f.delete(): Unit
+        }
+        go(new java.io.File(p))
+      }
+      rmTree(dv)
+      intercept[Exception] { CommitLog.read(spark, t).collect() }
+      val acts = CommitLogFsck.repair(spark, t).collect()
+      assert(acts.length === 1 && acts(0).getString(0) === "drop_dv_ref")
+      // the vector's subtraction is gone WITH the vector: both rows
+      // serve again, and the action row says so
+      assert(CommitLog.read(spark, t).select("id").collect()
+        .map(_.getLong(0)).toSeq.sorted === Seq(1L, 2L))
+      assert(acts(0).getString(2).contains("return"))
+      assert(CommitLog.snapshot(spark, t).get.dv.isEmpty)
+
+      // refusal: a future-protocol record is NOT reference-droppable
+      val t2 = tmpTable()
+      try {
+        CommitLog.append(spark, t2, df((1L, "a", 1.0)))
+        java.nio.file.Files.write(
+          new java.io.File(f"$t2/_commits/${2L}%020d.manifest").toPath,
+          ("""{"version":2,"baseVersion":1,"protocol":99,""" +
+            """"op":"append","segments":[]}""").getBytes("UTF-8")): Unit
+        val e = intercept[IllegalStateException] {
+          CommitLogFsck.repair(spark, t2)
+        }
+        assert(e.getMessage.contains("not reference-droppable") &&
+          e.getMessage.contains("protocol_unsupported"))
+      } finally rm(t2)
+    } finally rm(t)
+  }
+
+  test("CALL system.fsck_repair: the SQL surface routes through " +
+      "repair with dry_run") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_fsckrep_").toString
+    try {
+      spark.conf.set("spark.sql.catalog.gfr",
+        "graft.sources.CommitLogCatalog")
+      spark.conf.set("spark.sql.catalog.gfr.root", root)
+      val path = s"$root/ns/t"
+      CommitLog.append(spark, path, df((1L, "a", 1.0)))
+      CommitLog.append(spark, path, df((2L, "b", 2.0)))
+      val lost = CommitLog.snapshot(spark, path).get.segments.head
+      def rmTree(p: String): Unit = {
+        def go(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(go)); f.delete(): Unit
+        }
+        go(new java.io.File(p))
+      }
+      rmTree(lost)
+      val dry = spark.sql(
+        "CALL gfr.system.fsck_repair(table => 'ns.t', " +
+          "dry_run => true)").collect()
+      assert(dry.length === 1 && dry(0).getString(0) === "drop_segment_ref")
+      assert(CommitLog.currentVersion(spark, path).get === 2L)
+      val acted = spark.sql(
+        "CALL gfr.system.fsck_repair(table => 'ns.t')").collect()
+      assert(acted.length === 1)
+      assert(CommitLog.currentVersion(spark, path).get === 3L)
+      assert(CommitLog.read(spark, path).select("id").collect()
+        .map(_.getLong(0)).toSeq === Seq(2L))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gfr")
+      spark.conf.unset("spark.sql.catalog.gfr.root")
+      rm(root + "/x")
+    }
+  }
 }
