@@ -488,6 +488,34 @@ object Pipeline10 {
       s"((($x >> $i) & 1) * ${1L << (2 * i)} + (($y >> $i) & 1) * ${1L << (2 * i + 1)})"
     }.mkString("(", " + ", ")")
 
+  /** N-dimensional Morton interleave: bit i of dimension d lands at
+    * output bit `n*i + d`, so [[zOrder]] (2-D, 31 bits) is exactly
+    * the n=2 instance. `n * bits` must stay ≤ 62 to keep the key a
+    * positive Long — the default budget is `62 / n` bits per
+    * dimension (31 at n=2, 20 at n=3); keys at or above `2^bits`
+    * alias deterministically, same documented domain rule as
+    * [[zOrder]] (locality degrades, results never change — the exact
+    * predicate refilters). Pure integer shift/mask arithmetic so the
+    * DuckDB oracle replays it bit-for-bit ([[zOrderNSql]]). */
+  private[graft] def zOrderN(cs: Seq[org.apache.spark.sql.Column],
+      bits: Int): org.apache.spark.sql.Column = {
+    val n = cs.size
+    require(n >= 2, s"zOrderN: need >= 2 columns, got $n")
+    require(bits >= 1 && n * bits <= 62,
+      s"zOrderN: $n dims x $bits bits/dim exceeds the positive-Long " +
+        "key range (need n*bits <= 62)")
+    (for (i <- 0 until bits; d <- 0 until n) yield
+      shiftright(cs(d), i).bitwiseAND(lit(1L)) * lit(1L << (n * i + d)))
+      .reduce(_ + _)
+  }
+
+  private[graft] def zOrderNSql(names: Seq[String], bits: Int): String = {
+    val n = names.size
+    (for (i <- 0 until bits; d <- 0 until n) yield
+      s"(((${names(d)} >> $i) & 1) * ${1L << (n * i + d)})")
+      .mkString("(", " + ", ")")
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q120_inverted_index" ->
       """WITH tok AS (

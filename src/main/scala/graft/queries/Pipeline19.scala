@@ -1000,6 +1000,51 @@ object Pipeline19 {
           .orderBy(col("residue"))
           .localCheckpoint(true)
       } finally rmTree(root)
+    }),
+
+    // N-D Z-ORDER (round 14): q174's morton OPTIMIZE generalized to
+    // THREE interleaved dimensions (l_partkey, l_suppkey,
+    // l_linenumber at 20 bits each) — a 3-D box probe prunes
+    // segments that bound all three at once. The oracle replays the
+    // exact interleave + bucketing arithmetic in SQL and re-derives
+    // the kept-count, as q174 does for 2-D.
+    "q210_commitlog_zorder_nd" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q210_").toString
+      val tbl = s"$root/tbl"
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"))
+      try {
+        (0 until 4).foreach { i =>
+          graft.sources.CommitLogStats.appendWithStats(s, tbl,
+            li.filter(pmod(col("l_orderkey") + col("l_linenumber"),
+              lit(4)) === i).repartition(3),
+            Seq("l_partkey", "l_suppkey", "l_linenumber")): Unit
+        }
+        val bounds = li.agg(max(col("l_partkey")),
+          max(col("l_suppkey"))).collect()(0)
+        val (pHi, sHi) = (bounds.getLong(0) / 8L, bounds.getLong(1) / 8L)
+        val probes = Seq[(String, Any, Any)](
+          ("l_partkey", 1L, pHi), ("l_suppkey", 1L, sHi),
+          ("l_linenumber", 1L, 2L))
+        val before = graft.sources.CommitLogStats
+          .planSkippingAll(s, tbl, probes)
+        graft.sources.CommitLogStats.compactZOrderN(s, tbl,
+          Seq("l_partkey", "l_suppkey", "l_linenumber"),
+          tieBreak = Seq("l_orderkey", "l_linenumber"),
+          nSegments = 16,
+          statsCols = Seq("l_partkey", "l_suppkey", "l_linenumber"))
+        val after = graft.sources.CommitLogStats
+          .planSkippingAll(s, tbl, probes)
+        graft.sources.CommitLogStats.readSkippingAll(s, tbl, probes)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("l_quantity").cast("decimal(30,6)")).cast("double")
+              .as("sum_qty"))
+          .withColumn("kept_before", lit(before.kept.size))
+          .withColumn("kept_after", lit(after.kept.size))
+          .localCheckpoint(true)
+      } finally rmTree(root)
     })
   )
 
@@ -1248,6 +1293,37 @@ object Pipeline19 {
         |FROM orders
         |WHERE o_orderkey % 4 <> 3
         |GROUP BY 1
-        |ORDER BY 1""".stripMargin
+        |ORDER BY 1""".stripMargin,
+
+    "q210_commitlog_zorder_nd" -> {
+      val z = graft.queries.Pipeline10.zOrderNSql(
+        Seq("l_partkey", "l_suppkey", "l_linenumber"), 20)
+      s"""WITH b AS (SELECT MAX(l_partkey) // 8 AS p_hi,
+         |    MAX(l_suppkey) // 8 AS s_hi FROM lineitem),
+         |r AS (
+         |  SELECT l_partkey, l_suppkey, l_linenumber,
+         |    ROW_NUMBER() OVER (ORDER BY $z, l_orderkey, l_linenumber)
+         |      AS rn,
+         |    COUNT(*) OVER () AS n
+         |  FROM lineitem),
+         |k AS (
+         |  SELECT CAST(((rn - 1) * 16) // n AS INT) AS bucket,
+         |    MIN(l_partkey) AS pmn, MAX(l_partkey) AS pmx,
+         |    MIN(l_suppkey) AS smn, MAX(l_suppkey) AS smx,
+         |    MIN(l_linenumber) AS lmn, MAX(l_linenumber) AS lmx
+         |  FROM r GROUP BY bucket),
+         |ka AS (SELECT CAST(COUNT(*) AS INT) AS kept_after FROM k, b
+         |  WHERE pmx >= 1 AND pmn <= p_hi AND smx >= 1 AND smn <= s_hi
+         |    AND lmx >= 1 AND lmn <= 2)
+         |SELECT COUNT(*) AS n_rows,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+         |    AS sum_qty,
+         |  CAST(4 AS INT) AS kept_before,
+         |  (SELECT kept_after FROM ka) AS kept_after
+         |FROM lineitem, b
+         |WHERE l_partkey >= 1 AND l_partkey <= p_hi
+         |  AND l_suppkey >= 1 AND l_suppkey <= s_hi
+         |  AND l_linenumber >= 1 AND l_linenumber <= 2""".stripMargin
+    }
   )
 }

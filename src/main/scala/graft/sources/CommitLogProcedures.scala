@@ -37,6 +37,7 @@ private[sources] object CommitLogProcedures {
 
   private val names = Seq("compact", "optimize_cluster",
     "optimize_zorder", "optimize_bucket", "optimize_incremental",
+    "optimize_zorder_nd",
     "vacuum", "restore", "clone_table", "delete_vectored",
     "update_vectored", "attach_blooms", "checkpoint", "fsck",
     "fsck_repair", "set_partition_spec", "maintenance_plan")
@@ -74,6 +75,20 @@ private[sources] object CommitLogProcedures {
           val stats = if (row.isNullAt(5)) Seq(x, y) else cols(str(row, 5))
           CommitLogStats.compactZOrder(spark, path(str(row, 0)), x, y,
             cols(str(row, 3)), row.getInt(4), stats)
+        }))
+      // N-dimensional morton OPTIMIZE (columns => 'a,b,c'); bits = 0
+      // picks the largest per-dim budget keeping the key a positive
+      // Long (62 / n)
+      case "optimize_zorder_nd" => Some(proc("optimize_zorder_nd",
+        Seq(in("table", StringType), in("columns", StringType),
+          in("tie_break", StringType), in("segments", IntegerType),
+          in("stats_by", StringType, Some("NULL")),
+          in("bits", IntegerType, Some("0"))),
+        row => {
+          val zc = cols(str(row, 1))
+          val stats = if (row.isNullAt(4)) zc else cols(str(row, 4))
+          CommitLogStats.compactZOrderN(spark, path(str(row, 0)), zc,
+            cols(str(row, 2)), row.getInt(3), stats, row.getInt(5))
         }))
       // rewrite only the unsorted tail (O(new data) maintenance);
       // no-op at the depth-2 steady state — returns the current

@@ -1125,16 +1125,38 @@ object CommitLogStats {
   def compactZOrder(spark: SparkSession, table: String,
       xCol: String, yCol: String, tieBreak: Seq[String],
       nSegments: Int, statsCols: Seq[String],
+      maxRetries: Int = 20): Long =
+    compactZOrderN(spark, table, Seq(xCol, yCol), tieBreak,
+      nSegments, statsCols, maxRetries = maxRetries)
+
+  /** N-DIMENSIONAL [[compactZOrder]]: segments range-disjoint in the
+    * N-way Morton order ([[graft.queries.Pipeline10.zOrderN]] — bit
+    * i of dim d at output bit n*i+d, so the 2-D verb is exactly the
+    * n=2 instance), each sidecar bounding ALL interleaved dimensions
+    * at once: an N-D box probe ([[planSkippingAll]]) prunes where
+    * any lower-dimensional sort leaves the remaining dims
+    * unconstrained. `bits` = per-dimension bit budget (0 → the
+    * largest that keeps the key a positive Long, 62/n: 31 at n=2,
+    * 20 at n=3); keys ≥ 2^bits alias deterministically (locality
+    * cost only — the exact predicate refilters). `tieBreak` must
+    * make the total order unique, same contract as every clustered
+    * OPTIMIZE. */
+  def compactZOrderN(spark: SparkSession, table: String,
+      zCols: Seq[String], tieBreak: Seq[String],
+      nSegments: Int, statsCols: Seq[String], bits: Int = 0,
       maxRetries: Int = 20): Long = {
     require(nSegments >= 1, "nSegments must be >= 1")
+    require(zCols.size >= 2,
+      s"compactZOrderN: need >= 2 z-order columns, got ${zCols.size}")
+    val b = if (bits > 0) bits else 62 / zCols.size
     var attempt = 0
     while (attempt < maxRetries) {
       val cur = CommitLog.snapshot(spark, table).getOrElse(
         throw new IllegalStateException(
           s"CommitLogStats.compactZOrder: nothing committed at $table"))
       val df = CommitLog.readLive(spark, cur)
-        .withColumn("__z", graft.queries.Pipeline10.zOrder(
-          col(xCol), col(yCol)))
+        .withColumn("__z", graft.queries.Pipeline10.zOrderN(
+          zCols.map(col), b))
       val ranked = graft.operators.DistributedRank.globalRowNumber(
         df, col("__z") +: tieBreak.map(col), "__rn")
       val n = math.max(1L, ranked.count())

@@ -919,6 +919,67 @@ class CommitLogSpec extends AnyFunSuite {
     assert(keptX === 4, s"x-sorted kept $keptX")
   }
 
+  test("compactZOrderN: a 3-D box probe over a 16x16x16 grid keeps " +
+      "ONE of 64 morton segments where the x-sorted layout keeps 16; " +
+      "results equal the full-scan box filter; the SQL procedure " +
+      "routes through it") {
+    import spark.implicits._
+    def grid(): org.apache.spark.sql.DataFrame =
+      (for (x <- 0L until 16L; y <- 0L until 16L; w <- 0L until 16L)
+        yield (x * 256 + y * 16 + w, x, y, w))
+        .toDF("id", "x", "y", "w")
+    val probes = Seq[(String, Any, Any)](
+      ("x", 0L, 3L), ("y", 0L, 3L), ("w", 0L, 3L))
+    def keptAfter(cluster: String => Long)
+        : (Int, Seq[Long]) = {
+      val t = tmpTable()
+      try {
+        CommitLog.append(spark, t, grid())
+        cluster(t)
+        val plan = CommitLogStats.planSkippingAll(spark, t, probes)
+        val ids = CommitLogStats.readSkippingAll(spark, t, probes)
+          .select("id").collect().map(_.getLong(0)).toSeq.sorted
+        (plan.kept.size, ids)
+      } finally rm(t)
+    }
+    val (keptZ, idsZ) = keptAfter(t => CommitLogStats.compactZOrderN(
+      spark, t, Seq("x", "y", "w"), tieBreak = Seq("id"),
+      nSegments = 64, statsCols = Seq("x", "y", "w")))
+    val (keptX, idsX) = keptAfter(t => CommitLogStats.compactClustered(
+      spark, t, Seq("x", "id"), nSegments = 64,
+      statsCols = Seq("x", "y", "w")))
+    val expect = (for (x <- 0L until 4L; y <- 0L until 4L;
+      w <- 0L until 4L) yield x * 256 + y * 16 + w).sorted
+    assert(idsZ === expect && idsX === expect)
+    // the [0,4)^3 corner is exactly the first 64 morton codes = the
+    // first of 64 segments. The x-sort keeps one segment per x value
+    // in [0,3] (its id tie-break happens to correlate with (y,w),
+    // bounding y inside each x slice) — still 4x the morton layout's
+    // touch, and the gap widens with every dimension the 1-D sort
+    // cannot bound
+    assert(keptZ === 1, s"3-D zorder kept $keptZ")
+    assert(keptX === 4, s"x-sorted kept $keptX")
+    // CALL surface
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_zn_").toString
+    try {
+      spark.conf.set("spark.sql.catalog.gzn",
+        "graft.sources.CommitLogCatalog")
+      spark.conf.set("spark.sql.catalog.gzn.root", root)
+      val path = s"$root/ns/t"
+      CommitLog.append(spark, path, grid())
+      spark.sql("CALL gzn.system.optimize_zorder_nd(" +
+        "table => 'ns.t', columns => 'x,y,w', tie_break => 'id', " +
+        "segments => 64)")
+      assert(CommitLogStats.planSkippingAll(spark, path, probes)
+        .kept.size === 1)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gzn")
+      spark.conf.unset("spark.sql.catalog.gzn.root")
+      rm(root + "/x")
+    }
+  }
+
   test("SQL catalog: CREATE TABLE / INSERT INTO / SELECT / INSERT " +
       "OVERWRITE / DROP in plain SQL over commit-log tables; state " +
       "shared with the programmatic API; retype ALTER and table " +

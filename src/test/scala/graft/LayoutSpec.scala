@@ -114,6 +114,43 @@ class LayoutSpec extends AnyFunSuite
     assert(cliff.size === 2, "old 16-bit interleave aliased exactly this pair")
   }
 
+  test("zOrderN: the N-D interleave is a bijection on its domain, " +
+      "reduces to zOrder at n=2, and refuses budgets past the " +
+      "positive-Long range") {
+    import spark.implicits._
+    // n=2 at 31 bits is bit-identical to the 2-D kernel (same layout)
+    val pairs = Seq((0L, 0L), (65536L, 65535L),
+      (Int.MaxValue.toLong, 12345L))
+    val eq2 = pairs.toDF("x", "y")
+      .withColumn("a", queries.Pipeline10.zOrder(col("x"), col("y")))
+      .withColumn("b", queries.Pipeline10.zOrderN(
+        Seq(col("x"), col("y")), 31))
+    assert(eq2.filter(col("a") =!= col("b")).count() === 0)
+    // n=3 at 20 bits: invertible over the full [0, 2^20) domain
+    // corners + interior
+    def deN(zc: org.apache.spark.sql.Column, n: Int, d: Int,
+        bits: Int) =
+      (0 until bits).map { i =>
+        shiftright(zc, n * i + d).bitwiseAND(lit(1L)) * lit(1L << i)
+      }.reduce(_ + _)
+    val m = (1L << 20) - 1L
+    val triples = Seq((0L, 0L, 0L), (m, m, m), (m, 0L, m),
+      (65536L, 123L, 999999L), (1L, m, 524288L))
+    val df3 = triples.toDF("x", "y", "w")
+      .withColumn("z", queries.Pipeline10.zOrderN(
+        Seq(col("x"), col("y"), col("w")), 20))
+    assert(df3.filter(col("z") < 0).count() === 0)
+    assert(df3.select("z").distinct().count() === triples.length)
+    assert(df3.filter(
+      deN(col("z"), 3, 0, 20) =!= col("x") ||
+      deN(col("z"), 3, 1, 20) =!= col("y") ||
+      deN(col("z"), 3, 2, 20) =!= col("w")).count() === 0)
+    // budget guard: 3 dims x 21 bits = 63 would go negative — refuse
+    intercept[IllegalArgumentException] {
+      queries.Pipeline10.zOrderN(Seq(col("x"), col("y"), col("w")), 21)
+    }
+  }
+
   test("q123: z-order interleave is a bijection and beats 1-D sort for 2-D skipping") {
     // sf0.01: the suppkey domain at sf0.001 (~10 values) is too narrow
     // for 2-D locality to be visible; geometry needs both dims populated
