@@ -1230,7 +1230,11 @@ object Pipeline18 {
     df.collect(): Unit // run, so adaptive stages are final
     planLeaves(df.queryExecution.executedPlan).collect {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-        b.scan match {
+        // the stats-reporting wrapper hides the FileScan — unwrap
+        (b.scan match {
+          case w: graft.sources.CommitLogStatsScan => w.innerScan
+          case s => s
+        }) match {
           case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
             f.fileIndex.inputFiles.toSeq
               .map(p => p.substring(0, p.lastIndexOf('/')))

@@ -594,6 +594,7 @@ private[sources] class CommitLogScanBuilder(spark: SparkSession,
   import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
 
   private var inner: ScanBuilder = full.newScanBuilder(options)
+  private var kept: Seq[String] = snap.segments
   private var sawFilters = false
   private var metadataAnswer: Option[(StructType, InternalRow)] = None
 
@@ -602,7 +603,7 @@ private[sources] class CommitLogScanBuilder(spark: SparkSession,
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     sawFilters = sawFilters || filters.nonEmpty
-    val kept = CommitLogSkipping.keptSegments(spark, snap.segments,
+    kept = CommitLogSkipping.keptSegments(spark, snap.segments,
       filters)
     if (kept.length < snap.segments.length) {
       // rebuild over survivors; pin the FULL table's resolved schema
@@ -651,8 +652,81 @@ private[sources] class CommitLogScanBuilder(spark: SparkSession,
         override def description(): String =
           s"CommitLogMetadataScan(${full.name})"
       }
-    case None => inner.build()
+    case None =>
+      // CBO statistics from the sidecar tier: the stock FileScan
+      // reports bytes but never a ROW COUNT, so cost-based join
+      // reorder and static broadcast selection treat every
+      // commit-log table as unknown-cardinality unless someone runs
+      // ANALYZE. Sidecars already hold the exact per-segment counts
+      // (computed at write time over the landed rows) — surface
+      // their sum over the KEPT (sidecar-pruned) segment list, at
+      // the cost of one memoized tiny read per segment. A segment
+      // without a sidecar degrades rows to unknown, never a partial
+      // number. DV'd snapshots don't take this path (their bridge
+      // reports size-only — the vector would make counts lie high).
+      val factor = spark.conf
+        .get("spark.sql.sources.fileCompressionFactor", "1.0").toDouble
+      val bytes = math.max(1L,
+        (CommitLog.segmentsSizeBytes(spark, kept) * factor).toLong)
+      new CommitLogStatsScan(inner.build(),
+        CommitLogStats.segmentsRowCount(spark, kept), bytes)
   }
+}
+
+/** [[org.apache.spark.sql.connector.read.Scan]] wrapper that reports
+  * sidecar-derived statistics (exact row count + data bytes) over the
+  * stock parquet scan, delegating everything else — including
+  * runtime-filtering (DPP / bloom runtime filters), so wrapping
+  * costs no planning capability. */
+private[graft] class CommitLogStatsScan(
+    inner: org.apache.spark.sql.connector.read.Scan,
+    rows: Option[Long], bytes: Long)
+    extends org.apache.spark.sql.connector.read.Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  /** The wrapped parquet scan — plan introspection (segment-read
+    * witnesses) unwraps through this. */
+  private[graft] def innerScan
+      : org.apache.spark.sql.connector.read.Scan = inner
+
+  override def readSchema(): StructType = inner.readSchema()
+  override def description(): String = inner.description()
+  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+    inner.toBatch
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    inner.supportedCustomMetrics()
+  override def reportDriverMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    inner.reportDriverMetrics()
+  override def columnarSupportMode()
+      : org.apache.spark.sql.connector.read.Scan.ColumnarSupportMode =
+    inner.columnarSupportMode()
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        rows.fold(java.util.OptionalLong.empty())(
+          java.util.OptionalLong.of)
+    }
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    inner match {
+      case f: org.apache.spark.sql.connector.read
+          .SupportsRuntimeV2Filtering => f.filterAttributes()
+      case _ => Array.empty
+    }
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions
+        .filter.Predicate]): Unit =
+    inner match {
+      case f: org.apache.spark.sql.connector.read
+          .SupportsRuntimeV2Filtering => f.filter(predicates)
+      case _ => ()
+    }
 }
 
 /** Scan builder for a snapshot that carries a DELETION VECTOR: the

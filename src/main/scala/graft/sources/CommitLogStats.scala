@@ -510,6 +510,37 @@ object CommitLogStats {
     missing.size
   }
 
+  /** Per-JVM memo of sidecar row counts: sidecars land BEFORE any
+    * manifest names their segment and segments are immutable, so a
+    * positive hit can never go stale (absence is NOT cached — a
+    * foreign writer's segment stays a fresh probe). */
+  private val rowsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Exact row count of a published segment set from sidecars ALONE —
+    * None when any segment lacks one (the caller reports unknown
+    * rather than a partial lie). One tiny sidecar read per segment on
+    * first touch, then memoized: this is what lets the DSv2 scan
+    * report CBO-grade row counts with zero data-file I/O and no
+    * ANALYZE. */
+  private[sources] def segmentsRowCount(spark: SparkSession,
+      segments: Seq[String]): Option[Long] = {
+    var total = 0L
+    val it = segments.iterator
+    while (it.hasNext) {
+      val seg = it.next()
+      val cached = rowsCache.get(seg)
+      if (cached != null) total += cached.longValue
+      else readSidecar(spark, seg) match {
+        case Some(st) =>
+          rowsCache.put(seg, st.rows): Unit
+          total += st.rows
+        case None => return None
+      }
+    }
+    Some(total)
+  }
+
   /** Load a segment's sidecar; None when the segment never recorded
     * one (a foreign or pre-stats writer) — the caller keeps it. */
   def readSidecar(spark: SparkSession, segment: String)

@@ -126,4 +126,87 @@ class CboSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
     }
   }
+
+  /** V2 twin of [[innermostJoinTables]]: leaves are
+    * DataSourceV2ScanRelations whose table name carries the
+    * commit-log directory — match on its last path segment. */
+  private def innermostJoinTablesV2(plan: LogicalPlan)
+      : Seq[Set[String]] =
+    plan.collect {
+      case j: Join if j.collect { case c: Join => c }.size == 1 =>
+        j.collectLeaves().flatMap {
+          case r: org.apache.spark.sql.execution.datasources.v2
+              .DataSourceV2ScanRelation =>
+            Seq(r.relation.table.name()
+              .split('@').head.split('/').last)
+          case _ => Seq.empty
+        }.toSet
+    }
+
+  test("commit-log tables drive join reorder WITHOUT ANALYZE: the " +
+      "DSv2 scan reports sidecar row counts, so CBO sees " +
+      "cardinalities no catalog stats ever recorded") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cbov2_").toString
+    try {
+      spark.conf.set("spark.sql.catalog.gcbo",
+        "graft.sources.CommitLogCatalog")
+      spark.conf.set("spark.sql.catalog.gcbo.root", root)
+      val li = sources.Catalog.table(spark, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_quantity")
+      val ord = sources.Catalog.table(spark, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      // the tiny side is tiny ON DISK (no Filter node: join reorder
+      // needs rowCount on every join item, and without column stats
+      // a Filter would erase it)
+      val cust = sources.Catalog.table(spark, dir, "customer")
+        .select("c_custkey", "c_name", "c_nationkey")
+        .filter(col("c_custkey") < 8)
+      // stats-carrying appends: the sidecar rows ARE the CBO stats
+      graft.sources.CommitLogStats.appendWithStats(spark,
+        s"$root/ns/li", li, Seq("l_orderkey"))
+      graft.sources.CommitLogStats.appendWithStats(spark,
+        s"$root/ns/ord", ord, Seq("o_orderkey"))
+      graft.sources.CommitLogStats.appendWithStats(spark,
+        s"$root/ns/cust", cust, Seq("c_custkey"))
+      // NO ANALYZE anywhere — the scan itself must report the counts
+      // DECIMAL sum: exact and add-order-independent, so the
+      // result-neutrality check below cannot trip on the reorder's
+      // different floating-point accumulation order
+      val q =
+        """SELECT c_name,
+          |  SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS rev
+          |FROM gcbo.ns.li
+          |JOIN gcbo.ns.ord ON l_orderkey = o_orderkey
+          |JOIN gcbo.ns.cust ON o_custkey = c_custkey
+          |GROUP BY c_name""".stripMargin
+      def innermost(): Seq[Set[String]] =
+        innermostJoinTablesV2(spark.sql(q).queryExecution.optimizedPlan)
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+      val without = innermost()
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      val withCbo = innermost()
+      assert(without === Seq(Set("li", "ord")),
+        s"syntactic order expected without CBO, got $without")
+      assert(withCbo === Seq(Set("ord", "cust")),
+        s"sidecar-stats-driven order expected with CBO, got $withCbo")
+      // result-neutral
+      val b = spark.sql(q).orderBy(col("c_name")).collect().toSeq
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+      val a = spark.sql(q).orderBy(col("c_name")).collect().toSeq
+      assert(a === b && b.nonEmpty)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gcbo")
+      spark.conf.unset("spark.sql.catalog.gcbo.root")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(root))
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    }
+  }
 }

@@ -2493,7 +2493,11 @@ class CommitLogSpec extends AnyFunSuite {
     df.collect() // force execution so adaptive plans are final
     planLeaves(df.queryExecution.executedPlan).collect {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-        b.scan match {
+        // the CBO stats wrapper hides the FileScan — unwrap first
+        (b.scan match {
+          case w: graft.sources.CommitLogStatsScan => w.innerScan
+          case s => s
+        }) match {
           case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
             f.fileIndex.inputFiles.toSeq
               .map(p => p.substring(0, p.lastIndexOf('/')))
