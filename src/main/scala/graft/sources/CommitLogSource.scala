@@ -107,6 +107,10 @@ class CommitLogSource extends TableProvider with DataSourceRegister
   //                        readChangeFeed, delete/update) versions —
   //                        Delta's ignoreChanges caveat
   //   maxVersionsPerTrigger admission control per micro-batch
+  //   maxBytesPerTrigger   admission control by ADDED data bytes per
+  //                        micro-batch (soft max: the first pending
+  //                        version always admits) — composes with
+  //                        maxVersionsPerTrigger, both caps apply
   //   ignoreSchemaEvolution keep serving the stream's start schema
   //                        across a mid-stream ADD-COLUMN evolution
   //                        (new columns dropped); default is to FAIL
@@ -114,7 +118,8 @@ class CommitLogSource extends TableProvider with DataSourceRegister
   //                        rule, a restart picks up the new schema
 
   private def streamParams(parameters: Map[String, String]):
-      (String, Long, Boolean, Boolean, Option[Long], Boolean) = {
+      (String, Long, Boolean, Boolean, Option[Long], Boolean,
+        Option[Long]) = {
     val path = parameters.getOrElse("path", throw
       new IllegalArgumentException(
         "commitlog stream requires option 'path' (the table directory)"))
@@ -142,13 +147,14 @@ class CommitLogSource extends TableProvider with DataSourceRegister
       parameters.get("readChangeFeed").exists(_.toBoolean),
       parameters.get("skipRewrites").exists(_.toBoolean),
       parameters.get("maxVersionsPerTrigger").map(_.toLong),
-      parameters.get("ignoreSchemaEvolution").exists(_.toBoolean))
+      parameters.get("ignoreSchemaEvolution").exists(_.toBoolean),
+      parameters.get("maxBytesPerTrigger").map(_.toLong))
   }
 
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
-    val (path, _, cdf, _, _, _) = streamParams(parameters)
+    val (path, _, cdf, _, _, _, _) = streamParams(parameters)
     (shortName(), CommitLogStreamSource.streamSchema(
       sqlContext.sparkSession, path, cdf))
   }
@@ -157,10 +163,10 @@ class CommitLogSource extends TableProvider with DataSourceRegister
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String])
       : org.apache.spark.sql.execution.streaming.Source = {
-    val (path, startingVersion, cdf, skip, maxV, ignoreEvo) =
+    val (path, startingVersion, cdf, skip, maxV, ignoreEvo, maxB) =
       streamParams(parameters)
     new CommitLogStreamSource(sqlContext.sparkSession, metadataPath,
-      path, startingVersion, cdf, skip, maxV, ignoreEvo)
+      path, startingVersion, cdf, skip, maxV, ignoreEvo, maxB)
   }
 
   private def resolve(options: CaseInsensitiveStringMap): CommitLogTable = {
@@ -1099,8 +1105,12 @@ object CommitLogStreamSource {
 class CommitLogStreamSource(spark: SparkSession, metadataPath: String,
     table: String, startingVersion: Long, readChangeFeed: Boolean,
     skipRewrites: Boolean, maxVersionsPerTrigger: Option[Long],
-    ignoreSchemaEvolution: Boolean = false)
+    ignoreSchemaEvolution: Boolean = false,
+    maxBytesPerTrigger: Option[Long] = None)
     extends org.apache.spark.sql.execution.streaming.Source {
+
+  require(maxBytesPerTrigger.forall(_ > 0L),
+    "commitlog stream: maxBytesPerTrigger must be positive")
 
   import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 
@@ -1148,8 +1158,41 @@ class CommitLogStreamSource(spark: SparkSession, metadataPath: String,
   override def getOffset: Option[org.apache.spark.sql.execution
       .streaming.Offset] = {
     CommitLog.currentVersion(spark, table).flatMap { cur =>
-      val capped = maxVersionsPerTrigger
+      val cappedV = maxVersionsPerTrigger
         .fold(cur)(m => math.min(cur, plannedFloor + m))
+      // BYTES admission (Delta's maxBytesPerTrigger): walk candidate
+      // versions forward, summing the data bytes each one ADDED
+      // (manifest segment diffs + memoized listings — zero data-file
+      // I/O), and stop BEFORE the version that would cross the cap.
+      // The first pending version always admits, so a single commit
+      // larger than the cap still advances (Delta's soft-max rule) —
+      // the knob a 100 TB backfill needs: versions can be wildly
+      // uneven, and a versions-only cap can't bound executor memory.
+      val capped = maxBytesPerTrigger
+        .filter(_ => cappedV > plannedFloor).fold(cappedV) { cap =>
+          val from = math.max(1L, plannedFloor)
+          val byV = CommitLog.snapshotsRange(spark, table, from,
+            cappedV).map(s => s.version -> s).toMap
+          var v = plannedFloor
+          var bytes = 0L
+          var stop = false
+          while (!stop && v < cappedV) {
+            byV.get(v + 1L) match {
+              case None =>
+                // hole in the range (vacuumed): admit through it so
+                // getBatch raises its curated restart error
+                v = cappedV
+              case Some(next) =>
+                val prevSegs = byV.get(v).map(_.segments.toSet)
+                  .getOrElse(Set.empty[String])
+                val b = CommitLog.segmentsSizeBytes(spark,
+                  next.segments.filterNot(prevSegs))
+                if (bytes + b > cap && v > plannedFloor) stop = true
+                else { bytes += b; v += 1L }
+            }
+          }
+          v
+        }
       if (capped < startingVersion) None else Some(LongOffset(capped))
     }
   }

@@ -565,6 +565,66 @@ class CommitLogSpec extends AnyFunSuite {
     } finally { rm(t); rm(ckpt + "/x") }
   }
 
+  test("streaming source: maxBytesPerTrigger paces by ADDED data " +
+      "bytes — a tiny cap splits the replay one version per batch " +
+      "(soft max: oversized commits still advance), a huge cap takes " +
+      "everything at once, and the union is hash-equal either way") {
+    import spark.implicits._
+    val t = tmpTable()
+    try {
+      // three appends of materially different sizes
+      CommitLog.append(spark, t,
+        (1L to 2000L).map(i => (i, s"n$i", i * 1.0)).toDF("id", "name", "v"))
+      CommitLog.append(spark, t, df((100001L, "x", 1.0)))
+      CommitLog.append(spark, t,
+        (200001L to 202000L).map(i => (i, s"n$i", i * 1.0))
+          .toDF("id", "name", "v"))
+      def run(opts: (String, String)*): Seq[Seq[Long]] = {
+        val ckpt = ckptDir()
+        val batches =
+          scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+        val r = spark.readStream.format("commitlog").option("path", t)
+        val q = opts.foldLeft(r) { case (x, (k, vv)) => x.option(k, vv) }
+          .load()
+          .writeStream.foreachBatch {
+            (b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+              batches += b.select(col("id")).collect()
+                .map(_.getLong(0)).toSeq.sorted: Unit
+          }
+          .option("checkpointLocation", ckpt).start()
+        try q.processAllAvailable() finally q.stop()
+        rm(ckpt + "/x")
+        batches.toSeq
+      }
+      // cap of 1 byte: every version exceeds it, soft-max admits one
+      // version per batch — the replay still completes
+      val tiny = run("maxBytesPerTrigger" -> "1")
+      assert(tiny.length === 3,
+        s"1-byte cap must pace one version per batch, got $tiny")
+      // a huge cap takes all three versions in one batch
+      val huge = run("maxBytesPerTrigger" -> s"${Long.MaxValue / 2}")
+      assert(huge.length === 1)
+      // union law: pacing never changes WHAT is served
+      assert(tiny.flatten.sorted === huge.flatten.sorted)
+      assert(tiny.flatten.length === 4001)
+      // a mid cap (bigger than v2's single row, smaller than the 2000-
+      // row segments) groups v2 behind neither large neighbor
+      val sizes = CommitLog.snapshot(spark, t).get.segments.map(s =>
+        new java.io.File(s).listFiles
+          .filter(f => !f.getName.startsWith("_") &&
+            !f.getName.startsWith(".")).map(_.length).sum)
+      val mid = run("maxBytesPerTrigger" -> (sizes.max + 10L).toString)
+      // v1 fills the first batch past the point where v2 would fit
+      // only if v1+v2 <= cap — either 2 or 3 batches depending on
+      // exact sizes, but never 1, and the union law still holds
+      assert(mid.length >= 2 && mid.flatten.sorted === huge.flatten.sorted)
+      // composes with maxVersionsPerTrigger (both caps apply)
+      val both = run("maxBytesPerTrigger" -> s"${Long.MaxValue / 2}",
+        "maxVersionsPerTrigger" -> "1")
+      assert(both.length === 3)
+    } finally rm(t)
+  }
+
   test("streaming source: readChangeFeed streams DML images; a " +
       "rewrite without a change record fails loud unless skipped") {
     val t = tmpTable()
