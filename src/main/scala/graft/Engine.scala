@@ -36,6 +36,11 @@ object EngineSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // storage-partitioned joins: honor the KeyGroupedPartitioning a
+      // bucketed commit-log scan reports (bucket-aligned fact joins
+      // then plan with zero shuffle exchanges); affects only V2 scans
+      // that actually claim a key-grouped layout
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

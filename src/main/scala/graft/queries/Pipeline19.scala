@@ -1045,6 +1045,76 @@ object Pipeline19 {
           .withColumn("kept_after", lit(after.kept.size))
           .localCheckpoint(true)
       } finally rmTree(root)
+    }),
+
+    // STORAGE-PARTITIONED JOIN (round 14, Iceberg's SPJ): lineitem
+    // and orders both optimize_bucket on the order key (8 buckets);
+    // the manifests record the layout, the scans report
+    // KeyGroupedPartitioning, and the fact⋈fact join plans with
+    // ZERO shuffle exchanges (plan-pinned in the spj_shuffles
+    // witness, with broadcast forced off so the zero is SPJ's, not a
+    // broadcast's). The oracle re-derives the join aggregate — the
+    // hash gate proves the co-location serves exactly the right
+    // rows.
+    "q211_commitlog_spj" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q211_").toString
+      try {
+        s.conf.set("spark.sql.catalog.gq211",
+          "graft.sources.CommitLogCatalog")
+        s.conf.set("spark.sql.catalog.gq211.root", root)
+        val bcast = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        CommitLog.append(s, s"$root/ns/li",
+          t(s, dir, "lineitem").select(col("l_orderkey"),
+            col("l_extendedprice")))
+        CommitLog.append(s, s"$root/ns/ord",
+          t(s, dir, "orders").select(col("o_orderkey"),
+            col("o_orderstatus")))
+        graft.sources.CommitLogStats.compactBucketed(s,
+          s"$root/ns/li", Seq("l_orderkey"), 8, Seq("l_orderkey"))
+        graft.sources.CommitLogStats.compactBucketed(s,
+          s"$root/ns/ord", Seq("o_orderkey"), 8, Seq("o_orderkey"))
+        val joinSql = "SELECT o.o_orderstatus, l.l_extendedprice " +
+          "FROM gq211.ns.li l JOIN gq211.ns.ord o " +
+          "ON l.l_orderkey = o.o_orderkey"
+        def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
+          df.collect(): Unit
+          def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+              : Seq[org.apache.spark.sql.execution.SparkPlan] =
+            (p +: p.children.flatMap(nodes)) ++ (p match {
+              case a: org.apache.spark.sql.execution.adaptive
+                  .AdaptiveSparkPlanExec => nodes(a.executedPlan)
+              case q: org.apache.spark.sql.execution.adaptive
+                  .QueryStageExec => nodes(q.plan)
+              case _ => Seq.empty
+            })
+          nodes(df.queryExecution.executedPlan).collect {
+            case e: org.apache.spark.sql.execution.exchange
+              .ShuffleExchangeLike => e
+          }.distinct.size
+        }
+        try {
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          val spjShuffles = shuffles(s.sql(joinSql))
+          s.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+          val controlShuffles = shuffles(s.sql(joinSql))
+          s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+          s.sql(joinSql)
+            .groupBy(col("o_orderstatus"))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("l_extendedprice").cast("decimal(30,6)"))
+                .cast("double").as("sum_price"))
+            .withColumn("spj_shuffles", lit(spjShuffles))
+            .withColumn("control_shuffled", lit(controlShuffles >= 2))
+            .orderBy(col("o_orderstatus"))
+            .localCheckpoint(true)
+        } finally
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      } finally {
+        s.conf.unset("spark.sql.catalog.gq211")
+        s.conf.unset("spark.sql.catalog.gq211.root")
+        rmTree(root)
+      }
     })
   )
 
@@ -1324,6 +1394,17 @@ object Pipeline19 {
          |WHERE l_partkey >= 1 AND l_partkey <= p_hi
          |  AND l_suppkey >= 1 AND l_suppkey <= s_hi
          |  AND l_linenumber >= 1 AND l_linenumber <= 2""".stripMargin
-    }
+    },
+
+    "q211_commitlog_spj" ->
+      """SELECT o_orderstatus,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price,
+        |  CAST(0 AS INT) AS spj_shuffles,
+        |  TRUE AS control_shuffled
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin
   )
 }

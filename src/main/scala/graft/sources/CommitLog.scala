@@ -158,7 +158,40 @@ object CommitLog {
       // silently ignore fields whose absence changes row content
       // (e.g. skipping an unknown deletion-vector successor would
       // resurrect deleted rows). Absent = 1 (the pre-protocol era).
-      protocol: Option[Int] = None)
+      protocol: Option[Int] = None,
+      // bucket layout of THIS record's exact segment set (written by
+      // compactBucketed: keys, bucket count, segment-uuid → bucket) —
+      // what lets the DSv2 scan report KeyGroupedPartitioning so two
+      // bucket-aligned tables join with ZERO shuffles (Iceberg's
+      // storage-partitioned join). Deliberately NOT inherited at
+      // publish: any other commit changes the segment set and the
+      // layout claim dies with it (readers ignoring the field lose an
+      // optimization, never a row — reader protocol unchanged).
+      bucket: Option[String] = None)
+
+  /** Decoded [[Snapshot.bucket]]: hash keys, bucket count, and the
+    * segment-uuid → bucket map of the exact committed layout. */
+  final case class TableBucketSpec(keys: Seq[String], n: Int,
+      byUuid: Map[String, Int])
+
+  private[sources] def encodeBucketSpec(keys: Seq[String], n: Int,
+      segs: Seq[(Int, String)]): String =
+    encodeConstraints(Map(
+      "__keys" -> keys.mkString(","),
+      "__n" -> n.toString) ++
+      segs.map { case (b, seg) =>
+        seg.substring(seg.lastIndexOf('/') + 1) -> b.toString })
+
+  private[graft] def decodeBucketSpec(
+      enc: String): Option[TableBucketSpec] =
+    try {
+      val m = decodeConstraints(enc)
+      for {
+        keys <- m.get("__keys").map(_.split(',').toSeq.filter(_.nonEmpty))
+        n <- m.get("__n").map(_.toInt)
+      } yield TableBucketSpec(keys, n,
+        (m - "__keys" - "__n").map { case (u, b) => u -> b.toInt })
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Highest reader protocol this engine understands (FORMAT.md
     * §2.4). History: 1 = base format; 2 = deletion vectors + column
@@ -4069,8 +4102,9 @@ object CommitLog {
     val cn = s.constraints.fold("")(c => s""""constraints":"$c",""")
     val idn = s.identity.fold("")(i => s""""identity":"$i",""")
     val pr = s.protocol.fold("")(p => s""""protocol":$p,""")
+    val bk = s.bucket.fold("")(b => s""""bucket":"$b",""")
     s"""{"version":${s.version},"baseVersion":${s.baseVersion},""" +
-      txn + ch + dvf + sch + ts + pb + mp + cn + idn + pr +
+      txn + ch + dvf + sch + ts + pb + mp + cn + idn + pr + bk +
       s""""op":"${s.op}","""
   }
 
@@ -4152,6 +4186,8 @@ object CommitLog {
       constraints = optField("constraints")
         .map(_.stripPrefix("\"").stripSuffix("\"")),
       identity = optField("identity")
+        .map(_.stripPrefix("\"").stripSuffix("\"")),
+      bucket = optField("bucket")
         .map(_.stripPrefix("\"").stripSuffix("\"")),
       protocol = {
         val p = optField("protocol").map(_.toInt)

@@ -44,7 +44,30 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class CommitLogCatalog extends TableCatalog
     with SupportsNamespaces
     with ProcedureCatalog
-    with StagingTableCatalog {
+    with StagingTableCatalog
+    with FunctionCatalog {
+
+  /** FunctionCatalog: exposes the `bucket` layout function so Spark
+    * can resolve a bucketed scan's reported
+    * `KeyGroupedPartitioning(bucket(n, key))` into a
+    * TransformExpression — the resolution step storage-partitioned
+    * joins hang on (V2ExpressionUtils looks the transform's name up
+    * in the relation's catalog with an EMPTY namespace). */
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions
+        .UnboundFunction =
+    if (ident.name().equalsIgnoreCase("bucket") &&
+        (ident.namespace().isEmpty ||
+          ident.namespace().toSeq == Seq("system")))
+      GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
+
+  override def listFunctions(namespace: Array[String])
+      : Array[Identifier] =
+    if (namespace.isEmpty || namespace.toSeq == Seq("system"))
+      Array(Identifier.of(namespace, "bucket"))
+    else Array.empty
 
   private var catalogName: String = _
   private var initialRoot: String = _

@@ -674,9 +674,103 @@ private[sources] class CommitLogScanBuilder(spark: SparkSession,
         .get("spark.sql.sources.fileCompressionFactor", "1.0").toDouble
       val bytes = math.max(1L,
         (CommitLog.segmentsSizeBytes(spark, kept) * factor).toLong)
-      new CommitLogStatsScan(inner.build(),
-        CommitLogStats.segmentsRowCount(spark, kept), bytes)
+      val rows = CommitLogStats.segmentsRowCount(spark, kept)
+      // storage-partitioned join reporting: a compactBucketed commit
+      // records its layout (keys, n, uuid → bucket) in the manifest;
+      // a SINGLE-key spec covering every segment lets the scan claim
+      // KeyGroupedPartitioning — Spark then plans a join of two
+      // same-(function, n) tables with ZERO shuffle exchanges
+      // (activated by spark.sql.sources.v2.bucketing.enabled; the
+      // claim costs nothing when it is off or unresolvable)
+      def uuidOf(s: String) = s.substring(s.lastIndexOf('/') + 1)
+      snap.bucket.flatMap(CommitLog.decodeBucketSpec)
+        .filter(bs => bs.keys.size == 1 &&
+          snap.segments.forall(s => bs.byUuid.contains(uuidOf(s))))
+        match {
+        case Some(bs) =>
+          new CommitLogBucketedScan(inner.build(), rows, bytes, bs)
+        case None =>
+          new CommitLogStatsScan(inner.build(), rows, bytes)
+      }
   }
+}
+
+/** The SPJ scan over a [[CommitLogStats.compactBucketed]] layout:
+  * reports `KeyGroupedPartitioning(bucket(n, key), n)` and plans ONE
+  * input partition per bucket (each a [[KeyedFilePartition]] whose
+  * key is the bucket id; absent buckets emit an empty partition so
+  * both join sides always expose identical partition-value sets).
+  * Reading machinery stays the wrapped ParquetScan's — its reader
+  * factory consumes FilePartitions, and ours are FilePartitions.
+  * Runtime-filter re-planning is deliberately NOT delegated here: a
+  * mid-plan file-list change would have to re-group buckets, and
+  * SPJ's whole point is that the layout is settled at write time. */
+private[graft] class CommitLogBucketedScan(
+    inner: org.apache.spark.sql.connector.read.Scan,
+    rows: Option[Long], bytes: Long,
+    spec: CommitLog.TableBucketSpec)
+    extends CommitLogStatsScan(inner, rows, bytes)
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    new org.apache.spark.sql.connector.read.partitioning
+      .KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .bucket(spec.n, spec.keys.head)), spec.n)
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array.empty
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions
+        .filter.Predicate]): Unit = ()
+
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = {
+    val ib = inner.toBatch
+    new org.apache.spark.sql.connector.read.Batch {
+      override def planInputPartitions()
+          : Array[org.apache.spark.sql.connector.read.InputPartition] = {
+        val files = ib.planInputPartitions().flatMap {
+          case fp: org.apache.spark.sql.execution.datasources
+              .FilePartition => fp.files
+          case other => throw new IllegalStateException(
+            s"commitlog bucketed scan: unexpected input partition " +
+              s"${other.getClass.getName}")
+        }
+        val grouped = files.groupBy { pf =>
+          val p = pf.filePath.toString
+          val comps = p.split('/')
+          val uuid = if (comps.length >= 2) comps(comps.length - 2)
+            else ""
+          spec.byUuid.getOrElse(uuid, throw new IllegalStateException(
+            s"commitlog bucketed scan: file $p belongs to no " +
+              "recorded bucket — stale layout record"))
+        }
+        (0 until spec.n).map { b =>
+          new KeyedFilePartition(b,
+            grouped.getOrElse(b, Array.empty),
+            org.apache.spark.sql.catalyst.InternalRow(b))
+              : org.apache.spark.sql.connector.read.InputPartition
+        }.toArray
+      }
+      override def createReaderFactory()
+          : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+        ib.createReaderFactory()
+    }
+  }
+}
+
+/** A [[org.apache.spark.sql.execution.datasources.FilePartition]]
+  * carrying its bucket id as the SPJ partition key. */
+private[graft] class KeyedFilePartition(idx: Int,
+    fs: Array[org.apache.spark.sql.execution.datasources.PartitionedFile],
+    key: org.apache.spark.sql.catalyst.InternalRow)
+    extends org.apache.spark.sql.execution.datasources
+      .FilePartition(idx, fs)
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey()
+      : org.apache.spark.sql.catalyst.InternalRow = key
 }
 
 /** [[org.apache.spark.sql.connector.read.Scan]] wrapper that reports

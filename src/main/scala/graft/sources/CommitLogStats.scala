@@ -1238,10 +1238,18 @@ object CommitLogStats {
           lit(nBuckets)))
         .persist()
       try {
-        val segs = writeBucketedSegments(spark, table, df,
-          "__bucket", Seq.empty, statsCols).map(_._2)
+        val bySeg = writeBucketedSegments(spark, table, df,
+          "__bucket", Seq.empty, statsCols)
+        val segs = bySeg.map(_._2)
+        // record the layout in the manifest (keys, n, uuid → bucket):
+        // the DSv2 scan reports KeyGroupedPartitioning from it, so a
+        // join of two same-(keys-arity, n) tables plans with ZERO
+        // shuffle exchanges. The field is NOT inherited — any later
+        // commit changes the segment set and the claim dies with it.
         val snap = CommitLog.Snapshot(cur.version + 1L, segs,
-          cur.version, "compact", schema = cur.schema)
+          cur.version, "compact", schema = cur.schema,
+          bucket = Some(CommitLog.encodeBucketSpec(keys, nBuckets,
+            bySeg)))
         if (CommitLog.tryPublish(spark, table, snap, Some(cur))) return snap.version
         val f = fs(spark, table)
         segs.foreach(s =>

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{CommitLog, CommitLogStats}
+
+/** Storage-partitioned joins (Iceberg's SPJ, SPARK-37375) over
+  * commit-log tables: a [[CommitLogStats.compactBucketed]] commit
+  * records its layout in the manifest, the DSv2 scan reports
+  * `KeyGroupedPartitioning(bucket(n, key))`, and the catalog resolves
+  * the transform through its FunctionCatalog — so a join of two
+  * bucket-aligned tables plans with ZERO shuffle exchanges. The
+  * bucket layout's write-time cost is finally harvested at join time
+  * (the commit-log twin of q119's plain-parquet bucketBy law).
+  *
+  * Negative space matters as much: mismatched bucket counts fall back
+  * to a plain shuffle (never a wrong co-location), and ANY later
+  * commit drops the layout claim with the segment set it described.
+  */
+class SpjSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.sources.v2.bucketing.enabled", "true")
+    // the law is about SHUFFLE elimination — a broadcast join would
+    // trivially have none; force the hash-join path
+    .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+    .getOrCreate()
+
+  private def rm(path: String): Unit = {
+    def go(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(go)); f.delete(): Unit
+    }
+    go(new java.io.File(path))
+  }
+
+  private def shuffleCount(df: DataFrame): Int = {
+    df.collect() // finalize adaptive stages
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      (p +: p.children.flatMap(nodes)) ++ (p match {
+        case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive
+            .QueryStageExec => nodes(q.plan)
+        case _ => Seq.empty
+      })
+    nodes(df.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeLike => e }.distinct.size
+  }
+
+  test("bucket-aligned fact-to-fact join plans with ZERO shuffle " +
+      "exchanges; results are hash-equal to the shuffled plan; " +
+      "mismatched bucket counts and post-layout appends fall back " +
+      "to the shuffle, never to a wrong co-location") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_spj_").toString
+    try {
+      spark.conf.set("spark.sql.catalog.gspj",
+        "graft.sources.CommitLogCatalog")
+      spark.conf.set("spark.sql.catalog.gspj.root", root)
+      val a = s"$root/ns/a"; val b = s"$root/ns/b"; val c = s"$root/ns/c"
+      CommitLog.append(spark, a,
+        (1L to 10000L).map(k => (k, k * 2.0)).toDF("k", "v"))
+      CommitLog.append(spark, b,
+        (1L to 5000L).map(k => (k, s"n$k")).toDF("k", "w"))
+      CommitLog.append(spark, c,
+        (1L to 5000L).map(k => (k, k * 3.0)).toDF("k", "u"))
+      CommitLogStats.compactBucketed(spark, a, Seq("k"), 8, Seq("k"))
+      CommitLogStats.compactBucketed(spark, b, Seq("k"), 8, Seq("k"))
+      CommitLogStats.compactBucketed(spark, c, Seq("k"), 4, Seq("k"))
+      // the manifest records the layout; an identical snapshot read
+      // decodes it
+      val spec = CommitLog.decodeBucketSpec(
+        CommitLog.snapshot(spark, a).get.bucket.get).get
+      assert(spec.keys === Seq("k") && spec.n === 8 &&
+        spec.byUuid.values.toSet.size ===
+          CommitLog.snapshot(spark, a).get.segments.size)
+
+      val q = "SELECT a.k, a.v, b.w FROM gspj.ns.a a " +
+        "JOIN gspj.ns.b b ON a.k = b.k"
+      // ---- the law: zero exchanges, both sides key-grouped --------
+      val spj = spark.sql(q)
+      assert(shuffleCount(spj) === 0,
+        s"bucket-aligned join must not shuffle:\n" +
+          spj.queryExecution.executedPlan)
+      // result parity with the shuffled plan (bucketing disabled)
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val shuffled = spark.sql(q)
+      val nShuffled = shuffleCount(shuffled)
+      assert(nShuffled >= 2, s"control must shuffle, got $nShuffled")
+      val rows = spj.collect().map(r =>
+        (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq.sorted
+      assert(rows === shuffled.collect().map(r =>
+        (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq.sorted)
+      assert(rows.length === 5000)
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+
+      // ---- mismatched bucket counts: plain shuffle, right rows ----
+      val mixed = spark.sql("SELECT a.k FROM gspj.ns.a a " +
+        "JOIN gspj.ns.c c ON a.k = c.k")
+      assert(shuffleCount(mixed) > 0,
+        "8-vs-4 buckets must not co-locate")
+      assert(mixed.collect().length === 5000)
+
+      // ---- any later commit drops the layout claim ----------------
+      CommitLog.append(spark, b, Seq((99999L, "zz")).toDF("k", "w"))
+      assert(CommitLog.snapshot(spark, b).get.bucket.isEmpty,
+        "an append must not inherit the bucket layout record")
+      val after = spark.sql(q)
+      assert(shuffleCount(after) > 0,
+        "a post-layout append must fall back to the shuffle")
+      assert(after.collect().length === 5000)
+      // re-OPTIMIZE restores the zero-shuffle plan
+      CommitLogStats.compactBucketed(spark, b, Seq("k"), 8, Seq("k"))
+      assert(shuffleCount(spark.sql(q)) === 0)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gspj")
+      spark.conf.unset("spark.sql.catalog.gspj.root")
+      rm(root)
+    }
+  }
+}
