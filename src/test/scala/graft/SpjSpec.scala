@@ -23,15 +23,15 @@ import graft.sources.{CommitLog, CommitLogStats}
   */
 class SpjSpec extends AnyFunSuite {
 
+  // NOTE: the suite-specific confs (bucketing, broadcast-off) are set
+  // and RESTORED inside the test body — builder configs would leak
+  // into the shared test JVM's session and poison other suites'
+  // plan-shape assertions
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
-    .config("spark.sql.sources.v2.bucketing.enabled", "true")
-    // the law is about SHUFFLE elimination — a broadcast join would
-    // trivially have none; force the hash-join path
-    .config("spark.sql.autoBroadcastJoinThreshold", "-1")
     .getOrCreate()
 
   private def rm(path: String): Unit = {
@@ -62,7 +62,14 @@ class SpjSpec extends AnyFunSuite {
     import spark.implicits._
     val root = java.nio.file.Files
       .createTempDirectory("graft_spj_").toString
+    val bcast0 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val bkt0 = spark.conf
+      .getOption("spark.sql.sources.v2.bucketing.enabled")
     try {
+      // the law is about SHUFFLE elimination — a broadcast join would
+      // trivially have none; force the hash-join path for this test
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       spark.conf.set("spark.sql.catalog.gspj",
         "graft.sources.CommitLogCatalog")
       spark.conf.set("spark.sql.catalog.gspj.root", root)
@@ -122,6 +129,13 @@ class SpjSpec extends AnyFunSuite {
       CommitLogStats.compactBucketed(spark, b, Seq("k"), 8, Seq("k"))
       assert(shuffleCount(spark.sql(q)) === 0)
     } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast0)
+      bkt0 match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None =>
+          spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
       spark.conf.unset("spark.sql.catalog.gspj")
       spark.conf.unset("spark.sql.catalog.gspj.root")
       rm(root)
