@@ -181,7 +181,12 @@ object Pipeline5 {
 
     // Same 1e7 fixed-point lattice as q20's embeddings oracle; decimal
     // products keep every sum exact, cosine is the one double step and
-    // its expression shape is identical on both engines.
+    // its expression shape is identical on both engines. The exact
+    // sums route DECIMAL→VARCHAR→DOUBLE: DuckDB's direct
+    // DECIMAL→DOUBLE cast is 1 ULP off correctly-rounded once values
+    // pass 2^53 (bit at x10: dot ≈ 1e17), while Spark's
+    // BigDecimal.doubleValue — and DuckDB's string parse — round to
+    // nearest correctly.
     "q76_label_centroid_cos" ->
       """WITH f AS (
         |  SELECT label, i,
@@ -192,11 +197,11 @@ object Pipeline5 {
         |n AS (SELECT label, CAST(count(*) AS BIGINT) AS n
         |      FROM embeddings GROUP BY label),
         |n2 AS (SELECT label,
-        |    CAST(SUM(CAST(sv AS DECIMAL(12,0)) * CAST(sv AS DECIMAL(12,0))) AS DOUBLE) AS n2
+        |    CAST(CAST(SUM(CAST(sv AS DECIMAL(12,0)) * CAST(sv AS DECIMAL(12,0))) AS VARCHAR) AS DOUBLE) AS n2
         |  FROM c GROUP BY label),
         |d AS (
         |  SELECT a.label AS label_a, b.label AS label_b,
-        |    CAST(SUM(CAST(a.sv AS DECIMAL(12,0)) * CAST(b.sv AS DECIMAL(12,0))) AS DOUBLE) AS dot
+        |    CAST(CAST(SUM(CAST(a.sv AS DECIMAL(12,0)) * CAST(b.sv AS DECIMAL(12,0))) AS VARCHAR) AS DOUBLE) AS dot
         |  FROM c a JOIN c b ON a.i = b.i AND a.label < b.label
         |  GROUP BY 1, 2)
         |SELECT d.label_a, d.label_b, na.n AS n_a, nb.n AS n_b,

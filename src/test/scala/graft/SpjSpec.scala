@@ -128,6 +128,28 @@ class SpjSpec extends AnyFunSuite {
       // re-OPTIMIZE restores the zero-shuffle plan
       CommitLogStats.compactBucketed(spark, b, Seq("k"), 8, Seq("k"))
       assert(shuffleCount(spark.sql(q)) === 0)
+
+      // ---- one-side storage-partitioned shuffle ------------------
+      // (spark.sql.sources.v2.bucketing.shuffle.enabled): joining
+      // the bucketed fact against an UNBUCKETED side shuffles ONLY
+      // that side — into the fact's own bucket layout, evaluated
+      // through the catalog's bucket function. At 100 TB this is
+      // the lever: the fact's bytes never move.
+      CommitLog.append(spark, s"$root/ns/d",
+        (1L to 200L).map(k => (k, s"d$k")).toDF("k", "d"))
+      spark.conf.set(
+        "spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+      try {
+        val oneSide = spark.sql("SELECT a.k, d.d FROM gspj.ns.a a " +
+          "JOIN gspj.ns.d d ON a.k = d.k")
+        val n = shuffleCount(oneSide)
+        assert(n === 1,
+          s"one-side SPJ shuffle expected exactly the unbucketed " +
+            s"side to move, got $n exchanges:\n" +
+            oneSide.queryExecution.executedPlan)
+        assert(oneSide.collect().length === 200)
+      } finally spark.conf.unset(
+        "spark.sql.sources.v2.bucketing.shuffle.enabled")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast0)
       bkt0 match {
