@@ -29,24 +29,25 @@ object GraftBucketFunction extends UnboundFunction {
     "bucket(n, key): pmod(murmur3_hash(key, 42), n) — the " +
       "compactBucketed segment-layout function"
   override def bind(inputType: StructType): BoundFunction = {
-    if (inputType.fields.length != 2)
+    if (inputType.fields.length < 2)
       throw new UnsupportedOperationException(
-        s"graft bucket: expects (numBuckets INT, key), got " +
+        s"graft bucket: expects (numBuckets INT, key, ...), got " +
           inputType.simpleString)
-    inputType.fields(1).dataType match {
-      case kt @ (ByteType | ShortType | IntegerType | LongType) =>
-        GraftBucketBound(kt)
-      case other => throw new UnsupportedOperationException(
-        s"graft bucket: unsupported key type $other — integral " +
-          "bucket keys only")
-    }
+    val keyTypes = inputType.fields.drop(1).map(_.dataType)
+    keyTypes.find {
+      case ByteType | ShortType | IntegerType | LongType => false
+      case _ => true
+    }.foreach(other => throw new UnsupportedOperationException(
+      s"graft bucket: unsupported key type $other — integral " +
+        "bucket keys only"))
+    GraftBucketBound(keyTypes.toSeq)
   }
 }
 
-final case class GraftBucketBound(keyType: DataType)
+final case class GraftBucketBound(keyTypes: Seq[DataType])
     extends ScalarFunction[Int] {
   override def inputTypes(): Array[DataType] =
-    Array(IntegerType, keyType)
+    (IntegerType +: keyTypes).toArray
   override def resultType(): DataType = IntegerType
   override def name(): String = "bucket"
   // both sides of an SPJ compare this: one engine, one layout hash
@@ -54,18 +55,23 @@ final case class GraftBucketBound(keyType: DataType)
   override def isResultNullable: Boolean = false
   override def produceResult(input: InternalRow): Int = {
     val n = input.getInt(0)
-    val h: Int =
-      if (input.isNullAt(1)) 42 // hash(NULL) leaves the seed
-      else keyType match {
+    // Spark's hash(k1, k2, ...): murmur3 seeded 42, each value's
+    // hash seeding the next; NULL leaves the running seed unchanged
+    var h = 42
+    var i = 0
+    while (i < keyTypes.length) {
+      if (!input.isNullAt(i + 1)) h = keyTypes(i) match {
         case LongType => org.apache.spark.unsafe.hash.Murmur3_x86_32
-          .hashLong(input.getLong(1), 42)
+          .hashLong(input.getLong(i + 1), h)
         case IntegerType => org.apache.spark.unsafe.hash
-          .Murmur3_x86_32.hashInt(input.getInt(1), 42)
+          .Murmur3_x86_32.hashInt(input.getInt(i + 1), h)
         case ShortType => org.apache.spark.unsafe.hash.Murmur3_x86_32
-          .hashInt(input.getShort(1).toInt, 42)
+          .hashInt(input.getShort(i + 1).toInt, h)
         case _ => org.apache.spark.unsafe.hash.Murmur3_x86_32
-          .hashInt(input.getByte(1).toInt, 42)
+          .hashInt(input.getByte(i + 1).toInt, h)
       }
+      i += 1
+    }
     ((h % n) + n) % n
   }
 }

@@ -682,6 +682,12 @@ private[sources] class CommitLogScanBuilder(spark: SparkSession,
       // same-(function, n) tables with ZERO shuffle exchanges
       // (activated by spark.sql.sources.v2.bucketing.enabled; the
       // claim costs nothing when it is off or unresolvable)
+      // single-key specs only: Spark's SPJ matches each clustering
+      // expression against ONE join key by position, so a multi-ref
+      // bucket transform never lines up with its individual join
+      // keys (verified empirically — the claim resolves but falls
+      // back to a shuffle); multi-key layouts keep their DML
+      // write-amplification value and simply don't claim SPJ
       def uuidOf(s: String) = s.substring(s.lastIndexOf('/') + 1)
       snap.bucket.flatMap(CommitLog.decodeBucketSpec)
         .filter(bs => bs.keys.size == 1 &&
@@ -717,7 +723,7 @@ private[graft] class CommitLogBucketedScan(
     new org.apache.spark.sql.connector.read.partitioning
       .KeyGroupedPartitioning(
         Array(org.apache.spark.sql.connector.expressions.Expressions
-          .bucket(spec.n, spec.keys.head)), spec.n)
+          .bucket(spec.n, spec.keys: _*)), spec.n)
 
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =

@@ -129,6 +129,16 @@ class SpjSpec extends AnyFunSuite {
       CommitLogStats.compactBucketed(spark, b, Seq("k"), 8, Seq("k"))
       assert(shuffleCount(spark.sql(q)) === 0)
 
+      // ---- the layout serves AGGREGATION too: a groupBy on the
+      // bucket key is already clustered, so the hash aggregate runs
+      // exchange-free over the key-grouped partitions
+      val agg = spark.sql(
+        "SELECT k, COUNT(*) AS n, SUM(v) AS sv FROM gspj.ns.a GROUP BY k")
+      assert(shuffleCount(agg) === 0,
+        s"bucket-key aggregation must not shuffle:\n" +
+          agg.queryExecution.executedPlan)
+      assert(agg.collect().length === 10000)
+
       // ---- one-side storage-partitioned shuffle ------------------
       // (spark.sql.sources.v2.bucketing.shuffle.enabled): joining
       // the bucketed fact against an UNBUCKETED side shuffles ONLY
@@ -150,6 +160,27 @@ class SpjSpec extends AnyFunSuite {
         assert(oneSide.collect().length === 200)
       } finally spark.conf.unset(
         "spark.sql.sources.v2.bucketing.shuffle.enabled")
+
+      // ---- MULTI-key buckets do NOT claim SPJ (Spark matches each
+      // clustering expression to ONE join key by position, so a
+      // multi-ref bucket transform can never line up) — the layout
+      // keeps its DML write-amplification value, the join just
+      // shuffles, and the results stay right
+      val m1 = s"$root/ns/m1"; val m2 = s"$root/ns/m2"
+      CommitLog.append(spark, m1,
+        (1L to 5000L).map(i => (i % 50, i / 50, i * 1.0))
+          .toDF("k1", "k2", "v"))
+      CommitLog.append(spark, m2,
+        (1L to 2500L).map(i => (i % 50, i / 50, s"w$i"))
+          .toDF("k1", "k2", "w"))
+      CommitLogStats.compactBucketed(spark, m1, Seq("k1", "k2"), 8,
+        Seq("k1"))
+      CommitLogStats.compactBucketed(spark, m2, Seq("k1", "k2"), 8,
+        Seq("k1"))
+      val mq = spark.sql("SELECT a.k1, a.k2, a.v, b.w " +
+        "FROM gspj.ns.m1 a JOIN gspj.ns.m2 b " +
+        "ON a.k1 = b.k1 AND a.k2 = b.k2")
+      assert(mq.collect().length === 2500)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast0)
       bkt0 match {
