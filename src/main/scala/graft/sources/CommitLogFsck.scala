@@ -296,6 +296,29 @@ object CommitLogFsck {
         local += info("stale_constraints_file", "_constraints.json",
           "manifest carries the constraints field — the side file " +
             "is dead debris readers must ignore (safe to delete)")
+      // bucket layout record (§2.2): a spec must decode and cover the
+      // record's OWN segment set — anything else is a non-conforming
+      // writer's claim. Readers suppress SPJ on a non-covering spec
+      // (never a wrong co-location), so the degradation is WARN.
+      cur.bucket.foreach { enc =>
+        CommitLog.decodeBucketSpec(enc) match {
+          case None => local += warn("bucket_spec_undecodable",
+            s"v${cur.version}",
+            "bucket field does not decode — the layout claim is " +
+              "ignored (storage-partitioned joins fall back to " +
+              "shuffles); re-run the bucketed OPTIMIZE")
+          case Some(bs) =>
+            val uuids = cur.segments.map(s =>
+              s.substring(s.lastIndexOf('/') + 1)).toSet
+            if (!uuids.forall(bs.byUuid.contains) ||
+                !bs.byUuid.keySet.forall(uuids))
+              local += warn("bucket_spec_mismatch", s"v${cur.version}",
+                "bucket spec does not cover exactly the record's " +
+                  "segment set (non-conforming writer) — readers " +
+                  "suppress the SPJ claim; re-run the bucketed " +
+                  "OPTIMIZE")
+        }
+      }
     }
 
     // ---- 4. row-level machinery: DV carry-forward, referenced dirs --

@@ -220,6 +220,36 @@ class CommitLogFsckSpec extends AnyFunSuite {
     } finally rm(t)
   }
 
+  test("bucket layout record conformance: a clean compactBucketed " +
+      "table reports nothing; an undecodable or non-covering spec " +
+      "is a WARN (readers suppress the SPJ claim)") {
+    val t = tmpTable()
+    try {
+      CommitLog.append(spark, t, df((1L, "a", 1.0), (2L, "b", 2.0),
+        (3L, "c", 3.0)))
+      graft.sources.CommitLogStats.compactBucketed(spark, t,
+        Seq("id"), 2, Seq("id"))
+      assert(CommitLog.snapshot(spark, t).get.bucket.isDefined)
+      assert(codes(CommitLogFsck.fsck(spark, t)).isEmpty,
+        "a conforming bucket record must report nothing")
+      // incident: a non-conforming writer mangles the spec
+      val v = CommitLog.currentVersion(spark, t).get
+      val mf = manifestFile(t, v)
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8")
+      val bogus = java.util.Base64.getEncoder
+        .encodeToString("{}".getBytes("UTF-8"))
+      java.nio.file.Files.write(mf.toPath,
+        txt.replaceAll("\"bucket\":\"[^\"]*\"",
+          s""""bucket":"$bogus"""").getBytes("UTF-8")): Unit
+      val byCode = codes(CommitLogFsck.fsck(spark, t))
+      assert(byCode.get("bucket_spec_undecodable").contains("WARN"),
+        s"findings: $byCode")
+      // ...and the scan suppresses the claim: reads still right
+      assert(CommitLog.read(spark, t).count() === 3L)
+    } finally rm(t)
+  }
+
   test("FSCK REPAIR: one transactional commit drops references to " +
       "missing segments — the repaired table serves exactly the " +
       "surviving rows; dry_run commits nothing; a clean table is a " +

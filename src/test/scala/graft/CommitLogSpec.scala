@@ -5860,6 +5860,14 @@ class CommitLogSpec extends AnyFunSuite {
         Seq.empty[(Long, String, Double)].toDF("id", "day", "v"),
         col("day") === "d9")
       assert(CommitLog.currentVersion(spark, path).get === vNow)
+      // SQL static-partition INSERT OVERWRITE routes through the
+      // same atomic replace_where (Spark plans it as
+      // OverwriteByExpression on the partition predicate)
+      spark.sql("INSERT OVERWRITE grw.ns.t PARTITION (day = 'd2') " +
+        "SELECT 40L AS id, 40.0 AS v")
+      assert(CommitLog.snapshot(spark, path).get.op === "replace_where")
+      assert(spark.sql("SELECT id FROM grw.ns.t ORDER BY id").collect()
+        .map(_.getLong(0)).toSeq === Seq(10L, 11L, 12L, 30L, 40L))
       spark.sql("DROP TABLE grw.ns.t")
     } finally {
       spark.conf.unset("spark.sql.catalog.grw")

@@ -161,6 +161,22 @@ class SpjSpec extends AnyFunSuite {
       } finally spark.conf.unset(
         "spark.sql.sources.v2.bucketing.shuffle.enabled")
 
+      // ---- partially-clustered SPJ (the skew remedy: Spark may
+      // replicate the smaller side's groups instead of giving each
+      // bucket one task) stays shuffle-free and value-identical
+      spark.conf.set(
+        "spark.sql.sources.v2.bucketing.partiallyClustered.enabled",
+        "true")
+      try {
+        val pc = spark.sql(q)
+        assert(shuffleCount(pc) === 0,
+          "partially-clustered SPJ must stay shuffle-free")
+        assert(pc.collect().map(r =>
+          (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq.sorted
+          === rows)
+      } finally spark.conf.unset(
+        "spark.sql.sources.v2.bucketing.partiallyClustered.enabled")
+
       // ---- MULTI-key buckets do NOT claim SPJ (Spark matches each
       // clustering expression to ONE join key by position, so a
       // multi-ref bucket transform can never line up) — the layout
