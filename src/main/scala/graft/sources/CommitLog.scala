@@ -176,11 +176,15 @@ object CommitLog {
 
   private[sources] def encodeBucketSpec(keys: Seq[String], n: Int,
       segs: Seq[(Int, String)]): String =
+    encodeBucketEntries(keys, n, segs.map { case (b, seg) =>
+      seg.substring(seg.lastIndexOf('/') + 1) -> b }.toMap)
+
+  private[sources] def encodeBucketEntries(keys: Seq[String], n: Int,
+      entries: Map[String, Int]): String =
     encodeConstraints(Map(
       "__keys" -> keys.mkString(","),
       "__n" -> n.toString) ++
-      segs.map { case (b, seg) =>
-        seg.substring(seg.lastIndexOf('/') + 1) -> b.toString })
+      entries.map { case (u, b) => u -> b.toString })
 
   private[graft] def decodeBucketSpec(
       enc: String): Option[TableBucketSpec] =
@@ -2540,15 +2544,21 @@ object CommitLog {
         .write.mode(SaveMode.ErrorIfExists).parquet(changeDir)
       val nDeleted = spark.read.parquet(changeDir).count()
       val kept = touchedDf.filter(!matched)
+      // a bucketed layout (SPJ spec) survives the DML: the kept rows
+      // re-land bucket-split and the commit carries the updated spec
+      val bucketStaged = CommitLogStats.stageDmlBucketed(spark, table,
+        cur, touched.toSet, kept)
       // a fully-deleted segment set gets NO empty replacement segment
       // (a zero-row parquet dir has no footer to infer schema from)
-      val keptSegs =
+      val keptSegs = bucketStaged.map(_._1).getOrElse {
         if (kept.isEmpty) Seq.empty[String]
         else Seq(writeSegment(spark, table, kept))
+      }
       val snap = Snapshot(cur.version + 1L,
         cur.segments.filterNot(touched.toSet) ++ keptSegs,
         cur.version, "delete", changes = Some(changeDir),
-        schema = cur.schema, dv = cur.dv)
+        schema = cur.schema, dv = cur.dv,
+        bucket = bucketStaged.map(_._2))
       if (tryPublish(spark, table, snap, Some(cur))) return (snap.version, nDeleted)
       keptSegs.foreach(s => fs(spark, table).delete(
         new org.apache.hadoop.fs.Path(s), true): Unit)
@@ -2587,7 +2597,11 @@ object CommitLog {
     *    streaming source replay it like any DML.
     *
     * Returns (version, rowsDeleted, rowsInserted); a no-op (predicate
-    * matches nothing AND `df` is empty) commits NO version. */
+    * matches nothing AND `df` is empty) commits NO version. A
+    * bucketed (SPJ) layout LAPSES across a replaceWhere — unlike
+    * delete/update/merge, the replacement stages before the OCC loop
+    * resolves the spec; re-run the bucketed OPTIMIZE after a slice
+    * reload if the join layout matters. */
   def overwriteWhere(spark: SparkSession, table: String, df: DataFrame,
       predicate: org.apache.spark.sql.Column,
       maxRetries: Int = 20): (Long, Long, Long) = {
@@ -3009,14 +3023,21 @@ object CommitLog {
         .write.mode(SaveMode.ErrorIfExists).parquet(changeDir)
       val nUpdated = spark.read.parquet(changeDir)
         .filter(col("_change_type") === "update_preimage").count()
-      val newSeg = writeSegment(spark, table, applied(onlyMatched = false))
+      // a bucketed layout (SPJ spec) survives: post-image rows
+      // re-land bucket-split (SET on a bucket KEY still re-hashes
+      // correctly — purity per segment is the invariant)
+      val bucketStaged = CommitLogStats.stageDmlBucketed(spark, table,
+        cur, touched.toSet, applied(onlyMatched = false))
+      val newSegs = bucketStaged.map(_._1).getOrElse(
+        Seq(writeSegment(spark, table, applied(onlyMatched = false))))
       val snap = Snapshot(cur.version + 1L,
-        cur.segments.filterNot(touched.toSet) :+ newSeg,
+        cur.segments.filterNot(touched.toSet) ++ newSegs,
         cur.version, "update", changes = Some(changeDir),
-        schema = cur.schema, dv = cur.dv)
+        schema = cur.schema, dv = cur.dv,
+        bucket = bucketStaged.map(_._2))
       if (tryPublish(spark, table, snap, Some(cur))) return (snap.version, nUpdated)
-      fs(spark, table).delete(
-        new org.apache.hadoop.fs.Path(newSeg), true): Unit
+      newSegs.foreach(s => fs(spark, table).delete(
+        new org.apache.hadoop.fs.Path(s), true): Unit)
       fs(spark, table).delete(
         new org.apache.hadoop.fs.Path(changeDir), true): Unit
       attempt += 1
@@ -3553,9 +3574,14 @@ object CommitLog {
           updated = false)
         .unionByName(project(joined.filter(updCond), updated = true))
       val newRows = inserts.fold(survivors)(survivors.unionByName(_))
-      val newSegs =
+      // a bucketed layout (SPJ spec) survives the merge: survivors,
+      // updates AND inserts re-land bucket-split
+      val bucketStaged = CommitLogStats.stageDmlBucketed(spark, table,
+        cur, touched.toSet, newRows)
+      val newSegs = bucketStaged.map(_._1).getOrElse {
         if (newRows.isEmpty) Seq.empty[String]
         else Seq(writeSegment(spark, table, newRows))
+      }
       // BY DEFAULT identity columns touched by SET (ALWAYS refuses at
       // refuseGeneratedSet): fold the post-image extent into the
       // marks — the same auto-SYNC the append path gives provided
@@ -3586,7 +3612,8 @@ object CommitLog {
         cur.version, "merge_into", changes = Some(changeDir),
         schema = cur.schema, dv = cur.dv,
         identity = idMarks.map(m => encodeConstraints(
-          m.map { case (k, x) => k -> x.toString })))
+          m.map { case (k, x) => k -> x.toString })),
+        bucket = bucketStaged.map(_._2))
       if (tryPublish(spark, table, snap, Some(cur)))
         return (snap.version, nUpd, nDel, nIns)
       newSegs.foreach(s => fs(spark, table).delete(

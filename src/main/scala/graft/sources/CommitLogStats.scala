@@ -1262,6 +1262,55 @@ object CommitLogStats {
         s"$maxRetries times at $table")
   }
 
+  /** Stage a DML rewrite PRESERVING the table's bucketed layout: when
+    * the base snapshot carries a [[compactBucketed]] spec, the
+    * rewritten rows land bucket-SPLIT — one segment per non-empty
+    * bucket, each holding only rows whose `pmod(hash(keys), n)`
+    * equals its bucket — and the returned spec keeps the
+    * storage-partitioned-join claim alive THROUGH the DML instead of
+    * lapsing until the next OPTIMIZE (the steady-state cost that
+    * would otherwise cancel the layout's whole point). Segment
+    * purity, not per-bucket uniqueness, is the invariant: several
+    * segments may share a bucket (the scan groups files by bucket),
+    * so repeated DML only grows the per-bucket file count — the
+    * usual OPTIMIZE cadence consolidates. Sidecars ride on the spec
+    * keys, keeping the CBO row counts live. The staged segments are
+    * constraint-gated exactly like the plain path's writeSegment.
+    *
+    * Returns None when the base carries no usable spec (or the
+    * rewrite frame lacks a key column) — the caller stages the plain
+    * way and the claim lapses, as before. */
+  private[sources] def stageDmlBucketed(spark: SparkSession,
+      table: String, cur: CommitLog.Snapshot, removed: Set[String],
+      rows: DataFrame): Option[(Seq[String], String)] = {
+    def uuidOf(s: String) = s.substring(s.lastIndexOf('/') + 1)
+    cur.bucket.flatMap(CommitLog.decodeBucketSpec).filter { bs =>
+      val uuids = cur.segments.map(uuidOf).toSet
+      uuids.forall(bs.byUuid.contains) &&
+        bs.keys.forall(k =>
+          rows.columns.exists(_.equalsIgnoreCase(k)))
+    }.map { bs =>
+      // persist: the write pass and the stats pass must see the same
+      // rows (a nondeterministic SET expression must not let sidecar
+      // bounds diverge from the landed bytes)
+      val bucketed = rows.withColumn("__bucket",
+        pmod(hash(bs.keys.map(col): _*), lit(bs.n)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val segsB = writeBucketedSegments(spark, table, bucketed,
+          "__bucket", Seq.empty, bs.keys)
+        // same gate parity as writeSegmentGated's path: a refusal
+        // deletes the staged segments and raises before any publish
+        CommitLog.enforceConstraints(spark, table, segsB.map(_._2),
+          Some(cur))
+        val entries = (bs.byUuid -- removed.map(uuidOf)) ++
+          segsB.map { case (b, seg) => uuidOf(seg) -> b }
+        (segsB.map(_._2),
+          CommitLog.encodeBucketEntries(bs.keys, bs.n, entries))
+      } finally bucketed.unpersist(): Unit
+    }
+  }
+
   // ---- metadata-only aggregates ---------------------------------------
 
   /** Answer COUNT(*) / MIN(col) / MAX(col) from sidecars ALONE — the

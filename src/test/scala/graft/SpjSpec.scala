@@ -117,14 +117,46 @@ class SpjSpec extends AnyFunSuite {
         "8-vs-4 buckets must not co-locate")
       assert(mixed.collect().length === 5000)
 
-      // ---- any later commit drops the layout claim ----------------
+      // ---- DML PRESERVES the layout: delete/update/merge re-land
+      // their rewrites bucket-split and carry the updated spec, so
+      // the join stays shuffle-free THROUGH steady-state DML (the
+      // write amplification bound holds too: one touched bucket)
+      val preDml = CommitLog.snapshot(spark, a).get.segments.toSet
+      CommitLog.delete(spark, a, col("k") === 7L)
+      val postDel = CommitLog.snapshot(spark, a).get
+      assert(postDel.bucket.isDefined, "delete dropped the spec")
+      assert((preDml & postDel.segments.toSet).size === 7,
+        "delete must rewrite exactly the touched bucket")
+      assert(shuffleCount(spark.sql(q)) === 0,
+        "join must stay shuffle-free after DELETE")
+      CommitLog.update(spark, a, col("k") === 8L,
+        Map("v" -> lit(888.0)))
+      assert(CommitLog.snapshot(spark, a).get.bucket.isDefined,
+        "update dropped the spec")
+      assert(shuffleCount(spark.sql(q)) === 0,
+        "join must stay shuffle-free after UPDATE")
+      CommitLog.mergeInto(spark, a,
+        Seq((10001L, 5.0), (9L, 999.0)).toDF("k", "v"), Seq("k"),
+        whenMatchedUpdate = Map("v" -> CommitLog.src("v")))
+      assert(CommitLog.snapshot(spark, a).get.bucket.isDefined,
+        "merge dropped the spec")
+      assert(shuffleCount(spark.sql(q)) === 0,
+        "join must stay shuffle-free after MERGE")
+      // values: the DML actually happened, through the split staging
+      val aRows = spark.sql(
+        "SELECT k, v FROM gspj.ns.a WHERE k IN (7, 8, 9, 10001)")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      assert(!aRows.contains(7L) && aRows(8L) === 888.0 &&
+        aRows(9L) === 999.0 && aRows(10001L) === 5.0)
+
+      // ---- a plain append DOES drop the layout claim --------------
       CommitLog.append(spark, b, Seq((99999L, "zz")).toDF("k", "w"))
       assert(CommitLog.snapshot(spark, b).get.bucket.isEmpty,
         "an append must not inherit the bucket layout record")
       val after = spark.sql(q)
       assert(shuffleCount(after) > 0,
         "a post-layout append must fall back to the shuffle")
-      assert(after.collect().length === 5000)
+      assert(after.collect().length === 4999)
       // re-OPTIMIZE restores the zero-shuffle plan
       CommitLogStats.compactBucketed(spark, b, Seq("k"), 8, Seq("k"))
       assert(shuffleCount(spark.sql(q)) === 0)
@@ -157,7 +189,7 @@ class SpjSpec extends AnyFunSuite {
           s"one-side SPJ shuffle expected exactly the unbucketed " +
             s"side to move, got $n exchanges:\n" +
             oneSide.queryExecution.executedPlan)
-        assert(oneSide.collect().length === 200)
+        assert(oneSide.collect().length === 199) // k=7 DML-deleted
       } finally spark.conf.unset(
         "spark.sql.sources.v2.bucketing.shuffle.enabled")
 
@@ -171,9 +203,15 @@ class SpjSpec extends AnyFunSuite {
         val pc = spark.sql(q)
         assert(shuffleCount(pc) === 0,
           "partially-clustered SPJ must stay shuffle-free")
-        assert(pc.collect().map(r =>
+        val pcRows = pc.collect().map(r =>
           (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq.sorted
-          === rows)
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled",
+          "false")
+        val ctrl2 = spark.sql(q).collect().map(r =>
+          (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq.sorted
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled",
+          "true")
+        assert(pcRows === ctrl2 && pcRows.length === 4999)
       } finally spark.conf.unset(
         "spark.sql.sources.v2.bucketing.partiallyClustered.enabled")
 
