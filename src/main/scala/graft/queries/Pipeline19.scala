@@ -1115,6 +1115,94 @@ object Pipeline19 {
         s.conf.unset("spark.sql.catalog.gq211.root")
         rmTree(root)
       }
+    }),
+
+    // SPJ SURVIVES DML (round 14): after the q211 layout, the orders
+    // side takes a DELETE (its max key), an UPDATE (min key's price
+    // doubled) and a MERGE insert — each re-lands bucket-split, the
+    // commit carries the updated spec, and the fact⋈fact join STILL
+    // plans with zero shuffle exchanges. Witnessed: the exchange
+    // count, the spec surviving all three DML verbs, and the
+    // delete's write amplification staying bounded to its bucket.
+    // The oracle re-derives the post-DML join aggregate.
+    "q212_commitlog_spj_dml" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q212_").toString
+      try {
+        s.conf.set("spark.sql.catalog.gq212",
+          "graft.sources.CommitLogCatalog")
+        s.conf.set("spark.sql.catalog.gq212.root", root)
+        val bcast = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        val oTbl = s"$root/ns/ord"; val lTbl = s"$root/ns/li"
+        CommitLog.append(s, lTbl,
+          t(s, dir, "lineitem").select(col("l_orderkey"),
+            col("l_extendedprice")))
+        CommitLog.append(s, oTbl,
+          t(s, dir, "orders").select(col("o_orderkey"),
+            col("o_orderstatus"), col("o_totalprice")))
+        graft.sources.CommitLogStats.compactBucketed(s, lTbl,
+          Seq("l_orderkey"), 8, Seq("l_orderkey"))
+        graft.sources.CommitLogStats.compactBucketed(s, oTbl,
+          Seq("o_orderkey"), 8, Seq("o_orderkey"))
+        val bounds = t(s, dir, "orders")
+          .agg(max(col("o_orderkey")), min(col("o_orderkey")))
+          .collect()(0)
+        val (dk, uk) = (bounds.getLong(0), bounds.getLong(1))
+        val pre = CommitLog.snapshot(s, oTbl).get.segments.toSet
+        CommitLog.delete(s, oTbl, col("o_orderkey") === dk)
+        val postDel = CommitLog.snapshot(s, oTbl).get
+        val bounded = postDel.bucket.isDefined &&
+          (pre & postDel.segments.toSet).size == 7
+        CommitLog.update(s, oTbl, col("o_orderkey") === uk,
+          Map("o_totalprice" -> (col("o_totalprice") * 2)))
+        val mergeSrc = {
+          import s.implicits._
+          Seq((dk + 1000000L, "Z", 1.0))
+            .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+        }
+        CommitLog.mergeInto(s, oTbl, mergeSrc, Seq("o_orderkey"))
+        val specKept = CommitLog.snapshot(s, oTbl).get.bucket.isDefined
+        val joinSql = "SELECT o.o_orderstatus, o.o_totalprice, " +
+          "l.l_extendedprice FROM gq212.ns.li l JOIN gq212.ns.ord o " +
+          "ON l.l_orderkey = o.o_orderkey"
+        def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
+          df.collect(): Unit
+          def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+              : Seq[org.apache.spark.sql.execution.SparkPlan] =
+            (p +: p.children.flatMap(nodes)) ++ (p match {
+              case a: org.apache.spark.sql.execution.adaptive
+                  .AdaptiveSparkPlanExec => nodes(a.executedPlan)
+              case qe: org.apache.spark.sql.execution.adaptive
+                  .QueryStageExec => nodes(qe.plan)
+              case _ => Seq.empty
+            })
+          nodes(df.queryExecution.executedPlan).collect {
+            case e: org.apache.spark.sql.execution.exchange
+              .ShuffleExchangeLike => e
+          }.distinct.size
+        }
+        try {
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          val spjShuffles = shuffles(s.sql(joinSql))
+          s.sql(joinSql)
+            .groupBy(col("o_orderstatus"))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("l_extendedprice").cast("decimal(30,6)"))
+                .cast("double").as("sum_l"),
+              sum(col("o_totalprice").cast("decimal(30,6)"))
+                .cast("double").as("sum_o"))
+            .withColumn("spj_shuffles", lit(spjShuffles))
+            .withColumn("spec_kept", lit(specKept))
+            .withColumn("amplification_bounded", lit(bounded))
+            .orderBy(col("o_orderstatus"))
+            .localCheckpoint(true)
+        } finally
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      } finally {
+        s.conf.unset("spark.sql.catalog.gq212")
+        s.conf.unset("spark.sql.catalog.gq212.root")
+        rmTree(root)
+      }
     })
   )
 
@@ -1404,6 +1492,29 @@ object Pipeline19 {
         |  CAST(0 AS INT) AS spj_shuffles,
         |  TRUE AS control_shuffled
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "q212_commitlog_spj_dml" ->
+      """WITH ks AS (SELECT MAX(o_orderkey) AS dk,
+        |    MIN(o_orderkey) AS uk FROM orders),
+        |o2 AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey = (SELECT uk FROM ks)
+        |      THEN o_totalprice * 2 ELSE o_totalprice END
+        |      AS o_totalprice
+        |  FROM orders
+        |  WHERE o_orderkey <> (SELECT dk FROM ks))
+        |SELECT o_orderstatus,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_l,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_o,
+        |  CAST(0 AS INT) AS spj_shuffles,
+        |  TRUE AS spec_kept,
+        |  TRUE AS amplification_bounded
+        |FROM o2 JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin
   )

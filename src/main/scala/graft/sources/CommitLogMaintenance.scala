@@ -124,6 +124,22 @@ object CommitLogMaintenance {
             "'<cols>', segments => <n>)"))
     }
 
+    // 5b: fragmented bucket layout — DML on a bucketed table re-lands
+    // its rewrites bucket-split (the SPJ claim survives), so buckets
+    // accumulate segments over time; past ~2 segments per bucket the
+    // per-file costs of the layout's own scans creep back — one
+    // re-bucket OPTIMIZE consolidates to one segment per bucket
+    snap.bucket.flatMap(CommitLog.decodeBucketSpec).foreach { bs =>
+      if (snap.segments.size > 2 * bs.n)
+        out += (("optimize_bucket",
+          s"bucketed layout fragmented: ${snap.segments.size} " +
+            s"segments over ${bs.n} buckets (DML re-splits " +
+            "accumulate) — the SPJ claim still holds, but per-file " +
+            "scan costs creep back; re-bucket to one segment each",
+          s"CALL system.optimize_bucket($ref, keys => " +
+            s"'${bs.keys.mkString(",")}', buckets => ${bs.n})"))
+    }
+
     // 6: checkpoint lag (a crash left a cadence gap)
     val interval = CommitLog.checkpointInterval(spark)
     val f = CommitLog.fs(spark, table)

@@ -131,6 +131,39 @@ class CommitLogMaintenanceSpec extends AnyFunSuite {
     } finally rm(t)
   }
 
+  test("a DML-fragmented bucket layout recommends a re-bucket once " +
+      "segments pass 2x the bucket count; a freshly bucketed table " +
+      "recommends nothing") {
+    import spark.implicits._
+    val t = tmpTable()
+    try {
+      CommitLog.append(spark, t,
+        (1L to 400L).map(i => (i, s"n$i", i * 1.0))
+          .toDF("id", "name", "v"))
+      CommitLogStats.compactBucketed(spark, t, Seq("id"), 2, Seq("id"))
+      assert(actions(t).isEmpty, "fresh bucket layout must be healthy")
+      // delete/update replace their touched segments 1:1 (the
+      // rewrite consolidates each touched bucket back to one new
+      // segment), so THEY never fragment — merge INSERTS do: each
+      // insert batch bucket-splits into fresh segments on buckets
+      // whose existing segments were untouched
+      (0 until 3).foreach { i =>
+        CommitLog.mergeInto(spark, t,
+          (1000L + i * 10 to 1009L + i * 10)
+            .map(k => (k, s"m$k", k * 1.0)).toDF("id", "name", "v"),
+          Seq("id"))
+      }
+      val snap = CommitLog.snapshot(spark, t).get
+      assert(snap.bucket.isDefined && snap.segments.size > 4,
+        s"expected fragmentation, got ${snap.segments.size} segments")
+      val plan = CommitLogMaintenance.maintenancePlan(spark, t)
+        .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+      assert(plan.contains("optimize_bucket"), s"plan: $plan")
+      assert(plan("optimize_bucket").contains("keys => 'id'") &&
+        plan("optimize_bucket").contains("buckets => 2"))
+    } finally rm(t)
+  }
+
   test("a cadence gap (checkpoint lag >= one interval) recommends " +
       "CALL checkpoint; debris recommends vacuum") {
     val t = tmpTable()
