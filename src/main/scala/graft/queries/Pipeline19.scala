@@ -1134,17 +1134,25 @@ object Pipeline19 {
         s.conf.set("spark.sql.catalog.gq212.root", root)
         val bcast = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
         val oTbl = s"$root/ns/ord"; val lTbl = s"$root/ns/li"
-        CommitLog.append(s, lTbl,
-          t(s, dir, "lineitem").select(col("l_orderkey"),
-            col("l_extendedprice")))
-        CommitLog.append(s, oTbl,
-          t(s, dir, "orders").select(col("o_orderkey"),
-            col("o_orderstatus"), col("o_totalprice")))
+        // a quarter slice of both sides: every witness (layout
+        // survival, exchange count, amplification) is data-size
+        // independent, and q211 already prices the full-table SPJ —
+        // no reason the bench should pay 2 OPTIMIZEs over the full
+        // fact three times per round here too
+        val oSlice = t(s, dir, "orders")
+          .filter(pmod(col("o_orderkey"), lit(4)) === 1)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"))
+        val lSlice = t(s, dir, "lineitem")
+          .filter(pmod(col("l_orderkey"), lit(4)) === 1)
+          .select(col("l_orderkey"), col("l_extendedprice"))
+        CommitLog.append(s, lTbl, lSlice)
+        CommitLog.append(s, oTbl, oSlice)
         graft.sources.CommitLogStats.compactBucketed(s, lTbl,
           Seq("l_orderkey"), 8, Seq("l_orderkey"))
         graft.sources.CommitLogStats.compactBucketed(s, oTbl,
           Seq("o_orderkey"), 8, Seq("o_orderkey"))
-        val bounds = t(s, dir, "orders")
+        val bounds = oSlice
           .agg(max(col("o_orderkey")), min(col("o_orderkey")))
           .collect()(0)
         val (dk, uk) = (bounds.getLong(0), bounds.getLong(1))
@@ -1153,14 +1161,19 @@ object Pipeline19 {
         val postDel = CommitLog.snapshot(s, oTbl).get
         val bounded = postDel.bucket.isDefined &&
           (pre & postDel.segments.toSet).size == 7
-        CommitLog.update(s, oTbl, col("o_orderkey") === uk,
-          Map("o_totalprice" -> (col("o_totalprice") * 2)))
+        // one MERGE covers both remaining preservation classes in
+        // one commit: a matched UPDATE (min key's price doubled)
+        // and an unmatched INSERT (a fresh key) — the per-verb
+        // UPDATE law lives in SpjSpec; the bench should not pay a
+        // fourth commit for it
         val mergeSrc = {
           import s.implicits._
-          Seq((dk + 1000000L, "Z", 1.0))
+          Seq((dk + 1000000L, "Z", 1.0), (uk, "", 0.0))
             .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
         }
-        CommitLog.mergeInto(s, oTbl, mergeSrc, Seq("o_orderkey"))
+        CommitLog.mergeInto(s, oTbl, mergeSrc, Seq("o_orderkey"),
+          whenMatchedUpdate = Map(
+            "o_totalprice" -> (col("o_totalprice") * 2)))
         val specKept = CommitLog.snapshot(s, oTbl).get.bucket.isDefined
         val joinSql = "SELECT o.o_orderstatus, o.o_totalprice, " +
           "l.l_extendedprice FROM gq212.ns.li l JOIN gq212.ns.ord o " +
@@ -1496,14 +1509,16 @@ object Pipeline19 {
         |ORDER BY o_orderstatus""".stripMargin,
 
     "q212_commitlog_spj_dml" ->
-      """WITH ks AS (SELECT MAX(o_orderkey) AS dk,
-        |    MIN(o_orderkey) AS uk FROM orders),
+      """WITH os AS (SELECT * FROM orders WHERE o_orderkey % 4 = 1),
+        |ls AS (SELECT * FROM lineitem WHERE l_orderkey % 4 = 1),
+        |ks AS (SELECT MAX(o_orderkey) AS dk,
+        |    MIN(o_orderkey) AS uk FROM os),
         |o2 AS (
         |  SELECT o_orderkey, o_orderstatus,
         |    CASE WHEN o_orderkey = (SELECT uk FROM ks)
         |      THEN o_totalprice * 2 ELSE o_totalprice END
         |      AS o_totalprice
-        |  FROM orders
+        |  FROM os
         |  WHERE o_orderkey <> (SELECT dk FROM ks))
         |SELECT o_orderstatus,
         |  COUNT(*) AS n_rows,
@@ -1514,7 +1529,7 @@ object Pipeline19 {
         |  CAST(0 AS INT) AS spj_shuffles,
         |  TRUE AS spec_kept,
         |  TRUE AS amplification_bounded
-        |FROM o2 JOIN lineitem ON o_orderkey = l_orderkey
+        |FROM o2 JOIN ls ON o_orderkey = l_orderkey
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin
   )
