@@ -4095,11 +4095,18 @@ object CommitLog {
       partitionColumns(spark, table).getOrElse(Seq.empty)
         .mkString(","), maxSegs.toLong,
       maxSegs.toLong - snap.segments.size,
-      constraints(spark, table).size.toLong))
+      constraints(spark, table).size.toLong,
+      // bucket layout (SPJ): keys + count when the current record
+      // carries a live spec — the operator's view of whether the
+      // zero-shuffle join claim currently holds
+      snap.bucket.flatMap(decodeBucketSpec)
+        .map(_.keys.mkString(",")).getOrElse(""),
+      snap.bucket.flatMap(decodeBucketSpec).map(_.n).getOrElse(0)))
       .toDF("version", "op", "n_segments", "n_data_files",
         "total_bytes", "n_columns", "has_deletion_vector", "dv_rows",
         "segments_with_stats", "bloom_sidecars", "partition_columns",
-        "segment_bound", "segments_to_bound", "n_constraints")
+        "segment_bound", "segments_to_bound", "n_constraints",
+        "bucket_keys", "n_buckets")
   }
 
   // manifest format: one JSON object, segments one-per-line for

@@ -121,6 +121,10 @@ class SpjSpec extends AnyFunSuite {
       // their rewrites bucket-split and carry the updated spec, so
       // the join stays shuffle-free THROUGH steady-state DML (the
       // write amplification bound holds too: one touched bucket)
+      // DESCRIBE DETAIL shows the live layout
+      val det = CommitLog.detail(spark, a).collect()(0)
+      assert(det.getAs[String]("bucket_keys") === "k" &&
+        det.getAs[Int]("n_buckets") === 8)
       val preDml = CommitLog.snapshot(spark, a).get.segments.toSet
       CommitLog.delete(spark, a, col("k") === 7L)
       val postDel = CommitLog.snapshot(spark, a).get
