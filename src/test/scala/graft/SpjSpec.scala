@@ -121,6 +121,14 @@ class SpjSpec extends AnyFunSuite {
       // their rewrites bucket-split and carry the updated spec, so
       // the join stays shuffle-free THROUGH steady-state DML (the
       // write amplification bound holds too: one touched bucket)
+      // ---- the claim degrades gracefully when the projection
+      // PRUNES the bucket key (the partitioning resolves against the
+      // pruned output; Spark must fall back, not fail)
+      assert(spark.sql("SELECT v FROM gspj.ns.a WHERE v > 19000")
+        .collect().length === 500)
+      assert(spark.sql("SELECT COUNT(*) FROM gspj.ns.a")
+        .collect()(0).getLong(0) === 10000L)
+
       // DESCRIBE DETAIL shows the live layout
       val det = CommitLog.detail(spark, a).collect()(0)
       assert(det.getAs[String]("bucket_keys") === "k" &&
