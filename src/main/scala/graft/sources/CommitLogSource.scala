@@ -796,6 +796,17 @@ private[graft] class CommitLogStatsScan(
   private[graft] def innerScan
       : org.apache.spark.sql.connector.read.Scan = inner
 
+  // structural equality over the wrapped scan (ParquetScan is a case
+  // class): Spark's exchange-reuse dedup compares scans, and an
+  // identity-equality wrapper would silently disable reuse on
+  // self-joins of the same snapshot
+  override def equals(o: Any): Boolean = o match {
+    case s: CommitLogStatsScan => s.getClass == getClass &&
+      s.innerScan == inner
+    case _ => false
+  }
+  override def hashCode(): Int = inner.hashCode()
+
   override def readSchema(): StructType = inner.readSchema()
   override def description(): String = inner.description()
   override def toBatch: org.apache.spark.sql.connector.read.Batch =
