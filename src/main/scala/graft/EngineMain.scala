@@ -27,7 +27,14 @@ object EngineMain {
             s"unknown job '$jobName'; known: ${jobs.map(_.name).mkString(", ")}")
           case js => js
         }
-      val results = runner.runAll(selected)
+      // run-all rides the declared table-dependency DAG (EP2's
+      // generalization — identical order to the reference's linear
+      // queue on the chain, but an unrelated branch survives a
+      // failure); a single selected job runs directly
+      val results =
+        if (jobName == "all")
+          runner.runDag(selected, Jobs.standardDeps)
+        else runner.runAll(selected)
       // progress events ride the async listener bus; deliver them all
       // before reading the counters (the runner only drains lazily)
       runner.drainEvents()

@@ -57,6 +57,18 @@ object Jobs {
         ()
       }))
 
+  /** EP2's DAG generalization: the standard registry's TABLE
+    * dependencies (SURVEY §3 EP2 — the reference runs the five jobs
+    * in config-insertion order precisely because manifesto-movimento
+    * consumes what manifestos/movimento produce, `ETL.py:48-58`).
+    * Expressed declaratively, [[Orchestrator.PipelineRunner.runDag]]
+    * recovers the reference's order on the chain while letting the
+    * independent branches (adicionais, parcela_ciot) proceed past an
+    * unrelated failure instead of aborting the whole queue. */
+  val standardDeps: Map[String, Seq[String]] = Map(
+    "alimentacao_view_manifestomovimento" -> Seq(
+      "alimentacao_view_manifestos", "alimentacao_view_movimento"))
+
   private def materialize(s: SparkSession, path: String,
       df: org.apache.spark.sql.DataFrame): Unit =
     df.write.mode("overwrite").parquet(path)

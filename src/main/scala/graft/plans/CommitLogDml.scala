@@ -5,7 +5,7 @@ import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, AttributeSet, EqualTo, Expression, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateTable}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, V2CommandExec}
 import org.apache.spark.sql.functions.lit
@@ -38,22 +38,96 @@ import graft.sources.{CommitLog, CommitLogTable}
   * plain — the join coalesces them). Statement shapes the protocol
   * executor cannot express fail LOUDLY with the exact limitation
   * (never a silent wrong answer): non-equi or differently-named merge
-  * keys, more than one UPDATE/DELETE clause, non-name-aligned INSERT
-  * expressions, `WHEN NOT MATCHED BY SOURCE`, schema evolution,
-  * subqueries in conditions.
+  * keys, more than one UPDATE/DELETE clause per match side,
+  * non-name-aligned INSERT expressions, schema evolution, subqueries
+  * in MERGE conditions, correlated subqueries anywhere. `WHEN NOT
+  * MATCHED BY SOURCE` UPDATE/DELETE clauses translate like the
+  * matched pair (their conditions reference target columns only —
+  * the analyzer enforces that before we see the plan); UPDATE/DELETE
+  * WHERE clauses admit UNCORRELATED subqueries, re-planned as semi
+  * joins against the executor's frame.
   */
 object CommitLogDmlStrategy extends SparkStrategy {
 
+  // The executors receive their predicates/assignments ALREADY
+  // translated to opaque `Column`s (not Expression constructor args):
+  // physical-plan preparation rules (PlanSubqueries) rewrite every
+  // Expression argument of a SparkPlan into executable form
+  // (InSubqueryExec/SubqueryExec), which cannot be re-applied to the
+  // executor's fresh logical frame — a Column is invisible to that
+  // traversal, so a carried uncorrelated subquery stays LOGICAL until
+  // the executor re-plans it as a semi join.
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case UpdateTable(rel, assignments, condition) =>
       commitLogPath(rel).map { path =>
-        CommitLogUpdateExec(path, assignments, condition) :: Nil
+        val set = assignments.map(a =>
+          assignmentName(a) -> nameBased(a.value,
+            AttributeSet.empty, Set.empty)).toMap
+        // the WHERE clause admits uncorrelated subqueries (`UPDATE t
+        // SET … WHERE id IN (SELECT …)`); SET values stay
+        // subquery-free
+        val pred = condition.map(e => nameBased(e,
+            AttributeSet.empty, Set.empty,
+            allowUncorrelatedSubqueries = true))
+          .getOrElse(lit(true))
+        CommitLogUpdateExec(path, set, pred) :: Nil
       }.getOrElse(Nil)
     case m: MergeIntoTable =>
       commitLogPath(m.targetTable).map { path =>
         CommitLogMergeExec(path, m) :: Nil
       }.getOrElse(Nil)
+    // DELETE with a condition the V1-filter bridge can't express
+    // (subqueries, arithmetic, functions): route through the same
+    // copy-on-write executor the translatable shapes reach via
+    // `SupportsDelete.deleteWhere` — `DELETE FROM t WHERE id IN
+    // (SELECT …)` is a real user's first cleanup statement, and the
+    // built-in DSv2 path refuses it. Translatable conditions fall
+    // through (Nil) so the existing filter-bridge path keeps serving
+    // them unchanged.
+    case DeleteFromTable(rel, condition) if !filterBridgeable(condition) =>
+      commitLogPath(rel).map { path =>
+        CommitLogDeleteExec(path,
+          nameBased(condition, AttributeSet.empty, Set.empty,
+            allowUncorrelatedSubqueries = true)) :: Nil
+      }.getOrElse(Nil)
     case _ => Nil
+  }
+
+  /** True when the built-in DSv2 delete path can serve the condition
+    * (the V1 filter bridge covers it: attribute-vs-literal
+    * comparisons, IN over literals, null tests, string prefix/suffix/
+    * contains, AND/OR/NOT) — then this strategy stays out of the way.
+    * Conservative in BOTH directions is safe: a false negative just
+    * routes through our own copy-on-write executor (same semantics,
+    * same CDC); a false positive reproduces the pre-round-15 loud
+    * refusal. */
+  private def filterBridgeable(condition: Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def attrLit(l: Expression, r: Expression): Boolean =
+      (l.isInstanceOf[AttributeReference] && r.isInstanceOf[Literal]) ||
+        (l.isInstanceOf[Literal] && r.isInstanceOf[AttributeReference])
+    def ok(e: Expression): Boolean = e match {
+      case And(l, r) => ok(l) && ok(r)
+      case Or(l, r) => ok(l) && ok(r)
+      case Not(c) => ok(c)
+      case EqualTo(l, r) => attrLit(l, r)
+      case EqualNullSafe(l, r) => attrLit(l, r)
+      case GreaterThan(l, r) => attrLit(l, r)
+      case GreaterThanOrEqual(l, r) => attrLit(l, r)
+      case LessThan(l, r) => attrLit(l, r)
+      case LessThanOrEqual(l, r) => attrLit(l, r)
+      case In(_: AttributeReference, vs) =>
+        vs.forall(_.isInstanceOf[Literal])
+      case InSet(_: AttributeReference, _) => true
+      case IsNull(_: AttributeReference) => true
+      case IsNotNull(_: AttributeReference) => true
+      case StartsWith(_: AttributeReference, _: Literal) => true
+      case EndsWith(_: AttributeReference, _: Literal) => true
+      case Contains(_: AttributeReference, _: Literal) => true
+      case Literal(_, org.apache.spark.sql.types.BooleanType) => true
+      case _ => false
+    }
+    ok(condition)
   }
 
   private def commitLogPath(plan: LogicalPlan): Option[String] =
@@ -73,19 +147,37 @@ object CommitLogDmlStrategy extends SparkStrategy {
   private def unsupported(what: String): Nothing =
     throw new UnsupportedOperationException(
       s"commitlog SQL DML: $what. The protocol executor " +
-        "(CommitLog.update/mergeInto) supports equi-key merges with " +
-        "at most one UPDATE and one DELETE clause, name-aligned " +
-        "INSERT, and subquery-free conditions; use the programmatic " +
-        "API for anything wider.")
+        "(CommitLog.update/mergeInto/delete) supports equi-key " +
+        "merges with at most one UPDATE and one DELETE clause per " +
+        "match side, name-aligned INSERT, subquery-free MERGE " +
+        "conditions, and uncorrelated subqueries in UPDATE/DELETE " +
+        "WHERE clauses; use the programmatic API for anything wider.")
 
   /** Re-target a resolved expression onto the executor's frame by
     * NAME: target attrs keep their name, source attrs take the
-    * `__src_` prefix (keys excepted). Refuses subqueries. */
+    * `__src_` prefix (keys excepted). UNCORRELATED subqueries pass
+    * through intact when the caller opts in (their inner plans are
+    * already resolved and reference nothing outside themselves, so
+    * re-analysis against the executor's fresh table frame leaves them
+    * untouched and the optimizer plans them as semi/anti joins —
+    * never a collect); correlated ones always refuse — their outer
+    * references carry exprIds from the ORIGINAL scan, which cannot
+    * rebind to the executor's frame by name. */
   private[plans] def nameBased(e: Expression,
       sourceAttrs: AttributeSet,
-      keys: Set[String]): Column = {
-    if (e.exists(_.isInstanceOf[SubqueryExpression]))
-      unsupported("subqueries in DML conditions are not supported")
+      keys: Set[String],
+      allowUncorrelatedSubqueries: Boolean = false): Column = {
+    e.foreach {
+      case s: SubqueryExpression =>
+        if (!allowUncorrelatedSubqueries)
+          unsupported("subqueries in DML conditions are not supported")
+        if (s.isCorrelated)
+          unsupported("correlated subqueries in DML conditions are " +
+            "not supported (outer references cannot rebind to the " +
+            "rewrite frame); rewrite as an uncorrelated IN/EXISTS " +
+            "or use the programmatic API with an explicit join")
+      case _ => ()
+    }
     GraftColumnBridge.column(e.transform {
       case a: AttributeReference if sourceAttrs.contains(a) =>
         if (keys.contains(a.name)) UnresolvedAttribute.quoted(a.name)
@@ -121,36 +213,29 @@ object CommitLogDmlStrategy extends SparkStrategy {
     }
   }
 
-  /** Translate a [[MergeIntoTable]] into the protocol executor's
-    * clause form, preserving SQL first-match-wins clause order. */
-  private[plans] def translateMerge(spark: SparkSession,
-      m: MergeIntoTable, path: String)
-      : (org.apache.spark.sql.DataFrame, Seq[String],
-         Map[String, Column], Option[Column], Option[Column],
-         Boolean, Option[Column]) = {
-    if (m.notMatchedBySourceActions.nonEmpty)
-      unsupported("WHEN NOT MATCHED BY SOURCE is not supported")
-    if (m.withSchemaEvolution)
-      unsupported("MERGE WITH SCHEMA EVOLUTION is not supported")
-    val targetAttrs = m.targetTable.outputSet
-    val sourceAttrs = m.sourceTable.outputSet
-    val keys = mergeKeys(m.mergeCondition, targetAttrs, sourceAttrs)
-    val keySet = keys.toSet
-    def tr(e: Expression): Column = nameBased(e, sourceAttrs, keySet)
-
+  /** One match side's UPDATE/DELETE pair, translated to the
+    * executor's clause form with SQL first-match-wins order folded
+    * into the delete condition. */
+  private[plans] def updateDeletePair(
+      actions: Seq[org.apache.spark.sql.catalyst.plans.logical
+        .MergeAction],
+      tr: Expression => Column, side: String)
+      : (Map[String, Column], Option[Column], Option[Column]) = {
     var update: Option[(Map[String, Column], Option[Column])] = None
     var delete: Option[Option[Column]] = None
     var updateBeforeDelete = false
-    m.matchedActions.foreach {
+    actions.foreach {
       case UpdateAction(cond, assigns, _) =>
-        if (update.nonEmpty) unsupported("more than one UPDATE clause")
+        if (update.nonEmpty)
+          unsupported(s"more than one $side UPDATE clause")
         update = Some((assigns.map(a =>
           assignmentName(a) -> tr(a.value)).toMap, cond.map(tr)))
         if (delete.isEmpty) updateBeforeDelete = true
       case DeleteAction(cond) =>
-        if (delete.nonEmpty) unsupported("more than one DELETE clause")
+        if (delete.nonEmpty)
+          unsupported(s"more than one $side DELETE clause")
         delete = Some(cond.map(tr))
-      case other => unsupported(s"matched action $other")
+      case other => unsupported(s"$side action $other")
     }
     // the executor tests DELETE before UPDATE; SQL is first-match-
     // wins in clause order. With UPDATE listed first, a row matching
@@ -168,6 +253,40 @@ object CommitLogDmlStrategy extends SparkStrategy {
           updCond, lit(false))
       } else base
     }
+    (update.map(_._1).getOrElse(Map.empty), update.flatMap(_._2),
+      deleteCond)
+  }
+
+  /** Translated MERGE clauses in the protocol executor's form. */
+  private[plans] case class TranslatedMerge(
+      source: org.apache.spark.sql.DataFrame, keys: Seq[String],
+      update: Map[String, Column], updateCond: Option[Column],
+      delete: Option[Column],
+      insert: Boolean, insertCond: Option[Column],
+      nmbsUpdate: Map[String, Column],
+      nmbsUpdateCond: Option[Column], nmbsDelete: Option[Column])
+
+  /** Translate a [[MergeIntoTable]] into the protocol executor's
+    * clause form, preserving SQL first-match-wins clause order. */
+  private[plans] def translateMerge(spark: SparkSession,
+      m: MergeIntoTable, path: String): TranslatedMerge = {
+    if (m.withSchemaEvolution)
+      unsupported("MERGE WITH SCHEMA EVOLUTION is not supported")
+    val targetAttrs = m.targetTable.outputSet
+    val sourceAttrs = m.sourceTable.outputSet
+    val keys = mergeKeys(m.mergeCondition, targetAttrs, sourceAttrs)
+    val keySet = keys.toSet
+    def tr(e: Expression): Column = nameBased(e, sourceAttrs, keySet)
+
+    val (upd, updCond, deleteCond) =
+      updateDeletePair(m.matchedActions, tr, "matched")
+    // NOT MATCHED BY SOURCE: same pair shape; conditions/SET values
+    // reference target columns only (analyzer-enforced), so the same
+    // name-based translation applies — source attrs simply don't
+    // occur
+    val (nmbsUpd, nmbsUpdCond, nmbsDeleteCond) =
+      updateDeletePair(m.notMatchedBySourceActions, tr,
+        "not-matched-by-source")
 
     var insert = false
     var insertCond: Option[Column] = None
@@ -196,34 +315,47 @@ object CommitLogDmlStrategy extends SparkStrategy {
           nameBased(e, AttributeSet.empty, Set.empty))
       case other => unsupported(s"not-matched action $other")
     }
-    if (update.isEmpty && delete.isEmpty && !insert)
+    if (upd.isEmpty && deleteCond.isEmpty && !insert &&
+        nmbsUpd.isEmpty && nmbsDeleteCond.isEmpty)
       unsupported("MERGE with no supported clauses")
 
     val sourceDf = GraftColumnBridge.ofRows(spark, m.sourceTable)
-    (sourceDf, keys,
-      update.map(_._1).getOrElse(Map.empty),
-      update.flatMap(_._2), deleteCond, insert, insertCond)
+    TranslatedMerge(sourceDf, keys, upd, updCond, deleteCond,
+      insert, insertCond, nmbsUpd, nmbsUpdCond, nmbsDeleteCond)
   }
 }
 
 /** `UPDATE t SET … [WHERE …]` → [[CommitLog.update]]: copy-on-write
-  * over the touched segments only, CDC-recorded, OCC-retried. */
+  * over the touched segments only, CDC-recorded, OCC-retried. The
+  * strategy pre-translated the clauses to Columns (opaque to plan-
+  * preparation expression rewrites — see the strategy note). */
 case class CommitLogUpdateExec(path: String,
-    assignments: Seq[Assignment], condition: Option[Expression])
+    set: Map[String, Column], pred: Column)
     extends V2CommandExec
     with org.apache.spark.sql.execution.LeafExecNode {
 
   override def output: Seq[Attribute] = Nil
 
   override def run(): Seq[InternalRow] = {
-    import CommitLogDmlStrategy.{assignmentName, nameBased}
-    val spark: SparkSession = session
-    def tr(e: Expression): Column =
-      nameBased(e, AttributeSet.empty, Set.empty)
-    val set = assignments.map(a =>
-      assignmentName(a) -> tr(a.value)).toMap
-    val pred = condition.map(tr).getOrElse(lit(true))
-    CommitLog.update(spark, path, pred, set): Unit
+    CommitLog.update(session, path, pred, set): Unit
+    Seq.empty
+  }
+}
+
+/** `DELETE FROM t WHERE <non-filter-bridgeable>` (subqueries,
+  * arithmetic, functions) → [[CommitLog.delete]]: the same bounded
+  * copy-on-write + CDC + OCC path `SupportsDelete.deleteWhere` feeds
+  * for translatable filters; the predicate (uncorrelated subqueries
+  * included) is re-applied to the executor's table frame, where the
+  * optimizer plans IN/EXISTS as semi joins. */
+case class CommitLogDeleteExec(path: String, pred: Column)
+    extends V2CommandExec
+    with org.apache.spark.sql.execution.LeafExecNode {
+
+  override def output: Seq[Attribute] = Nil
+
+  override def run(): Seq[InternalRow] = {
+    CommitLog.delete(session, path, pred): Unit
     Seq.empty
   }
 }
@@ -239,14 +371,16 @@ case class CommitLogMergeExec(path: String, merge: MergeIntoTable)
 
   override def run(): Seq[InternalRow] = {
     val spark: SparkSession = session
-    val (src, keys, upd, updCond, delCond, ins, insCond) =
-      CommitLogDmlStrategy.translateMerge(spark, merge, path)
-    CommitLog.mergeInto(spark, path, src, keys,
-      whenMatchedUpdate = upd,
-      whenMatchedUpdateCondition = updCond,
-      whenMatchedDelete = delCond,
-      whenNotMatchedInsert = ins,
-      whenNotMatchedInsertCondition = insCond): Unit
+    val t = CommitLogDmlStrategy.translateMerge(spark, merge, path)
+    CommitLog.mergeInto(spark, path, t.source, t.keys,
+      whenMatchedUpdate = t.update,
+      whenMatchedUpdateCondition = t.updateCond,
+      whenMatchedDelete = t.delete,
+      whenNotMatchedInsert = t.insert,
+      whenNotMatchedInsertCondition = t.insertCond,
+      whenNotMatchedBySourceUpdate = t.nmbsUpdate,
+      whenNotMatchedBySourceUpdateCondition = t.nmbsUpdateCond,
+      whenNotMatchedBySourceDelete = t.nmbsDelete): Unit
     Seq.empty
   }
 }

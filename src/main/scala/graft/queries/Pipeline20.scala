@@ -1,0 +1,525 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Catalog, CommitLog}
+
+/** Round-15 additions: the last two standard-DML surfaces a migrating
+  * Delta/warehouse user reaches for.
+  *
+  *  - q213/q214 `WHEN NOT MATCHED BY SOURCE` — the five-clause MERGE
+  *    (matched UPDATE/DELETE, not-matched INSERT, not-matched-BY-
+  *    SOURCE UPDATE/DELETE), programmatic and SQL. This is the
+  *    "refresh the target from the source" verb behind the
+  *    reference's reload jobs (`Select de Importação de Dados.py:
+  *    214-218` drops and reloads the window; the BY-SOURCE clauses
+  *    express the same outcome incrementally — prune or flag rows
+  *    the source stopped carrying — without the full rewrite).
+  *  - q215 DELETE/UPDATE with predicates beyond the V1-filter bridge:
+  *    uncorrelated IN-subqueries and arithmetic conditions route
+  *    through the same bounded copy-on-write executor; `DELETE FROM t
+  *    WHERE id IN (SELECT …)` is a real user's first cleanup query.
+  *
+  * 100 TB posture: the BY-SOURCE clauses bound their rewrite to files
+  * holding condition-satisfying unmatched rows (an unconditional
+  * clause rewrites the complement — the semantics asked for, same
+  * cliff Delta documents); subquery predicates re-plan as semi joins
+  * against the rewrite frame — broadcast when small, shuffle
+  * otherwise, never a collect.
+  */
+object Pipeline20 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Catalog.table(s, dir, name)
+
+  private def rmTree(path: String): Unit = {
+    def go(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(go)); f.delete(): Unit
+    }
+    go(new java.io.File(path))
+  }
+
+  /** Shared q213/q214 shape: target = keys ≡ 0 (mod 3), source =
+    * keys ≡ 0 (mod 2) carrying new_price. */
+  private def mergeFixture(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+    val target = o.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+    val source = o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .withColumn("new_price", col("o_totalprice") + 1000.0)
+    (target, source)
+  }
+
+  private def mergeResult(s: SparkSession, tbl: String,
+      nUpd: Long, nDel: Long, nIns: Long): DataFrame =
+    CommitLog.read(s, tbl)
+      .groupBy(col("o_orderstatus")).agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast("decimal(30,6)")).cast("double")
+          .as("sum_price"))
+      .withColumn("n_updated", lit(nUpd))
+      .withColumn("n_deleted", lit(nDel))
+      .withColumn("n_inserted", lit(nIns))
+      .orderBy(col("o_orderstatus"))
+      .localCheckpoint(true)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Five-clause MERGE: q169's three clauses PLUS the BY-SOURCE
+    // pair — unmatched-target 'O' rows delete, the other unmatched
+    // target rows take +5 on the price. The per-clause counts ride
+    // as witness columns; the oracle recomputes the final state AND
+    // the combined counts from raw orders with the same
+    // delete-before-update, matched-before-by-source semantics.
+    "q213_commitlog_merge_nmbs" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q213_").toString
+      try {
+        val tbl = s"$root/tbl"
+        val (target, source) = mergeFixture(s, dir)
+        CommitLog.append(s, tbl, target)
+        val (_, nUpd, nDel, nIns) = CommitLog.mergeInto(s, tbl, source,
+          Seq("o_orderkey"),
+          whenMatchedUpdate =
+            Map("o_totalprice" -> CommitLog.src("new_price")),
+          whenMatchedDelete = Some(col("o_orderstatus") === "F"),
+          whenNotMatchedBySourceUpdate =
+            Map("o_totalprice" -> (col("o_totalprice") + 5.0)),
+          whenNotMatchedBySourceDelete =
+            Some(col("o_orderstatus") === "O"))
+        mergeResult(s, tbl, nUpd, nDel, nIns)
+      } finally rmTree(root)
+    }),
+
+    // q213's merge driven through `MERGE INTO … WHEN NOT MATCHED BY
+    // SOURCE` SQL against the catalog; per-clause counts re-derived
+    // from the commit's RECORDED CDC (the BY-SOURCE clauses record
+    // under the same delete/update_pre+postimage vocabulary), all
+    // hash-checked by q213's oracle algebra.
+    "q214_commitlog_sql_merge_nmbs" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q214_").toString
+      val cat = "graftq214"
+      try {
+        s.conf.set(s"spark.sql.catalog.$cat",
+          "graft.sources.CommitLogCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        val tbl = s"$root/ns/t"
+        val (target, source) = mergeFixture(s, dir)
+        CommitLog.append(s, tbl, target)
+        source.createOrReplaceTempView("q214_src")
+        val preVersion = CommitLog.versions(s, tbl).max
+        s.sql(
+          s"""MERGE INTO $cat.ns.t t USING q214_src s
+             |ON t.o_orderkey = s.o_orderkey
+             |WHEN MATCHED AND t.o_orderstatus = 'F' THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET o_totalprice = s.new_price
+             |WHEN NOT MATCHED THEN INSERT
+             |  (o_orderkey, o_custkey, o_orderstatus, o_totalprice)
+             |  VALUES (s.o_orderkey, s.o_custkey, s.o_orderstatus,
+             |          s.o_totalprice)
+             |WHEN NOT MATCHED BY SOURCE AND t.o_orderstatus = 'O'
+             |  THEN DELETE
+             |WHEN NOT MATCHED BY SOURCE
+             |  THEN UPDATE SET o_totalprice = t.o_totalprice + 5.0
+             |""".stripMargin)
+        val byType = CommitLog.changeFeed(s, tbl, preVersion)
+          .groupBy(col("_change_type")).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        mergeResult(s, tbl,
+          byType.getOrElse("update_preimage", 0L),
+          byType.getOrElse("delete", 0L),
+          byType.getOrElse("insert", 0L))
+      } finally {
+        s.catalog.dropTempView("q214_src"): Unit
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.root")
+        rmTree(root)
+      }
+    }),
+
+    // DML predicates past the V1-filter bridge, all three shapes a
+    // warehouse user types: an IN-subquery DELETE, an arithmetic
+    // DELETE (no subquery, still untranslatable to source filters),
+    // and an IN-subquery UPDATE — each a bounded copy-on-write
+    // commit (version count witnessed), final state hash-matched.
+    "q215_commitlog_sql_delete_subquery" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q215_").toString
+      val cat = "graftq215"
+      try {
+        s.conf.set(s"spark.sql.catalog.$cat",
+          "graft.sources.CommitLogCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        val tbl = s"$root/ns/t"
+        CommitLog.append(s, tbl, t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"), col("o_totalprice")))
+        t(s, dir, "customer").select(col("c_custkey"),
+            col("c_mktsegment"), col("c_acctbal"))
+          .createOrReplaceTempView("q215_cust")
+        s.sql(
+          s"""DELETE FROM $cat.ns.t
+             |WHERE o_custkey IN (SELECT c_custkey FROM q215_cust
+             |  WHERE c_mktsegment = 'BUILDING')""".stripMargin)
+        s.sql(
+          s"""DELETE FROM $cat.ns.t
+             |WHERE o_totalprice * 2.0 > 400000.0""".stripMargin)
+        s.sql(
+          s"""UPDATE $cat.ns.t SET o_orderstatus = 'X'
+             |WHERE o_custkey IN (SELECT c_custkey FROM q215_cust
+             |  WHERE c_acctbal < 0.0)""".stripMargin)
+        val nVersions = CommitLog.versions(s, tbl).size
+        s.sql(s"SELECT * FROM $cat.ns.t")
+          .groupBy(col("o_orderstatus")).agg(
+            count(lit(1)).as("n_rows"),
+            sum(col("o_totalprice").cast("decimal(30,6)")).cast("double")
+              .as("sum_price"))
+          .withColumn("n_versions", lit(nVersions))
+          .orderBy(col("o_orderstatus"))
+          .localCheckpoint(true)
+      } finally {
+        s.catalog.dropTempView("q215_cust"): Unit
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.root")
+        rmTree(root)
+      }
+    }),
+
+    // MULTI-key storage-partitioned join (round 15): two fact tables
+    // bucketed on (l_orderkey, l_linenumber) — deliberately with the
+    // keys listed in OPPOSITE orders, pinning the canonical-order
+    // law — join on both keys with ZERO shuffle exchanges (the
+    // per-key grid layout; Spark requires single-reference partition
+    // transforms, so a composite bucket could never claim). Quarter
+    // slice: the witnesses are data-size independent and q211
+    // already prices the full-table SPJ.
+    "q216_commitlog_spj_multikey" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q216_").toString
+      try {
+        s.conf.set("spark.sql.catalog.gq216",
+          "graft.sources.CommitLogCatalog")
+        s.conf.set("spark.sql.catalog.gq216.root", root)
+        val bcast = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        val bkt0 = s.conf
+          .getOption("spark.sql.sources.v2.bucketing.enabled")
+        val aTbl = s"$root/ns/a"; val bTbl = s"$root/ns/b"
+        val li = t(s, dir, "lineitem")
+          .filter(pmod(col("l_orderkey"), lit(4)) === 1)
+        CommitLog.append(s, aTbl, li.select(col("l_orderkey"),
+          col("l_linenumber"), col("l_extendedprice")))
+        CommitLog.append(s, bTbl, li.select(col("l_orderkey"),
+          col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag")))
+        graft.sources.CommitLogStats.compactBucketed(s, aTbl,
+          Seq("l_orderkey", "l_linenumber"), 8, Seq("l_orderkey"))
+        graft.sources.CommitLogStats.compactBucketed(s, bTbl,
+          Seq("l_linenumber", "l_orderkey"), 8, Seq("l_orderkey"))
+        val specA = CommitLog.snapshot(s, aTbl).get.bucket
+          .flatMap(graft.sources.CommitLog.decodeBucketSpec).get
+        val specB = CommitLog.snapshot(s, bTbl).get.bucket
+          .flatMap(graft.sources.CommitLog.decodeBucketSpec).get
+        val aligned = specA.keys == specB.keys && specA.ns == specB.ns
+        val joinSql = "SELECT b.l_returnflag, a.l_extendedprice, " +
+          "b.l_quantity FROM gq216.ns.a a JOIN gq216.ns.b b " +
+          "ON a.l_orderkey = b.l_orderkey " +
+          "AND a.l_linenumber = b.l_linenumber"
+        def shuffles(df: DataFrame): Int = {
+          df.collect(): Unit
+          def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+              : Seq[org.apache.spark.sql.execution.SparkPlan] =
+            (p +: p.children.flatMap(nodes)) ++ (p match {
+              case a: org.apache.spark.sql.execution.adaptive
+                  .AdaptiveSparkPlanExec => nodes(a.executedPlan)
+              case qe: org.apache.spark.sql.execution.adaptive
+                  .QueryStageExec => nodes(qe.plan)
+              case _ => Seq.empty
+            })
+          nodes(df.queryExecution.executedPlan).collect {
+            case e: org.apache.spark.sql.execution.exchange
+              .ShuffleExchangeLike => e
+          }.distinct.size
+        }
+        try {
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+          val spjShuffles = shuffles(s.sql(joinSql))
+          s.sql(joinSql)
+            .groupBy(col("l_returnflag"))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("l_extendedprice").cast("decimal(30,6)"))
+                .cast("double").as("sum_price"),
+              sum(col("l_quantity").cast("decimal(30,6)"))
+                .cast("double").as("sum_qty"))
+            .withColumn("spj_shuffles", lit(spjShuffles))
+            .withColumn("spec_aligned", lit(aligned))
+            .orderBy(col("l_returnflag"))
+            .localCheckpoint(true)
+        } finally {
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+          bkt0 match {
+            case Some(v) => s.conf
+              .set("spark.sql.sources.v2.bucketing.enabled", v)
+            case None => s.conf
+              .unset("spark.sql.sources.v2.bucketing.enabled")
+          }
+        }
+      } finally {
+        s.conf.unset("spark.sql.catalog.gq216")
+        s.conf.unset("spark.sql.catalog.gq216.root")
+        rmTree(root)
+      }
+    }),
+
+    // Trigger.AvailableNow catch-up-then-stop over the commit-log
+    // stream with BOTH admission caps active: four commits, caps
+    // force one version per micro-batch, the run still drains all
+    // four and terminates by itself (the nightly batch-user mode).
+    // Witnesses: batch count = version count (pacing held), self-
+    // termination observed; the drained union hash-matches the raw
+    // batch twin through the oracle.
+    "q217_streaming_available_now" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q217_").toString
+      try {
+        val tbl = s"$root/tbl"
+        val sink = s"$root/sink"
+        val o = t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+        (0 until 4).foreach(i => CommitLog.append(s, tbl,
+          o.filter(pmod(col("o_orderkey"), lit(4)) === i)))
+        val nBatches = new java.util.concurrent.atomic.AtomicInteger
+        val q = s.readStream.format("commitlog").option("path", tbl)
+          .option("maxVersionsPerTrigger", "1")
+          // 1-byte cap: soft-max admits one oversized version per
+          // batch — composing both caps on the same run
+          .option("maxBytesPerTrigger", "1")
+          .load()
+          .writeStream.foreachBatch {
+            (b: org.apache.spark.sql.Dataset[
+              org.apache.spark.sql.Row], _: Long) =>
+              if (!b.isEmpty) {
+                nBatches.incrementAndGet()
+                b.write.mode("append").parquet(sink): Unit
+              }
+          }
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger
+            .AvailableNow())
+          .start()
+        val terminated = q.awaitTermination(180000)
+        q.stop()
+        s.read.parquet(sink)
+          .groupBy(col("o_orderstatus")).agg(
+            count(lit(1)).as("n_rows"),
+            sum(col("o_totalprice").cast("decimal(30,6)")).cast("double")
+              .as("sum_price"))
+          .withColumn("n_batches", lit(nBatches.get()))
+          .withColumn("self_terminated", lit(terminated))
+          .orderBy(col("o_orderstatus"))
+          .localCheckpoint(true)
+      } finally rmTree(root)
+    }),
+
+    // Maintenance advisor rule 5b through the CALL surface: a
+    // bucketed table fragments under repeated DML (each merge's
+    // rewrites+inserts re-land bucket-split, growing the per-bucket
+    // file count), `CALL system.maintenance_plan` recommends the
+    // consolidating re-bucket, RUNNING the recommended
+    // optimize_bucket restores one-segment-per-bucket, and the
+    // recommendation goes quiet — the full advisor loop, content
+    // hash-checked against the merge algebra replayed in the oracle.
+    "q218_commitlog_maintenance_bucket" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q218_").toString
+      val cat = "graftq218"
+      try {
+        s.conf.set(s"spark.sql.catalog.$cat",
+          "graft.sources.CommitLogCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        val tbl = s"$root/ns/t"
+        import s.implicits._
+        CommitLog.append(s, tbl, t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_regionkey"),
+            col("n_name")))
+        graft.sources.CommitLogStats.compactBucketed(s, tbl,
+          Seq("n_nationkey"), 2, Seq("n_nationkey"))
+        // three insert-merges fragment the layout past the 2-per-
+        // bucket threshold while PRESERVING the spec
+        (0 until 3).foreach { i =>
+          val src = Seq(
+            (100L + 2 * i, (100L + 2 * i) % 5, "NEW"),
+            (101L + 2 * i, (101L + 2 * i) % 5, "NEW"))
+            .toDF("n_nationkey", "n_regionkey", "n_name")
+          CommitLog.mergeInto(s, tbl, src, Seq("n_nationkey"))
+        }
+        val nSegsFragmented =
+          CommitLog.snapshot(s, tbl).get.segments.size
+        val recs = s.sql(s"CALL $cat.system.maintenance_plan(" +
+          "table => 'ns.t')")
+          .select(col("action")).collect().map(_.getString(0))
+        val recommended = recs.contains("optimize_bucket")
+        // run exactly what the advisor recommends
+        s.sql(s"CALL $cat.system.optimize_bucket(table => 'ns.t', " +
+          "keys => 'n_nationkey', buckets => 2)")
+        val segsAfter = CommitLog.snapshot(s, tbl).get.segments.size
+        val quietAfter = !s.sql(
+          s"CALL $cat.system.maintenance_plan(table => 'ns.t')")
+          .select(col("action")).collect().map(_.getString(0))
+          .contains("optimize_bucket")
+        // nation's keys are int32 on disk; the oracle's VALUES union
+        // coerces to BIGINT — align the types explicitly
+        CommitLog.read(s, tbl)
+          .groupBy(col("n_regionkey").cast("long").as("n_regionkey"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(col("n_nationkey").cast("long")).as("sum_key"))
+          .withColumn("fragmented", lit(nSegsFragmented > 4))
+          .withColumn("recommended", lit(recommended))
+          .withColumn("segs_after", lit(segsAfter))
+          .withColumn("quiet_after", lit(quietAfter))
+          .orderBy(col("n_regionkey"))
+          .localCheckpoint(true)
+      } finally {
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.root")
+        rmTree(root)
+      }
+    })
+  )
+
+  /** q213/q214 share one oracle algebra: the five-clause outcome
+    * re-derived from raw orders — matched 'F' deletes, matched
+    * non-'F' takes new_price, unmatched-source inserts, unmatched-
+    * target 'O' deletes, unmatched-target non-'O' takes +5. */
+  private val mergeNmbsOracle: String =
+    """WITH t AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    o_totalprice FROM orders WHERE o_orderkey % 3 = 0),
+      |s AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    o_totalprice, o_totalprice + 1000.0 AS new_price
+      |  FROM orders WHERE o_orderkey % 2 = 0),
+      |final AS (
+      |  SELECT t.o_orderstatus,
+      |    CASE WHEN s.o_orderkey IS NOT NULL THEN s.new_price
+      |         ELSE t.o_totalprice + 5.0 END AS price
+      |  FROM t LEFT JOIN s ON s.o_orderkey = t.o_orderkey
+      |  WHERE NOT (s.o_orderkey IS NOT NULL AND t.o_orderstatus = 'F')
+      |    AND NOT (s.o_orderkey IS NULL AND t.o_orderstatus = 'O')
+      |  UNION ALL
+      |  SELECT s.o_orderstatus, s.o_totalprice
+      |  FROM s LEFT JOIN t ON t.o_orderkey = s.o_orderkey
+      |  WHERE t.o_orderkey IS NULL),
+      |counts AS (
+      |  SELECT
+      |    CAST(SUM(CASE
+      |      WHEN s.o_orderkey IS NOT NULL AND t.o_orderstatus <> 'F'
+      |        THEN 1
+      |      WHEN s.o_orderkey IS NULL AND t.o_orderstatus <> 'O'
+      |        THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+      |    CAST(SUM(CASE
+      |      WHEN s.o_orderkey IS NOT NULL AND t.o_orderstatus = 'F'
+      |        THEN 1
+      |      WHEN s.o_orderkey IS NULL AND t.o_orderstatus = 'O'
+      |        THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted
+      |  FROM t LEFT JOIN s ON s.o_orderkey = t.o_orderkey),
+      |ins AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_inserted
+      |  FROM s LEFT JOIN t ON t.o_orderkey = s.o_orderkey
+      |  WHERE t.o_orderkey IS NULL)
+      |SELECT o_orderstatus,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(price AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+      |  (SELECT n_updated FROM counts) AS n_updated,
+      |  (SELECT n_deleted FROM counts) AS n_deleted,
+      |  (SELECT n_inserted FROM ins) AS n_inserted
+      |FROM final
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q213_commitlog_merge_nmbs" -> mergeNmbsOracle,
+    "q214_commitlog_sql_merge_nmbs" -> mergeNmbsOracle,
+
+    // the three DML statements replayed as relational algebra over
+    // raw orders/customer; 4 versions = append + three DML commits
+    "q215_commitlog_sql_delete_subquery" ->
+      """WITH d1 AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |  FROM orders
+        |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+        |    WHERE c_mktsegment = 'BUILDING')),
+        |d2 AS (
+        |  SELECT * FROM d1 WHERE NOT (o_totalprice * 2.0 > 400000.0)),
+        |upd AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_custkey IN (SELECT c_custkey FROM customer
+        |        WHERE c_acctbal < 0.0)
+        |      THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+        |    o_totalprice
+        |  FROM d2)
+        |SELECT o_orderstatus,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price,
+        |  CAST(4 AS INT) AS n_versions
+        |FROM upd
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    // the 2-key join aggregate re-derived from raw lineitem; the
+    // zero-shuffle and aligned-layout witnesses ride as constants
+    "q216_commitlog_spj_multikey" ->
+      """WITH a AS (SELECT l_orderkey, l_linenumber, l_extendedprice
+        |  FROM lineitem WHERE l_orderkey % 4 = 1),
+        |b AS (SELECT l_orderkey, l_linenumber, l_quantity,
+        |    l_returnflag
+        |  FROM lineitem WHERE l_orderkey % 4 = 1)
+        |SELECT b.l_returnflag,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(a.l_extendedprice AS DECIMAL(30,6)))
+        |    AS DOUBLE) AS sum_price,
+        |  CAST(SUM(CAST(b.l_quantity AS DECIMAL(30,6)))
+        |    AS DOUBLE) AS sum_qty,
+        |  CAST(0 AS INT) AS spj_shuffles,
+        |  true AS spec_aligned
+        |FROM a JOIN b ON a.l_orderkey = b.l_orderkey
+        |  AND a.l_linenumber = b.l_linenumber
+        |GROUP BY b.l_returnflag
+        |ORDER BY b.l_returnflag""".stripMargin,
+
+    // the four residue classes union back to the whole table; the
+    // pacing (4 batches) and self-termination witnesses ride as
+    // constants
+    "q217_streaming_available_now" ->
+      """SELECT o_orderstatus,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price,
+        |  CAST(4 AS INT) AS n_batches,
+        |  true AS self_terminated
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    // nation plus the six merged-in keys (100..105, region = key%5);
+    // the advisor-loop witnesses ride as constants
+    "q218_commitlog_maintenance_bucket" ->
+      """WITH merged AS (
+        |  SELECT n_nationkey, n_regionkey FROM nation
+        |  UNION ALL
+        |  SELECT k, k % 5 FROM (VALUES (CAST(100 AS BIGINT)), (101),
+        |    (102), (103), (104), (105)) AS v(k))
+        |SELECT n_regionkey,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
+        |  true AS fragmented,
+        |  true AS recommended,
+        |  CAST(2 AS INT) AS segs_after,
+        |  true AS quiet_after
+        |FROM merged
+        |GROUP BY n_regionkey
+        |ORDER BY n_regionkey""".stripMargin
+  )
+}

@@ -169,21 +169,35 @@ object CommitLog {
       // optimization, never a row — reader protocol unchanged).
       bucket: Option[String] = None)
 
-  /** Decoded [[Snapshot.bucket]]: hash keys, bucket count, and the
-    * segment-uuid → bucket map of the exact committed layout. */
+  /** Decoded [[Snapshot.bucket]]: hash keys (canonical layout order),
+    * TOTAL bucket count, the segment-uuid → bucket map of the exact
+    * committed layout, and the PER-KEY grid counts `ns` (product =
+    * `n`; the composite bucket id is row-major over them). A
+    * single-key layout has `ns = Seq(n)`. A legacy multi-key layout
+    * (written before the grid era, composite hash over all keys at
+    * once) decodes with `ns` EMPTY — it keeps its DML
+    * write-amplification value but cannot claim SPJ (Spark's
+    * KeyGroupedShuffleSpec requires single-reference partition
+    * transforms, so only the per-key grid form is claimable). */
   final case class TableBucketSpec(keys: Seq[String], n: Int,
-      byUuid: Map[String, Int])
+      byUuid: Map[String, Int], ns: Seq[Int]) {
+    /** The layout claims SPJ: per-key grid counts recorded and
+      * consistent. */
+    def gridClaimable: Boolean =
+      ns.size == keys.size && ns.product == n
+  }
 
-  private[sources] def encodeBucketSpec(keys: Seq[String], n: Int,
-      segs: Seq[(Int, String)]): String =
-    encodeBucketEntries(keys, n, segs.map { case (b, seg) =>
+  private[sources] def encodeBucketSpec(keys: Seq[String],
+      ns: Seq[Int], segs: Seq[(Int, String)]): String =
+    encodeBucketEntries(keys, ns, segs.map { case (b, seg) =>
       seg.substring(seg.lastIndexOf('/') + 1) -> b }.toMap)
 
-  private[sources] def encodeBucketEntries(keys: Seq[String], n: Int,
-      entries: Map[String, Int]): String =
+  private[sources] def encodeBucketEntries(keys: Seq[String],
+      ns: Seq[Int], entries: Map[String, Int]): String =
     encodeConstraints(Map(
       "__keys" -> keys.mkString(","),
-      "__n" -> n.toString) ++
+      "__n" -> ns.product.toString,
+      "__ns" -> ns.mkString(",")) ++
       entries.map { case (u, b) => u -> b.toString })
 
   private[graft] def decodeBucketSpec(
@@ -194,7 +208,13 @@ object CommitLog {
         keys <- m.get("__keys").map(_.split(',').toSeq.filter(_.nonEmpty))
         n <- m.get("__n").map(_.toInt)
       } yield TableBucketSpec(keys, n,
-        (m - "__keys" - "__n").map { case (u, b) => u -> b.toInt })
+        (m - "__keys" - "__n" - "__ns")
+          .map { case (u, b) => u -> b.toInt },
+        // pre-grid records carry no __ns: single-key is trivially the
+        // one-cell grid; multi-key stays unclaimable (empty)
+        m.get("__ns").map(_.split(',').toSeq.filter(_.nonEmpty)
+            .map(_.toInt))
+          .getOrElse(if (keys.size == 1) Seq(n) else Seq.empty))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Highest reader protocol this engine understands (FORMAT.md
@@ -3380,6 +3400,14 @@ object CommitLog {
     *    INSERT (source projected onto the table schema by name —
     *    missing columns NULL, extra source columns ignored), if
     *    `whenNotMatchedInsert`
+    *  - WHEN NOT MATCHED BY SOURCE AND `whenNotMatchedBySourceDelete`
+    *    THEN DELETE / [AND `whenNotMatchedBySourceUpdateCondition`]
+    *    THEN UPDATE SET `whenNotMatchedBySourceUpdate` — target rows
+    *    with NO source match (the refresh-the-target-from-source
+    *    shape: prune or flag rows the source no longer carries).
+    *    Conditions and SET values see TARGET columns only (the
+    *    source side of these rows is all-NULL by definition); DELETE
+    *    tests before UPDATE, mirroring the matched clauses.
     *
     * Identity columns: inserts ALLOCATE like the append path (the
     * source may omit the column or write NULLs; GENERATED ALWAYS
@@ -3402,7 +3430,11 @@ object CommitLog {
     * 100 TB posture: one key-pushed scan finds touched files; the
     * untouched bulk is never opened; the source's keys ride a
     * semi/anti join (broadcast when small, shuffle otherwise — AQE's
-    * choice), never a collect. */
+    * choice), never a collect. NOT-MATCHED-BY-SOURCE widens the
+    * touched set to files holding condition-satisfying unmatched
+    * rows — with a selective condition that stays bounded; an
+    * UNCONDITIONAL clause rewrites the full complement, which is the
+    * semantics the user asked for (same cliff Delta documents). */
   def mergeInto(spark: SparkSession, table: String, source: DataFrame,
       keys: Seq[String],
       whenMatchedUpdate: Map[String, org.apache.spark.sql.Column] =
@@ -3413,11 +3445,20 @@ object CommitLog {
       whenNotMatchedInsert: Boolean = true,
       whenNotMatchedInsertCondition: Option[org.apache.spark.sql.Column] =
         None,
+      whenNotMatchedBySourceUpdate:
+        Map[String, org.apache.spark.sql.Column] = Map.empty,
+      whenNotMatchedBySourceUpdateCondition:
+        Option[org.apache.spark.sql.Column] = None,
+      whenNotMatchedBySourceDelete: Option[org.apache.spark.sql.Column] =
+        None,
       maxRetries: Int = 20): (Long, Long, Long, Long) = {
     require(keys.nonEmpty, "CommitLog.mergeInto: empty key list")
     require(whenMatchedUpdate.nonEmpty || whenMatchedDelete.nonEmpty ||
-      whenNotMatchedInsert,
+      whenNotMatchedInsert || whenNotMatchedBySourceUpdate.nonEmpty ||
+      whenNotMatchedBySourceDelete.nonEmpty,
       "CommitLog.mergeInto: no clauses — nothing to do")
+    val nmbsActive = whenNotMatchedBySourceUpdate.nonEmpty ||
+      whenNotMatchedBySourceDelete.nonEmpty
     val dup = source.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__n")).filter(col("__n") > 1L)
       .limit(1).collect()
@@ -3442,12 +3483,14 @@ object CommitLog {
       require(unknownKeys.isEmpty,
         s"CommitLog.mergeInto: key(s) ${unknownKeys.mkString(", ")} " +
           s"absent from table schema ${schema.fieldNames.mkString(", ")}")
-      val unknownSet = whenMatchedUpdate.keySet -- schema.fieldNames.toSet
+      val unknownSet = (whenMatchedUpdate.keySet ++
+        whenNotMatchedBySourceUpdate.keySet) -- schema.fieldNames.toSet
       require(unknownSet.isEmpty,
         s"CommitLog.mergeInto: SET names unknown column(s) " +
           unknownSet.mkString(", "))
       val logical = cur.schema.map(decodeSchema)
-      refuseGeneratedSet("mergeInto", whenMatchedUpdate.keys, logical)
+      refuseGeneratedSet("mergeInto", whenMatchedUpdate.keys ++
+        whenNotMatchedBySourceUpdate.keys, logical)
       val nonKeySrc = source.columns.filterNot(keys.contains).toSeq
       val srcRenamed = source.select(keys.map(col) ++
         nonKeySrc.map(c => col(c).as(s"__src_$c")) :+
@@ -3462,11 +3505,39 @@ object CommitLog {
           cur.schema))
         cur.dv.fold(wp)(subtractDv(spark, wp, _))
       }
-      val touchedFiles = tagged
-        .select((keys.map(col) :+
-          col("__graft_dv_file").as("__file")): _*)
-        .join(srcRenamed.select(keys.map(col): _*), keys, "left_semi")
-        .select("__file").distinct().collect().map(_.getString(0))
+      // only probe for matched files when a matched clause can FIRE —
+      // an insert-only (or by-source-only) merge must not rewrite the
+      // segments its matched keys merely sit in
+      val matchedFiles =
+        if (whenMatchedUpdate.isEmpty && whenMatchedDelete.isEmpty)
+          Array.empty[String]
+        else tagged
+          .select((keys.map(col) :+
+            col("__graft_dv_file").as("__file")): _*)
+          .join(srcRenamed.select(keys.map(col): _*), keys, "left_semi")
+          .select("__file").distinct().collect().map(_.getString(0))
+      // NOT-MATCHED-BY-SOURCE widens the rewrite to files holding at
+      // least one unmatched row that satisfies a BY-SOURCE clause
+      // condition (target-column predicates — pushable to the scan);
+      // files whose unmatched rows all fail every condition are never
+      // opened for rewrite
+      val nmbsFiles =
+        if (!nmbsActive) Array.empty[String]
+        else {
+          val delHit = whenNotMatchedBySourceDelete
+            .map(c => coalesce(c, lit(false))).getOrElse(lit(false))
+          val updHit =
+            if (whenNotMatchedBySourceUpdate.isEmpty) lit(false)
+            else coalesce(whenNotMatchedBySourceUpdateCondition
+              .getOrElse(lit(true)), lit(false))
+          tagged
+            .join(srcRenamed.select(keys.map(col): _*), keys,
+              "left_anti")
+            .filter(delHit || updHit)
+            .select(col("__graft_dv_file").as("__file"))
+            .distinct().collect().map(_.getString(0))
+        }
+      val touchedFiles = (matchedFiles ++ nmbsFiles).distinct
       val touched = cur.segments.filter { seg =>
         val uuid = seg.substring(seg.lastIndexOf('/') + 1)
         touchedFiles.exists(_.contains(uuid))
@@ -3485,10 +3556,20 @@ object CommitLog {
         lit(whenMatchedUpdate.nonEmpty) &&
         coalesce(whenMatchedUpdateCondition.getOrElse(lit(true)),
           lit(false))
-      def project(df: DataFrame, updated: Boolean): DataFrame = {
+      // the BY-SOURCE clauses act on the complement rows of the same
+      // joined frame; DELETE before UPDATE, like the matched pair
+      val nmbsDelCond = !isMatched &&
+        coalesce(whenNotMatchedBySourceDelete.getOrElse(lit(false)),
+          lit(false))
+      val nmbsUpdCond = !isMatched && !nmbsDelCond &&
+        lit(whenNotMatchedBySourceUpdate.nonEmpty) &&
+        coalesce(whenNotMatchedBySourceUpdateCondition
+          .getOrElse(lit(true)), lit(false))
+      def project(df: DataFrame,
+          set: Map[String, org.apache.spark.sql.Column]): DataFrame = {
         val sel = df.select(schema.fieldNames.toSeq.map { f =>
-          whenMatchedUpdate.get(f) match {
-            case Some(e) if updated => e.cast(schema(f).dataType).as(f)
+          set.get(f) match {
+            case Some(e) => e.cast(schema(f).dataType).as(f)
             case _ => col(f)
           }
         }: _*)
@@ -3496,7 +3577,7 @@ object CommitLog {
         // POST-image (a SET touching a generation source propagates
         // — Delta's rule); pass-through rows keep their gate-proven
         // values byte-identical
-        if (updated) recomputeGenerated(sel, logical) else sel
+        if (set.nonEmpty) recomputeGenerated(sel, logical) else sel
       }
       // inserts check NOT-MATCHED against the WHOLE table, not just
       // touched segments
@@ -3551,16 +3632,31 @@ object CommitLog {
       if (touched.isEmpty && inserts.isEmpty)
         return (cur.version, 0L, 0L, 0L)
       val changeDir = s"$table/_changes/${java.util.UUID.randomUUID()}"
-      val deletedRows = project(joined.filter(delCond), updated = false)
+      // the BY-SOURCE clauses record under the SAME CDC vocabulary
+      // (delete / update_pre+postimage) — a change-feed consumer sees
+      // one uniform merge commit, exactly as Delta records it
+      val allDelCond = if (nmbsActive) delCond || nmbsDelCond
+        else delCond
+      val deletedRows = project(joined.filter(allDelCond), Map.empty)
         .withColumn("_change_type", lit("delete"))
-      val preRows = project(joined.filter(updCond), updated = false)
+      val preRows = project(joined.filter(updCond), Map.empty)
         .withColumn("_change_type", lit("update_preimage"))
-      val postRows = project(joined.filter(updCond), updated = true)
+      val postRows = project(joined.filter(updCond), whenMatchedUpdate)
+        .withColumn("_change_type", lit("update_postimage"))
+      val nmbsPreRows = project(joined.filter(nmbsUpdCond), Map.empty)
+        .withColumn("_change_type", lit("update_preimage"))
+      val nmbsPostRows = project(joined.filter(nmbsUpdCond),
+          whenNotMatchedBySourceUpdate)
         .withColumn("_change_type", lit("update_postimage"))
       val insRows = inserts.map(_.withColumn("_change_type",
         lit("insert"))).getOrElse(deletedRows.filter(lit(false)))
-      deletedRows.unionByName(preRows).unionByName(postRows)
-        .unionByName(insRows)
+      val changeRows0 = deletedRows.unionByName(preRows)
+        .unionByName(postRows).unionByName(insRows)
+      val changeRows =
+        if (nmbsActive)
+          changeRows0.unionByName(nmbsPreRows).unionByName(nmbsPostRows)
+        else changeRows0
+      changeRows
         .transform(changePhysical(cur))
         .write.mode(SaveMode.ErrorIfExists).parquet(changeDir)
       val byType = spark.read.parquet(changeDir)
@@ -3570,9 +3666,14 @@ object CommitLog {
       val nUpd = byType.getOrElse("update_preimage", 0L)
       val nIns = byType.getOrElse("insert", 0L)
       // rewritten touched rows (survivors) + inserts → one segment
-      val survivors = project(joined.filter(!delCond && !updCond),
-          updated = false)
-        .unionByName(project(joined.filter(updCond), updated = true))
+      val untouchedCond = !delCond && !updCond &&
+        (if (nmbsActive) !nmbsDelCond && !nmbsUpdCond else lit(true))
+      val survivors0 = project(joined.filter(untouchedCond), Map.empty)
+        .unionByName(project(joined.filter(updCond), whenMatchedUpdate))
+      val survivors =
+        if (nmbsActive) survivors0.unionByName(project(
+          joined.filter(nmbsUpdCond), whenNotMatchedBySourceUpdate))
+        else survivors0
       val newRows = inserts.fold(survivors)(survivors.unionByName(_))
       // a bucketed layout (SPJ spec) survives the merge: survivors,
       // updates AND inserts re-land bucket-split
@@ -3588,12 +3689,17 @@ object CommitLog {
       // values — so a later allocation cannot collide with an id an
       // update just wrote
       val updatedIdFs = idFs.filter(f =>
-        whenMatchedUpdate.keys.exists(_.equalsIgnoreCase(f.name)))
+        (whenMatchedUpdate.keys ++ whenNotMatchedBySourceUpdate.keys)
+          .exists(_.equalsIgnoreCase(f.name)))
       if (updatedIdFs.nonEmpty && touched.nonEmpty) {
         val aggs = updatedIdFs.flatMap(f => Seq(
           min(col(f.name)).cast("long").as(s"__mn_${f.name}"),
           max(col(f.name)).cast("long").as(s"__mx_${f.name}")))
-        val r = project(joined.filter(updCond), updated = true)
+        val postAll0 = project(joined.filter(updCond), whenMatchedUpdate)
+        val postAll = if (nmbsActive) postAll0.unionByName(project(
+            joined.filter(nmbsUpdCond), whenNotMatchedBySourceUpdate))
+          else postAll0
+        val r = postAll
           .agg(aggs.head, aggs.tail: _*).collect()(0)
         val base = idMarks.getOrElse(decodeIdentity(cur.identity))
         idMarks = Some(updatedIdFs.foldLeft(base) { (m, f) =>

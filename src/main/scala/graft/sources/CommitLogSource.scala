@@ -676,21 +676,21 @@ private[sources] class CommitLogScanBuilder(spark: SparkSession,
         (CommitLog.segmentsSizeBytes(spark, kept) * factor).toLong)
       val rows = CommitLogStats.segmentsRowCount(spark, kept)
       // storage-partitioned join reporting: a compactBucketed commit
-      // records its layout (keys, n, uuid → bucket) in the manifest;
-      // a SINGLE-key spec covering every segment lets the scan claim
-      // KeyGroupedPartitioning — Spark then plans a join of two
-      // same-(function, n) tables with ZERO shuffle exchanges
-      // (activated by spark.sql.sources.v2.bucketing.enabled; the
-      // claim costs nothing when it is off or unresolvable)
-      // single-key specs only: Spark's SPJ matches each clustering
-      // expression against ONE join key by position, so a multi-ref
-      // bucket transform never lines up with its individual join
-      // keys (verified empirically — the claim resolves but falls
-      // back to a shuffle); multi-key layouts keep their DML
-      // write-amplification value and simply don't claim SPJ
+      // records its layout (keys, per-key grid ns, uuid → bucket) in
+      // the manifest; a grid spec covering every segment lets the
+      // scan claim KeyGroupedPartitioning — ONE single-reference
+      // bucket transform PER KEY, since Spark's KeyGroupedShuffleSpec
+      // asserts single-leaf partition expressions (a multi-ref
+      // bucket(n, k1, k2) can never line up with its individual join
+      // keys) — and Spark then plans a join of two same-(keys, grid)
+      // tables with ZERO shuffle exchanges (activated by
+      // spark.sql.sources.v2.bucketing.enabled; the claim costs
+      // nothing when it is off or unresolvable). Legacy pre-grid
+      // multi-key records (no per-key counts) keep their DML
+      // write-amplification value and simply don't claim.
       def uuidOf(s: String) = s.substring(s.lastIndexOf('/') + 1)
       snap.bucket.flatMap(CommitLog.decodeBucketSpec)
-        .filter(bs => bs.keys.size == 1 &&
+        .filter(bs => bs.gridClaimable &&
           snap.segments.forall(s => bs.byUuid.contains(uuidOf(s))))
         match {
         case Some(bs) =>
@@ -702,10 +702,14 @@ private[sources] class CommitLogScanBuilder(spark: SparkSession,
 }
 
 /** The SPJ scan over a [[CommitLogStats.compactBucketed]] layout:
-  * reports `KeyGroupedPartitioning(bucket(n, key), n)` and plans ONE
-  * input partition per bucket (each a [[KeyedFilePartition]] whose
-  * key is the bucket id; absent buckets emit an empty partition so
-  * both join sides always expose identical partition-value sets).
+  * reports `KeyGroupedPartitioning` with ONE single-reference
+  * `bucket(n_i, key_i)` transform PER KEY (Spark's
+  * KeyGroupedShuffleSpec requires single-leaf partition expressions)
+  * and plans ONE input partition per composite grid cell (each a
+  * [[KeyedFilePartition]] whose key row carries the per-key bucket
+  * ids, decomposed row-major from the composite id; absent cells
+  * emit an empty partition so both join sides always expose
+  * identical partition-value sets).
   * Reading machinery stays the wrapped ParquetScan's — its reader
   * factory consumes FilePartitions, and ours are FilePartitions.
   * Runtime-filter re-planning is deliberately NOT delegated here: a
@@ -722,8 +726,25 @@ private[graft] class CommitLogBucketedScan(
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     new org.apache.spark.sql.connector.read.partitioning
       .KeyGroupedPartitioning(
-        Array(org.apache.spark.sql.connector.expressions.Expressions
-          .bucket(spec.n, spec.keys: _*)), spec.n)
+        spec.keys.zip(spec.ns).map { case (k, n) =>
+          org.apache.spark.sql.connector.expressions.Expressions
+            .bucket(n, k): org.apache.spark.sql.connector.expressions
+              .Transform
+        }.toArray[org.apache.spark.sql.connector.expressions
+          .Expression], spec.n)
+
+  /** Composite grid id → per-key bucket ids, row-major. */
+  private def decompose(b: Int): Array[Any] = {
+    val out = new Array[Any](spec.ns.size)
+    var rest = b
+    var i = spec.ns.size - 1
+    while (i >= 0) {
+      out(i) = rest % spec.ns(i)
+      rest /= spec.ns(i)
+      i -= 1
+    }
+    out
+  }
 
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
@@ -756,7 +777,8 @@ private[graft] class CommitLogBucketedScan(
         (0 until spec.n).map { b =>
           new KeyedFilePartition(b,
             grouped.getOrElse(b, Array.empty),
-            org.apache.spark.sql.catalyst.InternalRow(b))
+            org.apache.spark.sql.catalyst.InternalRow
+              .fromSeq(decompose(b).toIndexedSeq))
               : org.apache.spark.sql.connector.read.InputPartition
         }.toArray
       }
@@ -1218,12 +1240,48 @@ class CommitLogStreamSource(spark: SparkSession, metadataPath: String,
     skipRewrites: Boolean, maxVersionsPerTrigger: Option[Long],
     ignoreSchemaEvolution: Boolean = false,
     maxBytesPerTrigger: Option[Long] = None)
-    extends org.apache.spark.sql.execution.streaming.Source {
+    extends org.apache.spark.sql.execution.streaming.Source
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
 
   require(maxBytesPerTrigger.forall(_ > 0L),
     "commitlog stream: maxBytesPerTrigger must be positive")
 
   import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+
+  /** Trigger.AvailableNow (FileStreamSource's pattern): capture the
+    * table's CURRENT version at query start; every admission decision
+    * afterwards caps at it, so the catch-up run processes exactly the
+    * data that existed at start — across as MANY cap-paced
+    * micro-batches as `maxVersionsPerTrigger`/`maxBytesPerTrigger`
+    * dictate — then stops. Implementing the interface ourselves
+    * matters: Spark's generic AvailableNowSourceWrapper fetches its
+    * end offset ONCE through `getOffset`, which these admission caps
+    * have already bounded, so a wrapped nightly catch-up with
+    * maxVersionsPerTrigger=k would silently stop k versions in and
+    * sign off (data loss from the consumer's viewpoint, not merely
+    * slower pacing). */
+  @volatile private var availableNowEnd: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = CommitLog.currentVersion(spark, table)
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit
+      .allAvailable()
+
+  /** Cap-paced admission under AvailableNow's frozen end; the per-
+    * trigger pacing itself lives in [[getOffset]] (the option-driven
+    * caps — the ReadLimit argument is always allAvailable here). */
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    getOffset.map { o =>
+      val v = o.asInstanceOf[LongOffset].offset
+      LongOffset(availableNowEnd.fold(v)(math.min(v, _)))
+    }.filter(_.offset >= startingVersion).orNull
 
   override val schema: StructType =
     CommitLogStreamSource.streamSchema(spark, table, readChangeFeed)

@@ -1223,32 +1223,75 @@ object CommitLogStats {
     * partitioned write + one grouped stats pass for ALL buckets
     * ([[writeBucketedSegments]]), committed as a single
     * content-preserving manifest version. */
+  /** Split `total` into `k` per-key grid counts, deterministic and
+    * as balanced as possible (prime factors dealt greedily to the
+    * smallest running product), ordered LARGEST FIRST so the pairing
+    * with the canonically-ordered key list is reproducible across
+    * independently-bucketed tables — two tables bucketed with the
+    * same key set and total land on the SAME grid and their join
+    * claims SPJ. */
+  private[sources] def gridNs(total: Int, k: Int): Seq[Int] = {
+    if (k == 1) return Seq(total)
+    val factors = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var rest = total
+    var p = 2
+    while (p * p <= rest) {
+      while (rest % p == 0) { factors += p; rest /= p }
+      p += 1
+    }
+    if (rest > 1) factors += rest
+    val ns = Array.fill(k)(1)
+    factors.sorted.reverse.foreach { f =>
+      val i = ns.zipWithIndex.minBy(_._1)._2
+      ns(i) *= f
+    }
+    ns.sorted.reverse.toSeq
+  }
+
+  /** The composite grid bucket id, row-major over (keys, ns): each
+    * key hashes INDEPENDENTLY (`pmod(hash(k_i), n_i)` — the same
+    * per-key function [[graft.sources.GraftBucketFunction]] exposes
+    * to Spark's SPJ machinery, which requires single-reference
+    * partition transforms). A single key degenerates to the exact
+    * pre-grid formula, so existing single-key layouts are
+    * byte-identical. */
+  private[sources] def gridBucketCol(keys: Seq[String],
+      ns: Seq[Int]): Column =
+    keys.zip(ns).foldLeft(lit(0)) { case (acc, (k, n)) =>
+      acc * lit(n) + pmod(hash(col(k)), lit(n))
+    }
+
   def compactBucketed(spark: SparkSession, table: String,
       keys: Seq[String], nBuckets: Int, statsCols: Seq[String],
       maxRetries: Int = 20): Long = {
     require(nBuckets >= 1, "nBuckets must be >= 1")
     require(keys.nonEmpty, "keys must be non-empty")
+    // canonical layout order: two tables bucketed on the same key SET
+    // (any call order) land on the same grid, so the SPJ claim's
+    // positional expression compare lines up
+    val ckeys = keys.sortBy(_.toLowerCase)
+    val ns = gridNs(nBuckets, ckeys.size)
     var attempt = 0
     while (attempt < maxRetries) {
       val cur = CommitLog.snapshot(spark, table).getOrElse(
         throw new IllegalStateException(
           s"CommitLogStats.compactBucketed: nothing committed at $table"))
       val df = CommitLog.readLive(spark, cur)
-        .withColumn("__bucket", pmod(hash(keys.map(col): _*),
-          lit(nBuckets)))
+        .withColumn("__bucket", gridBucketCol(ckeys, ns))
         .persist()
       try {
         val bySeg = writeBucketedSegments(spark, table, df,
           "__bucket", Seq.empty, statsCols)
         val segs = bySeg.map(_._2)
-        // record the layout in the manifest (keys, n, uuid → bucket):
-        // the DSv2 scan reports KeyGroupedPartitioning from it, so a
-        // join of two same-(keys-arity, n) tables plans with ZERO
-        // shuffle exchanges. The field is NOT inherited — any later
-        // commit changes the segment set and the claim dies with it.
+        // record the layout in the manifest (keys, per-key ns, uuid →
+        // bucket): the DSv2 scan reports KeyGroupedPartitioning (one
+        // single-ref bucket transform per key) from it, so a join of
+        // two same-(keys, grid) tables plans with ZERO shuffle
+        // exchanges. The field is NOT inherited — any later commit
+        // changes the segment set and the claim dies with it.
         val snap = CommitLog.Snapshot(cur.version + 1L, segs,
           cur.version, "compact", schema = cur.schema,
-          bucket = Some(CommitLog.encodeBucketSpec(keys, nBuckets,
+          bucket = Some(CommitLog.encodeBucketSpec(ckeys, ns,
             bySeg)))
         if (CommitLog.tryPublish(spark, table, snap, Some(cur))) return snap.version
         val f = fs(spark, table)
@@ -1293,8 +1336,13 @@ object CommitLogStats {
       // persist: the write pass and the stats pass must see the same
       // rows (a nondeterministic SET expression must not let sidecar
       // bounds diverge from the landed bytes)
-      val bucketed = rows.withColumn("__bucket",
-        pmod(hash(bs.keys.map(col): _*), lit(bs.n)))
+      // grid layouts re-derive the recorded per-key formula; a legacy
+      // (pre-grid) multi-key record keeps its composite hash so the
+      // preserved layout stays self-consistent
+      val bucketExpr =
+        if (bs.gridClaimable) gridBucketCol(bs.keys, bs.ns)
+        else pmod(hash(bs.keys.map(col): _*), lit(bs.n))
+      val bucketed = rows.withColumn("__bucket", bucketExpr)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val segsB = writeBucketedSegments(spark, table, bucketed,
@@ -1306,7 +1354,8 @@ object CommitLogStats {
         val entries = (bs.byUuid -- removed.map(uuidOf)) ++
           segsB.map { case (b, seg) => uuidOf(seg) -> b }
         (segsB.map(_._2),
-          CommitLog.encodeBucketEntries(bs.keys, bs.n, entries))
+          CommitLog.encodeBucketEntries(bs.keys,
+            if (bs.gridClaimable) bs.ns else Seq(bs.n), entries))
       } finally bucketed.unpersist(): Unit
     }
   }

@@ -565,6 +565,46 @@ class CommitLogSpec extends AnyFunSuite {
     } finally { rm(t); rm(ckpt + "/x") }
   }
 
+  test("streaming source: Trigger.AvailableNow catches up through " +
+      "ALL pending versions under an admission cap (one per batch), " +
+      "then terminates; a checkpointed re-run takes only the delta") {
+    val t = tmpTable()
+    val ckpt = ckptDir()
+    try {
+      CommitLog.append(spark, t, df((1L, "a", 1.0)))
+      CommitLog.append(spark, t, df((2L, "b", 2.0)))
+      CommitLog.append(spark, t, df((3L, "c", 3.0)))
+      CommitLog.append(spark, t, df((4L, "d", 4.0)))
+      val batches = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+      def run(): Unit = {
+        val q = spark.readStream.format("commitlog")
+          .option("path", t).option("maxVersionsPerTrigger", "1").load()
+          .writeStream.foreachBatch {
+            (b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+              batches += b.select(col("id")).collect()
+                .map(_.getLong(0)).toSeq.sorted: Unit
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try assert(q.awaitTermination(120000),
+          "AvailableNow query must terminate by itself")
+        finally q.stop()
+      }
+      run()
+      // the cap paced the run one version per batch — and the run
+      // STILL caught up through all four (the generic wrapper would
+      // have stopped after the first capped offset)
+      assert(batches.toSeq === Seq(Seq(1L), Seq(2L), Seq(3L), Seq(4L)))
+      // nightly re-run from the same checkpoint: only the delta
+      batches.clear()
+      CommitLog.append(spark, t, df((5L, "e", 5.0)))
+      CommitLog.append(spark, t, df((6L, "f", 6.0)))
+      run()
+      assert(batches.toSeq === Seq(Seq(5L), Seq(6L)))
+    } finally { rm(t); rm(ckpt + "/x") }
+  }
+
   test("streaming source: maxBytesPerTrigger paces by ADDED data " +
       "bytes — a tiny cap splits the replay one version per batch " +
       "(soft max: oversized commits still advance), a huge cap takes " +
@@ -3033,11 +3073,23 @@ class CommitLogSpec extends AnyFunSuite {
           "WHEN MATCHED THEN DELETE")
       }
       assert(nonEqui.getMessage.contains("equi-key"))
-      val bySource = intercept[UnsupportedOperationException] {
-        spark.sql("MERGE INTO gdm.ns.t t USING gdm_src s ON t.id = s.id " +
-          "WHEN NOT MATCHED BY SOURCE THEN DELETE")
-      }
-      assert(bySource.getMessage.contains("NOT MATCHED BY SOURCE"))
+      // WHEN NOT MATCHED BY SOURCE is a supported clause (round 15):
+      // an unconditional BY-SOURCE DELETE with an all-matching source
+      // prunes exactly the unmatched remainder (full law coverage in
+      // DmlRound15Spec). The source is MATERIALIZED pre-insert — a
+      // view over the table would re-resolve the post-insert snapshot
+      // (the catalog is stateless) and match everything.
+      spark.sql("SELECT id FROM gdm.ns.t").collect()
+        .map(r => (r.getLong(0), "s", 0.0)).toSeq
+        .toDF("id", "name", "v")
+        .createOrReplaceTempView("gdm_all")
+      spark.sql("INSERT INTO gdm.ns.t VALUES (99, 'orphan', 99.0)")
+      spark.sql(
+        """MERGE INTO gdm.ns.t t USING gdm_all s ON t.id = s.id
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      assert(spark.sql("SELECT COUNT(*) FROM gdm.ns.t WHERE id = 99")
+        .collect()(0).getLong(0) === 0L,
+        "BY-SOURCE DELETE must prune the unmatched row")
       spark.sql("DROP TABLE gdm.ns.t")
     } finally {
       spark.conf.unset("spark.sql.catalog.gdm")

@@ -234,6 +234,53 @@ class OrchestratorSpec extends AnyFunSuite {
     }
   }
 
+  test("runDag diamond: both middle branches run after the source, " +
+      "the sink runs last; a middle failure prunes ONLY the sink") {
+    //      a
+    //     / \
+    //    b   c      (diamond: d depends on BOTH b and c)
+    //     \ /
+    //      d
+    val diamond = Map("b" -> Seq("a"), "c" -> Seq("a"),
+      "d" -> Seq("b", "c"))
+    val ran = scala.collection.mutable.Buffer[String]()
+    val runner = new PipelineRunner(spark)
+    val ok = Seq(
+      job("a", _ => ran += "a"), job("b", _ => ran += "b"),
+      job("c", _ => ran += "c"), job("d", _ => ran += "d"))
+    // submission order deliberately scrambled — the DAG restores it
+    val results = runner.runDag(Seq(ok(3), ok(1), ok(0), ok(2)), diamond)
+    val pos = results.map(_.job.name).zipWithIndex.toMap
+    assert(pos("a") < pos("b") && pos("a") < pos("c") &&
+      pos("b") < pos("d") && pos("c") < pos("d"))
+    assert(results.forall(_.status == Succeeded) && ran.size == 4)
+
+    // one middle branch fails → the OTHER branch still runs, only the
+    // sink is pruned
+    ran.clear()
+    val half = Seq(
+      job("a", _ => ran += "a"),
+      job("b", _ => { ran += "b"; sys.error("boom") }),
+      job("c", _ => ran += "c"), job("d", _ => ran += "d"))
+    val r2 = new PipelineRunner(spark).runDag(half, diamond)
+    assert(ran.toSet == Set("a", "b", "c"))
+    assert(r2.count(_.status == Succeeded) == 2)
+  }
+
+  test("the standard registry's declared deps order manifestos/" +
+      "movimento before manifesto-movimento (EP2 table dependencies)") {
+    val names = Jobs.standardJobs("/root/testdata/sf0.001", "/tmp/x")
+      .map(_.name)
+    // every declared dep names a registered job
+    Jobs.standardDeps.foreach { case (j, ds) =>
+      assert(names.contains(j))
+      ds.foreach(d => assert(names.contains(d)))
+    }
+    assert(Jobs.standardDeps(
+      "alimentacao_view_manifestomovimento").toSet ==
+      Set("alimentacao_view_manifestos", "alimentacao_view_movimento"))
+  }
+
   test("loadOrInit writes the example config on first run, then loads it") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cfg")
     val path = dir.resolve("pipelines.json")

@@ -227,11 +227,13 @@ class SpjSpec extends AnyFunSuite {
       } finally spark.conf.unset(
         "spark.sql.sources.v2.bucketing.partiallyClustered.enabled")
 
-      // ---- MULTI-key buckets do NOT claim SPJ (Spark matches each
-      // clustering expression to ONE join key by position, so a
-      // multi-ref bucket transform can never line up) — the layout
-      // keeps its DML write-amplification value, the join just
-      // shuffles, and the results stay right
+      // ---- MULTI-key buckets claim SPJ via the per-key GRID layout
+      // (Spark's KeyGroupedShuffleSpec requires single-reference
+      // partition transforms, so the layout writes one bucket
+      // dimension per key and the scan reports one bucket(n_i, k_i)
+      // expression per key). Key-order canonicalization: the two
+      // tables are bucketed with the keys listed in OPPOSITE orders
+      // and must still land on the same grid and co-locate.
       val m1 = s"$root/ns/m1"; val m2 = s"$root/ns/m2"
       CommitLog.append(spark, m1,
         (1L to 5000L).map(i => (i % 50, i / 50, i * 1.0))
@@ -241,12 +243,47 @@ class SpjSpec extends AnyFunSuite {
           .toDF("k1", "k2", "w"))
       CommitLogStats.compactBucketed(spark, m1, Seq("k1", "k2"), 8,
         Seq("k1"))
-      CommitLogStats.compactBucketed(spark, m2, Seq("k1", "k2"), 8,
+      CommitLogStats.compactBucketed(spark, m2, Seq("k2", "k1"), 8,
         Seq("k1"))
-      val mq = spark.sql("SELECT a.k1, a.k2, a.v, b.w " +
+      val mSpec = CommitLog.decodeBucketSpec(
+        CommitLog.snapshot(spark, m2).get.bucket.get).get
+      assert(mSpec.keys === Seq("k1", "k2"),
+        "layout keys must canonicalize regardless of call order")
+      assert(mSpec.ns.product === 8 && mSpec.ns.size === 2,
+        s"per-key grid counts must cover the total: ${mSpec.ns}")
+      val mq = "SELECT a.k1, a.k2, a.v, b.w " +
         "FROM gspj.ns.m1 a JOIN gspj.ns.m2 b " +
-        "ON a.k1 = b.k1 AND a.k2 = b.k2")
-      assert(mq.collect().length === 2500)
+        "ON a.k1 = b.k1 AND a.k2 = b.k2"
+      val mdf = spark.sql(mq)
+      assert(shuffleCount(mdf) === 0,
+        s"2-key grid-aligned join must not shuffle:\n" +
+          mdf.queryExecution.executedPlan)
+      assert(mdf.collect().length === 2500)
+      // join keys listed in the REVERSED order still co-locate
+      // (KeyGroupedShuffleSpec matches by key position bitsets)
+      val mq2 = "SELECT a.k1, a.k2, a.v, b.w " +
+        "FROM gspj.ns.m1 a JOIN gspj.ns.m2 b " +
+        "ON a.k2 = b.k2 AND a.k1 = b.k1"
+      val mdf2 = spark.sql(mq2)
+      assert(shuffleCount(mdf2) === 0,
+        s"reversed join-key order must still co-locate:\n" +
+          mdf2.queryExecution.executedPlan)
+      assert(mdf2.collect().length === 2500)
+      // result parity with the shuffled control
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val mCtrl = spark.sql(mq)
+      assert(shuffleCount(mCtrl) > 0, "control must shuffle")
+      assert(mdf.collect().map(_.toString).sorted.toSeq ===
+        mCtrl.collect().map(_.toString).sorted.toSeq)
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      // a JOIN ON ONLY ONE of the two grid keys must fall back to the
+      // shuffle (co-location needs every grid dimension matched),
+      // never a wrong co-location
+      val mPartial = spark.sql("SELECT a.k1, a.v, b.w " +
+        "FROM gspj.ns.m1 a JOIN gspj.ns.m2 b ON a.k1 = b.k1")
+      assert(shuffleCount(mPartial) > 0,
+        "single-key join over a 2-key grid must shuffle")
+      assert(mPartial.collect().length === 250000)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast0)
       bkt0 match {
