@@ -10,4 +10,4 @@ java $ADD_OPENS -Xmx8g \
   -Dspark.ui.retainedJobs=100 -Dspark.ui.retainedStages=100 \
   -Dspark.ui.retainedTasks=1000 -Dspark.sql.ui.retainedExecutions=50 \
   -Dspark.cleaner.periodicGC.interval=1min \
-  -cp "$CP" graft.Bench > "$OUT" 2> "${OUT%.json}.log"
+  -cp "$CP" graft.Bench ${BENCH_FILTER:+"$BENCH_FILTER"} > "$OUT" 2> "${OUT%.json}.log"
