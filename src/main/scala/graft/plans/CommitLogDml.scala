@@ -38,14 +38,15 @@ import graft.sources.{CommitLog, CommitLogTable}
   * plain — the join coalesces them). Statement shapes the protocol
   * executor cannot express fail LOUDLY with the exact limitation
   * (never a silent wrong answer): non-equi or differently-named merge
-  * keys, more than one UPDATE/DELETE clause per match side,
-  * non-name-aligned INSERT expressions, schema evolution, subqueries
-  * in MERGE conditions, correlated subqueries anywhere. `WHEN NOT
-  * MATCHED BY SOURCE` UPDATE/DELETE clauses translate like the
-  * matched pair (their conditions reference target columns only —
-  * the analyzer enforces that before we see the plan); UPDATE/DELETE
-  * WHERE clauses admit UNCORRELATED subqueries, re-planned as semi
-  * joins against the executor's frame.
+  * keys, non-name-aligned INSERT expressions, schema evolution,
+  * subqueries in MERGE conditions, correlated subqueries anywhere.
+  * Match sides translate as ORDERED clause lists — any number of
+  * conditional UPDATE/DELETE clauses, SQL first-match-wins preserved
+  * verbatim by the executor's list-order semantics; `WHEN NOT MATCHED
+  * BY SOURCE` clauses translate the same way (their conditions
+  * reference target columns only — the analyzer enforces that before
+  * we see the plan). UPDATE/DELETE WHERE clauses admit UNCORRELATED
+  * subqueries, re-planned as semi joins against the executor's frame.
   */
 object CommitLogDmlStrategy extends SparkStrategy {
 
@@ -147,11 +148,12 @@ object CommitLogDmlStrategy extends SparkStrategy {
   private def unsupported(what: String): Nothing =
     throw new UnsupportedOperationException(
       s"commitlog SQL DML: $what. The protocol executor " +
-        "(CommitLog.update/mergeInto/delete) supports equi-key " +
-        "merges with at most one UPDATE and one DELETE clause per " +
-        "match side, name-aligned INSERT, subquery-free MERGE " +
-        "conditions, and uncorrelated subqueries in UPDATE/DELETE " +
-        "WHERE clauses; use the programmatic API for anything wider.")
+        "(CommitLog.update/mergeIntoClauses/delete) supports " +
+        "equi-key merges with any number of ordered UPDATE/DELETE " +
+        "clauses per match side, name-aligned INSERT, subquery-free " +
+        "MERGE conditions, and uncorrelated subqueries in " +
+        "UPDATE/DELETE WHERE clauses; use the programmatic API for " +
+        "anything wider.")
 
   /** Re-target a resolved expression onto the executor's frame by
     * NAME: target attrs keep their name, source attrs take the
@@ -213,58 +215,29 @@ object CommitLogDmlStrategy extends SparkStrategy {
     }
   }
 
-  /** One match side's UPDATE/DELETE pair, translated to the
-    * executor's clause form with SQL first-match-wins order folded
-    * into the delete condition. */
-  private[plans] def updateDeletePair(
+  /** One match side's actions → the executor's ORDERED clause list —
+    * SQL first-match-wins is the executor's own list-order semantics,
+    * so any number of conditional UPDATE/DELETE clauses translate
+    * verbatim. */
+  private[plans] def clauseList(
       actions: Seq[org.apache.spark.sql.catalyst.plans.logical
         .MergeAction],
       tr: Expression => Column, side: String)
-      : (Map[String, Column], Option[Column], Option[Column]) = {
-    var update: Option[(Map[String, Column], Option[Column])] = None
-    var delete: Option[Option[Column]] = None
-    var updateBeforeDelete = false
-    actions.foreach {
+      : Seq[CommitLog.MergeClause] =
+    actions.map {
       case UpdateAction(cond, assigns, _) =>
-        if (update.nonEmpty)
-          unsupported(s"more than one $side UPDATE clause")
-        update = Some((assigns.map(a =>
-          assignmentName(a) -> tr(a.value)).toMap, cond.map(tr)))
-        if (delete.isEmpty) updateBeforeDelete = true
-      case DeleteAction(cond) =>
-        if (delete.nonEmpty)
-          unsupported(s"more than one $side DELETE clause")
-        delete = Some(cond.map(tr))
+        CommitLog.MergeUpdate(assigns.map(a =>
+          assignmentName(a) -> tr(a.value)).toMap, cond.map(tr))
+      case DeleteAction(cond) => CommitLog.MergeDelete(cond.map(tr))
       case other => unsupported(s"$side action $other")
     }
-    // the executor tests DELETE before UPDATE; SQL is first-match-
-    // wins in clause order. With UPDATE listed first, a row matching
-    // both conditions must update — guard the delete condition.
-    // Three-valued logic: a NULL-evaluating update condition means
-    // "update clause NOT taken" (SQL falls through to DELETE), but a
-    // bare `base && !NULL` is NULL and the executor's
-    // coalesce(delCond, false) would silently KEEP the row — so the
-    // guard must coalesce the update condition to false first.
-    val deleteCond: Option[Column] = delete.map { condOpt =>
-      val base = condOpt.getOrElse(lit(true))
-      if (updateBeforeDelete && update.nonEmpty) {
-        val updCond = update.get._2.getOrElse(lit(true))
-        base && !org.apache.spark.sql.functions.coalesce(
-          updCond, lit(false))
-      } else base
-    }
-    (update.map(_._1).getOrElse(Map.empty), update.flatMap(_._2),
-      deleteCond)
-  }
 
   /** Translated MERGE clauses in the protocol executor's form. */
   private[plans] case class TranslatedMerge(
       source: org.apache.spark.sql.DataFrame, keys: Seq[String],
-      update: Map[String, Column], updateCond: Option[Column],
-      delete: Option[Column],
+      matched: Seq[CommitLog.MergeClause],
       insert: Boolean, insertCond: Option[Column],
-      nmbsUpdate: Map[String, Column],
-      nmbsUpdateCond: Option[Column], nmbsDelete: Option[Column])
+      notMatchedBySource: Seq[CommitLog.MergeClause])
 
   /** Translate a [[MergeIntoTable]] into the protocol executor's
     * clause form, preserving SQL first-match-wins clause order. */
@@ -278,15 +251,13 @@ object CommitLogDmlStrategy extends SparkStrategy {
     val keySet = keys.toSet
     def tr(e: Expression): Column = nameBased(e, sourceAttrs, keySet)
 
-    val (upd, updCond, deleteCond) =
-      updateDeletePair(m.matchedActions, tr, "matched")
-    // NOT MATCHED BY SOURCE: same pair shape; conditions/SET values
-    // reference target columns only (analyzer-enforced), so the same
-    // name-based translation applies — source attrs simply don't
-    // occur
-    val (nmbsUpd, nmbsUpdCond, nmbsDeleteCond) =
-      updateDeletePair(m.notMatchedBySourceActions, tr,
-        "not-matched-by-source")
+    val matchedClauses = clauseList(m.matchedActions, tr, "matched")
+    // NOT MATCHED BY SOURCE: same clause shapes; conditions/SET
+    // values reference target columns only (analyzer-enforced), so
+    // the same name-based translation applies — source attrs simply
+    // don't occur
+    val nmbsClauses = clauseList(m.notMatchedBySourceActions, tr,
+      "not-matched-by-source")
 
     var insert = false
     var insertCond: Option[Column] = None
@@ -315,13 +286,12 @@ object CommitLogDmlStrategy extends SparkStrategy {
           nameBased(e, AttributeSet.empty, Set.empty))
       case other => unsupported(s"not-matched action $other")
     }
-    if (upd.isEmpty && deleteCond.isEmpty && !insert &&
-        nmbsUpd.isEmpty && nmbsDeleteCond.isEmpty)
+    if (matchedClauses.isEmpty && !insert && nmbsClauses.isEmpty)
       unsupported("MERGE with no supported clauses")
 
     val sourceDf = GraftColumnBridge.ofRows(spark, m.sourceTable)
-    TranslatedMerge(sourceDf, keys, upd, updCond, deleteCond,
-      insert, insertCond, nmbsUpd, nmbsUpdCond, nmbsDeleteCond)
+    TranslatedMerge(sourceDf, keys, matchedClauses,
+      insert, insertCond, nmbsClauses)
   }
 }
 
@@ -372,15 +342,11 @@ case class CommitLogMergeExec(path: String, merge: MergeIntoTable)
   override def run(): Seq[InternalRow] = {
     val spark: SparkSession = session
     val t = CommitLogDmlStrategy.translateMerge(spark, merge, path)
-    CommitLog.mergeInto(spark, path, t.source, t.keys,
-      whenMatchedUpdate = t.update,
-      whenMatchedUpdateCondition = t.updateCond,
-      whenMatchedDelete = t.delete,
-      whenNotMatchedInsert = t.insert,
-      whenNotMatchedInsertCondition = t.insertCond,
-      whenNotMatchedBySourceUpdate = t.nmbsUpdate,
-      whenNotMatchedBySourceUpdateCondition = t.nmbsUpdateCond,
-      whenNotMatchedBySourceDelete = t.nmbsDelete): Unit
+    CommitLog.mergeIntoClauses(spark, path, t.source, t.keys,
+      matched = t.matched,
+      notMatchedInsert = t.insert,
+      notMatchedInsertCondition = t.insertCond,
+      notMatchedBySource = t.notMatchedBySource): Unit
     Seq.empty
   }
 }

@@ -371,6 +371,72 @@ object Pipeline20 {
           .contains("optimize_bucket")
         // nation's keys are int32 on disk; the oracle's VALUES union
         // coerces to BIGINT — align the types explicitly
+        nationResult(s, tbl, nSegsFragmented, recommended, segsAfter,
+          quietAfter)
+      } finally {
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.root")
+        rmTree(root)
+      }
+    }),
+
+    // SIX-clause MERGE (round-15 second wave): multiple CONDITIONAL
+    // clauses per match side — Delta's full surface, first-match-wins
+    // in SQL clause order. Matched: 'F' rows take +1, expensive
+    // survivors delete, the rest take the source's new_price;
+    // BY SOURCE: 'O' rows zero out, the rest delete; unmatched source
+    // inserts. Counts from CDC; the oracle replays the exact clause
+    // cascade as CASE algebra.
+    "q219_commitlog_merge_multiclause" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q219_").toString
+      val cat = "graftq219"
+      try {
+        s.conf.set(s"spark.sql.catalog.$cat",
+          "graft.sources.CommitLogCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        val tbl = s"$root/ns/t"
+        val (target, source) = mergeFixture(s, dir)
+        CommitLog.append(s, tbl, target)
+        source.createOrReplaceTempView("q219_src")
+        val preVersion = CommitLog.versions(s, tbl).max
+        s.sql(
+          s"""MERGE INTO $cat.ns.t t USING q219_src s
+             |ON t.o_orderkey = s.o_orderkey
+             |WHEN MATCHED AND t.o_orderstatus = 'F'
+             |  THEN UPDATE SET o_totalprice = t.o_totalprice + 1.0
+             |WHEN MATCHED AND t.o_totalprice > 200000.0 THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET o_totalprice = s.new_price
+             |WHEN NOT MATCHED THEN INSERT
+             |  (o_orderkey, o_custkey, o_orderstatus, o_totalprice)
+             |  VALUES (s.o_orderkey, s.o_custkey, s.o_orderstatus,
+             |          s.o_totalprice)
+             |WHEN NOT MATCHED BY SOURCE AND t.o_orderstatus = 'O'
+             |  THEN UPDATE SET o_totalprice = 0.0
+             |WHEN NOT MATCHED BY SOURCE THEN DELETE
+             |""".stripMargin)
+        val byType = CommitLog.changeFeed(s, tbl, preVersion)
+          .groupBy(col("_change_type")).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        mergeResult(s, tbl,
+          byType.getOrElse("update_preimage", 0L),
+          byType.getOrElse("delete", 0L),
+          byType.getOrElse("insert", 0L))
+      } finally {
+        s.catalog.dropTempView("q219_src"): Unit
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.root")
+        rmTree(root)
+      }
+    })
+  )
+
+  /** q218's output shape, factored for readability. */
+  private def nationResult(s: SparkSession, tbl: String,
+      nSegsFragmented: Int, recommended: Boolean, segsAfter: Int,
+      quietAfter: Boolean): DataFrame =
+        // nation's keys are int32 on disk; the oracle's VALUES union
+        // coerces to BIGINT — align the types explicitly
         CommitLog.read(s, tbl)
           .groupBy(col("n_regionkey").cast("long").as("n_regionkey"))
           .agg(
@@ -382,13 +448,6 @@ object Pipeline20 {
           .withColumn("quiet_after", lit(quietAfter))
           .orderBy(col("n_regionkey"))
           .localCheckpoint(true)
-      } finally {
-        s.conf.unset(s"spark.sql.catalog.$cat")
-        s.conf.unset(s"spark.sql.catalog.$cat.root")
-        rmTree(root)
-      }
-    })
-  )
 
   /** q213/q214 share one oracle algebra: the five-clause outcome
     * re-derived from raw orders — matched 'F' deletes, matched
@@ -520,6 +579,59 @@ object Pipeline20 {
         |  true AS quiet_after
         |FROM merged
         |GROUP BY n_regionkey
-        |ORDER BY n_regionkey""".stripMargin
+        |ORDER BY n_regionkey""".stripMargin,
+
+    // the six-clause cascade replayed as CASE algebra over raw
+    // orders: matched 'F' → +1.0; else matched price>200000 →
+    // deleted; else matched → new_price; unmatched-source → insert;
+    // unmatched-target 'O' → 0.0; else unmatched-target → deleted
+    "q219_commitlog_merge_multiclause" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    o_totalprice FROM orders WHERE o_orderkey % 3 = 0),
+        |s AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    o_totalprice, o_totalprice + 1000.0 AS new_price
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |m AS (SELECT t.o_orderstatus, t.o_totalprice, s.new_price,
+        |    s.o_orderkey AS sk
+        |  FROM t LEFT JOIN s ON s.o_orderkey = t.o_orderkey),
+        |final AS (
+        |  SELECT o_orderstatus,
+        |    CASE WHEN o_orderstatus = 'F' THEN o_totalprice + 1.0
+        |         ELSE new_price END AS price
+        |  FROM m WHERE sk IS NOT NULL
+        |    AND NOT (o_orderstatus <> 'F' AND o_totalprice > 200000.0)
+        |  UNION ALL
+        |  SELECT o_orderstatus, 0.0 AS price
+        |  FROM m WHERE sk IS NULL AND o_orderstatus = 'O'
+        |  UNION ALL
+        |  SELECT s.o_orderstatus, s.o_totalprice AS price
+        |  FROM s LEFT JOIN t ON t.o_orderkey = s.o_orderkey
+        |  WHERE t.o_orderkey IS NULL),
+        |counts AS (
+        |  SELECT
+        |    CAST(SUM(CASE
+        |      WHEN sk IS NOT NULL AND o_orderstatus = 'F' THEN 1
+        |      WHEN sk IS NOT NULL AND o_totalprice <= 200000.0 THEN 1
+        |      WHEN sk IS NULL AND o_orderstatus = 'O' THEN 1
+        |      ELSE 0 END) AS BIGINT) AS n_updated,
+        |    CAST(SUM(CASE
+        |      WHEN sk IS NOT NULL AND o_orderstatus <> 'F'
+        |        AND o_totalprice > 200000.0 THEN 1
+        |      WHEN sk IS NULL AND o_orderstatus <> 'O' THEN 1
+        |      ELSE 0 END) AS BIGINT) AS n_deleted
+        |  FROM m),
+        |ins AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_inserted
+        |  FROM s LEFT JOIN t ON t.o_orderkey = s.o_orderkey
+        |  WHERE t.o_orderkey IS NULL)
+        |SELECT o_orderstatus,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(price AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+        |  (SELECT n_updated FROM counts) AS n_updated,
+        |  (SELECT n_deleted FROM counts) AS n_deleted,
+        |  (SELECT n_inserted FROM ins) AS n_inserted
+        |FROM final
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin
   )
 }

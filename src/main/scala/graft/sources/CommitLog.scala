@@ -3389,8 +3389,25 @@ object CommitLog {
   def src(name: String): org.apache.spark.sql.Column =
     col(s"__src_$name")
 
-  /** Full three-clause MERGE INTO (the Delta MERGE surface) under the
-    * same copy-on-write + OCC + CDC contract as [[delete]]/[[update]]:
+  /** One WHEN clause of a [[mergeIntoClauses]] match side, tested in
+    * LIST ORDER — the first satisfied clause fires (SQL/Delta
+    * first-match-wins). `condition = None` is an unconditional
+    * clause (always fires, shadowing everything after it). Matched-
+    * side expressions may reference the source row via [[src]];
+    * BY-SOURCE clauses see target columns only. */
+  sealed trait MergeClause
+  final case class MergeUpdate(
+      set: Map[String, org.apache.spark.sql.Column],
+      condition: Option[org.apache.spark.sql.Column] = None)
+    extends MergeClause
+  final case class MergeDelete(
+      condition: Option[org.apache.spark.sql.Column] = None)
+    extends MergeClause
+
+  /** MERGE INTO under the same copy-on-write + OCC + CDC contract as
+    * [[delete]]/[[update]] — the one-UPDATE/one-DELETE-per-side
+    * convenience form of [[mergeIntoClauses]] (which takes ARBITRARY
+    * ordered clause lists, Delta's full surface):
     *
     *  - WHEN MATCHED AND `whenMatchedDelete` THEN DELETE
     *  - WHEN MATCHED [AND `whenMatchedUpdateCondition`] THEN UPDATE
@@ -3452,13 +3469,49 @@ object CommitLog {
       whenNotMatchedBySourceDelete: Option[org.apache.spark.sql.Column] =
         None,
       maxRetries: Int = 20): (Long, Long, Long, Long) = {
+    // the single-UPDATE/single-DELETE surface in clause-list form,
+    // DELETE tested first (this method's documented order)
+    def side(del: Option[org.apache.spark.sql.Column],
+        upd: Map[String, org.apache.spark.sql.Column],
+        updCond: Option[org.apache.spark.sql.Column]): Seq[MergeClause] =
+      del.map(c => MergeDelete(Some(c))).toSeq ++
+        (if (upd.nonEmpty) Seq(MergeUpdate(upd, updCond)) else Nil)
+    mergeIntoClauses(spark, table, source, keys,
+      matched = side(whenMatchedDelete, whenMatchedUpdate,
+        whenMatchedUpdateCondition),
+      notMatchedInsert = whenNotMatchedInsert,
+      notMatchedInsertCondition = whenNotMatchedInsertCondition,
+      notMatchedBySource = side(whenNotMatchedBySourceDelete,
+        whenNotMatchedBySourceUpdate,
+        whenNotMatchedBySourceUpdateCondition),
+      maxRetries = maxRetries)
+  }
+
+  /** The N-CLAUSE MERGE executor behind [[mergeInto]] (Delta's full
+    * surface): each match side takes an ORDERED clause list — any
+    * number of conditional UPDATE/DELETE clauses, tested in list
+    * order, FIRST satisfied clause fires (SQL/Delta first-match-wins;
+    * an unconditional clause always fires, shadowing everything
+    * after it). A NULL-evaluating condition means "clause not taken"
+    * — the row falls through to the next clause. Everything else —
+    * copy-on-write bounded to touched files, CDC vocabulary, OCC
+    * retry, duplicate-source refusal, identity marks, bucket-layout
+    * preservation — is the [[mergeInto]] contract verbatim. */
+  def mergeIntoClauses(spark: SparkSession, table: String,
+      source: DataFrame, keys: Seq[String],
+      matched: Seq[MergeClause] = Nil,
+      notMatchedInsert: Boolean = true,
+      notMatchedInsertCondition: Option[org.apache.spark.sql.Column] =
+        None,
+      notMatchedBySource: Seq[MergeClause] = Nil,
+      maxRetries: Int = 20): (Long, Long, Long, Long) = {
     require(keys.nonEmpty, "CommitLog.mergeInto: empty key list")
-    require(whenMatchedUpdate.nonEmpty || whenMatchedDelete.nonEmpty ||
-      whenNotMatchedInsert || whenNotMatchedBySourceUpdate.nonEmpty ||
-      whenNotMatchedBySourceDelete.nonEmpty,
+    require(matched.nonEmpty || notMatchedInsert ||
+      notMatchedBySource.nonEmpty,
       "CommitLog.mergeInto: no clauses — nothing to do")
-    val nmbsActive = whenNotMatchedBySourceUpdate.nonEmpty ||
-      whenNotMatchedBySourceDelete.nonEmpty
+    val nmbsActive = notMatchedBySource.nonEmpty
+    def updateSets(cs: Seq[MergeClause]) =
+      cs.collect { case MergeUpdate(set, _) => set }
     val dup = source.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__n")).filter(col("__n") > 1L)
       .limit(1).collect()
@@ -3483,14 +3536,14 @@ object CommitLog {
       require(unknownKeys.isEmpty,
         s"CommitLog.mergeInto: key(s) ${unknownKeys.mkString(", ")} " +
           s"absent from table schema ${schema.fieldNames.mkString(", ")}")
-      val unknownSet = (whenMatchedUpdate.keySet ++
-        whenNotMatchedBySourceUpdate.keySet) -- schema.fieldNames.toSet
+      val allSets = updateSets(matched) ++ updateSets(notMatchedBySource)
+      val unknownSet = allSets.flatMap(_.keySet).toSet --
+        schema.fieldNames.toSet
       require(unknownSet.isEmpty,
         s"CommitLog.mergeInto: SET names unknown column(s) " +
           unknownSet.mkString(", "))
       val logical = cur.schema.map(decodeSchema)
-      refuseGeneratedSet("mergeInto", whenMatchedUpdate.keys ++
-        whenNotMatchedBySourceUpdate.keys, logical)
+      refuseGeneratedSet("mergeInto", allSets.flatMap(_.keys), logical)
       val nonKeySrc = source.columns.filterNot(keys.contains).toSeq
       val srcRenamed = source.select(keys.map(col) ++
         nonKeySrc.map(c => col(c).as(s"__src_$c")) :+
@@ -3505,12 +3558,20 @@ object CommitLog {
           cur.schema))
         cur.dv.fold(wp)(subtractDv(spark, wp, _))
       }
+      /** OR over a side's clause conditions (could ANY clause fire on
+        * this row?) — the file-probe predicate. */
+      def anyClauseHit(cs: Seq[MergeClause]): org.apache.spark.sql.Column =
+        cs.map {
+          case MergeUpdate(_, c) => coalesce(c.getOrElse(lit(true)),
+            lit(false))
+          case MergeDelete(c) => coalesce(c.getOrElse(lit(true)),
+            lit(false))
+        }.reduceOption(_ || _).getOrElse(lit(false))
       // only probe for matched files when a matched clause can FIRE —
       // an insert-only (or by-source-only) merge must not rewrite the
       // segments its matched keys merely sit in
       val matchedFiles =
-        if (whenMatchedUpdate.isEmpty && whenMatchedDelete.isEmpty)
-          Array.empty[String]
+        if (matched.isEmpty) Array.empty[String]
         else tagged
           .select((keys.map(col) :+
             col("__graft_dv_file").as("__file")): _*)
@@ -3523,20 +3584,12 @@ object CommitLog {
       // opened for rewrite
       val nmbsFiles =
         if (!nmbsActive) Array.empty[String]
-        else {
-          val delHit = whenNotMatchedBySourceDelete
-            .map(c => coalesce(c, lit(false))).getOrElse(lit(false))
-          val updHit =
-            if (whenNotMatchedBySourceUpdate.isEmpty) lit(false)
-            else coalesce(whenNotMatchedBySourceUpdateCondition
-              .getOrElse(lit(true)), lit(false))
-          tagged
-            .join(srcRenamed.select(keys.map(col): _*), keys,
-              "left_anti")
-            .filter(delHit || updHit)
-            .select(col("__graft_dv_file").as("__file"))
-            .distinct().collect().map(_.getString(0))
-        }
+        else tagged
+          .join(srcRenamed.select(keys.map(col): _*), keys,
+            "left_anti")
+          .filter(anyClauseHit(notMatchedBySource))
+          .select(col("__graft_dv_file").as("__file"))
+          .distinct().collect().map(_.getString(0))
       val touchedFiles = (matchedFiles ++ nmbsFiles).distinct
       val touched = cur.segments.filter { seg =>
         val uuid = seg.substring(seg.lastIndexOf('/') + 1)
@@ -3550,21 +3603,36 @@ object CommitLog {
         else readLive(spark, cur, Some(touched))
       val joined = touchedDf.join(srcRenamed, keys, "left_outer")
       val isMatched = coalesce(col("__src_matched"), lit(false))
-      val delCond = isMatched &&
-        coalesce(whenMatchedDelete.getOrElse(lit(false)), lit(false))
-      val updCond = isMatched && !delCond &&
-        lit(whenMatchedUpdate.nonEmpty) &&
-        coalesce(whenMatchedUpdateCondition.getOrElse(lit(true)),
-          lit(false))
-      // the BY-SOURCE clauses act on the complement rows of the same
-      // joined frame; DELETE before UPDATE, like the matched pair
-      val nmbsDelCond = !isMatched &&
-        coalesce(whenNotMatchedBySourceDelete.getOrElse(lit(false)),
-          lit(false))
-      val nmbsUpdCond = !isMatched && !nmbsDelCond &&
-        lit(whenNotMatchedBySourceUpdate.nonEmpty) &&
-        coalesce(whenNotMatchedBySourceUpdateCondition
-          .getOrElse(lit(true)), lit(false))
+      /** Index of the FIRST satisfied clause on a side (-1 = none):
+        * first-match-wins materialized as one nested CASE. */
+      def fireIndex(active: org.apache.spark.sql.Column,
+          cs: Seq[MergeClause]): org.apache.spark.sql.Column =
+        cs.zipWithIndex.foldRight(lit(-1): org.apache.spark.sql.Column) {
+          case ((cl, i), rest) =>
+            val c = cl match {
+              case MergeUpdate(_, cond) => cond.getOrElse(lit(true))
+              case MergeDelete(cond) => cond.getOrElse(lit(true))
+            }
+            when(active && coalesce(c, lit(false)), lit(i))
+              .otherwise(rest)
+        }
+      val mFire = fireIndex(isMatched, matched)
+      val nFire = if (nmbsActive) fireIndex(!isMatched, notMatchedBySource)
+        else lit(-1)
+      def deleteIdx(cs: Seq[MergeClause]): Seq[Int] =
+        cs.zipWithIndex.collect { case (MergeDelete(_), i) => i }
+      def isIn(c: org.apache.spark.sql.Column, is: Seq[Int]) =
+        if (is.isEmpty) lit(false) else c.isin(is.map(Int.box): _*)
+      val delCond = isIn(mFire, deleteIdx(matched))
+      val nmbsDelCond = isIn(nFire, deleteIdx(notMatchedBySource))
+      // (clauseIndex, SET map) per update clause, each its own
+      // projection — different clauses write different post-images
+      def updates(cs: Seq[MergeClause]): Seq[(Int, Map[String,
+          org.apache.spark.sql.Column])] =
+        cs.zipWithIndex.collect { case (MergeUpdate(set, _), i) =>
+          (i, set) }
+      val mUpdates = updates(matched)
+      val nUpdates = updates(notMatchedBySource)
       def project(df: DataFrame,
           set: Map[String, org.apache.spark.sql.Column]): DataFrame = {
         val sel = df.select(schema.fieldNames.toSeq.map { f =>
@@ -3579,18 +3647,28 @@ object CommitLog {
         // values byte-identical
         if (set.nonEmpty) recomputeGenerated(sel, logical) else sel
       }
+      /** (pre, post) image pairs for every update clause on both
+        * sides, each filtered to exactly the rows its clause won. */
+      def updateImages: Seq[(DataFrame, DataFrame)] =
+        mUpdates.map { case (i, set) =>
+          (project(joined.filter(mFire === i), Map.empty),
+            project(joined.filter(mFire === i), set))
+        } ++ nUpdates.map { case (i, set) =>
+          (project(joined.filter(nFire === i), Map.empty),
+            project(joined.filter(nFire === i), set))
+        }
       // inserts check NOT-MATCHED against the WHOLE table, not just
       // touched segments
       val idFs = identityFields(logical)
       var idMarks: Option[Map[String, Long]] = None
       val inserts =
-        if (!whenNotMatchedInsert) None
+        if (!notMatchedInsert) None
         else {
           // WHEN NOT MATCHED [AND cond]: the condition gates inserts
           // only (evaluated over source columns), never the matched
           // clauses — SQL MERGE semantics
           val anti0 = source
-            .filter(whenNotMatchedInsertCondition.getOrElse(lit(true)))
+            .filter(notMatchedInsertCondition.getOrElse(lit(true)))
             .join(all.select(keys.map(col): _*), keys, "left_anti")
           // identity tables: MERGE inserts ALLOCATE exactly like the
           // append path (omission/NULLs allocate; GENERATED ALWAYS
@@ -3632,30 +3710,22 @@ object CommitLog {
       if (touched.isEmpty && inserts.isEmpty)
         return (cur.version, 0L, 0L, 0L)
       val changeDir = s"$table/_changes/${java.util.UUID.randomUUID()}"
-      // the BY-SOURCE clauses record under the SAME CDC vocabulary
-      // (delete / update_pre+postimage) — a change-feed consumer sees
-      // one uniform merge commit, exactly as Delta records it
-      val allDelCond = if (nmbsActive) delCond || nmbsDelCond
-        else delCond
-      val deletedRows = project(joined.filter(allDelCond), Map.empty)
+      // every clause records under the SAME CDC vocabulary (delete /
+      // update_pre+postimage) regardless of side or position — a
+      // change-feed consumer sees one uniform merge commit, exactly
+      // as Delta records it
+      val deletedRows = project(joined.filter(delCond || nmbsDelCond),
+          Map.empty)
         .withColumn("_change_type", lit("delete"))
-      val preRows = project(joined.filter(updCond), Map.empty)
-        .withColumn("_change_type", lit("update_preimage"))
-      val postRows = project(joined.filter(updCond), whenMatchedUpdate)
-        .withColumn("_change_type", lit("update_postimage"))
-      val nmbsPreRows = project(joined.filter(nmbsUpdCond), Map.empty)
-        .withColumn("_change_type", lit("update_preimage"))
-      val nmbsPostRows = project(joined.filter(nmbsUpdCond),
-          whenNotMatchedBySourceUpdate)
-        .withColumn("_change_type", lit("update_postimage"))
       val insRows = inserts.map(_.withColumn("_change_type",
         lit("insert"))).getOrElse(deletedRows.filter(lit(false)))
-      val changeRows0 = deletedRows.unionByName(preRows)
-        .unionByName(postRows).unionByName(insRows)
-      val changeRows =
-        if (nmbsActive)
-          changeRows0.unionByName(nmbsPreRows).unionByName(nmbsPostRows)
-        else changeRows0
+      val changeRows = updateImages.foldLeft(
+        deletedRows.unionByName(insRows)) { case (acc, (pre, post)) =>
+          acc.unionByName(pre.withColumn("_change_type",
+              lit("update_preimage")))
+            .unionByName(post.withColumn("_change_type",
+              lit("update_postimage")))
+        }
       changeRows
         .transform(changePhysical(cur))
         .write.mode(SaveMode.ErrorIfExists).parquet(changeDir)
@@ -3665,15 +3735,14 @@ object CommitLog {
       val nDel = byType.getOrElse("delete", 0L)
       val nUpd = byType.getOrElse("update_preimage", 0L)
       val nIns = byType.getOrElse("insert", 0L)
-      // rewritten touched rows (survivors) + inserts → one segment
-      val untouchedCond = !delCond && !updCond &&
-        (if (nmbsActive) !nmbsDelCond && !nmbsUpdCond else lit(true))
-      val survivors0 = project(joined.filter(untouchedCond), Map.empty)
-        .unionByName(project(joined.filter(updCond), whenMatchedUpdate))
-      val survivors =
-        if (nmbsActive) survivors0.unionByName(project(
-          joined.filter(nmbsUpdCond), whenNotMatchedBySourceUpdate))
-        else survivors0
+      // rewritten touched rows (survivors: no clause fired →
+      // byte-identical pass-through; update clauses → post-images) +
+      // inserts → one segment
+      val untouched = project(
+        joined.filter(mFire === -1 && nFire === -1), Map.empty)
+      val survivors = updateImages.foldLeft(untouched) {
+        case (acc, (_, post)) => acc.unionByName(post)
+      }
       val newRows = inserts.fold(survivors)(survivors.unionByName(_))
       // a bucketed layout (SPJ spec) survives the merge: survivors,
       // updates AND inserts re-land bucket-split
@@ -3689,16 +3758,14 @@ object CommitLog {
       // values — so a later allocation cannot collide with an id an
       // update just wrote
       val updatedIdFs = idFs.filter(f =>
-        (whenMatchedUpdate.keys ++ whenNotMatchedBySourceUpdate.keys)
-          .exists(_.equalsIgnoreCase(f.name)))
+        allSets.flatMap(_.keys).exists(_.equalsIgnoreCase(f.name)))
       if (updatedIdFs.nonEmpty && touched.nonEmpty) {
         val aggs = updatedIdFs.flatMap(f => Seq(
           min(col(f.name)).cast("long").as(s"__mn_${f.name}"),
           max(col(f.name)).cast("long").as(s"__mx_${f.name}")))
-        val postAll0 = project(joined.filter(updCond), whenMatchedUpdate)
-        val postAll = if (nmbsActive) postAll0.unionByName(project(
-            joined.filter(nmbsUpdCond), whenNotMatchedBySourceUpdate))
-          else postAll0
+        val postAll = updateImages.map(_._2)
+          .reduceOption(_ unionByName _)
+          .getOrElse(untouched.filter(lit(false)))
         val r = postAll
           .agg(aggs.head, aggs.tail: _*).collect()(0)
         val base = idMarks.getOrElse(decodeIdentity(cur.identity))

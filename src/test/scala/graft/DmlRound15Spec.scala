@@ -151,6 +151,91 @@ class DmlRound15Spec extends AnyFunSuite {
     } finally rm(tbl)
   }
 
+  // ---- N-clause MERGE (mergeIntoClauses) ------------------------------
+
+  test("multi-clause MERGE: three matched clauses fire first-match-" +
+      "wins in list order; each update clause writes its own " +
+      "post-image; CDC types per clause") {
+    import graft.sources.CommitLog.{MergeDelete, MergeUpdate}
+    val tbl = tmpTable()
+    try {
+      CommitLog.append(spark, tbl,
+        df((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0),
+          (4L, "d", 4.0)))
+      val v0 = CommitLog.versions(spark, tbl).max
+      val src = df((1L, "s", 0.0), (2L, "s", 0.0), (3L, "s", 0.0),
+        (4L, "s", 0.0))
+      val (_, nUpd, nDel, nIns) = CommitLog.mergeIntoClauses(spark,
+        tbl, src, Seq("id"),
+        matched = Seq(
+          MergeUpdate(Map("v" -> lit(100.0)), Some(col("name") === "a")),
+          MergeDelete(Some(col("id") === 2L)),
+          // row 1 satisfies THIS too — but clause 1 already won
+          MergeUpdate(Map("v" -> lit(-1.0)), Some(col("id") <= 3L))),
+        notMatchedInsert = false)
+      // 1 → clause 1 (v=100); 2 → clause 2 (delete); 3 → clause 3
+      // (v=-1); 4 → no clause fires, survives byte-identical
+      assert(state(tbl) === Set((1L, "a", 100.0), (3L, "c", -1.0),
+        (4L, "d", 4.0)))
+      assert((nUpd, nDel, nIns) === (2L, 1L, 0L))
+      val feed = CommitLog.changeFeed(spark, tbl, v0)
+        .filter(col("_change_type") === "update_postimage")
+        .select(col("id"), col("v")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(feed === Set((1L, 100.0), (3L, -1.0)),
+        "post-images carry each clause's own SET")
+    } finally rm(tbl)
+  }
+
+  test("multi-clause MERGE: an unconditional clause shadows " +
+      "everything listed after it") {
+    import graft.sources.CommitLog.{MergeDelete, MergeUpdate}
+    val tbl = tmpTable()
+    try {
+      CommitLog.append(spark, tbl, df((1L, "a", 1.0), (2L, "b", 2.0)))
+      CommitLog.mergeIntoClauses(spark, tbl,
+        df((1L, "s", 0.0), (2L, "s", 0.0)), Seq("id"),
+        matched = Seq(
+          MergeUpdate(Map("v" -> lit(9.0))), // unconditional
+          MergeDelete(None)), // unreachable
+        notMatchedInsert = false)
+      assert(state(tbl) === Set((1L, "a", 9.0), (2L, "b", 9.0)))
+    } finally rm(tbl)
+  }
+
+  test("SQL MERGE with multiple conditional UPDATE clauses per side " +
+      "(previously refused) lands with first-match-wins semantics") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_dml15_multi_").toString
+    try {
+      spark.conf.set("spark.sql.catalog.g15f",
+        "graft.sources.CommitLogCatalog")
+      spark.conf.set("spark.sql.catalog.g15f.root", root)
+      val tbl = s"$root/ns/t"
+      CommitLog.append(spark, tbl,
+        df((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0),
+          (4L, "d", 4.0), (5L, "e", 5.0)))
+      df((1L, "x", 10.0), (2L, "x", 20.0), (3L, "x", 30.0))
+        .createOrReplaceTempView("g15f_src")
+      spark.sql(
+        """MERGE INTO g15f.ns.t t USING g15f_src s ON t.id = s.id
+          |WHEN MATCHED AND t.name = 'a' THEN UPDATE SET v = s.v
+          |WHEN MATCHED AND t.id = 2 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET v = t.v * 100.0
+          |WHEN NOT MATCHED BY SOURCE AND t.id = 4
+          |  THEN UPDATE SET v = -4.0
+          |WHEN NOT MATCHED BY SOURCE AND t.id = 5 THEN DELETE
+          |""".stripMargin)
+      assert(state(tbl) === Set((1L, "a", 10.0), (3L, "c", 300.0),
+        (4L, "d", -4.0)))
+    } finally {
+      spark.catalog.dropTempView("g15f_src"): Unit
+      spark.conf.unset("spark.sql.catalog.g15f")
+      spark.conf.unset("spark.sql.catalog.g15f.root")
+      rm(s"$root/ns/t")
+    }
+  }
+
   // ---- SQL WHEN NOT MATCHED BY SOURCE --------------------------------
 
   test("SQL MERGE with NOT MATCHED BY SOURCE: five clauses land in " +
