@@ -243,8 +243,12 @@ object CommitLogDmlStrategy extends SparkStrategy {
     * clause form, preserving SQL first-match-wins clause order. */
   private[plans] def translateMerge(spark: SparkSession,
       m: MergeIntoTable, path: String): TranslatedMerge = {
-    if (m.withSchemaEvolution)
-      unsupported("MERGE WITH SCHEMA EVOLUTION is not supported")
+    // WITH SCHEMA EVOLUTION needs no handling here: by planning time
+    // the analyzer has already applied the schema delta through the
+    // catalog's alterTable (CommitLogTable declares
+    // AUTOMATIC_SCHEMA_EVOLUTION) and re-resolved the MERGE against
+    // the evolved table — the executor reads the fresh snapshot and
+    // sees the new columns like any other.
     val targetAttrs = m.targetTable.outputSet
     val sourceAttrs = m.sourceTable.outputSet
     val keys = mergeKeys(m.mergeCondition, targetAttrs, sourceAttrs)

@@ -428,6 +428,57 @@ object Pipeline20 {
         s.conf.unset(s"spark.sql.catalog.$cat.root")
         rmTree(root)
       }
+    }),
+
+    // MERGE WITH SCHEMA EVOLUTION (round-15 second wave): the source
+    // carries a column the target lacks; the analyzer applies the
+    // add-only delta through the catalog's ALTER (a metadata-only
+    // evolve commit — witnessed in history), the merge resolves
+    // against the evolved table, matched rows take the new column,
+    // pre-evolution rows read NULL, inserts carry it. The oracle
+    // groups the final state by the evolved column.
+    "q220_commitlog_merge_schema_evolution" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q220_").toString
+      val cat = "graftq220"
+      try {
+        s.conf.set(s"spark.sql.catalog.$cat",
+          "graft.sources.CommitLogCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        val tbl = s"$root/ns/t"
+        val o = t(s, dir, "orders")
+        CommitLog.append(s, tbl,
+          o.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+            .select(col("o_orderkey"), col("o_custkey"),
+              col("o_totalprice")))
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice"),
+            substring(col("o_orderpriority"), 1, 1)
+              .as("priority_class"))
+          .createOrReplaceTempView("q220_src")
+        s.sql(
+          s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.ns.t t
+             |USING q220_src s ON t.o_orderkey = s.o_orderkey
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        val ops = CommitLog.history(s, tbl)
+          .select(col("op")).collect().map(_.getString(0)).toSeq
+        val sequenced = ops == Seq("append", "evolve", "merge_into")
+        s.sql(s"SELECT * FROM $cat.ns.t")
+          .groupBy(col("priority_class")).agg(
+            count(lit(1)).as("n_rows"),
+            sum(col("o_totalprice").cast("decimal(30,6)")).cast("double")
+              .as("sum_price"))
+          .withColumn("evolve_then_merge", lit(sequenced))
+          .orderBy(col("priority_class"))
+          .localCheckpoint(true)
+      } finally {
+        s.catalog.dropTempView("q220_src"): Unit
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.root")
+        rmTree(root)
+      }
     })
   )
 
@@ -632,6 +683,32 @@ object Pipeline20 {
         |  (SELECT n_inserted FROM ins) AS n_inserted
         |FROM final
         |GROUP BY o_orderstatus
-        |ORDER BY o_orderstatus""".stripMargin
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    // final state grouped by the EVOLVED column: matched rows take
+    // the source's class, pre-evolution unmatched-target rows group
+    // under NULL, inserts carry their own class
+    "q220_commitlog_merge_schema_evolution" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |s AS (SELECT o_orderkey, o_custkey, o_totalprice,
+        |    substring(o_orderpriority, 1, 1) AS priority_class
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |final AS (
+        |  SELECT s.priority_class AS priority_class,
+        |    CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+        |         ELSE t.o_totalprice END AS price
+        |  FROM t LEFT JOIN s ON s.o_orderkey = t.o_orderkey
+        |  UNION ALL
+        |  SELECT s.priority_class, s.o_totalprice
+        |  FROM s LEFT JOIN t ON t.o_orderkey = s.o_orderkey
+        |  WHERE t.o_orderkey IS NULL)
+        |SELECT priority_class,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(price AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+        |  true AS evolve_then_merge
+        |FROM final
+        |GROUP BY priority_class
+        |ORDER BY priority_class""".stripMargin
   )
 }

@@ -458,6 +458,15 @@ class CommitLogTable(spark: SparkSession, path: String,
     // arity first; appendEvolve then does the (loud, add-only)
     // validation. Granted ONLY when the option is set.
     if (acceptAnySchema) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+    // MERGE WITH SCHEMA EVOLUTION: the analyzer
+    // (ResolveMergeIntoSchemaEvolution) computes the source-vs-target
+    // schema delta and applies it through the catalog's alterTable —
+    // our existing ADD COLUMNS / safe-widening commit (metadata-only,
+    // loud on anything unsafe) — then reloads and resolves the MERGE
+    // against the evolved table. The evolve is its own commit ahead
+    // of the merge commit (Spark's native sequencing; Delta folds
+    // both into one — documented divergence, same end state).
+    caps.add(TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
     caps
   }
 

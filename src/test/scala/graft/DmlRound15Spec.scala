@@ -236,6 +236,47 @@ class DmlRound15Spec extends AnyFunSuite {
     }
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION: a source column absent from the " +
+      "target evolves the schema (metadata-only commit), matched rows " +
+      "take it, untouched rows read NULL, inserts carry it") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_dml15_evo_").toString
+    try {
+      spark.conf.set("spark.sql.catalog.g15g",
+        "graft.sources.CommitLogCatalog")
+      spark.conf.set("spark.sql.catalog.g15g.root", root)
+      val tbl = s"$root/ns/t"
+      CommitLog.append(spark, tbl, df((1L, "a", 1.0), (2L, "b", 2.0)))
+      import spark.implicits._
+      Seq((1L, "a2", 10.0, "X"), (3L, "c", 3.0, "Y"))
+        .toDF("id", "name", "v", "extra")
+        .createOrReplaceTempView("g15g_src")
+      spark.sql(
+        """MERGE WITH SCHEMA EVOLUTION INTO g15g.ns.t t
+          |USING g15g_src s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val got = spark.sql("SELECT id, name, v, extra FROM g15g.ns.t")
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getDouble(2), Option(r.getString(3)).getOrElse("<null>")))
+        .toSet
+      assert(got === Set((1L, "a2", 10.0, "X"), (2L, "b", 2.0, "<null>"),
+        (3L, "c", 3.0, "Y")))
+      // the evolution landed as its own metadata commit ahead of the
+      // merge commit
+      val hist = CommitLog.history(spark, tbl)
+        .select(col("op")).collect().map(_.getString(0)).toSeq
+      assert(hist.containsSlice(Seq("evolve", "merge_into")) ||
+        hist.containsSlice(Seq("append", "evolve", "merge_into")),
+        s"expected evolve before merge_into, got $hist")
+    } finally {
+      spark.catalog.dropTempView("g15g_src"): Unit
+      spark.conf.unset("spark.sql.catalog.g15g")
+      spark.conf.unset("spark.sql.catalog.g15g.root")
+      rm(s"$root/ns/t")
+    }
+  }
+
   // ---- SQL WHEN NOT MATCHED BY SOURCE --------------------------------
 
   test("SQL MERGE with NOT MATCHED BY SOURCE: five clauses land in " +
