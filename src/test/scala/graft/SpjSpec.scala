@@ -284,6 +284,19 @@ class SpjSpec extends AnyFunSuite {
       assert(shuffleCount(mPartial) > 0,
         "single-key join over a 2-key grid must shuffle")
       assert(mPartial.collect().length === 250000)
+      // DML preserves the GRID layout too: a point delete re-lands
+      // grid-split, the spec (keys + per-key ns) survives, and the
+      // 2-key join stays shuffle-free
+      CommitLog.delete(spark, m1, col("k1") === 3L && col("k2") === 0L)
+      val m1Post = CommitLog.snapshot(spark, m1).get
+      val m1Spec = m1Post.bucket
+        .flatMap(CommitLog.decodeBucketSpec).get
+      assert(m1Spec.gridClaimable && m1Spec.ns === mSpec.ns,
+        s"grid spec must survive DML: $m1Spec")
+      val mAfterDml = spark.sql(mq)
+      assert(shuffleCount(mAfterDml) === 0,
+        "2-key join must stay shuffle-free after grid-preserved DML")
+      assert(mAfterDml.collect().length === 2499)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast0)
       bkt0 match {
