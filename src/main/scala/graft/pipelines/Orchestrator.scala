@@ -195,6 +195,89 @@ object Orchestrator {
       }
     }
 
+    /** [[runDag]] with CONCURRENT independent branches: jobs whose
+      * dependencies are all satisfied run simultaneously on a bounded
+      * pool (Spark schedules concurrent jobs from one session fine —
+      * `setJobGroup` is thread-local, so per-job groups, cancellation
+      * and progress isolation all hold per worker thread). Failure
+      * semantics match [[runDag]]: a failure prunes its TRANSITIVE
+      * dependents (never started, status Pending) while everything
+      * else keeps running to completion. Results return in job
+      * COMPLETION order; `parallelism` bounds in-flight jobs (beyond
+      * it, ready jobs queue). The wall-clock win is real for the
+      * 5-pipeline registry: the four independent view jobs overlap
+      * instead of serializing. */
+    def runDagParallel(jobs: Seq[PipelineJob],
+        deps: Map[String, Seq[String]], parallelism: Int = 4)
+        : Seq[JobResult] = {
+      require(parallelism >= 1, "parallelism must be >= 1")
+      val byName = jobs.map(j => j.name -> j).toMap
+      deps.foreach { case (j, ds) =>
+        require(byName.contains(j), s"unknown job in deps: $j")
+        ds.foreach(d => require(byName.contains(d), s"unknown dep: $d"))
+      }
+      // cycle check up front (Kahn) — fail before launching anything
+      val pending = scala.collection.mutable.LinkedHashSet(
+        jobs.map(_.name): _*)
+      while (pending.nonEmpty) {
+        val ready = pending.filter(n =>
+          deps.getOrElse(n, Nil).forall(d => !pending.contains(d)))
+        require(ready.nonEmpty, s"dependency cycle among: $pending")
+        pending --= ready
+      }
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(parallelism)
+      val lock = new Object
+      val done = scala.collection.mutable.Set[String]()
+      val failed = scala.collection.mutable.Set[String]()
+      val launched = scala.collection.mutable.Set[String]()
+      val results = scala.collection.mutable.Buffer[JobResult]()
+      val remaining = new java.util.concurrent.atomic.AtomicInteger(
+        jobs.size)
+      val all = new java.util.concurrent.CountDownLatch(1)
+      def transitiveDependents(of: String): Seq[String] =
+        jobs.map(_.name).filter { j =>
+          def reaches(x: String, seen: Set[String]): Boolean =
+            !seen(x) && deps.getOrElse(x, Nil)
+              .exists(d => d == of || reaches(d, seen + x))
+          reaches(j, Set.empty)
+        }
+      def settle(n: Int): Unit =
+        if (remaining.addAndGet(-n) <= 0) all.countDown()
+      def launchReady(): Unit = lock.synchronized {
+        jobs.filter { j =>
+          !launched(j.name) && !failed(j.name) &&
+            deps.getOrElse(j.name, Nil).forall(done)
+        }.foreach { j =>
+          launched += j.name
+          pool.execute(() => {
+            val r = runOne(j)
+            lock.synchronized {
+              results += r
+              if (r.status == Succeeded) done += j.name
+              else {
+                // prune every transitive dependent NOW (they can
+                // never become ready; counting them here lets the
+                // latch settle)
+                val pruned = transitiveDependents(j.name)
+                  .filterNot(launched).filterNot(failed)
+                failed += j.name
+                failed ++= pruned
+                settle(pruned.size)
+              }
+            }
+            settle(1)
+            launchReady()
+          })
+        }
+      }
+      try {
+        launchReady()
+        all.await()
+        results.toSeq
+      } finally { pool.shutdown(): Unit }
+    }
+
     /** O4: cooperative cancellation of a running job's Spark stages. */
     def cancel(job: PipelineJob): Unit =
       spark.sparkContext.cancelJobGroup(groupId(job))

@@ -479,6 +479,73 @@ object Pipeline20 {
         s.conf.unset(s"spark.sql.catalog.$cat.root")
         rmTree(root)
       }
+    }),
+
+    // CDC REPLICATION end-to-end (Delta's change-feed replication
+    // pattern): a source table takes a three-clause MERGE then a
+    // DELETE; a replica seeded from v1 (time travel) applies the
+    // RECORDED change feed version by version — deletes through the
+    // clause API, upserts through merge — and lands byte-equal to
+    // the source. The oracle hash-checks the REPLICA's final state
+    // re-derived from raw orders; the equality and version-count
+    // witnesses ride as columns.
+    "q221_commitlog_cdc_replication" -> ((s, dir) => {
+      import graft.sources.CommitLog.MergeDelete
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q221_").toString
+      try {
+        val src = s"$root/src"; val rep = s"$root/rep"
+        val o = t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+        CommitLog.append(s, src,
+          o.filter(pmod(col("o_orderkey"), lit(3)) === 0))
+        // v2: q169's merge algebra; v3: a predicate delete
+        CommitLog.mergeInto(s, src,
+          o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+            .withColumn("new_price", col("o_totalprice") + 1000.0),
+          Seq("o_orderkey"),
+          whenMatchedUpdate =
+            Map("o_totalprice" -> CommitLog.src("new_price")),
+          whenMatchedDelete = Some(col("o_orderstatus") === "F"))
+        CommitLog.delete(s, src, pmod(col("o_custkey"), lit(7)) === 0)
+        // replica: seed from v1, replay the feed in version order
+        CommitLog.append(s, rep, CommitLog.read(s, src, Some(1L)))
+        val feed = CommitLog.changeFeed(s, src, afterVersion = 1L)
+          .localCheckpoint(true)
+        val versions = feed.select(col("_commit_version")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        versions.foreach { v =>
+          val batch = feed.filter(col("_commit_version") === v)
+          val dels = batch.filter(col("_change_type") === "delete")
+            .select(col("o_orderkey"))
+          if (!dels.isEmpty)
+            CommitLog.mergeIntoClauses(s, rep, dels, Seq("o_orderkey"),
+              matched = Seq(MergeDelete(None)),
+              notMatchedInsert = false): Unit
+          val ups = batch.filter(col("_change_type")
+              .isin("update_postimage", "insert"))
+            .drop("_change_type", "_commit_version")
+          if (!ups.isEmpty)
+            CommitLog.mergeInto(s, rep, ups, Seq("o_orderkey"),
+              whenMatchedUpdate = Map(
+                "o_custkey" -> CommitLog.src("o_custkey"),
+                "o_orderstatus" -> CommitLog.src("o_orderstatus"),
+                "o_totalprice" -> CommitLog.src("o_totalprice"))): Unit
+        }
+        val srcDf = CommitLog.read(s, src)
+        val repDf = CommitLog.read(s, rep)
+        val equal = srcDf.exceptAll(repDf).isEmpty &&
+          repDf.exceptAll(srcDf).isEmpty
+        repDf
+          .groupBy(col("o_orderstatus")).agg(
+            count(lit(1)).as("n_rows"),
+            sum(col("o_totalprice").cast("decimal(30,6)")).cast("double")
+              .as("sum_price"))
+          .withColumn("versions_replayed", lit(versions.length))
+          .withColumn("replica_equals_source", lit(equal))
+          .orderBy(col("o_orderstatus"))
+          .localCheckpoint(true)
+      } finally rmTree(root)
     })
   )
 
@@ -709,6 +776,36 @@ object Pipeline20 {
         |  true AS evolve_then_merge
         |FROM final
         |GROUP BY priority_class
-        |ORDER BY priority_class""".stripMargin
+        |ORDER BY priority_class""".stripMargin,
+
+    // the replica's final state = the merge algebra minus the delete
+    // slice, re-derived from raw orders; 2 replayed versions and the
+    // equality witness ride as constants
+    "q221_commitlog_cdc_replication" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    o_totalprice FROM orders WHERE o_orderkey % 3 = 0),
+        |s AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    o_totalprice, o_totalprice + 1000.0 AS new_price
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |merged AS (
+        |  SELECT t.o_custkey, t.o_orderstatus,
+        |    CASE WHEN s.o_orderkey IS NOT NULL
+        |      THEN s.new_price ELSE t.o_totalprice END AS price
+        |  FROM t LEFT JOIN s ON s.o_orderkey = t.o_orderkey
+        |  WHERE NOT (s.o_orderkey IS NOT NULL
+        |    AND t.o_orderstatus = 'F')
+        |  UNION ALL
+        |  SELECT s.o_custkey, s.o_orderstatus, s.o_totalprice
+        |  FROM s LEFT JOIN t ON t.o_orderkey = s.o_orderkey
+        |  WHERE t.o_orderkey IS NULL),
+        |final AS (SELECT * FROM merged WHERE o_custkey % 7 <> 0)
+        |SELECT o_orderstatus,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(price AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+        |  CAST(2 AS INT) AS versions_replayed,
+        |  true AS replica_equals_source
+        |FROM final
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin
   )
 }

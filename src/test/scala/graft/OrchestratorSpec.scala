@@ -267,6 +267,54 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(r2.count(_.status == Succeeded) == 2)
   }
 
+  test("runDagParallel overlaps independent branches (witnessed by " +
+      "a rendezvous), respects dependencies, and prunes only the " +
+      "transitive dependents of a failure") {
+    // rendezvous: b and c (both ready after a) must be IN FLIGHT
+    // simultaneously — each arrives and waits for the other
+    val both = new java.util.concurrent.CountDownLatch(2)
+    val order = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val runner = new PipelineRunner(spark)
+    val jobs = Seq(
+      job("a", _ => order.add("a"): Unit),
+      job("b", _ => {
+        order.add("b"): Unit
+        both.countDown()
+        assert(both.await(30, java.util.concurrent.TimeUnit.SECONDS),
+          "b and c must run concurrently")
+      }),
+      job("c", _ => {
+        order.add("c"): Unit
+        both.countDown()
+        assert(both.await(30, java.util.concurrent.TimeUnit.SECONDS),
+          "b and c must run concurrently")
+      }),
+      job("d", _ => order.add("d"): Unit))
+    val deps = Map("b" -> Seq("a"), "c" -> Seq("a"), "d" -> Seq("b", "c"))
+    val results = runner.runDagParallel(jobs, deps, parallelism = 2)
+    assert(results.size == 4 && results.forall(_.status == Succeeded))
+    val seq = order.toArray.map(_.toString).toSeq
+    assert(seq.head == "a" && seq.last == "d")
+
+    // failure pruning: b fails → d never runs, c completes
+    val ran2 = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val r2 = new PipelineRunner(spark).runDagParallel(Seq(
+      job("a", _ => ran2.add("a"): Unit),
+      job("b", _ => { ran2.add("b"): Unit; sys.error("boom") }),
+      job("c", _ => ran2.add("c"): Unit),
+      job("d", _ => ran2.add("d"): Unit)), deps, parallelism = 2)
+    assert(ran2.toArray.map(_.toString).toSet == Set("a", "b", "c"))
+    assert(r2.count(_.status == Succeeded) == 2 &&
+      r2.count(_.status.isInstanceOf[Failed]) == 1)
+
+    intercept[IllegalArgumentException] { // cycle detection up front
+      new PipelineRunner(spark).runDagParallel(jobs.take(2),
+        Map("a" -> Seq("b"), "b" -> Seq("a")))
+    }
+  }
+
   test("the standard registry's declared deps order manifestos/" +
       "movimento before manifesto-movimento (EP2 table dependencies)") {
     val names = Jobs.standardJobs("/root/testdata/sf0.001", "/tmp/x")
