@@ -546,6 +546,61 @@ object Pipeline20 {
           .orderBy(col("o_orderstatus"))
           .localCheckpoint(true)
       } finally rmTree(root)
+    }),
+
+    // Streaming EXACTLY-ONCE UPSERT into the lakehouse: three staged
+    // files with overlapping keys replay one file per micro-batch
+    // (AvailableNow) through the txn-stamped merge sink; the fold is
+    // GREATEST (order-insensitive, so the file admission order can't
+    // change the answer) and each batch is exactly ONE commit —
+    // version count = batch count witnesses the per-batch txn stamp.
+    // The oracle re-derives the per-key max algebra from raw orders.
+    "q222_streaming_upsert_sink" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q222_").toString
+      try {
+        val staged = s"$root/in"; val tbl = s"$root/tbl"
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        def slice(mods: Seq[Int], mult: Double) =
+          o.filter(pmod(col("o_orderkey"), lit(3))
+              .isin(mods.map(Int.box): _*))
+            .withColumn("o_totalprice", col("o_totalprice") * mult)
+        // each key's final value = max over its slices, whatever the
+        // admission order: %3=0 → 2×, %3=1 → 3×, %3=2 → 3×
+        slice(Seq(0), 1.0).coalesce(1).write
+          .parquet(s"$staged/f1.parquet")
+        slice(Seq(0, 1), 2.0).coalesce(1).write
+          .parquet(s"$staged/f2.parquet")
+        slice(Seq(1, 2), 3.0).coalesce(1).write
+          .parquet(s"$staged/f3.parquet")
+        val stream = s.readStream
+          .schema("o_orderkey BIGINT, o_totalprice DOUBLE")
+          .option("maxFilesPerTrigger", "1")
+          .option("recursiveFileLookup", "true")
+          .parquet(staged)
+        val q = graft.streaming.Streaming.commitLogUpsertSink(stream,
+            tbl, Seq("o_orderkey"), "q222",
+            update = Map("o_totalprice" -> greatest(
+              col("o_totalprice"), CommitLog.src("o_totalprice"))))
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger
+            .AvailableNow())
+          .start()
+        val terminated = q.awaitTermination(180000)
+        q.stop()
+        val nVersions = CommitLog.versions(s, tbl).size
+        CommitLog.read(s, tbl)
+          .groupBy(pmod(col("o_orderkey"), lit(3)).cast("long")
+            .as("cls")).agg(
+            count(lit(1)).as("n_rows"),
+            sum(col("o_totalprice").cast("decimal(30,6)")).cast("double")
+              .as("sum_price"))
+          .withColumn("n_versions", lit(nVersions))
+          .withColumn("self_terminated", lit(terminated))
+          .orderBy(col("cls"))
+          .localCheckpoint(true)
+      } finally rmTree(root)
     })
   )
 
@@ -806,6 +861,25 @@ object Pipeline20 {
         |  true AS replica_equals_source
         |FROM final
         |GROUP BY o_orderstatus
-        |ORDER BY o_orderstatus""".stripMargin
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    // per-key max over the three slice multipliers (greatest is
+    // order-insensitive, so the replay admission order is irrelevant
+    // by construction); 3 batches = 3 commits
+    "q222_streaming_upsert_sink" ->
+      """WITH final AS (
+        |  SELECT o_orderkey % 3 AS cls,
+        |    CASE o_orderkey % 3
+        |      WHEN 0 THEN o_totalprice * 2.0
+        |      ELSE o_totalprice * 3.0 END AS v
+        |  FROM orders)
+        |SELECT cls,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(v AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+        |  CAST(3 AS INT) AS n_versions,
+        |  true AS self_terminated
+        |FROM final
+        |GROUP BY cls
+        |ORDER BY cls""".stripMargin
   )
 }

@@ -3504,8 +3504,17 @@ object CommitLog {
       notMatchedInsertCondition: Option[org.apache.spark.sql.Column] =
         None,
       notMatchedBySource: Seq[MergeClause] = Nil,
+      txn: Option[(String, Long)] = None,
       maxRetries: Int = 20): (Long, Long, Long, Long) = {
     require(keys.nonEmpty, "CommitLog.mergeInto: empty key list")
+    // (appId, batchId) stamp → exactly-once under streaming crash
+    // replay, the same [[lastTxn]] watermark contract as [[appendTxn]]
+    // (an already-committed batch returns the current version with
+    // zero counts, never re-applies)
+    txn.foreach { case (a, b) =>
+      if (lastTxn(spark, table, a).exists(_ >= b))
+        return (currentVersion(spark, table).getOrElse(0L), 0L, 0L, 0L)
+    }
     require(matched.nonEmpty || notMatchedInsert ||
       notMatchedBySource.nonEmpty,
       "CommitLog.mergeInto: no clauses — nothing to do")
@@ -3531,6 +3540,16 @@ object CommitLog {
       val cur = snapshot(spark, table).getOrElse(
         throw new IllegalStateException(
           s"CommitLog.mergeInto: nothing committed at $table"))
+      // a concurrent replica of the same streaming query may have won
+      // the race with this very batch between attempts — re-check the
+      // watermark on the fresh snapshot (nothing is staged yet this
+      // attempt; a lost previous attempt already cleaned up)
+      txn.foreach { case (a, b) =>
+        if (cur.txnApp.contains(a) && cur.txnBatch.exists(_ >= b))
+          return (cur.version, 0L, 0L, 0L)
+        if (attempt > 0 && lastTxn(spark, table, a).exists(_ >= b))
+          return (cur.version, 0L, 0L, 0L)
+      }
       val schema = readSegments(spark, cur.segments, cur.schema).schema
       val unknownKeys = keys.toSet -- schema.fieldNames.toSet
       require(unknownKeys.isEmpty,
@@ -3783,6 +3802,7 @@ object CommitLog {
       val snap = Snapshot(cur.version + 1L,
         cur.segments.filterNot(touched.toSet) ++ newSegs,
         cur.version, "merge_into", changes = Some(changeDir),
+        txnApp = txn.map(_._1), txnBatch = txn.map(_._2),
         schema = cur.schema, dv = cur.dv,
         identity = idMarks.map(m => encodeConstraints(
           m.map { case (k, x) => k -> x.toString })),

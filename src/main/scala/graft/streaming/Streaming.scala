@@ -129,6 +129,42 @@ object Streaming {
     * (txn action + version watermark), re-expressed over the repo's
     * manifest log; concurrent BATCH writers interleave safely because
     * every commit still goes through the optimistic version race. */
+  /** Streaming EXACTLY-ONCE UPSERT sink into a commit-log table —
+    * Delta's foreachBatch-MERGE pattern with the txn stamp folded
+    * into the merge commit itself: each micro-batch is ONE
+    * (appId, batchId)-stamped merge version, so crash replay (and a
+    * concurrent replica of the same query) recognizes an
+    * already-applied batch at the watermark and skips — idempotence
+    * without relying on the payload being idempotent. The first
+    * batch creates the table (txn-stamped append); later batches
+    * merge on `keys` — matched rows take `update` (default: every
+    * non-key source column by name, i.e. last-writer-wins upsert;
+    * pass e.g. `greatest(col(v), CommitLog.src(v))` for an
+    * order-insensitive fold), unmatched rows insert. A batch with
+    * duplicate keys refuses loudly (merge's own contract) —
+    * aggregate the batch first. */
+  def commitLogUpsertSink(df: DataFrame, table: String,
+      keys: Seq[String], appId: String,
+      update: Map[String, org.apache.spark.sql.Column] = Map.empty)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        if (graft.sources.CommitLog.snapshot(s, table).isEmpty)
+          graft.sources.CommitLog.appendTxn(s, table, batch,
+            appId, batchId): Unit
+        else {
+          val set =
+            if (update.nonEmpty) update
+            else batch.columns.filterNot(keys.contains).map(c =>
+              c -> graft.sources.CommitLog.src(c)).toMap
+          graft.sources.CommitLog.mergeIntoClauses(s, table, batch,
+            keys,
+            matched = Seq(graft.sources.CommitLog.MergeUpdate(set)),
+            txn = Some((appId, batchId))): Unit
+        }
+    }
+
   def commitLogSink(df: DataFrame, table: String, appId: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     df.writeStream.foreachBatch {

@@ -277,6 +277,49 @@ class DmlRound15Spec extends AnyFunSuite {
     }
   }
 
+  test("streaming exactly-once upsert sink: per-batch txn-stamped " +
+      "merges; a crash-replayed batch id is recognized and skipped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val tbl = tmpTable()
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_dml15_upsert_ckpt_").toString
+    try {
+      val in = MemoryStream[(Long, String, Double)](77, spark, None)
+      val q = graft.streaming.Streaming.commitLogUpsertSink(
+          in.toDF().toDF("id", "name", "v"), tbl, Seq("id"), "ups")
+        .option("checkpointLocation", ckpt).start()
+      try {
+        in.addData((1L, "a", 1.0), (2L, "b", 2.0))
+        q.processAllAvailable()
+        in.addData((1L, "a2", 10.0), (3L, "c", 3.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      assert(state(tbl) === Set((1L, "a2", 10.0), (2L, "b", 2.0),
+        (3L, "c", 3.0)))
+      val vPost = CommitLog.versions(spark, tbl).max
+      // crash replay of the LAST batch (id 1): the watermark
+      // recognizes it — zero counts, no new version, state unchanged
+      val (v, nUpd, nDel, nIns) = CommitLog.mergeIntoClauses(spark,
+        tbl, df((1L, "zz", 99.0), (3L, "zz", 99.0)), Seq("id"),
+        matched = Seq(graft.sources.CommitLog.MergeUpdate(Map(
+          "name" -> CommitLog.src("name"), "v" -> CommitLog.src("v")))),
+        txn = Some(("ups", 1L)))
+      assert((v, nUpd, nDel, nIns) === (vPost, 0L, 0L, 0L))
+      assert(CommitLog.versions(spark, tbl).max === vPost)
+      assert(state(tbl) === Set((1L, "a2", 10.0), (2L, "b", 2.0),
+        (3L, "c", 3.0)))
+      // a HIGHER batch id applies normally
+      CommitLog.mergeIntoClauses(spark, tbl,
+        df((2L, "b2", 20.0)), Seq("id"),
+        matched = Seq(graft.sources.CommitLog.MergeUpdate(Map(
+          "name" -> CommitLog.src("name"), "v" -> CommitLog.src("v")))),
+        txn = Some(("ups", 2L)))
+      assert(state(tbl) === Set((1L, "a2", 10.0), (2L, "b2", 20.0),
+        (3L, "c", 3.0)))
+    } finally { rm(tbl); rm(ckpt + "/x") }
+  }
+
   // ---- SQL WHEN NOT MATCHED BY SOURCE --------------------------------
 
   test("SQL MERGE with NOT MATCHED BY SOURCE: five clauses land in " +
