@@ -5,7 +5,7 @@ import graft.pipelines.{Jobs, Orchestrator}
 /** Headless CLI entry point (SURVEY §3 EP3: every pipeline must be
   * runnable standalone, logging to stdout).
   *
-  *   runMain graft.EngineMain <jobName|all> [sfDir] [outDir]
+  *   runMain graft.EngineMain <jobName|all> [sfDir] [outDir] [parallel]
   *
   * Exit code 0 only if every requested job succeeded — the contract
   * the reference's run-all queue keys on (`ETL.py:426-427`).
@@ -30,9 +30,12 @@ object EngineMain {
       // run-all rides the declared table-dependency DAG (EP2's
       // generalization — identical order to the reference's linear
       // queue on the chain, but an unrelated branch survives a
-      // failure); a single selected job runs directly
+      // failure); `parallel` overlaps independent branches; a single
+      // selected job runs directly
       val results =
-        if (jobName == "all")
+        if (jobName == "all" && args.lift(3).contains("parallel"))
+          runner.runDagParallel(selected, Jobs.standardDeps)
+        else if (jobName == "all")
           runner.runDag(selected, Jobs.standardDeps)
         else runner.runAll(selected)
       // progress events ride the async listener bus; deliver them all

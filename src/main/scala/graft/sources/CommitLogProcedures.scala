@@ -40,7 +40,8 @@ private[sources] object CommitLogProcedures {
     "optimize_zorder_nd",
     "vacuum", "restore", "clone_table", "delete_vectored",
     "update_vectored", "attach_blooms", "checkpoint", "fsck",
-    "fsck_repair", "set_partition_spec", "maintenance_plan")
+    "fsck_repair", "set_partition_spec", "maintenance_plan",
+    "detail", "vacuum_plan")
 
   def list: Seq[String] = names
 
@@ -158,6 +159,31 @@ private[sources] object CommitLogProcedures {
         Seq("action", "reason", "command"),
         row => CommitLogMaintenance.maintenancePlan(spark,
           path(str(row, 0)))))
+      // DESCRIBE DETAIL through CALL (Delta's typed one-row summary
+      // for SQL-only users — the programmatic CommitLog.detail is the
+      // same frame): segment/file/byte counts, DV state, sidecar
+      // coverage, partition + bucket layout, all from metadata
+      case "detail" => Some(procTyped("detail",
+        Seq(in("table", StringType)),
+        row => CommitLog.detail(spark, path(str(row, 0)))))
+      // VACUUM dry run through CALL: exactly what the retention floor
+      // would remove, as (category, object) rows — vacuum executes
+      // this same plan; zero rows = nothing to sweep
+      case "vacuum_plan" => Some(procFindings("vacuum_plan",
+        Seq(in("table", StringType),
+          in("retain", IntegerType, Some("2"))),
+        Seq("category", "object"),
+        row => {
+          val s = spark
+          import s.implicits._
+          val (segs, changes, dvs, droppedVs) = CommitLog.vacuumPlan(
+            s, path(str(row, 0)), retainVersions = row.getInt(1))
+          (segs.map(("orphan_or_dropped_segment", _)) ++
+            changes.map(("dead_change_record", _)) ++
+            dvs.map(("dead_deletion_vector", _)) ++
+            droppedVs.map(v => ("dropped_version", v.toString)))
+            .toDF("category", "object")
+        }))
       // partition evolution (Iceberg's capability, metadata-only
       // here because partition pruning is sidecar pruning): rewrites
       // the recorded spec going forward; '' = unpartitioned
@@ -302,6 +328,49 @@ private[sources] object CommitLogProcedures {
                   outCols.indices.map(i =>
                     org.apache.spark.unsafe.types.UTF8String
                       .fromString(r.getString(i))): _*))
+              override def description(): String =
+                s"CommitLogProcedureResult($procName)"
+            }
+            Collections.singletonList(scan).iterator()
+          }
+        }
+    }
+
+  /** A TYPED result frame through a LocalScan (procFindings is
+    * all-String; DESCRIBE DETAIL carries longs/booleans/arrays): the
+    * body's DataFrame schema is preserved and rows convert through
+    * the standard Catalyst converter. Bounded like procFindings —
+    * a diagnostic surface, not a data path. */
+  private def procTyped(procName: String,
+      params: Seq[ProcedureParameter],
+      body: InternalRow => org.apache.spark.sql.DataFrame)
+      : UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String =
+        s"commitlog diagnostic procedure $procName"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = procName
+          override def description(): String =
+            s"commitlog diagnostic procedure $procName"
+          override def parameters(): Array[ProcedureParameter] =
+            params.toArray
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow)
+              : java.util.Iterator[Scan] = {
+            val df = body(input)
+            val schema = df.schema
+            val conv = org.apache.spark.sql.catalyst
+              .CatalystTypeConverters.createToCatalystConverter(schema)
+            // NOT named `rows`: inside the LocalScan the bare name
+            // would resolve to the override itself (a scalac-looped
+            // self tail call, observed as a 100%-CPU hang)
+            val collected = df.limit(10000).collect()
+              .map(r => conv(r).asInstanceOf[InternalRow])
+            val scan: Scan = new LocalScan {
+              override def readSchema(): StructType = schema
+              override def rows(): Array[InternalRow] = collected
               override def description(): String =
                 s"CommitLogProcedureResult($procName)"
             }

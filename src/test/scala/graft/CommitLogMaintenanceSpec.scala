@@ -67,6 +67,43 @@ class CommitLogMaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("CALL system.detail returns the TYPED one-row summary; CALL " +
+      "system.vacuum_plan names exactly what vacuum would sweep") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_maint_detail_").toString
+    try {
+      spark.conf.set("spark.sql.catalog.gdt",
+        "graft.sources.CommitLogCatalog")
+      spark.conf.set("spark.sql.catalog.gdt.root", root)
+      val path = s"$root/ns/t"
+      (1 to 3).foreach(i => CommitLogStats.appendWithStats(spark, path,
+        df((1 to 10).map(j => (i * 100L + j, s"n$j", j * 1.0)): _*),
+        statsCols = Seq("id")))
+      spark.sql("CREATE TABLE gdt.ns.u (id BIGINT)") // catalog alive
+      val det = spark.sql("CALL gdt.system.detail(table => 'ns.t')")
+      // typed columns survive the CALL bridge
+      val r = det.collect()(0)
+      assert(r.getAs[Long]("version") === 3L)
+      assert(r.getAs[Int]("n_segments") === 3)
+      assert(r.getAs[Boolean]("has_deletion_vector") === false)
+      assert(r.getAs[Long]("total_bytes") > 0L)
+      // 3 versions retained by default 2 → version 1 sweeps: its
+      // manifest + the segment it solely references
+      val plan = spark.sql(
+        "CALL gdt.system.vacuum_plan(table => 'ns.t')")
+        .collect().map(x => (x.getString(0), x.getString(1)))
+      assert(plan.count(_._1 == "dropped_version") === 1)
+      assert(plan.exists(_ == ("dropped_version", "1")))
+      // content untouched by the dry run
+      assert(CommitLog.versions(spark, path).size === 3)
+      spark.sql("DROP TABLE gdt.ns.u")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gdt")
+      spark.conf.unset("spark.sql.catalog.gdt.root")
+      rm(root + "/x")
+    }
+  }
+
   test("small-segment pressure recommends compact (rows known via " +
       "sidecars, many tiny segments)") {
     val t = tmpTable()
