@@ -64,6 +64,7 @@ object SparkEntry {
       graft.queries.Pipeline18.queries,
       graft.queries.Pipeline19.queries,
       graft.queries.Pipeline20.queries,
+      graft.queries.Pipeline21.queries,
       graft.queries.StreamingReplay.queries)
     val merged = modules.reduce(_ ++ _)
     // a duplicate name across modules would silently shadow a query —
@@ -145,6 +146,7 @@ object SparkEntry {
     graft.queries.Pipeline18.oracleSql ++
     graft.queries.Pipeline19.oracleSql ++
     graft.queries.Pipeline20.oracleSql ++
+    graft.queries.Pipeline21.oracleSql ++
     graft.queries.StreamingReplay.oracleSql
 
   private def baseOracleSql: Map[String, String] = Map(

@@ -211,6 +211,9 @@ object Orchestrator {
         deps: Map[String, Seq[String]], parallelism: Int = 4)
         : Seq[JobResult] = {
       require(parallelism >= 1, "parallelism must be >= 1")
+      // an empty DAG completes trivially — without this, the latch
+      // (counted down only inside settle()) would never release
+      if (jobs.isEmpty) return Seq.empty
       val byName = jobs.map(j => j.name -> j).toMap
       deps.foreach { case (j, ds) =>
         require(byName.contains(j), s"unknown job in deps: $j")

@@ -4,8 +4,8 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, AttributeSet, EqualTo, Expression, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateTable}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, AttributeSet, EqualTo, Exists, Expression, InSubquery, IsNotNull, ListQuery, Literal, NamedExpression, ScalarSubquery, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Assignment, DeleteAction, DeleteFromTable, Filter, InsertAction, LocalRelation, LogicalPlan, MergeIntoTable, Project, SubqueryAlias, UpdateAction, UpdateTable}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, V2CommandExec}
 import org.apache.spark.sql.functions.lit
@@ -39,14 +39,18 @@ import graft.sources.{CommitLog, CommitLogTable}
   * executor cannot express fail LOUDLY with the exact limitation
   * (never a silent wrong answer): non-equi or differently-named merge
   * keys, non-name-aligned INSERT expressions, schema evolution,
-  * subqueries in MERGE conditions, correlated subqueries anywhere.
+  * subqueries in MERGE conditions, non-equi-key correlations.
   * Match sides translate as ORDERED clause lists — any number of
   * conditional UPDATE/DELETE clauses, SQL first-match-wins preserved
   * verbatim by the executor's list-order semantics; `WHEN NOT MATCHED
   * BY SOURCE` clauses translate the same way (their conditions
   * reference target columns only — the analyzer enforces that before
-  * we see the plan). UPDATE/DELETE WHERE clauses admit UNCORRELATED
-  * subqueries, re-planned as semi joins against the executor's frame.
+  * we see the plan). UPDATE/DELETE WHERE clauses admit subqueries:
+  * uncorrelated ones re-plan as semi joins against the executor's
+  * frame; equi-key-correlated EXISTS/IN rewrite to guarded
+  * uncorrelated INs ([[decorrelate]]); an equi-key-correlated SCALAR
+  * aggregate (in SET or WHERE) reroutes the whole statement through
+  * the N-clause MERGE executor ([[correlatedScalarDml]]).
   */
 object CommitLogDmlStrategy extends SparkStrategy {
 
@@ -61,17 +65,28 @@ object CommitLogDmlStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case UpdateTable(rel, assignments, condition) =>
       commitLogPath(rel).map { path =>
-        val set = assignments.map(a =>
-          assignmentName(a) -> nameBased(a.value,
-            AttributeSet.empty, Set.empty)).toMap
-        // the WHERE clause admits uncorrelated subqueries (`UPDATE t
-        // SET … WHERE id IN (SELECT …)`); SET values stay
-        // subquery-free
-        val pred = condition.map(e => nameBased(e,
-            AttributeSet.empty, Set.empty,
-            allowUncorrelatedSubqueries = true))
-          .getOrElse(lit(true))
-        CommitLogUpdateExec(path, set, pred) :: Nil
+        // a CORRELATED scalar subquery (`SET v = (SELECT agg(x) FROM s
+        // WHERE s.k = t.k)`) cannot ride a per-row Column — it needs a
+        // join. The optimizer has already decorrelated it to a
+        // key-grouped Aggregate; route the whole statement through the
+        // N-clause MERGE executor (source = that Aggregate, unique
+        // keys by construction)
+        correlatedScalarDml(assignments, condition, isDelete = false)
+          .map(sd => CommitLogScalarDmlExec(path, sd) :: Nil)
+          .getOrElse {
+            val set = assignments.map(a =>
+              assignmentName(a) -> nameBased(a.value,
+                AttributeSet.empty, Set.empty,
+                allowUncorrelatedSubqueries = true)).toMap
+            // WHERE and SET admit uncorrelated subqueries (`UPDATE t
+            // SET … WHERE id IN (SELECT …)`); correlated EXISTS/IN
+            // rewrite to guarded uncorrelated INs inside nameBased
+            val pred = condition.map(e => nameBased(e,
+                AttributeSet.empty, Set.empty,
+                allowUncorrelatedSubqueries = true))
+              .getOrElse(lit(true))
+            CommitLogUpdateExec(path, set, pred) :: Nil
+          }
       }.getOrElse(Nil)
     case m: MergeIntoTable =>
       commitLogPath(m.targetTable).map { path =>
@@ -87,9 +102,11 @@ object CommitLogDmlStrategy extends SparkStrategy {
     // them unchanged.
     case DeleteFromTable(rel, condition) if !filterBridgeable(condition) =>
       commitLogPath(rel).map { path =>
-        CommitLogDeleteExec(path,
-          nameBased(condition, AttributeSet.empty, Set.empty,
-            allowUncorrelatedSubqueries = true)) :: Nil
+        correlatedScalarDml(Nil, Some(condition), isDelete = true)
+          .map(sd => CommitLogScalarDmlExec(path, sd) :: Nil)
+          .getOrElse(CommitLogDeleteExec(path,
+            nameBased(condition, AttributeSet.empty, Set.empty,
+              allowUncorrelatedSubqueries = true)) :: Nil)
       }.getOrElse(Nil)
     case _ => Nil
   }
@@ -162,30 +179,186 @@ object CommitLogDmlStrategy extends SparkStrategy {
     * already resolved and reference nothing outside themselves, so
     * re-analysis against the executor's fresh table frame leaves them
     * untouched and the optimizer plans them as semi/anti joins —
-    * never a collect); correlated ones always refuse — their outer
-    * references carry exprIds from the ORIGINAL scan, which cannot
-    * rebind to the executor's frame by name. */
+    * never a collect). CORRELATED EXISTS/IN with equi-key correlation
+    * first rewrite to GUARDED uncorrelated INs ([[decorrelate]]) —
+    * their former outer references become plain target attrs that
+    * rebind by name like any other; correlated scalars (handled at
+    * statement level via the MERGE rewrite) and non-equi correlations
+    * refuse loudly. */
   private[plans] def nameBased(e: Expression,
       sourceAttrs: AttributeSet,
       keys: Set[String],
       allowUncorrelatedSubqueries: Boolean = false): Column = {
-    e.foreach {
+    val d = if (allowUncorrelatedSubqueries) decorrelate(e) else e
+    d.foreach {
       case s: SubqueryExpression =>
         if (!allowUncorrelatedSubqueries)
           unsupported("subqueries in DML conditions are not supported")
         if (s.isCorrelated)
-          unsupported("correlated subqueries in DML conditions are " +
-            "not supported (outer references cannot rebind to the " +
-            "rewrite frame); rewrite as an uncorrelated IN/EXISTS " +
-            "or use the programmatic API with an explicit join")
+          unsupported("this correlated subquery shape is not " +
+            "supported (supported: equi-key-correlated EXISTS/IN " +
+            "predicates and a single equi-key-correlated scalar " +
+            "aggregate per statement); rewrite the correlation as " +
+            "same-column equalities or use the programmatic API " +
+            "with an explicit join")
       case _ => ()
     }
-    GraftColumnBridge.column(e.transform {
+    GraftColumnBridge.column(d.transform {
       case a: AttributeReference if sourceAttrs.contains(a) =>
         if (keys.contains(a.name)) UnresolvedAttribute.quoted(a.name)
         else UnresolvedAttribute.quoted(s"__src_${a.name}")
       case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
     })
+  }
+
+  /** Split a PULLED-UP correlation condition (the optimizer's
+    * PullupCorrelatedPredicates has already moved it from the inner
+    * plan's Filters onto the SubqueryExpression's `joinCond`, leaving
+    * the inner plan self-contained) into (inner key expr, outer key
+    * expr) pairs. None when any conjunct is not an equality cleanly
+    * split between the two sides — the caller refuses loudly. */
+  private def equiCorrelation(joinCond: Seq[Expression],
+      inner: LogicalPlan)
+      : Option[Seq[(Expression, Expression)]] = {
+    val out = inner.outputSet
+    def innerSide(x: Expression) =
+      x.references.nonEmpty && x.references.subsetOf(out)
+    def outerSide(x: Expression) =
+      x.references.nonEmpty && x.references.intersect(out).isEmpty
+    val pairs = joinCond.map {
+      case EqualTo(l, r) if innerSide(l) && outerSide(r) => Some((l, r))
+      case EqualTo(l, r) if outerSide(l) && innerSide(r) => Some((r, l))
+      case _ => None
+    }
+    if (pairs.nonEmpty && pairs.forall(_.isDefined)) Some(pairs.flatten)
+    else None
+  }
+
+  /** Rewrite equi-key-correlated EXISTS / IN predicates into GUARDED
+    * uncorrelated INs the executor's frame re-plans as semi joins:
+    *
+    *   EXISTS(… ⋈ s.k = t.k)  →  t.k IS NOT NULL AND
+    *                              (t.k) IN (SELECT s.k … WHERE s.k IS NOT NULL)
+    *   a IN (SELECT x … ⋈ s.k = t.k)  →  t.k IS NOT NULL AND
+    *                              (a, t.k) IN (SELECT x, s.k … WHERE s.k IS NOT NULL)
+    *
+    * The null guards make the EXISTS replacement exactly TWO-valued
+    * (EXISTS never yields NULL: a NULL outer key never equi-matches →
+    * FALSE; inner NULL keys are filtered so the IN can't yield NULL
+    * either), so `NOT EXISTS` and arbitrary AND/OR/NOT nesting
+    * translate verbatim — none of NOT IN's null treachery. For the
+    * correlated IN, the guard + inner key filter preserve the exact
+    * three-valued result (extra non-matching key rows contribute
+    * FALSE to the OR-fold — neutral; a NULL outer key means the
+    * original's list was empty → FALSE, which is the guard's value).
+    * Non-equi correlations pass through untouched → the caller's
+    * refusal names them. */
+  private def decorrelate(e: Expression): Expression = e.transformUp {
+    case ex: Exists if ex.isCorrelated =>
+      equiCorrelation(ex.joinCond, ex.plan).map { pairs =>
+        guardedIn(Nil, pairs, ex.plan, Nil)
+      }.getOrElse(ex)
+    case in @ InSubquery(values, lq) if lq.isCorrelated =>
+      equiCorrelation(lq.joinCond, lq.plan).map { pairs =>
+        guardedIn(values, pairs, lq.plan,
+          lq.plan.output.take(lq.numCols))
+      }.getOrElse(in)
+  }
+
+  /** `originalValues IN originalCols` extended with the correlation
+    * keys, outer keys null-guarded, inner keys null-filtered. */
+  private def guardedIn(values: Seq[Expression],
+      pairs: Seq[(Expression, Expression)], inner: LogicalPlan,
+      originalCols: Seq[Attribute]): Expression = {
+    val innerKeys = pairs.map(_._1)
+    val outerKeys = pairs.map(_._2)
+    val filtered = Filter(
+      innerKeys.map(IsNotNull(_): Expression).reduce(And), inner)
+    val keyNamed: Seq[NamedExpression] = innerKeys.map {
+      case a: Attribute => a
+      case other => Alias(other, "__corr_key")()
+    }
+    val proj = Project(originalCols ++ keyNamed, filtered)
+    val guard = outerKeys.map(IsNotNull(_): Expression).reduce(And)
+    And(guard, InSubquery(values ++ outerKeys,
+      ListQuery(proj, Seq.empty, NamedExpression.newExprId,
+        proj.output.length, Seq.empty, None)))
+  }
+
+  /** An UPDATE/DELETE whose SET/WHERE carries ONE equi-key-correlated
+    * scalar aggregate, with everything the MERGE rewrite needs. The
+    * raw expressions hide inside this wrapper (not Expression-typed
+    * fields of the SparkPlan) so physical-plan preparation rules
+    * (PlanSubqueries) can't rewrite the carried subquery plan into a
+    * non-re-plannable executable form — same shielding rationale as
+    * the Column pre-translation above. */
+  private[plans] case class ScalarDml(
+      scalar: ScalarSubquery,
+      innerKeys: Seq[Attribute],
+      outerKeys: Seq[AttributeReference],
+      scalarOut: Attribute,
+      assignments: Seq[(String, Expression)],
+      condition: Option[Expression],
+      isDelete: Boolean)
+
+  /** Detect + validate a correlated-scalar DML statement. None when
+    * no correlated scalar occurs (the plain Column paths serve it);
+    * loud refusal when one occurs in an unsupported shape.
+    *
+    * The optimizer's PullupCorrelatedPredicates has ALREADY
+    * decorrelated the subquery to `Aggregate(correlation keys,
+    * [value, keys…], child)` with the key equalities on `joinCond` —
+    * exactly the unique-keyed source frame [[CommitLog
+    * .mergeIntoClauses]] wants: matched target rows take the
+    * aggregate value, NOT-MATCHED-BY-SOURCE rows take the aggregate's
+    * EMPTY-GROUP value (count → 0, max/sum/avg → NULL — evaluated,
+    * not guessed, in the exec), reproducing the original per-row
+    * subquery semantics including the COUNT bug. */
+  private[plans] def correlatedScalarDml(assignments: Seq[Assignment],
+      condition: Option[Expression], isDelete: Boolean)
+      : Option[ScalarDml] = {
+    val exprs = assignments.map(_.value) ++ condition.toSeq
+    val scalars = exprs.flatMap(_.collect {
+      case s: ScalarSubquery if s.isCorrelated => s
+    })
+    if (scalars.isEmpty) return None
+    if (scalars.map(_.exprId).distinct.size > 1)
+      unsupported("more than one correlated scalar subquery per " +
+        "statement")
+    val sc = scalars.head
+    val pairs = equiCorrelation(sc.joinCond, sc.plan).getOrElse(
+      unsupported("correlated scalar subquery whose correlation is " +
+        "not a conjunction of equalities"))
+    val agg = sc.plan match {
+      case a: Aggregate => a
+      case other => unsupported("correlated scalar subquery did not " +
+        s"decorrelate to a key-grouped aggregate (got ${other.nodeName})")
+    }
+    val innerKeys = pairs.map(_._1).map {
+      case a: Attribute => a
+      case other => unsupported(
+        s"correlated scalar inner key $other is not a plain column")
+    }
+    val outerKeys = pairs.map(_._2).map {
+      case a: AttributeReference => a
+      case other => unsupported(
+        s"correlated scalar outer key $other is not a plain target " +
+          "column")
+    }
+    if (!innerKeys.forall(k => agg.outputSet.contains(k)))
+      unsupported("correlated scalar aggregate does not expose its " +
+        "correlation keys")
+    val valueCols = agg.output.filterNot(a =>
+      innerKeys.exists(_.exprId == a.exprId))
+    if (valueCols.size != 1)
+      unsupported("correlated scalar aggregate must produce exactly " +
+        s"one value column (got ${valueCols.mkString(", ")})")
+    if (outerKeys.map(_.name).distinct.size != outerKeys.size)
+      unsupported("correlated scalar correlation repeats a target " +
+        "column")
+    Some(ScalarDml(sc, innerKeys, outerKeys, valueCols.head,
+      assignments.map(a => assignmentName(a) -> a.value), condition,
+      isDelete))
   }
 
   private[plans] def assignmentName(a: Assignment): String = a.key match {
@@ -330,6 +503,82 @@ case class CommitLogDeleteExec(path: String, pred: Column)
 
   override def run(): Seq[InternalRow] = {
     CommitLog.delete(session, path, pred): Unit
+    Seq.empty
+  }
+}
+
+/** `UPDATE t SET v = (SELECT agg(x) FROM s WHERE s.k = t.k) …` /
+  * `DELETE FROM t WHERE … (SELECT agg(x) … WHERE s.k = t.k) …` →
+  * [[CommitLog.mergeIntoClauses]]: source = the optimizer's
+  * decorrelated key-grouped aggregate (unique keys by construction —
+  * the duplicate-source refusal is satisfied structurally), matched
+  * rows evaluate the statement with the aggregate value
+  * (`__src___scalar`), NOT-MATCHED-BY-SOURCE rows with the
+  * aggregate's EMPTY-GROUP value — the exact per-row subquery
+  * semantics (a target row with no matching source rows sees
+  * count=0 / max=NULL), distributed as one bounded copy-on-write
+  * merge instead of a per-row subquery. */
+case class CommitLogScalarDmlExec(path: String,
+    dml: CommitLogDmlStrategy.ScalarDml)
+    extends V2CommandExec
+    with org.apache.spark.sql.execution.LeafExecNode {
+
+  override def output: Seq[Attribute] = Nil
+
+  override def run(): Seq[InternalRow] = {
+    val spark: SparkSession = session
+    val d = dml
+    val agg = d.scalar.plan.asInstanceOf[Aggregate]
+    // the value the ORIGINAL subquery yields for a row with no match:
+    // the same aggregate evaluated globally over EMPTY input
+    val valueNamed = agg.aggregateExpressions
+      .find(_.toAttribute.exprId == d.scalarOut.exprId)
+      .getOrElse(throw new IllegalStateException(
+        "correlated scalar DML: aggregate lost its value column"))
+    val emptyAgg = Aggregate(Seq.empty, Seq(valueNamed),
+      LocalRelation(agg.child.output))
+    val defaultValue = GraftColumnBridge.ofRows(spark, emptyAgg)
+      .collect()(0).get(0)
+    val default = Literal.create(defaultValue, d.scalarOut.dataType)
+    // NULL source keys can never equi-match the correlation — drop
+    // their groups so no merge-join null handling can resurrect them
+    val srcName = "__scalar"
+    val keyCols = d.innerKeys.zip(d.outerKeys).map { case (ik, ok) =>
+      GraftColumnBridge.column(ik).as(ok.name)
+    }
+    val source = GraftColumnBridge.ofRows(spark, agg)
+      .select(keyCols :+
+        GraftColumnBridge.column(d.scalarOut).as(srcName): _*)
+      .filter(d.outerKeys.map(k =>
+        org.apache.spark.sql.functions.col(k.name).isNotNull)
+        .reduce(_ && _))
+    def subst(e: Expression, repl: Expression): Expression =
+      e.transform {
+        case s: ScalarSubquery if s.exprId == d.scalar.exprId => repl
+      }
+    val srcRef = UnresolvedAttribute.quoted(s"__src_$srcName")
+    def tr(e: Expression, repl: Expression): Column =
+      CommitLogDmlStrategy.nameBased(subst(e, repl),
+        AttributeSet.empty, Set.empty,
+        allowUncorrelatedSubqueries = true)
+    val (matched, nmbs) =
+      if (d.isDelete) {
+        val cond = d.condition.getOrElse(
+          throw new IllegalStateException(
+            "correlated scalar DELETE without a condition"))
+        (Seq(CommitLog.MergeDelete(Some(tr(cond, srcRef)))),
+          Seq(CommitLog.MergeDelete(Some(tr(cond, default)))))
+      } else {
+        (Seq(CommitLog.MergeUpdate(
+          d.assignments.map { case (n, v) => n -> tr(v, srcRef) }.toMap,
+          d.condition.map(tr(_, srcRef)))),
+          Seq(CommitLog.MergeUpdate(
+            d.assignments.map { case (n, v) => n -> tr(v, default) }.toMap,
+            d.condition.map(tr(_, default)))))
+      }
+    CommitLog.mergeIntoClauses(spark, path, source,
+      d.outerKeys.map(_.name), matched = matched,
+      notMatchedInsert = false, notMatchedBySource = nmbs): Unit
     Seq.empty
   }
 }

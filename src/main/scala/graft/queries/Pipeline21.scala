@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Catalog, CommitLog}
+
+/** Round-16 additions: CORRELATED subqueries in SQL DML — the last
+  * loud refusal a migrating warehouse user hits (`DELETE FROM t WHERE
+  * EXISTS (SELECT 1 FROM s WHERE s.k = t.k)` is the single most
+  * common cleanup shape after q215's uncorrelated IN).
+  *
+  *  - q223: correlated EXISTS / NOT EXISTS deletes + a correlated IN
+  *    update. The optimizer's PullupCorrelatedPredicates leaves the
+  *    inner plan self-contained with the key equalities on joinCond;
+  *    the DML strategy rewrites each predicate to a GUARDED
+  *    uncorrelated IN (two-valued, so NOT nests verbatim) that the
+  *    rewrite frame re-plans as a semi join.
+  *  - q224: correlated SCALAR aggregates in SET and WHERE. The whole
+  *    statement reroutes through the N-clause MERGE executor: source
+  *    = the decorrelated key-grouped aggregate (unique keys by
+  *    construction), matched rows take the aggregate value,
+  *    NOT-MATCHED-BY-SOURCE rows take the aggregate's EMPTY-GROUP
+  *    value — count's 0-on-empty (the "COUNT bug") reproduced
+  *    exactly, witnessed by the oracle's per-row subquery replay.
+  *
+  * 100 TB posture: both rewrites stay fully distributed — the
+  * EXISTS/IN semi joins and the scalar's merge join are planned by
+  * Catalyst with AQE's broadcast-vs-shuffle choice; the copy-on-write
+  * stays bounded to segments holding affected keys; never a collect.
+  */
+object Pipeline21 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Catalog.table(s, dir, name)
+
+  private def rmTree(path: String): Unit = {
+    def go(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(go)); f.delete(): Unit
+    }
+    go(new java.io.File(path))
+  }
+
+  private def statusResult(s: SparkSession, tbl: String,
+      nVersions: Int): DataFrame =
+    CommitLog.read(s, tbl)
+      .groupBy(col("o_orderstatus")).agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast("decimal(30,6)")).cast("double")
+          .as("sum_price"))
+      .withColumn("n_versions", lit(nVersions))
+      .orderBy(col("o_orderstatus"))
+      .localCheckpoint(true)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q223_commitlog_sql_delete_correlated" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q223_").toString
+      val cat = "graftq223"
+      try {
+        s.conf.set(s"spark.sql.catalog.$cat",
+          "graft.sources.CommitLogCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        val tbl = s"$root/ns/t"
+        CommitLog.append(s, tbl, t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"), col("o_totalprice")))
+        t(s, dir, "customer").select(col("c_custkey"),
+            col("c_mktsegment"), col("c_acctbal"))
+          .createOrReplaceTempView("q223_cust")
+        s.sql(
+          s"""DELETE FROM $cat.ns.t
+             |WHERE EXISTS (SELECT 1 FROM q223_cust c
+             |  WHERE c.c_custkey = $cat.ns.t.o_custkey
+             |    AND c.c_mktsegment = 'BUILDING')""".stripMargin)
+        s.sql(
+          s"""DELETE FROM $cat.ns.t
+             |WHERE NOT EXISTS (SELECT 1 FROM q223_cust c
+             |  WHERE c.c_custkey = $cat.ns.t.o_custkey
+             |    AND c.c_acctbal >= 1000.0)""".stripMargin)
+        s.sql(
+          s"""UPDATE $cat.ns.t SET o_orderstatus = 'E'
+             |WHERE o_custkey IN (SELECT c.c_custkey FROM q223_cust c
+             |  WHERE c.c_custkey = $cat.ns.t.o_custkey
+             |    AND c.c_acctbal >= 5000.0)""".stripMargin)
+        statusResult(s, tbl, CommitLog.versions(s, tbl).size)
+      } finally {
+        s.catalog.dropTempView("q223_cust"): Unit
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.root")
+        rmTree(root)
+      }
+    }),
+
+    "q224_commitlog_sql_update_correlated_scalar" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q224_").toString
+      val cat = "graftq224"
+      try {
+        s.conf.set(s"spark.sql.catalog.$cat",
+          "graft.sources.CommitLogCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        val tbl = s"$root/ns/t"
+        CommitLog.append(s, tbl, t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"), col("o_totalprice")))
+        t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+          .select(col("l_orderkey"), col("l_extendedprice"))
+          .createOrReplaceTempView("q224_li")
+        // count scalar in SET: orders with no qualifying lineitems
+        // take count's empty-group 0 (the COUNT bug, reproduced)
+        s.sql(
+          s"""UPDATE $cat.ns.t
+             |SET o_totalprice = o_totalprice + 10.0 *
+             |  (SELECT count(*) FROM q224_li li
+             |   WHERE li.l_orderkey = $cat.ns.t.o_orderkey)
+             |WHERE o_orderstatus <> 'F'""".stripMargin)
+        // max scalar under COALESCE: empty group -> NULL -> keep old
+        s.sql(
+          s"""UPDATE $cat.ns.t
+             |SET o_totalprice = coalesce(
+             |  (SELECT max(li.l_extendedprice) FROM q224_li li
+             |   WHERE li.l_orderkey = $cat.ns.t.o_orderkey),
+             |  o_totalprice)
+             |WHERE o_orderstatus = 'F'""".stripMargin)
+        // count scalar in a DELETE WHERE
+        s.sql(
+          s"""DELETE FROM $cat.ns.t
+             |WHERE (SELECT count(*) FROM q224_li li
+             |  WHERE li.l_orderkey = $cat.ns.t.o_orderkey) >= 5""".stripMargin)
+        statusResult(s, tbl, CommitLog.versions(s, tbl).size)
+      } finally {
+        s.catalog.dropTempView("q224_li"): Unit
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.root")
+        rmTree(root)
+      }
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q223_commitlog_sql_delete_correlated" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+        |t0 AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |       FROM orders),
+        |t1 AS (SELECT * FROM t0 WHERE NOT EXISTS (SELECT 1 FROM c
+        |         WHERE c.c_custkey = t0.o_custkey
+        |           AND c.c_mktsegment = 'BUILDING')),
+        |t2 AS (SELECT * FROM t1 WHERE EXISTS (SELECT 1 FROM c
+        |         WHERE c.c_custkey = t1.o_custkey
+        |           AND c.c_acctbal >= 1000.0)),
+        |t3 AS (SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_custkey IN (SELECT c.c_custkey FROM c
+        |             WHERE c.c_custkey = t2.o_custkey
+        |               AND c.c_acctbal >= 5000.0)
+        |           THEN 'E' ELSE o_orderstatus END AS o_orderstatus,
+        |         o_totalprice FROM t2)
+        |SELECT o_orderstatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price,
+        |  4 AS n_versions
+        |FROM t3 GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q224_commitlog_sql_update_correlated_scalar" ->
+      """WITH li AS (SELECT l_orderkey, l_extendedprice FROM lineitem
+        |            WHERE l_quantity > 45),
+        |t0 AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |       FROM orders),
+        |t1 AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         CASE WHEN o_orderstatus <> 'F'
+        |           THEN o_totalprice + 10.0 * (SELECT count(*) FROM li
+        |             WHERE li.l_orderkey = t0.o_orderkey)
+        |           ELSE o_totalprice END AS o_totalprice FROM t0),
+        |t2 AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         CASE WHEN o_orderstatus = 'F'
+        |           THEN COALESCE((SELECT max(li.l_extendedprice) FROM li
+        |             WHERE li.l_orderkey = t1.o_orderkey), o_totalprice)
+        |           ELSE o_totalprice END AS o_totalprice FROM t1),
+        |t3 AS (SELECT * FROM t2 WHERE NOT COALESCE(
+        |         (SELECT count(*) FROM li
+        |          WHERE li.l_orderkey = t2.o_orderkey) >= 5, FALSE))
+        |SELECT o_orderstatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price,
+        |  4 AS n_versions
+        |FROM t3 GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+  )
+}

@@ -2384,10 +2384,40 @@ object CommitLog {
     * batch-on-restart model). */
   def lastTxn(spark: SparkSession, table: String,
       appId: String): Option[Long] = {
-    val stamps = snapshotsAsc(spark, table)
-      .filter(_.txnApp.contains(appId)).flatMap(_.txnBatch)
-    if (stamps.isEmpty) None else Some(stamps.max)
+    // Bounded walk (per-batch cost must not grow with table version
+    // count — the exactly-once upsert sink calls this every stamped
+    // micro-batch and on each OCC retry): stamps per app are strictly
+    // increasing over versions (every stamped commit path checks the
+    // watermark first), so the NEWEST stamp wins — scan newest-first
+    // and stop at the first stamp for this appId. A per-(table, appId)
+    // cache remembers (scanned-through version, stamp) so steady state
+    // reads only the versions committed since the previous call.
+    // Vacuum-safe (old versions dropping changes nothing: the cache
+    // already holds their maximum); a table DELETED AND RECREATED at
+    // the same path inside one JVM is detected by the history top
+    // falling below the cached floor → full rescan from scratch.
+    val key = (table, appId)
+    val vs = versions(spark, table)
+    val cached = Option(txnCache.get(key))
+      .filter(c => vs.lastOption.exists(_ >= c._1))
+    val floor = cached.fold(Long.MinValue)(_._1)
+    val found = vs.reverseIterator.takeWhile(_ > floor)
+      .map(v => readRecord(spark, table, v).flatMap(r =>
+        if (r.snap.txnApp.contains(appId)) r.snap.txnBatch else None))
+      .collectFirst { case Some(b) => b }
+    val result = found.orElse(cached.flatMap(_._2))
+    vs.lastOption.foreach { top =>
+      txnCache.merge(key, (top, result),
+        (a, b) => if (a._1 >= b._1) a else b)
+    }
+    result
   }
+
+  /** [[lastTxn]]'s per-JVM (table, appId) → (scanned-through version,
+    * stamp) watermark memo. Entries only ever advance; a recreated
+    * table at the same path invalidates via the floor check above. */
+  private val txnCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), (Long, Option[Long])]()
 
   /** Exactly-once APPEND for an idempotent writer: commit `df` stamped
     * (appId, batchId) unless a commit with this app's batchId (or a

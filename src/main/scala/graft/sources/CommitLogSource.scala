@@ -1273,7 +1273,15 @@ class CommitLogStreamSource(spark: SparkSession, metadataPath: String,
   @volatile private var availableNowEnd: Option[Long] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowEnd = CommitLog.currentVersion(spark, table)
+    // the cap must ALWAYS exist: a table with no committed version at
+    // query start still freezes an end (one below startingVersion →
+    // the >= startingVersion admission filter yields no data and the
+    // run terminates), otherwise latestOffset would run uncapped and
+    // an AvailableNow run over an initially-empty table would consume
+    // versions committed DURING the run instead of exactly the start
+    // snapshot (nothing)
+    availableNowEnd = Some(CommitLog.currentVersion(spark, table)
+      .getOrElse(startingVersion - 1L))
 
   override def getDefaultReadLimit
       : org.apache.spark.sql.connector.read.streaming.ReadLimit =

@@ -1245,6 +1245,18 @@ object CommitLogStats {
       val i = ns.zipWithIndex.minBy(_._1)._2
       ns(i) *= f
     }
+    // fewer prime factors than keys → some dimension stays 1: that
+    // key gets NO bucketing at all while the call looks like it
+    // bucketed on every key (e.g. a prime total with 2 keys →
+    // [p, 1]). Still a valid grid — the SPJ claim holds — but warn
+    // loudly so the caller picks a composite total next time.
+    if (ns.count(_ > 1) < k)
+      System.err.println(
+        s"WARN CommitLogStats.gridNs: nBuckets=$total factors into " +
+          s"only ${ns.count(_ > 1)} non-trivial dimension(s) for $k " +
+          s"keys (grid ${ns.sorted.reverse.mkString("x")}); key(s) " +
+          "paired with a 1-dimension get no bucketing — choose a " +
+          s"composite bucket count with >= $k prime factors")
     ns.sorted.reverse.toSeq
   }
 
