@@ -135,6 +135,67 @@ object Pipeline21 {
         s.conf.unset(s"spark.sql.catalog.$cat.root")
         rmTree(root)
       }
+    }),
+
+    // MERGE WITH SCHEMA EVOLUTION × TYPE WIDENING (round 16): the
+    // source both WIDENED two columns (INT→LONG custkey, FLOAT→DOUBLE
+    // price — q196's metadata-only widenings) and grew a new one; the
+    // analyzer emits one alterTable carrying UpdateColumnType AND
+    // AddColumn changes together, which the catalog now applies as
+    // widen commits + one evolve commit — zero data rewrites — before
+    // re-resolving the MERGE against the evolved table. The op
+    // sequence rides as a witness column; the final state (old
+    // segments' narrow bytes up-converted at scan) hash-checks
+    // against the oracle's replay of the same algebra.
+    "q225_commitlog_merge_evolution_widening" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q225_").toString
+      val cat = "graftq225"
+      try {
+        s.conf.set(s"spark.sql.catalog.$cat",
+          "graft.sources.CommitLogCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        val tbl = s"$root/ns/t"
+        val o = t(s, dir, "orders")
+        CommitLog.append(s, tbl,
+          o.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+            .select(col("o_orderkey"),
+              col("o_custkey").cast("int").as("o_custkey"),
+              col("o_totalprice").cast("float").as("o_totalprice")))
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice"),
+            substring(col("o_orderpriority"), 1, 1)
+              .as("priority_class"))
+          .createOrReplaceTempView("q225_src")
+        s.sql(
+          s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.ns.t t
+             |USING q225_src s ON t.o_orderkey = s.o_orderkey
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        val ops = CommitLog.history(s, tbl)
+          .select(col("op")).collect().map(_.getString(0)).toSeq
+        val sequenced = ops == Seq("append", "widen_column",
+          "widen_column", "evolve", "merge_into")
+        // float-origin doubles tie at dyadic .5s where HALF_UP
+        // (Spark) and HALF_EVEN (DuckDB) decimal rounding diverge —
+        // sum whole cents via floor instead (IEEE-deterministic in
+        // both engines)
+        s.sql(s"SELECT * FROM $cat.ns.t")
+          .groupBy(col("priority_class")).agg(
+            count(lit(1)).as("n_rows"),
+            sum(floor(col("o_totalprice") * 100).cast("long"))
+              .as("sum_cents"),
+            sum(col("o_custkey")).as("sum_custkey"))
+          .withColumn("widen_then_merge", lit(sequenced))
+          .orderBy(col("priority_class"))
+          .localCheckpoint(true)
+      } finally {
+        s.catalog.dropTempView("q225_src"): Unit
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.root")
+        rmTree(root)
+      }
     })
   )
 
@@ -183,6 +244,38 @@ object Pipeline21 {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
         |    AS sum_price,
         |  4 AS n_versions
-        |FROM t3 GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+        |FROM t3 GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // the merge algebra over the float-truncated target (REAL mirrors
+    // Spark's FLOAT cast bit-for-bit, then widens to DOUBLE exactly
+    // like the up-converting scan) and the long-native source
+    "q225_commitlog_merge_evolution_widening" ->
+      """WITH t AS (SELECT o_orderkey,
+        |    CAST(o_custkey AS INT) AS o_custkey,
+        |    CAST(o_totalprice AS REAL) AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |s AS (SELECT o_orderkey, o_custkey, o_totalprice,
+        |    substring(o_orderpriority, 1, 1) AS priority_class
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |final AS (
+        |  SELECT s.priority_class AS priority_class,
+        |    CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+        |         ELSE CAST(t.o_totalprice AS DOUBLE) END AS price,
+        |    CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_custkey
+        |         ELSE CAST(t.o_custkey AS BIGINT) END AS ck
+        |  FROM t LEFT JOIN s ON s.o_orderkey = t.o_orderkey
+        |  UNION ALL
+        |  SELECT s.priority_class, s.o_totalprice, s.o_custkey
+        |  FROM s LEFT JOIN t ON t.o_orderkey = s.o_orderkey
+        |  WHERE t.o_orderkey IS NULL)
+        |SELECT priority_class,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(FLOOR(price * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  CAST(SUM(ck) AS BIGINT) AS sum_custkey,
+        |  true AS widen_then_merge
+        |FROM final
+        |GROUP BY priority_class
+        |ORDER BY priority_class""".stripMargin
   )
 }

@@ -524,19 +524,17 @@ class CommitLogCatalog extends TableCatalog
       }
       return loadTable(ident)
     }
-    // RENAME / DROP COLUMN / ALTER COLUMN TYPE: metadata-only
-    // commits ([[CommitLog.renameColumn]]/[[CommitLog.dropColumn]]
-    // under column mapping, [[CommitLog.widenColumn]] for the safe
-    // type promotions — zero rewrites in all three)
+    // RENAME / DROP COLUMN: metadata-only commits
+    // ([[CommitLog.renameColumn]]/[[CommitLog.dropColumn]] under
+    // column mapping — zero rewrites)
     val mappingDdl = changes.collect {
-      case r: TableChange.RenameColumn => r
-      case d: TableChange.DeleteColumn => d
-      case u: TableChange.UpdateColumnType => u
+      case r: TableChange.RenameColumn => r: TableChange
+      case d: TableChange.DeleteColumn => d: TableChange
     }
     if (mappingDdl.nonEmpty) {
       require(mappingDdl.size == changes.size,
-        "commitlog catalog: mixing RENAME/DROP/ALTER COLUMN with " +
-          "other ALTERs in one statement is not supported")
+        "commitlog catalog: mixing RENAME/DROP COLUMN with other " +
+          "ALTERs in one statement is not supported")
       val path = pathOf(ident)
       mappingDdl.foreach {
         case r: TableChange.RenameColumn =>
@@ -552,18 +550,33 @@ class CommitLogCatalog extends TableCatalog
               "commitlog catalog: DROP COLUMN supports top-level " +
                 s"columns only, got '${d.fieldNames().mkString(".")}'")
           CommitLog.dropColumn(spark, path, d.fieldNames()(0)): Unit
-        case u: TableChange.UpdateColumnType =>
-          if (u.fieldNames().length != 1)
-            throw new UnsupportedOperationException(
-              "commitlog catalog: ALTER COLUMN TYPE supports " +
-                "top-level columns only, got " +
-                s"'${u.fieldNames().mkString(".")}'")
-          CommitLog.widenColumn(spark, path, u.fieldNames()(0),
-            u.newDataType()): Unit
+        case _ => ()
       }
       return loadTable(ident)
     }
-    val added = changes.map {
+    // ALTER COLUMN TYPE (safe widenings, [[CommitLog.widenColumn]] —
+    // metadata-only) MAY combine with ADD COLUMNS in one statement:
+    // that's exactly what the analyzer's MERGE WITH SCHEMA EVOLUTION
+    // emits for a source that both widened a column (INT→LONG) and
+    // grew a new one. Widenings apply first (each its own metadata
+    // commit), adds follow as one evolve commit — all zero-rewrite,
+    // each individually OCC'd.
+    val widenings = changes.collect {
+      case u: TableChange.UpdateColumnType => u
+    }
+    widenings.foreach { u =>
+      if (u.fieldNames().length != 1)
+        throw new UnsupportedOperationException(
+          "commitlog catalog: ALTER COLUMN TYPE supports " +
+            "top-level columns only, got " +
+            s"'${u.fieldNames().mkString(".")}'")
+      CommitLog.widenColumn(spark, pathOf(ident), u.fieldNames()(0),
+        u.newDataType()): Unit
+    }
+    val rest = changes.filterNot(
+      _.isInstanceOf[TableChange.UpdateColumnType])
+    if (rest.isEmpty) return loadTable(ident)
+    val added = rest.map {
       case a: TableChange.AddColumn =>
         if (a.fieldNames().length != 1)
           throw new UnsupportedOperationException(

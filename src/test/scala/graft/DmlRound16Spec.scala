@@ -146,6 +146,36 @@ class DmlRound16Spec extends AnyFunSuite {
     assert(state(tbl) === Set((Some(2L), "b", 3.0)))
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION x type widening: a source that " +
+      "both widened a column (INT->LONG) and grew a new one lands in " +
+      "one statement — widen commits + evolve commit, zero rewrites") {
+    import spark.implicits._
+    n += 1
+    val tbl = s"$root/ns/we$n"
+    CommitLog.append(spark, tbl,
+      Seq((1L, 10), (2L, 20)).toDF("id", "v"))
+    Seq((1L, 100L, "x"), (3L, 300L, "y")).toDF("id", "v", "extra")
+      .createOrReplaceTempView("g16_we_src")
+    try {
+      spark.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO g16.ns.we$n t
+           |USING g16_we_src s ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val got = CommitLog.read(spark, tbl)
+      assert(got.schema.map(f => (f.name, f.dataType.simpleString)) ===
+        Seq(("id", "bigint"), ("v", "bigint"), ("extra", "string")))
+      assert(got.collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(2)))).toSet ===
+        Set((1L, 100L, Some("x")), (2L, 20L, None),
+          (3L, 300L, Some("y"))))
+      val ops = CommitLog.history(spark, tbl)
+        .select(col("op")).collect().map(_.getString(0)).toSeq
+      assert(ops === Seq("append", "widen_column", "evolve",
+        "merge_into"))
+    } finally spark.catalog.dropTempView("g16_we_src"): Unit
+  }
+
   test("two DISTINCT correlated scalar subqueries refuse LOUDLY") {
     val (sql, tbl) = fresh(Seq((1L, "a", 0.0)))
     val e = intercept[Exception] {
