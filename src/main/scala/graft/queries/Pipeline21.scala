@@ -196,8 +196,135 @@ object Pipeline21 {
         s.conf.unset(s"spark.sql.catalog.$cat.root")
         rmTree(root)
       }
+    }),
+
+    // LEGACY multi-key layout migration (round 16): a PRE-GRID
+    // composite bucket record (the shape older writers produced — no
+    // per-key counts) keeps its bounded DML write amplification but
+    // can never claim a storage-partitioned join, so every join over
+    // it silently shuffles. The maintenance advisor detects it and
+    // recommends `CALL system.optimize_grid`; the migration re-lands
+    // the same keys and bucket count as a per-key grid; the join then
+    // plans with ZERO exchanges; the advisor goes quiet; a re-CALL is
+    // a version-stable no-op. All five protocol steps ride as witness
+    // columns over the q216-style join algebra.
+    "q226_commitlog_optimize_grid_migration" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q226_").toString
+      try {
+        s.conf.set("spark.sql.catalog.gq226",
+          "graft.sources.CommitLogCatalog")
+        s.conf.set("spark.sql.catalog.gq226.root", root)
+        val bcast = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        val bkt0 = s.conf
+          .getOption("spark.sql.sources.v2.bucketing.enabled")
+        val aTbl = s"$root/ns/a"; val bTbl = s"$root/ns/b"
+        val li = t(s, dir, "lineitem")
+          .filter(pmod(col("l_orderkey"), lit(4)) === 2)
+        CommitLog.append(s, aTbl, li.select(col("l_orderkey"),
+          col("l_linenumber"), col("l_extendedprice")))
+        CommitLog.append(s, bTbl, li.select(col("l_orderkey"),
+          col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag")))
+        graft.sources.CommitLogStats.compactBucketed(s, aTbl,
+          Seq("l_orderkey", "l_linenumber"), 8, Seq("l_orderkey"))
+        graft.sources.CommitLogStats.compactBucketed(s, bTbl,
+          Seq("l_orderkey", "l_linenumber"), 8, Seq("l_orderkey"))
+        // demote both records to the pre-grid composite shape an
+        // older writer produced (strip the per-key counts from the
+        // newest manifest — byte-faithful legacy format)
+        Seq(aTbl, bTbl).foreach(demoteBucketRecord(s, _))
+        val joinSql = "SELECT b.l_returnflag, a.l_extendedprice, " +
+          "b.l_quantity FROM gq226.ns.a a JOIN gq226.ns.b b " +
+          "ON a.l_orderkey = b.l_orderkey " +
+          "AND a.l_linenumber = b.l_linenumber"
+        def shuffles(df: DataFrame): Int = {
+          df.collect(): Unit
+          def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+              : Seq[org.apache.spark.sql.execution.SparkPlan] =
+            (p +: p.children.flatMap(nodes)) ++ (p match {
+              case a: org.apache.spark.sql.execution.adaptive
+                  .AdaptiveSparkPlanExec => nodes(a.executedPlan)
+              case qe: org.apache.spark.sql.execution.adaptive
+                  .QueryStageExec => nodes(qe.plan)
+              case _ => Seq.empty
+            })
+          nodes(df.queryExecution.executedPlan).collect {
+            case e: org.apache.spark.sql.execution.exchange
+              .ShuffleExchangeLike => e
+          }.distinct.size
+        }
+        try {
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+          val legacyShuffled = shuffles(s.sql(joinSql)) > 0
+          val recommended = graft.sources.CommitLogMaintenance
+            .maintenancePlan(s, aTbl).collect()
+            .exists(_.getString(0) == "optimize_grid")
+          s.sql("CALL gq226.system.optimize_grid(table => 'ns.a')")
+          s.sql("CALL gq226.system.optimize_grid(table => 'ns.b')")
+          val spjShuffles = shuffles(s.sql(joinSql))
+          val quiet = !graft.sources.CommitLogMaintenance
+            .maintenancePlan(s, aTbl).collect()
+            .exists(_.getString(0) == "optimize_grid")
+          val v0 = CommitLog.versions(s, aTbl).max
+          s.sql("CALL gq226.system.optimize_grid(table => 'ns.a')")
+          val noop = CommitLog.versions(s, aTbl).max == v0
+          s.sql(joinSql)
+            .groupBy(col("l_returnflag"))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("l_extendedprice").cast("decimal(30,6)"))
+                .cast("double").as("sum_price"),
+              sum(col("l_quantity").cast("decimal(30,6)"))
+                .cast("double").as("sum_qty"))
+            .withColumn("legacy_shuffled", lit(legacyShuffled))
+            .withColumn("advisor_recommended", lit(recommended))
+            .withColumn("spj_shuffles", lit(spjShuffles))
+            .withColumn("advisor_quiet", lit(quiet))
+            .withColumn("recall_noop", lit(noop))
+            .orderBy(col("l_returnflag"))
+            .localCheckpoint(true)
+        } finally {
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+          bkt0 match {
+            case Some(v) => s.conf
+              .set("spark.sql.sources.v2.bucketing.enabled", v)
+            case None => s.conf
+              .unset("spark.sql.sources.v2.bucketing.enabled")
+          }
+        }
+      } finally {
+        s.conf.unset("spark.sql.catalog.gq226")
+        s.conf.unset("spark.sql.catalog.gq226.root")
+        rmTree(root)
+      }
     })
   )
+
+  /** Strip the per-key grid counts from `tbl`'s newest manifest (and
+    * checkpoint, if one rode the same version) — byte-faithfully the
+    * bucket record a PRE-GRID writer produced. Fixture for the q226
+    * migration protocol. */
+  private def demoteBucketRecord(s: SparkSession, tbl: String): Unit = {
+    val v = CommitLog.versions(s, tbl).max
+    Seq(f"$v%020d.manifest", f"$v%020d.checkpoint").foreach { name =>
+      val p = java.nio.file.Paths.get(tbl, "_commits", name)
+      if (java.nio.file.Files.exists(p)) {
+        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        val b64 = "\"bucket\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
+          .getOrElse(throw new IllegalStateException(
+            s"q226: no bucket field in $name")).group(1)
+        val json = new String(
+          java.util.Base64.getDecoder.decode(b64), "UTF-8")
+        val legacyJson = json.replaceAll(",\"__ns\":\"[^\"]*\"", "")
+        require(legacyJson != json, "q226: expected to strip __ns")
+        val legacyB64 = java.util.Base64.getEncoder
+          .encodeToString(legacyJson.getBytes("UTF-8"))
+        java.nio.file.Files.write(p, txt.replace(b64, legacyB64)
+          .getBytes("UTF-8")): Unit
+      }
+    }
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q223_commitlog_sql_delete_correlated" ->
@@ -276,6 +403,30 @@ object Pipeline21 {
         |  true AS widen_then_merge
         |FROM final
         |GROUP BY priority_class
-        |ORDER BY priority_class""".stripMargin
+        |ORDER BY priority_class""".stripMargin,
+
+    // the self-join algebra over the residue slice; the five
+    // migration-protocol witnesses ride as constants
+    "q226_commitlog_optimize_grid_migration" ->
+      """WITH a AS (SELECT l_orderkey, l_linenumber, l_extendedprice
+        |  FROM lineitem WHERE l_orderkey % 4 = 2),
+        |b AS (SELECT l_orderkey, l_linenumber, l_quantity,
+        |    l_returnflag
+        |  FROM lineitem WHERE l_orderkey % 4 = 2)
+        |SELECT b.l_returnflag,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(a.l_extendedprice AS DECIMAL(30,6)))
+        |    AS DOUBLE) AS sum_price,
+        |  CAST(SUM(CAST(b.l_quantity AS DECIMAL(30,6)))
+        |    AS DOUBLE) AS sum_qty,
+        |  true AS legacy_shuffled,
+        |  true AS advisor_recommended,
+        |  CAST(0 AS INT) AS spj_shuffles,
+        |  true AS advisor_quiet,
+        |  true AS recall_noop
+        |FROM a JOIN b ON a.l_orderkey = b.l_orderkey
+        |  AND a.l_linenumber = b.l_linenumber
+        |GROUP BY b.l_returnflag
+        |ORDER BY b.l_returnflag""".stripMargin
   )
 }

@@ -140,6 +140,23 @@ object CommitLogMaintenance {
             s"'${bs.keys.mkString(",")}', buckets => ${bs.n})"))
     }
 
+    // 5c: LEGACY pre-grid multi-key bucket record — bounded DML
+    // write amplification survives, but the layout can never claim a
+    // storage-partitioned join (a composite bucket(n, k1, k2) can't
+    // line up with the individual join keys under Spark's
+    // single-reference transform rule), so every join over it
+    // silently shuffles; one migration re-land upgrades the record
+    snap.bucket.flatMap(CommitLog.decodeBucketSpec).foreach { bs =>
+      if (bs.keys.size > 1 && !bs.gridClaimable)
+        out += (("optimize_grid",
+          s"legacy composite bucket record on keys " +
+            s"(${bs.keys.mkString(", ")}): bounded DML holds, but " +
+            "joins can never claim the storage-partitioned layout " +
+            "(no per-key grid counts) and silently shuffle — " +
+            "migrate to the per-key grid",
+          s"CALL system.optimize_grid($ref)"))
+    }
+
     // 6: checkpoint lag (a crash left a cadence gap)
     val interval = CommitLog.checkpointInterval(spark)
     val f = CommitLog.fs(spark, table)

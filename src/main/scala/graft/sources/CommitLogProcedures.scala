@@ -36,8 +36,8 @@ private[sources] object CommitLogProcedures {
   private def spark: SparkSession = SparkSession.active
 
   private val names = Seq("compact", "optimize_cluster",
-    "optimize_zorder", "optimize_bucket", "optimize_incremental",
-    "optimize_zorder_nd",
+    "optimize_zorder", "optimize_bucket", "optimize_grid",
+    "optimize_incremental", "optimize_zorder_nd",
     "vacuum", "restore", "clone_table", "delete_vectored",
     "update_vectored", "attach_blooms", "checkpoint", "fsck",
     "fsck_repair", "set_partition_spec", "maintenance_plan",
@@ -113,6 +113,16 @@ private[sources] object CommitLogProcedures {
           val stats = if (row.isNullAt(3)) keys else cols(str(row, 3))
           CommitLogStats.compactBucketed(spark, path(str(row, 0)),
             keys, row.getInt(2), stats)
+        }))
+      // migrate a LEGACY composite multi-key bucket record to the
+      // per-key grid form that claims storage-partitioned joins;
+      // no-op (current version) when the layout already claims
+      case "optimize_grid" => Some(proc("optimize_grid",
+        Seq(in("table", StringType),
+          in("stats_by", StringType, Some("NULL"))),
+        row => {
+          val stats = if (row.isNullAt(1)) None else Some(cols(str(row, 1)))
+          CommitLogStats.migrateToGrid(spark, path(str(row, 0)), stats)
         }))
       case "vacuum" => Some(proc("vacuum",
         Seq(in("table", StringType),

@@ -1273,6 +1273,35 @@ object CommitLogStats {
       acc * lit(n) + pmod(hash(col(k)), lit(n))
     }
 
+  /** Upgrade a LEGACY pre-grid multi-key bucket layout (one COMPOSITE
+    * hash over all keys, no per-key counts — the record shape older
+    * writers produced) to the per-key grid form that claims
+    * storage-partitioned joins. The legacy layout keeps its bounded
+    * DML write amplification but can never claim SPJ: Spark's
+    * KeyGroupedShuffleSpec requires single-reference partition
+    * transforms, so a composite `bucket(n, k1, k2)` cannot line up
+    * with the individual join keys — the join silently shuffles with
+    * no upgrade path until this verb. Re-runs [[compactBucketed]]
+    * with the RECORDED key set and total bucket count (one shuffled
+    * partitioned write, same cost as the original layout build). A
+    * layout that already claims — grid records, and single-key
+    * records which are trivially one-dimensional grids — is a NO-OP
+    * returning the current version: the maintenance advisor's
+    * recommend → run → go-quiet loop depends on that. */
+  def migrateToGrid(spark: SparkSession, table: String,
+      statsCols: Option[Seq[String]] = None): Long = {
+    val cur = CommitLog.snapshot(spark, table).getOrElse(
+      throw new IllegalStateException(
+        s"CommitLogStats.migrateToGrid: nothing committed at $table"))
+    val bs = cur.bucket.flatMap(CommitLog.decodeBucketSpec).getOrElse(
+      throw new IllegalStateException(
+        s"CommitLogStats.migrateToGrid: $table has no bucket-layout " +
+          "record — lay one down with optimize_bucket first"))
+    if (bs.gridClaimable) return cur.version
+    compactBucketed(spark, table, bs.keys, bs.n,
+      statsCols.getOrElse(bs.keys))
+  }
+
   def compactBucketed(spark: SparkSession, table: String,
       keys: Seq[String], nBuckets: Int, statsCols: Seq[String],
       maxRetries: Int = 20): Long = {

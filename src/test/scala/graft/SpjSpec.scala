@@ -310,4 +310,116 @@ class SpjSpec extends AnyFunSuite {
       rm(root)
     }
   }
+
+  /** Rewrite a table's newest manifest (and checkpoint, if one rode
+    * the same version) so its bucket record drops the per-key grid
+    * counts — byte-faithfully the record a PRE-GRID writer produced
+    * (`__ns` absent, composite hash implied). Format-compatibility
+    * fixture for the migration law below. */
+  private def demoteToLegacyRecord(tbl: String): Unit = {
+    val v = graft.sources.CommitLog.versions(spark, tbl).max
+    Seq(f"$v%020d.manifest", f"$v%020d.checkpoint").foreach { name =>
+      val p = java.nio.file.Paths.get(tbl, "_commits", name)
+      if (java.nio.file.Files.exists(p)) {
+        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        val b64 = "\"bucket\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
+          .getOrElse(fail(s"no bucket field in $name")).group(1)
+        val json = new String(
+          java.util.Base64.getDecoder.decode(b64), "UTF-8")
+        val legacyJson = json.replaceAll(",\"__ns\":\"[^\"]*\"", "")
+        assert(legacyJson != json, "expected to strip __ns")
+        val legacyB64 = java.util.Base64.getEncoder
+          .encodeToString(legacyJson.getBytes("UTF-8"))
+        java.nio.file.Files.write(p, txt.replace(b64, legacyB64)
+          .getBytes("UTF-8")): Unit
+      }
+    }
+  }
+
+  test("LEGACY composite multi-key record migration: the pre-grid " +
+      "layout silently shuffles; the advisor recommends " +
+      "optimize_grid; CALL system.optimize_grid re-lands the grid " +
+      "and the join claims zero exchanges; the advisor goes quiet; " +
+      "re-CALL is a version-stable no-op") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_spjmig_").toString
+    val bcast0 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val bkt0 = spark.conf
+      .getOption("spark.sql.sources.v2.bucketing.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.catalog.gmig",
+        "graft.sources.CommitLogCatalog")
+      spark.conf.set("spark.sql.catalog.gmig.root", root)
+      val a = s"$root/ns/a"; val b = s"$root/ns/b"
+      def rows(n: Long) = (1L to n).map(k => (k, k % 7, k * 2.0))
+      CommitLog.append(spark, a, rows(8000).toDF("k1", "k2", "v"))
+      CommitLog.append(spark, b, rows(4000).toDF("k1", "k2", "w"))
+      CommitLogStats.compactBucketed(spark, a, Seq("k1", "k2"), 8,
+        Seq("k1"))
+      CommitLogStats.compactBucketed(spark, b, Seq("k1", "k2"), 8,
+        Seq("k1"))
+      // demote BOTH to the pre-grid record an older writer produced
+      demoteToLegacyRecord(a)
+      demoteToLegacyRecord(b)
+      val legacySpec = CommitLog.decodeBucketSpec(
+        CommitLog.snapshot(spark, a).get.bucket.get).get
+      assert(!legacySpec.gridClaimable && legacySpec.keys.size === 2,
+        s"demotion failed: $legacySpec")
+
+      val q = "SELECT a.k1, a.v, b.w FROM gmig.ns.a a JOIN " +
+        "gmig.ns.b b ON a.k1 = b.k1 AND a.k2 = b.k2"
+      // legacy record: the join CANNOT claim — it shuffles
+      assert(shuffleCount(spark.sql(q)) > 0,
+        "legacy composite record must not claim SPJ")
+
+      // the advisor names the upgrade
+      val plan = graft.sources.CommitLogMaintenance
+        .maintenancePlan(spark, a).collect()
+      val rec = plan.filter(_.getString(0) == "optimize_grid")
+      assert(rec.length === 1, s"advisor must recommend " +
+        s"optimize_grid, got: ${plan.toSeq}")
+      assert(rec(0).getString(2).contains("optimize_grid"))
+
+      // run exactly the recommended verb (through the CALL surface)
+      spark.sql("CALL gmig.system.optimize_grid(table => 'ns.a')")
+      spark.sql("CALL gmig.system.optimize_grid(table => 'ns.b')")
+      val migSpec = CommitLog.decodeBucketSpec(
+        CommitLog.snapshot(spark, a).get.bucket.get).get
+      assert(migSpec.gridClaimable && migSpec.keys === legacySpec.keys
+        && migSpec.n === legacySpec.n, s"migration spec: $migSpec")
+
+      // migrated: zero exchanges, same rows
+      val spj = spark.sql(q)
+      assert(shuffleCount(spj) === 0,
+        s"migrated grid must claim SPJ:\n" +
+          spj.queryExecution.executedPlan)
+      assert(spj.collect().length === 4000)
+
+      // the advisor goes quiet on this rule
+      val planAfter = graft.sources.CommitLogMaintenance
+        .maintenancePlan(spark, a).collect()
+      assert(!planAfter.exists(_.getString(0) == "optimize_grid"),
+        s"advisor must go quiet, got: ${planAfter.toSeq}")
+
+      // idempotence: re-CALL commits nothing (version-stable no-op)
+      val v0 = CommitLog.versions(spark, a).max
+      spark.sql("CALL gmig.system.optimize_grid(table => 'ns.a')")
+      assert(CommitLog.versions(spark, a).max === v0,
+        "no-op migration must not commit")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast0)
+      bkt0 match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None =>
+          spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+      spark.conf.unset("spark.sql.catalog.gmig")
+      spark.conf.unset("spark.sql.catalog.gmig.root")
+      rm(root)
+    }
+  }
 }
