@@ -298,6 +298,69 @@ object Pipeline21 {
         s.conf.unset("spark.sql.catalog.gq226.root")
         rmTree(root)
       }
+    }),
+
+    // INCREMENTAL ANN index maintenance over the change feed (round
+    // 16): the IVF index is a commit-log table; corpus appends route
+    // into EXISTING cells (map-side assignment, no refit), deletes
+    // tombstone via deletion vectors, and the applied-through corpus
+    // version rides the exactly-once txn stamp. Witnesses: the
+    // feed-maintained index is CONTENT-EQUAL to assigning the current
+    // snapshot from scratch against the same centroids; a replayed
+    // maintenance run recognizes its watermark and commits nothing;
+    // quantization drift was measured. The full-probe search over the
+    // maintained index hash-matches DuckDB's brute-force top-k over
+    // the corpus' FINAL state — the approximation-free oracle mode.
+    "q227_ann_ivf_incremental" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q227_").toString
+      try {
+        val corpus = s"$root/corpus"
+        val index = s"$root/index"
+        val cents = s"$root/cents"
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        CommitLog.append(s, corpus,
+          e.filter(pmod(col("vec_id"), lit(4)) =!= 3))
+        graft.operators.IvfIncremental.build(s, corpus, index, cents,
+          "vec_id", "embedding", nCells = 16): Unit
+        // the corpus evolves: the held-out quarter arrives, a tenth
+        // leaves — final state = vec_id % 10 != 1
+        CommitLog.append(s, corpus,
+          e.filter(pmod(col("vec_id"), lit(4)) === 3))
+        CommitLog.delete(s, corpus,
+          pmod(col("vec_id"), lit(10)) === 1): Unit
+        val (applied, drift) = graft.operators.IvfIncremental
+          .applyFeed(s, corpus, index, cents, "vec_id", "embedding")
+        // law: feed-applied ≡ from-scratch assignment, same centroids
+        import s.implicits._
+        val storedCents = CommitLog.read(s, cents)
+          .select(col("cell"), col("v")).orderBy(col("cell"))
+          .as[(Int, Array[Long])].collect().map(_._2)
+        val fromScratch = graft.operators.IvfIndex.assign(
+          CommitLog.read(s, corpus), "vec_id", "embedding", storedCents)
+        val maintained = CommitLog.read(s, index)
+          .select(col("vec_id"), col("cell"))
+        val contentEqual =
+          maintained.exceptAll(fromScratch).limit(1).collect().isEmpty &&
+          fromScratch.exceptAll(maintained).limit(1).collect().isEmpty
+        // replay: the watermark recognizes an already-applied range
+        val v0 = CommitLog.versions(s, index).max
+        val (applied2, _) = graft.operators.IvfIncremental
+          .applyFeed(s, corpus, index, cents, "vec_id", "embedding")
+        val replayNoop = applied2 == applied &&
+          CommitLog.versions(s, index).max == v0
+        val queries = CommitLog.read(s, corpus)
+          .filter(pmod(col("vec_id"), lit(50)) === 0)
+        graft.operators.IvfIncremental.topK(s, queries, "vec_id",
+            "embedding", index, cents, k = 10, nProbe = 16)
+          .withColumn("content_equal", lit(contentEqual))
+          .withColumn("applied_version", lit(applied))
+          .withColumn("replay_noop", lit(replayNoop))
+          .withColumn("drift_measured", lit(drift > 0.0))
+          .orderBy(col("query_id"), col("rn"))
+          .localCheckpoint(true)
+      } finally rmTree(root)
     })
   )
 
@@ -427,6 +490,32 @@ object Pipeline21 {
         |FROM a JOIN b ON a.l_orderkey = b.l_orderkey
         |  AND a.l_linenumber = b.l_linenumber
         |GROUP BY b.l_returnflag
-        |ORDER BY b.l_returnflag""".stripMargin
+        |ORDER BY b.l_returnflag""".stripMargin,
+
+    // brute-force top-10 over the corpus' FINAL state (initial three
+    // quarters + appended quarter − deleted tenth = vec_id % 10 != 1);
+    // full probing makes the maintained-index search exhaustive, so
+    // the hash pins the index CONTENT, not just its recall. The four
+    // maintenance-protocol witnesses ride as constants.
+    "q227_ann_ivf_incremental" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding,
+        |      x_ -> CAST(floor(CAST(x_ AS DOUBLE) * 10000000.0) AS BIGINT)) AS v
+        |  FROM embeddings WHERE vec_id % 10 != 1),
+        |q AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+        |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i_ -> q.v[i_] * c.v[i_])) AS BIGINT) AS dot_fp
+        |  FROM q JOIN e c ON q.vec_id <> c.vec_id)
+        |SELECT query_id, neighbor_id, dot_fp,
+        |  CAST(ROW_NUMBER() OVER w AS INT) AS rn,
+        |  true AS content_equal,
+        |  CAST(3 AS BIGINT) AS applied_version,
+        |  true AS replay_noop,
+        |  true AS drift_measured
+        |FROM s
+        |WINDOW w AS (PARTITION BY query_id ORDER BY dot_fp DESC, neighbor_id ASC)
+        |QUALIFY ROW_NUMBER() OVER w <= 10
+        |ORDER BY query_id, rn""".stripMargin
   )
 }
