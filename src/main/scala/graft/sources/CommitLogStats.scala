@@ -951,6 +951,16 @@ object CommitLogStats {
     * `clusterCols` to make the ordering UNIQUE — boundary ties on a
     * non-unique prefix would let shuffle order move rows across
     * segment boundaries between runs. */
+  /** OPTIMIZE-vs-DML concurrency row of the isolation contract
+    * (raced in CommitLogSpec alongside the merge-vs-merge law): a
+    * compact losing the version race to a concurrent vectored delete
+    * REBASES PRESERVING THE DELETION — every OCC attempt re-resolves
+    * the FRESH snapshot and reads it LIVE (`readLive` subtracts the
+    * winner's deletion vector), so the rewritten segments materialize
+    * the subtraction and the published compact (which carries no DV)
+    * can never resurrect deleted rows. The mirrored ordering holds
+    * too: a vectored delete losing to a compact rebases onto the
+    * rewritten segment set inside its own OCC loop. */
   def compactClustered(spark: SparkSession, table: String,
       clusterCols: Seq[String], nSegments: Int, statsCols: Seq[String],
       maxRetries: Int = 20): Long = {

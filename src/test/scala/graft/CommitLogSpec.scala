@@ -244,6 +244,46 @@ class CommitLogSpec extends AnyFunSuite {
     } finally rm(t)
   }
 
+  test("OPTIMIZE racing a concurrent vectored delete never resurrects " +
+      "deleted rows: whichever writer loses the version race rebases " +
+      "onto the winner's state (compact reads live, delete re-keys)") {
+    val t = tmpTable()
+    try {
+      CommitLog.merge(spark, t,
+        df((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0),
+          (4L, "d", 4.0)), keys = Seq("id"))
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val fCompact = scala.concurrent.Future {
+        gate.await()
+        graft.sources.CommitLogStats.compactClustered(spark, t,
+          Seq("id"), 2, Seq("id"))
+      }
+      val fDelete = scala.concurrent.Future {
+        gate.await()
+        CommitLog.deleteVectored(spark, t, col("id") === 2L)
+      }
+      gate.countDown()
+      scala.concurrent.Await.result(fCompact,
+        scala.concurrent.duration.Duration("120s")): Unit
+      scala.concurrent.Await.result(fDelete,
+        scala.concurrent.duration.Duration("120s")): Unit
+      pool.shutdown()
+      // invariant across EITHER arbitration order: the deleted row is
+      // gone, every other row survives byte-identical
+      assert(sortedRows(CommitLog.read(spark, t)) ===
+        Seq((1L, "a", 1.0), (3L, "c", 3.0), (4L, "d", 4.0)))
+      // both writers committed (no silent no-op), versions serialized
+      assert(CommitLog.currentVersion(spark, t) === Some(3L))
+      val ops = CommitLog.snapshotsAsc(spark, t).map(_.op)
+      assert(ops.count(_ == "compact") === 1 &&
+        ops.count(o => o == "delete_dv" || o == "delete") === 1,
+        s"ops: $ops")
+    } finally rm(t)
+  }
+
   test("snapshot isolation: a reader resolved before a commit keeps seeing its version") {
     val t = tmpTable()
     try {
