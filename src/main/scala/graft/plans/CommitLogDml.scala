@@ -38,8 +38,8 @@ import graft.sources.{CommitLog, CommitLogTable}
   * plain — the join coalesces them). Statement shapes the protocol
   * executor cannot express fail LOUDLY with the exact limitation
   * (never a silent wrong answer): non-equi or differently-named merge
-  * keys, non-name-aligned INSERT expressions, schema evolution,
-  * subqueries in MERGE conditions, non-equi-key correlations.
+  * keys, non-name-aligned INSERT expressions, subqueries in the
+  * MERGE ON condition, non-equi-key correlations.
   * Match sides translate as ORDERED clause lists — any number of
   * conditional UPDATE/DELETE clauses, SQL first-match-wins preserved
   * verbatim by the executor's list-order semantics; `WHEN NOT MATCHED
@@ -167,10 +167,11 @@ object CommitLogDmlStrategy extends SparkStrategy {
       s"commitlog SQL DML: $what. The protocol executor " +
         "(CommitLog.update/mergeIntoClauses/delete) supports " +
         "equi-key merges with any number of ordered UPDATE/DELETE " +
-        "clauses per match side, name-aligned INSERT, subquery-free " +
-        "MERGE conditions, and uncorrelated subqueries in " +
-        "UPDATE/DELETE WHERE clauses; use the programmatic API for " +
-        "anything wider.")
+        "clauses per match side, name-aligned INSERT, and — in " +
+        "WHERE clauses, merge clause conditions, and SET values — " +
+        "uncorrelated subqueries plus equi-key-correlated EXISTS/IN " +
+        "and a single correlated scalar aggregate; use the " +
+        "programmatic API for anything wider.")
 
   /** Re-target a resolved expression onto the executor's frame by
     * NAME: target attrs keep their name, source attrs take the
@@ -448,7 +449,13 @@ object CommitLogDmlStrategy extends SparkStrategy {
     val sourceAttrs = m.sourceTable.outputSet
     val keys = mergeKeys(m.mergeCondition, targetAttrs, sourceAttrs)
     val keySet = keys.toSet
-    def tr(e: Expression): Column = nameBased(e, sourceAttrs, keySet)
+    // clause conditions and SET values admit subqueries (round 16):
+    // uncorrelated ones pass through; equi-key-correlated EXISTS/IN
+    // decorrelate like the DELETE/UPDATE predicates. The executor
+    // evaluates clause conditions inside coalesce-wrapped projections
+    // (fireIndex), so they plan as hash joins in either polarity.
+    def tr(e: Expression): Column = nameBased(e, sourceAttrs, keySet,
+      allowUncorrelatedSubqueries = true)
 
     val matchedClauses = clauseList(m.matchedActions, tr, "matched")
     // NOT MATCHED BY SOURCE: same clause shapes; conditions/SET
@@ -482,7 +489,8 @@ object CommitLogDmlStrategy extends SparkStrategy {
         // frame (plain column names, no __src_ join renaming); a
         // NOT-MATCHED condition can only reference source columns
         insertCond = cond.map(e =>
-          nameBased(e, AttributeSet.empty, Set.empty))
+          nameBased(e, AttributeSet.empty, Set.empty,
+            allowUncorrelatedSubqueries = true))
       case other => unsupported(s"not-matched action $other")
     }
     if (matchedClauses.isEmpty && !insert && nmbsClauses.isEmpty)

@@ -157,10 +157,14 @@ object Pipeline21 {
         s.conf.set(s"spark.sql.catalog.$cat.root", root)
         val tbl = s"$root/ns/t"
         val o = t(s, dir, "orders")
+        // the narrow-INT fixture column mods the key first: scaled
+        // datasets shift keys by copy·10^9, which must not overflow
+        // the PRE-widening INT era this query simulates
         CommitLog.append(s, tbl,
           o.filter(pmod(col("o_orderkey"), lit(3)) === 0)
             .select(col("o_orderkey"),
-              col("o_custkey").cast("int").as("o_custkey"),
+              pmod(col("o_custkey"), lit(1000000)).cast("int")
+                .as("o_custkey"),
               col("o_totalprice").cast("float").as("o_totalprice")))
         o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
           .select(col("o_orderkey"), col("o_custkey"),
@@ -296,6 +300,56 @@ object Pipeline21 {
       } finally {
         s.conf.unset("spark.sql.catalog.gq226")
         s.conf.unset("spark.sql.catalog.gq226.root")
+        rmTree(root)
+      }
+    }),
+
+    // Subqueries in MERGE clause conditions (round 16): an IN-gated
+    // UPDATE clause shadowed by a DELETE (first-match-wins), and an
+    // IN-gated INSERT — previously a loud refusal. The executor
+    // evaluates clause conditions inside coalesce-wrapped projections
+    // (one nested CASE per match side), so the subquery plans as a
+    // hash join; the oracle replays the same gated algebra over raw
+    // orders/customer.
+    "q228_commitlog_sql_merge_subquery_conditions" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q228_").toString
+      val cat = "graftq228"
+      try {
+        s.conf.set(s"spark.sql.catalog.$cat",
+          "graft.sources.CommitLogCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        val tbl = s"$root/ns/t"
+        val o = t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+        CommitLog.append(s, tbl,
+          o.filter(pmod(col("o_orderkey"), lit(3)) === 0))
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+          .withColumn("new_price", col("o_totalprice") + 1000.0)
+          .createOrReplaceTempView("q228_src")
+        t(s, dir, "customer")
+          .filter(col("c_mktsegment") === "MACHINERY")
+          .select(col("c_custkey"))
+          .createOrReplaceTempView("q228_allow")
+        s.sql(
+          s"""MERGE INTO $cat.ns.t t USING q228_src s
+             |ON t.o_orderkey = s.o_orderkey
+             |WHEN MATCHED AND t.o_custkey IN
+             |  (SELECT c_custkey FROM q228_allow)
+             |  THEN UPDATE SET o_totalprice = s.new_price
+             |WHEN MATCHED AND t.o_orderstatus = 'F' THEN DELETE
+             |WHEN NOT MATCHED AND s.o_custkey IN
+             |  (SELECT c_custkey FROM q228_allow)
+             |  THEN INSERT
+             |  (o_orderkey, o_custkey, o_orderstatus, o_totalprice)
+             |  VALUES (s.o_orderkey, s.o_custkey, s.o_orderstatus,
+             |          s.o_totalprice)""".stripMargin)
+        statusResult(s, tbl, CommitLog.versions(s, tbl).size)
+      } finally {
+        s.catalog.dropTempView("q228_src"): Unit
+        s.catalog.dropTempView("q228_allow"): Unit
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.root")
         rmTree(root)
       }
     }),
@@ -441,7 +495,7 @@ object Pipeline21 {
     // like the up-converting scan) and the long-native source
     "q225_commitlog_merge_evolution_widening" ->
       """WITH t AS (SELECT o_orderkey,
-        |    CAST(o_custkey AS INT) AS o_custkey,
+        |    CAST(o_custkey % 1000000 AS INT) AS o_custkey,
         |    CAST(o_totalprice AS REAL) AS o_totalprice
         |  FROM orders WHERE o_orderkey % 3 = 0),
         |s AS (SELECT o_orderkey, o_custkey, o_totalprice,
@@ -491,6 +545,40 @@ object Pipeline21 {
         |  AND a.l_linenumber = b.l_linenumber
         |GROUP BY b.l_returnflag
         |ORDER BY b.l_returnflag""".stripMargin,
+
+    // the gated first-match-wins algebra: matched+allowed -> update
+    // (shadows the DELETE), matched+F+not-allowed -> delete, other
+    // matched and all unmatched target rows keep; allowed unmatched
+    // source rows insert
+    "q228_commitlog_sql_merge_subquery_conditions" ->
+      """WITH allow AS (SELECT c_custkey FROM customer
+        |               WHERE c_mktsegment = 'MACHINERY'),
+        |t AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |        o_totalprice FROM orders WHERE o_orderkey % 3 = 0),
+        |s AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |        o_totalprice, o_totalprice + 1000.0 AS new_price
+        |      FROM orders WHERE o_orderkey % 2 = 0),
+        |kept AS (
+        |  SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus,
+        |    CASE WHEN s.o_orderkey IS NOT NULL AND t.o_custkey IN
+        |        (SELECT c_custkey FROM allow)
+        |      THEN s.new_price ELSE t.o_totalprice END AS o_totalprice
+        |  FROM t LEFT JOIN s ON s.o_orderkey = t.o_orderkey
+        |  WHERE NOT (s.o_orderkey IS NOT NULL
+        |    AND NOT t.o_custkey IN (SELECT c_custkey FROM allow)
+        |    AND t.o_orderstatus = 'F')),
+        |ins AS (
+        |  SELECT s.o_orderkey, s.o_custkey, s.o_orderstatus,
+        |    s.o_totalprice
+        |  FROM s LEFT JOIN t ON t.o_orderkey = s.o_orderkey
+        |  WHERE t.o_orderkey IS NULL
+        |    AND s.o_custkey IN (SELECT c_custkey FROM allow)),
+        |fin AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+        |SELECT o_orderstatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price,
+        |  2 AS n_versions
+        |FROM fin GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // brute-force top-10 over the corpus' FINAL state (initial three
     // quarters + appended quarter − deleted tenth = vec_id % 10 != 1);

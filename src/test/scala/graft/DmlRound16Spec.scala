@@ -176,6 +176,50 @@ class DmlRound16Spec extends AnyFunSuite {
     } finally spark.catalog.dropTempView("g16_we_src"): Unit
   }
 
+  test("subqueries in MERGE clause conditions (round 16): an IN " +
+      "gate on an UPDATE clause, first-match-wins over a plain " +
+      "DELETE, and an IN-gated INSERT — previously refused") {
+    import spark.implicits._
+    n += 1
+    val name = s"mc$n"
+    val tbl = s"$root/ns/$name"
+    CommitLog.append(spark, tbl, Seq[(java.lang.Long, String, Double)](
+      (1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("id", "name", "v"))
+    Seq((1L, 10.0), (2L, 20.0), (4L, 40.0), (5L, 50.0))
+      .toDF("id", "nv").createOrReplaceTempView("g16_mc_src")
+    Seq(1L, 4L).toDF("k").createOrReplaceTempView("g16_mc_allow")
+    try {
+      spark.sql(
+        s"""MERGE INTO g16.ns.$name t USING g16_mc_src s
+           |ON t.id = s.id
+           |WHEN MATCHED AND t.id IN (SELECT k FROM g16_mc_allow)
+           |  THEN UPDATE SET v = s.nv
+           |WHEN MATCHED THEN DELETE
+           |WHEN NOT MATCHED AND s.id IN (SELECT k FROM g16_mc_allow)
+           |  THEN INSERT (id, name, v) VALUES (s.id, s.name, s.nv)
+           |""".stripMargin)
+      fail("name-aligned INSERT required — expected refusal above")
+    } catch { case _: Exception => () } // INSERT s.name absent: loud
+    spark.sql(
+      s"""MERGE INTO g16.ns.$name t USING
+         |  (SELECT id, 'src' AS name, nv AS v FROM g16_mc_src) s
+         |ON t.id = s.id
+         |WHEN MATCHED AND t.id IN (SELECT k FROM g16_mc_allow)
+         |  THEN UPDATE SET v = s.v
+         |WHEN MATCHED THEN DELETE
+         |WHEN NOT MATCHED AND s.id IN (SELECT k FROM g16_mc_allow)
+         |  THEN INSERT *
+         |""".stripMargin)
+    // id=1: matched, allowed -> v=10; id=2: matched, not allowed ->
+    // DELETE; id=3: untouched; id=4: unmatched, allowed -> insert;
+    // id=5: unmatched, not allowed -> nothing
+    assert(state(tbl) === Set((Some(1L), "a", 10.0),
+      (Some(3L), "c", 3.0), (Some(4L), "src", 40.0)))
+    spark.catalog.dropTempView("g16_mc_src"): Unit
+    spark.catalog.dropTempView("g16_mc_allow"): Unit
+  }
+
   test("two DISTINCT correlated scalar subqueries refuse LOUDLY") {
     val (sql, tbl) = fresh(Seq((1L, "a", 0.0)))
     val e = intercept[Exception] {
