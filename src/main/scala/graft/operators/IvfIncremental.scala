@@ -65,6 +65,24 @@ object IvfIncremental {
     }.toDF(idCol, "cell", "d2", "v")
   }
 
+  /** The NET effect of the corpus feed over (applied, cur]: one row
+    * per touched id — its LAST change wins (within a version the
+    * postimage/insert outranks its paired preimage), so an
+    * insert-then-delete nets to a delete row and repeated updates net
+    * to the final postimage. Shared by the IVF and PQ maintainers. */
+  private[operators] def feedNetEffect(spark: SparkSession,
+      corpusTable: String, applied: Long, cur: Long,
+      idCol: String): DataFrame = {
+    val feed = CommitLog.changeFeed(spark, corpusTable, applied,
+      toVersion = Some(cur))
+    val rank = when(col("_change_type")
+      .isin("insert", "update_postimage"), 1).otherwise(0)
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("_commit_version").desc, rank.desc)
+    feed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+  }
+
   private def loadCents(spark: SparkSession, centroidsTable: String)
       : Array[Array[Long]] = {
     import spark.implicits._
@@ -132,16 +150,8 @@ object IvfIncremental {
       .getOrElse(throw new IllegalStateException(
         s"IvfIncremental.applyFeed: nothing committed at $corpusTable"))
     if (cur <= applied) return (applied, 0.0)
-    val feed = CommitLog.changeFeed(spark, corpusTable, applied,
-      toVersion = Some(cur))
-    // last change per id wins; within a version the postimage/insert
-    // outranks its paired preimage
-    val rank = when(col("_change_type")
-      .isin("insert", "update_postimage"), 1).otherwise(0)
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("_commit_version").desc, rank.desc)
-    val last = feed.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+    val last = IvfIncremental.feedNetEffect(spark, corpusTable,
+      applied, cur, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val upserts = last.filter(col("_change_type")

@@ -415,6 +415,73 @@ object Pipeline21 {
           .orderBy(col("query_id"), col("rn"))
           .localCheckpoint(true)
       } finally rmTree(root)
+    }),
+
+    // INCREMENTAL PQ maintenance (round 16, the compressed-domain
+    // twin of q227): codebooks fit ONCE on the initial corpus; the
+    // held-out quarter arrives and a tenth leaves; the delta ENCODES
+    // against the existing codebooks (no re-fit) and lands as a keyed
+    // merge + DV tombstones under the exactly-once watermark. The ADC
+    // search runs over the STORED codes (never re-encoding — the 32x
+    // compression is the point); the oracle replays the ENTIRE
+    // fit(initial)→encode(final)→ADC pipeline in SQL, so the
+    // approximation itself is hash-verified, not just its recall.
+    "q229_pq_adc_incremental" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q229_").toString
+      try {
+        val corpus = s"$root/corpus"
+        val codes = s"$root/codes"
+        val cb = s"$root/cb"
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        CommitLog.append(s, corpus,
+          e.filter(pmod(col("vec_id"), lit(4)) =!= 3))
+        graft.operators.PqIncremental.build(s, corpus, codes, cb,
+          "vec_id", "embedding", m = 8, k = 16, iters = 2): Unit
+        CommitLog.append(s, corpus,
+          e.filter(pmod(col("vec_id"), lit(4)) === 3))
+        CommitLog.delete(s, corpus,
+          pmod(col("vec_id"), lit(10)) === 1): Unit
+        val (applied, drift) = graft.operators.PqIncremental
+          .applyFeed(s, corpus, codes, cb, "vec_id", "embedding")
+        // law: feed-applied codes ≡ one-shot encode of the current
+        // snapshot under the same codebooks (compare id+codes; err is
+        // derived from the same assignment)
+        import s.implicits._
+        val cbRows = CommitLog.read(s, cb)
+          .select(col("m"), col("kk"), col("v"))
+          .as[(Int, Int, Array[Long])].collect()
+        val mN = cbRows.map(_._1).max + 1
+        val kN = cbRows.map(_._2).max + 1
+        val cents = Array.ofDim[Array[Long]](mN, kN)
+        cbRows.foreach { case (mm, kk, v) => cents(mm)(kk) = v }
+        val books = graft.operators.PqIndex.Codebooks(
+          cbRows.head._3.length, cents.map(_.toArray))
+        val scratch = graft.operators.PqIndex.encode(
+            CommitLog.read(s, corpus), "vec_id", "embedding", books)
+          .toDF("vec_id", "codes")
+        val live = CommitLog.read(s, codes)
+          .select(col("vec_id"), col("codes"))
+        val contentEqual =
+          live.exceptAll(scratch).limit(1).collect().isEmpty &&
+          scratch.exceptAll(live).limit(1).collect().isEmpty
+        val v0 = CommitLog.versions(s, codes).max
+        val (applied2, _) = graft.operators.PqIncremental
+          .applyFeed(s, corpus, codes, cb, "vec_id", "embedding")
+        val replayNoop = applied2 == applied &&
+          CommitLog.versions(s, codes).max == v0
+        val queries = CommitLog.read(s, corpus)
+          .filter(pmod(col("vec_id"), lit(50)) === 0)
+        graft.operators.PqIncremental.adcTopK(s, queries, "vec_id",
+            "embedding", codes, cb, k = 5)
+          .withColumn("content_equal", lit(contentEqual))
+          .withColumn("applied_version", lit(applied))
+          .withColumn("replay_noop", lit(replayNoop))
+          .withColumn("drift_measured", lit(drift > 0.0))
+          .orderBy(col("query_id"), col("rn"))
+          .localCheckpoint(true)
+      } finally rmTree(root)
     })
   )
 
@@ -604,6 +671,80 @@ object Pipeline21 {
         |FROM s
         |WINDOW w AS (PARTITION BY query_id ORDER BY dot_fp DESC, neighbor_id ASC)
         |QUALIFY ROW_NUMBER() OVER w <= 10
-        |ORDER BY query_id, rn""".stripMargin
+        |ORDER BY query_id, rn""".stripMargin,
+
+    // full fit(initial corpus)→encode(final corpus)→ADC replay, the
+    // q168 oracle adapted to the incremental protocol: codebooks fit
+    // over vec_id % 4 != 3 (seeds = lowest ids, 2 Lloyd rounds),
+    // codes assigned over the FINAL corpus (% 10 != 1) — exactly what
+    // feed-application must reproduce
+    "q229_pq_adc_incremental" -> {
+      def assign(src: String, prev: String, out: String): String =
+        s"""$out AS MATERIALIZED (
+           |  SELECT vec_id, m, kk FROM (
+           |    SELECT s.vec_id, s.m, c.kk,
+           |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+           |        ORDER BY SUM((s.x - c.x) * (s.x - c.x)), c.kk) AS rn
+           |    FROM $src s JOIN $prev c ON c.m = s.m AND c.j = s.j
+           |    GROUP BY s.vec_id, s.m, c.kk)
+           |  WHERE rn = 1)""".stripMargin
+      def update(a: String, prev: String, out: String): String =
+        s"""$out AS MATERIALIZED (
+           |  SELECT c.m, c.kk, c.j, COALESCE(u.cx, c.x) AS x
+           |  FROM $prev c LEFT JOIN (
+           |    SELECT a.m, a.kk, s.j,
+           |      CAST(SUM(s.x) // COUNT(*) AS BIGINT) AS cx
+           |    FROM $a a JOIN subfit s
+           |      ON s.vec_id = a.vec_id AND s.m = a.m
+           |    GROUP BY a.m, a.kk, s.j) u
+           |  ON u.m = c.m AND u.kk = c.kk AND u.j = c.j)""".stripMargin
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding,
+         |    x_ -> CAST(floor(CAST(x_ AS DOUBLE) * 10000000.0) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |sub AS MATERIALIZED (
+         |  SELECT e.vec_id, mm.m, jj.j, e.v[mm.m * 8 + jj.j] AS x
+         |  FROM e
+         |  CROSS JOIN (SELECT unnest(range(8)) AS m) mm
+         |  CROSS JOIN (SELECT unnest(range(1, 9)) AS j) jj),
+         |subfit AS MATERIALIZED (
+         |  SELECT * FROM sub WHERE vec_id % 4 != 3),
+         |subfin AS MATERIALIZED (
+         |  SELECT * FROM sub WHERE vec_id % 10 != 1),
+         |c0 AS MATERIALIZED (
+         |  SELECT m, kk, j, x FROM (
+         |    SELECT subfit.*, ROW_NUMBER() OVER (PARTITION BY m, j
+         |      ORDER BY vec_id) - 1 AS kk
+         |    FROM subfit)
+         |  WHERE kk < 16),
+         |${assign("subfit", "c0", "a1")},
+         |${update("a1", "c0", "c1")},
+         |${assign("subfit", "c1", "a2")},
+         |${update("a2", "c1", "c2")},
+         |${assign("subfin", "c2", "codes")},
+         |q AS (SELECT * FROM subfin WHERE vec_id % 50 = 0),
+         |lut AS MATERIALIZED (
+         |  SELECT q.vec_id AS query_id, c.m, c.kk,
+         |    CAST(SUM(q.x * c.x) AS BIGINT) AS d
+         |  FROM q JOIN c2 c ON c.m = q.m AND c.j = q.j
+         |  GROUP BY q.vec_id, c.m, c.kk),
+         |score AS MATERIALIZED (
+         |  SELECT l.query_id, a.vec_id AS neighbor_id,
+         |    CAST(SUM(l.d) AS BIGINT) AS dot_fp
+         |  FROM codes a JOIN lut l ON l.m = a.m AND l.kk = a.kk
+         |  WHERE a.vec_id <> l.query_id
+         |  GROUP BY l.query_id, a.vec_id)
+         |SELECT query_id, neighbor_id, dot_fp,
+         |  CAST(ROW_NUMBER() OVER w AS INT) AS rn,
+         |  true AS content_equal,
+         |  CAST(3 AS BIGINT) AS applied_version,
+         |  true AS replay_noop,
+         |  true AS drift_measured
+         |FROM score
+         |WINDOW w AS (PARTITION BY query_id
+         |  ORDER BY dot_fp DESC, neighbor_id ASC)
+         |QUALIFY ROW_NUMBER() OVER w <= 5
+         |ORDER BY query_id, rn""".stripMargin
+    }
   )
 }
