@@ -65,6 +65,35 @@ object IvfIncremental {
     }.toDF(idCol, "cell", "d2", "v")
   }
 
+  /** The ANN-index row of the maintenance-advisor pattern
+    * (CommitLogMaintenance's recommend → run → go-quiet loop): an
+    * index whose exactly-once watermark trails the corpus' current
+    * version by ≥ `staleVersions` needs a feed application — at
+    * 100 TB a scheduler asks every (corpus, index) registration this
+    * question nightly, exactly like `maintenance_plan` asks tables.
+    * Metadata-only: one version listing per table, one bounded
+    * watermark probe; empty ⇒ the index is current. Shared by the
+    * IVF ([[AppId]]) and PQ ([[PqIncremental.AppId]]) maintainers. */
+  def maintenancePlan(spark: SparkSession, corpusTable: String,
+      indexTable: String, appId: String = AppId,
+      staleVersions: Int = 1): Seq[(String, String, String)] = {
+    val watermark = CommitLog.lastTxn(spark, indexTable, appId)
+    val cur = CommitLog.currentVersion(spark, corpusTable)
+    (watermark, cur) match {
+      case (None, _) => Seq(("ann_build",
+        s"index $indexTable carries no '$appId' watermark — never " +
+          "built from this corpus",
+        "IvfIncremental.build / PqIncremental.build"))
+      case (Some(w), Some(c)) if c - w >= staleVersions => Seq((
+        "ann_apply_feed",
+        s"index watermark at corpus version $w, corpus at $c " +
+          s"(${c - w} version(s) behind) — searches serve stale " +
+          "results until the feed applies",
+        "IvfIncremental.maintain / PqIncremental.maintain"))
+      case _ => Seq.empty
+    }
+  }
+
   /** The NET effect of the corpus feed over (applied, cur]: one row
     * per touched id — its LAST change wins (within a version the
     * postimage/insert outranks its paired preimage), so an

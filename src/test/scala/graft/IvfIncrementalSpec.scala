@@ -107,6 +107,32 @@ class IvfIncrementalSpec extends AnyFunSuite {
     } finally rm(root)
   }
 
+  test("advisor loop: a stale index is recommended for feed " +
+      "application; after maintain the advisor goes quiet") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ivfadv_").toString
+    val (corpus, index, cents) =
+      (s"$root/c", s"$root/i", s"$root/k")
+    try {
+      CommitLog.append(spark, corpus, df(1L to 50L))
+      // never built -> ann_build
+      assert(IvfIncremental.maintenancePlan(spark, corpus, index)
+        .map(_._1) === Seq("ann_build"))
+      IvfIncremental.build(spark, corpus, index, cents,
+        "vec_id", "embedding", nCells = 4): Unit
+      assert(IvfIncremental.maintenancePlan(spark, corpus, index)
+        .isEmpty, "fresh index must be quiet")
+      CommitLog.append(spark, corpus, df(51L to 60L))
+      val rec = IvfIncremental.maintenancePlan(spark, corpus, index)
+      assert(rec.map(_._1) === Seq("ann_apply_feed"),
+        s"stale index must recommend, got $rec")
+      IvfIncremental.maintain(spark, corpus, index, cents,
+        "vec_id", "embedding"): Unit
+      assert(IvfIncremental.maintenancePlan(spark, corpus, index)
+        .isEmpty, "maintained index must go quiet")
+    } finally rm(root)
+  }
+
   test("drift past the threshold triggers the refit: far-off-mode " +
       "vectors re-train the centroids; below it, maintain applies " +
       "the feed and leaves the fit alone") {
