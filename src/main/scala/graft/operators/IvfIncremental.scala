@@ -120,16 +120,60 @@ object IvfIncremental {
       .as[(Int, Array[Long])].collect().map(_._2)
   }
 
+  /** `(cell, v, n, sum_d2)` centroid rows with per-cell fit stats
+    * computed from the in-hand assignment (never a re-read of the
+    * just-written index). */
+  private def centroidsDf(spark: SparkSession,
+      cents: Array[Array[Long]], assigned: DataFrame): DataFrame = {
+    import spark.implicits._
+    val stats = assigned.groupBy(col("cell")).agg(
+      count(lit(1)).as("n"),
+      sum(col("d2").cast("decimal(38,0)")).as("sum_d2"))
+    cents.zipWithIndex
+      .map { case (v, c) => (c, v) }.toSeq.toDF("cell", "v")
+      .join(stats, Seq("cell"), "left")
+      .na.fill(0L, Seq("n", "sum_d2"))
+      .select(col("cell"), col("v"), col("n"), col("sum_d2"))
+  }
+
+  /** Content-replace (or create) the index pair from a fresh fit +
+    * assignment, stamp the watermark at `corpusVersion`, and lay the
+    * cell-clustered inverted-list layout. Shared by [[build]] and
+    * [[maintain]]'s refit. */
+  private def installIndex(spark: SparkSession, indexTable: String,
+      centroidsTable: String, cents: Array[Array[Long]],
+      assigned: DataFrame, corpusVersion: Long, nCells: Int): Unit = {
+    if (CommitLog.currentVersion(spark, indexTable).isDefined) {
+      // a REBUILD over an existing index must replace, not append —
+      // an appended second assignment would duplicate every row
+      CommitLog.overwriteWhere(spark, indexTable, assigned,
+        lit(true)): Unit
+      CommitLog.commitTxnMarker(spark, indexTable, AppId,
+        corpusVersion): Unit
+    } else CommitLog.appendTxn(spark, indexTable, assigned, AppId,
+      corpusVersion): Unit
+    // inverted lists as the physical layout: cell-sorted segments +
+    // per-segment (cell) stats → a probe's cell filter skips every
+    // unprobed list's files
+    graft.sources.CommitLogStats.compactClustered(spark, indexTable,
+      Seq("cell"), math.max(1, nCells / 2), Seq("cell")): Unit
+    val centsDf = centroidsDf(spark, cents, assigned)
+    if (CommitLog.currentVersion(spark, centroidsTable).isDefined)
+      CommitLog.overwriteWhere(spark, centroidsTable, centsDf,
+        lit(true)): Unit
+    else CommitLog.append(spark, centroidsTable, centsDf): Unit
+  }
+
   /** Build the index pair from the corpus table's CURRENT snapshot:
     * distributed Lloyd fit (no corpus collect), one map-side
     * assignment, index committed with the (AppId, corpusVersion) txn
     * stamp, cell-clustered so probed scans skip unprobed inverted
-    * lists via the stats sidecars. Returns the covered corpus
-    * version. */
+    * lists via the stats sidecars. Re-building over an EXISTING index
+    * content-replaces it (never appends a duplicate assignment).
+    * Returns the covered corpus version. */
   def build(spark: SparkSession, corpusTable: String,
       indexTable: String, centroidsTable: String, idCol: String,
       vecCol: String, nCells: Int = 16, iters: Int = 2): Long = {
-    import spark.implicits._
     val corpusVersion = CommitLog.currentVersion(spark, corpusTable)
       .getOrElse(throw new IllegalStateException(
         s"IvfIncremental.build: nothing committed at $corpusTable"))
@@ -137,25 +181,10 @@ object IvfIncremental {
     val cents = IvfIndex.fitDistributed(corpus, idCol, vecCol,
       nCells, iters)
     val assigned = assignFixed(corpus, idCol, vecCol, cents)
-    CommitLog.appendTxn(spark, indexTable, assigned, AppId,
-      corpusVersion): Unit
-    // inverted lists as the physical layout: cell-sorted segments +
-    // per-segment (cell) stats → a probe's cell filter skips every
-    // unprobed list's files
-    graft.sources.CommitLogStats.compactClustered(spark, indexTable,
-      Seq("cell"), math.max(1, nCells / 2), Seq("cell")): Unit
-    val stats = CommitLog.read(spark, indexTable)
-      .groupBy(col("cell")).agg(count(lit(1)).as("n"),
-        sum(col("d2").cast("decimal(38,0)")).as("sum_d2"))
-    val centsDf = cents.zipWithIndex
-      .map { case (v, c) => (c, v) }.toSeq.toDF("cell", "v")
-      .join(stats, Seq("cell"), "left")
-      .na.fill(0L, Seq("n", "sum_d2"))
-      .select(col("cell"), col("v"), col("n"), col("sum_d2"))
-    if (CommitLog.currentVersion(spark, centroidsTable).isDefined)
-      CommitLog.overwriteWhere(spark, centroidsTable, centsDf,
-        lit(true)): Unit
-    else CommitLog.append(spark, centroidsTable, centsDf): Unit
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try installIndex(spark, indexTable, centroidsTable, cents,
+      assigned, corpusVersion, nCells)
+    finally assigned.unpersist(): Unit
     corpusVersion
   }
 
@@ -193,10 +222,11 @@ object IvfIncremental {
           Seq(idCol)): Unit
       val drift =
         if (upserts.limit(1).collect().isEmpty) {
-          // nothing to merge — advance the watermark with an empty
-          // stamped commit so the next run's feed stays O(new delta)
-          CommitLog.appendTxn(spark, indexTable,
-            CommitLog.read(spark, indexTable).limit(0), AppId, cur): Unit
+          // nothing to merge — advance the watermark with a
+          // METADATA-ONLY stamped marker (an empty appendTxn would
+          // grow a zero-row segment per delete-only cycle)
+          CommitLog.commitTxnMarker(spark, indexTable, AppId,
+            cur): Unit
           0.0
         } else {
           val cents = loadCents(spark, centroidsTable)
@@ -246,28 +276,14 @@ object IvfIncremental {
     val (applied, drift) = applyFeed(spark, corpusTable, indexTable,
       centroidsTable, idCol, vecCol)
     if (drift <= driftThreshold) return (applied, false)
-    import spark.implicits._
     val corpus = CommitLog.read(spark, corpusTable)
     val cents = IvfIndex.fitDistributed(corpus, idCol, vecCol,
       nCells, iters)
     val assigned = assignFixed(corpus, idCol, vecCol, cents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      CommitLog.overwriteWhere(spark, indexTable, assigned,
-        lit(true)): Unit
-      graft.sources.CommitLogStats.compactClustered(spark, indexTable,
-        Seq("cell"), math.max(1, nCells / 2), Seq("cell")): Unit
-      val stats = assigned.groupBy(col("cell")).agg(
-        count(lit(1)).as("n"),
-        sum(col("d2").cast("decimal(38,0)")).as("sum_d2"))
-      val centsDf = cents.zipWithIndex
-        .map { case (v, c) => (c, v) }.toSeq.toDF("cell", "v")
-        .join(stats, Seq("cell"), "left")
-        .na.fill(0L, Seq("n", "sum_d2"))
-        .select(col("cell"), col("v"), col("n"), col("sum_d2"))
-      CommitLog.overwriteWhere(spark, centroidsTable, centsDf,
-        lit(true)): Unit
-    } finally assigned.unpersist(): Unit
+    try installIndex(spark, indexTable, centroidsTable, cents,
+      assigned, applied, nCells)
+    finally assigned.unpersist(): Unit
     (applied, true)
   }
 

@@ -112,13 +112,31 @@ object PqIncremental {
     val corpus = CommitLog.read(spark, corpusTable)
     val cb = PqIndex.fit(corpus, idCol, vecCol, m, k, iters)
     val codes = encodeWithErr(corpus, idCol, vecCol, cb)
-    CommitLog.appendTxn(spark, codesTable, codes, AppId,
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try installCodes(spark, codesTable, cbTable, cb, codes,
+      corpusVersion)
+    finally codes.unpersist(): Unit
+    corpusVersion
+  }
+
+  /** Content-replace (or create) the codes + codebooks pair and stamp
+    * the watermark — a re-build over an EXISTING codes table must
+    * replace, never append a duplicate encoding. Shared by [[build]]
+    * and [[maintain]]'s re-fit. */
+  private def installCodes(spark: SparkSession, codesTable: String,
+      cbTable: String, cb: PqIndex.Codebooks, codes: DataFrame,
+      corpusVersion: Long): Unit = {
+    if (CommitLog.currentVersion(spark, codesTable).isDefined) {
+      CommitLog.overwriteWhere(spark, codesTable, codes,
+        lit(true)): Unit
+      CommitLog.commitTxnMarker(spark, codesTable, AppId,
+        corpusVersion): Unit
+    } else CommitLog.appendTxn(spark, codesTable, codes, AppId,
       corpusVersion): Unit
-    val cbDf = codebookDf(spark, cb, CommitLog.read(spark, codesTable))
+    val cbDf = codebookDf(spark, cb, codes)
     if (CommitLog.currentVersion(spark, cbTable).isDefined)
       CommitLog.overwriteWhere(spark, cbTable, cbDf, lit(true)): Unit
     else CommitLog.append(spark, cbTable, cbDf): Unit
-    corpusVersion
   }
 
   /** Apply the corpus change feed since the recorded watermark —
@@ -151,8 +169,9 @@ object PqIncremental {
           Seq(idCol)): Unit
       val drift =
         if (upserts.limit(1).collect().isEmpty) {
-          CommitLog.appendTxn(spark, codesTable,
-            CommitLog.read(spark, codesTable).limit(0), AppId,
+          // metadata-only stamped marker: an empty appendTxn would
+          // grow a zero-row segment per delete-only cycle
+          CommitLog.commitTxnMarker(spark, codesTable, AppId,
             cur): Unit
           0.0
         } else {
@@ -201,11 +220,8 @@ object PqIncremental {
     val cb = PqIndex.fit(corpus, idCol, vecCol, m, k, iters)
     val codes = encodeWithErr(corpus, idCol, vecCol, cb)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      CommitLog.overwriteWhere(spark, codesTable, codes, lit(true)): Unit
-      CommitLog.overwriteWhere(spark, cbTable,
-        codebookDf(spark, cb, codes), lit(true)): Unit
-    } finally codes.unpersist(): Unit
+    try installCodes(spark, codesTable, cbTable, cb, codes, applied)
+    finally codes.unpersist(): Unit
     (applied, true)
   }
 

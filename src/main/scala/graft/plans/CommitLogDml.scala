@@ -235,13 +235,13 @@ object CommitLogDmlStrategy extends SparkStrategy {
     else None
   }
 
-  /** Rewrite equi-key-correlated EXISTS / IN predicates into GUARDED
+  /** Rewrite equi-key-correlated EXISTS / IN predicates into
     * uncorrelated forms the executor's frame plans WITHOUT a
     * nested-loop join in EITHER polarity:
     *
-    *   EXISTS(… ⋈ s.k = t.k)  →  t.k IS NOT NULL AND
-    *       array_contains((SELECT collect_set(s.k) …
-    *                       WHERE s.k IS NOT NULL), t.k)
+    *   EXISTS(… ⋈ s.k = t.k)  →
+    *       COALESCE((t.k) IN (SELECT s.k … WHERE s.k IS NOT NULL),
+    *                FALSE)
     *   a IN (SELECT x … ⋈ s.k = t.k)  →  t.k IS NOT NULL AND
     *       (a, t.k) IN (SELECT x, s.k … WHERE s.k IS NOT NULL)
     *

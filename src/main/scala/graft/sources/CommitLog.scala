@@ -2390,34 +2390,80 @@ object CommitLog {
     // increasing over versions (every stamped commit path checks the
     // watermark first), so the NEWEST stamp wins — scan newest-first
     // and stop at the first stamp for this appId. A per-(table, appId)
-    // cache remembers (scanned-through version, stamp) so steady state
-    // reads only the versions committed since the previous call.
-    // Vacuum-safe (old versions dropping changes nothing: the cache
-    // already holds their maximum); a table DELETED AND RECREATED at
-    // the same path inside one JVM is detected by the history top
-    // falling below the cached floor → full rescan from scratch.
+    // cache remembers (scanned-through version, its commit timestamp,
+    // stamp) so steady state reads only the versions committed since
+    // the previous call. The timestamp pins the table INCARNATION: a
+    // table deleted and recreated at the same path writes a different
+    // ts at the cached floor version, so the stale entry (whose stamp
+    // belongs to the dead table and could mask real batches) is
+    // detected and dropped no matter how far the new history has
+    // grown — at the cost of ONE extra record read per call (zero
+    // when nothing was committed since, the common steady state).
+    // Vacuum of the floor record reads as unvalidatable → full
+    // rescan, conservative.
     val key = (table, appId)
     val vs = versions(spark, table)
-    val cached = Option(txnCache.get(key))
-      .filter(c => vs.lastOption.exists(_ >= c._1))
+    if (vs.isEmpty) { txnCache.remove(key); return None }
+    val top = vs.last
+    val topRec = readRecord(spark, table, top)
+    val cached = Option(txnCache.get(key)).filter {
+      case (fv, fts, _) =>
+        fv <= top && {
+          val rec = if (fv == top) topRec
+            else readRecord(spark, table, fv)
+          rec.exists(_.snap.ts == fts)
+        }
+    }
+    if (cached.isEmpty) txnCache.remove(key): Unit
     val floor = cached.fold(Long.MinValue)(_._1)
     val found = vs.reverseIterator.takeWhile(_ > floor)
-      .map(v => readRecord(spark, table, v).flatMap(r =>
-        if (r.snap.txnApp.contains(appId)) r.snap.txnBatch else None))
+      .map { v =>
+        val rec = if (v == top) topRec else readRecord(spark, table, v)
+        rec.flatMap(r =>
+          if (r.snap.txnApp.contains(appId)) r.snap.txnBatch else None)
+      }
       .collectFirst { case Some(b) => b }
-    val result = found.orElse(cached.flatMap(_._2))
-    vs.lastOption.foreach { top =>
-      txnCache.merge(key, (top, result),
-        (a, b) => if (a._1 >= b._1) a else b)
-    }
+    val result = found.orElse(cached.flatMap(_._3))
+    txnCache.put(key, (top, topRec.flatMap(_.snap.ts), result)): Unit
     result
   }
 
   /** [[lastTxn]]'s per-JVM (table, appId) → (scanned-through version,
-    * stamp) watermark memo. Entries only ever advance; a recreated
-    * table at the same path invalidates via the floor check above. */
+    * its commit ts — the incarnation check — and stamp) memo. */
   private val txnCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, String), (Long, Option[Long])]()
+    (String, String), (Long, Option[Long], Option[Long])]()
+
+  /** Metadata-only TXN MARKER: commit a version carrying the (appId,
+    * batchId) stamp with the segment set — and every other state
+    * field — unchanged. How a maintainer advances its exactly-once
+    * watermark when a feed application wrote no rows (a delete-only
+    * delta): an `appendTxn` of an empty frame would append a real
+    * zero-row segment per cycle, inflating every later scan's file
+    * list without bound. O(1) manifest bytes (the delta record is
+    * empty adds/removes). Returns None when the watermark already
+    * covers `batchId` (replay), the committed version otherwise. */
+  def commitTxnMarker(spark: SparkSession, table: String,
+      appId: String, batchId: Long, maxRetries: Int = 20)
+      : Option[Long] = {
+    if (lastTxn(spark, table, appId).exists(_ >= batchId)) return None
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val cur = snapshot(spark, table).getOrElse(
+        throw new IllegalStateException(
+          s"CommitLog.commitTxnMarker: nothing committed at $table"))
+      if (attempt > 0 && lastTxn(spark, table, appId)
+          .exists(_ >= batchId)) return None
+      val snap = Snapshot(cur.version + 1L, cur.segments, cur.version,
+        "txn_marker", txnApp = Some(appId), txnBatch = Some(batchId),
+        schema = cur.schema, dv = cur.dv, bucket = cur.bucket)
+      if (tryPublish(spark, table, snap, Some(cur)))
+        return Some(snap.version)
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"CommitLog.commitTxnMarker: lost the version race " +
+        s"$maxRetries times at $table")
+  }
 
   /** Exactly-once APPEND for an idempotent writer: commit `df` stamped
     * (appId, batchId) unless a commit with this app's batchId (or a

@@ -558,24 +558,50 @@ class CommitLogCatalog extends TableCatalog
     // metadata-only) MAY combine with ADD COLUMNS in one statement:
     // that's exactly what the analyzer's MERGE WITH SCHEMA EVOLUTION
     // emits for a source that both widened a column (INT→LONG) and
-    // grew a new one. Widenings apply first (each its own metadata
-    // commit), adds follow as one evolve commit — all zero-rewrite,
-    // each individually OCC'd.
+    // grew a new one. Every change VALIDATES before anything commits
+    // (a statement mixing a widening with an unsupported change must
+    // refuse whole, not leave the widening behind); then widenings
+    // apply (each its own metadata commit), adds follow as one evolve
+    // commit — all zero-rewrite, each individually OCC'd.
     val widenings = changes.collect {
       case u: TableChange.UpdateColumnType => u
     }
-    widenings.foreach { u =>
-      if (u.fieldNames().length != 1)
-        throw new UnsupportedOperationException(
-          "commitlog catalog: ALTER COLUMN TYPE supports " +
-            "top-level columns only, got " +
-            s"'${u.fieldNames().mkString(".")}'")
-      CommitLog.widenColumn(spark, pathOf(ident), u.fieldNames()(0),
-        u.newDataType()): Unit
+    if (widenings.nonEmpty) {
+      // same resolution and exception contract as widenColumn itself
+      // (recorded schema, else inferred from segments; loud
+      // IllegalStateException for unknown/unsafe) — validated here so
+      // a statement mixing a widening with an unsupported change
+      // refuses WHOLE instead of committing the widening first
+      val path = pathOf(ident)
+      val cur = CommitLog.snapshot(spark, path).getOrElse(
+        throw new IllegalStateException(
+          s"commitlog catalog: nothing committed at $path"))
+      val schema = cur.schema.map(CommitLog.decodeSchema).getOrElse {
+        if (cur.segments.isEmpty) throw new IllegalStateException(
+          s"commitlog catalog: $path has no recorded schema and no " +
+            "segments — nothing to alter")
+        CommitLog.readSegments(spark, cur.segments, None).schema
+      }
+      widenings.foreach { u =>
+        if (u.fieldNames().length != 1)
+          throw new UnsupportedOperationException(
+            "commitlog catalog: ALTER COLUMN TYPE supports " +
+              "top-level columns only, got " +
+              s"'${u.fieldNames().mkString(".")}'")
+        val name = u.fieldNames()(0)
+        val f = schema.fields
+          .find(_.name.equalsIgnoreCase(name)).getOrElse(
+            throw new IllegalStateException(
+              s"commitlog catalog: no column '$name' to widen"))
+        if (!CommitLog.isSafeWiden(f.dataType, u.newDataType()))
+          throw new IllegalStateException(
+            s"commitlog catalog: ${f.dataType.simpleString} → " +
+              s"${u.newDataType().simpleString} on '$name' is not " +
+              "a metadata-only widening")
+      }
     }
     val rest = changes.filterNot(
       _.isInstanceOf[TableChange.UpdateColumnType])
-    if (rest.isEmpty) return loadTable(ident)
     val added = rest.map {
       case a: TableChange.AddColumn =>
         if (a.fieldNames().length != 1)
@@ -607,7 +633,13 @@ class CommitLogCatalog extends TableCatalog
             "anything else needs an explicit rewrite, not metadata " +
             "evolution")
     }
-    CommitLog.evolveColumns(spark, pathOf(ident), added)
+    // everything validated — now commit: widenings first, adds after
+    widenings.foreach { u =>
+      CommitLog.widenColumn(spark, pathOf(ident), u.fieldNames()(0),
+        u.newDataType()): Unit
+    }
+    if (added.nonEmpty)
+      CommitLog.evolveColumns(spark, pathOf(ident), added): Unit
     loadTable(ident)
   }
 

@@ -107,6 +107,41 @@ class IvfIncrementalSpec extends AnyFunSuite {
     } finally rm(root)
   }
 
+  test("re-build over an existing index content-replaces (never a " +
+      "duplicate assignment); a delete-only feed advances the " +
+      "watermark with a metadata-only marker, not an empty segment") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ivfmk_").toString
+    val (corpus, index, cents) =
+      (s"$root/c", s"$root/i", s"$root/k")
+    try {
+      CommitLog.append(spark, corpus, df(1L to 80L))
+      IvfIncremental.build(spark, corpus, index, cents,
+        "vec_id", "embedding", nCells = 4): Unit
+      val n0 = CommitLog.read(spark, index).count()
+      // second build (e.g. a scheduler re-running ann_build after a
+      // lost watermark): must REPLACE, not append duplicates
+      IvfIncremental.build(spark, corpus, index, cents,
+        "vec_id", "embedding", nCells = 4): Unit
+      assert(CommitLog.read(spark, index).count() === n0,
+        "re-build must not duplicate index rows")
+      assert(contentEqual(index, corpus, cents))
+      // delete-only delta: watermark advances, segment set unchanged
+      CommitLog.deleteVectored(spark, corpus, col("vec_id") % 7 === 0)
+      val segs0 = CommitLog.snapshot(spark, index).get.segments
+      val (applied, drift) = IvfIncremental.applyFeed(spark, corpus,
+        index, cents, "vec_id", "embedding")
+      assert(applied ===
+        CommitLog.currentVersion(spark, corpus).get && drift === 0.0)
+      val snap = CommitLog.snapshot(spark, index).get
+      assert(snap.segments === segs0,
+        "delete-only watermark must not append segments")
+      assert(snap.op === "txn_marker")
+      assert(CommitLog.lastTxn(spark, index,
+        IvfIncremental.AppId) === Some(applied))
+    } finally rm(root)
+  }
+
   test("advisor loop: a stale index is recommended for feed " +
       "application; after maintain the advisor goes quiet") {
     val root = java.nio.file.Files
