@@ -217,11 +217,20 @@ object IvfIncremental {
         .select(col(idCol), col(vecCol))
       val deletes = last.filter(col("_change_type")
         .isin("delete", "update_preimage")).select(col(idCol))
-      if (deletes.limit(1).collect().nonEmpty)
+      // ONE presence probe over the pinned net effect instead of two
+      // limit(1) jobs (it doubles as the action that materializes the
+      // persist, so later branches read cached rows)
+      val pres = last.agg(
+        count(when(col("_change_type")
+          .isin("delete", "update_preimage"), 1)).as("nd"),
+        count(when(col("_change_type")
+          .isin("insert", "update_postimage"), 1)).as("nu"))
+        .collect()(0)
+      if (pres.getLong(0) > 0L)
         CommitLog.deleteVectoredKeys(spark, indexTable, deletes,
           Seq(idCol)): Unit
       val drift =
-        if (upserts.limit(1).collect().isEmpty) {
+        if (pres.getLong(1) == 0L) {
           // nothing to merge — advance the watermark with a
           // METADATA-ONLY stamped marker (an empty appendTxn would
           // grow a zero-row segment per delete-only cycle)

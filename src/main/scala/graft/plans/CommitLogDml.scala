@@ -151,6 +151,13 @@ object CommitLogDmlStrategy extends SparkStrategy {
   private def commitLogPath(plan: LogicalPlan): Option[String] =
     plan match {
       case SubqueryAlias(_, child) => commitLogPath(child)
+      // the stats relay wraps a pushed-down DV/mapped-table scan in
+      // its holder leaf (ScanStatsRelay.scala) — without this unwrap
+      // a DML whose target carries a deletion vector falls through
+      // to Spark's DataSourceV2Strategy, which throws INTERNAL_ERROR
+      // on the unexpected node (order-dependent: only once the relay
+      // is registered on the live session)
+      case h: graft.plans.ScanStatsHolder => commitLogPath(h.hidden)
       // the optimizer's scan pushdown wraps the relation before
       // strategies run — match both shapes
       case s: org.apache.spark.sql.execution.datasources.v2

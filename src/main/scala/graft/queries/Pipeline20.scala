@@ -512,21 +512,31 @@ object Pipeline20 {
         CommitLog.append(s, rep, CommitLog.read(s, src, Some(1L)))
         val feed = CommitLog.changeFeed(s, src, afterVersion = 1L)
           .localCheckpoint(true)
-        val versions = feed.select(col("_commit_version")).distinct()
-          .collect().map(_.getLong(0)).sorted
-        versions.foreach { v =>
+        // one grouped collect serves the version list AND the
+        // per-version delete/upsert presence flags — previously a
+        // distinct-collect plus two isEmpty probe jobs per version
+        val versions = feed.groupBy(col("_commit_version")).agg(
+            count(when(col("_change_type") === "delete", 1)).as("nd"),
+            count(when(col("_change_type")
+              .isin("update_postimage", "insert"), 1)).as("nu"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .sortBy(_._1)
+        versions.foreach { case (v, nDels, nUps) =>
           val batch = feed.filter(col("_commit_version") === v)
-          val dels = batch.filter(col("_change_type") === "delete")
-            .select(col("o_orderkey"))
-          if (!dels.isEmpty)
-            CommitLog.mergeIntoClauses(s, rep, dels, Seq("o_orderkey"),
+          if (nDels > 0L)
+            CommitLog.mergeIntoClauses(s, rep,
+              batch.filter(col("_change_type") === "delete")
+                .select(col("o_orderkey")),
+              Seq("o_orderkey"),
               matched = Seq(MergeDelete(None)),
               notMatchedInsert = false): Unit
-          val ups = batch.filter(col("_change_type")
-              .isin("update_postimage", "insert"))
-            .drop("_change_type", "_commit_version")
-          if (!ups.isEmpty)
-            CommitLog.mergeInto(s, rep, ups, Seq("o_orderkey"),
+          if (nUps > 0L)
+            CommitLog.mergeInto(s, rep,
+              batch.filter(col("_change_type")
+                  .isin("update_postimage", "insert"))
+                .drop("_change_type", "_commit_version"),
+              Seq("o_orderkey"),
               whenMatchedUpdate = Map(
                 "o_custkey" -> CommitLog.src("o_custkey"),
                 "o_orderstatus" -> CommitLog.src("o_orderstatus"),
@@ -534,8 +544,7 @@ object Pipeline20 {
         }
         val srcDf = CommitLog.read(s, src)
         val repDf = CommitLog.read(s, rep)
-        val equal = srcDf.exceptAll(repDf).isEmpty &&
-          repDf.exceptAll(srcDf).isEmpty
+        val equal = graft.operators.Witness.multisetEqual(srcDf, repDf)
         repDf
           .groupBy(col("o_orderstatus")).agg(
             count(lit(1)).as("n_rows"),

@@ -395,9 +395,8 @@ object Pipeline21 {
           CommitLog.read(s, corpus), "vec_id", "embedding", storedCents)
         val maintained = CommitLog.read(s, index)
           .select(col("vec_id"), col("cell"))
-        val contentEqual =
-          maintained.exceptAll(fromScratch).limit(1).collect().isEmpty &&
-          fromScratch.exceptAll(maintained).limit(1).collect().isEmpty
+        val contentEqual = graft.operators.Witness.multisetEqual(
+          maintained, fromScratch.select(col("vec_id"), col("cell")))
         // replay: the watermark recognizes an already-applied range
         val v0 = CommitLog.versions(s, index).max
         val (applied2, _) = graft.operators.IvfIncremental
@@ -463,9 +462,8 @@ object Pipeline21 {
           .toDF("vec_id", "codes")
         val live = CommitLog.read(s, codes)
           .select(col("vec_id"), col("codes"))
-        val contentEqual =
-          live.exceptAll(scratch).limit(1).collect().isEmpty &&
-          scratch.exceptAll(live).limit(1).collect().isEmpty
+        val contentEqual = graft.operators.Witness.multisetEqual(
+          live, scratch)
         val v0 = CommitLog.versions(s, codes).max
         val (applied2, _) = graft.operators.PqIncremental
           .applyFeed(s, corpus, codes, cb, "vec_id", "embedding")

@@ -2571,6 +2571,33 @@ object CommitLog {
     cur.schema.map(decodeSchema).filterNot(isIdentityMapping)
       .fold(df)(toPhysicalFrame(df, _))
 
+  /** The CDC vocabulary every DML commit records under. */
+  private val ChangeTypes =
+    Seq("delete", "insert", "update_preimage", "update_postimage")
+
+  /** Write a CDC frame to `changeDir` and return its per-_change_type
+    * row counts, measured by an [[org.apache.spark.sql.Observation]]
+    * riding the write itself. The counts previously came from a full
+    * re-read of the just-written directory — a second scan (and a
+    * second Spark job) per DML statement for numbers the write job
+    * already saw every row of. Observation metrics are exact under
+    * task retries (CollectMetrics counts only committed tasks), so
+    * the returned counts equal what the re-read reported. Absent
+    * types read 0 (sum over an empty frame observes NULL). */
+  private def writeChanges(spark: SparkSession, changeDir: String,
+      changes: DataFrame): Map[String, Long] = {
+    val obs = org.apache.spark.sql.Observation()
+    val aggs = ChangeTypes.map(t =>
+      sum(when(col("_change_type") === t, 1L)).as(t))
+    changes.observe(obs, aggs.head, aggs.tail: _*)
+      .write.mode(SaveMode.ErrorIfExists).parquet(changeDir)
+    val got = obs.get
+    ChangeTypes.map(t => t -> (got.get(t) match {
+      case Some(n: java.lang.Number) => n.longValue
+      case _ => 0L
+    })).toMap
+  }
+
   /** Segment directories that contain at least one row matching
     * `matched`: ONE predicate-pushed scan of the whole table collecting
     * only the distinct FILE paths with a match (bounded: one row per
@@ -2649,11 +2676,10 @@ object CommitLog {
       val matchedDf = flagged.filter(col("__graft_matched"))
         .drop("__graft_matched")
       val changeDir = s"$table/_changes/${java.util.UUID.randomUUID()}"
-      matchedDf
-        .withColumn("_change_type", lit("delete"))
-        .transform(changePhysical(cur))
-        .write.mode(SaveMode.ErrorIfExists).parquet(changeDir)
-      val nDeleted = spark.read.parquet(changeDir).count()
+      val nDeleted = writeChanges(spark, changeDir,
+        matchedDf
+          .withColumn("_change_type", lit("delete"))
+          .transform(changePhysical(cur)))("delete")
       val kept = flagged.filter(!col("__graft_matched"))
         .drop("__graft_matched")
       // a bucketed layout (SPJ spec) survives the DML: the kept rows
@@ -2807,12 +2833,9 @@ object CommitLog {
           if (nNew == 0L) None
           else Some(project(pinned)
             .withColumn("_change_type", lit("insert")))
-        (delRows ++ insRows).reduce(_.unionByName(_))
-          .transform(changePhysical(cur))
-          .write.mode(SaveMode.ErrorIfExists).parquet(changeDir)
-        val byType = spark.read.parquet(changeDir)
-          .groupBy(col("_change_type")).agg(count(lit(1)).as("n"))
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val byType = writeChanges(spark, changeDir,
+          (delRows ++ insRows).reduce(_.unionByName(_))
+            .transform(changePhysical(cur)))
         val nDel = byType.getOrElse("delete", 0L)
         val nIns = byType.getOrElse("insert", 0L)
         // copy-on-write: survivors of the touched segments re-land
@@ -3134,15 +3157,13 @@ object CommitLog {
         }: _*), logical)
       }
       val changeDir = s"$table/_changes/${java.util.UUID.randomUUID()}"
-      touchedDf.filter(col("__graft_matched"))
-        .drop("__graft_matched")
-        .withColumn("_change_type", lit("update_preimage"))
-        .unionByName(applied(onlyMatched = true)
-          .withColumn("_change_type", lit("update_postimage")))
-        .transform(changePhysical(cur))
-        .write.mode(SaveMode.ErrorIfExists).parquet(changeDir)
-      val nUpdated = spark.read.parquet(changeDir)
-        .filter(col("_change_type") === "update_preimage").count()
+      val nUpdated = writeChanges(spark, changeDir,
+        touchedDf.filter(col("__graft_matched"))
+          .drop("__graft_matched")
+          .withColumn("_change_type", lit("update_preimage"))
+          .unionByName(applied(onlyMatched = true)
+            .withColumn("_change_type", lit("update_postimage")))
+          .transform(changePhysical(cur)))("update_preimage")
       // a bucketed layout (SPJ spec) survives: post-image rows
       // re-land bucket-split (SET on a bucket KEY still re-hashes
       // correctly — purity per segment is the invariant)
@@ -3845,12 +3866,8 @@ object CommitLog {
             .unionByName(post.withColumn("_change_type",
               lit("update_postimage")))
         }
-      changeRows
-        .transform(changePhysical(cur))
-        .write.mode(SaveMode.ErrorIfExists).parquet(changeDir)
-      val byType = spark.read.parquet(changeDir)
-        .groupBy(col("_change_type")).agg(count(lit(1)).as("n"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val byType = writeChanges(spark, changeDir,
+        changeRows.transform(changePhysical(cur)))
       val nDel = byType.getOrElse("delete", 0L)
       val nUpd = byType.getOrElse("update_preimage", 0L)
       val nIns = byType.getOrElse("insert", 0L)
