@@ -26,7 +26,7 @@ object EngineSession {
       appName: String = "graft",
       cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
   ): SparkSession = {
-    val spark = SparkSession
+    val builder = SparkSession
       .builder()
       .withExtensions(new graft.expressions.GraftExtensions)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -43,6 +43,17 @@ object EngineSession {
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    // free-form overrides, S8's env-with-defaults style generalized:
+    // "key=value;key=value" — the A/B lever for configuration tuning
+    // (optimization guide §1.2 step 3) without a recompile, and the
+    // production override point for scale-dependent settings
+    val spark = sys.env.get("SPARK_GRAFT_EXTRA_CONF")
+      .iterator.flatMap(_.split(';')).map(_.trim).filter(_.nonEmpty)
+      .foldLeft(builder) { (b, kv) =>
+        val i = kv.indexOf('=')
+        require(i > 0, s"SPARK_GRAFT_EXTRA_CONF entry '$kv' is not k=v")
+        b.config(kv.take(i).trim, kv.drop(i + 1).trim)
+      }
       .getOrCreate()
     // getOrCreate may return a pre-existing session built WITHOUT the
     // extensions (shared-JVM tests) — the live-session hook is idempotent

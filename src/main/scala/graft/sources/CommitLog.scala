@@ -3642,6 +3642,19 @@ object CommitLog {
     val nmbsActive = notMatchedBySource.nonEmpty
     def updateSets(cs: Seq[MergeClause]) =
       cs.collect { case MergeUpdate(set, _) => set }
+    // MATERIALIZE the source once (Delta's merge does the same): the
+    // body scans it up to four times per attempt — the duplicate-key
+    // guard, the touched-file probe(s), the CDC write and the
+    // copy-on-write rewrite — and a merge source is delta-sized by
+    // contract, so pinning it trades bounded cache for three full
+    // recomputations (which for SQL merges re-run joins/aggregates).
+    // Respect a caller's own pin: never persist or unpersist a frame
+    // the caller already cached (it may keep using it after we return).
+    val srcPin = source.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE
+    if (srcPin) source.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): Unit
+    try {
     val dup = source.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__n")).filter(col("__n") > 1L)
       .limit(1).collect()
