@@ -3949,6 +3949,9 @@ object CommitLog {
     throw new java.io.IOException(
       s"CommitLog.mergeInto: lost the version race $maxRetries times " +
         s"at $table")
+    } finally {
+      if (srcPin) source.unpersist(): Unit
+    }
   }
 
   /** DESCRIBE HISTORY: one row per RETAINED version, ascending — the
