@@ -30,7 +30,16 @@ object DistributedRank {
 
   /** Append a 1-based BIGINT `outCol` ranking every row by `ord`. */
   def globalRowNumber(df: DataFrame, ord: Seq[Column], outCol: String,
-      partitions: Int = 0): DataFrame = {
+      partitions: Int = 0): DataFrame =
+    globalRowNumberCounted(df, ord, outCol, partitions)._1
+
+  /** [[globalRowNumber]] plus the TOTAL row count. The offset fold
+    * already knows it (offsets.last), so callers needing rank AND
+    * total — the equal-depth bucketing every clustered OPTIMIZE does
+    * — skip a separate count() job, which would pay one more full
+    * shuffle-read + sort pass over the ranked relation. */
+  def globalRowNumberCounted(df: DataFrame, ord: Seq[Column],
+      outCol: String, partitions: Int = 0): (DataFrame, Long) = {
     val spark = df.sparkSession
     val n = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
@@ -57,6 +66,6 @@ object DistributedRank {
         Row.fromSeq(r.toSeq :+ i)
       }
     }
-    spark.createDataFrame(rowRdd, outSchema)
+    (spark.createDataFrame(rowRdd, outSchema), offsets.last)
   }
 }

@@ -238,7 +238,16 @@ object IvfIncremental {
             cur): Unit
           0.0
         } else {
-          val cents = loadCents(spark, centroidsTable)
+          // ONE centroid-table collect serves the centroid vectors AND
+          // the fit-time drift baseline (previously a second
+          // aggregation job over the same tiny table)
+          import spark.implicits._
+          val centRows = CommitLog.read(spark, centroidsTable)
+            .select(col("cell"), col("v"), col("n"),
+              col("sum_d2").cast("double").as("sum_d2"))
+            .orderBy(col("cell"))
+            .as[(Int, Array[Long], Long, Double)].collect()
+          val cents = centRows.map(_._2)
           val assigned = assignFixed(upserts, idCol, vecCol, cents)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
@@ -252,15 +261,12 @@ object IvfIncremental {
               txn = Some((AppId, cur))): Unit
             val newStats = assigned.agg(count(lit(1)).cast("double"),
               sum(col("d2").cast("double"))).collect()(0)
-            val fitStats = CommitLog.read(spark, centroidsTable)
-              .agg(sum(col("n")).cast("double"),
-                sum(col("sum_d2")).cast("double")).collect()(0)
+            val fitN = centRows.map(_._3).sum.toDouble
+            val fitSum = centRows.map(_._4).sum
             val newMean =
               if (newStats.getDouble(0) == 0) 0.0
               else newStats.getDouble(1) / newStats.getDouble(0)
-            val fitMean =
-              if (fitStats.isNullAt(0) || fitStats.getDouble(0) == 0) 0.0
-              else fitStats.getDouble(1) / fitStats.getDouble(0)
+            val fitMean = if (fitN == 0) 0.0 else fitSum / fitN
             if (fitMean <= 0.0) { if (newMean > 0.0) Double.MaxValue else 0.0 }
             else newMean / fitMean
           } finally assigned.unpersist(): Unit

@@ -64,8 +64,13 @@ object PageRank {
       .union(e.select(col("dst").as("node")))
       .distinct()
       .persist()
+    // out-degrees are superstep-invariant: persist them once (node-
+    // sized) instead of re-aggregating the edge relation inside every
+    // superstep's plan — unpinned, each superstep re-ran the edge-wide
+    // groupBy (guide §5: cache what is reused and expensive)
     val outdeg = e.groupBy(col("src"))
       .agg(count(lit(1)).as("outdeg"))
+      .persist()
     var ranks = nodes.withColumn("pr_fp", lit(Scale))
     var it = 0
     while (it < iters) {
@@ -94,6 +99,7 @@ object PageRank {
     val out = ranks.localCheckpoint(true)
     e.unpersist()
     nodes.unpersist()
+    outdeg.unpersist()
     out
   }
 }

@@ -183,7 +183,20 @@ object PqIncremental {
             cur): Unit
           0.0
         } else {
-          val cb = loadCodebooks(spark, cbTable)
+          // ONE codebook-table collect serves the codebooks AND the
+          // fit-time drift baseline (fit_n/fit_err are constant across
+          // rows) — previously a second limit(1) job over the table
+          import spark.implicits._
+          val rows = CommitLog.read(spark, cbTable)
+            .select(col("m"), col("kk"), col("v"), col("fit_n"),
+              col("fit_err"))
+            .as[(Int, Int, Array[Long], Long, Double)].collect()
+          val mN = rows.map(_._1).max + 1
+          val kN = rows.map(_._2).max + 1
+          val centArr = Array.ofDim[Array[Long]](mN, kN)
+          rows.foreach { case (mm, kk, v, _, _) => centArr(mm)(kk) = v }
+          val cb = PqIndex.Codebooks(rows.head._3.length,
+            centArr.map(_.toArray))
           val encoded = encodeWithErr(upserts, idCol, vecCol, cb)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
@@ -196,15 +209,13 @@ object PqIncremental {
               txn = Some((AppId, cur))): Unit
             val s = encoded.agg(count(lit(1)).cast("double"),
               sum(col("err"))).collect()(0)
-            val f = CommitLog.read(spark, cbTable)
-              .select(col("fit_n"), col("fit_err")).limit(1)
-              .collect()(0)
+            val (fitN, fitErr) = (rows.head._4, rows.head._5)
             val newMean =
               if (s.getDouble(0) == 0) 0.0
               else s.getDouble(1) / s.getDouble(0)
             val fitMean =
-              if (f.getLong(0) == 0L) 0.0
-              else f.getDouble(1) / f.getLong(0)
+              if (fitN == 0L) 0.0
+              else fitErr / fitN
             if (fitMean <= 0.0) {
               if (newMean > 0.0) Double.MaxValue else 0.0
             } else newMean / fitMean

@@ -268,13 +268,15 @@ object Pipeline10 {
       val li = t(s, dir, "lineitem")
         .select(col("l_extendedprice"), col("l_orderkey"),
           col("l_linenumber"))
-      val ranked = graft.operators.DistributedRank.globalRowNumber(
-        li, Seq(col("l_extendedprice"), col("l_orderkey"),
-          col("l_linenumber")), "rnk")
-      val tot = li.agg(count(lit(1)).as("n"))
-      ranked.crossJoin(broadcast(tot))
-        .filter(expr("(rnk * 10) div n") > expr("((rnk - 1) * 10) div n"))
-        .select(expr("((rnk - 1) * 10) div n").as("decile"),
+      // rank + total in ONE pass (the separate count() paid another
+      // scan of lineitem just to learn n)
+      val (ranked, n) = graft.operators.DistributedRank
+        .globalRowNumberCounted(li, Seq(col("l_extendedprice"),
+          col("l_orderkey"), col("l_linenumber")), "rnk")
+      ranked
+        .filter(expr(s"(rnk * 10) div ${n}L") >
+          expr(s"((rnk - 1) * 10) div ${n}L"))
+        .select(expr(s"((rnk - 1) * 10) div ${n}L").as("decile"),
           col("rnk"), col("l_extendedprice"), col("l_orderkey"),
           col("l_linenumber"))
         .orderBy(col("decile"))

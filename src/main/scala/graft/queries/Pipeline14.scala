@@ -90,12 +90,14 @@ object Pipeline14 {
         .agg(count(lit(1)).as("n_bigrams"), sum(col("p_fp")).as("sum_fp"))
         .withColumn("score_fp", expr("sum_fp div n_bigrams"))
         .drop("sum_fp")
-      val ranked = DistributedRank.globalRowNumber(perDoc,
-        Seq(col("score_fp").desc, col("doc_id").asc), "rn")
-      val nDocs = perDoc.agg(count(lit(1)).as("n_docs"))
-      ranked.crossJoin(broadcast(nDocs))
+      // rank + total in ONE pass: the separate count() re-ran the
+      // whole perplexity pipeline (bigram joins over documents) a
+      // second time just to learn n_docs
+      val (ranked, nDocs) = DistributedRank.globalRowNumberCounted(
+        perDoc, Seq(col("score_fp").desc, col("doc_id").asc), "rn")
+      ranked
         .withColumn("bucket", expr(
-          "CASE ((rn - 1) * 3) div n_docs WHEN 0 THEN 'head'" +
+          s"CASE ((rn - 1) * 3) div ${nDocs}L WHEN 0 THEN 'head'" +
             " WHEN 1 THEN 'middle' ELSE 'tail' END"))
         .select(col("doc_id"), col("n_bigrams"), col("score_fp"),
           col("rn"), col("bucket"))

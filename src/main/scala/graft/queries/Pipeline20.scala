@@ -513,8 +513,8 @@ object Pipeline20 {
         val feed = CommitLog.changeFeed(s, src, afterVersion = 1L)
           .localCheckpoint(true)
         // one grouped collect serves the version list AND the
-        // per-version delete/upsert presence flags — previously a
-        // distinct-collect plus two isEmpty probe jobs per version
+        // delete/upsert presence flags — previously a distinct-collect
+        // plus two isEmpty probe jobs per version
         val versions = feed.groupBy(col("_commit_version")).agg(
             count(when(col("_change_type") === "delete", 1)).as("nd"),
             count(when(col("_change_type")
@@ -522,26 +522,39 @@ object Pipeline20 {
           .collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
           .sortBy(_._1)
-        versions.foreach { case (v, nDels, nUps) =>
-          val batch = feed.filter(col("_commit_version") === v)
-          if (nDels > 0L)
-            CommitLog.mergeIntoClauses(s, rep,
-              batch.filter(col("_change_type") === "delete")
-                .select(col("o_orderkey")),
-              Seq("o_orderkey"),
-              matched = Seq(MergeDelete(None)),
-              notMatchedInsert = false): Unit
-          if (nUps > 0L)
-            CommitLog.mergeInto(s, rep,
-              batch.filter(col("_change_type")
-                  .isin("update_postimage", "insert"))
-                .drop("_change_type", "_commit_version"),
-              Seq("o_orderkey"),
-              whenMatchedUpdate = Map(
-                "o_custkey" -> CommitLog.src("o_custkey"),
-                "o_orderstatus" -> CommitLog.src("o_orderstatus"),
-                "o_totalprice" -> CommitLog.src("o_totalprice"))): Unit
-        }
+        // NET-EFFECT replay (guide §2: collapse per-item jobs into
+        // set-level ones): a per-version loop issues O(versions) full
+        // OCC merge transactions; the replica's FINAL state only
+        // depends on each key's LAST change across the replayed range
+        // (delete → absent, upsert → that post-image — an
+        // insert-then-delete nets to a no-op delete on the replica).
+        // One delete-merge + one upsert-merge lands byte-equal to the
+        // version-by-version replay, and the versions_replayed witness
+        // still counts the feed's versions.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_orderkey"))
+          .orderBy(col("_commit_version").desc)
+        val net = feed.filter(col("_change_type")
+            .isin("delete", "update_postimage", "insert"))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+        if (versions.exists(_._2 > 0L))
+          CommitLog.mergeIntoClauses(s, rep,
+            net.filter(col("_change_type") === "delete")
+              .select(col("o_orderkey")),
+            Seq("o_orderkey"),
+            matched = Seq(MergeDelete(None)),
+            notMatchedInsert = false): Unit
+        if (versions.exists(_._3 > 0L))
+          CommitLog.mergeInto(s, rep,
+            net.filter(col("_change_type")
+                .isin("update_postimage", "insert"))
+              .drop("_change_type", "_commit_version", "__rn"),
+            Seq("o_orderkey"),
+            whenMatchedUpdate = Map(
+              "o_custkey" -> CommitLog.src("o_custkey"),
+              "o_orderstatus" -> CommitLog.src("o_orderstatus"),
+              "o_totalprice" -> CommitLog.src("o_totalprice"))): Unit
         val srcDf = CommitLog.read(s, src)
         val repDf = CommitLog.read(s, rep)
         val equal = graft.operators.Witness.multisetEqual(srcDf, repDf)

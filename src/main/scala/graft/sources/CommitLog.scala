@@ -2671,8 +2671,14 @@ object CommitLog {
       // under NOT plans as a null-aware anti join Spark can only run
       // as a BroadcastNestedLoopJoin — in a projection it plans as a
       // hash ExistenceJoin, and both polarities filter the boolean
+      // PIN the flagged frame (guide §5): the CDC write, the kept-row
+      // rewrite, its emptiness probe and the bucketed staging all
+      // filter it — unpinned, each re-scans the touched segments and
+      // (for subquery predicates) re-runs the existence join
       val flagged = readLive(spark, cur, Some(touched))
         .withColumn("__graft_matched", matched)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
       val matchedDf = flagged.filter(col("__graft_matched"))
         .drop("__graft_matched")
       val changeDir = s"$table/_changes/${java.util.UUID.randomUUID()}"
@@ -2703,6 +2709,7 @@ object CommitLog {
       fs(spark, table).delete(
         new org.apache.hadoop.fs.Path(changeDir), true): Unit
       attempt += 1
+      } finally flagged.unpersist(): Unit
     }
     throw new java.io.IOException(
       s"CommitLog.delete: lost the version race $maxRetries times at $table")
@@ -3136,8 +3143,15 @@ object CommitLog {
       // [[delete]]: a subquery predicate in filter position under NOT
       // would plan a nested-loop anti join; as a projected column it
       // plans a hash ExistenceJoin and every branch filters the flag
+      // PIN the flagged rewrite frame (guide §5): the CDC write
+      // (pre+post image), the rewrite and the bucketed staging all
+      // filter it — unpinned, each re-scans the touched segments and
+      // (for subquery predicates) re-runs the existence join. Bounded
+      // by the copy-on-write working set; released every exit path.
       val touchedDf = readLive(spark, cur, Some(touched))
         .withColumn("__graft_matched", matched)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
       // generated columns recompute over the POST-image so a SET
       // touching a generation source propagates (Delta's rule); the
       // recompute is the identity on unmatched rows
@@ -3182,6 +3196,7 @@ object CommitLog {
       fs(spark, table).delete(
         new org.apache.hadoop.fs.Path(changeDir), true): Unit
       attempt += 1
+      } finally touchedDf.unpersist(): Unit
     }
     throw new java.io.IOException(
       s"CommitLog.update: lost the version race $maxRetries times at $table")
@@ -3722,27 +3737,53 @@ object CommitLog {
         }.reduceOption(_ || _).getOrElse(lit(false))
       // only probe for matched files when a matched clause can FIRE —
       // an insert-only (or by-source-only) merge must not rewrite the
-      // segments its matched keys merely sit in
-      val matchedFiles =
-        if (matched.isEmpty) Array.empty[String]
-        else tagged
-          .select((keys.map(col) :+
-            col("__graft_dv_file").as("__file")): _*)
-          .join(srcRenamed.select(keys.map(col): _*), keys, "left_semi")
-          .select("__file").distinct().collect().map(_.getString(0))
-      // NOT-MATCHED-BY-SOURCE widens the rewrite to files holding at
-      // least one unmatched row that satisfies a BY-SOURCE clause
-      // condition (target-column predicates — pushable to the scan);
-      // files whose unmatched rows all fail every condition are never
-      // opened for rewrite
-      val nmbsFiles =
-        if (!nmbsActive) Array.empty[String]
-        else tagged
-          .join(srcRenamed.select(keys.map(col): _*), keys,
-            "left_anti")
-          .filter(anyClauseHit(notMatchedBySource))
-          .select(col("__graft_dv_file").as("__file"))
-          .distinct().collect().map(_.getString(0))
+      // segments its matched keys merely sit in. When BOTH probes are
+      // needed, ONE scan + key join serves them (guide §2.4: one
+      // exchange serves two operations keyed the same way): per file,
+      // "any live row matched" and "any unmatched row satisfies a
+      // BY-SOURCE clause condition" fold in the same aggregation —
+      // previously two separate full-scan+join jobs.
+      val (matchedFiles, nmbsFiles) =
+        if (matched.nonEmpty && nmbsActive) {
+          val probed = tagged
+            .join(srcRenamed.select(keys.map(col): _*)
+              .withColumn("__probe_m", lit(true)), keys, "left_outer")
+            .select(col("__graft_dv_file").as("__file"),
+              coalesce(col("__probe_m"), lit(false)).as("__m"),
+              anyClauseHit(notMatchedBySource).as("__h"))
+            .groupBy(col("__file"))
+            .agg(max(when(col("__m"), 1).otherwise(0)).as("__am"),
+              max(when(!col("__m") && coalesce(col("__h"),
+                lit(false)), 1).otherwise(0)).as("__ah"))
+            .filter(col("__am") === 1 || col("__ah") === 1)
+            .collect()
+          (probed.filter(_.getInt(1) == 1).map(_.getString(0)),
+            probed.filter(_.getInt(2) == 1).map(_.getString(0)))
+        } else {
+          val mf =
+            if (matched.isEmpty) Array.empty[String]
+            else tagged
+              .select((keys.map(col) :+
+                col("__graft_dv_file").as("__file")): _*)
+              .join(srcRenamed.select(keys.map(col): _*), keys,
+                "left_semi")
+              .select("__file").distinct().collect()
+              .map(_.getString(0))
+          // NOT-MATCHED-BY-SOURCE widens the rewrite to files holding
+          // at least one unmatched row that satisfies a BY-SOURCE
+          // clause condition (target-column predicates — pushable to
+          // the scan); files whose unmatched rows all fail every
+          // condition are never opened for rewrite
+          val nf =
+            if (!nmbsActive) Array.empty[String]
+            else tagged
+              .join(srcRenamed.select(keys.map(col): _*), keys,
+                "left_anti")
+              .filter(anyClauseHit(notMatchedBySource))
+              .select(col("__graft_dv_file").as("__file"))
+              .distinct().collect().map(_.getString(0))
+          (mf, nf)
+        }
       val touchedFiles = (matchedFiles ++ nmbsFiles).distinct
       val touched = cur.segments.filter { seg =>
         val uuid = seg.substring(seg.lastIndexOf('/') + 1)
@@ -3754,7 +3795,20 @@ object CommitLog {
       val touchedDf =
         if (touched.isEmpty) all.filter(lit(false))
         else readLive(spark, cur, Some(touched))
-      val joined = touchedDf.join(srcRenamed, keys, "left_outer")
+      // PIN the rewrite frame (guide §5: cache only what is reused
+      // and expensive): every CDC branch (deletes, each update
+      // clause's pre+post image) and the rewrite (survivors, each
+      // clause's post image) filters this same join — unpinned, each
+      // branch re-scans the touched segments and re-runs the join
+      // (and for SQL merges re-runs the source's own joins), 3+2·u
+      // recomputations for u update clauses. Bounded by the
+      // copy-on-write working set; released per attempt via `pins`.
+      val joined = {
+        val j = touchedDf.join(srcRenamed, keys, "left_outer")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pins += j
+        j
+      }
       val isMatched = coalesce(col("__src_matched"), lit(false))
       /** Index of the FIRST satisfied clause on a side (-1 = none):
         * first-match-wins materialized as one nested CASE. */
@@ -3858,7 +3912,14 @@ object CommitLog {
             if (omittedGens.isEmpty) projected0
             else recomputeGenerated(projected0, logical,
               only = Some(omittedGens))
-          if (projected.isEmpty) None else Some(projected)
+          // PIN the insert frame: its anti join re-scans the WHOLE
+          // table's keys, and unpinned it would run three times (the
+          // emptiness probe here, the CDC write, the rewrite) —
+          // bounded by the source delta, released via `pins`
+          val pinned = projected.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          pins += pinned
+          if (pinned.isEmpty) None else Some(pinned)
         }
       if (touched.isEmpty && inserts.isEmpty)
         return (cur.version, 0L, 0L, 0L)

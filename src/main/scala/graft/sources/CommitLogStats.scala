@@ -972,9 +972,11 @@ object CommitLogStats {
         throw new IllegalStateException(
           s"CommitLogStats.compactClustered: nothing committed at $table"))
       val df = CommitLog.readLive(spark, cur)
-      val ranked = graft.operators.DistributedRank.globalRowNumber(
-        df, clusterCols.map(col), "__rn")
-      val n = math.max(1L, ranked.count())
+      // rank + total in ONE pass (the offset fold already counts;
+      // a separate count() re-read the whole ranked relation)
+      val (ranked, total) = graft.operators.DistributedRank
+        .globalRowNumberCounted(df, clusterCols.map(col), "__rn")
+      val n = math.max(1L, total)
       // floor division — Spark's `/` on integral columns is DOUBLE
       // division; floor() is exact here ((rn-1)*nSegments ≪ 2^53)
       val bucketed = ranked.withColumn("__bucket",
@@ -1124,9 +1126,9 @@ object CommitLogStats {
       if (rewrite.isEmpty)
         return (cur.version, 0, cur.segments.size)
       val df = CommitLog.readLive(spark, cur, Some(rewrite))
-      val ranked = graft.operators.DistributedRank.globalRowNumber(
-        df, clusterCols.map(col), "__rn")
-      val n = math.max(1L, ranked.count())
+      val (ranked, total) = graft.operators.DistributedRank
+        .globalRowNumberCounted(df, clusterCols.map(col), "__rn")
+      val n = math.max(1L, total)
       val nSegments = math.max(1L,
         (n + targetRowsPerSegment - 1) / targetRowsPerSegment).toInt
       val bucketed = ranked.withColumn("__bucket",
@@ -1198,9 +1200,10 @@ object CommitLogStats {
       val df = CommitLog.readLive(spark, cur)
         .withColumn("__z", graft.queries.Pipeline10.zOrderN(
           zCols.map(col), b))
-      val ranked = graft.operators.DistributedRank.globalRowNumber(
-        df, col("__z") +: tieBreak.map(col), "__rn")
-      val n = math.max(1L, ranked.count())
+      val (ranked, total) = graft.operators.DistributedRank
+        .globalRowNumberCounted(df, col("__z") +: tieBreak.map(col),
+          "__rn")
+      val n = math.max(1L, total)
       val bucketed = ranked.withColumn("__bucket",
         floor(((col("__rn") - 1L) * nSegments) / lit(n))
           .cast("int")).persist()
