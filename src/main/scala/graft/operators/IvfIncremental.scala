@@ -145,18 +145,25 @@ object IvfIncremental {
       assigned: DataFrame, corpusVersion: Long, nCells: Int): Unit = {
     if (CommitLog.currentVersion(spark, indexTable).isDefined) {
       // a REBUILD over an existing index must replace, not append —
-      // an appended second assignment would duplicate every row
+      // an appended second assignment would duplicate every row;
+      // the follow-up compact lays the inverted-list layout
       CommitLog.overwriteWhere(spark, indexTable, assigned,
         lit(true)): Unit
       CommitLog.commitTxnMarker(spark, indexTable, AppId,
         corpusVersion): Unit
-    } else CommitLog.appendTxn(spark, indexTable, assigned, AppId,
-      corpusVersion): Unit
+      graft.sources.CommitLogStats.compactClustered(spark, indexTable,
+        Seq("cell"), math.max(1, nCells / 2), Seq("cell")): Unit
+    } else
+      // FRESH build: write the cell-clustered inverted-list layout
+      // DIRECTLY as one stamped commit (guide §6: never re-read what
+      // you just wrote) — previously an appendTxn followed by a full
+      // clustered rewrite of the bytes just written
+      graft.sources.CommitLogStats.installClustered(spark, indexTable,
+        assigned, Seq("cell"), math.max(1, nCells / 2), Seq("cell"),
+        txn = Some((AppId, corpusVersion))): Unit
     // inverted lists as the physical layout: cell-sorted segments +
     // per-segment (cell) stats → a probe's cell filter skips every
     // unprobed list's files
-    graft.sources.CommitLogStats.compactClustered(spark, indexTable,
-      Seq("cell"), math.max(1, nCells / 2), Seq("cell")): Unit
     val centsDf = centroidsDf(spark, cents, assigned)
     if (CommitLog.currentVersion(spark, centroidsTable).isDefined)
       CommitLog.overwriteWhere(spark, centroidsTable, centsDf,
@@ -177,14 +184,20 @@ object IvfIncremental {
     val corpusVersion = CommitLog.currentVersion(spark, corpusTable)
       .getOrElse(throw new IllegalStateException(
         s"IvfIncremental.build: nothing committed at $corpusTable"))
+    // pin the corpus across the fit + assignment: the Lloyd fit scans
+    // it iters+1 times (seed + per-iteration partials) and the final
+    // assignment once more — unpinned, each pass re-read the parquet
     val corpus = CommitLog.read(spark, corpusTable)
-    val cents = IvfIndex.fitDistributed(corpus, idCol, vecCol,
-      nCells, iters)
-    val assigned = assignFixed(corpus, idCol, vecCol, cents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try installIndex(spark, indexTable, centroidsTable, cents,
-      assigned, corpusVersion, nCells)
-    finally assigned.unpersist(): Unit
+    try {
+      val cents = IvfIndex.fitDistributed(corpus, idCol, vecCol,
+        nCells, iters)
+      val assigned = assignFixed(corpus, idCol, vecCol, cents)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try installIndex(spark, indexTable, centroidsTable, cents,
+        assigned, corpusVersion, nCells)
+      finally assigned.unpersist(): Unit
+    } finally corpus.unpersist(): Unit
     corpusVersion
   }
 
@@ -291,14 +304,18 @@ object IvfIncremental {
     val (applied, drift) = applyFeed(spark, corpusTable, indexTable,
       centroidsTable, idCol, vecCol)
     if (drift <= driftThreshold) return (applied, false)
+    // same corpus pin as [[build]]: fit scans it iters+1 times
     val corpus = CommitLog.read(spark, corpusTable)
-    val cents = IvfIndex.fitDistributed(corpus, idCol, vecCol,
-      nCells, iters)
-    val assigned = assignFixed(corpus, idCol, vecCol, cents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try installIndex(spark, indexTable, centroidsTable, cents,
-      assigned, applied, nCells)
-    finally assigned.unpersist(): Unit
+    try {
+      val cents = IvfIndex.fitDistributed(corpus, idCol, vecCol,
+        nCells, iters)
+      val assigned = assignFixed(corpus, idCol, vecCol, cents)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try installIndex(spark, indexTable, centroidsTable, cents,
+        assigned, applied, nCells)
+      finally assigned.unpersist(): Unit
+    } finally corpus.unpersist(): Unit
     (applied, true)
   }
 

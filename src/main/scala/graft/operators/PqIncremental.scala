@@ -109,13 +109,19 @@ object PqIncremental {
     val corpusVersion = CommitLog.currentVersion(spark, corpusTable)
       .getOrElse(throw new IllegalStateException(
         s"PqIncremental.build: nothing committed at $corpusTable"))
+    // pin the corpus across the fit + encode: the per-subspace Lloyd
+    // fit scans it iters+1 times and the encode once more —
+    // unpinned, each pass re-read the parquet
     val corpus = CommitLog.read(spark, corpusTable)
-    val cb = PqIndex.fit(corpus, idCol, vecCol, m, k, iters)
-    val codes = encodeWithErr(corpus, idCol, vecCol, cb)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try installCodes(spark, codesTable, cbTable, cb, codes,
-      corpusVersion)
-    finally codes.unpersist(): Unit
+    try {
+      val cb = PqIndex.fit(corpus, idCol, vecCol, m, k, iters)
+      val codes = encodeWithErr(corpus, idCol, vecCol, cb)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try installCodes(spark, codesTable, cbTable, cb, codes,
+        corpusVersion)
+      finally codes.unpersist(): Unit
+    } finally corpus.unpersist(): Unit
     corpusVersion
   }
 
@@ -235,12 +241,16 @@ object PqIncremental {
     val (applied, drift) = applyFeed(spark, corpusTable, codesTable,
       cbTable, idCol, vecCol)
     if (drift <= driftThreshold) return (applied, false)
+    // same corpus pin as [[build]]: fit scans it iters+1 times
     val corpus = CommitLog.read(spark, corpusTable)
-    val cb = PqIndex.fit(corpus, idCol, vecCol, m, k, iters)
-    val codes = encodeWithErr(corpus, idCol, vecCol, cb)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try installCodes(spark, codesTable, cbTable, cb, codes, applied)
-    finally codes.unpersist(): Unit
+    try {
+      val cb = PqIndex.fit(corpus, idCol, vecCol, m, k, iters)
+      val codes = encodeWithErr(corpus, idCol, vecCol, cb)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try installCodes(spark, codesTable, cbTable, cb, codes, applied)
+      finally codes.unpersist(): Unit
+    } finally corpus.unpersist(): Unit
     (applied, true)
   }
 

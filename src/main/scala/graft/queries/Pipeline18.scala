@@ -1227,7 +1227,9 @@ object Pipeline18 {
     * actually read — the hard witness that sidecar pruning reached
     * the SQL surface (file lists come from the scan's own index). */
   private def scannedSegmentCount(df: DataFrame): Int = {
-    df.collect(): Unit // run, so adaptive stages are final
+    // run so adaptive stages are final — noop sink, not collect():
+    // the witness must not haul the scan output to the driver
+    df.write.format("noop").mode("overwrite").save()
     planLeaves(df.queryExecution.executedPlan).collect {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
         // the stats-reporting wrapper hides the FileScan — unwrap

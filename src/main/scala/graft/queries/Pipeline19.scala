@@ -1078,7 +1078,10 @@ object Pipeline19 {
           "FROM gq211.ns.li l JOIN gq211.ns.ord o " +
           "ON l.l_orderkey = o.o_orderkey"
         def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
-          df.collect(): Unit
+          // force execution so adaptive stages are final — noop sink,
+          // not collect(): the probe must not haul the join output to
+          // the driver (guide §1.4/§5)
+          df.write.format("noop").mode("overwrite").save()
           def nodes(p: org.apache.spark.sql.execution.SparkPlan)
               : Seq[org.apache.spark.sql.execution.SparkPlan] =
             (p +: p.children.flatMap(nodes)) ++ (p match {
@@ -1179,7 +1182,10 @@ object Pipeline19 {
           "l.l_extendedprice FROM gq212.ns.li l JOIN gq212.ns.ord o " +
           "ON l.l_orderkey = o.o_orderkey"
         def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
-          df.collect(): Unit
+          // force execution so adaptive stages are final — noop sink,
+          // not collect(): the probe must not haul the join output to
+          // the driver (guide §1.4/§5)
+          df.write.format("noop").mode("overwrite").save()
           def nodes(p: org.apache.spark.sql.execution.SparkPlan)
               : Seq[org.apache.spark.sql.execution.SparkPlan] =
             (p +: p.children.flatMap(nodes)) ++ (p match {

@@ -243,7 +243,10 @@ object Pipeline21 {
           "ON a.l_orderkey = b.l_orderkey " +
           "AND a.l_linenumber = b.l_linenumber"
         def shuffles(df: DataFrame): Int = {
-          df.collect(): Unit
+          // force execution so adaptive stages are final — noop sink,
+          // not collect(): the probe must not haul the join output to
+          // the driver (guide §1.4/§5)
+          df.write.format("noop").mode("overwrite").save()
           def nodes(p: org.apache.spark.sql.execution.SparkPlan)
               : Seq[org.apache.spark.sql.execution.SparkPlan] =
             (p +: p.children.flatMap(nodes)) ++ (p match {

@@ -55,18 +55,20 @@ object ViewQueries {
     // aggregate measured ~50s at sf0.1 — split, it is two cheap scans.
     "q29_approx_distinct" -> ((s, dir) => {
       val li = graft.sources.Catalog.table(s, dir, "lineitem")
-      // ONE aggregation serves the exact counts and the HLL sketches
-      // (guide §2.4): the two-agg + join phrasing scanned lineitem
-      // twice and paid a join for a 3-row frame; fused, the distinct
-      // pairs ride one Expand and the sketches the same shuffle. HLL
-      // registers fold order-independently, so the approx values (and
-      // their witness booleans) are unchanged.
-      li.groupBy(col("l_returnflag"))
+      // NOTE (r17, measured): fusing all four aggregates into one
+      // groupBy looks like a §2.4 win (one scan, no join) but plans
+      // catastrophically — mixing two multi-column DISTINCTs with
+      // HLL sketches forces the sketch buffers through the Expand,
+      // 2.6 s → 78 s at sf0.1. Keep the two-agg + tiny-join shape.
+      val exact = li.groupBy(col("l_returnflag"))
         .agg(
           countDistinct(col("l_orderkey")).as("exact_orders"),
-          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+      val approx = li.groupBy(col("l_returnflag"))
+        .agg(
           approx_count_distinct(col("l_orderkey"), 0.01).as("a_o"),
           approx_count_distinct(col("l_partkey"), 0.01).as("a_p"))
+      exact.join(approx, Seq("l_returnflag"))
         .select(
           col("l_returnflag"), col("exact_orders"), col("exact_parts"),
           (abs(col("a_o") - col("exact_orders")).cast("double") /

@@ -3809,6 +3809,15 @@ object CommitLog {
         pins += j
         j
       }
+      // plan-audit hook (guide §7.2): dump the rewrite frame's
+      // physical plan — join strategy, exchanges, pushed filters —
+      // without touching the UI. Off unless explicitly enabled.
+      if (spark.conf.getOption("spark.graft.debug.explainRewrite")
+          .contains("true"))
+        System.err.println(s"[mergeInto rewrite plan] $table\n" +
+          joined.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode
+              .fromString("formatted")))
       val isMatched = coalesce(col("__src_matched"), lit(false))
       /** Index of the FIRST satisfied clause on a side (-1 = none):
         * first-match-wins materialized as one nested CASE. */

@@ -1000,6 +1000,56 @@ object CommitLogStats {
         s"$maxRetries times at $table")
   }
 
+  /** Stage `df` range-clustered on `clusterCols` and publish it as a
+    * FRESH table's full content in ONE commit — the build-time form
+    * of [[compactClustered]]. An index build previously appended one
+    * segment and immediately rewrote it clustered: two full writes
+    * plus a read-back of bytes the builder already held (guide §6 —
+    * never re-read what you just wrote). Records the (txnApp,
+    * txnBatch) exactly-once stamp when given. Refuses on an EXISTING
+    * table: a content replace must go through overwriteWhere's
+    * CDC/constraint path. */
+  private[graft] def installClustered(spark: SparkSession,
+      table: String, df: DataFrame, clusterCols: Seq[String],
+      nSegments: Int, statsCols: Seq[String],
+      txn: Option[(String, Long)] = None,
+      maxRetries: Int = 20): Long = {
+    require(nSegments >= 1, "nSegments must be >= 1")
+    require(clusterCols.nonEmpty, "clusterCols must be non-empty")
+    require(CommitLog.currentVersion(spark, table).isEmpty,
+      s"CommitLogStats.installClustered: $table already exists — " +
+        "content replacement must record CDC (overwriteWhere + " +
+        "compactClustered)")
+    val (ranked, total) = graft.operators.DistributedRank
+      .globalRowNumberCounted(df, clusterCols.map(col), "__rn")
+    val n = math.max(1L, total)
+    val bucketed = ranked.withColumn("__bucket",
+      floor(((col("__rn") - 1L) * nSegments) / lit(n))
+        .cast("int")).persist()
+    try {
+      val segs = writeBucketedSegments(spark, table, bucketed,
+        "__bucket", Seq("__rn"), statsCols,
+        orderWithin = clusterCols.map(col)).map(_._2)
+      var attempt = 0
+      while (attempt < maxRetries) {
+        val cur = CommitLog.snapshot(spark, table)
+        val snap = CommitLog.Snapshot(cur.fold(1L)(_.version + 1L),
+          segs, cur.fold(0L)(_.version), "append",
+          txnApp = txn.map(_._1), txnBatch = txn.map(_._2),
+          schema = cur.flatMap(_.schema), dv = cur.flatMap(_.dv))
+        if (CommitLog.tryPublish(spark, table, snap, cur))
+          return snap.version
+        attempt += 1
+      }
+      val f = fs(spark, table)
+      segs.foreach(s =>
+        f.delete(new org.apache.hadoop.fs.Path(s), true): Unit)
+      throw new java.io.IOException(
+        s"CommitLogStats.installClustered: lost the version race " +
+          s"$maxRetries times at $table")
+    } finally bucketed.unpersist(): Unit
+  }
+
   /** INCREMENTAL clustered OPTIMIZE — rewrite only the unsorted tail,
     * never the whole table (Delta's liquid-clustering economics: at
     * 100 TB a full [[compactClustered]] re-shuffles everything a
