@@ -1227,9 +1227,11 @@ object Pipeline18 {
     * actually read — the hard witness that sidecar pruning reached
     * the SQL surface (file lists come from the scan's own index). */
   private def scannedSegmentCount(df: DataFrame): Int = {
-    // run so adaptive stages are final — noop sink, not collect():
-    // the witness must not haul the scan output to the driver
-    df.write.format("noop").mode("overwrite").save()
+    // NO execution: the scan's file list is fixed when the sidecar
+    // tier builds the pruned index at PLANNING — the witness reads the
+    // planned plan's file indexes, so the probe no longer pays a full
+    // execution (previously a collect() that also hauled the scan
+    // output to the driver)
     planLeaves(df.queryExecution.executedPlan).collect {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
         // the stats-reporting wrapper hides the FileScan — unwrap

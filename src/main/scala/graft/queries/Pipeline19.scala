@@ -1078,10 +1078,11 @@ object Pipeline19 {
           "FROM gq211.ns.li l JOIN gq211.ns.ord o " +
           "ON l.l_orderkey = o.o_orderkey"
         def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
-          // force execution so adaptive stages are final — noop sink,
-          // not collect(): the probe must not haul the join output to
-          // the driver (guide §1.4/§5)
-          df.write.format("noop").mode("overwrite").save()
+          // NO execution: whether the join claims a storage-partitioned
+          // layout (zero exchanges) is decided by EnsureRequirements at
+          // PLANNING — the witness reads the planned adaptive plan, so
+          // the probe no longer pays a full execution (previously a
+          // collect() that also hauled the join output to the driver)
           def nodes(p: org.apache.spark.sql.execution.SparkPlan)
               : Seq[org.apache.spark.sql.execution.SparkPlan] =
             (p +: p.children.flatMap(nodes)) ++ (p match {
@@ -1182,10 +1183,11 @@ object Pipeline19 {
           "l.l_extendedprice FROM gq212.ns.li l JOIN gq212.ns.ord o " +
           "ON l.l_orderkey = o.o_orderkey"
         def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
-          // force execution so adaptive stages are final — noop sink,
-          // not collect(): the probe must not haul the join output to
-          // the driver (guide §1.4/§5)
-          df.write.format("noop").mode("overwrite").save()
+          // NO execution: whether the join claims a storage-partitioned
+          // layout (zero exchanges) is decided by EnsureRequirements at
+          // PLANNING — the witness reads the planned adaptive plan, so
+          // the probe no longer pays a full execution (previously a
+          // collect() that also hauled the join output to the driver)
           def nodes(p: org.apache.spark.sql.execution.SparkPlan)
               : Seq[org.apache.spark.sql.execution.SparkPlan] =
             (p +: p.children.flatMap(nodes)) ++ (p match {

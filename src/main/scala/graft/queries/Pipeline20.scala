@@ -227,10 +227,11 @@ object Pipeline20 {
           "ON a.l_orderkey = b.l_orderkey " +
           "AND a.l_linenumber = b.l_linenumber"
         def shuffles(df: DataFrame): Int = {
-          // force execution so adaptive stages are final — noop sink,
-          // not collect(): the probe must not haul the join output to
-          // the driver (guide §1.4/§5)
-          df.write.format("noop").mode("overwrite").save()
+          // NO execution: whether the join claims a storage-partitioned
+          // layout (zero exchanges) is decided by EnsureRequirements at
+          // PLANNING — the witness reads the planned adaptive plan, so
+          // the probe no longer pays a full execution (previously a
+          // collect() that also hauled the join output to the driver)
           def nodes(p: org.apache.spark.sql.execution.SparkPlan)
               : Seq[org.apache.spark.sql.execution.SparkPlan] =
             (p +: p.children.flatMap(nodes)) ++ (p match {
